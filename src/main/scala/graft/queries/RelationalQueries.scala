@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** Relational operator inventory — SURVEY.md §2.2 Tier B (B1–B11) plus the
+  * §2.3 capability-parity operators (window, sort/limit, set ops, rollup/cube,
+  * scalar subquery, EXISTS, CTE, string/date/json functions).
+  *
+  * Every query here is declarative DataFrame API (or `spark.sql`) so Catalyst
+  * performs pushdown/pruning/join-selection; none uses RDDs or driver-side
+  * loops. Floating-point aggregates are rounded (2–4 dp) in BOTH the Spark
+  * plan and the DuckDB oracle so partial-aggregation summation order cannot
+  * flip the hash compare. Integer-typed outputs are cast to BIGINT on
+  * whichever side is narrower, so result schemas line up.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1 projection + rename
+    "q01_project_rename" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_name").as("name"),
+        col("c_acctbal").as("balance"),
+        col("c_mktsegment").as("segment"))
+    }),
+
+    // B2 star projection
+    "q02_star" -> ((s, dir) => t(s, dir, "region").select(col("*"))),
+
+    // B3 inline VALUES (LocalRelation)
+    "q03_values_inline" -> ((s, dir) =>
+      s.sql("SELECT * FROM VALUES (1, 'one'), (2, 'two'), (3, 'three') AS t(num, letter)")),
+
+    // B4 series generator (GENERATE_SERIES equivalent)
+    "q04_generate_series" -> ((s, dir) => s.range(0, 1000).toDF("n")),
+
+    // B5 cross join over two generated series
+    "q05_cross_join" -> ((s, dir) =>
+      s.range(0, 100).toDF("x").crossJoin(s.range(0, 100).toDF("y"))),
+
+    // B6 constant-false predicate -> empty relation (Catalyst folds to empty LocalRelation)
+    "q06_empty_relation" -> ((s, dir) =>
+      s.sql("SELECT CAST(1 AS BIGINT) AS one WHERE 1 = 0")),
+
+    // B8 DISTINCT
+    "q07_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment").as("segment")).distinct()),
+
+    // B9 IN-subquery == left semi join
+    "q08_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // NOT EXISTS == left anti join
+    "q09_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // B11 join + aggregate: revenue per nation (nation is tiny -> broadcast)
+    "q10_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // Flagship wide aggregate (TPC-H Q1 shape)
+    "q11_lineitem_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Window: ranking functions with a fully deterministic order
+    "q12_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .filter(col("rn") <= 3)
+    }),
+
+    // Window: running sum frame (rows between unbounded preceding and current)
+    "q13_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+    }),
+
+    // Sort + limit (top-k with deterministic tiebreak)
+    "q14_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10)),
+
+    // Set op: UNION (distinct)
+    "q15_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(sup).distinct()
+    }),
+
+    // Set ops: INTERSECT / EXCEPT combined via a tagging union
+    "q16_intersect_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val both = c.intersect(sup).withColumn("tag", lit("both"))
+      val onlyC = c.except(sup).withColumn("tag", lit("customer_only"))
+      both.union(onlyC)
+    }),
+
+    // String scalar functions
+    "q17_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_brand"), 1, 5).as("brand5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        trim(lower(col("p_name"))).as("name_norm"))),
+
+    // Date/time scalar functions
+    "q18_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))),
+
+    // JSON extraction over events.props + aggregate
+    "q19_json_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("value")), 4).as("avg_value"),
+             sum(col("k_val")).as("sum_k"))),
+
+    // CASE WHEN + arithmetic bucket aggregate
+    "q20_case_math" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          when(col("l_discount") > 0.05, lit("high"))
+            .otherwise(lit("low")).as("disc_band"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))
+        .groupBy(col("disc_band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("charge")), 2).as("total_charge"))),
+
+    // ROLLUP grouping sets
+    "q21_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // CUBE grouping sets
+    "q22_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))),
+
+    // HAVING (post-aggregation filter)
+    "q23_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("n_orders") > 12)),
+
+    // Scalar subquery (exact-valued, so no FP boundary risk)
+    "q24_scalar_subquery" -> ((s, dir) => {
+      Sources.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""")
+    }),
+
+    // Correlated EXISTS
+    "q25_exists" -> ((s, dir) => {
+      Sources.registerAll(s, dir)
+      s.sql("""SELECT s_suppkey, s_name FROM supplier
+               WHERE EXISTS (SELECT 1 FROM customer
+                             WHERE c_nationkey = s_nationkey AND c_acctbal > 9000)""")
+    }),
+
+    // CTE + join
+    "q26_cte" -> ((s, dir) => {
+      Sources.registerAll(s, dir)
+      s.sql("""WITH big AS (SELECT o_custkey, count(*) AS n
+                            FROM orders GROUP BY o_custkey HAVING count(*) >= 10)
+               SELECT c.c_custkey, c.c_name, b.n AS n_orders
+               FROM customer c JOIN big b ON c.c_custkey = b.o_custkey""")
+    }),
+
+    // IN-list + BETWEEN + LIKE predicates
+    "q27_predicates" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_size").isin(1, 5, 10, 15) &&
+                col("p_retailprice").between(500.0, 1500.0))
+        .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))),
+
+    // 5-way star join (region->nation->customer->orders->lineitem, supplier)
+    "q28_star_join" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    // Window: lag/lead analytics over the event stream
+    "q29_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta_prev"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+    }),
+
+    // Time-bucketed aggregation (batch twin of the streaming windowed agg)
+    "q30_time_bucket" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("bucket_start"), col("event_type"),
+                col("n"), col("total_value")))
+  )
+
+  /** DuckDB-dialect oracle SQL, one per query above (driver contract). */
+  val oracleSql: Map[String, String] = Map(
+    "q01_project_rename" ->
+      "SELECT c_name AS name, c_acctbal AS balance, c_mktsegment AS segment FROM customer",
+    "q02_star" -> "SELECT * FROM region",
+    "q03_values_inline" ->
+      "SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS t(num, letter)",
+    "q04_generate_series" -> "SELECT * FROM generate_series(0, 999) AS t(n)",
+    "q05_cross_join" ->
+      "SELECT x, y FROM generate_series(0, 99) t1(x) CROSS JOIN generate_series(0, 99) t2(y)",
+    "q06_empty_relation" -> "SELECT CAST(1 AS BIGINT) AS one WHERE 1 = 0",
+    "q07_distinct" -> "SELECT DISTINCT c_mktsegment AS segment FROM customer",
+    "q08_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q09_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q10_join_agg" ->
+      """SELECT n_name AS nation, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN orders ON o_custkey = c_custkey
+         GROUP BY n_name""",
+    "q11_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q12_window_rank" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         ) WHERE rn <= 3""",
+    "q13_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders""",
+    "q14_topk" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q15_union" ->
+      "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey AS nationkey FROM supplier",
+    "q16_intersect_except" ->
+      """SELECT nationkey, 'both' AS tag FROM
+           (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'customer_only' AS tag FROM
+           (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)""",
+    "q17_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper, CAST(length(p_name) AS BIGINT) AS name_len,
+                substring(p_brand, 1, 5) AS brand5, concat_ws('-', p_brand, p_type) AS brand_type,
+                regexp_replace(p_type, ' ', '_', 'g') AS type_us, trim(lower(p_name)) AS name_norm
+         FROM part""",
+    "q18_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                CAST(day(o_orderdate) AS BIGINT) AS o_day,
+                CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+         FROM orders""",
+    "q19_json_agg" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type""",
+    "q20_case_math" ->
+      """SELECT CASE WHEN l_discount > 0.05 THEN 'high' ELSE 'low' END AS disc_band,
+                count(*) AS n,
+                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS total_charge
+         FROM lineitem GROUP BY 1""",
+    "q21_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q22_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q23_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+         FROM orders GROUP BY o_custkey HAVING count(*) > 12""",
+    "q24_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""",
+    "q25_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = s_nationkey AND c_acctbal > 9000)""",
+    "q26_cte" ->
+      """WITH big AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 10)
+         SELECT c.c_custkey, c.c_name, b.n AS n_orders
+         FROM customer c JOIN big b ON c.c_custkey = b.o_custkey""",
+    "q27_predicates" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+         WHERE p_size IN (1, 5, 10, 15) AND p_retailprice BETWEEN 500.0 AND 1500.0""",
+    "q28_star_join" ->
+      """SELECT r_name AS region, n_name AS nation,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+                       JOIN supplier ON l_suppkey = s_suppkey
+                       JOIN nation ON s_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q29_window_lag" ->
+      """SELECT user_id, event_id, value,
+                round(value - lag(value, 1) OVER w, 2) AS delta_prev,
+                lead(event_type, 1) OVER w AS next_type
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q30_time_bucket" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_start,
+                event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2"""
+  )
+}
