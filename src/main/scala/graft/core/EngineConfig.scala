@@ -1,0 +1,84 @@
+package graft.core
+
+/** Engine configuration resolved from environment variables, mirroring the
+  * reference's matrix (`src/floorist/config.py:25-105`):
+  *
+  *  - `AWS_BUCKET` → output root; here any Hadoop-compatible URI works
+  *    (`file:///...` for tests, `s3a://bucket` on a cluster).
+  *  - `AWS_ENDPOINT` gets `https://` prefixed when the scheme is missing
+  *    (`config.py:43-48`).
+  *  - `FLOORPLAN_FILE` must exist and be readable.
+  *  - Postgres settings are optional here: when absent the engine runs in
+  *    parquet-view mode (driver testdata); when present the JDBC source is
+  *    used. The reference hard-requires them because Postgres is its only
+  *    source.
+  *
+  * Validation failures throw [[ConfigError]] before any I/O (fail-fast, as
+  * the reference does).
+  */
+final case class ConfigError(message: String) extends RuntimeException(message)
+
+final case class JdbcConfig(host: String, port: Int, database: String,
+                            user: String, password: String) {
+  def url: String = s"jdbc:postgresql://$host:$port/$database"
+}
+
+final case class EngineConfig(
+    bucketUrl: String,
+    endpoint: Option[String],
+    region: Option[String],
+    accessKeyId: Option[String],
+    secretAccessKey: Option[String],
+    floorplanFile: String,
+    jdbc: Option[JdbcConfig])
+
+object EngineConfig {
+
+  def fromEnv(env: Map[String, String] = sys.env): EngineConfig = {
+    def required(key: String): String =
+      env.get(key).filter(_.nonEmpty)
+        .getOrElse(throw ConfigError(s"$key environment variable is not set"))
+
+    val bucket = required("AWS_BUCKET")
+    val endpoint = env.get("AWS_ENDPOINT").filter(_.nonEmpty).map(withScheme)
+    val floorplan = required("FLOORPLAN_FILE")
+    val f = new java.io.File(floorplan)
+    if (!f.exists() || !f.canRead)
+      throw ConfigError(s"floorplan file '$floorplan' does not exist or is not readable")
+
+    val jdbc = env.get("POSTGRES_SERVICE_HOST").filter(_.nonEmpty).map { host =>
+      JdbcConfig(
+        host = host,
+        port = env.getOrElse("POSTGRES_SERVICE_PORT", "5432").toInt,
+        database = required("POSTGRESQL_DATABASE"),
+        user = required("POSTGRESQL_USER"),
+        password = required("POSTGRESQL_PASSWORD"))
+    }
+
+    EngineConfig(
+      bucketUrl = bucket,
+      endpoint = endpoint,
+      region = env.get("AWS_REGION").filter(_.nonEmpty),
+      accessKeyId = env.get("AWS_ACCESS_KEY_ID").filter(_.nonEmpty),
+      secretAccessKey = env.get("AWS_SECRET_ACCESS_KEY").filter(_.nonEmpty),
+      floorplanFile = floorplan,
+      jdbc = jdbc)
+  }
+
+  /** `minio:9000` → `https://minio:9000`, matching `config.py:43-48`. */
+  def withScheme(endpoint: String): String =
+    if (endpoint.contains("://")) endpoint else s"https://$endpoint"
+
+  /** Hadoop S3A settings for the resolved config (path-style access for
+    * minio-like endpoints, per `tests/env.yaml.example:1`). No-op for
+    * `file://` targets. */
+  def hadoopS3aSettings(c: EngineConfig): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    c.endpoint.foreach(e => b += "fs.s3a.endpoint" -> e)
+    c.accessKeyId.foreach(k => b += "fs.s3a.access.key" -> k)
+    c.secretAccessKey.foreach(k => b += "fs.s3a.secret.key" -> k)
+    c.region.foreach(r => b += "fs.s3a.endpoint.region" -> r)
+    if (c.endpoint.isDefined) b += "fs.s3a.path.style.access" -> "true"
+    b.result()
+  }
+}

@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.slf4j.LoggerFactory
+
+import graft.sink.PartitionedParquetSink
+import graft.sources.SqlTranslate
+
+/** The floorist-equivalent pipeline orchestrator (`src/floorist/floorist.py:
+  * 259-292`): load the floorplan, execute each dump sequentially, count
+  * successes, log "Dumped X from total of Y", and report non-zero iff any
+  * dump failed. Dumps stay sequential on the driver (matching the
+  * reference's observable interleaving, A7) while Spark parallelizes
+  * *within* each dump across partitions — strictly dominating the
+  * reference's single thread.
+  */
+class Floorista(
+    spark: SparkSession,
+    config: EngineConfig,
+    executorFactory: (PartitionedParquetSink, String => DataFrame) => DumpExecutor =
+      (sink, run) => new DumpExecutor(sink, run)) {
+
+  private val log = LoggerFactory.getLogger(classOf[Floorista])
+
+  /** Runs every dump in the floorplan. @return process exit code (0/1). */
+  def run(): Int = {
+    EngineConfig.hadoopS3aSettings(config).foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    // Exact file-count contract by default (reference parity); set
+    // GRAFT_FILE_CONTRACT=scalable for parallel multi-file writes at scale.
+    val contract =
+      if (sys.env.get("GRAFT_FILE_CONTRACT").exists(_.equalsIgnoreCase("scalable")))
+        graft.sink.FileContract.Scalable
+      else graft.sink.FileContract.Exact
+    val sink = new PartitionedParquetSink(spark, config.bucketUrl, contract)
+    if (!sink.verify())
+      log.warn(s"Output root ${config.bucketUrl} not listable at startup")
+
+    val runQuery: String => DataFrame = sql => spark.sql(SqlTranslate.translate(sql))
+    val executor = executorFactory(sink, runQuery)
+
+    val rows = FloorplanParser.parseFile(config.floorplanFile)
+    var dumped = 0
+    rows.zipWithIndex.foreach { case (raw, i) =>
+      if (executor.execute(raw, i + 1)) dumped += 1
+    }
+    log.info(s"Dumped $dumped from total of ${rows.size}")
+    if (dumped != rows.size) 1 else 0
+  }
+}
+
+/** CLI entry point with floorist's exit-code contract (exit 1 on any failed
+  * dump, `floorist.py:290-292`). */
+object Floorista {
+  def main(args: Array[String]): Unit = {
+    val config = EngineConfig.fromEnv()
+    val builder = SparkSession.builder()
+      .appName("graft-floorista")
+      .config("spark.sql.session.timeZone", "UTC")
+    // Under spark-submit the master comes in via spark.master; standalone
+    // invocations (tests, cron container) fall back to all local cores.
+    if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER"))
+      builder.master("local[*]")
+    sys.env.get("SPARK_MASTER").foreach(builder.master)
+    val spark = builder.getOrCreate()
+    val code = new Floorista(spark, config).run()
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

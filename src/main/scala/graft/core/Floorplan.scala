@@ -1,0 +1,72 @@
+package graft.core
+
+import java.io.FileReader
+
+import scala.jdk.CollectionConverters._
+
+/** One floorplan dump spec.
+  *
+  * Reference: a floorplan is a YAML list of `{prefix, query, chunksize?}`
+  * maps (`floorplan.example.yaml:1-7`); `chunksize` defaults to 1000 and
+  * `0` means "whole result in one file"
+  * (`src/floorist/floorist.py:194`, `README.md:39`).
+  *
+  * @param chunksize None = unset (default 1000 applies); Some(0) = single file.
+  */
+final case class FloorplanRow(prefix: String, query: String, chunksize: Option[Int]) {
+  /** Rows per output file, `None` = one single file (floorist's `0` case). */
+  def rowsPerFile: Option[Int] = chunksize match {
+    case Some(0) => None
+    case Some(n) => Some(n)
+    case None    => Some(FloorplanRow.DefaultChunksize)
+  }
+}
+
+object FloorplanRow {
+  val DefaultChunksize = 1000
+}
+
+/** Raised when a floorplan row lacks a required key — the reference fails
+  * that dump (KeyError caught at `src/floorist/floorist.py:191-197`) but
+  * keeps running later dumps, so callers catch this per row. */
+final case class InvalidFloorplanRow(missingKey: String)
+  extends RuntimeException(s"floorplan row is missing required key '$missingKey'")
+
+/** YAML floorplan loader (reference `yaml.safe_load`,
+  * `src/floorist/floorist.py:279-292`). Driver-side only — the floorplan is
+  * tiny control metadata, never distributed. */
+object FloorplanParser {
+
+  def parseFile(path: String): Seq[Map[String, Any]] = {
+    val reader = new FileReader(path)
+    try parseYaml(reader) finally reader.close()
+  }
+
+  def parseString(yaml: String): Seq[Map[String, Any]] =
+    parseYaml(yaml)
+
+  private def parseYaml(src: Any): Seq[Map[String, Any]] = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val loaded = src match {
+      case r: java.io.Reader => yaml.load[java.util.List[java.util.Map[String, Object]]](r)
+      case s: String         => yaml.load[java.util.List[java.util.Map[String, Object]]](s)
+      case other             => sys.error(s"unsupported source ${other.getClass}")
+    }
+    if (loaded == null) Seq.empty
+    else loaded.asScala.toSeq.map(m => m.asScala.toMap.map { case (k, v) => (k, v: Any) })
+  }
+
+  /** Convert one raw YAML map to a [[FloorplanRow]], enforcing required keys
+    * exactly like the reference (missing `prefix`/`query` fails the dump). */
+  def toRow(raw: Map[String, Any]): FloorplanRow = {
+    val prefix = raw.getOrElse("prefix", throw InvalidFloorplanRow("prefix")).toString
+    val query = raw.getOrElse("query", throw InvalidFloorplanRow("query")).toString
+    val chunksize = raw.get("chunksize").map {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long    => l.intValue
+      case s: String            => s.toInt
+      case other                => other.toString.toInt
+    }
+    FloorplanRow(prefix, query, chunksize)
+  }
+}

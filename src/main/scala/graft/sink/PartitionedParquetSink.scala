@@ -1,0 +1,99 @@
+package graft.sink
+
+import java.time.LocalDate
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Date-partitioned gzip-parquet sink — the floorist output contract.
+  *
+  * Reference semantics reproduced
+  * (`src/floorist/floorist.py:94-110,165-178`):
+  *  - target path `<root>/<prefix>/year_created=Y/month_created=M/day_created=D`
+  *    with **unpadded** month/day (`%-m`/`%-d`);
+  *  - gzip parquet, append mode (re-runs the same day add files);
+  *  - `chunksize` rows per output file — floorist writes one file per
+  *    fetched chunk; we reproduce the exact file count with
+  *    `spark.sql.files.maxRecordsPerFile` (77 files for 1000 rows @ 13,
+  *    `tests/test_floorist.py:170-178`);
+  *  - empty result → zero-byte "folder marker" so downstream consumers see
+  *    the partition exists (`floorist.py:102-110`).
+  *
+  * Scale note ([[FileContract]]): `Exact` coalesces to one task to match the
+  * reference's sequential chunk loop file-for-file — correct but single
+  * threaded, like the reference. `Scalable` keeps the natural partitioning
+  * (every executor writes its own chunk files, still ≤ chunksize rows each)
+  * — that's the 100 TB path, trading the exact-count contract for
+  * parallelism. Default `Scalable`; tests pin `Exact`.
+  */
+sealed trait FileContract
+object FileContract {
+  /** Exactly ceil(rows/chunksize) files, like the reference's chunk loop. */
+  case object Exact extends FileContract
+  /** ≤ chunksize rows per file, file count = Σ per-partition ceil. */
+  case object Scalable extends FileContract
+}
+
+sealed trait WriteResult
+object WriteResult {
+  case object Written extends WriteResult
+  case object EmptyMarker extends WriteResult
+}
+
+class PartitionedParquetSink(
+    spark: SparkSession,
+    rootUrl: String,
+    contract: FileContract = FileContract.Scalable) {
+
+  /** `<prefix>/year_created=2026/month_created=8/day_created=12` — month and
+    * day deliberately unpadded (Java has no `%-m`; render via `toString`). */
+  def datePath(prefix: String, date: LocalDate): String =
+    s"$prefix/year_created=${date.getYear}" +
+      s"/month_created=${date.getMonthValue}" +
+      s"/day_created=${date.getDayOfMonth}"
+
+  def targetUrl(prefix: String, date: LocalDate): String =
+    s"${rootUrl.stripSuffix("/")}/${datePath(prefix, date)}"
+
+  private def fs(url: String): FileSystem =
+    FileSystem.get(new java.net.URI(url), spark.sparkContext.hadoopConfiguration)
+
+  /** Write `df` under the dated target. Empty input → folder marker only. */
+  def write(df: DataFrame, prefix: String, rowsPerFile: Option[Int],
+            date: LocalDate = LocalDate.now()): WriteResult = {
+    val target = targetUrl(prefix, date)
+    if (df.isEmpty) {
+      fs(target).mkdirs(new Path(target))
+      WriteResult.EmptyMarker
+    } else {
+      val shaped = (rowsPerFile, contract) match {
+        case (None, _)                        => df.coalesce(1)
+        case (Some(_), FileContract.Exact)    => df.coalesce(1)
+        case (Some(_), FileContract.Scalable) => df
+      }
+      val writer = shaped.write.mode("append").option("compression", "gzip")
+      val sized = rowsPerFile match {
+        case Some(n) => writer.option("maxRecordsPerFile", n.toLong)
+        case None    => writer
+      }
+      sized.parquet(target)
+      WriteResult.Written
+    }
+  }
+
+  /** Wipe a (possibly partial) dump target before a retry — the analogue of
+    * `wr.s3.delete_objects(target)` (`floorist.py:209-213`). Failures
+    * propagate: the caller must abort the dump, not retry (A9). */
+  def delete(prefix: String, date: LocalDate): Unit = {
+    val target = targetUrl(prefix, date)
+    fs(target).delete(new Path(target), true)
+  }
+
+  /** Startup connectivity check, analogue of the reference's bucket listing
+    * (`floorist.py:81-92`). */
+  def verify(): Boolean =
+    fs(rootUrl).exists(new Path(new java.net.URI(rootUrl).getPath match {
+      case "" => "/"
+      case p  => p
+    }))
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.sources.SqlTranslate
+
+class FloorplanParserSpec extends AnyFunSuite {
+  test("parses prefix/query/chunksize rows") {
+    val rows = FloorplanParser.parseString(
+      """- prefix: dumps/people
+        |  query: SELECT 1
+        |  chunksize: 13
+        |- prefix: dumps/cities
+        |  query: SELECT 2
+        |""".stripMargin)
+    assert(rows.size == 2)
+    val r0 = FloorplanParser.toRow(rows.head)
+    assert(r0 == FloorplanRow("dumps/people", "SELECT 1", Some(13)))
+    assert(FloorplanParser.toRow(rows(1)).chunksize.isEmpty)
+  }
+
+  test("default chunksize is 1000; zero means single file") {
+    assert(FloorplanRow("p", "q", None).rowsPerFile.contains(1000))
+    assert(FloorplanRow("p", "q", Some(0)).rowsPerFile.isEmpty)
+    assert(FloorplanRow("p", "q", Some(13)).rowsPerFile.contains(13))
+  }
+
+  test("missing required keys raise InvalidFloorplanRow") {
+    val noQuery = intercept[InvalidFloorplanRow](
+      FloorplanParser.toRow(Map("prefix" -> "p")))
+    assert(noQuery.missingKey == "query")
+    val noPrefix = intercept[InvalidFloorplanRow](
+      FloorplanParser.toRow(Map("query" -> "SELECT 1")))
+    assert(noPrefix.missingKey == "prefix")
+  }
+
+  test("empty floorplan yields no rows") {
+    assert(FloorplanParser.parseString("").isEmpty)
+  }
+}
+
+class RetryPolicySpec extends AnyFunSuite {
+  import RetryPolicy._
+
+  test("classifier truth table (reference substrings)") {
+    assert(isRetryable(new RuntimeException("pg SerializationFailure during txn")))
+    assert(isRetryable(new RuntimeException("canceling statement due to conflict with recovery")))
+    assert(isRetryable(new RuntimeException("PendingRollbackError: rollback pending")))
+    assert(isRetryable(new RuntimeException("invalid transaction state")))
+    assert(!isRetryable(new RuntimeException("syntax error at or near FROM")))
+    assert(!isRetryable(new RuntimeException("connection refused")))
+  }
+
+  test("evaluate: retry then exhausted at maxRetries-1") {
+    val ex = new RuntimeException("SerializationFailure")
+    assert(evaluate(ex, 0) == Retry)
+    assert(evaluate(ex, 1) == Retry)
+    assert(evaluate(ex, 2) == Exhausted)
+    assert(evaluate(new RuntimeException("boom"), 0) == Failure)
+  }
+
+  test("backoff doubles: 5s, 10s, 20s") {
+    assert(backoffSeconds(0) == 5)
+    assert(backoffSeconds(1) == 10)
+    assert(backoffSeconds(2) == 20)
+  }
+}
+
+class EngineConfigSpec extends AnyFunSuite {
+  private def baseEnv(floorplan: String) = Map(
+    "AWS_BUCKET" -> "file:///tmp/graft-out",
+    "FLOORPLAN_FILE" -> floorplan)
+
+  private def withFloorplanFile(f: String => Unit): Unit = {
+    val file = java.io.File.createTempFile("floorplan", ".yaml")
+    try { java.nio.file.Files.writeString(file.toPath, "- prefix: p\n  query: SELECT 1\n"); f(file.getPath) }
+    finally file.delete()
+  }
+
+  test("missing AWS_BUCKET fails fast") {
+    withFloorplanFile { fp =>
+      val e = intercept[ConfigError](EngineConfig.fromEnv(Map("FLOORPLAN_FILE" -> fp)))
+      assert(e.getMessage.contains("AWS_BUCKET"))
+    }
+  }
+
+  test("missing floorplan file fails fast") {
+    val e = intercept[ConfigError](
+      EngineConfig.fromEnv(baseEnv("/nonexistent/floorplan.yaml")))
+    assert(e.getMessage.contains("floorplan"))
+  }
+
+  test("endpoint scheme defaulting") {
+    assert(EngineConfig.withScheme("minio:9000") == "https://minio:9000")
+    assert(EngineConfig.withScheme("http://minio:9000") == "http://minio:9000")
+    withFloorplanFile { fp =>
+      val c = EngineConfig.fromEnv(baseEnv(fp) + ("AWS_ENDPOINT" -> "minio:9000"))
+      assert(c.endpoint.contains("https://minio:9000"))
+      assert(EngineConfig.hadoopS3aSettings(c)("fs.s3a.path.style.access") == "true")
+    }
+  }
+
+  test("jdbc config resolves when POSTGRES_SERVICE_HOST present") {
+    withFloorplanFile { fp =>
+      val c = EngineConfig.fromEnv(baseEnv(fp) ++ Map(
+        "POSTGRES_SERVICE_HOST" -> "db", "POSTGRESQL_DATABASE" -> "d",
+        "POSTGRESQL_USER" -> "u", "POSTGRESQL_PASSWORD" -> "pw"))
+      assert(c.jdbc.map(_.url).contains("jdbc:postgresql://db:5432/d"))
+    }
+  }
+}
+
+class SqlTranslateSpec extends AnyFunSuite {
+  import SqlTranslate.translate
+
+  test("uuid_generate_v1 -> uuid") {
+    assert(translate("SELECT * FROM (VALUES (uuid_generate_v1(), 'one')) AS t(num, letter)")
+      .contains("uuid()"))
+  }
+
+  test("GENERATE_SERIES as FROM-item with alias-as-column") {
+    val got = translate("SELECT x, y FROM GENERATE_SERIES(0,999) as x JOIN GENERATE_SERIES(0,999) as y ON 1=1")
+    assert(got == "SELECT x, y FROM (SELECT explode(sequence(0, 999)) AS x) AS x " +
+      "JOIN (SELECT explode(sequence(0, 999)) AS y) AS y ON 1=1")
+  }
+
+  test("bare SELECT GENERATE_SERIES") {
+    assert(translate("SELECT GENERATE_SERIES(0,999)") ==
+      "SELECT explode(sequence(0, 999)) AS generate_series")
+  }
+
+  test("zero-column empty select gains a column") {
+    assert(translate("SELECT WHERE 1=0") == "SELECT NULL AS empty WHERE 1=0")
+  }
+
+  test("VALUES containing uuid() is rewritten to UNION ALL (wrapped form)") {
+    val got = translate(
+      "SELECT * FROM (VALUES (uuid_generate_v1(), 'one'), (uuid_generate_v1(), 'two')) AS t(num, letter)")
+    assert(got == "SELECT * FROM (SELECT uuid() AS num, 'one' AS letter " +
+      "UNION ALL SELECT uuid(), 'two') AS t")
+  }
+
+  test("VALUES containing uuid() is rewritten (bare form)") {
+    val got = translate(
+      "SELECT * FROM VALUES (uuid_generate_v1(), 'x') AS t(num, letter)")
+    assert(got == "SELECT * FROM (SELECT uuid() AS num, 'x' AS letter) AS t")
+  }
+
+  test("foldable VALUES stays a native inline table") {
+    val sql = "SELECT * FROM VALUES (1, 'one'), (2, 'two') AS t(num, letter)"
+    assert(translate(sql) == sql)
+  }
+
+  test("double-quoted identifiers become backticks") {
+    assert(translate("""SELECT DISTINCT "policies"."id" FROM "policies"""") ==
+      "SELECT DISTINCT `policies`.`id` FROM `policies`")
+  }
+}

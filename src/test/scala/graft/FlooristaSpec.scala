@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{EngineConfig, Floorista}
+
+/** End-to-end floorist-surface tests: floorplan YAML in, partitioned gzip
+  * parquet out, with the reference's exit-code and fixture semantics
+  * (tests/test_floorist.py behavioral invariants on local FS). */
+class FlooristaSpec extends SparkSpecBase {
+
+  private def run(floorplanYaml: String): (Int, String) = {
+    val root = tmpDir("floorista")
+    val fp = Files.createTempFile("floorplan", ".yaml")
+    Files.writeString(fp, floorplanYaml)
+    val config = EngineConfig.fromEnv(Map(
+      "AWS_BUCKET" -> s"file://$root",
+      "FLOORPLAN_FILE" -> fp.toString))
+    val code = new Floorista(spark, config).run()
+    (code, root)
+  }
+
+  private def filesUnder(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(dir)
+    if (!root.exists()) Seq.empty else walk(root).map(_.getPath)
+  }
+
+  private def today = java.time.LocalDate.now()
+  private def datedPart =
+    s"year_created=${today.getYear}/month_created=${today.getMonthValue}/day_created=${today.getDayOfMonth}"
+
+  test("multiple dumps succeed -> exit 0, dated layout, readable parquet") {
+    val (code, root) = run(
+      """- prefix: dumps/numbers
+        |  query: SELECT * FROM VALUES (1, 'one'), (2, 'two'), (3, 'three') AS t(num, letter)
+        |- prefix: dumps/cities
+        |  query: SELECT * FROM VALUES (1, 'Boston'), (2, 'Raleigh') AS t(num, name)
+        |""".stripMargin)
+    assert(code == 0)
+    val numbers = filesUnder(s"$root/dumps/numbers")
+    assert(numbers.nonEmpty)
+    assert(numbers.head.contains(datedPart), s"path was ${numbers.head}")
+    // Reading the prefix root surfaces the Hive partition columns...
+    val back = spark.read.parquet(s"$root/dumps/numbers")
+    assert(back.count() == 3)
+    assert(back.columns.sorted.toSeq ==
+      Seq("day_created", "letter", "month_created", "num", "year_created"))
+    // ...while the dated leaf holds just the query's own schema.
+    val leaf = spark.read.parquet(s"$root/dumps/numbers/$datedPart")
+    assert(leaf.columns.sorted.toSeq == Seq("letter", "num"))
+  }
+
+  test("one failing dump -> exit 1 but other dumps still written") {
+    val (code, root) = run(
+      """- prefix: dumps/good
+        |  query: SELECT * FROM VALUES (1, 'one') AS t(num, letter)
+        |- prefix: dumps/bad
+        |  query: this is not sql
+        |""".stripMargin)
+    assert(code == 1)
+    assert(filesUnder(s"$root/dumps/good").nonEmpty)
+  }
+
+  test("postgres-isms are translated: series, cross join, uuid, empty") {
+    val (code, root) = run(
+      """- prefix: dumps/series
+        |  query: SELECT GENERATE_SERIES(0,99)
+        |  chunksize: 13
+        |- prefix: dumps/cross
+        |  query: SELECT x, y FROM GENERATE_SERIES(0,9) as x JOIN GENERATE_SERIES(0,9) as y ON 1=1
+        |- prefix: dumps/uuids
+        |  query: SELECT * FROM VALUES (uuid_generate_v1(), 'one'), (uuid_generate_v1(), 'two') AS t(num, letter)
+        |- prefix: dumps/empty
+        |  query: SELECT WHERE 1=0
+        |""".stripMargin)
+    assert(code == 0)
+    // chunksize 13 over 100 rows -> exactly 8 files (Exact contract default)
+    assert(filesUnder(s"$root/dumps/series").count(_.endsWith(".parquet")) == 8)
+    assert(spark.read.parquet(s"$root/dumps/cross").count() == 100)
+    val uuids = spark.read.parquet(s"$root/dumps/uuids")
+    assert(uuids.count() == 2)
+    assert(uuids.schema("num").dataType.typeName == "string")
+    // empty result -> dated folder marker exists, no files inside
+    val marker = new java.io.File(s"$root/dumps/empty/$datedPart")
+    assert(marker.isDirectory)
+    assert(filesUnder(s"$root/dumps/empty").isEmpty)
+  }
+
+  test("missing floorplan keys fail that dump only -> exit 1") {
+    val (code, root) = run(
+      """- prefix: dumps/ok
+        |  query: SELECT * FROM VALUES (1, 'one') AS t(num, letter)
+        |- prefix: dumps/noquery
+        |""".stripMargin)
+    assert(code == 1)
+    assert(filesUnder(s"$root/dumps/ok").nonEmpty)
+  }
+}
