@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata, and per-batch decode/feature
+  * stages run as partition-local transforms (the Scala analogue of
+  * `mapInPandas` batches: one iterator per partition, streaming, no
+  * driver-side collection).
+  *
+  * The actual codecs (JPEG decode, audio resample, video demux) are NOT
+  * available in this container, so [[decodeFeatures]] and [[sampleFrames]]
+  * use a clearly-marked deterministic STUB in place of the codec call. The
+  * Spark-side contract — schemas, binary transport, partition-local batch
+  * shape, feature vector layout — is real and tested; swapping the stub for
+  * a JNI/ImageIO call changes no plan shape.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + metadata. */
+  final case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
+
+  /** Extracted features: fixed-width embedding + decoded dimensions. */
+  final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                                 n_bytes: Long, features: Array[Float])
+
+  /** A sampled "frame" of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Wraps the documents table as a binary media table (payload = UTF-8
+    * bytes standing in for an encoded image). */
+  def asMediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+        lit("stub/raw").as("format"))
+      .as[MediaRow]
+  }
+
+  /** Per-partition decode + feature extraction.
+    *
+    * STUB: a real implementation calls the image codec here (per batch, per
+    * partition). The deterministic fake derives "dimensions" from the
+    * payload length and a `dim`-bucket byte histogram (L1-normalised) as the
+    * feature vector — stable across partitionings and runs.
+    */
+  def decodeFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // --- STUB decode: replace with codec call (e.g. ImageIO.read) ----
+        val bytes = r.media
+        val width = math.max(1, bytes.length % 1024)
+        val height = math.max(1, bytes.length / 1024 + 1)
+        val hist = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xFF) % dim) += 1f
+          i += 1
+        }
+        val total = math.max(1, bytes.length).toFloat
+        var j = 0
+        while (j < dim) { hist(j) /= total; j += 1 }
+        // -----------------------------------------------------------------
+        MediaFeatures(r.doc_id, width, height, bytes.length.toLong, hist)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th fixed-size
+    * chunk. STUB chunking stands in for demux; the explode-shaped output
+    * (one row per sampled frame) is the real contract. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+                   stride: Int = 4): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = r.media.length / frameBytes
+      (0 until n by stride).map { f =>
+        Frame(r.doc_id, f, r.media.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
+}

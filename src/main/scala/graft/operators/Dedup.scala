@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+
+/** Near-duplicate detection pipelines for document corpora.
+  *
+  * Three families, all shuffle-disciplined for the 100 TB case:
+  *
+  *  1. '''Exact / fingerprint dedup''' — one hash-aggregate over the corpus
+  *     (map-side partial aggregation; the only shuffle is on the hash key).
+  *  2. '''MinHash + LSH''' — signatures are computed scan-side with zero
+  *     shuffles (higher-order functions over the token array, no explode of
+  *     shingles); the only shuffles are the band-bucket self-join (keys =
+  *     (band, bandHash), cardinality ≈ corpus size × #bands) and the final
+  *     candidate verification join. Candidate count, not corpus², bounds
+  *     the quadratic stage. Skewed buckets (boilerplate text) are the known
+  *     hazard — AQE skew-join handles moderate cases; degenerate buckets
+  *     should be capped upstream.
+  *  3. '''SimHash''' — one 64-bit fingerprint per doc via a codegen'd
+  *     expression, then Hamming-ball candidate generation by banding the
+  *     fingerprint into 4×16-bit chunks (any ≤3-bit-distant pair shares at
+  *     least one exact chunk, pigeonhole) and verifying with `bit_count`.
+  */
+object Dedup {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** MinHash signature (array<long>, length [[NumHashes]]) computed entirely
+    * with codegen'd higher-order functions — per hash j, min over shingles
+    * of xxhash64(shingle, j). No explode, no shuffle. */
+  def minhashSignature(shingles: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** (band, bandHash) keys for LSH bucketing: 16 bands of 4 signature rows. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => struct(b.as("band"), xxhash64(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))).as("bh")))
+
+  /** Candidate pairs (a_id < b_id) that collide in at least one LSH band.
+    * Input: (id, shingles). */
+  def minhashCandidates(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
+    val sig = docs.select(col(idCol), minhashSignature(col(shinglesCol)).as("sig"))
+    val bands = sig
+      .select(col(idCol), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bh"))
+    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates verified with exact
+    * shingle Jaccard ≥ `threshold`. Input: (id, shingles). Output:
+    * (a_id, b_id, jaccard). */
+  def minhashNearDups(docs: DataFrame, idCol: String, shinglesCol: String,
+                      threshold: Double): DataFrame = {
+    val candidates = minhashCandidates(docs, idCol, shinglesCol)
+    val sh = docs.select(col(idCol), col(shinglesCol))
+    val withA = candidates.join(
+      sh.select(col(idCol).as("a_id"), col(shinglesCol).as("a_sh")), Seq("a_id"))
+    val withB = withA.join(
+      sh.select(col(idCol).as("b_id"), col(shinglesCol).as("b_sh")), Seq("b_id"))
+    withB
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for
+    * the 4-chunk banding to be lossless). Input: (id, tokens). Output:
+    * (a_id, b_id, hamming). */
+  def simhashNearDups(docs: DataFrame, idCol: String, tokensCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding only covers Hamming distance <= 3")
+    val fp = docs.select(col(idCol), SimHash64.simhash64(col(tokensCol)).as("fp"))
+    val chunkStructs = (0 until 4).map(k =>
+      struct(lit(k).as("k"),
+        shiftright(col("fp"), k * 16).bitwiseAND(lit(0xFFFFL)).as("chunk")))
+    val chunks = fp
+      .select(col(idCol), col("fp"), explode(array(chunkStructs: _*)).as("c"))
+      .select(col(idCol), col("fp"), col("c.k").as("k"), col("c.chunk").as("chunk"))
+    val a = chunks.select(col(idCol).as("a_id"), col("fp").as("a_fp"), col("k"), col("chunk"))
+    val b = chunks.select(col(idCol).as("b_id"), col("fp").as("b_fp"), col("k"), col("chunk"))
+    a.join(b, Seq("k", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

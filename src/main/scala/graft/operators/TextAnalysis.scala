@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for text analytics over a document corpus — tokenize,
+  * shingle, quality-score, language-ID, fingerprint. All pure `Column`
+  * expressions (whole-stage codegen, no UDFs), so they compose into any
+  * plan and push down through Catalyst like built-ins.
+  *
+  * Numeric conventions match the DuckDB oracles: counts are exact integers,
+  * every ratio is a double division of those integers in a fixed order.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space convention of the corpus). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-gram shingles; < 3 tokens → empty set. (Guarded with
+    * `when` because Spark's `sequence(1, 0)` counts *down* while DuckDB's
+    * `generate_series(1, 0)` is empty — the guard keeps both engines
+    * identical.) */
+  def shingles3(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of tokens present in `stop` (duplicates counted). */
+  def stopwordCount(ws: Column, stop: Seq[String]): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    size(filter(ws, w => array_contains(stopArr, w))).cast("long")
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * 0.5·uniq_ratio + 0.3·(1 − stop_ratio) + 0.2·min(tokens,100)/100. */
+  def qualityScore(nTokens: Column, nUniq: Column, nStop: Column): Column = {
+    val t = nTokens.cast("double")
+    round(
+      (nUniq.cast("double") / t) * 0.5 +
+        (lit(1.0) - nStop.cast("double") / t) * 0.3 +
+        (least(nTokens, lit(100L)).cast("double") / 100.0) * 0.2,
+      4)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately minimal — language ID at corpus scale is a
+    * scoring pass, not a model. */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "los", "que", "y")
+  val StopFr: Seq[String] = Seq("le", "les", "des", "et", "un", "une")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+
+  /** Language guess from stopword hit counts; ties resolve en>es>fr>de
+    * (deterministic, mirrored in the oracle SQL). */
+  def langGuess(en: Column, es: Column, fr: Column, de: Column): Column =
+    when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+
+  /** Canonical text normalization for fingerprinting: lowercase, non-alnum →
+    * space, collapse runs, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis => TA}
+import graft.sources.Sources
+
+/** LLM-training-data pipeline operators over the `documents` / `embeddings`
+  * tables: text analysis (t*), deduplication (d*), similarity search (s*),
+  * multimodal binary plumbing (m*). Oracle-able ops carry DuckDB SQL; the
+  * sketch-based ops (MinHash-LSH, SimHash, ANN) are exercised by ScalaTest
+  * against exact ground truth instead (driver records rows-only).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis ----------------------------------------------------
+    "t01_token_stats" -> ((s, dir) => {
+      val ws = TA.words(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        round(
+          aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x).cast("double") /
+            size(ws).cast("double"), 4).as("avg_token_len"))
+    }),
+
+    "t02_quality_score" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("ws"))
+      base.select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
+        TA.stopwordCount(col("ws"), TA.StopEn).as("n_stop"))
+        .withColumn("quality",
+          TA.qualityScore(col("n_tokens"), col("n_uniq"), col("n_stop")))
+    }),
+
+    "t03_langid" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("ws"))
+      base.select(
+        col("doc_id"),
+        TA.stopwordCount(col("ws"), TA.StopEn).as("en"),
+        TA.stopwordCount(col("ws"), TA.StopEs).as("es"),
+        TA.stopwordCount(col("ws"), TA.StopFr).as("fr"),
+        TA.stopwordCount(col("ws"), TA.StopDe).as("de"))
+        .select(col("doc_id"),
+          TA.langGuess(col("en"), col("es"), col("fr"), col("de")).as("lang_guess"))
+    }),
+
+    "t04_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
+
+    // ---- deduplication ----------------------------------------------------
+    "d01_dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))),
+
+    "d02_dedup_keep_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    "d03_ngram_jaccard" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), expr("n_chars DIV 50").as("bkt"),
+          TA.shingles3(TA.words(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = base.select(col("doc_id").as("a_id"), col("bkt"), col("sh").as("a_sh"))
+      val b = base.select(col("doc_id").as("b_id"), col("bkt"), col("sh").as("b_sh"))
+      a.join(b, Seq("bkt"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+            size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    "d04_minhash_lsh" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), TA.shingles3(TA.words(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      Dedup.minhashNearDups(base, "doc_id", "sh", threshold = 0.5)
+    }),
+
+    "d05_simhash_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("toks"))
+      Dedup.simhashNearDups(base, "doc_id", "toks", maxHamming = 3)
+    }),
+
+    // ---- similarity search ------------------------------------------------
+    "s01_cosine_topk" -> ((s, dir) =>
+      SimilaritySearch.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 5)),
+
+    "s02_cosine_threshold" -> ((s, dir) =>
+      SimilaritySearch.thresholdPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4)),
+
+    "s03_ann_lsh" -> ((s, dir) =>
+      SimilaritySearch.annTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3, dim = 64)),
+
+    // ---- multimodal (binary payload metadata; decode is stubbed) ----------
+    "m01_binary_meta" -> ((s, dir) => {
+      val media = encode(col("text"), "UTF-8")
+      docs(s, dir).select(
+        col("doc_id"),
+        length(media).cast("long").as("byte_len"),
+        sha2(media, 256).as("sha"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars_calc,
+                round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+         FROM documents""",
+    "t02_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+                           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                    FROM t)
+         SELECT doc_id, n_tokens, n_uniq, n_stop,
+                round((CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+                      + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+                      + (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) * 0.2, 4) AS quality
+         FROM c""",
+    "t03_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              c AS (SELECT doc_id,
+                           len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS en,
+                           len(list_filter(ws, w -> w IN ('el','la','de','los','que','y'))) AS es,
+                           len(list_filter(ws, w -> w IN ('le','les','des','et','un','une'))) AS fr,
+                           len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein'))) AS de
+                    FROM t)
+         SELECT doc_id,
+                CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+                     WHEN es >= fr AND es >= de THEN 'es'
+                     WHEN fr >= de THEN 'fr'
+                     ELSE 'de' END AS lang_guess
+         FROM c""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents""",
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_count
+         FROM documents GROUP BY md5(text)""",
+    "d02_dedup_keep_first" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+    "d03_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, n_chars // 50 AS bkt, string_split(text, ' ') AS ws FROM documents),
+              s AS (SELECT doc_id, bkt,
+                           list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+                    FROM w WHERE len(ws) >= 3)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+         FROM s a JOIN s b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2""",
+    "s01_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              scored AS (SELECT q_id, e.vec_id AS n_id,
+                                list_inner_product(qv, e.v)
+                                / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+                         FROM q JOIN e ON e.vec_id <> q_id),
+              ranked AS (SELECT q_id, n_id, cos,
+                                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+                         FROM scored)
+         SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 5""",
+    "s02_cosine_threshold" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_inner_product(a.v, b.v)
+                      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) > 0.4""",
+    "m01_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                sha256(text) AS sha
+         FROM documents"""
+  )
+}

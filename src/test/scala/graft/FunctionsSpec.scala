@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.SimHash64.simhash64
+
+class CosineSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine of a vector with itself is 1.0") {
+    val vals = emb.limit(20)
+      .select(cosineSim(col("embedding"), col("embedding")).as("c"))
+      .as[Double].collect()
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("expression matches the higher-order-function formulation") {
+    def hofDot(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val a = emb.limit(50).select($"vec_id".as("a_id"), $"embedding".as("va"))
+    val b = emb.limit(50).select($"vec_id".as("b_id"), $"embedding".as("vb"))
+    val both = a.join(b, $"a_id" < $"b_id")
+      .select(
+        cosineSim($"va", $"vb").as("expr_cos"),
+        (hofDot("va", "vb") /
+          (sqrt(hofDot("va", "va")) * sqrt(hofDot("vb", "vb")))).as("hof_cos"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (e, h) => assert(math.abs(e - h) < 1e-12, s"$e vs $h") }
+  }
+
+  test("orthogonal and opposite vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(cosineSim($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) + 1.0) < 1e-12)
+  }
+
+  test("zero vector yields 0.0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(cosineSim($"a", $"b")).as[Double].head() == 0.0)
+  }
+
+  test("survives codegen in a realistic plan (filter + projection)") {
+    val cnt = emb.select(cosineSim($"embedding", $"embedding").as("c"))
+      .filter($"c" > 0.99).count()
+    assert(cnt == emb.count())
+  }
+}
+
+class SimHashSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("identical token arrays produce identical fingerprints") {
+    val df = Seq(
+      (1L, Seq("spark", "scala", "engine")),
+      (2L, Seq("spark", "scala", "engine"))).toDF("id", "toks")
+    val fps = df.select(simhash64($"toks")).as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("near-identical docs have small hamming distance, unrelated large") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(3, "changed")
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "toks")
+    val Array(h1, h2, h3) = df.orderBy("id").select(simhash64($"toks")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2) < 12, s"near pair hamming ${ham(h1, h2)}")
+    assert(ham(h1, h3) > 16, s"far pair hamming ${ham(h1, h3)}")
+  }
+
+  test("deterministic across partitionings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val one = docs.coalesce(1).select($"doc_id", simhash64($"toks").as("fp"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val many = docs.repartition(7).select($"doc_id", simhash64($"toks").as("fp"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(one.toSeq == many.toSeq)
+  }
+}
