@@ -30,12 +30,13 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** MinHash signature (array<long>, length [[NumHashes]]) computed entirely
-    * with codegen'd higher-order functions — per hash j, min over shingles
-    * of xxhash64(shingle, j). No explode, no shuffle. */
+  /** MinHash signature (array<long>, length [[NumHashes]]) — one native
+    * codegen'd pass per row (see [[graft.functions.MinHashSignature]]; the
+    * equivalent nested higher-order functions re-evaluate the shingle
+    * expression per hash index and were ~100× slower). No explode, no
+    * shuffle: signatures are computed scan-side. */
   def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
+    graft.functions.MinHashSignature.minhashSignature(shingles, NumHashes)
 
   /** (band, bandHash) keys for LSH bucketing: 16 bands of 4 signature rows. */
   def bandKeys(sig: Column): Column =

@@ -75,9 +75,14 @@ object PipelineQueries {
     }),
 
     "d03_ngram_jaccard" -> ((s, dir) => {
+      // Shingles built by one native pass, then hashed to longs: the
+      // pairwise intersect/union runs on 8-byte values instead of strings
+      // (same set sizes — 64-bit collisions are negligible — so the
+      // string-set DuckDB oracle still matches).
       val base = docs(s, dir)
         .select(col("doc_id"), expr("n_chars DIV 50").as("bkt"),
-          TA.shingles3(TA.words(col("text"))).as("sh"))
+          transform(graft.functions.WordShingles.wordShingles(col("text"), 3),
+            sh => xxhash64(sh)).as("sh"))
         .filter(size(col("sh")) > 0)
       val a = base.select(col("doc_id").as("a_id"), col("bkt"), col("sh").as("a_sh"))
       val b = base.select(col("doc_id").as("b_id"), col("bkt"), col("sh").as("b_sh"))
@@ -92,7 +97,8 @@ object PipelineQueries {
 
     "d04_minhash_lsh" -> ((s, dir) => {
       val base = docs(s, dir)
-        .select(col("doc_id"), TA.shingles3(TA.words(col("text"))).as("sh"))
+        .select(col("doc_id"),
+          graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
       Dedup.minhashNearDups(base, "doc_id", "sh", threshold = 0.5)
     }),

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only by design (nightly CronJob, SURVEY.md §2.3),
+  * so these are capability extensions: the same transforms the batch
+  * queries run, expressed as incremental streaming plans —
+  * watermark-bounded windowed aggregation and stateful sessionization via
+  * `flatMapGroupsWithState`. State is keyed per user, so it shards across
+  * executors; the watermark bounds state size at scale.
+  */
+object EventStreams {
+
+  /** events schema as read from parquet (ts already µs-normalised). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory of event parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Watermarked sliding-window aggregation: 1h windows, 10m watermark.
+    * Late events beyond the watermark are dropped; state for closed windows
+    * is evicted — bounded memory regardless of stream length. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           total_value: Double)
+  /** Per-user in-flight session (public: the state encoder's generated code
+    * must be able to reach the accessors). Timestamps are kept as-is —
+    * `Timestamp.getTime` is millisecond-truncated, so gap arithmetic uses
+    * the separate microsecond clock [[micros]]. */
+  final case class SessionState(start: Timestamp, last: Timestamp,
+                                lastMicros: Long, n: Long, total: Double)
+
+  /** Full-precision epoch microseconds of a Timestamp (getTime alone drops
+    * the sub-millisecond digits that the parquet data carries). */
+  def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Gap-based sessionization: events from one user belong to one session
+    * while gaps stay under `gapMinutes`. Emits a session when the
+    * processing-time timeout fires after the gap. Custom state machine via
+    * `flatMapGroupsWithState` — the Spark-native replacement for a hand
+    * -rolled stateful consumer. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val useTimers = timeout == GroupStateTimeout.ProcessingTimeTimeout
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = state.getOption
+      val closed = scala.collection.mutable.Buffer[Session]()
+      sorted.foreach { e =>
+        val t = micros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastMicros <= gapMs * 1000L =>
+            cur = Some(s.copy(last = e.ts, lastMicros = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            closed += Session(userId, s.start, s.last, s.n, s.total)
+            cur = Some(SessionState(e.ts, e.ts, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.ts, e.ts, t, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        val out = cur.map(s => Session(userId, s.start, s.last, s.n, s.total))
+        state.remove()
+        cur = None
+        return (closed ++ out).iterator
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          if (useTimers) state.setTimeoutDuration(gapMs)
+        case None => state.remove()
+      }
+      closed.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+
+  /** Batch twin of [[sessionize]] for correctness checks: same gap logic
+    * expressed relationally (lag + cumulative session ids) — this is also
+    * the scalable backfill plan for historical data. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+  }
+}

@@ -55,6 +55,51 @@ class CosineSimilaritySpec extends SparkSpecBase {
   }
 }
 
+class MinHashFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.functions.MinHashSignature.minhashSignature
+  import graft.functions.WordShingles.wordShingles
+  import graft.operators.{TextAnalysis => TA}
+
+  test("word_shingles matches the HOF shingle builder on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      wordShingles($"text", 3).as("native"),
+      TA.shingles3(TA.words($"text")).as("hof"))
+      .filter(not($"native" === $"hof")).count()
+    assert(diff == 0)
+  }
+
+  test("word_shingles edge cases: short and empty strings") {
+    val df = Seq("", "one", "one two", "a b c", "a b c d").toDF("t")
+    val got = df.select(wordShingles($"t", 3)).as[Seq[String]].collect()
+    assert(got(0).isEmpty && got(1).isEmpty && got(2).isEmpty)
+    assert(got(3) == Seq("a b c"))
+    assert(got(4) == Seq("a b c", "b c d"))
+  }
+
+  test("minhash signature: equal sets equal sigs; similar sets similar sigs") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f")),
+      (2L, Seq("a b c", "b c d", "c d e", "d e f")),
+      (3L, Seq("a b c", "b c d", "c d e", "x y z")),
+      (4L, Seq("p q r", "q r s", "r s t", "s t u"))).toDF("id", "sh")
+    val sigs = df.orderBy("id").select(minhashSignature($"sh", 64)).as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(sigs(0), sigs(2)) > 30, "3/4-overlap sets should agree on most mins")
+    assert(agree(sigs(0), sigs(3)) < 10, "disjoint sets should rarely agree")
+  }
+
+  test("signature is deterministic across partitionings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sigs(parts: Int) = docs.repartition(parts)
+      .select($"doc_id", minhashSignature(wordShingles($"text", 3), 64).as("s"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(sigs(1) == sigs(8))
+  }
+}
+
 class SimHashSpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Stage the events table as a file-stream source directory. */
+  private lazy val streamDir: String = {
+    val d = tmpDir("events-stream")
+    Sources.table(spark, dir, "events").write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("windowed streaming agg over a file source matches the batch plan") {
+    val stream = EventStreams.windowedCounts(
+      EventStreams.readEventStream(spark, streamDir))
+    val qname = "windowed_out"
+    val q = stream.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(qname).start()
+    try assert(q.awaitTermination(120000), "stream did not drain in 120s")
+    finally q.stop()
+    // Append mode only emits windows the watermark has closed; with a
+    // finite file source the final window stays open, so compare as subset.
+    val got = spark.table(qname)
+      .select($"bucket_start", $"event_type", $"n", $"total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val want = EventStreams.windowedCounts(
+      spark.read.schema(EventStreams.eventSchema).parquet(streamDir))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got.nonEmpty, "stream should emit closed windows")
+    assert(got.subsetOf(want), s"stream emitted rows batch lacks: ${got -- want}")
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) runs and matches batch on closed sessions") {
+    val events = Sources.table(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    // Batch twin gives ground truth for every session.
+    val batch = EventStreams.sessionizeBatch(
+      Sources.table(spark, dir, "events"), gapMinutes = 30)
+    val batchSessions = batch
+      .select($"user_id", $"session_start", $"n_events").collect()
+    assert(batchSessions.nonEmpty)
+
+    // Streaming: single microbatch closes sessions only on gap rollover
+    // (timeout can't fire in processAllAvailable), so closed sessions must
+    // be a subset of batch sessions.
+    val memStream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
+      spark, 1)
+    memStream.addData(events.collect().toSeq)
+    // NoTimeout: sessions close on gap rollover only, so AvailableNow can
+    // drain (processing-time timers would keep the query waiting).
+    val q = EventStreams.sessionize(memStream.toDS(), gapMinutes = 30,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sessions_out").start()
+    try assert(q.awaitTermination(120000), "stream did not drain in 120s")
+    finally q.stop()
+    val streamed = spark.table("sessions_out")
+      .select($"user_id", $"session_start", $"n_events").collect()
+    val batchSet = batchSessions.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val streamSet = streamed.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamSet.subsetOf(batchSet),
+      s"streamed sessions not in batch truth: ${streamSet -- batchSet}")
+  }
+
+  test("batch sessionization is internally consistent") {
+    val events = Sources.table(spark, dir, "events")
+    val sessions = EventStreams.sessionizeBatch(events, gapMinutes = 30)
+    val nEvents = events.count()
+    val summed = sessions.agg(sum($"n_events")).as[Long].head()
+    assert(summed == nEvents, "every event belongs to exactly one session")
+    assert(sessions.filter($"session_end" < $"session_start").isEmpty)
+  }
+}
