@@ -258,7 +258,67 @@ object RelationalQueries {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .select(col("w.start").as("bucket_start"), col("event_type"),
-                col("n"), col("total_value")))
+                col("n"), col("total_value"))),
+
+    // Distinct aggregate
+    "q31_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n"))),
+
+    // Conditional (pivot-shaped) aggregation
+    "q32_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("f_total"),
+          count(when(col("o_orderstatus") === "O", lit(1))).as("o_cnt"),
+          count(lit(1)).as("n"))),
+
+    // Array functions over tokenized text
+    "q33_array_funcs" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(ws, 1).as("first_token"),
+        element_at(sort_array(ws), 1).as("min_token"),
+        array_contains(ws, "spark").as("has_spark"),
+        size(array_distinct(ws)).cast("long").as("n_uniq"))
+    }),
+
+    // NULL handling: NULLIF / COALESCE
+    "q34_null_handling" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("suppressed")).as("seg_filled"))),
+
+    // Approximate distinct-count sketch (HLL). Sketch estimates differ
+    // across engines by design -> no oracle; ScalaTest bounds the error.
+    "q35_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             count(lit(1)).as("n"))),
+
+    // Regexp extraction
+    "q36_regexp" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        regexp_extract(col("p_name"), "(\\d+)", 1).as("first_num")),
+
+    ),
+
+    // UNION ALL (bag semantics, no dedup shuffle)
+    "q37_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), lit("customer").as("side"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
+      c.union(sup)
+    })
   )
 
   /** DuckDB-dialect oracle SQL, one per query above (driver contract). */
@@ -373,6 +433,33 @@ object RelationalQueries {
     "q30_time_bucket" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_start,
                 event_type, count(*) AS n, round(sum(value), 2) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q31_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
+    "q32_conditional_agg" ->
+      """SELECT o_orderpriority,
+                round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS f_total,
+                count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+                count(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+    "q33_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         SELECT doc_id, ws[1] AS first_token, list_sort(ws)[1] AS min_token,
+                list_contains(ws, 'spark') AS has_spark,
+                CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq
+         FROM t""",
+    "q34_null_handling" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_filled
+         FROM customer""",
+    "q36_regexp" ->
+      """SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+                regexp_extract(p_name, '(\d+)', 1) AS first_num
+         FROM part""",
+    "q37_union_all" ->
+      """SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+         UNION ALL
+         SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier"""
   )
 }

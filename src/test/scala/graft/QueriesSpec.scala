@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+/** Inventory-wide sanity: every SparkEntry query runs at sf0.001, returns
+  * its declared shape, and every oracle key points at a real query. */
+class QueriesSpec extends SparkSpecBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every oracle key has a matching query") {
+    val q = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- q
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("every query executes and only the legitimately-empty ones are empty") {
+    // q06 is the constant-false relation; q09's anti join is empty at this
+    // SF because every customer has at least one order (oracle agrees).
+    val mayBeEmpty = Set("q06_empty_relation", "q09_anti_join")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (name == "q06_empty_relation") assert(n == 0, s"$name expected empty")
+      else if (!mayBeEmpty.contains(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() returns non-empty flagship result") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct stays within 10% of exact") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+           countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    both.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
+    }
+  }
+
+  test("relational inventory covers the SURVEY checklist categories") {
+    val names = RelationalQueries.queries.keySet
+    // One representative per operator category (SURVEY.md §2.2-2.3).
+    Seq("q01_project_rename", "q05_cross_join", "q07_distinct", "q08_semi_join",
+      "q09_anti_join", "q11_lineitem_agg", "q12_window_rank", "q14_topk",
+      "q15_union", "q17_string_funcs", "q18_date_funcs", "q19_json_agg",
+      "q21_rollup", "q22_cube", "q24_scalar_subquery", "q25_exists",
+      "q26_cte", "q31_distinct_agg", "q33_array_funcs", "q36_regexp")
+      .foreach(n => assert(names.contains(n), s"missing $n"))
+  }
+}
