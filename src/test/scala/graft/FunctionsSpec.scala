@@ -55,6 +55,34 @@ class CosineSimilaritySpec extends SparkSpecBase {
   }
 }
 
+class IntersectCountSortedSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.functions.IntersectCountSorted.intersectCountSorted
+  import org.apache.spark.sql.functions._
+
+  test("merge-walk count equals array_intersect size on random sorted sets") {
+    val df = spark.range(0, 200).select(
+      array_sort(array_distinct(transform(sequence(lit(0), (rand(7) * 50).cast("int") + 3),
+        i => (xxhash64($"id" * 31 + i) % 40)))).as("a"),
+      array_sort(array_distinct(transform(sequence(lit(0), (rand(11) * 50).cast("int") + 3),
+        i => (xxhash64($"id" * 17 + i) % 40)))).as("b"))
+    val diff = df.select(
+      intersectCountSorted($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
+  test("edge cases: empty and disjoint") {
+    val df = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    val got = df.select(intersectCountSorted($"a", $"b")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 3L))
+  }
+}
+
 class MinHashFunctionsSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.functions.MinHashSignature.minhashSignature
