@@ -77,6 +77,48 @@ object SimilaritySearch {
       struct(lit(t).as("t"), lshBucket(vec, hyperplanes(dim, bits, t)).as("bucket"))
     }: _*)
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nCells` cells; each query probes its
+    * `nProbe` nearest cells and scores exactly within them. The scale
+    * path when the corpus is huge and reusable: cell assignment is one
+    * linear pass (broadcastable centroids), the search join shuffles on
+    * cell id only, and recall/cost tunes via nProbe. Seeded — results are
+    * reproducible. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = emb.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("fv"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(10).setFeaturesCol("fv")
+    val model = km.fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col(idCol), col(vecCol), col("prediction").as("cell"))
+
+    // Queries probe their nProbe nearest centroids (centroid table is tiny
+    // -> literal broadcast via crossJoin of a local array).
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val centDf = emb.sparkSession.createDataFrame(centroids).toDF("cell", "cvec")
+    val q = assigned.filter(isQuery).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("cdist", cosineSim(col("qv"), col("cvec")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+
+    val c = assigned.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probes.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** Approximate top-k: exact scoring restricted to multi-table LSH bucket
     * mates. The N×M cross join becomes an equi-join on (table, bucket) —
     * shuffle keyed on the bucket id, candidate set ∪ over tables, then one

@@ -35,14 +35,20 @@ object PipelineQueries {
     }),
 
     "t02_quality_score" -> ((s, dir) => {
+      // quality in integer basis points (0..10000): FP `round` disagrees
+      // between engines at shortest-decimal boundaries (seen at sf0.1), so
+      // the oracle-checked score is pure integer arithmetic. The double
+      // variant stays available as TextAnalysis.qualityScore.
       val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("ws"))
       base.select(
         col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
         size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
         TA.stopwordCount(col("ws"), TA.StopEn).as("n_stop"))
-        .withColumn("quality",
-          TA.qualityScore(col("n_tokens"), col("n_uniq"), col("n_stop")))
+        .withColumn("quality_bp",
+          expr("""CAST(n_uniq * 5000 DIV n_tokens
+                       + (n_tokens - n_stop) * 3000 DIV n_tokens
+                       + least(n_tokens, 100L) * 20 AS BIGINT)"""))
     }),
 
     "t03_langid" -> ((s, dir) => {
@@ -59,6 +65,14 @@ object PipelineQueries {
 
     "t04_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
+
+    // BPE-ish tokenization: runs of letters, runs of digits, or single
+    // punctuation — the pre-tokenizer shape real BPE vocabularies assume.
+    "t05_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))),
 
     // ---- deduplication ----------------------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
@@ -123,6 +137,10 @@ object PipelineQueries {
       SimilaritySearch.annTopK(emb(s, dir), "vec_id", "embedding",
         isQuery = col("vec_id") < 10, k = 3, dim = 64)),
 
+    "s04_ann_ivf" -> ((s, dir) =>
+      SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3)),
+
     // ---- multimodal (binary payload metadata; decode is stubbed) ----------
     "m01_binary_meta" -> ((s, dir) => {
       val media = encode(col("text"), "UTF-8")
@@ -147,9 +165,9 @@ object PipelineQueries {
                            CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
                     FROM t)
          SELECT doc_id, n_tokens, n_uniq, n_stop,
-                round((CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
-                      + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
-                      + (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) * 0.2, 4) AS quality
+                CAST(n_uniq * 5000 // n_tokens
+                     + (n_tokens - n_stop) * 3000 // n_tokens
+                     + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
          FROM c""",
     "t03_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -168,6 +186,10 @@ object PipelineQueries {
     "t04_fingerprint" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents""",
+    "t05_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
          FROM documents""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_count

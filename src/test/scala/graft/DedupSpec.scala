@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpecBase {
       s"simhash found $hit of ${truth.size} jaccard>=0.9 pairs")
   }
 
+  test("IVF top-k achieves good recall vs exact top-k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = SimilaritySearch.bruteForceTopK(
+      emb, "vec_id", "embedding", $"vec_id" < 20, k = 3)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilaritySearch.ivfTopK(
+      emb, "vec_id", "embedding", $"vec_id" < 20, k = 3, nCells = 16, nProbe = 4)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // probing 4/16 cells scans ~25% of the corpus; on near-orthogonal
+    // random vectors the nearest neighbour only sometimes shares a cell —
+    // demand clearly-better-than-scan-fraction-at-random performance.
+    assert(recall > 0.25, s"IVF recall $recall")
+  }
+
   test("ANN top-k achieves decent recall vs exact top-k on bucketed queries") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val exact = SimilaritySearch.bruteForceTopK(

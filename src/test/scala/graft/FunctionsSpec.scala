@@ -55,6 +55,27 @@ class CosineSimilaritySpec extends SparkSpecBase {
   }
 }
 
+class SqlRegistrationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val self = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_sql LIMIT 5")
+      .as[Double].collect()
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-12))
+    val sh = spark.sql(
+      "SELECT simhash64(word_shingles('a b c d', 3)) AS h").as[Long].head()
+    assert(sh != 0L)
+    val ic = spark.sql(
+      "SELECT intersect_count_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS n")
+      .as[Long].head()
+    assert(ic == 2L)
+  }
+}
+
 class IntersectCountSortedSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.functions.IntersectCountSorted.intersectCountSorted
