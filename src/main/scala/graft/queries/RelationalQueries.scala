@@ -311,6 +311,13 @@ object RelationalQueries {
 
     ),
 
+    // Exact interpolated percentiles (median / p90)
+    "q38_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+             round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))),
+
     // UNION ALL (bag semantics, no dedup shuffle)
     "q37_union_all" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -460,6 +467,11 @@ object RelationalQueries {
     "q37_union_all" ->
       """SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
          UNION ALL
-         SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier"""
+         SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier""",
+    "q38_percentile" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+         FROM orders GROUP BY o_orderstatus"""
   )
 }

@@ -55,6 +55,36 @@ class CosineSimilaritySpec extends SparkSpecBase {
   }
 }
 
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.{TextAnalysis => TA}
+
+  test("double-valued quality score stays in [0,1] and rewards diversity") {
+    val df = Seq(
+      "the the the the the the the the",                   // repetitive + stopwords
+      "spark catalyst tungsten shuffle broadcast salting") // diverse
+      .toDF("text")
+      .select(TA.words($"text").as("ws"))
+      .select(size($"ws").cast("long").as("t"),
+        size(array_distinct($"ws")).cast("long").as("u"),
+        TA.stopwordCount($"ws", TA.StopEn).as("s"))
+      .select(TA.qualityScore($"t", $"u", $"s").as("q"))
+    val Array(repetitive, diverse) = df.as[Double].collect()
+    assert(repetitive >= 0.0 && diverse <= 1.0)
+    assert(diverse > repetitive)
+  }
+
+  test("langGuess breaks ties deterministically en>es>fr>de") {
+    val got = spark.range(1)
+      .select(TA.langGuess(lit(0L), lit(0L), lit(0L), lit(0L))).as[String].head()
+    assert(got == "en")
+    val es = spark.range(1)
+      .select(TA.langGuess(lit(1L), lit(2L), lit(2L), lit(1L))).as[String].head()
+    assert(es == "es")
+  }
+}
+
 class SqlRegistrationSpec extends SparkSpecBase {
   import spark.implicits._
 
