@@ -30,7 +30,11 @@ final case class EngineConfig(
     accessKeyId: Option[String],
     secretAccessKey: Option[String],
     floorplanFile: String,
-    jdbc: Option[JdbcConfig])
+    jdbc: Option[JdbcConfig],
+    /** `GRAFT_TABLE_DIR`: a parquet-lake directory whose tables are
+      * registered as views before dumps run, so floorplan SQL can query
+      * them like the reference queries its Postgres tables. */
+    tableDir: Option[String] = None)
 
 object EngineConfig {
 
@@ -62,7 +66,8 @@ object EngineConfig {
       accessKeyId = env.get("AWS_ACCESS_KEY_ID").filter(_.nonEmpty),
       secretAccessKey = env.get("AWS_SECRET_ACCESS_KEY").filter(_.nonEmpty),
       floorplanFile = floorplan,
-      jdbc = jdbc)
+      jdbc = jdbc,
+      tableDir = env.get("GRAFT_TABLE_DIR").filter(_.nonEmpty))
   }
 
   /** `minio:9000` → `https://minio:9000`, matching `config.py:43-48`. */

@@ -37,6 +37,10 @@ class Floorista(
     if (!sink.verify())
       log.warn(s"Output root ${config.bucketUrl} not listable at startup")
 
+    // Parquet-lake mode: floorplan SQL queries the registered tables the
+    // same way reference floorplans query Postgres tables.
+    config.tableDir.foreach(dir => graft.sources.Sources.registerAll(spark, dir))
+
     val runQuery: String => DataFrame = sql => spark.sql(SqlTranslate.translate(sql))
     val executor = executorFactory(sink, runQuery)
 

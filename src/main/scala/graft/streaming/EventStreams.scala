@@ -110,6 +110,57 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
+  /** Event-time sessionization: the production-correct variant. Late events
+    * beyond the watermark are dropped by the watermark filter; a session
+    * closes either on in-batch gap rollover or when the WATERMARK (not the
+    * wall clock) passes its last event + gap — so results are deterministic
+    * under replay and independent of processing speed. State per user is
+    * evicted on close; the watermark bounds total state. */
+  def sessionizeEventTime(events: Dataset[Event], gapMinutes: Int = 30,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(s => Session(userId, s.start, s.last, s.n, s.total))
+        state.remove()
+        return out.iterator
+      }
+      val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = state.getOption
+      val closed = scala.collection.mutable.Buffer[Session]()
+      sorted.foreach { e =>
+        val t = micros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastMicros <= gapMs * 1000L =>
+            cur = Some(s.copy(last = e.ts, lastMicros = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            closed += Session(userId, s.start, s.last, s.n, s.total)
+            cur = Some(SessionState(e.ts, e.ts, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.ts, e.ts, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // Fire when the watermark passes last-event + gap (must stay ahead
+        // of the current watermark or Spark rejects the timestamp).
+        val fireAt = math.max(s.lastMicros / 1000L + gapMs,
+          state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(fireAt)
+      }
+      closed.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Batch twin of [[sessionize]] for correctness checks: same gap logic
     * expressed relationally (lag + cumulative session ids) — this is also
     * the scalable backfill plan for historical data. */

@@ -9,13 +9,14 @@ import graft.core.{EngineConfig, Floorista}
   * (tests/test_floorist.py behavioral invariants on local FS). */
 class FlooristaSpec extends SparkSpecBase {
 
-  private def run(floorplanYaml: String): (Int, String) = {
+  private def run(floorplanYaml: String, extraEnv: Map[String, String] = Map.empty)
+      : (Int, String) = {
     val root = tmpDir("floorista")
     val fp = Files.createTempFile("floorplan", ".yaml")
     Files.writeString(fp, floorplanYaml)
     val config = EngineConfig.fromEnv(Map(
       "AWS_BUCKET" -> s"file://$root",
-      "FLOORPLAN_FILE" -> fp.toString))
+      "FLOORPLAN_FILE" -> fp.toString) ++ extraEnv)
     val code = new Floorista(spark, config).run()
     (code, root)
   }
@@ -86,6 +87,22 @@ class FlooristaSpec extends SparkSpecBase {
     val marker = new java.io.File(s"$root/dumps/empty/$datedPart")
     assert(marker.isDirectory)
     assert(filesUnder(s"$root/dumps/empty").isEmpty)
+  }
+
+  test("parquet-lake mode: floorplan SQL over registered testdata tables") {
+    val (code, root) = run(
+      """- prefix: dumps/revenue
+        |  query: SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem GROUP BY l_returnflag
+        |- prefix: dumps/top_customers
+        |  query: SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+        |  chunksize: 7
+        |""".stripMargin,
+      extraEnv = Map("GRAFT_TABLE_DIR" -> "/root/testdata/sf0.001"))
+    assert(code == 0)
+    val revenue = spark.read.parquet(s"$root/dumps/revenue/$datedPart")
+    assert(revenue.count() == 3) // A/N/R return flags
+    assert(revenue.columns.sorted.toSeq == Seq("l_returnflag", "revenue"))
+    assert(spark.read.parquet(s"$root/dumps/top_customers").count() > 0)
   }
 
   test("missing floorplan keys fail that dump only -> exit 1") {

@@ -72,6 +72,36 @@ class StreamingSpec extends SparkSpecBase {
       s"streamed sessions not in batch truth: ${streamSet -- batchSet}")
   }
 
+  test("event-time sessionization closes sessions as the watermark advances") {
+    import java.sql.Timestamp
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    def ev(id: Long, minute: Long) =
+      EventStreams.Event(id, ts(minute), user_id = 1L, "click", 1.0)
+
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event](spark, 1)
+    val q = EventStreams.sessionizeEventTime(
+      memStream.toDS(), gapMinutes = 30, watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("et_sessions").start()
+    try {
+      // Session A: two events 10m apart; session B: one event 2h later.
+      memStream.addData(ev(1, 0), ev(2, 10), ev(3, 120))
+      q.processAllAvailable()
+      // Sentinel events push the watermark far past B's gap window; the
+      // extra batch lets the timer fire against the advanced watermark.
+      memStream.addData(ev(4, 600))
+      q.processAllAvailable()
+      memStream.addData(ev(5, 610))
+      q.processAllAvailable()
+      val sessions = spark.table("et_sessions")
+        .select($"session_start", $"n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(sessions.contains((ts(0), 2L)), s"session A missing: $sessions")
+      assert(sessions.contains((ts(120), 1L)), s"session B missing: $sessions")
+    } finally q.stop()
+  }
+
   test("batch sessionization is internally consistent") {
     val events = Sources.table(spark, dir, "events")
     val sessions = EventStreams.sessionizeBatch(events, gapMinutes = 30)
