@@ -124,6 +124,16 @@ object PipelineQueries {
       Dedup.simhashNearDups(base, "doc_id", "toks", maxHamming = 3)
     }),
 
+    // Embedding-cosine near-duplicate detection: pairs above the similarity
+    // threshold, lower vec_id kept as the canonical representative. (The
+    // synthetic embeddings have no >0.95 twins, so the operator is
+    // exercised at 0.4; the threshold is the only knob.)
+    "d06_embedding_dedup" -> ((s, dir) =>
+      SimilaritySearch.thresholdPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4)
+        .select(col("a_id").as("keeper"), col("b_id").as("dup"),
+          col("cos").as("similarity"))),
+
     // ---- similarity search ------------------------------------------------
     "s01_cosine_topk" -> ((s, dir) =>
       SimilaritySearch.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
@@ -209,6 +219,14 @@ object PipelineQueries {
          FROM s a JOIN s b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2""",
+    "d06_embedding_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS keeper, b.vec_id AS dup,
+                round(list_inner_product(a.v, b.v)
+                      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS similarity
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) > 0.4""",
     "s01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
