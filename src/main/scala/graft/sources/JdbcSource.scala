@@ -26,6 +26,7 @@ object JdbcSource {
       fetchSize: Int = 1000,
       uuidColumns: Seq[String] = Nil,
       partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    GraftPostgresDialect.register()
     var reader = spark.read.format("jdbc")
       .option("url", jdbc.url)
       .option("user", jdbc.user)

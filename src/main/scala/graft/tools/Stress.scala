@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Scale-up stress harness: replicates the sf0.1 tables N× (with key
+  * offsets, so cardinalities really grow) and times the operators whose
+  * cost curves matter at 100 TB — the flagship aggregate, the star join,
+  * MinHash-LSH dedup and LSH ANN. Linear-ish growth here is the evidence
+  * that the plans (scan-side sketches, bucket equi-joins, partial
+  * aggregation) scale; quadratic blowup would flag a plan bug before a
+  * cluster ever sees it.
+  *
+  * `runMain graft.tools.Stress [factor]` — prints one JSON line per op.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(4)
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def scaled(table: String, idCols: Seq[String], offset: Long): DataFrame = {
+      val base = graft.sources.Sources.table(spark, dir, table)
+      (0 until factor).map { i =>
+        idCols.foldLeft(base) { (df, c) => df.withColumn(c, col(c) + lit(i * offset)) }
+      }.reduce(_ union _)
+    }
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"op":"$name","factor":$factor,"rows":$rows,"sec":${f"$sec%.2f"}}""")
+    }
+
+    val lineitem = scaled("lineitem", Seq("l_orderkey"), 100000000L)
+    val orders = scaled("orders", Seq("o_orderkey"), 100000000L)
+    val docs = scaled("documents", Seq("doc_id"), 10000000L)
+    val emb = scaled("embeddings", Seq("vec_id"), 10000000L)
+
+    time("q11_agg") {
+      lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), avg(col("l_extendedprice")), count(lit(1))).count()
+    }
+    time("join_agg") {
+      lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1))).count()
+    }
+    time("minhash_lsh") {
+      val base = docs.select(col("doc_id"),
+        graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      Dedup.minhashNearDups(base, "doc_id", "sh", 0.5).count()
+    }
+    time("ann_lsh") {
+      SimilaritySearch.annTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 3, dim = 64).count()
+    }
+    spark.stop()
+  }
+}

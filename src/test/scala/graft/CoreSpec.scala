@@ -111,6 +111,37 @@ class EngineConfigSpec extends AnyFunSuite {
   }
 }
 
+class GraftPostgresDialectSpec extends AnyFunSuite {
+  import graft.sources.GraftPostgresDialect
+  import org.apache.spark.sql.types.{MetadataBuilder, StringType}
+
+  test("handles postgres urls only") {
+    assert(GraftPostgresDialect.canHandle("jdbc:postgresql://db:5432/x"))
+    assert(!GraftPostgresDialect.canHandle("jdbc:mysql://db/x"))
+  }
+
+  test("uuid and friends map to StringType; standard types pass through") {
+    def catalyst(tn: String) = GraftPostgresDialect.getCatalystType(
+      java.sql.Types.OTHER, tn, 0, new MetadataBuilder)
+    assert(catalyst("uuid").contains(StringType))
+    assert(catalyst("jsonb").contains(StringType))
+    assert(catalyst("inet").contains(StringType))
+    assert(GraftPostgresDialect.getCatalystType(
+      java.sql.Types.INTEGER, "int4", 0, new MetadataBuilder).isEmpty)
+  }
+
+  test("registration is idempotent and the resolved dialect strings uuid") {
+    GraftPostgresDialect.register()
+    GraftPostgresDialect.register()
+    // Spark may wrap registered dialects; assert the behavioral contract:
+    // whatever dialect resolves for postgres URLs must map uuid -> string.
+    val resolved = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:postgresql://h/d")
+    val mapped = resolved.getCatalystType(
+      java.sql.Types.OTHER, "uuid", 0, new MetadataBuilder)
+    assert(mapped.contains(StringType))
+  }
+}
+
 class SqlTranslateSpec extends AnyFunSuite {
   import SqlTranslate.translate
 
