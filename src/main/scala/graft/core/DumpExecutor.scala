@@ -32,13 +32,17 @@ class DumpExecutor(
 
   private val log = LoggerFactory.getLogger(classOf[DumpExecutor])
 
-  /** @return true iff the dump succeeded. Never throws. */
+  /** @return true iff the dump succeeded. Never throws — any defect in one
+    * floorplan row fails that dump only (reference error isolation, A10). */
   def execute(raw: Map[String, Any], dumpNo: Int): Boolean = {
     val row =
       try FloorplanParser.toRow(raw)
       catch {
         case e: InvalidFloorplanRow =>
           log.error(s"[Dump #$dumpNo] Invalid floorplan row: ${e.getMessage}")
+          return false
+        case scala.util.control.NonFatal(e) =>
+          log.error(s"[Dump #$dumpNo] Unreadable floorplan row: $e")
           return false
       }
     execute(row, dumpNo)

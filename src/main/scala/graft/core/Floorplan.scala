@@ -57,15 +57,25 @@ object FloorplanParser {
   }
 
   /** Convert one raw YAML map to a [[FloorplanRow]], enforcing required keys
-    * exactly like the reference (missing `prefix`/`query` fails the dump). */
+    * exactly like the reference (missing `prefix`/`query` fails the dump).
+    * Null values (`prefix:` with no value) and unparseable chunksizes are
+    * treated as invalid too — they must fail THIS dump, not escape as
+    * NPE/NumberFormatException and kill the whole run. */
   def toRow(raw: Map[String, Any]): FloorplanRow = {
-    val prefix = raw.getOrElse("prefix", throw InvalidFloorplanRow("prefix")).toString
-    val query = raw.getOrElse("query", throw InvalidFloorplanRow("query")).toString
-    val chunksize = raw.get("chunksize").map {
-      case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long    => l.intValue
-      case s: String            => s.toInt
-      case other                => other.toString.toInt
+    def required(key: String): String = raw.get(key) match {
+      case Some(v) if v != null => v.toString
+      case _                    => throw InvalidFloorplanRow(key)
+    }
+    val prefix = required("prefix")
+    val query = required("query")
+    val chunksize = raw.get("chunksize").filter(_ != null).map { v =>
+      try v match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.intValue
+        case other                => other.toString.trim.toInt
+      } catch {
+        case _: NumberFormatException => throw InvalidFloorplanRow("chunksize")
+      }
     }
     FloorplanRow(prefix, query, chunksize)
   }

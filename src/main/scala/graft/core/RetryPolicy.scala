@@ -24,9 +24,19 @@ object RetryPolicy {
     "PendingRollbackError",
     "invalid transaction")
 
+  /** Walks the cause chain: Spark wraps source exceptions (e.g.
+    * `SparkException: Exception thrown in awaitResult` around a
+    * PSQLException), so the retryable text may sit levels down. */
   def isRetryable(ex: Throwable): Boolean = {
-    val msg = String.valueOf(ex)
-    RetryableSubstrings.exists(msg.contains)
+    var cur = ex
+    var depth = 0
+    while (cur != null && depth < 10) {
+      val msg = String.valueOf(cur)
+      if (RetryableSubstrings.exists(msg.contains)) return true
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    false
   }
 
   def evaluate(ex: Throwable, attempt: Int, maxRetries: Int = MaxRetries): Outcome =

@@ -96,7 +96,9 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
-      .distinct()
+      // Filter BEFORE the dedup shuffle: hamming is pure per pair, so only
+      // the (small) near-dup set needs the distinct exchange.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -208,7 +208,9 @@ object PipelineQueries {
       """SELECT doc_id, lang, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
     "d03_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, n_chars // 50 AS bkt, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, n_chars // 50 AS bkt,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
               s AS (SELECT doc_id, bkt,
                            list_distinct(list_transform(generate_series(1, len(ws) - 2),
                              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh

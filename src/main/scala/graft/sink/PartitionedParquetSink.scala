@@ -58,26 +58,48 @@ class PartitionedParquetSink(
   private def fs(url: String): FileSystem =
     FileSystem.get(new java.net.URI(url), spark.sparkContext.hadoopConfiguration)
 
-  /** Write `df` under the dated target. Empty input → folder marker only. */
+  /** Write `df` under the dated target. Empty input → folder marker only.
+    *
+    * The source plan executes exactly ONCE: the result is staged into a
+    * scratch directory, and the staged files are then either renamed into
+    * the target (non-empty) or replaced by the folder marker (empty). An
+    * up-front `df.isEmpty` probe would run the query twice — a different
+    * snapshot on a live JDBC source, and double cost everywhere. */
   def write(df: DataFrame, prefix: String, rowsPerFile: Option[Int],
             date: LocalDate = LocalDate.now()): WriteResult = {
     val target = targetUrl(prefix, date)
-    if (df.isEmpty) {
-      fs(target).mkdirs(new Path(target))
-      WriteResult.EmptyMarker
-    } else {
-      val shaped = (rowsPerFile, contract) match {
-        case (None, _)                        => df.coalesce(1)
-        case (Some(_), FileContract.Exact)    => df.coalesce(1)
-        case (Some(_), FileContract.Scalable) => df
+    val staging = s"${rootUrl.stripSuffix("/")}/.graft_staging/${java.util.UUID.randomUUID()}"
+    val shaped = (rowsPerFile, contract) match {
+      case (None, _)                        => df.coalesce(1)
+      case (Some(_), FileContract.Exact)    => df.coalesce(1)
+      case (Some(_), FileContract.Scalable) => df
+    }
+    val writer = shaped.write.mode("overwrite").option("compression", "gzip")
+    val sized = rowsPerFile match {
+      case Some(n) => writer.option("maxRecordsPerFile", n.toLong)
+      case None    => writer
+    }
+    sized.parquet(staging)
+
+    val f = fs(target)
+    val stagingPath = new Path(staging)
+    try {
+      val parts = f.listStatus(stagingPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      // Footer-only row count of the staged output (no recompute).
+      val written = spark.read.parquet(staging).count()
+      f.mkdirs(new Path(target))
+      if (written == 0) {
+        WriteResult.EmptyMarker
+      } else {
+        parts.foreach { p =>
+          // Part names embed the job UUID, so appends never collide.
+          f.rename(p.getPath, new Path(target, p.getPath.getName))
+        }
+        WriteResult.Written
       }
-      val writer = shaped.write.mode("append").option("compression", "gzip")
-      val sized = rowsPerFile match {
-        case Some(n) => writer.option("maxRecordsPerFile", n.toLong)
-        case None    => writer
-      }
-      sized.parquet(target)
-      WriteResult.Written
+    } finally {
+      f.delete(stagingPath, true)
     }
   }
 

@@ -22,6 +22,8 @@ object SqlTranslate {
 
   private val FromSeries =
     raw"(?i)\b(FROM|JOIN)\s+GENERATE_SERIES\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s+(?:AS\s+)?(\w+)".r
+  private val AliasedSeries =
+    raw"(?i)GENERATE_SERIES\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s+AS\s+(\w+)".r
   private val BareSeries =
     raw"(?i)GENERATE_SERIES\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)".r
   private val EmptySelect =
@@ -33,16 +35,45 @@ object SqlTranslate {
     var out = sql
     out = FromSeries.replaceAllIn(out, m =>
       s"${m.group(1)} (SELECT explode(sequence(${m.group(2)}, ${m.group(3)})) AS ${m.group(4)}) AS ${m.group(4)}")
+    // An explicitly aliased series keeps its alias; only a truly bare one
+    // gains the Postgres default column name.
+    out = AliasedSeries.replaceAllIn(out, m =>
+      s"explode(sequence(${m.group(1)}, ${m.group(2)})) AS ${m.group(3)}")
     out = BareSeries.replaceAllIn(out, m =>
       s"explode(sequence(${m.group(1)}, ${m.group(2)})) AS generate_series")
     out = EmptySelect.replaceFirstIn(out, "SELECT NULL AS empty WHERE")
     out = out.replace("uuid_generate_v1()", "uuid()")
-    out = QuotedIdent.replaceAllIn(out, m => s"`${m.group(1)}`")
+    out = backtickQuotedIdents(out)
     // Spark refuses non-foldable expressions (uuid()) inside inline tables
     // (INVALID_INLINE_TABLE); Postgres allows them, and the reference's
     // canonical fixture relies on it. Rewrite such VALUES to a UNION ALL.
     if (out.contains("uuid()")) out = rewriteNonFoldableValues(out)
     out
+  }
+
+  /** Converts double-quoted identifiers to backticks, skipping anything
+    * inside single-quoted string literals (a naive regex would corrupt
+    * literal data like `'he said "ok"'`). */
+  private[sources] def backtickQuotedIdents(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) {
+        sb += c
+        if (c == '\'') inStr = false
+        i += 1
+      } else if (c == '\'') {
+        sb += c; inStr = true; i += 1
+      } else if (c == '"') {
+        QuotedIdent.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) => sb ++= s"`${m.group(1)}`"; i += m.end
+          case None    => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.result()
   }
 
   /** Rewrites `[(]VALUES (a,b), (c,d)[)] AS t(x, y)` into

@@ -170,9 +170,12 @@ object EventStreams {
     val gapMs = gapMinutes * 60L * 1000L
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // unix_micros, not unix_millis: the data carries sub-ms precision and
+      // the streaming twin compares at µs — ms truncation would classify
+      // exact-boundary gaps differently between the two.
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1L)
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapMs * 1000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))

@@ -27,10 +27,28 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Replicas get perturbed CONTENT, not just shifted ids: byte-identical
+    // text/embeddings across replicas would make near-dup pair counts (and
+    // so the dedup/ANN runtimes) grow quadratically in `factor` by
+    // construction, masking the linear-plan signal this harness measures.
     def scaled(table: String, idCols: Seq[String], offset: Long): DataFrame = {
       val base = graft.sources.Sources.table(spark, dir, table)
       (0 until factor).map { i =>
-        idCols.foldLeft(base) { (df, c) => df.withColumn(c, col(c) + lit(i * offset)) }
+        var df = idCols.foldLeft(base) { (d, c) => d.withColumn(c, col(c) + lit(i * offset)) }
+        if (i > 0 && df.columns.contains("text"))
+          // Suffix every 5th token: kills ~60% of 3-gram shingles between
+          // replicas, pushing cross-replica jaccard far below threshold.
+          df = df.withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "),
+              (wd, j) => when(pmod(j, lit(5)) === lit(i % 5), concat(wd, lit(s"_r$i")))
+                .otherwise(wd))))
+        if (i > 0 && df.columns.contains("embedding"))
+          // Per-dim deterministic jitter changes neighbourhoods (a pure
+          // scale factor would leave cosine untouched).
+          df = df.withColumn("embedding",
+            transform(col("embedding"),
+              (x, d) => (x + sin(d * lit(i + 1)) * lit(0.05)).cast("float")))
+        df
       }.reduce(_ union _)
     }
 

@@ -35,6 +35,19 @@ class FloorplanParserSpec extends AnyFunSuite {
     assert(noPrefix.missingKey == "prefix")
   }
 
+  test("null values and garbage chunksizes are invalid rows, not crashes") {
+    // `prefix:` with no value parses to null — must fail THIS dump only.
+    val nullPrefix = intercept[InvalidFloorplanRow](
+      FloorplanParser.toRow(Map("prefix" -> null, "query" -> "SELECT 1")))
+    assert(nullPrefix.missingKey == "prefix")
+    val badChunk = intercept[InvalidFloorplanRow](
+      FloorplanParser.toRow(Map("prefix" -> "p", "query" -> "q", "chunksize" -> "abc")))
+    assert(badChunk.missingKey == "chunksize")
+    // null chunksize = unset (default applies)
+    assert(FloorplanParser.toRow(
+      Map("prefix" -> "p", "query" -> "q", "chunksize" -> null)).chunksize.isEmpty)
+  }
+
   test("empty floorplan yields no rows") {
     assert(FloorplanParser.parseString("").isEmpty)
   }
@@ -50,6 +63,14 @@ class RetryPolicySpec extends AnyFunSuite {
     assert(isRetryable(new RuntimeException("invalid transaction state")))
     assert(!isRetryable(new RuntimeException("syntax error at or near FROM")))
     assert(!isRetryable(new RuntimeException("connection refused")))
+  }
+
+  test("retryable text buried in a cause chain is still classified RETRY") {
+    val inner = new RuntimeException("canceling statement due to conflict with recovery")
+    val wrapped = new RuntimeException("Exception thrown in awaitResult:",
+      new RuntimeException("mid layer", inner))
+    assert(isRetryable(wrapped))
+    assert(!isRetryable(new RuntimeException("outer", new RuntimeException("plain"))))
   }
 
   test("evaluate: retry then exhausted at maxRetries-1") {
@@ -186,5 +207,15 @@ class SqlTranslateSpec extends AnyFunSuite {
   test("double-quoted identifiers become backticks") {
     assert(translate("""SELECT DISTINCT "policies"."id" FROM "policies"""") ==
       "SELECT DISTINCT `policies`.`id` FROM `policies`")
+  }
+
+  test("double quotes inside string literals are left untouched") {
+    val sql = """SELECT 'he said "ok"' AS msg, "col" FROM "t""""
+    assert(translate(sql) == """SELECT 'he said "ok"' AS msg, `col` FROM `t`""")
+  }
+
+  test("an already-aliased series keeps its alias") {
+    assert(translate("SELECT GENERATE_SERIES(1,3) AS id") ==
+      "SELECT explode(sequence(1, 3)) AS id")
   }
 }
