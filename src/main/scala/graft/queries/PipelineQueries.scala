@@ -68,11 +68,14 @@ object PipelineQueries {
 
     // BPE-ish tokenization: runs of letters, runs of digits, or single
     // punctuation — the pre-tokenizer shape real BPE vocabularies assume.
+    // Whitespace is an explicit class, not \s: Java's \s includes \x0B,
+    // RE2's (DuckDB) does not — the dialects would disagree on control
+    // characters.
     "t05_bpe_tokens" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
         size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0))).cast("long").as("n_bpe_tokens"))),
 
     // ---- deduplication ----------------------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
@@ -81,7 +84,10 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))),
 
     "d02_dedup_keep_first" -> ((s, dir) => {
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      // Partition the window by md5(text), not the text itself: the shuffle
+      // key is 16 bytes instead of the whole document body (same collision
+      // model as d01's hash-group dedup).
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       docs(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -199,7 +205,7 @@ object PipelineQueries {
          FROM documents""",
     "t05_bpe_tokens" ->
       """SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]')) AS BIGINT) AS n_bpe_tokens
          FROM documents""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_count

@@ -28,9 +28,22 @@ class FlooristaSpec extends SparkSpecBase {
     if (!root.exists()) Seq.empty else walk(root).map(_.getPath)
   }
 
-  private def today = java.time.LocalDate.now()
-  private def datedPart =
-    s"year_created=${today.getYear}/month_created=${today.getMonthValue}/day_created=${today.getDayOfMonth}"
+  /** The engine stamps paths with ITS OWN LocalDate.now(); a test running
+    * across midnight would compute a different date. Locate the dated leaf
+    * dir that was actually written instead of recomputing the clock. */
+  private def datedLeaf(prefixDir: String): java.io.File = {
+    def descend(f: java.io.File): java.io.File =
+      f.listFiles().filter(_.isDirectory).toSeq match {
+        case Seq(one) if one.getName.contains("_created=") => descend(one)
+        case _ => f
+      }
+    val leaf = descend(new java.io.File(prefixDir))
+    assert(leaf.getPath.matches(""".*year_created=\d{4}/month_created=\d{1,2}/day_created=\d{1,2}"""),
+      s"not a dated leaf: $leaf")
+    // Unpadded month/day (reference %-m/%-d): no zero-padded components.
+    assert(!leaf.getPath.matches(""".*_created=0\d.*"""), s"zero-padded: $leaf")
+    leaf
+  }
 
   test("multiple dumps succeed -> exit 0, dated layout, readable parquet") {
     val (code, root) = run(
@@ -42,14 +55,13 @@ class FlooristaSpec extends SparkSpecBase {
     assert(code == 0)
     val numbers = filesUnder(s"$root/dumps/numbers")
     assert(numbers.nonEmpty)
-    assert(numbers.head.contains(datedPart), s"path was ${numbers.head}")
     // Reading the prefix root surfaces the Hive partition columns...
     val back = spark.read.parquet(s"$root/dumps/numbers")
     assert(back.count() == 3)
     assert(back.columns.sorted.toSeq ==
       Seq("day_created", "letter", "month_created", "num", "year_created"))
     // ...while the dated leaf holds just the query's own schema.
-    val leaf = spark.read.parquet(s"$root/dumps/numbers/$datedPart")
+    val leaf = spark.read.parquet(datedLeaf(s"$root/dumps/numbers").getPath)
     assert(leaf.columns.sorted.toSeq == Seq("letter", "num"))
   }
 
@@ -84,7 +96,7 @@ class FlooristaSpec extends SparkSpecBase {
     assert(uuids.count() == 2)
     assert(uuids.schema("num").dataType.typeName == "string")
     // empty result -> dated folder marker exists, no files inside
-    val marker = new java.io.File(s"$root/dumps/empty/$datedPart")
+    val marker = datedLeaf(s"$root/dumps/empty")
     assert(marker.isDirectory)
     assert(filesUnder(s"$root/dumps/empty").isEmpty)
   }
@@ -99,7 +111,7 @@ class FlooristaSpec extends SparkSpecBase {
         |""".stripMargin,
       extraEnv = Map("GRAFT_TABLE_DIR" -> "/root/testdata/sf0.001"))
     assert(code == 0)
-    val revenue = spark.read.parquet(s"$root/dumps/revenue/$datedPart")
+    val revenue = spark.read.parquet(datedLeaf(s"$root/dumps/revenue").getPath)
     assert(revenue.count() == 3) // A/N/R return flags
     assert(revenue.columns.sorted.toSeq == Seq("l_returnflag", "revenue"))
     assert(spark.read.parquet(s"$root/dumps/top_customers").count() > 0)

@@ -50,11 +50,20 @@ class JoinStrategiesSpec extends SparkSpecBase {
       .select($"id", (($"id" % 10)).cast("int").as("day"))
       .write.partitionBy("day").mode("overwrite").parquet(dir)
     val q = spark.read.parquet(dir).filter($"day" === 3)
-    val scan = q.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters"), scan)
-    assert(q.count() == 100)
-    // Pruning proof: only one of ten partition directories is read.
-    val read = q.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(!read.contains("day=4") || read.contains("day=3"))
+    val qe = q.queryExecution
+    assert(qe.executedPlan.toString.contains("PartitionFilters"), qe.executedPlan.toString)
+    // Execute THIS plan instance (count() would re-plan and leave these
+    // metrics untouched), then read its scan metrics.
+    assert(qe.executedPlan.execute().count() == 100)
+    // Pruning proof: the scan's numFiles metric (post-execution) equals the
+    // file count of the ONE matching partition directory. (inputFiles is
+    // not pruning-aware — it lists the whole relation.)
+    val numFilesRead = qe.executedPlan
+      .collect { case p if p.metrics.contains("numFiles") => p.metrics("numFiles").value }
+    val day3Files = new java.io.File(s"$dir/day=3").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(day3Files > 0)
+    assert(numFilesRead.nonEmpty && numFilesRead.head == day3Files,
+      s"scan read $numFilesRead files, day=3 has $day3Files")
   }
 }
