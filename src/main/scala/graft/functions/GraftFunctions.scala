@@ -32,7 +32,13 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"minhash_signature takes 1-2 args, got ${other.size}")
     }),
-    "intersect_count_sorted" -> (es => IntersectCountSorted(es(0), es(1))))
+    "intersect_count_sorted" -> (es => IntersectCountSorted(es(0), es(1))),
+    "lsh_table_buckets" -> (es => es match {
+      case Seq(c, t, b) => LshTableBuckets(c,
+        t.eval().asInstanceOf[Int], b.eval().asInstanceOf[Int])
+      case other => throw new IllegalArgumentException(
+        s"lsh_table_buckets takes (vec, tables, bits), got ${other.size} args")
+    }))
 
   /** Register every function on an existing session (temp function scope). */
   def registerAll(spark: SparkSession): Unit =

@@ -55,6 +55,105 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH bucket ids of a vector, one per hash table, in
+  * ONE pass over the input (`array<float|double>` → `array<long>` of length
+  * `tables`; bucket = `bits` sign bits of the hyperplane projections).
+  *
+  * Why an Expression: the higher-order-function formulation
+  * (`aggregate(zip_with(vec, lit(plane), ...)` per bit per table) evaluates
+  * tables×bits separate lambda chains per row — 48 re-walks of the array
+  * with per-element lambda invocation. This expression computes every
+  * projection in a tight fused loop inside whole-stage codegen; the
+  * hyperplane matrix is deterministic (MurmurHash3-seeded, identical to
+  * [[graft.operators.SimilaritySearch.hyperplanes]]) and cached per
+  * (tables, bits, dim). */
+case class LshTableBuckets(child: Expression, tables: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+  require(tables >= 1, s"tables must be >= 1, got $tables")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_table_buckets"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_table_buckets expects array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LshTableBuckets.compute(v.asInstanceOf[ArrayData], isFloat, tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshTableBuckets.compute($c, $isFloat, $tables, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshTableBuckets {
+  /** Hyperplane matrix rows, flattened [(table·bits + bit)][dim]. Values are
+    * `MurmurHash3.productHash((table, bit, d)) % 10000 / 10000.0` — must stay
+    * bit-identical to `SimilaritySearch.hyperplanes` (tests cross-check). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  def planesFor(tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((tables, bits, dim), { key =>
+      val (t, b, d) = key
+      Array.tabulate(t * b) { tb =>
+        val table = tb / b
+        val bit = tb % b
+        Array.tabulate(d) { i =>
+          val h = scala.util.hashing.MurmurHash3.productHash((table, bit, i))
+          (h % 10000) / 10000.0
+        }
+      }
+    })
+
+  /** Static hot loop shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, isFloat: Boolean, tables: Int, bits: Int): ArrayData = {
+    val dim = vec.numElements()
+    val planes = planesFor(tables, bits, dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val row = planes(t * bits + j)
+        var proj = 0.0
+        var d = 0
+        while (d < dim) {
+          val x: Double = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          proj += x * row(d)
+          d += 1
+        }
+        if (proj > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Column-API entry point: `lshTableBuckets($"embedding", 8, 6)`. */
+  def lshTableBuckets(vec: Column, tables: Int, bits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      LshTableBuckets(GraftColumnBridge.expression(vec), tables, bits))
+  }
+}
+
 object CosineSimilarity {
   /** Static hot loop shared by interpreted eval and generated code. */
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {

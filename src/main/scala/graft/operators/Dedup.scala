@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CosineSimilarity.cosineSim
 import graft.functions.SimHash64
 
 /** Near-duplicate detection pipelines for document corpora.
@@ -75,6 +76,41 @@ object Dedup {
           size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the bucketed scale path for
+    * vector dedup (the embedding analogue of [[minhashNearDups]]).
+    *
+    * Candidate generation is a multi-table random-hyperplane-LSH equi-join
+    * on (table, bucket) — never an all-pairs theta join — and candidates
+    * are verified with exact cosine. Shuffle volume is bounded by bucket
+    * collisions, not corpus²: signatures are computed scan-side by one
+    * codegen'd expression ([[graft.functions.LshTableBuckets]]), the only
+    * wide stages are the bucket self-join and the final distinct over
+    * verified survivors.
+    *
+    * Recall: a pair at cosine c collides in one table w.p. p^bits where
+    * p = 1 − arccos(c)/π, and is a candidate w.p. 1 − (1 − p^bits)^tables.
+    * With the defaults (8 bits × 12 tables) a true near-dup at c ≥ 0.99
+    * is missed w.p. < 1e-13 while a random near-orthogonal pair becomes a
+    * candidate w.p. ≈ 0.05. This operator is for near-duplicate thresholds
+    * (≥ ~0.85); at low thresholds (≤ ~0.6) the qualifying-pair count itself
+    * grows quadratically and no bucketing helps — that regime belongs to
+    * the exact [[SimilaritySearch.thresholdPairs]] ground-truth op. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int = 8, tables: Int = 12): DataFrame = {
+    val keyed = SimilaritySearch.lshKeyed(emb, idCol, vecCol, bits, tables)
+    val a = keyed.select(col(idCol).as("a_id"), col(vecCol).as("av"), col("t"), col("bucket"))
+    val b = keyed.select(col(idCol).as("b_id"), col(vecCol).as("bv"), col("t"), col("bucket"))
+    a.join(b, Seq("t", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosineSim(col("av"), col("bv")))
+      // Verify BEFORE the dedup shuffle: cosine is pure per pair, so only
+      // the (small) surviving near-dup set pays the distinct exchange —
+      // the vectors themselves never ride a shuffle.
+      .filter(col("cos") > threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .distinct()
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.LshTableBuckets
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -18,6 +19,8 @@ import graft.functions.CosineSimilarity.cosineSim
   *    all-pairs into per-bucket brute force. Hyperplanes are derived from a
   *    deterministic hash (no RNG state), so results are reproducible across
   *    runs and cluster layouts.
+  *  - [[buildIvfIndex]]/[[probeIvf]] — IVF: build the coarse quantizer once
+  *    (offline, sampled fit), probe it many times.
   */
 object SimilaritySearch {
 
@@ -34,7 +37,12 @@ object SimilaritySearch {
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
-  /** All pairs (a_id < b_id) with cosine similarity above `threshold`. */
+  /** All pairs (a_id < b_id) with cosine similarity above `threshold`.
+    *
+    * O(N²) by declared design: this is the exact ground-truth operator the
+    * approximate paths are validated against, usable at modest N only. The
+    * scale paths are [[graft.operators.Dedup.embeddingNearDups]] (bucketed
+    * near-dup pairs) and [[annTopK]] (bucketed top-k). */
   def thresholdPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("av"))
@@ -53,7 +61,10 @@ object SimilaritySearch {
   val HashTables = 8
 
   /** Deterministic pseudo-random hyperplane matrix (bits × dim) in [-1, 1],
-    * seeded by (table, bit, dim) through MurmurHash3 — stable across JVMs. */
+    * seeded by (table, bit, dim) through MurmurHash3 — stable across JVMs.
+    * This is the REFERENCE definition; the hot path evaluates the same
+    * matrix inside the codegen'd [[graft.functions.LshTableBuckets]]
+    * expression (FunctionsSpec cross-checks the two). */
   def hyperplanes(dim: Int, bits: Int = HyperplaneBits,
                   table: Int = 0): Seq[Seq[Double]] =
     Seq.tabulate(bits, dim) { (j, d) =>
@@ -61,47 +72,87 @@ object SimilaritySearch {
       (h % 10000) / 10000.0
     }
 
-  /** LSH bucket id for a vector: sign bits of the hyperplane projections. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(
-        zip_with(vec, typedlit(p), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** One row per (vector, hash table): (id, vec, t, bucket). The bucket ids
+    * for all tables are computed by a single codegen'd expression pass per
+    * row (no shuffle — this is scan-side work), then unrolled with one
+    * generator. Candidate generation downstream is an equi-join on
+    * (t, bucket). */
+  def lshKeyed(emb: DataFrame, idCol: String, vecCol: String,
+               bits: Int = HyperplaneBits, tables: Int = HashTables): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+      posexplode(LshTableBuckets.lshTableBuckets(col(vecCol), tables, bits))
+        .as(Seq("t", "bucket")))
 
-  /** (table, bucket) keys across all hash tables, as one array column. */
-  def lshTableKeys(vec: Column, dim: Int, bits: Int = HyperplaneBits,
-                   tables: Int = HashTables): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("t"), lshBucket(vec, hyperplanes(dim, bits, t)).as("bucket"))
-    }: _*)
+  /** IVF (inverted-file) index: a KMeans coarse quantizer fitted ONCE —
+    * on a deterministic hash-sample of the corpus, never the full data —
+    * plus the cell assignment of every corpus vector (one linear pass with
+    * broadcast centroids, cached for reuse). Build once, probe many: at
+    * 100 TB the build is an offline job and [[probeIvf]] is the only thing
+    * on the query path. */
+  final case class IvfIndex(
+      centroids: Array[(Int, Array[Float])],
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String) {
+    def unpersist(): Unit = { assigned.unpersist(); () }
 
-  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    * partitions the corpus into `nCells` cells; each query probes its
-    * `nProbe` nearest cells and scores exactly within them. The scale
-    * path when the corpus is huge and reusable: cell assignment is one
-    * linear pass (broadcastable centroids), the search join shuffles on
-    * cell id only, and recall/cost tunes via nProbe. Seeded — results are
-    * reproducible. */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    /** Persist the index as parquet (assignments + centroids). */
+    def save(dir: String): Unit = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      assigned.write.mode("overwrite").parquet(s"$dir/assignments")
+      centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+        .toDF("cell", "cvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+  }
+
+  /** Load an index previously written with [[IvfIndex.save]]. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   idCol: String, vecCol: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    IvfIndex(centroids, spark.read.parquet(s"$dir/assignments"), idCol, vecCol)
+  }
+
+  /** Fit the coarse quantizer on a deterministic 1-in-`sampleMod` hash-sample
+    * of the corpus (sampleMod = 1 → full fit, for tiny corpora), then assign
+    * every vector to its cell. The KMeans job only ever sees the sample —
+    * at 100 TB that is the difference between an offline index build and an
+    * iterative ML job over the whole lake. */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, sampleMod: Int = 1): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = emb.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("fv"))
+    val fitInput =
+      if (sampleMod <= 1) vecs
+      else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10).setFeaturesCol("fv")
-    val model = km.fit(vecs)
+    val model = km.fit(fitInput)
     val assigned = model.transform(vecs)
       .select(col(idCol), col(vecCol), col("prediction").as("cell"))
-
-    // Queries probe their nProbe nearest centroids (centroid table is tiny
-    // -> literal broadcast via crossJoin of a local array).
+      .cache()
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
-    }.toSeq
-    val centDf = emb.sparkSession.createDataFrame(centroids).toDF("cell", "cvec")
-    val q = assigned.filter(isQuery).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      (i, c.toArray.map(_.toFloat))
+    }
+    IvfIndex(centroids, assigned, idCol, vecCol)
+  }
+
+  /** Approximate top-k against a prebuilt [[IvfIndex]]: each query probes its
+    * `nProbe` nearest cells (tiny broadcast centroid table) and scores
+    * exactly within them — the search join shuffles on cell id only, and
+    * recall/cost tunes via nProbe. No ML fit anywhere on this path. */
+  def probeIvf(index: IvfIndex, isQuery: Column, k: Int, nProbe: Int = 4): DataFrame = {
+    val idCol = index.idCol
+    val vecCol = index.vecCol
+    val spark = index.assigned.sparkSession
+    val centDf = spark.createDataFrame(
+      index.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }).toDF("cell", "cvec")
+    val q = index.assigned.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centDf))
       .withColumn("cdist", cosineSim(col("qv"), col("cvec")))
@@ -109,7 +160,7 @@ object SimilaritySearch {
       .filter(col("prnk") <= nProbe)
       .select(col("q_id"), col("qv"), col("cell"))
 
-    val c = assigned.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("cell"))
+    val c = index.assigned.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     probes.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -119,16 +170,35 @@ object SimilaritySearch {
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Per-(session, corpus) memoized indexes: build once, probe many within a
+    * JVM — the online analogue of the offline save/load cycle. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), IvfIndex]()
+
+  /** Convenience wrapper = memoized [[buildIvfIndex]] + [[probeIvf]].
+    * `cacheKey` identifies the corpus (e.g. its directory); when provided,
+    * repeated invocations reuse the fitted index instead of re-clustering. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              cacheKey: Option[String] = None): DataFrame = {
+    val index = cacheKey match {
+      case Some(key) =>
+        indexCache.computeIfAbsent(
+          (System.identityHashCode(emb.sparkSession).toString, key, nCells),
+          _ => buildIvfIndex(emb, idCol, vecCol, nCells))
+      case None => buildIvfIndex(emb, idCol, vecCol, nCells)
+    }
+    probeIvf(index, isQuery, k, nProbe)
+  }
+
   /** Approximate top-k: exact scoring restricted to multi-table LSH bucket
     * mates. The N×M cross join becomes an equi-join on (table, bucket) —
     * shuffle keyed on the bucket id, candidate set ∪ over tables, then one
-    * distinct + window per query. `dim` must match the embedding width. */
+    * distinct + window per query. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
-              isQuery: Column, k: Int, dim: Int,
+              isQuery: Column, k: Int,
               bits: Int = HyperplaneBits, tables: Int = HashTables): DataFrame = {
-    val keyed = emb.select(col(idCol), col(vecCol),
-      explode(lshTableKeys(col(vecCol), dim, bits, tables)).as("tk"))
-      .select(col(idCol), col(vecCol), col("tk.t").as("t"), col("tk.bucket").as("bucket"))
+    val keyed = lshKeyed(emb, idCol, vecCol, bits, tables)
     val q = keyed.filter(isQuery)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("t"), col("bucket"))
     val c = keyed.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("t"), col("bucket"))

@@ -80,7 +80,18 @@ object Stress {
     }
     time("ann_lsh") {
       SimilaritySearch.annTopK(emb, "vec_id", "embedding",
-        col("vec_id") < 10, k = 3, dim = 64).count()
+        col("vec_id") < 10, k = 3).count()
+    }
+    time("embedding_dedup") {
+      // Same augmentation shape as d06: plant perturbed near-dup copies so
+      // the verified-survivor set is non-trivial, then bucketed dedup.
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = base.filter(pmod(col("vec_id"), lit(40)) === 0).select(
+        (col("vec_id") + 1000000000L).as("vec_id"),
+        transform(col("v"),
+          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
+      Dedup.embeddingNearDups(base.unionAll(copies), "vec_id", "v", 0.9).count()
     }
     spark.stop()
   }

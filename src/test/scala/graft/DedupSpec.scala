@@ -63,35 +63,78 @@ class DedupSpec extends SparkSpecBase {
       s"simhash found $hit of ${truth.size} jaccard>=0.9 pairs")
   }
 
-  test("IVF top-k achieves good recall vs exact top-k") {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val exact = SimilaritySearch.bruteForceTopK(
-      emb, "vec_id", "embedding", $"vec_id" < 20, k = 3)
-      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
-    val ivf = SimilaritySearch.ivfTopK(
-      emb, "vec_id", "embedding", $"vec_id" < 20, k = 3, nCells = 16, nProbe = 4)
-      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
-    val recall = exact.count(ivf.contains).toDouble / exact.size
-    // probing 4/16 cells scans ~25% of the corpus; on near-orthogonal
-    // random vectors the nearest neighbour only sometimes shares a cell —
-    // demand clearly-better-than-scan-fraction-at-random performance.
-    assert(recall > 0.25, s"IVF recall $recall")
+  /** Embedding corpus with KNOWN near-neighbour structure: `nClusters`
+    * deterministic pseudo-random 64-dim centers, `perCluster` members each
+    * (center + small deterministic jitter → within-cluster cosine ≈ 0.99,
+    * cross-cluster near-orthogonal). A broken bucketing change cannot pass a
+    * recall bound on this set by luck. */
+  private def plantedClusters(nClusters: Int = 20, perCluster: Int = 5) = {
+    def unit(seed: Int): Array[Double] = {
+      val v = Array.tabulate(64) { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((seed, d))
+        (h % 10000) / 10000.0
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val center = unit(c)
+      val jitter = unit(1000 + c * perCluster + m)
+      val vec = center.zip(jitter).map { case (x, j) => (x + 0.07 * j).toFloat }
+      ((c * perCluster + m).toLong, vec.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
   }
 
-  test("ANN top-k achieves decent recall vs exact top-k on bucketed queries") {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val exact = SimilaritySearch.bruteForceTopK(
-      emb, "vec_id", "embedding", $"vec_id" < 20, k = 3)
+  /** Exact top-k pairs for one query per cluster (member 0). */
+  private def exactTopK(emb: org.apache.spark.sql.DataFrame, k: Int) =
+    SimilaritySearch.bruteForceTopK(
+      emb, "vec_id", "embedding", $"vec_id" % 5 === 0, k)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+
+  test("IVF top-k recall >= 0.8 on planted neighbour clusters") {
+    val emb = plantedClusters()
+    val exact = exactTopK(emb, k = 3)
+    assert(exact.nonEmpty)
+    val index = SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", nCells = 16)
+    try {
+      val ivf = SimilaritySearch.probeIvf(index, $"vec_id" % 5 === 0, k = 3, nProbe = 4)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      val recall = exact.count(ivf.contains).toDouble / exact.size
+      assert(recall >= 0.8, s"IVF recall $recall on planted clusters")
+    } finally index.unpersist()
+  }
+
+  test("IVF index round-trips through save/load; sampled fit assigns everything") {
+    val emb = plantedClusters()
+    val index = SimilaritySearch.buildIvfIndex(
+      emb, "vec_id", "embedding", nCells = 8, sampleMod = 3)
+    try {
+      assert(index.assigned.count() == emb.count(),
+        "every corpus vector must get a cell even when the fit is sampled")
+      val dir = tmpDir("ivf")
+      index.save(dir)
+      val loaded = SimilaritySearch.loadIvfIndex(spark, dir, "vec_id", "embedding")
+      val direct = SimilaritySearch.probeIvf(index, $"vec_id" % 5 === 0, k = 3)
+        .collect().map(_.toSeq).toSet
+      val viaDisk = SimilaritySearch.probeIvf(loaded, $"vec_id" % 5 === 0, k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(direct == viaDisk)
+    } finally index.unpersist()
+  }
+
+  test("LSH ANN top-k recall >= 0.8 on planted neighbour clusters") {
+    val emb = plantedClusters()
+    val exact = exactTopK(emb, k = 3)
     val approxRows = SimilaritySearch.annTopK(
-      emb, "vec_id", "embedding", $"vec_id" < 20, k = 3, dim = 64)
+      emb, "vec_id", "embedding", $"vec_id" % 5 === 0, k = 3)
       .select($"q_id", $"n_id", $"rnk").as[(Long, Long, Long)].collect()
     val approx = approxRows.map(r => (r._1, r._2)).toSet
-    // Multi-table LSH (8 tables × 6 bits, union of candidates) on random
-    // near-orthogonal vectors: recall is modest but must beat chance
-    // (random pick of 3 of 500 ≈ 0.6%) by a wide margin.
     val recall = exact.count(approx.contains).toDouble / exact.size
-    assert(recall > 0.05, s"ANN recall $recall vs exact")
+    assert(recall >= 0.8, s"ANN recall $recall on planted clusters")
     // Structural guarantees: ≤ k results per query, ranks distinct 1..k,
     // self-matches excluded.
     approxRows.groupBy(_._1).foreach { case (q, rows) =>
@@ -99,7 +142,41 @@ class DedupSpec extends SparkSpecBase {
       assert(rows.map(_._3).toSet == (1L to rows.length).toSet,
         s"query $q ranks: ${rows.map(_._3).toSeq}")
     }
-    assert(approx.forall { case (q, n) => q < 20 && q != n })
+    assert(approx.forall { case (q, n) => q % 5 == 0 && q != n })
+  }
+
+  test("embedding dedup: bucketed pipeline equals exact all-pairs, plan has no BNLJ") {
+    // Same augmentation as the d06 query: perturbed copies are true
+    // near-dups (cosine ≈ 0.9996); everything else stays below 0.62.
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val copies = base.filter($"vec_id" < 25).select(
+      ($"vec_id" + 100000).as("vec_id"),
+      transform($"v", (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
+    val aug = base.unionAll(copies)
+
+    val bucketed = Dedup.embeddingNearDups(aug, "vec_id", "v", threshold = 0.9)
+    val exact = SimilaritySearch.thresholdPairs(aug, "vec_id", "v", threshold = 0.9)
+      .select($"a_id", $"b_id", $"cos").collect().map(_.toSeq).toSet
+    assert(exact.size == 25, s"expected the 25 planted pairs, got ${exact.size}")
+    assert(bucketed.collect().map(_.toSeq).toSet == exact)
+
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed dedup must not fall back to an all-pairs join:\n$plan")
+  }
+
+  test("embedding dedup candidates are a small fraction of all pairs (LSH prunes)") {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = base.count()
+    val keyed = SimilaritySearch.lshKeyed(base, "vec_id", "embedding", bits = 8, tables = 12)
+    val a = keyed.select($"vec_id".as("a_id"), $"t", $"bucket")
+    val b = keyed.select($"vec_id".as("b_id"), $"t", $"bucket")
+    val candidates = a.join(b, Seq("t", "bucket"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct().count()
+    assert(candidates < n * n / 2 / 5,
+      s"$candidates candidate pairs for $n vectors — LSH not pruning")
   }
 }
 

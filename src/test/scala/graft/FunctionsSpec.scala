@@ -106,6 +106,60 @@ class SqlRegistrationSpec extends SparkSpecBase {
   }
 }
 
+class LshTableBucketsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.LshTableBuckets.lshTableBuckets
+  import graft.operators.SimilaritySearch
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Plain-Scala reference: sequential-fold projections against the
+    * documented hyperplane matrix, sign bits packed per table. */
+  private def reference(vec: Seq[Float], tables: Int, bits: Int): Seq[Long] =
+    (0 until tables).map { t =>
+      val planes = SimilaritySearch.hyperplanes(vec.size, bits, t)
+      planes.zipWithIndex.map { case (p, j) =>
+        var proj = 0.0
+        var d = 0
+        while (d < vec.size) { proj += vec(d).toDouble * p(d); d += 1 }
+        if (proj > 0) 1L << j else 0L
+      }.sum
+    }
+
+  test("native expression matches the hyperplane reference on the corpus") {
+    val rows = emb.limit(100)
+      .select($"vec_id", $"embedding",
+        lshTableBuckets($"embedding", 8, 6).as("buckets"))
+      .as[(Long, Seq[Float], Seq[Long])].collect()
+    rows.foreach { case (id, vec, got) =>
+      assert(got == reference(vec, 8, 6), s"vec $id bucket mismatch")
+    }
+  }
+
+  test("buckets land in [0, 2^bits) and are deterministic across partitionings") {
+    val a = emb.select($"vec_id", lshTableBuckets($"embedding", 4, 6).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = emb.repartition(7)
+      .select($"vec_id", lshTableBuckets($"embedding", 4, 6).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(bs => bs.size == 4 && bs.forall(x => x >= 0 && x < 64)))
+  }
+
+  test("double-valued input is accepted (augmented dedup path)") {
+    val asDouble = emb.limit(10)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val fromDouble = asDouble.select($"vec_id", lshTableBuckets($"v", 8, 6).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fromFloat = emb.limit(10)
+      .select($"vec_id", lshTableBuckets($"embedding", 8, 6).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fromDouble == fromFloat) // float→double cast is exact
+  }
+}
+
 class IntersectCountSortedSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.functions.IntersectCountSorted.intersectCountSorted
