@@ -8,8 +8,18 @@ import org.apache.spark.sql.SparkSession
   * Each query is executed once untimed (JIT + codegen + file-listing
   * warm-up) and then timed — steady-state throughput is the number that
   * scales to a long-lived cluster, not first-run compilation cost.
+  *
+  * The timed action is a noop-sink write, not `count()`: a count lets
+  * Catalyst prune every unreferenced projection, so map-only queries would
+  * be timed as footer-level row counts with their expressions never
+  * evaluated. The noop sink materializes every output column through the
+  * full plan and discards the bytes.
   */
 object Bench {
+
+  private def exhaust(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,13 +32,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try exhaust(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => }
     }
     val errors = scala.collection.mutable.Buffer[String]()
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try exhaust(SparkEntry.queries(name)(spark, sfDir))
       catch {
         case e: Throwable =>
           errors += name

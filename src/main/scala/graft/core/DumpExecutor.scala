@@ -57,7 +57,7 @@ class DumpExecutor(
           // Wipe partial output from the failed attempt before redoing.
           try sink.delete(row.prefix, date)
           catch {
-            case cleanupEx: Throwable =>
+            case scala.util.control.NonFatal(cleanupEx) =>
               log.error(s"[Dump #$dumpNo] Cleanup of partial output failed, " +
                 s"aborting dump: $cleanupEx")
               return false
@@ -72,7 +72,11 @@ class DumpExecutor(
         }
         return true
       } catch {
-        case ex: Throwable =>
+        // NonFatal only: an OutOfMemoryError/LinkageError means the JVM is
+        // no longer trustworthy — converting it into a per-dump failure and
+        // carrying on would keep writing from a corrupted process. The
+        // reference's `except Exception` has the same fatal/non-fatal line.
+        case scala.util.control.NonFatal(ex) =>
           RetryPolicy.evaluate(ex, attempt, maxRetries) match {
             case RetryPolicy.Failure =>
               log.error(s"[Dump #$dumpNo] Failed: $ex")

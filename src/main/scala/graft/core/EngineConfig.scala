@@ -34,7 +34,14 @@ final case class EngineConfig(
     /** `GRAFT_TABLE_DIR`: a parquet-lake directory whose tables are
       * registered as views before dumps run, so floorplan SQL can query
       * them like the reference queries its Postgres tables. */
-    tableDir: Option[String] = None)
+    tableDir: Option[String] = None,
+    /** `GRAFT_FILE_CONTRACT`: `Scalable` (default — parallel multi-file
+      * writes, the 100 TB path) or `exact` for the reference's
+      * file-per-chunk count contract. */
+    fileContract: graft.sink.FileContract = graft.sink.FileContract.Scalable,
+    /** `LOGLEVEL` mapped to a Spark log level (`floorist.py:295-297`
+      * analogue); None leaves the log4j default untouched. */
+    logLevel: Option[String] = None)
 
 object EngineConfig {
 
@@ -50,14 +57,26 @@ object EngineConfig {
     if (!f.exists() || !f.canRead)
       throw ConfigError(s"floorplan file '$floorplan' does not exist or is not readable")
 
-    val jdbc = env.get("POSTGRES_SERVICE_HOST").filter(_.nonEmpty).map { host =>
-      JdbcConfig(
-        host = host,
-        port = env.getOrElse("POSTGRES_SERVICE_PORT", "5432").toInt,
-        database = required("POSTGRESQL_DATABASE"),
-        user = required("POSTGRESQL_USER"),
-        password = required("POSTGRESQL_PASSWORD"))
+    // Clowder takes precedence over plain env for DB settings, matching the
+    // reference's `isClowderEnabled()` branch (`config.py:59-69`; the
+    // platform sets ACG_CONFIG to the mounted JSON path).
+    val jdbc = env.get("ACG_CONFIG").filter(_.nonEmpty) match {
+      case Some(path) => Some(clowderJdbc(path))
+      case None =>
+        env.get("POSTGRES_SERVICE_HOST").filter(_.nonEmpty).map { host =>
+          JdbcConfig(
+            host = host,
+            port = env.getOrElse("POSTGRES_SERVICE_PORT", "5432").toInt,
+            database = required("POSTGRESQL_DATABASE"),
+            user = required("POSTGRESQL_USER"),
+            password = required("POSTGRESQL_PASSWORD"))
+        }
     }
+
+    val contract =
+      if (env.get("GRAFT_FILE_CONTRACT").exists(_.equalsIgnoreCase("exact")))
+        graft.sink.FileContract.Exact
+      else graft.sink.FileContract.Scalable
 
     EngineConfig(
       bucketUrl = bucket,
@@ -67,8 +86,48 @@ object EngineConfig {
       secretAccessKey = env.get("AWS_SECRET_ACCESS_KEY").filter(_.nonEmpty),
       floorplanFile = floorplan,
       jdbc = jdbc,
-      tableDir = env.get("GRAFT_TABLE_DIR").filter(_.nonEmpty))
+      tableDir = env.get("GRAFT_TABLE_DIR").filter(_.nonEmpty),
+      fileContract = contract,
+      logLevel = env.get("LOGLEVEL").filter(_.nonEmpty).map(sparkLogLevel))
   }
+
+  /** Parse the Clowder app-config JSON's `database` section into JDBC
+    * settings (the shape `app_common_python.LoadedConfig.database` exposes:
+    * hostname/port/name/username/password). Malformed or database-less
+    * config is a startup error, like every other invalid config. */
+  private[graft] def clowderJdbc(path: String): JdbcConfig = {
+    val f = new java.io.File(path)
+    if (!f.exists() || !f.canRead)
+      throw ConfigError(s"ACG_CONFIG file '$path' does not exist or is not readable")
+    import org.json4s._
+    val json =
+      try org.json4s.jackson.JsonMethods.parse(f)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw ConfigError(s"ACG_CONFIG file '$path' is not valid JSON: ${e.getMessage}")
+      }
+    def str(field: String): String = json \ "database" \ field match {
+      case JString(s) if s.nonEmpty => s
+      case _ => throw ConfigError(s"ACG_CONFIG database.$field is not set")
+    }
+    val port = json \ "database" \ "port" match {
+      case JInt(p)    => p.toInt
+      case JString(p) => p.toInt
+      case _          => 5432
+    }
+    JdbcConfig(host = str("hostname"), port = port, database = str("name"),
+      user = str("username"), password = str("password"))
+  }
+
+  /** Python logging level names → Spark/log4j level names. Unknown names
+    * fail fast like the reference's logging.basicConfig would. */
+  private[graft] def sparkLogLevel(level: String): String =
+    level.toUpperCase match {
+      case "WARNING"  => "WARN"
+      case "CRITICAL" => "FATAL"
+      case l @ ("ALL" | "TRACE" | "DEBUG" | "INFO" | "WARN" | "ERROR" | "FATAL" | "OFF") => l
+      case other => throw ConfigError(s"LOGLEVEL '$other' is not a known log level")
+    }
 
   /** `minio:9000` → `https://minio:9000`, matching `config.py:43-48`. */
   def withScheme(endpoint: String): String =

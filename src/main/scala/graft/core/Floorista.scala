@@ -27,15 +27,17 @@ class Floorista(
     EngineConfig.hadoopS3aSettings(config).foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
-    // Exact file-count contract by default (reference parity); set
-    // GRAFT_FILE_CONTRACT=scalable for parallel multi-file writes at scale.
-    val contract =
-      if (sys.env.get("GRAFT_FILE_CONTRACT").exists(_.equalsIgnoreCase("scalable")))
-        graft.sink.FileContract.Scalable
-      else graft.sink.FileContract.Exact
-    val sink = new PartitionedParquetSink(spark, config.bucketUrl, contract)
-    if (!sink.verify())
-      log.warn(s"Output root ${config.bucketUrl} not listable at startup")
+    val sink = new PartitionedParquetSink(spark, config.bucketUrl, config.fileContract)
+    // Reference parity (A11): S3Client.verify() raises inside
+    // Floorist.__init__ (`floorist.py:81-92,263-265`), so a misconfigured
+    // or unreachable output root aborts BEFORE any dump runs — never a
+    // trail of per-dump failures after partial writes.
+    if (!sink.verify()) {
+      log.error(s"Output root ${config.bucketUrl} is not reachable; " +
+        "aborting before any dump")
+      return 1
+    }
+    log.info("Successfully connected to the output root")
 
     // Parquet-lake mode: floorplan SQL queries the registered tables the
     // same way reference floorplans query Postgres tables.
@@ -68,6 +70,9 @@ object Floorista {
       builder.master("local[*]")
     sys.env.get("SPARK_MASTER").foreach(builder.master)
     val spark = builder.getOrCreate()
+    // LOGLEVEL analogue of the reference's `_configure_loglevel`
+    // (`floorist.py:295-297`).
+    config.logLevel.foreach(spark.sparkContext.setLogLevel)
     val code = new Floorista(spark, config).run()
     spark.stop()
     if (code != 0) sys.exit(code)

@@ -93,8 +93,14 @@ class PartitionedParquetSink(
         WriteResult.EmptyMarker
       } else {
         parts.foreach { p =>
-          // Part names embed the job UUID, so appends never collide.
-          f.rename(p.getPath, new Path(target, p.getPath.getName))
+          // Part names embed the job UUID, so appends never collide. A
+          // false return (Hadoop reports some failures without throwing)
+          // must fail the dump — the staging dir is deleted in the finally
+          // block, so a silently skipped rename would commit a truncated
+          // dump; throwing engages the executor's wipe-and-retry instead.
+          val dest = new Path(target, p.getPath.getName)
+          if (!f.rename(p.getPath, dest))
+            throw new java.io.IOException(s"rename ${p.getPath} -> $dest failed")
         }
         WriteResult.Written
       }
@@ -112,10 +118,31 @@ class PartitionedParquetSink(
   }
 
   /** Startup connectivity check, analogue of the reference's bucket listing
-    * (`floorist.py:81-92`). */
-  def verify(): Boolean =
-    fs(rootUrl).exists(new Path(new java.net.URI(rootUrl).getPath match {
+    * with its AccessDenied fallback (`floorist.py:81-92`): some bucket
+    * policies deny a status probe on the root itself but allow LIST beneath
+    * it — the reference retries `ls` with a trailing slash; the Hadoop
+    * analogue is a `listStatus` (LIST with trailing-slash prefix) after a
+    * denied `exists` probe. Any other failure (no such bucket, bad
+    * credentials, unreachable endpoint) reports false and the run aborts
+    * before any dump. */
+  def verify(): Boolean = {
+    val root = new Path(new java.net.URI(rootUrl).getPath match {
       case "" => "/"
       case p  => p
-    }))
+    })
+    val f = fs(rootUrl)
+    try f.exists(root)
+    catch {
+      case e: java.io.IOException if isAccessDenied(e) =>
+        try { f.listStatus(root); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      case scala.util.control.NonFatal(_) => false
+    }
+  }
+
+  private def isAccessDenied(e: Throwable): Boolean =
+    e.isInstanceOf[org.apache.hadoop.security.AccessControlException] || {
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("AccessDenied") || m.contains("Access Denied") || m.contains("403")
+    }
 }

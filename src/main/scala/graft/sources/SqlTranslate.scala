@@ -20,8 +20,14 @@ package graft.sources
   */
 object SqlTranslate {
 
+  /** SQL keywords that must not be eaten as a bare (AS-less) alias: in
+    * `FROM GENERATE_SERIES(1,9) WHERE ...` the next word is a clause, not
+    * an alias, and consuming it would corrupt the statement. */
+  private val NonAliasKeywords =
+    "WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|UNION|EXCEPT|INTERSECT|" +
+      "JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ON|USING"
   private val FromSeries =
-    raw"(?i)\b(FROM|JOIN)\s+GENERATE_SERIES\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s+(?:AS\s+)?(\w+)".r
+    raw"(?i)\b(FROM|JOIN)\s+GENERATE_SERIES\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)(?:\s+(?:AS\s+)?(?!(?:$NonAliasKeywords)\b)(\w+))?".r
   private val AliasedSeries =
     raw"(?i)GENERATE_SERIES\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s+AS\s+(\w+)".r
   private val BareSeries =
@@ -33,8 +39,12 @@ object SqlTranslate {
 
   def translate(sql: String): String = {
     var out = sql
-    out = FromSeries.replaceAllIn(out, m =>
-      s"${m.group(1)} (SELECT explode(sequence(${m.group(2)}, ${m.group(3)})) AS ${m.group(4)}) AS ${m.group(4)}")
+    out = FromSeries.replaceAllIn(out, m => {
+      // Unaliased FROM-item keeps Postgres's default name for both the
+      // relation and its column: `generate_series`.
+      val alias = Option(m.group(4)).getOrElse("generate_series")
+      s"${m.group(1)} (SELECT explode(sequence(${m.group(2)}, ${m.group(3)})) AS $alias) AS $alias"
+    })
     // An explicitly aliased series keeps its alias; only a truly bare one
     // gains the Postgres default column name.
     out = AliasedSeries.replaceAllIn(out, m =>

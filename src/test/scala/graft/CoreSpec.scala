@@ -130,6 +130,59 @@ class EngineConfigSpec extends AnyFunSuite {
       assert(c.jdbc.map(_.url).contains("jdbc:postgresql://db:5432/d"))
     }
   }
+
+  test("Clowder config (ACG_CONFIG) overrides env DB settings") {
+    val acg = java.io.File.createTempFile("acg", ".json")
+    try {
+      java.nio.file.Files.writeString(acg.toPath,
+        """{"database": {"hostname": "clowder-db", "port": 5433,
+          |  "name": "cdb", "username": "cu", "password": "cpw"}}""".stripMargin)
+      withFloorplanFile { fp =>
+        val c = EngineConfig.fromEnv(baseEnv(fp) ++ Map(
+          "ACG_CONFIG" -> acg.getPath,
+          // Plain env settings present but must lose to Clowder:
+          "POSTGRES_SERVICE_HOST" -> "env-db", "POSTGRESQL_DATABASE" -> "d",
+          "POSTGRESQL_USER" -> "u", "POSTGRESQL_PASSWORD" -> "pw"))
+        assert(c.jdbc.map(_.url).contains("jdbc:postgresql://clowder-db:5433/cdb"))
+        assert(c.jdbc.map(_.user).contains("cu"))
+      }
+    } finally acg.delete()
+  }
+
+  test("Clowder config without a database section fails fast") {
+    val acg = java.io.File.createTempFile("acg", ".json")
+    try {
+      java.nio.file.Files.writeString(acg.toPath, """{"kafka": {}}""")
+      withFloorplanFile { fp =>
+        val e = intercept[ConfigError](
+          EngineConfig.fromEnv(baseEnv(fp) + ("ACG_CONFIG" -> acg.getPath)))
+        assert(e.getMessage.contains("database"))
+      }
+      val e2 = intercept[ConfigError](EngineConfig.clowderJdbc("/nonexistent/acg.json"))
+      assert(e2.getMessage.contains("ACG_CONFIG"))
+    } finally acg.delete()
+  }
+
+  test("LOGLEVEL maps python names to spark levels and rejects junk") {
+    assert(EngineConfig.sparkLogLevel("warning") == "WARN")
+    assert(EngineConfig.sparkLogLevel("CRITICAL") == "FATAL")
+    assert(EngineConfig.sparkLogLevel("debug") == "DEBUG")
+    intercept[ConfigError](EngineConfig.sparkLogLevel("LOUD"))
+    withFloorplanFile { fp =>
+      assert(EngineConfig.fromEnv(baseEnv(fp) + ("LOGLEVEL" -> "warning"))
+        .logLevel.contains("WARN"))
+      assert(EngineConfig.fromEnv(baseEnv(fp)).logLevel.isEmpty)
+    }
+  }
+
+  test("file contract defaults to Scalable; GRAFT_FILE_CONTRACT=exact pins Exact") {
+    withFloorplanFile { fp =>
+      assert(EngineConfig.fromEnv(baseEnv(fp)).fileContract ==
+        graft.sink.FileContract.Scalable)
+      assert(EngineConfig.fromEnv(baseEnv(fp) + ("GRAFT_FILE_CONTRACT" -> "Exact"))
+        .fileContract == graft.sink.FileContract.Exact)
+    }
+  }
 }
 
 class GraftPostgresDialectSpec extends AnyFunSuite {
@@ -217,5 +270,17 @@ class SqlTranslateSpec extends AnyFunSuite {
   test("an already-aliased series keeps its alias") {
     assert(translate("SELECT GENERATE_SERIES(1,3) AS id") ==
       "SELECT explode(sequence(1, 3)) AS id")
+  }
+
+  test("unaliased FROM-series before a clause keyword: keyword is NOT the alias") {
+    assert(translate("SELECT * FROM GENERATE_SERIES(1,9) WHERE generate_series > 2") ==
+      "SELECT * FROM (SELECT explode(sequence(1, 9)) AS generate_series) " +
+        "AS generate_series WHERE generate_series > 2")
+  }
+
+  test("unaliased FROM-series gets the postgres default name") {
+    assert(translate("SELECT generate_series FROM GENERATE_SERIES(1,3)") ==
+      "SELECT generate_series FROM (SELECT explode(sequence(1, 3)) " +
+        "AS generate_series) AS generate_series")
   }
 }

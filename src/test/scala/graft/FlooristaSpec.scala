@@ -87,9 +87,12 @@ class FlooristaSpec extends SparkSpecBase {
         |  query: SELECT * FROM VALUES (uuid_generate_v1(), 'one'), (uuid_generate_v1(), 'two') AS t(num, letter)
         |- prefix: dumps/empty
         |  query: SELECT WHERE 1=0
-        |""".stripMargin)
+        |""".stripMargin,
+      // The default contract is Scalable (parallel multi-file writes); the
+      // reference's exact file-per-chunk count is opt-in for parity tests.
+      extraEnv = Map("GRAFT_FILE_CONTRACT" -> "exact"))
     assert(code == 0)
-    // chunksize 13 over 100 rows -> exactly 8 files (Exact contract default)
+    // chunksize 13 over 100 rows -> exactly 8 files (Exact contract pinned)
     assert(filesUnder(s"$root/dumps/series").count(_.endsWith(".parquet")) == 8)
     assert(spark.read.parquet(s"$root/dumps/cross").count() == 100)
     val uuids = spark.read.parquet(s"$root/dumps/uuids")
@@ -115,6 +118,39 @@ class FlooristaSpec extends SparkSpecBase {
     assert(revenue.count() == 3) // A/N/R return flags
     assert(revenue.columns.sorted.toSeq == Seq("l_returnflag", "revenue"))
     assert(spark.read.parquet(s"$root/dumps/top_customers").count() > 0)
+  }
+
+  test("unreachable output root aborts before any dump -> exit 1, nothing written") {
+    // Reference parity: S3Client.verify() raises in Floorist.__init__
+    // (floorist.py:81-92,263-265) — no dump may run against a bad root.
+    val fp = Files.createTempFile("floorplan", ".yaml")
+    Files.writeString(fp,
+      """- prefix: dumps/never
+        |  query: SELECT * FROM VALUES (1, 'one') AS t(num, letter)
+        |""".stripMargin)
+    val root = s"/nonexistent-graft-root/${java.util.UUID.randomUUID()}"
+    val config = EngineConfig.fromEnv(Map(
+      "AWS_BUCKET" -> s"file://$root",
+      "FLOORPLAN_FILE" -> fp.toString))
+    val code = new Floorista(spark, config).run()
+    assert(code == 1)
+    assert(!new java.io.File(root).exists(), "no dump output may be created")
+  }
+
+  test("chunked dump under the Scalable default still bounds rows per file") {
+    val (code, root) = run(
+      """- prefix: dumps/scalable
+        |  query: SELECT GENERATE_SERIES(0,99)
+        |  chunksize: 13
+        |""".stripMargin)
+    assert(code == 0)
+    val leaf = datedLeaf(s"$root/dumps/scalable")
+    assert(spark.read.parquet(leaf.getPath).count() == 100)
+    // Every file respects maxRecordsPerFile even though the count contract
+    // is relaxed for parallelism.
+    leaf.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 13)
+    }
   }
 
   test("missing floorplan keys fail that dump only -> exit 1") {
