@@ -78,6 +78,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact n-gram-Jaccard near-dup pairs within length-blocked buckets —
+    * the oracle-able ground truth for the sketch paths ([[minhashNearDups]]
+    * is the 100 TB path). Shingles are built by one native pass, hashed to
+    * longs and sorted once per doc; the per-pair work is an allocation-free
+    * merge walk ([[graft.functions.IntersectCountSorted]]).
+    *
+    * SCALE HAZARD, by design: within-bucket pairs grow quadratically with
+    * bucket population, and the `lengthBucketWidth`-char blocking key puts
+    * no ceiling on that population — a skewed length distribution (a corpus
+    * of identically-sized boilerplate) silently degenerates to all-pairs.
+    * `maxBucketSize` is the guard: buckets are deterministically truncated
+    * to their first N docs by id and a truncated op is only a candidate
+    * generator, not ground truth. The oracle query passes None (exact,
+    * matched hash-for-hash against DuckDB); any at-scale use should pass a
+    * cap or use the MinHash path. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        lengthCol: String, threshold: Double,
+                        lengthBucketWidth: Int = 50, n: Int = 3,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
+    val base0 = docs
+      .select(col(idCol), expr(s"$lengthCol DIV $lengthBucketWidth").as("bkt"),
+        array_sort(transform(graft.functions.WordShingles.wordShingles(col(textCol), n),
+          sh => xxhash64(sh))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val base = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bkt")).orderBy(col(idCol))
+        base0.withColumn("bkt_rn", row_number().over(w))
+          .filter(col("bkt_rn") <= cap).drop("bkt_rn")
+      case None => base0
+    }
+    val a = base.select(col(idCol).as("a_id"), col("bkt"), col("sh").as("a_sh"))
+    val b = base.select(col(idCol).as("b_id"), col("bkt"), col("sh").as("b_sh"))
+    val ic = graft.functions.IntersectCountSorted.intersectCountSorted(col("a_sh"), col("b_sh"))
+    a.join(b, Seq("bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("ic", ic)
+      .withColumn("jaccard",
+        col("ic").cast("double") /
+          (size(col("a_sh")) + size(col("b_sh")) - col("ic")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the bucketed scale path for
     * vector dedup (the embedding analogue of [[minhashNearDups]]).
     *

@@ -94,28 +94,11 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
-    "d03_ngram_jaccard" -> ((s, dir) => {
-      // Shingles built by one native pass, hashed to longs and sorted once
-      // per doc: the per-pair work is then a single allocation-free merge
-      // walk (IntersectCountSorted). Set sizes equal the string-set sizes
-      // (64-bit collisions negligible), so the DuckDB oracle still matches.
-      val base = docs(s, dir)
-        .select(col("doc_id"), expr("n_chars DIV 50").as("bkt"),
-          array_sort(transform(graft.functions.WordShingles.wordShingles(col("text"), 3),
-            sh => xxhash64(sh))).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val a = base.select(col("doc_id").as("a_id"), col("bkt"), col("sh").as("a_sh"))
-      val b = base.select(col("doc_id").as("b_id"), col("bkt"), col("sh").as("b_sh"))
-      val ic = graft.functions.IntersectCountSorted.intersectCountSorted(col("a_sh"), col("b_sh"))
-      a.join(b, Seq("bkt"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("ic", ic)
-        .withColumn("jaccard",
-          col("ic").cast("double") /
-            (size(col("a_sh")) + size(col("b_sh")) - col("ic")).cast("double"))
-        .filter(col("jaccard") >= 0.2)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-    }),
+    // Exact ground truth (hash-matched against DuckDB); uncapped buckets —
+    // see Dedup.ngramJaccardPairs for the maxBucketSize guard at scale.
+    "d03_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "n_chars",
+        threshold = 0.2)),
 
     "d04_minhash_lsh" -> ((s, dir) => {
       val base = docs(s, dir)

@@ -27,21 +27,41 @@ object JdbcSource {
       uuidColumns: Seq[String] = Nil,
       partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
     GraftPostgresDialect.register()
+    readUrl(spark, jdbc.url, "org.postgresql.Driver",
+      Map("user" -> jdbc.user, "password" -> jdbc.password),
+      query, fetchSize, uuidColumns, partitioning)
+  }
+
+  /** Driver-agnostic option wiring (separated so the read path is testable
+    * against an embedded database — no Postgres exists in CI). */
+  private[graft] def readUrl(
+      spark: SparkSession,
+      url: String,
+      driver: String,
+      connProps: Map[String, String],
+      query: String,
+      fetchSize: Int = 1000,
+      stringColumns: Seq[String] = Nil,
+      partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
     var reader = spark.read.format("jdbc")
-      .option("url", jdbc.url)
-      .option("user", jdbc.user)
-      .option("password", jdbc.password)
-      .option("driver", "org.postgresql.Driver")
-      .option("query", query)
+      .option("url", url)
+      .option("driver", driver)
       .option("fetchsize", fetchSize)
-    if (uuidColumns.nonEmpty)
-      reader = reader.option("customSchema", uuidColumns.map(c => s"$c STRING").mkString(", "))
+    connProps.foreach { case (k, v) => reader = reader.option(k, v) }
+    if (stringColumns.nonEmpty)
+      reader = reader.option("customSchema", stringColumns.map(c => s"$c STRING").mkString(", "))
     partitioning match {
       case Some((col, lower, upper, n)) =>
-        reader = reader.option("partitionColumn", col)
+        // Spark rejects `query` + `partitionColumn` together: a partitioned
+        // read must come in as a derived table so the split predicates can
+        // be pushed into it.
+        reader = reader.option("dbtable", s"($query) AS graft_subq")
+          .option("partitionColumn", col)
           .option("lowerBound", lower).option("upperBound", upper)
           .option("numPartitions", n)
-      case None => // single partition: reference-faithful snapshot semantics
+      case None =>
+        // single partition: reference-faithful snapshot semantics
+        reader = reader.option("query", query)
     }
     reader.load()
   }

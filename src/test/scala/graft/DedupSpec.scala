@@ -166,6 +166,25 @@ class DedupSpec extends SparkSpecBase {
       s"bucketed dedup must not fall back to an all-pairs join:\n$plan")
   }
 
+  test("ngram-jaccard bucket cap: capped result is a deterministic subset of exact") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars", 0.2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars", 0.2,
+      maxBucketSize = Some(5))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact), "cap may only drop pairs, never invent them")
+    // A cap at least as large as every bucket is a no-op.
+    val roomy = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars", 0.2,
+      maxBucketSize = Some(1000000))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(roomy == exact)
+    // Deterministic: same truncation on re-run and under different partitioning.
+    val again = Dedup.ngramJaccardPairs(docs.repartition(7), "doc_id", "text", "n_chars", 0.2,
+      maxBucketSize = Some(5))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(again == capped)
+  }
+
   test("embedding dedup candidates are a small fraction of all pairs (LSH prunes)") {
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = base.count()
