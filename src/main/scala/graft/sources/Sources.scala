@@ -9,14 +9,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `src/floorist/floorist.py:142`) runs natively on Spark via `spark.sql`.
   *
   * Scale notes: a temp view over a parquet path is just a logical plan —
-  * Catalyst prunes columns and pushes filters into the scan, so
-  * re-registering per query is free. On a real cluster these would be
-  * catalog tables over partitioned directories; the API below is the same.
+  * Catalyst prunes columns and pushes filters into the scan. The plan is
+  * memoized per (session, dir, table): `spark.read.parquet` lists files and
+  * reads footers for schema inference, which on object storage is a LIST +
+  * GET per call — a catalog would do that once, so the cache restores
+  * catalog-like behavior. The testdata files are immutable, so a cached
+  * plan never goes stale.
   */
 object Sources {
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** (session, dir, table) -> Some(plan) | None (file absent). Entries for
+    * stopped sessions are evicted on access so test suites that churn
+    * sessions don't accumulate dead plans.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Option[DataFrame]]
+
+  private def cached(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+    cache.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(cache.remove)
+    cache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+  }
 
   /** Read one table as a DataFrame (no view registration).
     *
@@ -26,23 +43,26 @@ object Sources {
     * sub-microsecond truncation is invisible to every query (all bucket to
     * >= 1s granularity or never emit the raw timestamp).
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    cached(spark, dir, name).getOrElse(
+      throw new java.io.FileNotFoundException(s"$dir/$name.parquet"))
+
+  private def load(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))) None
+    else if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      Some(spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+            org.apache.spark.sql.functions.expr("ts div 1000"))))
+    } else Some(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Register every testdata table that exists under `dir` as a temp view. */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+  def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
-      if (fs.exists(p)) table(spark, dir, t).createOrReplaceTempView(t)
+      cached(spark, dir, t).foreach(_.createOrReplaceTempView(t))
     }
-  }
 }
