@@ -325,6 +325,43 @@ object RelationalQueries {
       val sup = t(s, dir, "supplier")
         .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
       c.union(sup)
+    }),
+
+    // As-of join: each purchase gains the most recent preceding click's
+    // value for the same user (union+window plan — one shuffle, no
+    // nested-loop; see JoinStrategies.asofJoin).
+    "q39_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+                col("event_id").as("click_id"),
+                round(col("value"), 2).as("click_value"))
+      graft.operators.JoinStrategies
+        .asofJoin(purchases, clicks, "user_id", "ts",
+                  payload = Seq("click_id", "click_value"),
+                  tieBreak = Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("click_id"), col("click_value"))
+    }),
+
+    // Range (interval) join: views within the hour before each purchase,
+    // binned to an equi-join on (user, hour-bin) — no inequality-join
+    // nested loop (see JoinStrategies.rangeJoinBinned).
+    "q40_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+                col("value").as("view_value"))
+      graft.operators.JoinStrategies
+        .rangeJoinBinned(purchases, views, "user_id", "ts",
+                         lowerSec = -3600L, upperSec = 0L,
+                         payload = Seq("view_id", "view_value"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+             round(sum(col("view_value")), 2).as("view_total"))
     })
   )
 
@@ -472,6 +509,27 @@ object RelationalQueries {
       """SELECT o_orderstatus,
                 round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
                 round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
-         FROM orders GROUP BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus""",
+    // ts casts to TIMESTAMP (µs) so DuckDB's nanosecond reads compare the
+    // same instants Spark does after its nanos->micros conversion.
+    "q39_asof_join" ->
+      """SELECT l.event_id, l.user_id, r2.click_id, r2.click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         LEFT JOIN LATERAL (
+           SELECT r.event_id AS click_id, round(r.value, 2) AS click_value
+           FROM events r
+           WHERE r.event_type = 'click' AND r.user_id = l.user_id
+             AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+           ORDER BY CAST(r.ts AS TIMESTAMP) DESC, r.event_id DESC LIMIT 1
+         ) r2 ON true""",
+    "q40_range_join" ->
+      """SELECT l.event_id, l.user_id, count(*) AS n_views,
+                round(sum(r.value), 2) AS view_total
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         JOIN (SELECT * FROM events WHERE event_type = 'view') r
+           ON r.user_id = l.user_id
+          AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+          AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+         GROUP BY l.event_id, l.user_id"""
   )
 }

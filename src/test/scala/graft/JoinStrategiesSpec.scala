@@ -44,6 +44,71 @@ class JoinStrategiesSpec extends SparkSpecBase {
     }
   }
 
+  test("asofJoin equals the naive non-equi formulation, nulls when no match") {
+    // (key, ts, id): right rows carry a payload; ties on ts must resolve to
+    // the greatest tie-break id; key 3 has no right rows at all.
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 20L), (3L, 10L, 30L))
+      .toDF("k", "t", "lid")
+      .select($"k", timestamp_micros($"t").as("ts"), $"lid")
+    val right = Seq((1L, 100L, 1L, 1.0), (1L, 100L, 2L, 2.0), (1L, 150L, 3L, 3.0),
+                    (2L, 60L, 4L, 4.0))
+      .toDF("k", "t", "rid", "rv")
+      .select($"k", timestamp_micros($"t").as("ts"), $"rid", $"rv")
+    val got = JoinStrategies.asofJoin(left, right, "k", "ts",
+        payload = Seq("rid", "rv"), tieBreak = Seq("rid"))
+      .select($"lid", $"rid", $"rv").as[(Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, Some(2L), Some(2.0)),  // exact-ts tie -> greatest rid
+      (11L, Some(3L), Some(3.0)),  // latest at/preceding 200
+      (20L, None, None),           // right row is later than the left ts
+      (30L, None, None)))          // no right rows for the key
+  }
+
+  test("asofJoin plan is shuffle+window, not a nested-loop join") {
+    val ev = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("cid"), $"value".as("cv"))
+    val plan = JoinStrategies.asofJoin(l, r, "user_id", "ts", Seq("cid", "cv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"asof join must not nested-loop:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("rangeJoinBinned equals the naive inequality join") {
+    val left = Seq((1L, 1000L, 10L), (1L, 5000L, 11L), (2L, 1000L, 20L))
+      .toDF("k", "t", "lid")
+      .select($"k", timestamp_micros($"t" * 1000000L).as("ts"), $"lid")
+    val right = (0L to 8000L by 500L).map(t => (1L, t, t))
+      .toDF("k", "t", "rid")
+      .select($"k", timestamp_micros($"t" * 1000000L).as("ts"), $"rid")
+    // window: right.ts in [left.ts - 1000s, left.ts]
+    val got = JoinStrategies.rangeJoinBinned(left, right, "k", "ts",
+        lowerSec = -1000L, upperSec = 0L, payload = Seq("rid"))
+      .groupBy($"lid").agg(count(lit(1)).as("n"), sum($"rid").as("s"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" &&
+          $"r.ts" >= $"l.ts" - expr("INTERVAL 1000 SECOND") && $"r.ts" <= $"l.ts")
+      .groupBy($"lid").agg(count(lit(1)).as("n"), sum($"rid").as("s"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    assert(got.map(_._1).toSeq == Seq(10L, 11L)) // key 2 has no right rows
+  }
+
+  test("rangeJoinBinned plan is an equi hash/merge join, not a nested loop") {
+    val ev = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id".as("vid"))
+    val plan = JoinStrategies.rangeJoinBinned(l, r, "user_id", "ts", -3600L, 0L, Seq("vid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must bin to an equi-join:\n$plan")
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val dir = tmpDir("pruned")
     spark.range(0, 1000)
