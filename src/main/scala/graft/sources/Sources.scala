@@ -65,4 +65,29 @@ object Sources {
     tableNames.foreach { t =>
       cached(spark, dir, t).foreach(_.createOrReplaceTempView(t))
     }
+
+  /** Read a non-parquet lake file. `schema` is REQUIRED for csv/json:
+    * schema inference runs a full extra pass over the data (at 100 TB, a
+    * second 100 TB scan) and silently widens types; an explicit schema
+    * makes the read single-pass and deterministic. ORC/parquet carry their
+    * own schema. CSV reads are header-aware and `PERMISSIVE` with a
+    * `_corrupt_record` column only when the caller's schema declares one —
+    * malformed rows otherwise become nulls, never a job abort (same
+    * isolation contract as the floorplan scan).
+    */
+  def readFormat(spark: SparkSession, path: String, format: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    format.toLowerCase match {
+      case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
+      case "csv" =>
+        val s = schema.getOrElse(throw new IllegalArgumentException(
+          "csv needs an explicit schema (inference = extra full-data pass)"))
+        spark.read.schema(s).option("header", "true").option("mode", "PERMISSIVE").csv(path)
+      case "json" =>
+        val s = schema.getOrElse(throw new IllegalArgumentException(
+          "json needs an explicit schema (inference = extra full-data pass)"))
+        spark.read.schema(s).option("mode", "PERMISSIVE").json(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
 }

@@ -43,6 +43,20 @@ object EventStreams {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact deduplication: keep the first occurrence of each
+    * `keyCols` combination. State is one entry per distinct key, evicted
+    * once the watermark passes the key's event time + delay — so state
+    * stays bounded on an unbounded stream (the streaming twin of the batch
+    * d01/d02 dedup operators; key on a content hash column for document
+    * pipelines). Duplicates arriving within `watermarkDelay` of the
+    * original are dropped; later ones are out of contract, exactly
+    * Spark's `dropDuplicatesWithinWatermark` semantics. */
+  def dedupeStream(events: DataFrame, keyCols: Seq[String],
+                   watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

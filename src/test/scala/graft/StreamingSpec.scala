@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.subsetOf(want), s"stream emitted rows batch lacks: ${got -- want}")
   }
 
+  test("streaming dedup keeps one row per key and matches batch dropDuplicates") {
+    // Duplicate the staged events (same content, so every key appears at
+    // least twice) and dedupe the combined stream on a content key.
+    val d = tmpDir("events-dup-stream")
+    val ev = Sources.table(spark, dir, "events")
+    ev.write.mode("overwrite").parquet(d)
+    ev.write.mode("append").parquet(d)
+    val keys = Seq("user_id", "event_type", "value")
+    val stream = EventStreams.dedupeStream(
+      EventStreams.readEventStream(spark, d), keys, "1 hour")
+    val q = stream.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("dedup_out").start()
+    try assert(q.awaitTermination(120000), "stream did not drain in 120s")
+    finally q.stop()
+    val got = spark.table("dedup_out")
+    val nKeys = ev.select(keys.map(col): _*).distinct().count()
+    assert(got.count() >= nKeys,
+      "every distinct key must survive (dups beyond the watermark may too)")
+    // The doubled copy is byte-identical, so its duplicates arrive at the
+    // same event time and MUST all be dropped: output keys are unique.
+    assert(got.groupBy(keys.map(col): _*).count().filter($"count" > 1).isEmpty,
+      "no key may appear twice after within-watermark dedup")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) runs and matches batch on closed sessions") {
     val events = Sources.table(spark, dir, "events")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
