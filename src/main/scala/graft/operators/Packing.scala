@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-length training sequences
+  * by concatenating them in a stable order and chunking every `ctxLen`
+  * tokens (a document whose tokens straddle a boundary belongs to the
+  * pack holding its first token — exactly what concat-and-chunk training
+  * data preparation does).
+  *
+  * `pack_id = (global running token count before this doc) div ctxLen`,
+  * i.e. a global prefix sum — the classic two-pass parallel scan, kept
+  * fully distributed and deterministic:
+  *
+  *  1. rows bucket by `orderCol div bucketSize` (a pure function of the
+  *     row, NOT of physical placement — no `spark_partition_id`, so the
+  *     result is reproducible and the exchange is canonically reusable);
+  *     per-bucket running sums via a bucket-partitioned window;
+  *  2. per-bucket totals (one row per bucket) get a tiny
+  *     unbounded-preceding window to become prefix offsets, broadcast back.
+  *
+  * The only single-task step operates on #buckets rows. The offsets branch
+  * shuffles the same (bucket-hash) exchange as the main branch, so Spark
+  * reuses it instead of rescanning the input.
+  */
+object Packing {
+
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+                    ctxLen: Long, bucketSize: Long = 1L << 16): DataFrame = {
+    require(ctxLen > 0, "context length must be positive")
+    require(bucketSize > 0, "bucket size must be positive")
+    // DIV, not `/`: Column `/` is floating division. Assumes a non-negative
+    // orderCol (bucket order must follow orderCol order).
+    val bucketed = df.withColumn("__bkt",
+      expr(s"CAST($orderCol AS BIGINT) DIV $bucketSize"))
+    val wLocal = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__cum", sum(col(tokenCol)).over(wLocal))
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col(tokenCol)).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    // Integer arithmetic end-to-end: at 100 TB the global token count
+    // overflows double's 2^53 mantissa long before it overflows BIGINT.
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn("pack_id",
+        expr(s"CAST((__cum + __off - $tokenCol) DIV $ctxLen AS BIGINT)"))
+      .drop("__bkt", "__cum", "__off")
+  }
+}

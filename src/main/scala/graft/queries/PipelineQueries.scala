@@ -161,6 +161,48 @@ object PipelineQueries {
         col("doc_id"),
         length(media).cast("long").as("byte_len"),
         sha2(media, 256).as("sha"))
+    }),
+
+    // ---- dataset assembly ------------------------------------------------
+    // Deterministic content-hash split: stable across runs/engines/cluster
+    // sizes (no rand(), no placement dependence).
+    "p01_hash_split" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"),
+        graft.operators.Sampling.assignSplit(col("doc_id")).as("split"))),
+
+    // Concat-and-chunk sequence packing via the distributed prefix scan.
+    "p02_pack_sequences" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packSequences(base, "doc_id", "n_tokens", ctxLen = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+    }),
+
+    // PII scrubbing: email + long-digit-run redaction. Both regexes avoid
+    // Java-vs-RE2 divergent classes (no \s, no lookaround).
+    "t06_pii_scrub" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+      val num = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), num, "<NUM>")
+          .as("scrubbed"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(num), lit(0))).cast("long").as("n_long_nums"))
+    }),
+
+    // Corpus vocabulary: global top-100 tokens. orderBy+limit is Spark's
+    // distributed TakeOrdered (per-partition top-k, then merge) — the
+    // ranking window only ever sees the 100 survivors.
+    "t07_vocab_topk" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      counts.orderBy(col("n").desc, col("token").asc).limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
     })
   )
 
@@ -259,6 +301,34 @@ object PipelineQueries {
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 sha256(text) AS sha
-         FROM documents"""
+         FROM documents""",
+    "p01_hash_split" ->
+      """SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+                CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "p02_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents)
+         SELECT doc_id, n_tokens,
+                CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                     // 2048 AS BIGINT) AS pack_id
+         FROM t""",
+    "t06_pii_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+                               '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_long_nums
+         FROM documents""",
+    "t07_vocab_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+              c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+              r AS (SELECT token, n,
+                           CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+                    FROM c)
+         SELECT token, n, rank FROM r WHERE rank <= 100"""
   )
 }
