@@ -111,9 +111,14 @@ object EngineConfig {
       case _ => throw ConfigError(s"ACG_CONFIG database.$field is not set")
     }
     val port = json \ "database" \ "port" match {
-      case JInt(p)    => p.toInt
-      case JString(p) => p.toInt
-      case _          => 5432
+      case JInt(p) => p.toInt
+      case JString(p) =>
+        try p.trim.toInt
+        catch {
+          case _: NumberFormatException =>
+            throw ConfigError(s"ACG_CONFIG database.port '$p' is not a number")
+        }
+      case _ => 5432
     }
     JdbcConfig(host = str("hostname"), port = port, database = str("name"),
       user = str("username"), password = str("password"))

@@ -104,10 +104,18 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val base = maxBucketSize match {
       case Some(cap) =>
+        // Rank over an (id, bkt)-only projection and semi-join survivors
+        // back: ranking the full rows would funnel every shingle array of
+        // the degenerate bucket through the single row_number task the cap
+        // exists to protect against. The semi join distributes by id hash,
+        // so no task sees a whole bucket.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("bkt")).orderBy(col(idCol))
-        base0.withColumn("bkt_rn", row_number().over(w))
-          .filter(col("bkt_rn") <= cap).drop("bkt_rn")
+        val keep = base0.select(col(idCol), col("bkt"))
+          .withColumn("bkt_rn", row_number().over(w))
+          .filter(col("bkt_rn") <= cap)
+          .select(col(idCol))
+        base0.join(keep, Seq(idCol), "left_semi")
       case None => base0
     }
     val a = base.select(col(idCol).as("a_id"), col("bkt"), col("sh").as("a_sh"))
@@ -130,9 +138,9 @@ object Dedup {
     * on (table, bucket) — never an all-pairs theta join — and candidates
     * are verified with exact cosine. Shuffle volume is bounded by bucket
     * collisions, not corpus²: signatures are computed scan-side by one
-    * codegen'd expression ([[graft.functions.LshTableBuckets]]), the only
-    * wide stages are the bucket self-join and the final distinct over
-    * verified survivors.
+    * codegen'd expression ([[graft.functions.LshTableBuckets]]); the wide
+    * stages are the id-only bucket self-join, the candidate distinct, and
+    * one per-side vector re-join by id for verification.
     *
     * Recall: a pair at cosine c collides in one table w.p. p^bits where
     * p = 1 − arccos(c)/π, and is a candidate w.p. 1 − (1 − p^bits)^tables.
@@ -144,18 +152,26 @@ object Dedup {
     * the exact [[SimilaritySearch.thresholdPairs]] ground-truth op. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bits: Int = 8, tables: Int = 12): DataFrame = {
+    // Candidate generation on (id, t, bucket) triples ONLY — the vectors
+    // never ride the `tables`-way bucket shuffle (joining them through the
+    // bucket join would shuffle every embedding `tables` times per side).
+    // They join back by id exactly once per side, after the candidate
+    // distinct has collapsed multi-table collisions.
     val keyed = SimilaritySearch.lshKeyed(emb, idCol, vecCol, bits, tables)
-    val a = keyed.select(col(idCol).as("a_id"), col(vecCol).as("av"), col("t"), col("bucket"))
-    val b = keyed.select(col(idCol).as("b_id"), col(vecCol).as("bv"), col("t"), col("bucket"))
-    a.join(b, Seq("t", "bucket"))
+      .select(col(idCol), col("t"), col("bucket"))
+    val a = keyed.select(col(idCol).as("a_id"), col("t"), col("bucket"))
+    val b = keyed.select(col(idCol).as("b_id"), col("t"), col("bucket"))
+    val candidates = a.join(b, Seq("t", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("a_id"), col(vecCol).as("av")), Seq("a_id"))
+      .join(vecs.select(col(idCol).as("b_id"), col(vecCol).as("bv")), Seq("b_id"))
       .withColumn("cos", cosineSim(col("av"), col("bv")))
-      // Verify BEFORE the dedup shuffle: cosine is pure per pair, so only
-      // the (small) surviving near-dup set pays the distinct exchange —
-      // the vectors themselves never ride a shuffle.
       .filter(col("cos") > threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
-      .distinct()
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for

@@ -80,15 +80,22 @@ object JoinStrategies {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     require(!payload.exists(left.columns.contains),
       s"payload ${payload.mkString(",")} collides with a left column")
-    val payloadT = right.select(payload.map(col): _*).schema
+    // SQL join semantics for NULLs: a NULL key or NULL timestamp on the
+    // right can never satisfy `r.key = l.key AND r.ts <= l.ts`, but the
+    // window formulation would group/sort NULLs together and hand out
+    // matches. Drop them up front. (Left rows with NULL key/ts come out
+    // with a NULL payload naturally: no right row shares their partition
+    // slot / precedes a nulls-first timestamp.)
+    val rightClean = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val payloadT = rightClean.select(payload.map(col): _*).schema
     val tieCols = if (tieBreak.isEmpty) payload else tieBreak
-    val tieT = right.select(tieCols.map(col): _*).schema
+    val tieT = rightClean.select(tieCols.map(col): _*).schema
     val l = left.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__is_l"),
       lit(null).cast(tieT).as("__tie"),
       struct(left.columns.map(col): _*).as("__row"),
       lit(null).cast(payloadT).as("__p"))
-    val r = right.select(
+    val r = rightClean.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__is_l"),
       struct(tieCols.map(col): _*).as("__tie"),
       lit(null).cast(l.schema("__row").dataType).as("__row"),

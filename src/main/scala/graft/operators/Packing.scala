@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   *     unbounded-preceding window to become prefix offsets, broadcast back.
   *
   * The only single-task step operates on #buckets rows. The offsets branch
-  * shuffles the same (bucket-hash) exchange as the main branch, so Spark
-  * reuses it instead of rescanning the input.
+  * is a second pass over the input, but a cheap one: column pruning cuts
+  * its scan to (orderCol, tokenCol) and map-side partial aggregation means
+  * it shuffles one row per (bucket × task), not the data. (Spark does NOT
+  * reuse the main branch's exchange here — the partial aggregate sits
+  * below the offsets exchange, so the subtrees differ.)
   */
 object Packing {
 

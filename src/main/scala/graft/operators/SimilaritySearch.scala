@@ -122,7 +122,8 @@ object SimilaritySearch {
     * at 100 TB that is the difference between an offline index build and an
     * iterative ML job over the whole lake. */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int = 16, sampleMod: Int = 1): IvfIndex = {
+                    nCells: Int = 16, sampleMod: Int = 1,
+                    persist: Boolean = true): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = emb.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("fv"))
@@ -132,9 +133,12 @@ object SimilaritySearch {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10).setFeaturesCol("fv")
     val model = km.fit(fitInput)
-    val assigned = model.transform(vecs)
+    val assignedPlan = model.transform(vecs)
       .select(col(idCol), col(vecCol), col("prediction").as("cell"))
-      .cache()
+    // Only persist an index something will hold on to: a throwaway build
+    // (ivfTopK without a cacheKey) would otherwise pin one cached relation
+    // per call in the CacheManager with nothing ever unpersisting it.
+    val assigned = if (persist) assignedPlan.cache() else assignedPlan
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }
@@ -171,22 +175,35 @@ object SimilaritySearch {
   }
 
   /** Per-(session, corpus) memoized indexes: build once, probe many within a
-    * JVM — the online analogue of the offline save/load cycle. */
+    * JVM — the online analogue of the offline save/load cycle. Keyed on the
+    * session object itself (identity, not a hash that a GC'd session could
+    * free for reuse); stopped-session entries are evicted on access. */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, Int), IvfIndex]()
 
   /** Convenience wrapper = memoized [[buildIvfIndex]] + [[probeIvf]].
     * `cacheKey` identifies the corpus (e.g. its directory); when provided,
-    * repeated invocations reuse the fitted index instead of re-clustering. */
+    * repeated invocations reuse the fitted index instead of re-clustering.
+    * Keys hold the session itself (identity semantics — an identity HASH
+    * could be reused after GC and hand a new session a dead index);
+    * entries for stopped sessions are evicted on access (their cached
+    * blocks died with the context). Without a cacheKey the one-shot index
+    * is built unpersisted so nothing leaks into the CacheManager. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 4,
               cacheKey: Option[String] = None): DataFrame = {
     val index = cacheKey match {
       case Some(key) =>
+        val it = indexCache.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.assigned.sparkSession.sparkContext.isStopped) it.remove()
+        }
         indexCache.computeIfAbsent(
-          (System.identityHashCode(emb.sparkSession).toString, key, nCells),
+          (emb.sparkSession, key, nCells),
           _ => buildIvfIndex(emb, idCol, vecCol, nCells))
-      case None => buildIvfIndex(emb, idCol, vecCol, nCells)
+      case None => buildIvfIndex(emb, idCol, vecCol, nCells, persist = false)
     }
     probeIvf(index, isQuery, k, nProbe)
   }

@@ -21,18 +21,25 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** (session, dir, table) -> Some(plan) | None (file absent). Entries for
-    * stopped sessions are evicted on access so test suites that churn
-    * sessions don't accumulate dead plans.
+  /** (session, dir, table) -> resolved plan. Only POSITIVE lookups are
+    * memoized: caching "file absent" would make a table created later in
+    * the session permanently invisible. Entries for stopped sessions are
+    * evicted on access so test suites that churn sessions don't accumulate
+    * dead plans.
     */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Option[DataFrame]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def cached(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
     cache.keysIterator
       .filter(_._1.sparkContext.isStopped)
       .foreach(cache.remove)
-    cache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+    val key = (spark, dir, name)
+    cache.get(key).orElse {
+      val loaded = load(spark, dir, name)
+      loaded.foreach(cache.put(key, _))
+      loaded
+    }
   }
 
   /** Read one table as a DataFrame (no view registration).

@@ -25,7 +25,8 @@ object SqlTranslate {
     * an alias, and consuming it would corrupt the statement. */
   private val NonAliasKeywords =
     "WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|UNION|EXCEPT|INTERSECT|" +
-      "JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ON|USING"
+      "JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ON|USING|" +
+      "FETCH|WINDOW|FOR|QUALIFY"
   private val FromSeries =
     raw"(?i)\b(FROM|JOIN)\s+GENERATE_SERIES\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)(?:\s+(?:AS\s+)?(?!(?:$NonAliasKeywords)\b)(\w+))?".r
   private val AliasedSeries =

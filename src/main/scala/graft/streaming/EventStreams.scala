@@ -52,9 +52,10 @@ object EventStreams {
     * original are dropped; later ones are out of contract, exactly
     * Spark's `dropDuplicatesWithinWatermark` semantics. */
   def dedupeStream(events: DataFrame, keyCols: Seq[String],
-                   watermarkDelay: String = "10 minutes"): DataFrame =
+                   watermarkDelay: String = "10 minutes",
+                   tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

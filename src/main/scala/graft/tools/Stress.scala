@@ -18,6 +18,11 @@ import graft.operators.{Dedup, SimilaritySearch}
 object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(4)
+    // The embedding decorrelation below circular-shifts the 64-dim vectors
+    // by the replica index: shift i must stay in [1, 63] and distinct per
+    // replica, or replicas re-correlate (i=64 is the identity shift) and
+    // the near-dup counts go quadratic by construction.
+    require(factor >= 1 && factor <= 64, s"factor must be in [1, 64], got $factor")
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -84,6 +89,31 @@ object Stress {
     time("ann_lsh") {
       SimilaritySearch.annTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 3).count()
+    }
+    val events = scaled("events", Seq("event_id", "user_id"), 100000000L)
+    time("asof_join") {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("cid"),
+          col("value").as("cv"))
+      graft.operators.JoinStrategies
+        .asofJoin(purchases, clicks, "user_id", "ts", Seq("cid", "cv")).count()
+    }
+    time("range_join") {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("vid"))
+      graft.operators.JoinStrategies
+        .rangeJoinBinned(purchases, views, "user_id", "ts", -3600L, 0L, Seq("vid"))
+        .count()
+    }
+    time("pack_sequences") {
+      val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .packSequences(base, "doc_id", "n_tokens", ctxLen = 2048L).count()
     }
     time("embedding_dedup") {
       // Same augmentation shape as d06: plant perturbed near-dup copies so

@@ -239,6 +239,17 @@ class SqlTranslateSpec extends AnyFunSuite {
     assert(translate("SELECT WHERE 1=0") == "SELECT NULL AS empty WHERE 1=0")
   }
 
+  test("clause keywords after an unaliased series are not eaten as aliases") {
+    for (clause <- Seq("WHERE n > 1", "FETCH FIRST 2 ROWS ONLY",
+                       "WINDOW w AS (ORDER BY 1)", "FOR UPDATE")) {
+      val kw = clause.split(" ").head
+      val got = translate(s"SELECT * FROM GENERATE_SERIES(1,5) $clause")
+      assert(!got.matches(s"(?s).*AS $kw\\b.*"),
+        s"'$kw' must not become an alias: $got")
+      assert(got.endsWith(clause), got)
+    }
+  }
+
   test("VALUES containing uuid() is rewritten to UNION ALL (wrapped form)") {
     val got = translate(
       "SELECT * FROM (VALUES (uuid_generate_v1(), 'one'), (uuid_generate_v1(), 'two')) AS t(num, letter)")

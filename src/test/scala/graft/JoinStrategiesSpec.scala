@@ -65,6 +65,23 @@ class JoinStrategiesSpec extends SparkSpecBase {
       (30L, None, None)))          // no right rows for the key
   }
 
+  test("asofJoin follows SQL NULL semantics: NULL keys/timestamps never match") {
+    val left = Seq((Some(1L), Some(100L), 10L), (None, Some(100L), 11L),
+                   (Some(1L), None, 12L))
+      .toDF("k", "t", "lid")
+      .select($"k", timestamp_micros($"t").as("ts"), $"lid")
+    val right = Seq((Some(1L), Some(50L), 1L), (None, Some(50L), 2L),
+                    (Some(1L), None, 3L))
+      .toDF("k", "t", "rid")
+      .select($"k", timestamp_micros($"t").as("ts"), $"rid")
+    val got = JoinStrategies.asofJoin(left, right, "k", "ts", Seq("rid"))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, Some(1L)), // normal match; NULL-ts right row must NOT win
+      (11L, None),     // NULL left key matches nothing (not even NULL right key)
+      (12L, None)))    // NULL left ts precedes everything -> no match
+  }
+
   test("asofJoin plan is shuffle+window, not a nested-loop join") {
     val ev = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "events")
     val l = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
