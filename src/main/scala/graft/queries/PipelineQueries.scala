@@ -193,6 +193,29 @@ object PipelineQueries {
         size(regexp_extract_all(col("text"), lit(num), lit(0))).cast("long").as("n_long_nums"))
     }),
 
+    // Gopher/C4-style rule-based quality filter: keep/drop + the ordered
+    // list of violated rules. All thresholds compare in integer arithmetic
+    // (cross-multiplied) — no FP division that could flip a boundary doc
+    // between engines.
+    "t08_quality_filter" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("ws"))
+      val st = base.select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")), lit(0L),
+          (a, x) => a + x).as("sum_len"),
+        TA.stopwordCount(col("ws"), TA.StopEn).as("n_stop"))
+      st.select(col("doc_id"), col("n_tokens"),
+          filter(array(
+            when(col("n_tokens") < 20, lit("too_short")),
+            when(col("n_tokens") > 2000, lit("too_long")),
+            when(col("sum_len") * 100 < col("n_tokens") * 300 ||
+                 col("sum_len") * 100 > col("n_tokens") * 1000, lit("odd_token_len")),
+            when(col("n_stop") * 10000 < col("n_tokens") * 100, lit("low_stopword"))),
+            x => x.isNotNull).as("reasons"))
+        .withColumn("keep", size(col("reasons")) === 0)
+    }),
+
     // Corpus vocabulary: global top-100 tokens. orderBy+limit is Spark's
     // distributed TakeOrdered (per-partition top-k, then merge) — the
     // ranking window only ever sees the 100 survivors.
@@ -329,6 +352,25 @@ object PipelineQueries {
               r AS (SELECT token, n,
                            CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
                     FROM c)
-         SELECT token, n, rank FROM r WHERE rank <= 100"""
+         SELECT token, n, rank FROM r WHERE rank <= 100""",
+    "t08_quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+                           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                    FROM t),
+              r AS (SELECT doc_id, n_tokens,
+                           list_concat(
+                             list_concat(
+                               CASE WHEN n_tokens < 20 THEN ['too_short'] ELSE []::VARCHAR[] END,
+                               CASE WHEN n_tokens > 2000 THEN ['too_long'] ELSE []::VARCHAR[] END),
+                             list_concat(
+                               CASE WHEN sum_len * 100 < n_tokens * 300
+                                      OR sum_len * 100 > n_tokens * 1000
+                                    THEN ['odd_token_len'] ELSE []::VARCHAR[] END,
+                               CASE WHEN n_stop * 10000 < n_tokens * 100
+                                    THEN ['low_stopword'] ELSE []::VARCHAR[] END)) AS reasons
+                    FROM c)
+         SELECT doc_id, n_tokens, reasons, len(reasons) = 0 AS keep FROM r"""
   )
 }

@@ -58,6 +58,30 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * [[graft.operators.JoinStrategies.rangeJoinBinned]]: pairs rows with
+    * equal `keyCol` where `right.tsCol` ∈ [`left.tsCol − windowSec`,
+    * `left.tsCol`]. The equality key + time-range predicate is exactly the
+    * shape Spark's stream-stream join needs to bound state: each side
+    * buffers only rows newer than its watermark minus the join window,
+    * so state stays finite on unbounded streams. Watermark delays trade
+    * completeness (late matches) against state size.
+    *
+    * Column names must be disjoint apart from `keyCol`/`tsCol` (alias
+    * sides before calling). Output carries both sides' columns with the
+    * right side's key/ts dropped. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         windowSec: Long, watermarkDelay: String = "1 hour",
+                         tsCol: String = "ts"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    l.join(r, expr(
+        s"""l.$keyCol = r.$keyCol AND
+            r.$tsCol >= l.$tsCol - INTERVAL $windowSec SECOND AND
+            r.$tsCol <= l.$tsCol"""))
+      .drop(col(s"r.$keyCol")).drop(col(s"r.$tsCol"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

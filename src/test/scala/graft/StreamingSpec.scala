@@ -63,6 +63,36 @@ class StreamingSpec extends SparkSpecBase {
       "no key may appear twice after within-watermark dedup")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val schema = EventStreams.eventSchema
+    def side(tpe: String, idAs: String, valAs: String) =
+      EventStreams.readEventStream(spark, streamDir)
+        .filter($"event_type" === tpe)
+        .select($"user_id", $"ts", $"event_id".as(idAs), $"value".as(valAs))
+    // Generous watermark: with a finite source nothing is late, so the
+    // stream must emit EXACTLY the batch join's pairs.
+    val joined = EventStreams.intervalJoinStream(
+      side("purchase", "p_id", "p_value"), side("view", "v_id", "v_value"),
+      "user_id", windowSec = 3600L, watermarkDelay = "365 days")
+    val q = joined.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("ssj_out").start()
+    try assert(q.awaitTermination(120000), "stream did not drain in 120s")
+    finally q.stop()
+    val got = spark.table("ssj_out").select($"p_id", $"v_id")
+      .as[(Long, Long)].collect().toSet
+    val ev = spark.read.schema(schema).parquet(streamDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("p_id"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"ts".as("vts"), $"event_id".as("v_id"))
+    val want = p.join(v, $"pu" === $"vu" &&
+        $"vts" >= $"pts" - expr("INTERVAL 3600 SECOND") && $"vts" <= $"pts")
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "batch truth should have matches")
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) runs and matches batch on closed sessions") {
     val events = Sources.table(spark, dir, "events")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
