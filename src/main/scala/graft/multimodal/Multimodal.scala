@@ -70,6 +70,32 @@ object Multimodal {
     }
   }
 
+  /** Partition-local "resize": re-encode each payload to at most
+    * `maxBytes`. STUB: deterministic byte subsampling (every k-th byte)
+    * stands in for the codec's decode→scale→re-encode; the contract — a
+    * map-shaped stage that shrinks payloads in place, preserving ids and
+    * never widening the row — is the real part. Payloads already within
+    * budget pass through untouched (same object, no copy). */
+  def resize(media: Dataset[MediaRow], maxBytes: Int = 1 << 16): Dataset[MediaRow] = {
+    require(maxBytes > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.media.length <= maxBytes) r
+        else {
+          // --- STUB re-encode: replace with codec scale call --------------
+          val k = (r.media.length + maxBytes - 1) / maxBytes
+          val out = new Array[Byte]((r.media.length + k - 1) / k)
+          var i = 0
+          while (i < out.length) { out(i) = r.media(i * k); i += 1 }
+          // ----------------------------------------------------------------
+          r.copy(media = out, format = r.format + ";resized")
+        }
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk. STUB chunking stands in for demux; the explode-shaped output
     * (one row per sampled frame) is the real contract. */

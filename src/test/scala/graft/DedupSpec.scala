@@ -230,4 +230,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.forall(_.frame.length == 32))
     assert(frames.forall(_.frame_idx % 2 == 0))
   }
+
+  test("resize caps payloads, passes small ones untouched, keeps every row") {
+    val media = Multimodal.asMediaTable(docs.limit(50))
+    val before = media.collect().map(r => r.doc_id -> r.media.length).toMap
+    val cap = 100
+    val resized = Multimodal.resize(media, maxBytes = cap).collect()
+    assert(resized.length == before.size, "resize must not drop or add rows")
+    resized.foreach { r =>
+      assert(r.media.length <= cap, s"doc ${r.doc_id}: ${r.media.length} > $cap")
+      if (before(r.doc_id) <= cap) {
+        assert(r.media.length == before(r.doc_id), "within-budget payload must be untouched")
+        assert(!r.format.endsWith(";resized"))
+      } else assert(r.format.endsWith(";resized"))
+    }
+    // Deterministic across partitionings, like decode.
+    val again = Multimodal.resize(media.repartition(7), maxBytes = cap)
+      .collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    assert(again == resized.map(r => r.doc_id -> r.media.toSeq).toMap)
+  }
 }
