@@ -327,6 +327,14 @@ object RelationalQueries {
       c.union(sup)
     }),
 
+    // True pivot (RelationalGroupedDataset.pivot with explicit values —
+    // explicit so the plan needs no distinct-values pre-scan).
+    "q41_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))),
+
     // As-of join: each purchase gains the most recent preceding click's
     // value for the same user (union+window plan — one shuffle, no
     // nested-loop; see JoinStrategies.asofJoin).
@@ -510,6 +518,12 @@ object RelationalQueries {
                 round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
                 round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
          FROM orders GROUP BY o_orderstatus""",
+    "q41_pivot" ->
+      """SELECT o_orderpriority,
+                round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+                round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+                round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+         FROM orders GROUP BY o_orderpriority""",
     // ts casts to TIMESTAMP (µs) so DuckDB's nanosecond reads compare the
     // same instants Spark does after its nanos->micros conversion.
     "q39_asof_join" ->
