@@ -31,6 +31,24 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Exact train/eval decontamination: pairs of byte-identical documents
+    * whose split assignments straddle the train boundary — each pair is a
+    * training document leaking into an evaluation split. Content equality
+    * via md5, so the join key is 16 bytes, never the document body; one
+    * hash equi-join, no quadratic stage. (Near-duplicate decontamination =
+    * run [[graft.operators.Dedup.minhashNearDups]] and filter pairs whose
+    * splits differ — same shape, sketch key instead of md5.) */
+  def exactContamination(df: DataFrame, idCol: String, textCol: String,
+                         splitCol: String, trainLabel: String = "train"): DataFrame = {
+    val h = df.select(col(idCol), md5(col(textCol)).as("__h"), col(splitCol))
+    val tr = h.filter(col(splitCol) === trainLabel)
+      .select(col(idCol).as("train_id"), col("__h"))
+    val ev = h.filter(col(splitCol) =!= trainLabel)
+      .select(col(idCol).as("eval_id"), col("__h"), col(splitCol).as("eval_split"))
+    tr.join(ev, Seq("__h"))
+      .select(col("train_id"), col("eval_id"), col("eval_split"))
+  }
+
   /** Deterministic "random" k-per-group sample: the k rows whose key hash
     * sorts lowest within each group. One shuffle on the group columns;
     * rank-k per group, so output is `k × |groups|` regardless of skew. */

@@ -180,6 +180,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"), col("pack_id"))
     }),
 
+    // Train/eval decontamination. The corpus has no byte-identical dup
+    // pairs, so (like d06) it is augmented with exact copies of the first
+    // 50 docs under new ids — their independent hash-split assignments put
+    // some copies in eval splits while the original trains, which is
+    // precisely the leak this op detects. Oracle applies the identical
+    // augmentation.
+    "p03_decontamination" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val aug = base.unionAll(
+        base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val withSplit = aug.withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      graft.operators.Sampling
+        .exactContamination(withSplit, "doc_id", "text", "split")
+    }),
+
     // PII scrubbing: email + long-digit-run redaction. Both regexes avoid
     // Java-vs-RE2 divergent classes (no \s, no lookaround).
     "t06_pii_scrub" -> ((s, dir) => {
@@ -339,6 +356,18 @@ object PipelineQueries {
                 CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
                      // 2048 AS BIGINT) AS pack_id
          FROM t""",
+    "p03_decontamination" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 500000, text FROM documents WHERE doc_id < 50),
+              s AS (SELECT doc_id, md5(text) AS h,
+                           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                ELSE 'test' END AS split
+                    FROM aug)
+         SELECT a.doc_id AS train_id, b.doc_id AS eval_id, b.split AS eval_split
+         FROM s a JOIN s b ON a.h = b.h
+         WHERE a.split = 'train' AND b.split <> 'train'""",
     "t06_pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
