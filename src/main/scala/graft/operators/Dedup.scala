@@ -149,7 +149,16 @@ object Dedup {
     * candidate w.p. ≈ 0.05. This operator is for near-duplicate thresholds
     * (≥ ~0.85); at low thresholds (≤ ~0.6) the qualifying-pair count itself
     * grows quadratically and no bucketing helps — that regime belongs to
-    * the exact [[SimilaritySearch.thresholdPairs]] ground-truth op. */
+    * the exact [[SimilaritySearch.thresholdPairs]] ground-truth op.
+    *
+    * SIZING `bits`: per-table bucket density is N / 2^bits, and
+    * within-bucket candidate pairs grow with density². `bits` must track
+    * log2(N) — grow it by one per corpus doubling to hold density (and so
+    * per-row cost) constant; a fixed `bits` under a growing corpus goes
+    * quadratic (measured: 8 bits is linear to ~4× sf0.1 and super-linear
+    * at 8×, where bits=11 restores linearity — see `tools/Stress`). Each
+    * extra bit costs recall at fixed `tables`; add ~2 tables per bit to
+    * compensate (the recall formula above prices it exactly). */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bits: Int = 8, tables: Int = 12): DataFrame = {
     // Candidate generation on (id, t, bucket) triples ONLY — the vectors

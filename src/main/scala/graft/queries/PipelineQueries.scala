@@ -77,6 +77,35 @@ object PipelineQueries {
         size(regexp_extract_all(col("text"),
           lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0))).cast("long").as("n_bpe_tokens"))),
 
+    // Winnowing fingerprint (Schleimer/Wilkerson/Aiken): the minimum
+    // shingle of every sliding window of `w` consecutive positional
+    // 3-gram shingles, deduplicated — the classic local fingerprint for
+    // plagiarism/overlap detection. Selection here is by lexicographic
+    // minimum so the oracle can compare values across engines; at scale
+    // the selected shingles would be xxhash64'd to 8-byte fingerprints
+    // (engine-specific hashes can't be oracle'd). Shingles are built
+    // POSITIONALLY (not WordShingles, which dedups for MinHash —
+    // winnowing windows must see repeats), and each stage is projected to
+    // an attribute before the next HOF references it, so nothing
+    // re-evaluates per lambda iteration (the round-1 HOF trap).
+    "t09_winnow_fingerprint" -> ((s, dir) => {
+      val w = 4
+      docs(s, dir)
+        .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))).as("hs"))
+        .filter(size(col("hs")) >= w)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+              i => array_min(slice(col("hs"), i, lit(w)))))).as("fingerprint"))
+        .select(col("doc_id"), col("fingerprint"),
+          size(col("fingerprint")).cast("long").as("n_marks"))
+    }),
+
     // ---- deduplication ----------------------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -286,6 +315,17 @@ object PipelineQueries {
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]')) AS BIGINT) AS n_bpe_tokens
          FROM documents""",
+    "t09_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS hs
+                    FROM t WHERE len(ws) >= 3),
+              f AS (SELECT doc_id, list_sort(list_distinct(
+                             list_transform(generate_series(1, len(hs) - 3),
+                               i -> list_min(hs[i:i+3])))) AS fingerprint
+                    FROM s WHERE len(hs) >= 4)
+         SELECT doc_id, fingerprint, CAST(len(fingerprint) AS BIGINT) AS n_marks FROM f""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_count
          FROM documents GROUP BY md5(text)""",

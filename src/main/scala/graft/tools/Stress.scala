@@ -118,13 +118,20 @@ object Stress {
     time("embedding_dedup") {
       // Same augmentation shape as d06: plant perturbed near-dup copies so
       // the verified-survivor set is non-trivial, then bucketed dedup.
+      // `bits` grows with log2(factor): LSH bucket density (N / 2^bits) is
+      // what bounds within-bucket pairs, so the hyperplane count must track
+      // corpus size — exactly what a 100 TB deployment would tune. With
+      // bits pinned at 8 this op measures quadratic at 8x BY DESIGN of the
+      // sketch, not a plan bug (see Dedup.embeddingNearDups scaladoc).
+      val bits = 8 + (63 - java.lang.Long.numberOfLeadingZeros(factor.toLong)).toInt
       val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val copies = base.filter(pmod(col("vec_id"), lit(40)) === 0).select(
         (col("vec_id") + 1000000000L).as("vec_id"),
         transform(col("v"),
           (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
-      Dedup.embeddingNearDups(base.unionAll(copies), "vec_id", "v", 0.9).count()
+      Dedup.embeddingNearDups(base.unionAll(copies), "vec_id", "v", 0.9,
+        bits = bits).count()
     }
     spark.stop()
   }
