@@ -85,8 +85,10 @@ object Multimodal {
         if (r.media.length <= maxBytes) r
         else {
           // --- STUB re-encode: replace with codec scale call --------------
-          val k = (r.media.length + maxBytes - 1) / maxBytes
-          val out = new Array[Byte]((r.media.length + k - 1) / k)
+          // Long arithmetic: length + maxBytes - 1 overflows Int for
+          // payloads near 2 GB (or large caps).
+          val k = ((r.media.length.toLong + maxBytes - 1) / maxBytes).toInt
+          val out = new Array[Byte](((r.media.length.toLong + k - 1) / k).toInt)
           var i = 0
           while (i < out.length) { out(i) = r.media(i * k); i += 1 }
           // ----------------------------------------------------------------

@@ -34,8 +34,8 @@ object Sampling {
   /** Exact train/eval decontamination: pairs of byte-identical documents
     * whose split assignments straddle the train boundary — each pair is a
     * training document leaking into an evaluation split. Content equality
-    * via md5, so the join key is 16 bytes, never the document body; one
-    * hash equi-join, no quadratic stage. (Near-duplicate decontamination =
+    * via md5, so the join key is a fixed 32-char hex digest, never the
+    * document body; one hash equi-join, no quadratic stage. (Near-duplicate decontamination =
     * run [[graft.operators.Dedup.minhashNearDups]] and filter pairs whose
     * splits differ — same shape, sketch key instead of md5.) */
   def exactContamination(df: DataFrame, idCol: String, textCol: String,
