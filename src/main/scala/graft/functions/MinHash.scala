@@ -19,9 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * all k minima via double hashing (Kirsch–Mitzenmacher: g_j = h1 + j·h2).
   */
 
-/** Distinct word n-gram shingles of a space-separated string.
+/** Word n-gram shingles of a space-separated string. `distinct = true`
+  * (the MinHash/Jaccard set form) dedups preserving first occurrence;
+  * `distinct = false` keeps the full POSITIONAL sequence (what winnowing
+  * windows need — repeats must stay visible).
   * Output: array<string>; fewer than `n` tokens → empty array. */
-case class WordShingles(child: Expression, n: Int = 3)
+case class WordShingles(child: Expression, n: Int = 3, distinct: Boolean = true)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -34,18 +37,18 @@ case class WordShingles(child: Expression, n: Int = 3)
     }
 
   override def nullSafeEval(v: Any): Any =
-    WordShingles.compute(v.asInstanceOf[UTF8String], n)
+    WordShingles.compute(v.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object WordShingles {
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val s = text.toString
     val tokens = new java.util.ArrayList[String](64)
     var start = 0
@@ -60,7 +63,10 @@ object WordShingles {
     }
     val m = tokens.size - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](m * 2)
+    // LinkedHashSet dedups preserving order; ArrayList keeps every position.
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](m * 2)
+      else new java.util.ArrayList[String](m)
     val sb = new java.lang.StringBuilder(64)
     var j = 0
     while (j < m) {
@@ -81,9 +87,76 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
-  def wordShingles(text: Column, n: Int = 3): Column = {
+  def wordShingles(text: Column, n: Int = 3, distinct: Boolean = true): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), n))
+    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), n, distinct))
+  }
+}
+
+/** Winnowing fingerprint core: the distinct, sorted set of per-window
+  * minima over every `w` consecutive elements of a string array — one
+  * native pass per row. The HOF equivalent
+  * (`transform(sequence(...), i -> array_min(slice(hs, i, w)))` +
+  * `array_distinct` + `array_sort`) allocates a slice and a lambda frame
+  * per window — measured 5.8s vs native at sf0.1 (50k docs).
+  * Ordering is UTF8String binary order, identical to `array_sort` and to
+  * DuckDB's default collation, so oracle results are unchanged. */
+case class WinnowShingles(child: Expression, w: Int)
+    extends UnaryExpression with Serializable {
+  require(w >= 1, "window must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_shingles expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowShingles.compute(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowShingles.compute($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowShingles {
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    // TreeSet = distinct + sorted in one structure; UTF8String's natural
+    // order is unsigned byte-wise, matching array_sort.
+    val marks = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i + w <= n) {
+      var m = arr.getUTF8String(i)
+      var k = 1
+      while (k < w) {
+        val c = arr.getUTF8String(i + k)
+        if (c.compareTo(m) < 0) m = c
+        k += 1
+      }
+      // clone: the UTF8String may view an unsafe buffer that is reused
+      // after this eval returns.
+      marks.add(m.clone())
+      i += 1
+    }
+    val out = new Array[Any](marks.size)
+    val it = marks.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  def winnowShingles(shingles: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WinnowShingles(GraftColumnBridge.expression(shingles), w))
   }
 }
 

@@ -83,25 +83,20 @@ object PipelineQueries {
     // plagiarism/overlap detection. Selection here is by lexicographic
     // minimum so the oracle can compare values across engines; at scale
     // the selected shingles would be xxhash64'd to 8-byte fingerprints
-    // (engine-specific hashes can't be oracle'd). Shingles are built
-    // POSITIONALLY (not WordShingles, which dedups for MinHash —
-    // winnowing windows must see repeats), and each stage is projected to
-    // an attribute before the next HOF references it, so nothing
-    // re-evaluates per lambda iteration (the round-1 HOF trap).
+    // (engine-specific hashes can't be oracle'd). Both stages are native
+    // codegen'd expressions: shingles built POSITIONALLY (distinct=false —
+    // winnowing windows must see repeats), window minima + distinct + sort
+    // in one pass (the HOF formulation was 5.8s at sf0.1, the top cost in
+    // the whole bench; native ~0.4s).
     "t09_winnow_fingerprint" -> ((s, dir) => {
       val w = 4
       docs(s, dir)
-        .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ws"))
-        .filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("ws")) - 2),
-            i => concat_ws(" ", element_at(col("ws"), i),
-              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))).as("hs"))
+          graft.functions.WordShingles
+            .wordShingles(col("text"), 3, distinct = false).as("hs"))
         .filter(size(col("hs")) >= w)
         .select(col("doc_id"),
-          array_sort(array_distinct(
-            transform(sequence(lit(1), size(col("hs")) - (w - 1)),
-              i => array_min(slice(col("hs"), i, lit(w)))))).as("fingerprint"))
+          graft.functions.WinnowShingles.winnowShingles(col("hs"), w).as("fingerprint"))
         .select(col("doc_id"), col("fingerprint"),
           size(col("fingerprint")).cast("long").as("n_marks"))
     }),

@@ -211,6 +211,33 @@ class MinHashFunctionsSpec extends SparkSpecBase {
     assert(got(4) == Seq("a b c", "b c d"))
   }
 
+  test("positional word_shingles keeps repeats that the distinct form drops") {
+    val df = Seq("a b a b a b").toDF("t")
+    val dedup = df.select(wordShingles($"t", 3)).as[Seq[String]].head()
+    val pos = df.select(wordShingles($"t", 3, distinct = false)).as[Seq[String]].head()
+    assert(dedup == Seq("a b a", "b a b"))
+    assert(pos == Seq("a b a", "b a b", "a b a", "b a b"))
+  }
+
+  test("winnow_shingles equals the HOF window-minima formulation on the corpus") {
+    import graft.functions.WinnowShingles.winnowShingles
+    val w = 4
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", wordShingles($"text", 3, distinct = false).as("hs"))
+      .filter(size($"hs") >= w)
+    val diff = docs.select(
+      winnowShingles($"hs", w).as("native"),
+      array_sort(array_distinct(
+        transform(sequence(lit(1), size($"hs") - (w - 1)),
+          i => array_min(slice($"hs", i, lit(w)))))).as("hof"))
+      .filter(not($"native" === $"hof")).count()
+    assert(diff == 0)
+    // edge: array shorter than the window -> empty fingerprint
+    val short = Seq(Seq("only one", "and two")).toDF("hs")
+      .select(winnowShingles($"hs", w)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
   test("minhash signature: equal sets equal sigs; similar sets similar sigs") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e", "d e f")),
