@@ -23,8 +23,15 @@ object GraftFunctions {
     "word_shingles" -> (es => es match {
       case Seq(c) => WordShingles(c)
       case Seq(c, n) => WordShingles(c, n.eval().asInstanceOf[Int])
+      case Seq(c, n, d) => WordShingles(c, n.eval().asInstanceOf[Int],
+        d.eval().asInstanceOf[Boolean])
       case other => throw new IllegalArgumentException(
-        s"word_shingles takes 1-2 args, got ${other.size}")
+        s"word_shingles takes 1-3 args, got ${other.size}")
+    }),
+    "winnow_shingles" -> (es => es match {
+      case Seq(c, w) => WinnowShingles(c, w.eval().asInstanceOf[Int])
+      case other => throw new IllegalArgumentException(
+        s"winnow_shingles takes (shingles, window), got ${other.size} args")
     }),
     "minhash_signature" -> (es => es match {
       case Seq(c) => MinHashSignature(c)

@@ -335,6 +335,26 @@ object RelationalQueries {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(round(sum(col("o_totalprice")), 2))),
 
+    // Mergeable-sketch rollup: per-nation HLL sketches of the customer key,
+    // re-aggregated to region level with hll_union_agg. THE incremental
+    // aggregation pattern at 100 TB — partials are built once close to the
+    // data, then any rollup level (or a later day's increment) merges
+    // byte-size sketches instead of rescanning the lake. No DuckDB oracle:
+    // sketch estimators differ across engines (driver records rows-only);
+    // QueriesSpec bounds the estimate against exact count distinct.
+    "q42_hll_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      val sketches = c
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      sketches.groupBy(col("region"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
+             count(lit(1)).as("n_nations"))
+    }),
+
     // As-of join: each purchase gains the most recent preceding click's
     // value for the same user (union+window plan — one shuffle, no
     // nested-loop; see JoinStrategies.asofJoin).

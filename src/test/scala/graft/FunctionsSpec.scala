@@ -103,6 +103,12 @@ class SqlRegistrationSpec extends SparkSpecBase {
       "SELECT intersect_count_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS n")
       .as[Long].head()
     assert(ic == 2L)
+    val wn = spark.sql(
+      "SELECT winnow_shingles(word_shingles('e d c b a e d', 3, false), 2) AS f")
+      .as[Seq[String]].head()
+    // positional shingles: [e d c, d c b, c b a, b a e, a e d];
+    // window-2 minima: d c b, c b a, b a e, a e d -> sorted distinct
+    assert(wn == Seq("a e d", "b a e", "c b a", "d c b"))
   }
 }
 

@@ -41,6 +41,24 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("HLL sketch rollup estimates match exact distinct counts within 5%") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q42_hll_union")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+    val exact = c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name")).agg(countDistinct(col("c_custkey")).as("e"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (region, e) =>
+      val a = est(region).toDouble
+      assert(math.abs(a - e) / e < 0.05, s"$region: approx $a vs exact $e")
+    }
+  }
+
   test("relational inventory covers the SURVEY checklist categories") {
     val names = RelationalQueries.queries.keySet
     // One representative per operator category (SURVEY.md §2.2-2.3).
