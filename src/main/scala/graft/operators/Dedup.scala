@@ -183,6 +183,50 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Duplicate clusters from near-dup PAIRS: connected components by
+    * iterative min-label propagation — the step that turns pair output
+    * (d03/d04/d06) into actionable keeper groups (cluster id = smallest
+    * member id; keep it, drop the rest).
+    *
+    * Each iteration is fully distributed (symmetric edge join + min
+    * aggregate); the driver only orchestrates the loop and checks
+    * convergence — the standard Spark shape for iterative graph
+    * algorithms. Iterations needed = component diameter (near-dup
+    * clusters are shallow — dozens of iterations would mean the
+    * threshold is far too loose). `localCheckpoint` truncates lineage so
+    * plan depth stays constant across iterations.
+    *
+    * Input: (aCol, bCol) pair rows. Output: (id, cluster) for every id
+    * that appears in at least one pair. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter iterations")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for
     * the 4-chunk banding to be lossless). Input: (id, tokens). Output:
     * (a_id, b_id, hamming). */

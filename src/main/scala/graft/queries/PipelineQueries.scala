@@ -137,6 +137,16 @@ object PipelineQueries {
       Dedup.simhashNearDups(base, "doc_id", "toks", maxHamming = 3)
     }),
 
+    // Duplicate CLUSTERS from d03's exact near-dup pairs: connected
+    // components via distributed min-label propagation (cluster id =
+    // smallest member). Oracle recomputes the same components with a
+    // recursive CTE over the same pair set.
+    "d07_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        "n_chars", threshold = 0.2)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+    }),
+
     // Embedding-cosine near-duplicate detection: LSH-bucketed candidate
     // generation (equi-join on (table, bucket), no all-pairs theta join)
     // with exact cosine verification; lower vec_id kept as the canonical
@@ -270,7 +280,34 @@ object PipelineQueries {
     })
   )
 
+  /** d03's oracle, shared: d07's recursive-CTE components run over exactly
+    * this pair set so the two can never drift apart. */
+  private val D03Sql: String =
+    """WITH w AS (SELECT doc_id, n_chars // 50 AS bkt,
+                         list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                  FROM documents),
+            s AS (SELECT doc_id, bkt,
+                         list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+                  FROM w WHERE len(ws) >= 3)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+       FROM s a JOIN s b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2"""
+
   val oracleSql: Map[String, String] = Map(
+    "d07_dup_clusters" ->
+      s"""WITH RECURSIVE sym AS (
+            SELECT a_id AS id, b_id AS nb FROM ($D03Sql) p
+            UNION
+            SELECT b_id AS id, a_id AS nb FROM ($D03Sql) p2),
+          reach AS (
+            SELECT id, nb FROM sym
+            UNION
+            SELECT r.id, s.nb FROM reach r JOIN sym s ON r.nb = s.id)
+          SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id""",
     "t01_token_stats" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                 CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -327,20 +364,7 @@ object PipelineQueries {
     "d02_dedup_keep_first" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
-    "d03_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, n_chars // 50 AS bkt,
-                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
-                    FROM documents),
-              s AS (SELECT doc_id, bkt,
-                           list_distinct(list_transform(generate_series(1, len(ws) - 2),
-                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
-                    FROM w WHERE len(ws) >= 3)
-         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
-         FROM s a JOIN s b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2""",
+    "d03_ngram_jaccard" -> D03Sql,
     "d06_embedding_dedup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               aug AS (SELECT vec_id, v FROM base

@@ -199,6 +199,31 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class ConnectedComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("clusters a chain, a triangle, and a pair; transitivity via min label") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12 with extra edge,
+    // isolated pair 20-21. Node 2's min neighbor is 1 only transitively
+    // for 4 — exercises multi-iteration propagation.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+                    (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges within the iteration budget") {
+    val n = 20
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
+}
+
 class MultimodalSpec extends SparkSpecBase {
   import graft.multimodal.Multimodal
 
