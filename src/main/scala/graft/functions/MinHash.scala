@@ -135,16 +135,18 @@ object WinnowShingles {
     val marks = new java.util.TreeSet[UTF8String]()
     var i = 0
     while (i + w <= n) {
-      var m = arr.getUTF8String(i)
-      var k = 1
+      // Null elements are skipped, matching the array_min HOF this
+      // replaces (the SQL-registered form can receive containsNull arrays).
+      var m: UTF8String = null
+      var k = 0
       while (k < w) {
         val c = arr.getUTF8String(i + k)
-        if (c.compareTo(m) < 0) m = c
+        if (c != null && (m == null || c.compareTo(m) < 0)) m = c
         k += 1
       }
       // clone: the UTF8String may view an unsafe buffer that is reused
       // after this eval returns.
-      marks.add(m.clone())
+      if (m != null) marks.add(m.clone())
       i += 1
     }
     val out = new Array[Any](marks.size)

@@ -192,9 +192,14 @@ object Dedup {
     * aggregate); the driver only orchestrates the loop and checks
     * convergence — the standard Spark shape for iterative graph
     * algorithms. Iterations needed = component diameter (near-dup
-    * clusters are shallow — dozens of iterations would mean the
-    * threshold is far too loose). `localCheckpoint` truncates lineage so
-    * plan depth stays constant across iterations.
+    * clusters are usually shallow); if `maxIter` is exhausted the
+    * best-effort labels are returned with a warning — one deep chain in a
+    * petabyte corpus must not abort the pipeline (raise `maxIter` where
+    * exact components are required). `localCheckpoint` truncates lineage
+    * so plan depth stays constant; superseded checkpoint blocks become
+    * unreferenced when `labels` is reassigned and the ContextCleaner
+    * reclaims them (localCheckpoint bypasses the CacheManager, so an
+    * explicit unpersist() would be a no-op).
     *
     * Input: (aCol, bCol) pair rows. Output: (id, cluster) for every id
     * that appears in at least one pair. */
@@ -214,16 +219,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
+      // Carry the old label through the single join so convergence is a
+      // filter on the checkpointed result, not a second join + action.
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
-    require(converged, s"label propagation did not converge in $maxIter iterations")
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"connectedComponents: not converged after $maxIter iterations; " +
+          "returning best-effort labels (raise maxIter for exact components)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 
