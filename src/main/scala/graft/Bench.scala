@@ -14,8 +14,55 @@ import org.apache.spark.sql.SparkSession
   * be timed as footer-level row counts with their expressions never
   * evaluated. The noop sink materializes every output column through the
   * full plan and discards the bytes.
+  *
+  * The printed line must stay SHORT: the harness that consumes it keeps
+  * only the last ~2000 characters of the build output (including the `[info]`
+  * prefix and sbt's `[success]` footer), so a line carrying full-precision
+  * times for every query overflows the window and is never parsed — both
+  * round-1 and round-2 reports came back `parsed: null` that way. Times are
+  * therefore emitted at millisecond precision and, if the line would still
+  * exceed [[Bench.LineBudget]], the per-query map keeps only the slowest
+  * entries (`"omitted":k` records the cut). The untruncated document is
+  * always written to BENCH_FULL.json alongside.
   */
 object Bench {
+
+  /** Max serialized length of the printed line. The consumer's tail window
+    * is 2000 chars; leave headroom for the sbt `[info] ` prefix, the
+    * `[success] Total time…` footer, and any straggler WARN line.
+    */
+  val LineBudget: Int = 1600
+
+  private def ms(v: Double): String = {
+    val r = math.round(v * 1000) / 1000.0
+    if (r == r.toLong.toDouble) r.toLong.toString else r.toString
+  }
+
+  /** Builds (compactLine, fullJson). Query entries are ordered slowest-first
+    * so budget truncation drops the cheapest tail, never a hotspot.
+    */
+  def formatJson(results: Seq[(String, Double)], errors: Seq[String],
+                 sfDir: String, budget: Int = LineBudget): (String, String) = {
+    val total = ms(results.map(_._2).sum)
+    val bySlowest = results.sortBy(-_._2)
+    val errJson =
+      if (errors.isEmpty) "" else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om$errJson,"sf":"$sfDir"}"""
+    }
+
+    val full = line(bySlowest, 0)
+    var keep = bySlowest.length
+    var compact = full
+    while (compact.length > budget && keep > 1) {
+      keep -= 1
+      compact = line(bySlowest.take(keep), bySlowest.length - keep)
+    }
+    (compact, full)
+  }
 
   private def exhaust(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -33,25 +80,26 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try exhaust(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(_) => }
     }
     val errors = scala.collection.mutable.Buffer[String]()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try exhaust(SparkEntry.queries(name)(spark, sfDir))
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
+          // A failed query must not silently improve the total: surface it.
           errors += name
           System.err.println(s"[bench] $name FAILED: $e")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    // A failed query must not silently improve the total: surface it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val (compact, full) = formatJson(results, errors.toSeq, sfDir)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => }
+    println(compact)
     spark.stop()
   }
 }

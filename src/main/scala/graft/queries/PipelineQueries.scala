@@ -96,9 +96,14 @@ object PipelineQueries {
             .wordShingles(col("text"), 3, distinct = false).as("hs"))
         .filter(size(col("hs")) >= w)
         .select(col("doc_id"),
-          graft.functions.WinnowShingles.winnowShingles(col("hs"), w).as("fingerprint"))
-        .select(col("doc_id"), col("fingerprint"),
-          size(col("fingerprint")).cast("long").as("n_marks"))
+          graft.functions.WinnowShingles.winnowShingles(col("hs"), w).as("fp"))
+        // The selected shingles are emitted '|'-joined, not as an array:
+        // the driver's oracle compare sorts rows by every output column and
+        // array cells are unsortable there (and unhashable in pandas) —
+        // scalar columns are the contract for oracle-checked results.
+        .select(col("doc_id"),
+          array_join(col("fp"), "|").as("fingerprint"),
+          size(col("fp")).cast("long").as("n_marks"))
     }),
 
     // ---- deduplication ----------------------------------------------------
@@ -263,8 +268,12 @@ object PipelineQueries {
             when(col("sum_len") * 100 < col("n_tokens") * 300 ||
                  col("sum_len") * 100 > col("n_tokens") * 1000, lit("odd_token_len")),
             when(col("n_stop") * 10000 < col("n_tokens") * 100, lit("low_stopword"))),
-            x => x.isNotNull).as("reasons"))
-        .withColumn("keep", size(col("reasons")) === 0)
+            x => x.isNotNull).as("rs"))
+        // ','-joined, not an array: oracle-checked outputs must be scalar
+        // (the driver's row sort cannot order array cells).
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("rs"), ",").as("reasons"),
+          (size(col("rs")) === 0).as("keep"))
     }),
 
     // Corpus vocabulary: global top-100 tokens. orderBy+limit is Spark's
@@ -357,7 +366,8 @@ object PipelineQueries {
                              list_transform(generate_series(1, len(hs) - 3),
                                i -> list_min(hs[i:i+3])))) AS fingerprint
                     FROM s WHERE len(hs) >= 4)
-         SELECT doc_id, fingerprint, CAST(len(fingerprint) AS BIGINT) AS n_marks FROM f""",
+         SELECT doc_id, array_to_string(fingerprint, '|') AS fingerprint,
+                CAST(len(fingerprint) AS BIGINT) AS n_marks FROM f""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
@@ -459,6 +469,9 @@ object PipelineQueries {
                                CASE WHEN n_stop * 10000 < n_tokens * 100
                                     THEN ['low_stopword'] ELSE []::VARCHAR[] END)) AS reasons
                     FROM c)
-         SELECT doc_id, n_tokens, reasons, len(reasons) = 0 AS keep FROM r"""
+         SELECT doc_id, n_tokens,
+                -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+                coalesce(array_to_string(reasons, ','), '') AS reasons,
+                len(reasons) = 0 AS keep FROM r"""
   )
 }

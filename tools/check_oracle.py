@@ -22,8 +22,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df) > 0:
-        df = df.sort_values(by=list(df.columns), ignore_index=True,
-                            key=lambda s: s.astype(str))
+        # Driver-exact: plain multi-column sort, NO key=astype(str). Array
+        # cells (numpy.ndarray) are unhashable here and raise — that is a
+        # real driver-gate failure (seen on t08/t09 in round 2), so it must
+        # fail locally too. Oracle-checked queries must emit scalar columns.
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
 
 
@@ -49,7 +52,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
-        g, w = canon(got), canon(want)
+        try:
+            g, w = canon(got), canon(want)
+        except Exception as e:
+            print(f"FAIL {name}: result not sortable (array column?): {e}")
+            failures += 1
+            continue
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             failures += 1
