@@ -182,30 +182,67 @@ object SimilaritySearch {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String, Int), IvfIndex]()
 
-  /** Convenience wrapper = memoized [[buildIvfIndex]] + [[probeIvf]].
-    * `cacheKey` identifies the corpus (e.g. its directory); when provided,
-    * repeated invocations reuse the fitted index instead of re-clustering.
+  /** Memoized [[buildIvfIndex]]: repeated calls with the same (session,
+    * cacheKey, nCells) reuse the fitted index instead of re-clustering.
     * Keys hold the session itself (identity semantics — an identity HASH
     * could be reused after GC and hand a new session a dead index);
     * entries for stopped sessions are evicted on access (their cached
-    * blocks died with the context). Without a cacheKey the one-shot index
-    * is built unpersisted so nothing leaks into the CacheManager. */
+    * blocks died with the context). */
+  def memoizedIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, cacheKey: String): IvfIndex = {
+    val it = indexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.assigned.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    indexCache.computeIfAbsent(
+      (emb.sparkSession, cacheKey, nCells),
+      _ => buildIvfIndex(emb, idCol, vecCol, nCells))
+  }
+
+  /** Convenience wrapper = [[memoizedIvfIndex]] + [[probeIvf]].
+    * `cacheKey` identifies the corpus (e.g. its directory); when provided,
+    * repeated invocations reuse the fitted index instead of re-clustering.
+    * Without a cacheKey the one-shot index is built unpersisted so nothing
+    * leaks into the CacheManager. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 4,
               cacheKey: Option[String] = None): DataFrame = {
     val index = cacheKey match {
-      case Some(key) =>
-        val it = indexCache.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue.assigned.sparkSession.sparkContext.isStopped) it.remove()
-        }
-        indexCache.computeIfAbsent(
-          (emb.sparkSession, key, nCells),
-          _ => buildIvfIndex(emb, idCol, vecCol, nCells))
+      case Some(key) => memoizedIvfIndex(emb, idCol, vecCol, nCells, key)
       case None => buildIvfIndex(emb, idCol, vecCol, nCells, persist = false)
     }
     probeIvf(index, isQuery, k, nProbe)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, public method description): cluster the corpus with
+    * the IVF coarse quantizer, compare pairs WITHIN each cluster only, and
+    * drop every vector that has a twin above `threshold` cosine with a
+    * smaller id (keeper = the smallest such partner; ties in the paper are
+    * broken by centroid distance — id order here so results are
+    * deterministic under re-partitioning).
+    *
+    * Cost is Σ|cell|² — the whole point vs [[thresholdPairs]]' N². At scale
+    * nCells must grow ∝ N so cell population (and so per-cell quadratic
+    * work) stays constant; the cross-cluster pairs this misses are the
+    * accepted recall trade, exactly as in the minhash banding. Output: one
+    * row per input vector (id, cell, keep, keeper — keeper null when kept). */
+  def semanticDedup(index: IvfIndex, threshold: Double): DataFrame = {
+    val idc = index.idCol
+    val vc = index.vecCol
+    val a = index.assigned.select(col("cell"), col(idc).as("a_id"), col(vc).as("av"))
+    val b = index.assigned.select(col("cell"), col(idc).as("b_id"), col(vc).as("bv"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosineSim(col("av"), col("bv")))
+      .filter(col("cos") > threshold)
+      .groupBy(col("b_id").as(idc))
+      .agg(min(col("a_id")).as("keeper"))
+    index.assigned.select(col(idc), col("cell"))
+      .join(drops, Seq(idc), "left")
+      .select(col(idc), col("cell"),
+        col("keeper").isNull.as("keep"), col("keeper"))
   }
 
   /** Approximate top-k: exact scoring restricted to multi-table LSH bucket

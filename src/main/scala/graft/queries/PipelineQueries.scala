@@ -106,6 +106,28 @@ object PipelineQueries {
           size(col("fp")).cast("long").as("n_marks"))
     }),
 
+    // Gopher-style repetition metrics: fraction of bigram positions covered
+    // by the single most frequent bigram, and by any bigram occurring more
+    // than once — the "fraction of characters in duplicate n-grams" family
+    // of repetition filters, in integer basis points. Two hash aggregates
+    // with map-side partials ((doc_id, bigram) then doc_id), no window, no
+    // per-doc quadratic work — embarrassingly parallel at any corpus size.
+    "t10_repetition" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        graft.functions.WordShingles
+          .wordShingles(col("text"), 2, distinct = false).as("bg"))
+        .filter(size(col("bg")) >= 1)
+      base.select(col("doc_id"), explode(col("bg")).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("n")).as("n_bigrams"),
+          max(col("n")).as("top_n"),
+          sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).as("dup_n"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("top_n * 10000 DIV n_bigrams").as("top_bigram_bp"),
+          expr("dup_n * 10000 DIV n_bigrams").as("dup_bigram_bp"))
+    }),
+
     // ---- deduplication ----------------------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -174,6 +196,42 @@ object PipelineQueries {
           col("cos").as("similarity"))
     }),
 
+    // Chunk-level exact-substring dedup (boilerplate removal): each doc is
+    // cut into fixed 16-token chunks, chunk instances are globally
+    // deduplicated keep-first by (doc_id, chunk_idx), and each doc reports
+    // how much of it survives — the chunked approximation of exact
+    // substring dedup over a corpus. Shuffles: one on the 16-byte chunk
+    // hash (the window key), one on doc_id for the rollup — both scale-out
+    // keys; nothing quadratic anywhere.
+    "d08_chunk_dedup" -> ((s, dir) => {
+      val C = 16
+      val chunks = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.WordShingles
+            .wordShingles(col("text"), 1, distinct = false).as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, (size(ws)-1) DIV $C), i -> array_join(slice(ws, i*$C+1, $C), ' '))"))
+            .as(Seq("chunk_idx", "chunk")))
+      val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("(n_chunks - n_dup_chunks) * 10000 DIV n_chunks").as("uniq_bp"))
+    }),
+
+    // Deterministic stratified sampling: the k docs whose id-hash sorts
+    // lowest within each (lang, source) stratum — uniform-without-
+    // replacement per stratum, reproducible across engines and cluster
+    // layouts (no rand()).
+    "p04_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.samplePerGroup(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "source"), "doc_id", k = 5)),
+
     // ---- similarity search ------------------------------------------------
     "s01_cosine_topk" -> ((s, dir) =>
       SimilaritySearch.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
@@ -192,6 +250,24 @@ object PipelineQueries {
     "s04_ann_ivf" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
         isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))),
+
+    // SemDeDup-style semantic dedup: IVF-cluster the corpus (memoized
+    // index — no KMeans refit per call), within-cluster cosine pairs only,
+    // drop to the lowest-id keeper. Corpus augmented with the same planted
+    // near-dups as d06 so there is something to drop; DedupSpec verifies
+    // every planted copy is dropped with its original as keeper (KMeans
+    // cells aren't reproducible in SQL → rows-only driver check).
+    "s05_semantic_dedup" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = base.filter(col("vec_id") < 25).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"),
+          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
+      val index = SimilaritySearch.memoizedIvfIndex(
+        base.unionAll(copies), "vec_id", "v", nCells = 16, cacheKey = dir + "#aug")
+      SimilaritySearch.semanticDedup(index, threshold = 0.95)
+    }),
 
     // ---- multimodal (binary payload metadata; decode is stubbed) ----------
     "m01_binary_meta" -> ((s, dir) => {
@@ -368,6 +444,42 @@ object PipelineQueries {
                     FROM s WHERE len(hs) >= 4)
          SELECT doc_id, array_to_string(fingerprint, '|') AS fingerprint,
                 CAST(len(fingerprint) AS BIGINT) AS n_marks FROM f""",
+    "t10_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                             i -> concat_ws(' ', ws[i], ws[i+1]))) AS bigram
+                    FROM t WHERE len(ws) >= 2),
+              c AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY doc_id, bigram),
+              a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                           CAST(max(n) AS BIGINT) AS top_n,
+                           CAST(coalesce(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT) AS dup_n
+                    FROM c GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, top_n * 10000 // n_bigrams AS top_bigram_bp,
+                dup_n * 10000 // n_bigrams AS dup_bigram_bp
+         FROM a""",
+    "d08_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              ch AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(ws) - 1) // 16),
+                              i -> {'chunk_idx': i, 'chunk': array_to_string(ws[i*16+1 : i*16+16], ' ')})) AS u
+                     FROM t WHERE len(ws) >= 1),
+              e AS (SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk AS chunk FROM ch),
+              r AS (SELECT doc_id, chunk_idx,
+                           row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+                    FROM e)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_chunks,
+                (CAST(count(*) AS BIGINT)
+                 - CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT)) * 10000
+                // CAST(count(*) AS BIGINT) AS uniq_bp
+         FROM r GROUP BY doc_id""",
+    "p04_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang, source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) WHERE rn <= 5""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
