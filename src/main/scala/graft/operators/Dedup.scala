@@ -92,7 +92,21 @@ object Dedup {
     * to their first N docs by id and a truncated op is only a candidate
     * generator, not ground truth. The oracle query passes None (exact,
     * matched hash-for-hash against DuckDB); any at-scale use should pass a
-    * cap or use the MinHash path. */
+    * cap or use the MinHash path.
+    *
+    * The probe side is round-robin repartitioned to the cluster's
+    * parallelism before the bucket join. The small-corpus plan is a
+    * BroadcastHashJoin (the blocked side fits the broadcast threshold), so
+    * the per-pair merge-walk CPU — the dominant cost, invisible to AQE
+    * because the shuffled BYTES are tiny — runs inside the probe side's
+    * scan tasks; a compact parquet corpus scans as a handful of partitions
+    * and would serialize the whole quadratic stage on them (measured at
+    * sf0.1: the 594 KB file is ONE scan partition, so 1.2M pair walks ran
+    * single-threaded; spreading the probe cut d03 2.9s → 0.9s). When the
+    * corpus is instead big enough to sort-merge-join, both sides shuffle
+    * on `bkt` anyway and the extra exchange is one corpus pass — and that
+    * regime must cap `maxBucketSize` regardless, or within-bucket pairs,
+    * not scan layout, are the bottleneck. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         lengthCol: String, threshold: Double,
                         lengthBucketWidth: Int = 50, n: Int = 3,
@@ -118,7 +132,9 @@ object Dedup {
         base0.join(keep, Seq(idCol), "left_semi")
       case None => base0
     }
-    val a = base.select(col(idCol).as("a_id"), col("bkt"), col("sh").as("a_sh"))
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val a = base.repartition(parallelism)
+      .select(col(idCol).as("a_id"), col("bkt"), col("sh").as("a_sh"))
     val b = base.select(col(idCol).as("b_id"), col("bkt"), col("sh").as("b_sh"))
     val ic = graft.functions.IntersectCountSorted.intersectCountSorted(col("a_sh"), col("b_sh"))
     a.join(b, Seq("bkt"))

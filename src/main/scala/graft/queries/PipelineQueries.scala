@@ -152,7 +152,11 @@ object PipelineQueries {
         threshold = 0.2)),
 
     "d04_minhash_lsh" -> ((s, dir) => {
-      val base = docs(s, dir)
+      // Repartition BEFORE the shingle+signature projection: a compact
+      // parquet corpus scans as few partitions (one row group = one task)
+      // and the per-row signature CPU would serialize on them; the
+      // exchange moves that compute behind a round-robin spread.
+      val base = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
