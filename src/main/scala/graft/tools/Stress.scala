@@ -133,6 +133,40 @@ object Stress {
       Dedup.embeddingNearDups(base.unionAll(copies), "vec_id", "v", 0.9,
         bits = bits).count()
     }
+    time("repetition") {
+      val base = docs.select(col("doc_id"),
+        graft.functions.WordShingles.wordShingles(col("text"), 2, distinct = false).as("bg"))
+        .filter(size(col("bg")) >= 1)
+      base.select(col("doc_id"), explode(col("bg")).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(sum(col("n")), max(col("n"))).count()
+    }
+    time("chunk_dedup") {
+      val chunks = docs.select(col("doc_id"),
+        graft.functions.WordShingles.wordShingles(col("text"), 1, distinct = false).as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(ws)-1) DIV 16), i -> array_join(slice(ws, i*16+1, 16), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+        .count()
+    }
+    time("semantic_dedup") {
+      // nCells grows ∝ factor so per-cell population (and so the
+      // within-cell quadratic work) stays constant — the SemDeDup scale
+      // knob; sampleMod ∝ factor keeps the KMeans fit size constant too.
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val index = SimilaritySearch.buildIvfIndex(base, "vec_id", "v",
+        nCells = 16 * factor, sampleMod = factor)
+      try SimilaritySearch.semanticDedup(index, 0.95).count()
+      finally index.unpersist()
+    }
     spark.stop()
   }
 }

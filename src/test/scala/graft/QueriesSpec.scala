@@ -59,6 +59,29 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("pipeline plans: bucketed ops never degrade to nested-loop/cartesian joins") {
+    // The 100 TB contract of the dedup/sampling family: every join is an
+    // equi-join (hash or sort-merge, broadcast at most), never an all-pairs
+    // BroadcastNestedLoopJoin/CartesianProduct. s02/d03 are the declared
+    // exact ground-truth ops and are exempt by design.
+    Seq("t10_repetition", "d08_chunk_dedup", "p04_stratified_sample",
+        "s05_semantic_dedup", "d04_minhash_lsh", "d06_embedding_dedup",
+        "d01_dedup_exact", "p01_hash_split", "p03_decontamination")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+               !plan.contains("CartesianProduct"),
+          s"$name plan degraded to an all-pairs join:\n$plan")
+      }
+  }
+
+  test("t10 aggregates partially (map-side combine before the shuffle)") {
+    val plan = SparkEntry.queries("t10_repetition")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+  }
+
   test("relational inventory covers the SURVEY checklist categories") {
     val names = RelationalQueries.queries.keySet
     // One representative per operator category (SURVEY.md §2.2-2.3).
