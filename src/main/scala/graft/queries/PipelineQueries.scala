@@ -316,6 +316,49 @@ object PipelineQueries {
         .exactContamination(withSplit, "doc_id", "text", "split")
     }),
 
+    // NEAR-duplicate decontamination: the near-dup analogue of p03 — a
+    // training document whose near-duplicate (exact n-gram Jaccard >= 0.2,
+    // the same pair set as d03) lands in an eval split is a fuzzy leak.
+    // Pair generation is the bucketed d03 pipeline; the split join is two
+    // cheap id-equi-joins. At 100 TB the pair source swaps to
+    // Dedup.minhashNearDups — identical downstream shape.
+    "p05_near_decontamination" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        "n_chars", threshold = 0.2)
+      val splits = docs(s, dir).select(col("doc_id"),
+        graft.operators.Sampling.assignSplit(col("doc_id")).as("split"))
+      val withSplits = pairs
+        .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), Seq("a_id"))
+        .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), Seq("b_id"))
+        .filter((col("a_split") === "train") =!= (col("b_split") === "train"))
+      withSplits.select(
+        when(col("a_split") === "train", col("a_id")).otherwise(col("b_id")).as("train_id"),
+        when(col("a_split") === "train", col("b_id")).otherwise(col("a_id")).as("eval_id"),
+        when(col("a_split") === "train", col("b_split")).otherwise(col("a_split")).as("eval_split"),
+        col("jaccard"))
+    }),
+
+    // Temperature-flattened mixture sampling (the multinomial-sampling step
+    // of multi-source training sets), flattening the skewed language
+    // distribution: per-stratum keep rate ∝ sqrt(n_min/n_s) (α = 0.5),
+    // applied as a deterministic content-hash Bernoulli — so the mix is
+    // reproducible and any doc's fate is placement-independent. The stratum
+    // histogram is tiny (broadcast); the corpus streams through one filter.
+    // floor(10000·sqrt(r)) is engine-stable: IEEE division and sqrt are
+    // correctly rounded in both Spark and DuckDB.
+    "p06_temperature_mix" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nMin))
+        .withColumn("rate_bp",
+          floor(lit(10000.0) * sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 10000) < col("rate_bp"))
+        .select(col("doc_id"), col("lang"), col("n_lang"), col("rate_bp"))
+    }),
+
     // PII scrubbing: email + long-digit-run redaction. Both regexes avoid
     // Java-vs-RE2 divergent classes (no \s, no lookaround).
     "t06_pii_scrub" -> ((s, dir) => {
@@ -553,6 +596,31 @@ object PipelineQueries {
          SELECT a.doc_id AS train_id, b.doc_id AS eval_id, b.split AS eval_split
          FROM s a JOIN s b ON a.h = b.h
          WHERE a.split = 'train' AND b.split <> 'train'""",
+    "p05_near_decontamination" ->
+      s"""WITH p AS ($D03Sql),
+              sp AS (SELECT doc_id,
+                            CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                 ELSE 'test' END AS split
+                     FROM documents),
+              j AS (SELECT p.a_id, p.b_id, p.jaccard, sa.split AS a_split, sb.split AS b_split
+                    FROM p JOIN sp sa ON p.a_id = sa.doc_id
+                           JOIN sp sb ON p.b_id = sb.doc_id
+                    WHERE (sa.split = 'train') <> (sb.split = 'train'))
+         SELECT CASE WHEN a_split = 'train' THEN a_id ELSE b_id END AS train_id,
+                CASE WHEN a_split = 'train' THEN b_id ELSE a_id END AS eval_id,
+                CASE WHEN a_split = 'train' THEN b_split ELSE a_split END AS eval_split,
+                jaccard
+         FROM j""",
+    "p06_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+              m AS (SELECT min(n_lang) AS n_min FROM c),
+              r AS (SELECT lang, CAST(n_lang AS BIGINT) AS n_lang,
+                           CAST(floor(10000.0 * sqrt(CAST(n_min AS DOUBLE) / n_lang)) AS BIGINT) AS rate_bp
+                    FROM c, m)
+         SELECT d.doc_id, d.lang, r.n_lang, r.rate_bp
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.rate_bp""",
     "t06_pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
