@@ -282,6 +282,19 @@ object PipelineQueries {
         sha2(media, 256).as("sha"))
     }),
 
+    // Frame sampling over the binary media table: every 4th 64-byte chunk,
+    // one output row per sampled frame (the explode-shaped demux contract).
+    // Frames are reported by md5 so the oracle can compare payload bytes as
+    // scalars (the corpus is ASCII, so DuckDB's character substr sees the
+    // same bytes Spark slices).
+    "m02_frame_sample" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+    }),
+
     // ---- dataset assembly ------------------------------------------------
     // Deterministic content-hash split: stable across runs/engines/cluster
     // sizes (no rand(), no placement dependence).
@@ -570,6 +583,13 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 sha256(text) AS sha
          FROM documents""",
+    "m02_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM documents)
+         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+         FROM f WHERE i % 4 = 0""",
     "p01_hash_split" ->
       """SELECT doc_id,
                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
