@@ -39,27 +39,36 @@ object Bench {
   }
 
   /** Builds (compactLine, fullJson). Query entries are ordered slowest-first
-    * so budget truncation drops the cheapest tail, never a hotspot.
+    * so budget truncation drops the cheapest tail, never a hotspot. The
+    * `errors` key is ALWAYS present (rounds 1-2 emitted `"errors":[]`; a
+    * consumer indexing it unconditionally must not break on a healthy run)
+    * and the error list itself truncates under the budget too — an
+    * all-queries-fail run (bad SF dir) must still print a parseable line.
     */
   def formatJson(results: Seq[(String, Double)], errors: Seq[String],
                  sfDir: String, budget: Int = LineBudget): (String, String) = {
     val total = ms(results.map(_._2).sum)
     val bySlowest = results.sortBy(-_._2)
-    val errJson =
-      if (errors.isEmpty) "" else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
 
-    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+    def line(qs: Seq[(String, Double)], omitted: Int, errKeep: Int): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om$errJson,"sf":"$sfDir"}"""
+      val es = errors.take(errKeep).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val eo = if (errKeep < errors.length) s""","errors_omitted":${errors.length - errKeep}""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"errors":$es$eo,"sf":"$sfDir"}"""
     }
 
-    val full = line(bySlowest, 0)
+    val full = line(bySlowest, 0, errors.length)
     var keep = bySlowest.length
+    var errKeep = errors.length
     var compact = full
     while (compact.length > budget && keep > 1) {
       keep -= 1
-      compact = line(bySlowest.take(keep), bySlowest.length - keep)
+      compact = line(bySlowest.take(keep), bySlowest.length - keep, errKeep)
+    }
+    while (compact.length > budget && errKeep > 0) {
+      errKeep -= 1
+      compact = line(bySlowest.take(keep), bySlowest.length - keep, errKeep)
     }
     (compact, full)
   }

@@ -31,6 +31,17 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Round-robin repartition to cluster parallelism — but ONLY when the
+    * input scans as fewer partitions than that. A compact parquet corpus
+    * reads as one partition per row group, serializing any scan-side
+    * per-row CPU (shingles, signatures, pair walks behind a broadcast
+    * join); a large corpus already has the partitions and must not pay a
+    * gratuitous full-payload shuffle. */
+  def spreadToParallelism(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+
   /** MinHash signature (array<long>, length [[NumHashes]]) — one native
     * codegen'd pass per row (see [[graft.functions.MinHashSignature]]; the
     * equivalent nested higher-order functions re-evaluate the shingle
@@ -94,24 +105,25 @@ object Dedup {
     * matched hash-for-hash against DuckDB); any at-scale use should pass a
     * cap or use the MinHash path.
     *
-    * The probe side is round-robin repartitioned to the cluster's
-    * parallelism before the bucket join. The small-corpus plan is a
-    * BroadcastHashJoin (the blocked side fits the broadcast threshold), so
-    * the per-pair merge-walk CPU — the dominant cost, invisible to AQE
-    * because the shuffled BYTES are tiny — runs inside the probe side's
-    * scan tasks; a compact parquet corpus scans as a handful of partitions
-    * and would serialize the whole quadratic stage on them (measured at
-    * sf0.1: the 594 KB file is ONE scan partition, so 1.2M pair walks ran
-    * single-threaded; spreading the probe cut d03 2.9s → 0.9s). When the
-    * corpus is instead big enough to sort-merge-join, both sides shuffle
-    * on `bkt` anyway and the extra exchange is one corpus pass — and that
-    * regime must cap `maxBucketSize` regardless, or within-bucket pairs,
-    * not scan layout, are the bottleneck. */
+    * The input is round-robin repartitioned to the cluster's parallelism
+    * when (and only when) it scans as fewer partitions than that. The
+    * small-corpus plan is a BroadcastHashJoin (the blocked side fits the
+    * broadcast threshold), so the shingle build AND the per-pair merge-walk
+    * CPU — the dominant cost, invisible to AQE because the shuffled BYTES
+    * are tiny — run inside the probe side's scan tasks; a compact parquet
+    * corpus scans as a handful of partitions and would serialize the whole
+    * quadratic stage on them (measured at sf0.1: the 594 KB file is ONE
+    * scan partition, so 1.2M pair walks ran single-threaded; spreading the
+    * probe cut d03 2.9s → 0.9s). A large many-partition corpus skips the
+    * spread (no gratuitous full-text shuffle) — and that regime must cap
+    * `maxBucketSize` regardless, or within-bucket pairs, not scan layout,
+    * are the bottleneck. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         lengthCol: String, threshold: Double,
                         lengthBucketWidth: Int = 50, n: Int = 3,
                         maxBucketSize: Option[Int] = None): DataFrame = {
-    val base0 = docs
+    val spread = spreadToParallelism(docs)
+    val base0 = spread
       .select(col(idCol), expr(s"$lengthCol DIV $lengthBucketWidth").as("bkt"),
         array_sort(transform(graft.functions.WordShingles.wordShingles(col(textCol), n),
           sh => xxhash64(sh))).as("sh"))
@@ -132,9 +144,7 @@ object Dedup {
         base0.join(keep, Seq(idCol), "left_semi")
       case None => base0
     }
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val a = base.repartition(parallelism)
-      .select(col(idCol).as("a_id"), col("bkt"), col("sh").as("a_sh"))
+    val a = base.select(col(idCol).as("a_id"), col("bkt"), col("sh").as("a_sh"))
     val b = base.select(col(idCol).as("b_id"), col("bkt"), col("sh").as("b_sh"))
     val ic = graft.functions.IntersectCountSorted.intersectCountSorted(col("a_sh"), col("b_sh"))
     a.join(b, Seq("bkt"))
@@ -145,6 +155,60 @@ object Dedup {
           (size(col("a_sh")) + size(col("b_sh")) - col("ic")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Chunk-level exact-substring dedup (boilerplate removal): each doc is
+    * cut into fixed `chunkTokens`-token chunks, chunk instances are
+    * globally deduplicated keep-first by (id, chunk_idx), and each doc
+    * reports how much of it survives — the chunked approximation of exact
+    * substring dedup over a corpus.
+    *
+    * Keep-first is a per-chunk-hash `min(struct(id, idx))` aggregate joined
+    * back, NOT a window over the chunk hash: a boilerplate-heavy corpus
+    * funnels every instance of a hot chunk into one window partition (an
+    * unsplittable straggler), while the aggregate absorbs the hot key in
+    * map-side partials and the re-join's skew is bytes-visible to AQE's
+    * skew-join splitting. Output: (id, n_chunks, n_dup_chunks, uniq_bp). */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 16): DataFrame = {
+    val c = chunkTokens
+    require(c >= 1)
+    val chunks = docs
+      .select(col(idCol),
+        graft.functions.WordShingles
+          .wordShingles(col(textCol), 1, distinct = false).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, (size(ws)-1) DIV $c), i -> array_join(slice(ws, i*$c+1, $c), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx"), md5(col("chunk")).as("h"))
+    val firsts = chunks.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("first"))
+    chunks.join(firsts, Seq("h"))
+      .withColumn("is_dup",
+        !(col(idCol) === col("first")(idCol) &&
+          col("chunk_idx") === col("first")("chunk_idx")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L))).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        expr("(n_chunks - n_dup_chunks) * 10000 DIV n_chunks").as("uniq_bp"))
+  }
+
+  /** Verification augmentation: plants a deterministic near-duplicate copy
+    * of every row matching `pred` under `id + idOffset` — per-coordinate
+    * ±3% scaling, cosine ≈ 0.9996 to the original. The d06/s05 oracles and
+    * the stress harness apply the IDENTICAL formula (list_transform with
+    * 1-based i in SQL), so keep the three in lockstep. Input must already
+    * be projected to (idCol, vecCol). */
+  def withPlantedNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                          pred: Column, idOffset: Long): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol))
+    base.unionAll(base.filter(pred).select(
+      (col(idCol) + idOffset).as(idCol),
+      transform(col(vecCol),
+        (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as(vecCol)))
   }
 
   /** Embedding-cosine near-duplicate pairs — the bucketed scale path for

@@ -1,17 +1,40 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Column builders for text analytics over a document corpus — tokenize,
-  * shingle, quality-score, language-ID, fingerprint. All pure `Column`
-  * expressions (whole-stage codegen, no UDFs), so they compose into any
-  * plan and push down through Catalyst like built-ins.
+/** Column builders (plus one whole-operator pipeline,
+  * [[repetitionMetrics]]) for text analytics over a document corpus —
+  * tokenize, shingle, quality-score, language-ID, fingerprint. All pure
+  * `Column` expressions (whole-stage codegen, no UDFs), so they compose
+  * into any plan and push down through Catalyst like built-ins.
   *
   * Numeric conventions match the DuckDB oracles: counts are exact integers,
   * every ratio is a double division of those integers in a fixed order.
   */
 object TextAnalysis {
+
+  /** Gopher-style repetition metrics: fraction of bigram positions covered
+    * by the single most frequent bigram, and by any bigram occurring more
+    * than once — the "fraction of characters in duplicate n-grams" family
+    * of repetition filters, in integer basis points. Two hash aggregates
+    * with map-side partials ((id, bigram) then id), no window, no per-doc
+    * quadratic work — embarrassingly parallel at any corpus size. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+      graft.functions.WordShingles
+        .wordShingles(col(textCol), 2, distinct = false).as("bg"))
+      .filter(size(col("bg")) >= 1)
+    base.select(col(idCol), explode(col("bg")).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol)).agg(
+        sum(col("n")).as("n_bigrams"),
+        max(col("n")).as("top_n"),
+        sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).as("dup_n"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("top_n * 10000 DIV n_bigrams").as("top_bigram_bp"),
+        expr("dup_n * 10000 DIV n_bigrams").as("dup_bigram_bp"))
+  }
 
   /** Whitespace tokens (single-space convention of the corpus). */
   def words(text: Column): Column = split(text, " ")

@@ -106,27 +106,9 @@ object PipelineQueries {
           size(col("fp")).cast("long").as("n_marks"))
     }),
 
-    // Gopher-style repetition metrics: fraction of bigram positions covered
-    // by the single most frequent bigram, and by any bigram occurring more
-    // than once — the "fraction of characters in duplicate n-grams" family
-    // of repetition filters, in integer basis points. Two hash aggregates
-    // with map-side partials ((doc_id, bigram) then doc_id), no window, no
-    // per-doc quadratic work — embarrassingly parallel at any corpus size.
-    "t10_repetition" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"),
-        graft.functions.WordShingles
-          .wordShingles(col("text"), 2, distinct = false).as("bg"))
-        .filter(size(col("bg")) >= 1)
-      base.select(col("doc_id"), explode(col("bg")).as("bigram"))
-        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id")).agg(
-          sum(col("n")).as("n_bigrams"),
-          max(col("n")).as("top_n"),
-          sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).as("dup_n"))
-        .select(col("doc_id"), col("n_bigrams"),
-          expr("top_n * 10000 DIV n_bigrams").as("top_bigram_bp"),
-          expr("dup_n * 10000 DIV n_bigrams").as("dup_bigram_bp"))
-    }),
+    // Gopher-style repetition metrics (see TextAnalysis.repetitionMetrics).
+    "t10_repetition" -> ((s, dir) =>
+      TA.repetitionMetrics(docs(s, dir), "doc_id", "text")),
 
     // ---- deduplication ----------------------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
@@ -152,11 +134,11 @@ object PipelineQueries {
         threshold = 0.2)),
 
     "d04_minhash_lsh" -> ((s, dir) => {
-      // Repartition BEFORE the shingle+signature projection: a compact
-      // parquet corpus scans as few partitions (one row group = one task)
-      // and the per-row signature CPU would serialize on them; the
-      // exchange moves that compute behind a round-robin spread.
-      val base = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      // Spread BEFORE the shingle+signature projection: a compact parquet
+      // corpus scans as few partitions (one row group = one task) and the
+      // per-row signature CPU would serialize on them; a many-partition
+      // corpus passes through untouched (no gratuitous text shuffle).
+      val base = Dedup.spreadToParallelism(docs(s, dir))
         .select(col("doc_id"),
           graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -191,41 +173,17 @@ object PipelineQueries {
     "d06_embedding_dedup" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val copies = base.filter(col("vec_id") < 25).select(
-        (col("vec_id") + 100000).as("vec_id"),
-        transform(col("v"),
-          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
-      Dedup.embeddingNearDups(base.unionAll(copies), "vec_id", "v", threshold = 0.9)
+      val aug = Dedup.withPlantedNearDups(base, "vec_id", "v",
+        pred = col("vec_id") < 25, idOffset = 100000L)
+      Dedup.embeddingNearDups(aug, "vec_id", "v", threshold = 0.9)
         .select(col("a_id").as("keeper"), col("b_id").as("dup"),
           col("cos").as("similarity"))
     }),
 
-    // Chunk-level exact-substring dedup (boilerplate removal): each doc is
-    // cut into fixed 16-token chunks, chunk instances are globally
-    // deduplicated keep-first by (doc_id, chunk_idx), and each doc reports
-    // how much of it survives — the chunked approximation of exact
-    // substring dedup over a corpus. Shuffles: one on the 16-byte chunk
-    // hash (the window key), one on doc_id for the rollup — both scale-out
-    // keys; nothing quadratic anywhere.
-    "d08_chunk_dedup" -> ((s, dir) => {
-      val C = 16
-      val chunks = docs(s, dir)
-        .select(col("doc_id"),
-          graft.functions.WordShingles
-            .wordShingles(col("text"), 1, distinct = false).as("ws"))
-        .filter(size(col("ws")) >= 1)
-        .select(col("doc_id"),
-          posexplode(expr(
-            s"transform(sequence(0, (size(ws)-1) DIV $C), i -> array_join(slice(ws, i*$C+1, $C), ' '))"))
-            .as(Seq("chunk_idx", "chunk")))
-      val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("chunk_idx"))
-      chunks.withColumn("rn", row_number().over(w))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("rn") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_chunks"))
-        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
-          expr("(n_chunks - n_dup_chunks) * 10000 DIV n_chunks").as("uniq_bp"))
-    }),
+    // Chunk-level exact-substring dedup (see Dedup.chunkDedup for the
+    // skew-safe keep-first shape).
+    "d08_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(docs(s, dir), "doc_id", "text", chunkTokens = 16)),
 
     // Deterministic stratified sampling: the k docs whose id-hash sorts
     // lowest within each (lang, source) stratum — uniform-without-
@@ -264,12 +222,10 @@ object PipelineQueries {
     "s05_semantic_dedup" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val copies = base.filter(col("vec_id") < 25).select(
-        (col("vec_id") + 100000).as("vec_id"),
-        transform(col("v"),
-          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
+      val aug = Dedup.withPlantedNearDups(base, "vec_id", "v",
+        pred = col("vec_id") < 25, idOffset = 100000L)
       val index = SimilaritySearch.memoizedIvfIndex(
-        base.unionAll(copies), "vec_id", "v", nCells = 16, cacheKey = dir + "#aug")
+        aug, "vec_id", "v", nCells = 16, cacheKey = dir + "#aug")
       SimilaritySearch.semanticDedup(index, threshold = 0.95)
     }),
 

@@ -126,35 +126,18 @@ object Stress {
       val bits = 8 + (63 - java.lang.Long.numberOfLeadingZeros(factor.toLong)).toInt
       val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val copies = base.filter(pmod(col("vec_id"), lit(40)) === 0).select(
-        (col("vec_id") + 1000000000L).as("vec_id"),
-        transform(col("v"),
-          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
-      Dedup.embeddingNearDups(base.unionAll(copies), "vec_id", "v", 0.9,
-        bits = bits).count()
+      val aug = Dedup.withPlantedNearDups(base, "vec_id", "v",
+        pred = pmod(col("vec_id"), lit(40)) === 0, idOffset = 1000000000L)
+      Dedup.embeddingNearDups(aug, "vec_id", "v", 0.9, bits = bits).count()
     }
+    // The three ops below run the SAME operator functions the shipped
+    // queries call (t10/d08/s05) — the linearity evidence must measure the
+    // production plan, not a harness-local reimplementation.
     time("repetition") {
-      val base = docs.select(col("doc_id"),
-        graft.functions.WordShingles.wordShingles(col("text"), 2, distinct = false).as("bg"))
-        .filter(size(col("bg")) >= 1)
-      base.select(col("doc_id"), explode(col("bg")).as("bigram"))
-        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id")).agg(sum(col("n")), max(col("n"))).count()
+      graft.operators.TextAnalysis.repetitionMetrics(docs, "doc_id", "text").count()
     }
     time("chunk_dedup") {
-      val chunks = docs.select(col("doc_id"),
-        graft.functions.WordShingles.wordShingles(col("text"), 1, distinct = false).as("ws"))
-        .filter(size(col("ws")) >= 1)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, (size(ws)-1) DIV 16), i -> array_join(slice(ws, i*16+1, 16), ' '))"))
-          .as(Seq("chunk_idx", "chunk")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("chunk_idx"))
-      chunks.withColumn("rn", row_number().over(w))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("rn") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))
-        .count()
+      Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 16).count()
     }
     time("semantic_dedup") {
       // nCells grows ∝ factor so per-cell population (and so the

@@ -48,4 +48,19 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(compact.contains(""""a":1.235"""))
     assert(compact.contains(""""b":2"""))
   }
+
+  test("the errors key is present even on an all-pass run") {
+    val (compact, full) = Bench.formatJson(Seq("a" -> 1.0), Nil, "/sf")
+    assert(compact.contains(""""errors":[]"""))
+    assert(full.contains(""""errors":[]"""))
+  }
+
+  test("an all-queries-fail run still fits the budget (error list truncates)") {
+    val names = (1 to 200).map(i => f"long_failing_query_name_$i%03d")
+    val results = names.map(_ -> 0.001)
+    val (compact, _) = Bench.formatJson(results, names, "/sf")
+    parseable(compact)
+    assert(compact.length <= Bench.LineBudget, s"${compact.length} chars")
+    assert(compact.contains(""""errors_omitted":"""))
+  }
 }
