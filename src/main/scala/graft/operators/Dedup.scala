@@ -163,17 +163,22 @@ object Dedup {
     * reports how much of it survives — the chunked approximation of exact
     * substring dedup over a corpus.
     *
-    * Keep-first is a per-chunk-hash `min(struct(id, idx))` aggregate joined
-    * back, NOT a window over the chunk hash: a boilerplate-heavy corpus
-    * funnels every instance of a hot chunk into one window partition (an
-    * unsplittable straggler), while the aggregate absorbs the hot key in
-    * map-side partials and the re-join's skew is bytes-visible to AQE's
-    * skew-join splitting. Output: (id, n_chunks, n_dup_chunks, uniq_bp). */
+    * Keep-first is computed WITHOUT a window over the chunk hash: a
+    * boilerplate-heavy corpus funnels every instance of a hot chunk into
+    * one window partition (an unsplittable straggler). Instead the explode
+    * aggregates once on the fine-grained (hash, id) key — a hot chunk
+    * spread over many docs stays spread, and same-chunk repeats WITHIN a
+    * doc collapse in the map-side partials — then a per-hash `min(struct)`
+    * over those reduced rows names the one global first instance, joined
+    * back on rows-per-hash ≤ docs-per-chunk (skew there is bytes-visible
+    * to AQE's skew-join splitting). Exactly one (hash, id) row earns the
+    * keeper credit, every other instance counts as a dup. Output:
+    * (id, n_chunks, n_dup_chunks, uniq_bp). */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 16): DataFrame = {
     val c = chunkTokens
     require(c >= 1)
-    val chunks = docs
+    val byDoc = docs
       .select(col(idCol),
         graft.functions.WordShingles
           .wordShingles(col(textCol), 1, distinct = false).as("ws"))
@@ -182,16 +187,16 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, (size(ws)-1) DIV $c), i -> array_join(slice(ws, i*$c+1, $c), ' '))"))
           .as(Seq("chunk_idx", "chunk")))
-      .select(col(idCol), col("chunk_idx"), md5(col("chunk")).as("h"))
-    val firsts = chunks.groupBy(col("h"))
-      .agg(min(struct(col(idCol), col("chunk_idx"))).as("first"))
-    chunks.join(firsts, Seq("h"))
-      .withColumn("is_dup",
-        !(col(idCol) === col("first")(idCol) &&
-          col("chunk_idx") === col("first")("chunk_idx")))
+      .groupBy(md5(col("chunk")).as("h"), col(idCol))
+      .agg(count(lit(1)).as("n_inst"), min(col("chunk_idx")).as("min_idx"))
+    val firsts = byDoc.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("min_idx"))).as("first"))
+    byDoc.join(firsts, Seq("h"))
+      .withColumn("n_dup",
+        col("n_inst") - when(col(idCol) === col("first")(idCol), lit(1L)).otherwise(lit(0L)))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L))).as("n_dup_chunks"))
+      .agg(sum(col("n_inst")).as("n_chunks"),
+        sum(col("n_dup")).as("n_dup_chunks"))
       .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
         expr("(n_chunks - n_dup_chunks) * 10000 DIV n_chunks").as("uniq_bp"))
   }
