@@ -110,6 +110,27 @@ object PipelineQueries {
     "t10_repetition" -> ((s, dir) =>
       TA.repetitionMetrics(docs(s, dir), "doc_id", "text")),
 
+    // Out-of-vocabulary rate against the corpus top-100 vocabulary (t07's
+    // exact definition, deterministic tie-break) — the tokenizer-coverage
+    // stat a vocab/BPE training step reports. The vocabulary is tiny and
+    // broadcast; the corpus explodes once and aggregates back by doc with
+    // map-side partials. At a real vocab size (32k-256k) the join is still
+    // a broadcast — vocabularies fit in memory by construction.
+    "t11_oov_rate" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(100)
+        .select(col("token"), lit(1).as("in_vocab"))
+      docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 10000 DIV n_tokens").as("oov_bp"))
+    }),
+
     // ---- deduplication ----------------------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -496,6 +517,15 @@ object PipelineQueries {
                   row_number() OVER (PARTITION BY lang, source
                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents) WHERE rn <= 5""",
+    "t11_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+              v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 100),
+              a AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN 1 END), 0) AS BIGINT) AS n_oov
+                    FROM tok t LEFT JOIN v ON t.token = v.token
+                    GROUP BY t.doc_id)
+         SELECT doc_id, n_tokens, n_oov, n_oov * 10000 // n_tokens AS oov_bp FROM a""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
