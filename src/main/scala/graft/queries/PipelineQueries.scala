@@ -250,6 +250,32 @@ object PipelineQueries {
       SimilaritySearch.semanticDedup(index, threshold = 0.95)
     }),
 
+    // Symmetric int8 quantization of the embedding column — the standard
+    // vector-store compression step (scale = max|x|, code = floor(127·x/s)).
+    // Map-only, one pass, no shuffle; codes are summarized as integer stats
+    // so the oracle compares exactly (floor of identically-computed doubles
+    // is engine-stable, unlike half-way rounding). maxabs is computed in a
+    // SEPARATE projection: referencing it inside the code lambda would
+    // re-evaluate the array_max per element (the HOF re-evaluation trap).
+    "s06_quantize" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      base
+        .withColumn("codes",
+          when(col("maxabs") === 0d,
+            transform(col("v"), _ => lit(0L)))
+          .otherwise(
+            transform(col("v"),
+              x => floor(x * lit(127.0) / col("maxabs")).cast("long"))))
+        .select(col("vec_id"),
+          floor(col("maxabs") * 10000).cast("long").as("scale_fp"),
+          expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
+          expr("aggregate(codes, 0L, (a, x) -> a + abs(x))").as("code_l1"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"))
+    }),
+
     // ---- multimodal (binary payload metadata; decode is stubbed) ----------
     "m01_binary_meta" -> ((s, dir) => {
       val media = encode(col("text"), "UTF-8")
@@ -569,6 +595,20 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 sha256(text) AS sha
          FROM documents""",
+    "s06_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+              q AS (SELECT vec_id, maxabs,
+                           CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                                ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+                           END AS codes
+                    FROM m)
+         SELECT vec_id, CAST(floor(maxabs * 10000) AS BIGINT) AS scale_fp,
+                CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
+                CAST(list_min(codes) AS BIGINT) AS code_min,
+                CAST(list_max(codes) AS BIGINT) AS code_max
+         FROM q""",
     "m02_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
                            unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
