@@ -63,9 +63,14 @@ class QueriesSpec extends SparkSpecBase {
     // The 100 TB contract of the dedup/sampling family: every join is an
     // equi-join (hash or sort-merge, broadcast at most), never an all-pairs
     // BroadcastNestedLoopJoin/CartesianProduct. s02/d03 are the declared
-    // exact ground-truth ops and are exempt by design.
-    Seq("t10_repetition", "d08_chunk_dedup", "p04_stratified_sample",
-        "s05_semantic_dedup", "d04_minhash_lsh", "d06_embedding_dedup",
+    // exact ground-truth ops and are exempt by design; p06 is exempt
+    // because its crossJoin against the 1-row n_min aggregate IS a
+    // broadcast nested loop by construction (|strata| x 1 — Spark plans
+    // scalar subqueries the same way), not a data-sized one.
+    Seq("t10_repetition", "t11_oov_rate", "d08_chunk_dedup",
+        "p04_stratified_sample", "p05_near_decontamination",
+        "s05_semantic_dedup", "s06_quantize",
+        "m02_frame_sample", "d04_minhash_lsh", "d06_embedding_dedup",
         "d01_dedup_exact", "p01_hash_split", "p03_decontamination")
       .foreach { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
