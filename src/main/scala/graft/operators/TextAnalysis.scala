@@ -39,6 +39,17 @@ object TextAnalysis {
   /** Whitespace tokens (single-space convention of the corpus). */
   def words(text: Column): Column = split(text, " ")
 
+  /** The corpus top-`k` vocabulary: (token, n), deterministic tie-break
+    * (count desc, token asc). orderBy+limit is Spark's distributed
+    * TakeOrdered — per-partition top-k, then merge. Shared by t07 (which
+    * adds ranks) and t11 (OOV rate), so the two can never disagree on
+    * what "the vocabulary" is. */
+  def vocabTopK(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(explode(words(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+
   /** Distinct word 3-gram shingles; < 3 tokens → empty set. (Guarded with
     * `when` because Spark's `sequence(1, 0)` counts *down* while DuckDB's
     * `generate_series(1, 0)` is empty — the guard keeps both engines

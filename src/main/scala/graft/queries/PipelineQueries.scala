@@ -110,19 +110,20 @@ object PipelineQueries {
     "t10_repetition" -> ((s, dir) =>
       TA.repetitionMetrics(docs(s, dir), "doc_id", "text")),
 
-    // Out-of-vocabulary rate against the corpus top-100 vocabulary (t07's
-    // exact definition, deterministic tie-break) — the tokenizer-coverage
-    // stat a vocab/BPE training step reports. The vocabulary is tiny and
-    // broadcast; the corpus explodes once and aggregates back by doc with
-    // map-side partials. At a real vocab size (32k-256k) the join is still
-    // a broadcast — vocabularies fit in memory by construction.
+    // Out-of-vocabulary rate against the corpus top-k vocabulary (the
+    // SHARED TA.vocabTopK definition t07 ranks, so the two can't drift) —
+    // the tokenizer-coverage stat a vocab/BPE training step reports. k=10
+    // here, NOT t07's 100: the synthetic corpus has only ~31 distinct
+    // tokens, and a vocabulary that covers everything would make every
+    // n_oov zero — the oracle would "verify" an OOV path that never runs.
+    // The vocabulary is tiny and broadcast; the corpus explodes once and
+    // aggregates back by doc with map-side partials. At a real vocab size
+    // (32k-256k) the join is still a broadcast — vocabularies fit in
+    // memory by construction.
     "t11_oov_rate" -> ((s, dir) => {
-      val vocab = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("token").asc).limit(100)
+      val vocab = TA.vocabTopK(docs(s, dir), "text", 10)
         .select(col("token"), lit(1).as("in_vocab"))
-      docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      docs(s, dir).select(col("doc_id"), explode(TA.words(col("text"))).as("token"))
         .join(broadcast(vocab), Seq("token"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -258,8 +259,14 @@ object PipelineQueries {
     // SEPARATE projection: referencing it inside the code lambda would
     // re-evaluate the array_max per element (the HOF re-evaluation trap).
     "s06_quantize" -> ((s, dir) => {
+      // Codes clamp at -127: for x = -maxabs the double arithmetic can land
+      // one ulp below -127 and floor to -128, outside the symmetric int8
+      // range the contract promises. Empty vectors are excluded up front —
+      // Spark's aggregate(.., 0L, ..) and DuckDB's list_sum([]) (NULL)
+      // disagree on them.
       val base = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+        .filter(size(col("v")) > 0)
         .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
       base
         .withColumn("codes",
@@ -267,7 +274,7 @@ object PipelineQueries {
             transform(col("v"), _ => lit(0L)))
           .otherwise(
             transform(col("v"),
-              x => floor(x * lit(127.0) / col("maxabs")).cast("long"))))
+              x => greatest(floor(x * lit(127.0) / col("maxabs")).cast("long"), lit(-127L)))))
         .select(col("vec_id"),
           floor(col("maxabs") * 10000).cast("long").as("scale_fp"),
           expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
@@ -418,14 +425,10 @@ object PipelineQueries {
     // Corpus vocabulary: global top-100 tokens. orderBy+limit is Spark's
     // distributed TakeOrdered (per-partition top-k, then merge) — the
     // ranking window only ever sees the 100 survivors.
-    "t07_vocab_topk" -> ((s, dir) => {
-      val counts = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      counts.orderBy(col("n").desc, col("token").asc).limit(100)
+    "t07_vocab_topk" -> ((s, dir) =>
+      TA.vocabTopK(docs(s, dir), "text", 100)
         .withColumn("rank",
-          row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
-    })
+          row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long")))
   )
 
   /** d03's oracle, shared: d07's recursive-CTE components run over exactly
@@ -546,7 +549,7 @@ object PipelineQueries {
     "t11_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
               c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
-              v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 100),
+              v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 10),
               a AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                            CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN 1 END), 0) AS BIGINT) AS n_oov
                     FROM tok t LEFT JOIN v ON t.token = v.token
@@ -596,11 +599,12 @@ object PipelineQueries {
                 sha256(text) AS sha
          FROM documents""",
     "s06_quantize" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                    WHERE len(embedding) > 0),
               m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
               q AS (SELECT vec_id, maxabs,
                            CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-                                ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+                                ELSE list_transform(v, x -> greatest(CAST(floor(x * 127.0 / maxabs) AS BIGINT), -127))
                            END AS codes
                     FROM m)
          SELECT vec_id, CAST(floor(maxabs * 10000) AS BIGINT) AS scale_fp,
