@@ -94,6 +94,36 @@ object TextAnalysis {
       .when(fr >= de, lit("fr"))
       .otherwise(lit("de"))
 
+  /** Gopher/C4-style rule-based quality filter: keep/drop + the ordered
+    * ','-joined list of violated rules. All thresholds compare in integer
+    * arithmetic (cross-multiplied) — no FP division that could flip a
+    * boundary doc between engines. Entirely per-row (no aggregation), so
+    * it runs UNCHANGED on a streaming DataFrame — StreamingSpec proves
+    * stream/batch equality. */
+  def qualityFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    val st = base.select(
+      col(idCol),
+      size(col("ws")).cast("long").as("n_tokens"),
+      aggregate(transform(col("ws"), w => length(w).cast("long")), lit(0L),
+        (a, x) => a + x).as("sum_len"),
+      stopwordCount(col("ws"), StopEn).as("n_stop"))
+    st.select(col(idCol), col("n_tokens"),
+        filter(array(
+          when(col("n_tokens") < 20, lit("too_short")),
+          when(col("n_tokens") > 2000, lit("too_long")),
+          when(col("sum_len") * 100 < col("n_tokens") * 300 ||
+               col("sum_len") * 100 > col("n_tokens") * 1000, lit("odd_token_len")),
+          when(col("n_stop") * 10000 < col("n_tokens") * 100, lit("low_stopword"))),
+          x => x.isNotNull).as("rs"))
+      // ','-joined, not an array: oracle-checked outputs must be scalar
+      // (the driver's row sort cannot order array cells).
+      .select(col(idCol), col("n_tokens"),
+        array_join(col("rs"), ",").as("reasons"),
+        (size(col("rs")) === 0).as("keep"))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, non-alnum →
     * space, collapse runs, trim. */
   def normalized(text: Column): Column =

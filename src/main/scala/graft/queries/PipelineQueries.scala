@@ -182,6 +182,21 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs, "a_id", "b_id")
     }),
 
+    // Apply the dedup decision end-to-end: detect (d03 pairs) → cluster
+    // (d07 components) → DROP every non-keeper member, emitting the
+    // surviving corpus. The anti join is a hash equi-join on doc_id; the
+    // drop set is tiny relative to the corpus (near-dup clusters), so at
+    // scale it broadcasts.
+    "d09_dedup_apply" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        "n_chars", threshold = 0.2)
+      val clusters = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      val drops = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      docs(s, dir).join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Embedding-cosine near-duplicate detection: LSH-bucketed candidate
     // generation (equi-join on (table, bucket), no all-pairs theta join)
     // with exact cosine verification; lower vec_id kept as the canonical
@@ -395,32 +410,10 @@ object PipelineQueries {
         size(regexp_extract_all(col("text"), lit(num), lit(0))).cast("long").as("n_long_nums"))
     }),
 
-    // Gopher/C4-style rule-based quality filter: keep/drop + the ordered
-    // list of violated rules. All thresholds compare in integer arithmetic
-    // (cross-multiplied) — no FP division that could flip a boundary doc
-    // between engines.
-    "t08_quality_filter" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("ws"))
-      val st = base.select(
-        col("doc_id"),
-        size(col("ws")).cast("long").as("n_tokens"),
-        aggregate(transform(col("ws"), w => length(w).cast("long")), lit(0L),
-          (a, x) => a + x).as("sum_len"),
-        TA.stopwordCount(col("ws"), TA.StopEn).as("n_stop"))
-      st.select(col("doc_id"), col("n_tokens"),
-          filter(array(
-            when(col("n_tokens") < 20, lit("too_short")),
-            when(col("n_tokens") > 2000, lit("too_long")),
-            when(col("sum_len") * 100 < col("n_tokens") * 300 ||
-                 col("sum_len") * 100 > col("n_tokens") * 1000, lit("odd_token_len")),
-            when(col("n_stop") * 10000 < col("n_tokens") * 100, lit("low_stopword"))),
-            x => x.isNotNull).as("rs"))
-        // ','-joined, not an array: oracle-checked outputs must be scalar
-        // (the driver's row sort cannot order array cells).
-        .select(col("doc_id"), col("n_tokens"),
-          array_join(col("rs"), ",").as("reasons"),
-          (size(col("rs")) === 0).as("keep"))
-    }),
+    // Gopher/C4-style rule-based quality filter (see TA.qualityFilter —
+    // per-row only, so the same function runs on streams).
+    "t08_quality_filter" -> ((s, dir) =>
+      TA.qualityFilter(docs(s, dir), "doc_id", "text")),
 
     // Corpus vocabulary: global top-100 tokens. orderBy+limit is Spark's
     // distributed TakeOrdered (per-partition top-k, then merge) — the
@@ -459,6 +452,18 @@ object PipelineQueries {
             UNION
             SELECT r.id, s.nb FROM reach r JOIN sym s ON r.nb = s.id)
           SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id""",
+    "d09_dedup_apply" ->
+      s"""WITH RECURSIVE sym AS (
+            SELECT a_id AS id, b_id AS nb FROM ($D03Sql) p
+            UNION
+            SELECT b_id AS id, a_id AS nb FROM ($D03Sql) p2),
+          reach AS (
+            SELECT id, nb FROM sym
+            UNION
+            SELECT r.id, s.nb FROM reach r JOIN sym s ON r.nb = s.id),
+          comp AS (SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id)
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)""",
     "t01_token_stats" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                 CAST(length(text) AS BIGINT) AS n_chars_calc,

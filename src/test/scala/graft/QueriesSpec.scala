@@ -71,7 +71,8 @@ class QueriesSpec extends SparkSpecBase {
         "p04_stratified_sample", "p05_near_decontamination",
         "s05_semantic_dedup", "s06_quantize",
         "m02_frame_sample", "d04_minhash_lsh", "d06_embedding_dedup",
-        "d01_dedup_exact", "p01_hash_split", "p03_decontamination")
+        "d01_dedup_exact", "d09_dedup_apply", "p01_hash_split",
+        "p03_decontamination")
       .foreach { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString

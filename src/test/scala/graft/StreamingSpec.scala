@@ -165,4 +165,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(summed == nEvents, "every event belongs to exactly one session")
     assert(sessions.filter($"session_end" < $"session_start").isEmpty)
   }
+
+  test("stateless pipeline ops run unchanged on a stream: quality filter equality") {
+    import graft.operators.{TextAnalysis => TA}
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = TA.qualityFilter(docsDf, "doc_id", "text")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark, 1)
+    mem.addData(docsDf.as[(Long, String)].collect().toSeq)
+    val q = TA.qualityFilter(mem.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("qf_out").start()
+    try assert(q.awaitTermination(120000), "stream did not drain in 120s")
+    finally q.stop()
+    val streamed = spark.table("qf_out")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(streamed == batch,
+      "per-row quality filter must be identical on stream and batch")
+  }
 }
