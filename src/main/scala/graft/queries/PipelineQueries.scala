@@ -441,19 +441,12 @@ object PipelineQueries {
        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2"""
 
-  val oracleSql: Map[String, String] = Map(
-    "d07_dup_clusters" ->
-      s"""WITH RECURSIVE sym AS (
-            SELECT a_id AS id, b_id AS nb FROM ($D03Sql) p
-            UNION
-            SELECT b_id AS id, a_id AS nb FROM ($D03Sql) p2),
-          reach AS (
-            SELECT id, nb FROM sym
-            UNION
-            SELECT r.id, s.nb FROM reach r JOIN sym s ON r.nb = s.id)
-          SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id""",
-    "d09_dedup_apply" ->
-      s"""WITH RECURSIVE sym AS (
+  /** Connected components over [[D03Sql]]'s pair set as recursive CTEs
+    * ending in `comp(id, cluster)` — shared by d07 (which emits it) and
+    * d09 (which anti-joins it away), so the two oracles can never compute
+    * different clusters. Embed as `WITH RECURSIVE $ComponentsCte ...`. */
+  private val ComponentsCte: String =
+    s"""sym AS (
             SELECT a_id AS id, b_id AS nb FROM ($D03Sql) p
             UNION
             SELECT b_id AS id, a_id AS nb FROM ($D03Sql) p2),
@@ -461,7 +454,14 @@ object PipelineQueries {
             SELECT id, nb FROM sym
             UNION
             SELECT r.id, s.nb FROM reach r JOIN sym s ON r.nb = s.id),
-          comp AS (SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id)
+          comp AS (SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "d07_dup_clusters" ->
+      s"""WITH RECURSIVE $ComponentsCte
+          SELECT id, cluster FROM comp""",
+    "d09_dedup_apply" ->
+      s"""WITH RECURSIVE $ComponentsCte
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)""",
     "t01_token_stats" ->

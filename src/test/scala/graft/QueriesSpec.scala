@@ -71,8 +71,13 @@ class QueriesSpec extends SparkSpecBase {
         "p04_stratified_sample", "p05_near_decontamination",
         "s05_semantic_dedup", "s06_quantize",
         "m02_frame_sample", "d04_minhash_lsh", "d06_embedding_dedup",
-        "d01_dedup_exact", "d09_dedup_apply", "p01_hash_split",
-        "p03_decontamination")
+        "d01_dedup_exact", "p01_hash_split", "p03_decontamination")
+      // d09 is intentionally absent: connectedComponents localCheckpoints,
+      // so its executedPlan shows only the final anti join (the dedup
+      // pipeline is hidden behind the checkpoint scan) while CONSTRUCTING
+      // the plan eagerly runs the whole iterative clustering — all cost,
+      // no assertion value. Its constituent stages (d03 via the exempt
+      // ground-truth list, d07's loop) are covered elsewhere.
       .foreach { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString

@@ -168,7 +168,7 @@ class StreamingSpec extends SparkSpecBase {
 
   test("stateless pipeline ops run unchanged on a stream: quality filter equality") {
     import graft.operators.{TextAnalysis => TA}
-    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val docsDf = Sources.table(spark, dir, "documents")
       .select($"doc_id", $"text")
     val batch = TA.qualityFilter(docsDf, "doc_id", "text")
       .as[(Long, Long, String, Boolean)].collect().toSet
