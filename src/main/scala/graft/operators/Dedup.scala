@@ -269,19 +269,23 @@ object Dedup {
   }
 
   /** Duplicate clusters from near-dup PAIRS: connected components by
-    * iterative min-label propagation — the step that turns pair output
-    * (d03/d04/d06) into actionable keeper groups (cluster id = smallest
-    * member id; keep it, drop the rest).
+    * iterative min-label propagation with POINTER JUMPING — the step that
+    * turns pair output (d03/d04/d06) into actionable keeper groups
+    * (cluster id = smallest member id; keep it, drop the rest).
     *
-    * Each iteration is fully distributed (symmetric edge join + min
-    * aggregate); the driver only orchestrates the loop and checks
+    * Each iteration is fully distributed: a symmetric edge join pulls the
+    * minimum neighbour label one hop, then a label-chase join shortcuts
+    * label(id) → label(label(id)) — so label depth roughly HALVES per
+    * round and convergence is O(log diameter) instead of O(diameter).
+    * Plain propagation needs diameter-many rounds; a 200-node chain (a
+    * boilerplate near-dup "ladder" in a petabyte corpus) would exhaust
+    * any fixed budget, while with jumping it closes in ~8 rounds
+    * (spec-asserted). The driver only orchestrates the loop and checks
     * convergence — the standard Spark shape for iterative graph
-    * algorithms. Iterations needed = component diameter (near-dup
-    * clusters are usually shallow); if `maxIter` is exhausted the
-    * best-effort labels are returned with a warning — one deep chain in a
-    * petabyte corpus must not abort the pipeline (raise `maxIter` where
-    * exact components are required). `localCheckpoint` truncates lineage
-    * so plan depth stays constant; superseded checkpoint blocks become
+    * algorithms. If `maxIter` is still exhausted the best-effort labels
+    * are returned with a warning — one pathological component must not
+    * abort the pipeline. `localCheckpoint` truncates lineage so plan
+    * depth stays constant; superseded checkpoint blocks become
     * unreferenced when `labels` is reassigned and the ContextCleaner
     * reclaims them (localCheckpoint bypasses the CacheManager, so an
     * explicit unpersist() would be a no-op).
@@ -306,9 +310,22 @@ object Dedup {
         .agg(min(col("label")).as("nmin"))
       // Carry the old label through the single join so convergence is a
       // filter on the checkpointed result, not a second join + action.
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // Checkpointed: the pointer jump below self-joins this frame, and
+      // without materialization the edge-join + aggregate would run twice
+      // per iteration.
+      val hop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      // Pointer jump: label values are themselves node ids, so one self
+      // join rewrites each label to its label's label (monotone: l(l(id))
+      // <= l(id) because l(x) <= x). This is what makes deep components
+      // close in logarithmic rounds.
+      val next = hop
+        .join(hop.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), col("old"),
+          coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("label"))

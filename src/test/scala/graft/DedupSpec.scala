@@ -239,8 +239,11 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("long chain converges within the iteration budget") {
-    val n = 20
+  test("a 200-node chain converges within the budget (pointer jumping, O(log d))") {
+    // Diameter 199: plain one-hop min propagation needs 199 rounds and
+    // would exhaust maxIter=25; the label-chase self-join halves label
+    // depth per round, so this closes in ~8.
+    val n = 200
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val got = Dedup.connectedComponents(pairs, "a_id", "b_id")
       .as[(Long, Long)].collect()
