@@ -15,15 +15,18 @@ import org.apache.spark.sql.SparkSession
   * evaluated. The noop sink materializes every output column through the
   * full plan and discards the bytes.
   *
-  * The printed line must stay SHORT: the harness that consumes it keeps
-  * only the last ~2000 characters of the build output (including the `[info]`
-  * prefix and sbt's `[success]` footer), so a line carrying full-precision
-  * times for every query overflows the window and is never parsed — both
-  * round-1 and round-2 reports came back `parsed: null` that way. Times are
-  * therefore emitted at millisecond precision and, if the line would still
-  * exceed [[Bench.LineBudget]], the per-query map keeps only the slowest
-  * entries (`"omitted":k` records the cut). The untruncated document is
-  * always written to BENCH_FULL.json alongside.
+  * The printed line must stay SHORT and must be the LAST line of the build
+  * output: the harness that consumes it keeps only the last ~2000
+  * characters, and rounds 1-3 all came back `parsed: null` — first from
+  * line overflow, then (r3, where the full line was visibly inside the
+  * window) because the line carried sbt's `[info] ` prefix and was followed
+  * by the `[success]` footer. Three layers fix that: times are emitted at
+  * millisecond precision with slowest-first truncation to
+  * [[Bench.LineBudget]] (`"omitted":k` records the cut; full document in
+  * BENCH_FULL.json), build.sbt routes forked run output straight to stdout
+  * (`outputStrategy := StdoutOutput`, no logger prefix) and suppresses the
+  * `[success]` footer (`showSuccess := false`), and the println happens
+  * after `spark.stop()` so no shutdown WARN can trail it.
   */
 object Bench {
 
@@ -38,6 +41,19 @@ object Bench {
     if (r == r.toLong.toDouble) r.toLong.toString else r.toString
   }
 
+  /** JSON string escape for embedded names/paths: a sfDir containing `"` or
+    * `\` must not yield an unparseable line (the exact failure mode this
+    * whole format exists to avoid). Control chars are dropped — they cannot
+    * appear in query names and a path carrying one is already hostile.
+    */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => ""
+      case c    => c.toString
+    }
+
   /** Builds (compactLine, fullJson). Query entries are ordered slowest-first
     * so budget truncation drops the cheapest tail, never a hotspot. The
     * `errors` key is ALWAYS present (rounds 1-2 emitted `"errors":[]`; a
@@ -51,11 +67,11 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
 
     def line(qs: Seq[(String, Double)], omitted: Int, errKeep: Int): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      val m = qs.map { case (k, v) => "\"" + esc(k) + "\":" + ms(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      val es = errors.take(errKeep).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val es = errors.take(errKeep).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
       val eo = if (errKeep < errors.length) s""","errors_omitted":${errors.length - errKeep}""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"errors":$es$eo,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"errors":$es$eo,"sf":"${esc(sfDir)}"}"""
     }
 
     val full = line(bySlowest, 0, errors.length)
@@ -108,7 +124,13 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => }
-    println(compact)
+    // Stop Spark BEFORE printing: executor/cleaner shutdown may log WARN
+    // lines, and the JSON must be the process's final stdout line (the
+    // consumer reads the tail of the build output; build.sbt routes forked
+    // run output straight to stdout with no `[info]` prefix and suppresses
+    // sbt's `[success]` footer so nothing follows this line).
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }
