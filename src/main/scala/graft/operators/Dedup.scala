@@ -36,8 +36,17 @@ object Dedup {
     * reads as one partition per row group, serializing any scan-side
     * per-row CPU (shingles, signatures, pair walks behind a broadcast
     * join); a large corpus already has the partitions and must not pay a
-    * gratuitous full-payload shuffle. */
+    * gratuitous full-payload shuffle.
+    *
+    * INPUT CONSTRAINT: pass a RAW SCAN (or a map-only projection of one),
+    * never a shuffled or streaming frame. Reading the partition count goes
+    * through `df.rdd`, which forces eager physical planning — under AQE
+    * that MATERIALIZES any upstream shuffle stages, whose work is then
+    * recomputed by the real job (this helper does not cache). Streaming
+    * frames have no `.rdd` at all, hence the guard. */
   def spreadToParallelism(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "spreadToParallelism reads df.rdd.getNumPartitions, which a streaming frame cannot answer")
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
   }

@@ -227,18 +227,45 @@ object SimilaritySearch {
     * nCells must grow ∝ N so cell population (and so per-cell quadratic
     * work) stays constant; the cross-cluster pairs this misses are the
     * accepted recall trade, exactly as in the minhash banding. Output: one
-    * row per input vector (id, cell, keep, keeper — keeper null when kept). */
+    * row per input vector (id, cell, keep, keeper — keeper null when kept).
+    *
+    * Keeper pointers are PATH-COMPRESSED before emission: with a chain
+    * a<b<c where cos(a,b) and cos(b,c) clear the threshold but cos(a,c)
+    * does not, the raw min-partner rule drops c with keeper b while b is
+    * itself dropped — a consumer substituting keeper text for the dup would
+    * reference a removed vector. Every raw keeper points to a strictly
+    * smaller id, so the pointer forest is acyclic and jumping
+    * keeper ← keeper(keeper) converges to a KEPT root in O(log chain)
+    * rounds. The drop set is a small fraction of the corpus (it is the
+    * dedup output), so the per-round self-join + checkpoint is cheap
+    * relative to the Σ|cell|² pair scan above it. */
   def semanticDedup(index: IvfIndex, threshold: Double): DataFrame = {
     val idc = index.idCol
     val vc = index.vecCol
     val a = index.assigned.select(col("cell"), col(idc).as("a_id"), col(vc).as("av"))
     val b = index.assigned.select(col("cell"), col(idc).as("b_id"), col(vc).as("bv"))
-    val drops = a.join(b, Seq("cell"))
+    var drops = a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", cosineSim(col("av"), col("bv")))
       .filter(col("cos") > threshold)
       .groupBy(col("b_id").as(idc))
       .agg(min(col("a_id")).as("keeper"))
+      .localCheckpoint()
+    // Pointer-jump until no keeper is itself a drop. Each hop strictly
+    // decreases the keeper id, so `hopped` nonempty ⇔ something changed.
+    var i = 0
+    var converged = false
+    while (!converged && i < 20) {
+      val next = drops
+        .join(drops.select(col(idc).as("kid"), col("keeper").as("kk")),
+          col("keeper") === col("kid"), "left")
+        .select(col(idc), coalesce(col("kk"), col("keeper")).as("keeper"),
+          col("kk").isNotNull.as("hopped"))
+        .localCheckpoint()
+      converged = next.filter(col("hopped")).isEmpty
+      drops = next.select(col(idc), col("keeper"))
+      i += 1
+    }
     index.assigned.select(col(idc), col("cell"))
       .join(drops, Seq(idc), "left")
       .select(col(idc), col("cell"),

@@ -221,6 +221,30 @@ class DedupSpec extends SparkSpecBase {
     // with the fixed seed it does not split more than one of the 25.
     assert(dropped.length >= 24, s"only ${dropped.length}/25 planted copies dropped")
   }
+
+  test("semantic dedup path-compresses keeper chains to a kept root") {
+    // Unit vectors at angles 0, θ, 2θ, 3θ with cos θ = 0.97: adjacent
+    // pairs clear the 0.95 threshold, every skip pair falls below it
+    // (cos 2θ ≈ 0.882, cos 3θ ≈ 0.741). Raw min-partner keepers form the
+    // chain 1←2←3←4; without compression 3's keeper (2) and 4's keeper (3)
+    // are themselves drops. The 4-link chain needs two jump rounds.
+    val th = math.acos(0.97)
+    val vecs = (0 until 4).map { k =>
+      (k + 1L, Seq(math.cos(k * th), math.sin(k * th)))
+    }
+    val assigned = vecs.toDF("vec_id", "v").withColumn("cell", lit(0))
+    val index = SimilaritySearch.IvfIndex(
+      centroids = Array((0, Array(1f, 0f))),
+      assigned = assigned, idCol = "vec_id", vecCol = "v")
+    val rows = SimilaritySearch.semanticDedup(index, threshold = 0.95)
+      .select($"vec_id", $"keep", $"keeper")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map { case (id, keep, keeper) => id -> ((keep, keeper)) }.toMap
+    assert(rows(1L) == ((true, None)), "chain root must be kept")
+    assert(rows(2L) == ((false, Some(1L))))
+    assert(rows(3L) == ((false, Some(1L))), "keeper must compress past dropped 2")
+    assert(rows(4L) == ((false, Some(1L))), "keeper must compress past dropped 3")
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpecBase {
