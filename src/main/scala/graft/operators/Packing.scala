@@ -44,6 +44,10 @@ object Packing {
     val offsets = bucketed.groupBy(col("__bkt"))
       .agg(sum(col(tokenCol)).as("__t"))
       .withColumn("__off",
+        // Unpartitioned by design: one row per pack bucket survives the
+        // aggregate, so this prefix sum runs over ~(corpus tokens / bucket
+        // size) rows, not the corpus. WindowExec's moving-all-data warning
+        // is expected and bounded here.
         coalesce(sum(col("__t")).over(
           Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))

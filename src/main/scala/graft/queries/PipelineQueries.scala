@@ -421,7 +421,12 @@ object PipelineQueries {
     "t07_vocab_topk" -> ((s, dir) =>
       TA.vocabTopK(docs(s, dir), "text", 100)
         .withColumn("rank",
-          row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long")))
+          // Unpartitioned by design: the frame is the 100 TakeOrdered
+          // survivors, never the corpus. (A constant partition key would
+          // not help — Catalyst folds it away and WindowExec still sees an
+          // empty spec; Bench/Verify lower that logger instead.)
+          row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+            .cast("long")))
   )
 
   /** d03's oracle, shared: d07's recursive-CTE components run over exactly
