@@ -19,6 +19,7 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "word_shingles" -> (es => es match {
       case Seq(c) => WordShingles(c)

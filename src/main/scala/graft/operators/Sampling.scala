@@ -49,6 +49,50 @@ object Sampling {
       .select(col("train_id"), col("eval_id"), col("eval_split"))
   }
 
+  /** Token-budget selection: per group, admit documents in deterministic
+    * hash order until the group's token budget is exhausted. A document is
+    * admitted iff the tokens BEFORE it fit the budget (so the document that
+    * straddles the boundary is still taken and every group gets at least
+    * one document — the convention corpus samplers use to avoid
+    * zero-budget starvation of small strata).
+    *
+    * The group-wide running sum is the [[Packing.packSequences]] two-pass
+    * scan, NOT a single `Window.partitionBy(group)` — groups here are
+    * corpus strata (a language can be most of 100 TB) and a plain window
+    * would sort a whole stratum in one task. Instead each group splits
+    * into 256 sub-buckets on the FIRST md5 BYTE of the order hash (hex
+    * digits are ASCII-ordered, so the integer sub-bucket is
+    * prefix-consistent with the full md5 ordering and the global
+    * (md5, key) order is preserved exactly); running sums are per
+    * (group, sub-bucket) windows, and only the 256-row-per-group offset
+    * table sees a group-wide window. The hash order also means a re-run
+    * over grown data admits a stable prefix: existing admits only change
+    * where new documents hash-sort ahead of them — never because physical
+    * row order moved. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                          tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val h = md5(col(keyCol).cast("string"))
+    val bucketed = df.withColumn("__h", h)
+      .withColumn("__sub", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__sub"))
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__cum", sum(col(tokensCol)).over(wLocal))
+    val offsets = bucketed.groupBy(col(groupCol), col("__sub"))
+      .agg(sum(col(tokensCol)).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(groupCol), col("__sub"), col("__off"))
+    local.join(broadcast(offsets), Seq(groupCol, "__sub"))
+      .withColumn("cum_before", (col("__off") + col("__cum") - col(tokensCol)).cast("long"))
+      .filter(col("cum_before") < budget)
+      .drop("__h", "__sub", "__cum", "__off")
+  }
+
   /** Deterministic "random" k-per-group sample: the k rows whose key hash
     * sorts lowest within each group. One shuffle on the group columns;
     * rank-k per group, so output is `k × |groups|` regardless of skew. */

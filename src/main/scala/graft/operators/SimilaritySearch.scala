@@ -37,6 +37,50 @@ object SimilaritySearch {
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Exact top-k by raw inner product (MIPS — maximum-inner-product
+    * search, the retrieval objective of dot-product-trained embedding
+    * models, where vector NORM carries signal and cosine ranking is
+    * wrong). Same plan as [[bruteForceTopK]]: broadcast the small query
+    * set, stream the corpus once, per-query top-k via window rank.
+    *
+    * The sublinear path at scale is the classic norm-augmentation
+    * reduction to cosine LSH ([[mipsAugment]]): append one coordinate
+    * sqrt(M² − ‖x‖²) to each corpus vector (M = max corpus norm) and 0 to
+    * each query — then cosine order against augmented vectors equals
+    * inner-product order, so [[lshKeyed]] bucketing applies unchanged.
+    * MipsSpec proves the rank equality on real embeddings. */
+  def mipsTopK(emb: DataFrame, idCol: String, vecCol: String,
+               isQuery: Column, k: Int): DataFrame = {
+    import graft.functions.DotProduct.dotProduct
+    val q = emb.filter(isQuery).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("ip", dotProduct(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("ip"), 4).as("ip"), col("rnk"))
+  }
+
+  /** Norm-augmentation (Shrivastava-Li style asymmetric transform,
+    * simplified symmetric variant): corpus vector x → (x / M,
+    * sqrt(1 − ‖x/M‖²)); query q → (q / ‖q‖, 0). All augmented vectors are
+    * unit-norm, so cosine(aug(q), aug(x)) = q·x / (‖q‖·M) — a fixed
+    * per-query positive scaling of the inner product, hence identical
+    * ranking. `maxNorm` must be ≥ every corpus norm (compute once
+    * offline; a stale upper bound stays correct, just less tight). */
+  def mipsAugment(vec: Column, maxNorm: Double, isQuery: Boolean): Column = {
+    val scaled = transform(vec, x => x.cast("double") / lit(maxNorm))
+    val normSq = aggregate(scaled, lit(0.0), (acc, x) => acc + x * x)
+    if (isQuery) {
+      val qn = sqrt(aggregate(vec, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      concat(transform(vec, x => x.cast("double") / qn), array(lit(0.0)))
+    } else {
+      concat(scaled, array(sqrt(greatest(lit(1.0) - normSq, lit(0.0)))))
+    }
+  }
+
   /** All pairs (a_id < b_id) with cosine similarity above `threshold`.
     *
     * O(N²) by declared design: this is the exact ground-truth operator the

@@ -50,6 +50,19 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
 
+  /** The corpus top-`k` word n-grams: (ngram, n, rank) with the same
+    * deterministic tie-break as [[vocabTopK]] (count desc, ngram asc).
+    * Shingling runs scan-side in the codegen'd
+    * [[graft.functions.WordShingles]] expression (non-distinct: every
+    * occurrence counts); counting is one hash aggregate with map-side
+    * partials; the top-k is distributed TakeOrdered — the only data that
+    * ever reaches one place is the k survivors. */
+  def ngramTopK(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(graft.functions.WordShingles
+        .wordShingles(col(textCol), n, distinct = false)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc).limit(k)
+
   /** Distinct word 3-gram shingles; < 3 tokens → empty set. (Guarded with
     * `when` because Spark's `sequence(1, 0)` counts *down* while DuckDB's
     * `generate_series(1, 0)` is empty — the guard keeps both engines

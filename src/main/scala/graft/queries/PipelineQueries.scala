@@ -20,7 +20,10 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "embeddings")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    primaryQueries ++ round4Queries
+
+  private def primaryQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis ----------------------------------------------------
     "t01_token_stats" -> ((s, dir) => {
@@ -429,6 +432,53 @@ object PipelineQueries {
             .cast("long")))
   )
 
+  /** Round-4 additions, split out so the primary map literal stays under
+    * scalac's method-size comfort zone. */
+  private def round4Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-language token-budget selection (the "sample 1B tokens per
+    // language" step of corpus assembly): admit docs in deterministic
+    // hash order until each language's budget is spent. One shuffle on
+    // lang; the running sum shares it.
+    "p07_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetPerGroup(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          size(TA.words(col("text"))).cast("long").as("n_tokens")),
+        groupCol = "lang", keyCol = "doc_id", tokensCol = "n_tokens",
+        budget = 3000L)),
+
+    // Maximum-inner-product top-k (dot-product retrieval; see
+    // SimilaritySearch.mipsTopK for the norm-augmentation scale path).
+    "s07_mips_topk" -> ((s, dir) =>
+      SimilaritySearch.mipsTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 5)),
+
+    // Corpus top-50 bigrams: the n-gram census a contamination or
+    // memorization audit starts from. Scan-side codegen'd shingling, one
+    // hash aggregate, distributed TakeOrdered.
+    "t12_bigram_topk" -> ((s, dir) =>
+      TA.ngramTopK(docs(s, dir), "text", n = 2, k = 50)
+        .select(col("ngram").as("bigram"), col("n"))),
+
+    // Per-source duplication report: what fraction of each source's docs
+    // are non-keeper members of a near-dup cluster (d03 pairs → d07
+    // components → left join + conditional count). The measurement that
+    // decides whether a source needs dedup before mixing.
+    "d10_dup_rate" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        "n_chars", threshold = 0.2)
+      val dups = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"), lit(1L).as("is_dup"))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(dups, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"))
+        .select(col("source"), col("n_docs"), col("n_dups"),
+          expr("n_dups * 10000 DIV n_docs").as("dup_rate_bp"))
+    })
+  )
+
   /** d03's oracle, shared: d07's recursive-CTE components run over exactly
     * this pair set so the two can never drift apart. */
   private val D03Sql: String =
@@ -716,6 +766,43 @@ object PipelineQueries {
          SELECT doc_id, n_tokens,
                 -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
                 coalesce(array_to_string(reasons, ','), '') AS reasons,
-                len(reasons) = 0 AS keep FROM r"""
+                len(reasons) = 0 AS keep FROM r""",
+    "p07_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+              o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM t)
+         SELECT doc_id, lang, n_tokens, CAST(cum - n_tokens AS BIGINT) AS cum_before
+         FROM o WHERE cum - n_tokens < 3000""",
+    "s07_mips_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              s AS (SELECT q_id, e.vec_id AS n_id, list_inner_product(qv, e.v) AS ip
+                    FROM q JOIN e ON e.vec_id <> q_id),
+              r AS (SELECT q_id, n_id, ip,
+                           CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS BIGINT) AS rnk
+                    FROM s)
+         SELECT q_id, n_id, round(ip, 4) AS ip, rnk FROM r WHERE rnk <= 5""",
+    "t12_bigram_topk" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                             i -> concat_ws(' ', ws[i], ws[i+1]))) AS bigram
+                    FROM t WHERE len(ws) >= 2),
+              c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
+              r AS (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank FROM c)
+         SELECT bigram, n FROM r WHERE rank <= 50""",
+    "d10_dup_rate" ->
+      s"""WITH RECURSIVE $ComponentsCte
+          SELECT d.source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+                 CAST(sum(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                      // count(*) AS BIGINT) AS dup_rate_bp
+          FROM documents d
+          LEFT JOIN (SELECT id FROM comp WHERE id <> cluster) c ON d.doc_id = c.id
+          GROUP BY d.source"""
   )
 }

@@ -390,7 +390,17 @@ object RelationalQueries {
         .groupBy(col("event_id"), col("user_id"))
         .agg(count(lit(1)).as("n_views"),
              round(sum(col("view_value")), 2).as("view_total"))
-    })
+    }),
+
+    // Gap-based sessionization of the event stream (12 h inactivity gap):
+    // one shuffle on user_id feeds lag, the running session counter, and
+    // the per-session aggregate (see operators.Sessionize).
+    "q43_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          col("ts"), col("value")),
+        keyCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+        valueCol = "value", maxGap = lit(12L * 3600L * 1000000L)))
   )
 
   /** DuckDB-dialect oracle SQL, one per query above (driver contract). */
@@ -564,6 +574,21 @@ object RelationalQueries {
            ON r.user_id = l.user_id
           AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 1 HOUR
           AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
-         GROUP BY l.event_id, l.user_id"""
+         GROUP BY l.event_id, l.user_id""",
+    "q43_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+              m AS (SELECT *, CASE WHEN prev_ts IS NULL
+                                     OR epoch_us(ts) - epoch_us(prev_ts) > 43200000000
+                                   THEN 1 ELSE 0 END AS new_sess
+                    FROM o),
+              s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                  ROWS UNBOUNDED PRECEDING) AS sess_idx
+                    FROM m)
+         SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+                min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sess_idx"""
   )
 }

@@ -139,6 +139,28 @@ object Stress {
     time("chunk_dedup") {
       Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 16).count()
     }
+    time("sessionize") {
+      graft.operators.Sessionize.sessions(
+        events.select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", "value",
+        maxGap = lit(12L * 3600L * 1000000L)).count()
+    }
+    time("token_budget") {
+      // Budget scales with factor so the admitted fraction stays constant
+      // (a fixed budget would admit a shrinking prefix and the timing
+      // would measure only the window, not the selection).
+      graft.operators.Sampling.tokenBudgetPerGroup(
+        docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", budget = 30000L * factor).count()
+    }
+    time("mips_topk") {
+      SimilaritySearch.mipsTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5).count()
+    }
+    time("bigram_census") {
+      graft.operators.TextAnalysis.ngramTopK(docs, "text", n = 2, k = 50).count()
+    }
     time("semantic_dedup") {
       // nCells grows ∝ factor so per-cell population (and so the
       // within-cell quadratic work) stays constant — the SemDeDup scale

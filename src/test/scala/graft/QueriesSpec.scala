@@ -71,7 +71,10 @@ class QueriesSpec extends SparkSpecBase {
         "p04_stratified_sample", "p05_near_decontamination",
         "s05_semantic_dedup", "s06_quantize",
         "m02_frame_sample", "d04_minhash_lsh", "d06_embedding_dedup",
-        "d01_dedup_exact", "p01_hash_split", "p03_decontamination")
+        "d01_dedup_exact", "p01_hash_split", "p03_decontamination",
+        "p07_token_budget", "t12_bigram_topk")
+      // d10 is absent for the same localCheckpoint reason as d09 below;
+      // s07 shares s01's deliberate broadcast-NLJ (tiny query side).
       // d09 is intentionally absent: connectedComponents localCheckpoints,
       // so its executedPlan shows only the final anti join (the dedup
       // pipeline is hidden behind the checkpoint scan) while CONSTRUCTING
