@@ -200,28 +200,17 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
-  /** Batch twin of [[sessionize]] for correctness checks: same gap logic
-    * expressed relationally (lag + cumulative session ids) — this is also
-    * the scalable backfill plan for historical data. */
-  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapMs = gapMinutes * 60L * 1000L
-    events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      // unix_micros, not unix_millis: the data carries sub-ms precision and
-      // the streaming twin compares at µs — ms truncation would classify
-      // exact-boundary gaps differently between the two.
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapMs * 1000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+  /** Batch twin of [[sessionize]] for correctness checks — ONE shared body
+    * with the relational operator ([[graft.operators.Sessionize.sessions]],
+    * the oracle-checked q43), so the streaming equality proof and the
+    * batch query can never drift apart. Gap arithmetic is µs-exact in both
+    * (the data carries sub-ms precision; ms truncation would classify
+    * exact-boundary gaps differently between the twins). This is also the
+    * scalable backfill plan for historical data. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    graft.operators.Sessionize.sessions(events,
+        keyCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+        valueCol = "value", maxGap = lit(gapMinutes * 60L * 1000000L))
       .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"), col("total_value"))
-  }
+        col("n_events"), col("sum_value").as("total_value"))
 }
