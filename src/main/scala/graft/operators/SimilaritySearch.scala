@@ -62,6 +62,30 @@ object SimilaritySearch {
       .select(col("q_id"), col("n_id"), round(col("ip"), 4).as("ip"), col("rnk"))
   }
 
+  /** Metadata-filtered vector search: exact top-k restricted to corpus
+    * vectors sharing the query's `filterCol` value. The filter is NOT a
+    * post-scoring predicate — it becomes the JOIN KEY, so the plan is a
+    * broadcast HASH join on the metadata value (each corpus row scores
+    * against only the queries of its own group), not a nested loop over
+    * the corpus × queries. That is the plan that survives 100 TB: the
+    * scored candidate set shrinks by the group's selectivity before any
+    * similarity arithmetic runs. */
+  def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   filterCol: String, isQuery: Column, k: Int): DataFrame = {
+    val q = emb.filter(isQuery).select(col(idCol).as("q_id"),
+      col(vecCol).as("qv"), col(filterCol).as("__fk"))
+    val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      col(filterCol).as(filterCol))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(q),
+        col(filterCol) === col("__fk") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col(filterCol),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** Norm-augmentation (Shrivastava-Li style asymmetric transform,
     * simplified symmetric variant): corpus vector x → (x / M,
     * sqrt(1 − ‖x/M‖²)); query q → (q / ‖q‖, 0). All augmented vectors are

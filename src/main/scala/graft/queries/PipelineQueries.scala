@@ -23,6 +23,25 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     primaryQueries ++ round4Queries
 
+  /** Shared quality computation (t02, p08): integer basis points
+    * (0..10000) because FP `round` disagrees between engines at
+    * shortest-decimal boundaries (seen at sf0.1). The double variant
+    * stays available as TextAnalysis.qualityScore. `extra` columns pass
+    * through untouched (p08 keeps the stratum). */
+  private def qualityScored(d: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val base = d.select(
+      (col("doc_id") +: extra.map(col)) :+ TA.words(col("text")).as("ws"): _*)
+    base.select(
+      (col("doc_id") +: extra.map(col)) ++ Seq(
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
+        TA.stopwordCount(col("ws"), TA.StopEn).as("n_stop")): _*)
+      .withColumn("quality_bp",
+        expr("""CAST(n_uniq * 5000 DIV n_tokens
+                     + (n_tokens - n_stop) * 3000 DIV n_tokens
+                     + least(n_tokens, 100L) * 20 AS BIGINT)"""))
+  }
+
   private def primaryQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis ----------------------------------------------------
@@ -37,22 +56,7 @@ object PipelineQueries {
             size(ws).cast("double"), 4).as("avg_token_len"))
     }),
 
-    "t02_quality_score" -> ((s, dir) => {
-      // quality in integer basis points (0..10000): FP `round` disagrees
-      // between engines at shortest-decimal boundaries (seen at sf0.1), so
-      // the oracle-checked score is pure integer arithmetic. The double
-      // variant stays available as TextAnalysis.qualityScore.
-      val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("ws"))
-      base.select(
-        col("doc_id"),
-        size(col("ws")).cast("long").as("n_tokens"),
-        size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
-        TA.stopwordCount(col("ws"), TA.StopEn).as("n_stop"))
-        .withColumn("quality_bp",
-          expr("""CAST(n_uniq * 5000 DIV n_tokens
-                       + (n_tokens - n_stop) * 3000 DIV n_tokens
-                       + least(n_tokens, 100L) * 20 AS BIGINT)"""))
-    }),
+    "t02_quality_score" -> ((s, dir) => qualityScored(docs(s, dir))),
 
     "t03_langid" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("ws"))
@@ -459,6 +463,25 @@ object PipelineQueries {
       TA.ngramTopK(docs(s, dir), "text", n = 2, k = 50)
         .select(col("ngram").as("bigram"), col("n"))),
 
+    // Curriculum binning: quality quartiles within each language stratum
+    // (the ordering step of curriculum/annealing data schedules). ntile
+    // over a total order (quality desc, id) — engine-portable because no
+    // peer ties can straddle a bin boundary.
+    "p08_curriculum_bins" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality_bp").desc, col("doc_id"))
+      qualityScored(docs(s, dir), extra = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("quality_bp"),
+          ntile(4).over(w).cast("long").as("bin"))
+    }),
+
+    // Metadata-filtered vector search: top-k within the query's label
+    // group; the filter is the hash-join key, not a post-filter (see
+    // SimilaritySearch.filteredTopK).
+    "s08_filtered_topk" -> ((s, dir) =>
+      SimilaritySearch.filteredTopK(emb(s, dir), "vec_id", "embedding",
+        filterCol = "label", isQuery = col("vec_id") < 10, k = 5)),
+
     // Per-source duplication report: what fraction of each source's docs
     // are non-keeper members of a near-dup cluster (d03 pairs → d07
     // components → left join + conditional count). The measurement that
@@ -795,6 +818,31 @@ object PipelineQueries {
               c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
               r AS (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank FROM c)
          SELECT bigram, n FROM r WHERE rank <= 50""",
+    "p08_curriculum_bins" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+              c AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+                           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                    FROM t),
+              q AS (SELECT doc_id, lang,
+                           CAST(n_uniq * 5000 // n_tokens
+                                + (n_tokens - n_stop) * 3000 // n_tokens
+                                + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
+                    FROM c)
+         SELECT doc_id, lang, quality_bp,
+                CAST(ntile(4) OVER (PARTITION BY lang ORDER BY quality_bp DESC, doc_id) AS BIGINT) AS bin
+         FROM q""",
+    "s08_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+              s AS (SELECT q_id, e.vec_id AS n_id, e.label AS label,
+                           list_inner_product(qv, e.v)
+                           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+                    FROM q JOIN e ON e.label = q_label AND e.vec_id <> q_id),
+              r AS (SELECT q_id, n_id, label, cos,
+                           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+                    FROM s)
+         SELECT q_id, n_id, label, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5""",
     "d10_dup_rate" ->
       s"""WITH RECURSIVE $ComponentsCte
           SELECT d.source, count(*) AS n_docs,

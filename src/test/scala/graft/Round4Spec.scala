@@ -147,6 +147,42 @@ class Round4Spec extends SparkSpecBase {
     assert(top == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  // ---- filtered vector search ---------------------------------------------
+
+  test("filteredTopK: hash join on the metadata key, results label-consistent") {
+    val q = SparkEntry.queries("s08_filtered_topk")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"metadata filter must be the hash-join key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"filtered search must not nested-loop:\n$plan")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    q.select($"q_id", $"n_id").as[(Long, Long)].collect().foreach {
+      case (qid, nid) =>
+        assert(emb(qid) == emb(nid), s"neighbour $nid label differs from query $qid")
+    }
+  }
+
+  // ---- curriculum bins ------------------------------------------------------
+
+  test("p08 bins are balanced quartiles ordered by quality within each lang") {
+    val bins = SparkEntry.queries("p08_curriculum_bins")(spark, sf)
+      .select($"lang", $"quality_bp", $"bin").as[(String, Long, Long)].collect()
+    bins.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._3).view.mapValues(_.size)
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L), s"$lang bins: ${sizes.keySet}")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes: $sizes")
+      // Quality must not increase across bin boundaries.
+      val worstPerBin = rows.groupBy(_._3).view.mapValues(_.map(_._2).min)
+      val bestPerBin = rows.groupBy(_._3).view.mapValues(_.map(_._2).max)
+      (1L to 3L).foreach { b =>
+        assert(worstPerBin(b) >= bestPerBin(b + 1),
+          s"$lang bin $b quality below bin ${b + 1}")
+      }
+    }
+  }
+
   // ---- duplication report -------------------------------------------------
 
   test("d10 dup rate is consistent with d07's cluster membership") {
