@@ -11,8 +11,10 @@ import graft.functions.LshTableBuckets
   *
   *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small) query
   *    set against the full corpus; one scan, no shuffle of the corpus side;
-  *    per-query top-k via window rank. This is the right plan at any scale
-  *    when |queries| is small: the corpus streams through executors once.
+  *    per-query top-k through the custom GroupTopK operator (map-side
+  *    bounded heaps — only k rows per query per partition reach the
+  *    shuffle). This is the right plan at any scale when |queries| is
+  *    small: the corpus streams through executors once.
   *  - [[thresholdPairs]] — exact all-pairs above a cosine threshold (the
   *    oracle-checkable ground truth; O(N²), only for modest N).
   *  - [[annTopK]] — the scale path: random-hyperplane LSH bucketing turns
@@ -29,11 +31,9 @@ object SimilaritySearch {
                      isQuery: Column, k: Int): DataFrame = {
     val q = emb.filter(isQuery).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos", cosineSim(col("qv"), col("nv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "cos", k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
@@ -54,11 +54,9 @@ object SimilaritySearch {
     import graft.functions.DotProduct.dotProduct
     val q = emb.filter(isQuery).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
-    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("ip", dotProduct(col("qv"), col("nv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "ip", k)
       .select(col("q_id"), col("n_id"), round(col("ip"), 4).as("ip"), col("rnk"))
   }
 
@@ -76,12 +74,10 @@ object SimilaritySearch {
       col(vecCol).as("qv"), col(filterCol).as("__fk"))
     val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
       col(filterCol).as(filterCol))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q),
+    val scored = c.join(broadcast(q),
         col(filterCol) === col("__fk") && col("q_id") =!= col("n_id"))
       .withColumn("cos", cosineSim(col("qv"), col("nv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "cos", k)
       .select(col("q_id"), col("n_id"), col(filterCol),
         round(col("cos"), 4).as("cos"), col("rnk"))
   }
@@ -233,12 +229,10 @@ object SimilaritySearch {
       .select(col("q_id"), col("qv"), col("cell"))
 
     val c = index.assigned.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("cell"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    probes.join(c, Seq("cell"))
+    val scored = probes.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosineSim(col("qv"), col("nv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "cos", k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
@@ -355,11 +349,17 @@ object SimilaritySearch {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("qv"), col("n_id"), col("nv"))
       .dropDuplicates("q_id", "n_id")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    candidates
-      .withColumn("cos", cosineSim(col("qv"), col("nv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    val scored = candidates.withColumn("cos", cosineSim(col("qv"), col("nv")))
+    rankTopK(scored, "cos", k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
+
+  /** Shared per-query ranking tail: top-k by (score desc, n_id) through
+    * the custom [[graft.plans.GroupTopK]] operator — map-side bounded
+    * heaps mean only k rows per query per partition reach the shuffle,
+    * where the window formulation shuffles and sorts EVERY scored
+    * candidate. Emits the input columns plus long `rnk`. */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    graft.plans.GroupTopK.topK(scored, Seq("q_id"),
+      Seq(col(scoreCol).desc, col("n_id")), k)
 }

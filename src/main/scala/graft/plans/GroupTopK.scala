@@ -1,0 +1,200 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, Expression, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Per-key top-k as a first-class Catalyst operator: logical node +
+  * strategy + physical plan, registered through
+  * `spark.experimental.extraStrategies` (no session rebuild needed).
+  *
+  * Why a custom operator: Spark's idiomatic per-key top-k is
+  * `row_number().over(Window.partitionBy(key).orderBy(ord)) <= k`, whose
+  * physical plan shuffles EVERY row to its key's partition and then sorts
+  * ENTIRE partitions — at 100 TB that is a full-data shuffle plus a full
+  * sort to keep k rows per key. This operator keeps a bounded heap per key
+  * on the MAP side (the top-k analogue of partial aggregation), so at most
+  * `k × |keys|` rows per input partition reach the exchange; the reduce
+  * side merges heaps and emits ranks. Shuffled bytes drop from O(N) to
+  * O(k · |keys| · partitions) and no full sort ever runs — the sort that
+  * remains is per-key over ≤ k survivors.
+  *
+  * Rank semantics are exactly `row_number` (1-based, gap-free) provided
+  * the ordering is total per key (give it a tiebreak column, same as any
+  * deterministic window query).
+  */
+final case class GroupTopK(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan,
+    rankAttr: AttributeReference =
+      AttributeReference("rnk", LongType, nullable = false)())
+    extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // The rank is born here, not read from the child — without this,
+  // CheckAnalysis rejects the plan for consuming an attribute no child
+  // provides.
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopK =
+    copy(child = newChild)
+}
+
+/** Physical per-partition bounded-heap top-k. Used twice per logical node
+  * (the partial/final pattern of HashAggregateExec): `partial = true` runs
+  * before the exchange with no distribution requirement and emits its
+  * survivors WITHOUT ranks; `partial = false` requires clustering on the
+  * group key (EnsureRequirements inserts the shuffle), merges the partial
+  * survivors, and appends the rank.
+  *
+  * Memory is bounded by (#distinct keys in the partition) × k row copies —
+  * the same envelope as a hash-aggregate buffer map.
+  */
+final case class GroupTopKExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    rankAttr: AttributeReference,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val grpExprs = groupExprs
+    val ordExprs = order
+    val limit = k
+    val isPartial = partial
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(grpExprs, childOutput)
+      val ordering = RowOrdering.create(ordExprs, childOutput)
+      // Heap head = the WORST retained row (last in sort order): eviction
+      // compares candidates against it in O(1), replacement is O(log k).
+      val heaps = new java.util.LinkedHashMap[
+        UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        var heap = heaps.get(keyProj(row))
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit, ordering.reverse)
+          heaps.put(keyProj(row).copy(), heap)
+        }
+        if (heap.size < limit) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val groups = heaps.values().iterator()
+      if (isPartial) {
+        // Survivors stream out unranked; order within a group is irrelevant
+        // before the merge.
+        new Iterator[InternalRow] {
+          private var cur: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          override def hasNext: Boolean = {
+            while (!cur.hasNext && groups.hasNext) cur = groups.next().iterator()
+            cur.hasNext
+          }
+          override def next(): InternalRow = cur.next()
+        }
+      } else {
+        val outProj = UnsafeProjection.create(
+          (childOutput :+ rankAttr).map(_.dataType).toArray)
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new JoinedRow
+        new Iterator[InternalRow] {
+          private var cur: Array[InternalRow] = Array.empty
+          private var i = 0
+          override def hasNext: Boolean = {
+            while (i >= cur.length && groups.hasNext) {
+              val heap = groups.next()
+              cur = heap.toArray(new Array[InternalRow](heap.size))
+              java.util.Arrays.sort(cur, ordering)
+              i = 0
+            }
+            i < cur.length
+          }
+          override def next(): InternalRow = {
+            rankRow.setLong(0, i + 1L)
+            val out = outProj(joined(cur(i), rankRow))
+            i += 1
+            out
+          }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
+    copy(child = newChild)
+}
+
+/** Plans [[GroupTopK]] as partial exec → (exchange via EnsureRequirements)
+  * → final exec. */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GroupTopK =>
+      val partial = GroupTopKExec(g.groupExprs, g.order, g.k,
+        partial = true, g.rankAttr, planLater(g.child))
+      GroupTopKExec(g.groupExprs, g.order, g.k,
+        partial = false, g.rankAttr, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+object GroupTopK {
+
+  /** Idempotently register the strategy on an existing session — no
+    * `spark.sql.extensions` config or session rebuild required. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupTopKStrategy
+
+  /** Top `k` rows per group, ranked 1..k in `orderBy` order (append a
+    * unique tiebreak for deterministic results, as with any window). The
+    * rank column is emitted as `rankName`.
+    *
+    * Column resolution is delegated to the analyzer: the `orderBy`
+    * columns are planted in a throwaway `Sort` over the input (Spark 4
+    * Columns carry unresolved column-node expressions that only the
+    * analyzer can bind), and the resolved `SortOrder`s plus analyzed
+    * child are harvested from it. */
+  def topK(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+           k: Int, rankName: String = "rnk"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val spark = df.sparkSession
+    register(spark)
+    val sortPlan = GraftColumnBridge.logicalPlan(df.sort(orderBy: _*))
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
+    val grp = groupCols.map(c => GraftColumnBridge.expression(df(c)))
+    val node = GroupTopK(grp, sortPlan.order, k, sortPlan.child)
+    GraftColumnBridge.ofRows(spark, node)
+      .withColumnRenamed("rnk", rankName)
+  }
+}

@@ -400,7 +400,21 @@ object RelationalQueries {
         t(s, dir, "events").select(col("user_id"), col("event_id"),
           col("ts"), col("value")),
         keyCol = "user_id", tsCol = "ts", tieBreak = "event_id",
-        valueCol = "value", maxGap = lit(12L * 3600L * 1000000L)))
+        valueCol = "value", maxGap = lit(12L * 3600L * 1000000L))),
+
+    // Per-key top-k through the custom GroupTopK operator (logical node +
+    // strategy + bounded-heap physical plan): map-side partial top-k means
+    // only k·|keys| rows per partition reach the shuffle and no full sort
+    // runs — the scale path for "top N per entity" over 100 TB. Same
+    // result as the q12-style row_number window (GroupTopKSpec proves
+    // equality); this entry oracle-checks the operator itself.
+    "q44_group_topk" -> ((s, dir) =>
+      graft.plans.GroupTopK.topK(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice")),
+        groupCols = Seq("o_custkey"),
+        orderBy = Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3))
   )
 
   /** DuckDB-dialect oracle SQL, one per query above (driver contract). */
@@ -589,6 +603,12 @@ object RelationalQueries {
          SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
                 min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events, round(sum(value), 2) AS sum_value
-         FROM s GROUP BY user_id, sess_idx"""
+         FROM s GROUP BY user_id, sess_idx""",
+    "q44_group_topk" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                           CAST(row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+                    FROM orders)
+         SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3"""
   )
 }

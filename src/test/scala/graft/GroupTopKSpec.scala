@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.GroupTopK
+
+/** The custom GroupTopK operator: result equality with the window
+  * formulation, row_number rank semantics, and the partial→exchange→final
+  * plan shape that makes it the 100 TB path. */
+class GroupTopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("matches the row_number window formulation exactly") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val viaOp = GroupTopK.topK(orders, Seq("o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey"), k = 3)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = orders
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+    assert(viaOp.count() == viaWindow.count())
+    assert(viaOp.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaOp).isEmpty,
+      "operator and window results must be identical")
+  }
+
+  test("plan: partial and final heaps around one exchange, no sort, no window") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val plan = GroupTopK.topK(orders, Seq("o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert("GroupTopK".r.findAllIn(plan).size == 2,
+      s"expected partial+final GroupTopK execs:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"no exchange:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
+    assert(!plan.contains("Sort "), s"full sort in plan:\n$plan")
+  }
+
+  test("k larger than the group emits every row, gap-free ranks from 1") {
+    val df = Seq((1L, 10.0), (1L, 30.0), (1L, 20.0), (2L, 5.0))
+      .toDF("g", "v")
+    val out = GroupTopK.topK(df, Seq("g"), Seq($"v".desc), k = 10)
+      .as[(Long, Double, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 10.0, 3L), (1L, 20.0, 2L), (1L, 30.0, 1L), (2L, 5.0, 1L)))
+  }
+
+  test("heap eviction keeps the best k under arbitrary input order") {
+    val df = spark.range(0, 10000)
+      .select(($"id" % 7).as("g"), ($"id" * 2654435761L % 100000).as("v"), $"id")
+    val viaOp = GroupTopK.topK(df, Seq("g"), Seq($"v".desc, $"id"), k = 5)
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    val viaWindow = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+    assert(viaOp.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaOp).isEmpty)
+  }
+
+  test("rank column is renameable and registration is idempotent") {
+    GroupTopK.register(spark)
+    GroupTopK.register(spark)
+    assert(spark.experimental.extraStrategies
+      .count(_ == graft.plans.GroupTopKStrategy) == 1)
+    val df = Seq((1L, 2.0)).toDF("g", "v")
+    val out = GroupTopK.topK(df, Seq("g"), Seq($"v"), k = 1, rankName = "position")
+    assert(out.columns.toSeq == Seq("g", "v", "position"))
+  }
+}
