@@ -92,12 +92,13 @@ object Bench {
   private def exhaust(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** The engine's only unpartitioned windows run over provably bounded
-    * frames (t07: the 100 TakeOrdered survivors; p02: one row per pack
-    * bucket), so WindowExec's moving-all-data warning is noise here — and
-    * it lands in the tail window the bench consumer parses. A constant
-    * partition key cannot silence it (Catalyst folds foldable keys out of
-    * the spec); lower the one logger instead.
+  /** The engine's only unpartitioned window runs over a provably bounded
+    * frame (p02's pack-bucket offsets: one row per bucket; t07's old one
+    * is gone — its rank tail now runs through the global GroupTopK), so
+    * WindowExec's moving-all-data warning is noise here — and it lands in
+    * the tail window the bench consumer parses. A constant partition key
+    * cannot silence it (Catalyst folds foldable keys out of the spec);
+    * lower the one logger instead.
     */
   def quietBoundedWindowWarning(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -46,9 +46,15 @@ object TextAnalysis {
     * what "the vocabulary" is. */
   def vocabTopK(docs: org.apache.spark.sql.DataFrame, textCol: String,
                 k: Int): org.apache.spark.sql.DataFrame =
+    tokenCounts(docs, textCol)
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+
+  /** Corpus-wide (token, n) counts — the shared input of [[vocabTopK]]
+    * (t07/t11) and the ranked variant (t07 via GroupTopK). */
+  def tokenCounts(docs: org.apache.spark.sql.DataFrame,
+                  textCol: String): org.apache.spark.sql.DataFrame =
     docs.select(explode(words(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc).limit(k)
 
   /** The corpus top-`k` word n-grams: (ngram, n, rank) with the same
     * deterministic tie-break as [[vocabTopK]] (count desc, ngram asc).

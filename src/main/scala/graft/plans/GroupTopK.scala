@@ -79,6 +79,10 @@ final case class GroupTopKExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // Empty group = GLOBAL top-k with ranks: the final merge needs all
+    // partial survivors on one partition (≤ k rows per input partition —
+    // a distributed TakeOrdered that also emits row_number).
+    else if (groupExprs.isEmpty) org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -154,6 +158,37 @@ final case class GroupTopKExec(
     copy(child = newChild)
 }
 
+/** Optimizer rule: group-key predicates commute with per-key top-k (each
+  * group's result is independent of every other group), so a Filter on the
+  * group columns sitting ABOVE GroupTopK moves below it — from there
+  * Spark's own pushdown walks it the rest of the way into the scan
+  * (`PushedFilters`), and the heaps never see pruned groups. Predicates
+  * touching non-group columns (including the rank) must stay above: they
+  * would change which rows compete for the top k. */
+object PushFilterThroughGroupTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet => ASet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, g: GroupTopK) =>
+      val groupRefs = ASet(g.groupExprs.flatMap(_.references))
+      val (push, keep) = conjuncts(cond)
+        .partition(p => p.deterministic && p.references.nonEmpty &&
+          p.references.subsetOf(groupRefs))
+      if (push.isEmpty) f
+      else {
+        val below = g.copy(child = Filter(push.reduce(And), g.child))
+        keep.reduceOption(And).map(Filter(_, below)).getOrElse(below)
+      }
+  }
+}
+
 /** Plans [[GroupTopK]] as partial exec → (exchange via EnsureRequirements)
   * → final exec. */
 object GroupTopKStrategy extends SparkStrategy {
@@ -169,12 +204,17 @@ object GroupTopKStrategy extends SparkStrategy {
 
 object GroupTopK {
 
-  /** Idempotently register the strategy on an existing session — no
-    * `spark.sql.extensions` config or session rebuild required. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Idempotently register the strategy + pushdown rule on an existing
+    * session — no `spark.sql.extensions` config or session rebuild
+    * required. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupTopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughGroupTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughGroupTopK
+  }
 
   /** Top `k` rows per group, ranked 1..k in `orderBy` order (append a
     * unique tiebreak for deterministic results, as with any window). The

@@ -425,15 +425,17 @@ object PipelineQueries {
     // Corpus vocabulary: global top-100 tokens. orderBy+limit is Spark's
     // distributed TakeOrdered (per-partition top-k, then merge) — the
     // ranking window only ever sees the 100 survivors.
-    "t07_vocab_topk" -> ((s, dir) =>
-      TA.vocabTopK(docs(s, dir), "text", 100)
-        .withColumn("rank",
-          // Unpartitioned by design: the frame is the 100 TakeOrdered
-          // survivors, never the corpus. (A constant partition key would
-          // not help — Catalyst folds it away and WindowExec still sees an
-          // empty spec; Bench/Verify lower that logger instead.)
-          row_number().over(Window.orderBy(col("n").desc, col("token").asc))
-            .cast("long")))
+    "t07_vocab_topk" -> ((s, dir) => {
+      // Global (empty-group) GroupTopK: distributed TakeOrdered that also
+      // emits the rank — replaces the old unpartitioned row_number window
+      // over the TakeOrdered survivors (and the WindowExec moving-all-data
+      // warning that came with it). t11 shares TA.vocabTopK's counts, so
+      // the two still agree on what "the vocabulary" is.
+      graft.plans.GroupTopK.topK(TA.tokenCounts(docs(s, dir), "text"),
+        groupCols = Nil,
+        orderBy = Seq(col("n").desc, col("token").asc), k = 100,
+        rankName = "rank")
+    })
   )
 
   /** Round-4 additions, split out so the primary map literal stays under

@@ -59,6 +59,41 @@ class GroupTopKSpec extends SparkSpecBase {
     assert(viaOp.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaOp).isEmpty)
   }
 
+  test("empty group = global top-k with ranks (distributed TakeOrdered)") {
+    val df = spark.range(0, 100000)
+      .select(($"id" * 2654435761L % 1000000).as("v"), $"id")
+    val viaOp = GroupTopK.topK(df, Nil, Seq($"v".desc, $"id"), k = 7)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    val viaSort = df.orderBy($"v".desc, $"id").limit(7)
+      .as[(Long, Long)].collect().toSeq
+    assert(viaOp.map(r => (r._1, r._2)) == viaSort)
+    assert(viaOp.map(_._3) == (1L to 7L))
+  }
+
+  test("group-key filters push below the operator into the scan") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val q = GroupTopK.topK(orders, Seq("o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey"), k = 3)
+      .filter($"o_custkey" < 100 && $"rnk" <= 2)
+    // The group predicate reaches the parquet scan; the rank predicate
+    // (non-group) must stay above the operator.
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,100)]"),
+      s"group filter did not reach the scan:\n$physical")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.indexOf("rnk") < optimized.indexOf("GroupTopK"),
+      s"rank filter must stay above GroupTopK:\n$optimized")
+    // And the semantics are unchanged vs filtering a window formulation.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = orders
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .filter($"o_custkey" < 100 && $"rnk" <= 2)
+    assert(q.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(q).isEmpty)
+  }
+
   test("rank column is renameable and registration is idempotent") {
     GroupTopK.register(spark)
     GroupTopK.register(spark)
