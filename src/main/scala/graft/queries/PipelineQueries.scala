@@ -484,6 +484,39 @@ object PipelineQueries {
       SimilaritySearch.filteredTopK(emb(s, dir), "vec_id", "embedding",
         filterCol = "label", isQuery = col("vec_id") < 10, k = 5)),
 
+    // Overlapping token windows (64 tokens, stride 48 — 25% overlap): the
+    // chunking step before embedding or context assembly. Map-only:
+    // sequence + posexplode + slice run scan-side, no shuffle at all.
+    "p09_chunk_windows" -> ((s, dir) => {
+      val ws = filter(TA.words(col("text")), w => w =!= "")
+      docs(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), col("ws"),
+          posexplode(sequence(lit(1), size(col("ws")), lit(48)))
+            .as(Seq("win_idx", "win_start")))
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          col("win_start").cast("long").as("win_start"),
+          size(slice(col("ws"), col("win_start"), lit(64))).cast("long").as("win_len"),
+          md5(concat_ws(" ", slice(col("ws"), col("win_start"), lit(64)))).as("win_md5"))
+    }),
+
+    // Cross-source duplication matrix: for every unordered source pair,
+    // how many near-dup pairs straddle it (who copies from whom). Reuses
+    // the d03 pair set; two broadcast-size id->source joins + one
+    // aggregate.
+    "d11_source_overlap" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        "n_chars", threshold = 0.2)
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+                 greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Per-source duplication report: what fraction of each source's docs
     // are non-keeper members of a near-dup cluster (d03 pairs → d07
     // components → left join + conditional count). The measurement that
@@ -845,6 +878,26 @@ object PipelineQueries {
                            CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
                     FROM s)
          SELECT q_id, n_id, label, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5""",
+    "p09_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              w AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws), 48)) AS win_start
+                    FROM t WHERE len(ws) >= 1)
+         SELECT doc_id, CAST((win_start - 1) // 48 AS BIGINT) AS win_idx,
+                CAST(win_start AS BIGINT) AS win_start,
+                CAST(len(ws[win_start:win_start+63]) AS BIGINT) AS win_len,
+                md5(array_to_string(ws[win_start:win_start+63], ' ')) AS win_md5
+         FROM w""",
+    "d11_source_overlap" ->
+      s"""WITH p AS ($D03Sql),
+              src AS (SELECT doc_id, source FROM documents)
+          SELECT least(a.source, b.source) AS source_a,
+                 greatest(a.source, b.source) AS source_b,
+                 count(*) AS n_pairs
+          FROM p JOIN src a ON p.a_id = a.doc_id
+                 JOIN src b ON p.b_id = b.doc_id
+          GROUP BY 1, 2""",
     "d10_dup_rate" ->
       s"""WITH RECURSIVE $ComponentsCte
           SELECT d.source, count(*) AS n_docs,

@@ -154,6 +154,11 @@ object Stress {
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "lang", "doc_id", "n_tokens", budget = 30000L * factor).count()
     }
+    time("group_topk") {
+      graft.plans.GroupTopK.topK(orders,
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3).count()
+    }
     time("mips_topk") {
       SimilaritySearch.mipsTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5).count()

@@ -73,7 +73,7 @@ class QueriesSpec extends SparkSpecBase {
         "m02_frame_sample", "d04_minhash_lsh", "d06_embedding_dedup",
         "d01_dedup_exact", "p01_hash_split", "p03_decontamination",
         "p07_token_budget", "t12_bigram_topk", "p08_curriculum_bins",
-        "s08_filtered_topk")
+        "s08_filtered_topk", "p09_chunk_windows", "d11_source_overlap")
       // d10 is absent for the same localCheckpoint reason as d09 below;
       // s07 shares s01's deliberate broadcast-NLJ (tiny query side).
       // d09 is intentionally absent: connectedComponents localCheckpoints,
