@@ -37,9 +37,11 @@ final case class GroupTopK(
     k: Int,
     child: LogicalPlan,
     rankAttr: AttributeReference =
-      AttributeReference("rnk", LongType, nullable = false)())
+      AttributeReference("rnk", LongType, nullable = false)(),
+    maxPartialKeys: Int = GroupTopK.DefaultMaxPartialKeys)
     extends UnaryNode {
   require(k >= 1, s"k must be >= 1, got $k")
+  require(maxPartialKeys >= 1, s"maxPartialKeys must be >= 1, got $maxPartialKeys")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // The rank is born here, not read from the child — without this,
   // CheckAnalysis rejects the plan for consuming an attribute no child
@@ -58,8 +60,16 @@ final case class GroupTopK(
   * group key (EnsureRequirements inserts the shuffle), merges the partial
   * survivors, and appends the rank.
   *
-  * Memory is bounded by (#distinct keys in the partition) × k row copies —
-  * the same envelope as a hash-aggregate buffer map.
+  * Memory on the partial side is STRICTLY bounded: the heap map holds at
+  * most `maxPartialKeys` keys × k row copies; when a new key would exceed
+  * the bound, the map's current contents are emitted downstream and the
+  * map resets. Emitting a superset of the per-key top-k is always correct
+  * before the merge — the final side re-filters — so the flush trades a
+  * little shuffle volume for a hard memory ceiling on high-cardinality
+  * keys (hash aggregation spills in the same situation; top-k can do
+  * better because partial results are summable). The final side holds the
+  * partition's keys × k rows, the same envelope as a final hash
+  * aggregate.
   */
 final case class GroupTopKExec(
     groupExprs: Seq[Expression],
@@ -67,6 +77,7 @@ final case class GroupTopKExec(
     k: Int,
     partial: Boolean,
     rankAttr: AttributeReference,
+    maxPartialKeys: Int,
     child: SparkPlan)
     extends UnaryExecNode {
 
@@ -93,6 +104,7 @@ final case class GroupTopKExec(
     val ordExprs = order
     val limit = k
     val isPartial = partial
+    val keyCap = maxPartialKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(grpExprs, childOutput)
       val ordering = RowOrdering.create(ordExprs, childOutput)
@@ -100,33 +112,61 @@ final case class GroupTopKExec(
       // compares candidates against it in O(1), replacement is O(log k).
       val heaps = new java.util.LinkedHashMap[
         UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        var heap = heaps.get(keyProj(row))
-        if (heap == null) {
+      def insert(row: InternalRow): Boolean = {
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        val isNewKey = heap == null
+        if (isNewKey && !(isPartial && heaps.size() >= keyCap)) {
           heap = new java.util.PriorityQueue[InternalRow](limit, ordering.reverse)
-          heaps.put(keyProj(row).copy(), heap)
+          heaps.put(key.copy(), heap)
         }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap == null) false // partial map full: caller flushes, then retries
+        else {
+          if (heap.size < limit) heap.add(row.copy())
+          else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+          true
         }
       }
-      val groups = heaps.values().iterator()
       if (isPartial) {
-        // Survivors stream out unranked; order within a group is irrelevant
-        // before the merge.
+        // Streaming state machine: consume input, and whenever the heap
+        // map would exceed keyCap keys, drain it downstream and reset —
+        // strictly bounded memory at any key cardinality. Survivors
+        // stream out unranked; order within a group is irrelevant before
+        // the merge.
         new Iterator[InternalRow] {
           private var cur: java.util.Iterator[InternalRow] =
             java.util.Collections.emptyIterator()
+          private var pending: InternalRow = null
+          private def drain(): java.util.Iterator[InternalRow] = {
+            val all = new java.util.ArrayList[InternalRow]()
+            heaps.values().forEach(h => all.addAll(h))
+            heaps.clear()
+            all.iterator()
+          }
           override def hasNext: Boolean = {
-            while (!cur.hasNext && groups.hasNext) cur = groups.next().iterator()
-            cur.hasNext
+            while (!cur.hasNext) {
+              if (pending != null) {
+                val row = pending; pending = null
+                insert(row) // map just drained: always succeeds
+              }
+              if (!iter.hasNext) {
+                if (heaps.isEmpty) return false
+                cur = drain()
+              } else {
+                val row = iter.next()
+                if (!insert(row)) { pending = row.copy(); cur = drain() }
+              }
+            }
+            true
           }
           override def next(): InternalRow = cur.next()
         }
       } else {
+        while (iter.hasNext) insert(iter.next())
+        val groups = heaps.values().iterator()
         val outProj = UnsafeProjection.create(
           (childOutput :+ rankAttr).map(_.dataType).toArray)
         val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
@@ -195,14 +235,19 @@ object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GroupTopK =>
       val partial = GroupTopKExec(g.groupExprs, g.order, g.k,
-        partial = true, g.rankAttr, planLater(g.child))
+        partial = true, g.rankAttr, g.maxPartialKeys, planLater(g.child))
       GroupTopKExec(g.groupExprs, g.order, g.k,
-        partial = false, g.rankAttr, partial) :: Nil
+        partial = false, g.rankAttr, g.maxPartialKeys, partial) :: Nil
     case _ => Nil
   }
 }
 
 object GroupTopK {
+
+  /** Partial-side heap-map key bound (see [[GroupTopKExec]]): 64k keys ×
+    * k rows is a few tens of MB for typical row widths — comfortably
+    * inside an executor task's working memory. */
+  val DefaultMaxPartialKeys: Int = 1 << 16
 
   /** Idempotently register the strategy + pushdown rule on an existing
     * session — no `spark.sql.extensions` config or session rebuild
@@ -226,14 +271,16 @@ object GroupTopK {
     * analyzer can bind), and the resolved `SortOrder`s plus analyzed
     * child are harvested from it. */
   def topK(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
-           k: Int, rankName: String = "rnk"): DataFrame = {
+           k: Int, rankName: String = "rnk",
+           maxPartialKeys: Int = DefaultMaxPartialKeys): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val spark = df.sparkSession
     register(spark)
     val sortPlan = GraftColumnBridge.logicalPlan(df.sort(orderBy: _*))
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
     val grp = groupCols.map(c => GraftColumnBridge.expression(df(c)))
-    val node = GroupTopK(grp, sortPlan.order, k, sortPlan.child)
+    val node = GroupTopK(grp, sortPlan.order, k, sortPlan.child,
+      maxPartialKeys = maxPartialKeys)
     GraftColumnBridge.ofRows(spark, node)
       .withColumnRenamed("rnk", rankName)
   }

@@ -59,6 +59,19 @@ class GroupTopKSpec extends SparkSpecBase {
     assert(viaOp.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaOp).isEmpty)
   }
 
+  test("partial flush under a tiny key cap changes nothing but memory") {
+    // 500 keys against a cap of 3: the partial side flushes ~170 times per
+    // partition; results must be identical to the uncapped run.
+    val df = spark.range(0, 50000)
+      .select(($"id" % 500).as("g"), ($"id" * 48271 % 99991).as("v"), $"id")
+    val capped = GroupTopK.topK(df, Seq("g"), Seq($"v".desc, $"id"), k = 4,
+      maxPartialKeys = 3)
+    val uncapped = GroupTopK.topK(df, Seq("g"), Seq($"v".desc, $"id"), k = 4)
+    assert(capped.count() == 2000)
+    assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty,
+      "flush must be invisible in the result")
+  }
+
   test("empty group = global top-k with ranks (distributed TakeOrdered)") {
     val df = spark.range(0, 100000)
       .select(($"id" * 2654435761L % 1000000).as("v"), $"id")
