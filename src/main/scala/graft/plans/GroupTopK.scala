@@ -98,6 +98,16 @@ final case class GroupTopKExec(
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = {
+    import org.apache.spark.sql.execution.metric.SQLMetrics
+    val base = Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    if (partial)
+      base + ("numFlushes" -> SQLMetrics.createMetric(sparkContext,
+        "partial heap-map drains (1 per partition + 1 per key-cap hit)"))
+    else base
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val grpExprs = groupExprs
@@ -105,6 +115,8 @@ final case class GroupTopKExec(
     val limit = k
     val isPartial = partial
     val keyCap = maxPartialKeys
+    val outRows = longMetric("numOutputRows")
+    val flushes = if (partial) Some(longMetric("numFlushes")) else None
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(grpExprs, childOutput)
       val ordering = RowOrdering.create(ordExprs, childOutput)
@@ -144,6 +156,7 @@ final case class GroupTopKExec(
             val all = new java.util.ArrayList[InternalRow]()
             heaps.values().forEach(h => all.addAll(h))
             heaps.clear()
+            flushes.foreach(_.add(1))
             all.iterator()
           }
           override def hasNext: Boolean = {
@@ -162,7 +175,7 @@ final case class GroupTopKExec(
             }
             true
           }
-          override def next(): InternalRow = cur.next()
+          override def next(): InternalRow = { outRows.add(1); cur.next() }
         }
       } else {
         while (iter.hasNext) insert(iter.next())
@@ -187,6 +200,7 @@ final case class GroupTopKExec(
             rankRow.setLong(0, i + 1L)
             val out = outProj(joined(cur(i), rankRow))
             i += 1
+            outRows.add(1)
             out
           }
         }
