@@ -354,6 +354,40 @@ object SimilaritySearch {
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Approximate MIPS: the [[mipsAugment]] reduction wired into the LSH
+    * pipeline end-to-end. Vectors are augmented to unit norm (corpus rows
+    * carry the norm-completion coordinate, query rows a zero), so the
+    * hyperplane buckets that approximate COSINE on the augmented space
+    * approximate INNER PRODUCT on the originals; candidates are verified
+    * with the exact codegen'd dot product and ranked through GroupTopK.
+    * `maxNorm` is one aggregate over the corpus — at scale, compute it
+    * offline with the index, like the IVF centroids. */
+  def annMipsTopK(emb: DataFrame, idCol: String, vecCol: String,
+                  isQuery: Column, k: Int,
+                  bits: Int = HyperplaneBits, tables: Int = HashTables): DataFrame = {
+    import graft.functions.DotProduct.dotProduct
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val maxNorm = emb.filter(!isQuery).select(max(norm).as("m"))
+      .collect().head.getDouble(0)
+    val aug = emb.withColumn("__aug",
+      when(isQuery, mipsAugment(col(vecCol), maxNorm, isQuery = true))
+        .otherwise(mipsAugment(col(vecCol), maxNorm, isQuery = false)))
+    val keyed = aug.select(col(idCol), col(vecCol), isQuery.as("__isq"),
+      posexplode(LshTableBuckets.lshTableBuckets(col("__aug"), tables, bits))
+        .as(Seq("t", "bucket")))
+    val q = keyed.filter(col("__isq"))
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("t"), col("bucket"))
+    val c = keyed.filter(!col("__isq"))
+      .select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("t"), col("bucket"))
+    val candidates = q.join(c, Seq("t", "bucket"))
+      .select(col("q_id"), col("qv"), col("n_id"), col("nv"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = candidates.withColumn("ip", dotProduct(col("qv"), col("nv")))
+    rankTopK(scored, "ip", k)
+      .select(col("q_id"), col("n_id"), round(col("ip"), 4).as("ip"), col("rnk"))
+  }
+
   /** Shared per-query ranking tail: top-k by (score desc, n_id) through
     * the custom [[graft.plans.GroupTopK]] operator — map-side bounded
     * heaps mean only k rows per query per partition reach the shuffle,

@@ -458,6 +458,14 @@ object PipelineQueries {
       SimilaritySearch.mipsTopK(emb(s, dir), "vec_id", "embedding",
         isQuery = col("vec_id") < 10, k = 5)),
 
+    // Approximate MIPS: norm-augmentation reduction + LSH bucketing +
+    // exact dot-product verify (the sublinear path whose exact twin is
+    // s07). No SQL oracle — hyperplane buckets aren't expressible in
+    // DuckDB (same as s03); Round4Spec bounds recall against s07 instead.
+    "s09_ann_mips" -> ((s, dir) =>
+      SimilaritySearch.annMipsTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3)),
+
     // Corpus top-50 bigrams: the n-gram census a contamination or
     // memorization audit starts from. Scan-side codegen'd shingling, one
     // hash aggregate, distributed TakeOrdered.

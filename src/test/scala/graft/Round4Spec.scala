@@ -137,6 +137,28 @@ class Round4Spec extends SparkSpecBase {
     assert(viaCos == viaIp, s"augmented-cosine $viaCos vs mips $viaIp")
   }
 
+  test("annMipsTopK finds planted high-inner-product neighbours (recall >= 0.8)") {
+    // Planted neighbours: scaled copies of the query vectors — same
+    // direction (so they land in the query's LSH buckets) and 3x the
+    // norm (so they dominate every inner product). The true MIPS top-1
+    // for each query is its own planted copy; the ANN path must find it.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * lit(3.0f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val exact = SimilaritySearch.mipsTopK(corpus, "vec_id", "embedding",
+      isQuery = $"vec_id" < 10, k = 1)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    exact.foreach { case (q, n) => assert(n == q + 100000, s"plant broken for $q") }
+    val approx = SimilaritySearch.annMipsTopK(corpus, "vec_id", "embedding",
+      isQuery = $"vec_id" < 10, k = 1)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN MIPS recall $recall")
+  }
+
   // ---- n-gram census -----------------------------------------------------
 
   test("ngramTopK counts every bigram occurrence with deterministic ties") {
