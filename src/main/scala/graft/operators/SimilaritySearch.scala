@@ -28,37 +28,44 @@ object SimilaritySearch {
 
   /** Exact top-k neighbours for each query vector. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     isQuery: Column, k: Int): DataFrame = {
+                     isQuery: Column, k: Int): DataFrame =
+    exactTopK(emb, idCol, vecCol, isQuery, k, cosineSim, "cos")
+
+  /** Shared exact brute-force body (cosine and inner-product twins differ
+    * ONLY in the scoring kernel — one definition keeps them from
+    * drifting): broadcast the small query set against the full corpus
+    * (one scan, no corpus shuffle), score, rank through GroupTopK. */
+  private def exactTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        isQuery: Column, k: Int,
+                        score: (Column, Column) => Column,
+                        scoreName: String): DataFrame = {
     val q = emb.filter(isQuery).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosineSim(col("qv"), col("nv")))
-    rankTopK(scored, "cos", k)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+      .withColumn(scoreName, score(col("qv"), col("nv")))
+    rankTopK(scored, scoreName, k)
+      .select(col("q_id"), col("n_id"),
+        round(col(scoreName), 4).as(scoreName), col("rnk"))
   }
 
   /** Exact top-k by raw inner product (MIPS — maximum-inner-product
     * search, the retrieval objective of dot-product-trained embedding
     * models, where vector NORM carries signal and cosine ranking is
-    * wrong). Same plan as [[bruteForceTopK]]: broadcast the small query
-    * set, stream the corpus once, per-query top-k via window rank.
+    * wrong). Same plan as [[bruteForceTopK]] (the shared [[exactTopK]]
+    * body): broadcast the small query set, stream the corpus once,
+    * per-query top-k through GroupTopK.
     *
     * The sublinear path at scale is the classic norm-augmentation
-    * reduction to cosine LSH ([[mipsAugment]]): append one coordinate
-    * sqrt(M² − ‖x‖²) to each corpus vector (M = max corpus norm) and 0 to
-    * each query — then cosine order against augmented vectors equals
-    * inner-product order, so [[lshKeyed]] bucketing applies unchanged.
-    * MipsSpec proves the rank equality on real embeddings. */
+    * reduction to cosine LSH ([[mipsAugment]], wired end-to-end in
+    * [[annMipsTopK]]): append one coordinate sqrt(M² − ‖x‖²) to each
+    * corpus vector (M = max corpus norm) and 0 to each query — then
+    * cosine order against augmented vectors equals inner-product order,
+    * so the hyperplane bucketing applies unchanged. Round4Spec proves the
+    * rank equality on real embeddings. */
   def mipsTopK(emb: DataFrame, idCol: String, vecCol: String,
-               isQuery: Column, k: Int): DataFrame = {
-    import graft.functions.DotProduct.dotProduct
-    val q = emb.filter(isQuery).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-    val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("ip", dotProduct(col("qv"), col("nv")))
-    rankTopK(scored, "ip", k)
-      .select(col("q_id"), col("n_id"), round(col("ip"), 4).as("ip"), col("rnk"))
-  }
+               isQuery: Column, k: Int): DataFrame =
+    exactTopK(emb, idCol, vecCol, isQuery, k,
+      graft.functions.DotProduct.dotProduct, "ip")
 
   /** Metadata-filtered vector search: exact top-k restricted to corpus
     * vectors sharing the query's `filterCol` value. The filter is NOT a
@@ -95,7 +102,11 @@ object SimilaritySearch {
     if (isQuery) {
       val qn = sqrt(aggregate(vec, lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double")))
-      concat(transform(vec, x => x.cast("double") / qn), array(lit(0.0)))
+      // Zero-norm guard: a zero query vector divides by zero and turns
+      // every coordinate NaN (poisoning its LSH buckets); dividing by 1
+      // keeps it an all-zero vector with deterministic buckets instead.
+      val safeQn = when(qn === 0.0, lit(1.0)).otherwise(qn)
+      concat(transform(vec, x => x.cast("double") / safeQn), array(lit(0.0)))
     } else {
       concat(scaled, array(sqrt(greatest(lit(1.0) - normSq, lit(0.0)))))
     }
@@ -368,19 +379,33 @@ object SimilaritySearch {
     import graft.functions.DotProduct.dotProduct
     val norm = sqrt(aggregate(col(vecCol), lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val maxNorm = emb.filter(!isQuery).select(max(norm).as("m"))
-      .collect().head.getDouble(0)
-    val aug = emb.withColumn("__aug",
-      when(isQuery, mipsAugment(col(vecCol), maxNorm, isQuery = true))
-        .otherwise(mipsAugment(col(vecCol), maxNorm, isQuery = false)))
-    val keyed = aug.select(col(idCol), col(vecCol), isQuery.as("__isq"),
-      posexplode(LshTableBuckets.lshTableBuckets(col("__aug"), tables, bits))
-        .as(Seq("t", "bucket")))
-    val q = keyed.filter(col("__isq"))
-      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("t"), col("bucket"))
-    val c = keyed.filter(!col("__isq"))
-      .select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("t"), col("bucket"))
+    // The candidate corpus is ALL rows — queries included, exactly like the
+    // exact twin mipsTopK (a query may be another query's best neighbour);
+    // only self-pairs are excluded, after the bucket join. So every row
+    // gets the CORPUS augmentation for its candidate role, and query rows
+    // additionally get the query augmentation for bucketing their probes.
+    // maxNorm therefore ranges over all rows. One aggregate, computed here
+    // eagerly — at scale it belongs with the offline index build, like the
+    // IVF centroids (see scaladoc).
+    val maxNormRow = emb.select(max(norm).as("m")).collect().head
+    if (maxNormRow.isNullAt(0) || maxNormRow.getDouble(0) == 0.0)
+      // Empty or all-zero corpus: every inner product is 0/undefined; the
+      // exact path returns the correct (empty) answer without dividing by
+      // the degenerate maxNorm.
+      return mipsTopK(emb, idCol, vecCol, isQuery, k)
+    val maxNorm = maxNormRow.getDouble(0)
+    val c = emb
+      .withColumn("__aug", mipsAugment(col(vecCol), maxNorm, isQuery = false))
+      .select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+        posexplode(LshTableBuckets.lshTableBuckets(col("__aug"), tables, bits))
+          .as(Seq("t", "bucket")))
+    val q = emb.filter(isQuery)
+      .withColumn("__aug", mipsAugment(col(vecCol), maxNorm, isQuery = true))
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        posexplode(LshTableBuckets.lshTableBuckets(col("__aug"), tables, bits))
+          .as(Seq("t", "bucket")))
     val candidates = q.join(c, Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("qv"), col("n_id"), col("nv"))
       .dropDuplicates("q_id", "n_id")
     val scored = candidates.withColumn("ip", dotProduct(col("qv"), col("nv")))

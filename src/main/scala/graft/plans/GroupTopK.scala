@@ -230,7 +230,14 @@ object PushFilterThroughGroupTopK
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, g: GroupTopK) =>
+    // Guard: only when every group expr is a bare Attribute. With derived
+    // group exprs (e.g. a % 10) a predicate on the underlying column is
+    // NOT a function of the group value — pushing `a > 5` under a group
+    // key of `a % 10` would remove rows from groups they still compete
+    // in. Attributes are the only case where "references ⊆ group refs"
+    // implies "constant within a group".
+    case f @ Filter(cond, g: GroupTopK)
+        if g.groupExprs.forall(_.isInstanceOf[Attribute]) =>
       val groupRefs = ASet(g.groupExprs.flatMap(_.references))
       val (push, keep) = conjuncts(cond)
         .partition(p => p.deterministic && p.references.nonEmpty &&
@@ -248,9 +255,17 @@ object PushFilterThroughGroupTopK
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GroupTopK =>
-      val partial = GroupTopKExec(g.groupExprs, g.order, g.k,
+      // Normalize float/double group keys (-0.0 → 0.0, canonical NaN) the
+      // same way Spark does for groupBy/window/join keys: the heap map
+      // compares raw UnsafeRow bytes and the exchange hashes the
+      // expressions, so without this a group keyed by -0.0 and 0.0 would
+      // split into two groups — diverging from the row_number window this
+      // operator is rank-equivalent to.
+      val grp = g.groupExprs.map(
+        org.apache.spark.sql.GraftColumnBridge.normalizeFloats)
+      val partial = GroupTopKExec(grp, g.order, g.k,
         partial = true, g.rankAttr, g.maxPartialKeys, planLater(g.child))
-      GroupTopKExec(g.groupExprs, g.order, g.k,
+      GroupTopKExec(grp, g.order, g.k,
         partial = false, g.rankAttr, g.maxPartialKeys, partial) :: Nil
     case _ => Nil
   }
@@ -290,12 +305,18 @@ object GroupTopK {
     import org.apache.spark.sql.GraftColumnBridge
     val spark = df.sparkSession
     register(spark)
+    require(!df.columns.contains(rankName),
+      s"input already has a column named '$rankName' — pass a different rankName")
     val sortPlan = GraftColumnBridge.logicalPlan(df.sort(orderBy: _*))
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
     val grp = groupCols.map(c => GraftColumnBridge.expression(df(c)))
+    // Internal rank name no user column can collide with; renamed on the
+    // way out (withColumnRenamed renames every match, so the attr must be
+    // unique in the node's output).
     val node = GroupTopK(grp, sortPlan.order, k, sortPlan.child,
+      rankAttr = AttributeReference("__gtk_rnk", LongType, nullable = false)(),
       maxPartialKeys = maxPartialKeys)
     GraftColumnBridge.ofRows(spark, node)
-      .withColumnRenamed("rnk", rankName)
+      .withColumnRenamed("__gtk_rnk", rankName)
   }
 }

@@ -19,4 +19,10 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Canonicalize -0.0/NaN in float-typed expressions the way Spark does
+    * for its own groupBy/window/join keys (`NormalizeFloatingNumbers
+    * .normalize` is private[sql]). */
+  def normalizeFloats(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -107,6 +107,25 @@ class GroupTopKSpec extends SparkSpecBase {
     assert(q.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(q).isEmpty)
   }
 
+  test("-0.0 and 0.0 group keys form ONE group, like any groupBy/window") {
+    val df = Seq((-0.0, 1L), (0.0, 2L), (-0.0, 3L), (1.5, 4L)).toDF("g", "v")
+    val out = GroupTopK.topK(df, Seq("g"), Seq($"v"), k = 10)
+    // One group of three zeros (ranks 1..3) and one singleton.
+    val ranks = out.filter($"v" <= 3).select($"rnk").as[Long].collect().sorted.toSeq
+    assert(ranks == Seq(1L, 2L, 3L), s"zero keys split into groups: $ranks")
+  }
+
+  test("a pre-existing rank-name column is rejected instead of corrupted") {
+    val df = Seq((1L, 2.0, 9L)).toDF("g", "v", "rnk")
+    val e = intercept[IllegalArgumentException] {
+      GroupTopK.topK(df, Seq("g"), Seq($"v"), k = 1)
+    }
+    assert(e.getMessage.contains("rnk"))
+    // A non-colliding name works fine.
+    val ok = GroupTopK.topK(df, Seq("g"), Seq($"v"), k = 1, rankName = "position")
+    assert(ok.columns.toSeq == Seq("g", "v", "rnk", "position"))
+  }
+
   test("rank column is renameable and registration is idempotent") {
     GroupTopK.register(spark)
     GroupTopK.register(spark)
