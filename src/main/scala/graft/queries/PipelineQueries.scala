@@ -525,6 +525,27 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Quality-aware keeper election: within each near-dup cluster, keep
+    // the HIGHEST-QUALITY member (production dedup keeps the best copy,
+    // not the lowest id). Clusters from d07's components; quality is
+    // t02's shared integer score; the per-cluster argmax runs through the
+    // custom GroupTopK operator (k=1 per cluster — the map side reduces
+    // each cluster to one candidate per partition before the shuffle).
+    "d12_quality_keeper" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        "n_chars", threshold = 0.2)
+      val clusters = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      val quality = qualityScored(docs(s, dir))
+        .select(col("doc_id").as("id"), col("quality_bp"))
+      val members = clusters.join(quality, Seq("id"))
+      graft.plans.GroupTopK.topK(members, groupCols = Seq("cluster"),
+          orderBy = Seq(col("quality_bp").desc, col("id")), k = 1)
+        .select(col("cluster"), col("id").as("keeper_id"),
+          col("quality_bp").as("keeper_quality"))
+        .join(clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n_members")),
+          Seq("cluster"))
+    }),
+
     // Per-source duplication report: what fraction of each source's docs
     // are non-keeper members of a near-dup cluster (d03 pairs → d07
     // components → left join + conditional count). The measurement that
@@ -906,6 +927,26 @@ object PipelineQueries {
           FROM p JOIN src a ON p.a_id = a.doc_id
                  JOIN src b ON p.b_id = b.doc_id
           GROUP BY 1, 2""",
+    "d12_quality_keeper" ->
+      s"""WITH RECURSIVE $ComponentsCte,
+              t2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              c2 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                            CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+                            CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                     FROM t2),
+              q2 AS (SELECT doc_id,
+                            CAST(n_uniq * 5000 // n_tokens
+                                 + (n_tokens - n_stop) * 3000 // n_tokens
+                                 + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
+                     FROM c2),
+              m AS (SELECT comp.cluster, comp.id, q2.quality_bp,
+                           row_number() OVER (PARTITION BY comp.cluster
+                             ORDER BY q2.quality_bp DESC, comp.id) AS rn
+                    FROM comp JOIN q2 ON comp.id = q2.doc_id),
+              n AS (SELECT cluster, count(*) AS n_members FROM comp GROUP BY cluster)
+          SELECT m.cluster, m.id AS keeper_id, m.quality_bp AS keeper_quality,
+                 n.n_members
+          FROM m JOIN n ON m.cluster = n.cluster WHERE m.rn = 1""",
     "d10_dup_rate" ->
       s"""WITH RECURSIVE $ComponentsCte
           SELECT d.source, count(*) AS n_docs,
