@@ -205,8 +205,20 @@ object SimilaritySearch {
     val fitInput =
       if (sampleMod <= 1) vecs
       else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    // KMeans cannot fit zero points (and degenerates below k points): an
+    // empty/tiny corpus gets a single-cell index instead of a crash —
+    // probes then scan the one cell, which IS the whole corpus.
+    val fitCount = fitInput.count()
+    if (fitCount == 0) {
+      val empty = emb.sparkSession.createDataFrame(
+        emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        vecs.select(col(idCol), col(vecCol)).schema
+          .add("cell", org.apache.spark.sql.types.IntegerType, nullable = false))
+      return IvfIndex(Array.empty, empty, idCol, vecCol)
+    }
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(10).setFeaturesCol("fv")
+      .setK(math.min(nCells.toLong, fitCount).toInt)
+      .setSeed(42L).setMaxIter(10).setFeaturesCol("fv")
     val model = km.fit(fitInput)
     val assignedPlan = model.transform(vecs)
       .select(col(idCol), col(vecCol), col("prediction").as("cell"))
