@@ -200,6 +200,44 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class BudgetDoc(doc_id: Long, group: String, n_tokens: Long)
+  final case class Admitted(doc_id: Long, group: String, n_tokens: Long,
+                            cum_before: Long)
+
+  /** Streaming per-group admission quota: admit documents while the
+    * group's running token total stays under `budget` (a document that
+    * straddles the boundary is still taken, the [[graft.operators.Sampling
+    * .tokenBudgetPerGroup]] convention). State per group is ONE long — the
+    * committed running total — so memory is O(|groups|) forever and a
+    * restart resumes from the checkpointed totals.
+    *
+    * Semantics vs the batch twin: batch admits a deterministic md5-order
+    * prefix of the whole corpus; a stream cannot know that order, so this
+    * admits in ARRIVAL order (within a microbatch: (doc_id) order for
+    * reproducible tests). Once a group's budget is spent, later documents
+    * are dropped — including across restarts. */
+  def budgetAdmitStream(docs: Dataset[BudgetDoc], budget: Long)
+      : Dataset[Admitted] = {
+    require(budget > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def update(group: String, batch: Iterator[BudgetDoc],
+               state: GroupState[Long]): Iterator[Admitted] = {
+      var total = state.getOption.getOrElse(0L)
+      val out = scala.collection.mutable.Buffer[Admitted]()
+      batch.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (total < budget) {
+          out += Admitted(d.doc_id, group, d.n_tokens, total)
+          total += d.n_tokens
+        }
+      }
+      state.update(total)
+      out.iterator
+    }
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Batch twin of [[sessionize]] for correctness checks — ONE shared body
     * with the relational operator ([[graft.operators.Sessionize.sessions]],
     * the oracle-checked q43), so the streaming equality proof and the

@@ -127,6 +127,31 @@ class StreamingSpec extends SparkSpecBase {
       s"streamed sessions not in batch truth: ${streamSet -- batchSet}")
   }
 
+  test("streaming budget admission enforces the quota across microbatches") {
+    import EventStreams.{Admitted, BudgetDoc}
+    val memStream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BudgetDoc](
+      spark, 2)
+    // Batch 1: group a consumes 8 of its 10-token budget; group b 4.
+    memStream.addData(Seq(
+      BudgetDoc(1, "a", 5), BudgetDoc(2, "a", 3), BudgetDoc(3, "b", 4)))
+    val q = EventStreams.budgetAdmitStream(memStream.toDS(), budget = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_out").start()
+    try {
+      q.processAllAvailable()
+      // Batch 2: a has 2 tokens left -> doc 4 straddles (admitted), doc 5
+      // is over budget (dropped); b admits doc 6 then is exhausted.
+      memStream.addData(Seq(
+        BudgetDoc(4, "a", 6), BudgetDoc(5, "a", 1),
+        BudgetDoc(6, "b", 7), BudgetDoc(7, "b", 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("budget_out").as[Admitted]
+      .collect().map(a => (a.doc_id, a.cum_before)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 0L, 4L -> 8L, 6L -> 4L),
+      s"unexpected admissions: $got")
+  }
+
   test("event-time sessionization closes sessions as the watermark advances") {
     import java.sql.Timestamp
     def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
