@@ -314,6 +314,20 @@ object PipelineQueries {
         sha2(media, 256).as("sha"))
     }),
 
+    // Per-source binary storage accounting (the capacity-planning query of
+    // a multimodal corpus): payload volume, largest object, and the
+    // share of oversized payloads, in one map-side-partial aggregate.
+    "m03_payload_stats" -> ((s, dir) => {
+      val media = encode(col("text"), "UTF-8")
+      docs(s, dir)
+        .select(col("source"), length(media).cast("long").as("bytes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bytes")).as("total_bytes"),
+          max(col("bytes")).as("max_bytes"),
+          sum(when(col("bytes") > 1024, 1L).otherwise(0L)).as("n_over_1k"))
+    }),
+
     // Frame sampling over the binary media table: every 4th 64-byte chunk,
     // one output row per sampled frame (the explode-shaped demux contract).
     // Frames are reported by md5 so the oracle can compare payload bytes as
@@ -741,6 +755,14 @@ object PipelineQueries {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_inner_product(a.v, b.v)
                / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) > 0.4""",
+    "m03_payload_stats" ->
+      """WITH b AS (SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+                    FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                CAST(max(bytes) AS BIGINT) AS max_bytes,
+                CAST(sum(CASE WHEN bytes > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_1k
+         FROM b GROUP BY source""",
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 sha256(text) AS sha
