@@ -18,6 +18,15 @@ import org.apache.spark.sql.types._
   *
   * Accumulation is a sequential left fold in element order, in double —
   * bit-identical to DuckDB's `list_inner_product`-based oracle formula.
+  *
+  * Dimension mismatch: the loop runs over min(len(a), len(b)) — extra
+  * trailing coordinates on the longer side are IGNORED, not an error
+  * (DuckDB's `list_inner_product` raises instead). This is deliberate: a
+  * kNN join evaluates the kernel billions of times and a per-row length
+  * branch that throws would abort a 100 TB job on one ragged row. Callers
+  * that must reject ragged embeddings should validate dimensions once at
+  * ingest (`size(col) = lit(dim)`), not in the inner loop. Same contract
+  * as [[DotProduct]].
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -158,6 +167,9 @@ object LshTableBuckets {
   * maximum-inner-product search (MIPS). Same codegen rationale as
   * [[CosineSimilarity]]; accumulation is a sequential left fold in element
   * order in double, bit-identical to DuckDB's `list_inner_product`.
+  * Dimension mismatch truncates to min(len(a), len(b)) — see the
+  * [[CosineSimilarity]] scaladoc for the contract and the ingest-time
+  * validation pattern.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {

@@ -87,7 +87,13 @@ object Sampling {
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col(groupCol), col("__sub"), col("__off"))
-    local.join(broadcast(offsets), Seq(groupCol, "__sub"))
+    // No forced broadcast on the offsets side: it is |groups| × 256 rows,
+    // tiny for the few-strata corpora this models (languages, sources) but
+    // a driver hazard if groupCol were high-cardinality (per-domain, say).
+    // AQE picks the broadcast at runtime from the REAL post-aggregate size
+    // and falls back to a shuffled hash join past the threshold — the
+    // (group, sub) equi-key distributes fine either way.
+    local.join(offsets, Seq(groupCol, "__sub"))
       .withColumn("cum_before", (col("__off") + col("__cum") - col(tokensCol)).cast("long"))
       .filter(col("cum_before") < budget)
       .drop("__h", "__sub", "__cum", "__off")

@@ -377,35 +377,83 @@ object SimilaritySearch {
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** The MIPS index artifact: the corpus' max L2 norm, the one scalar the
+    * [[mipsAugment]] reduction needs. Built ONCE (a single aggregate over
+    * the corpus), persisted or memoized like the IVF centroids — the probe
+    * path then runs with zero driver actions. A `maxNorm` of 0.0 encodes
+    * the empty/all-zero corpus (the degenerate case the probe falls back
+    * to the exact path for). */
+  final case class MipsIndex(maxNorm: Double) {
+    /** Persist alongside the other index artifacts (one-row parquet). */
+    def save(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      import spark.implicits._
+      Seq(maxNorm).toDF("max_norm").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/mips")
+    }
+  }
+
+  /** Load an index previously written with [[MipsIndex.save]]. */
+  def loadMipsIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): MipsIndex =
+    MipsIndex(spark.read.parquet(s"$dir/mips").collect().head.getDouble(0))
+
+  /** One aggregate over the corpus → the max L2 norm. Null (empty corpus)
+    * maps to 0.0, the degenerate marker. */
+  def buildMipsIndex(emb: DataFrame, vecCol: String): MipsIndex = {
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val row = emb.select(max(norm).as("m")).collect().head
+    MipsIndex(if (row.isNullAt(0)) 0.0 else row.getDouble(0))
+  }
+
+  /** Per-(session, corpus) memoized [[MipsIndex]] — same keying and
+    * stopped-session eviction as [[memoizedIvfIndex]]. */
+  private val mipsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), MipsIndex]()
+
+  def memoizedMipsIndex(emb: DataFrame, vecCol: String,
+                        cacheKey: String): MipsIndex = {
+    val it = mipsCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    mipsCache.computeIfAbsent((emb.sparkSession, cacheKey),
+      _ => buildMipsIndex(emb, vecCol))
+  }
+
   /** Approximate MIPS: the [[mipsAugment]] reduction wired into the LSH
     * pipeline end-to-end. Vectors are augmented to unit norm (corpus rows
     * carry the norm-completion coordinate, query rows a zero), so the
     * hyperplane buckets that approximate COSINE on the augmented space
     * approximate INNER PRODUCT on the originals; candidates are verified
     * with the exact codegen'd dot product and ranked through GroupTopK.
-    * `maxNorm` is one aggregate over the corpus — at scale, compute it
-    * offline with the index, like the IVF centroids. */
+    * `index` carries the corpus max norm: pass a prebuilt/memoized
+    * [[MipsIndex]] (`cacheKey` builds one per (session, corpus)) so the
+    * probe path itself runs no driver action — at scale the index is an
+    * offline artifact next to the IVF centroids. */
   def annMipsTopK(emb: DataFrame, idCol: String, vecCol: String,
                   isQuery: Column, k: Int,
-                  bits: Int = HyperplaneBits, tables: Int = HashTables): DataFrame = {
+                  bits: Int = HyperplaneBits, tables: Int = HashTables,
+                  index: Option[MipsIndex] = None,
+                  cacheKey: Option[String] = None): DataFrame = {
     import graft.functions.DotProduct.dotProduct
-    val norm = sqrt(aggregate(col(vecCol), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
     // The candidate corpus is ALL rows — queries included, exactly like the
     // exact twin mipsTopK (a query may be another query's best neighbour);
     // only self-pairs are excluded, after the bucket join. So every row
     // gets the CORPUS augmentation for its candidate role, and query rows
     // additionally get the query augmentation for bucketing their probes.
-    // maxNorm therefore ranges over all rows. One aggregate, computed here
-    // eagerly — at scale it belongs with the offline index build, like the
-    // IVF centroids (see scaladoc).
-    val maxNormRow = emb.select(max(norm).as("m")).collect().head
-    if (maxNormRow.isNullAt(0) || maxNormRow.getDouble(0) == 0.0)
+    // maxNorm therefore ranges over all rows.
+    val idx = index.getOrElse(cacheKey match {
+      case Some(key) => memoizedMipsIndex(emb, vecCol, key)
+      case None      => buildMipsIndex(emb, vecCol)
+    })
+    if (idx.maxNorm == 0.0)
       // Empty or all-zero corpus: every inner product is 0/undefined; the
       // exact path returns the correct (empty) answer without dividing by
       // the degenerate maxNorm.
       return mipsTopK(emb, idCol, vecCol, isQuery, k)
-    val maxNorm = maxNormRow.getDouble(0)
+    val maxNorm = idx.maxNorm
     val c = emb
       .withColumn("__aug", mipsAugment(col(vecCol), maxNorm, isQuery = false))
       .select(col(idCol).as("n_id"), col(vecCol).as("nv"),

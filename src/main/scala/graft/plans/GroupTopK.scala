@@ -280,15 +280,19 @@ object GroupTopK {
 
   /** Idempotently register the strategy + pushdown rule on an existing
     * session — no `spark.sql.extensions` config or session rebuild
-    * required. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupTopKStrategy
-    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughGroupTopK))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PushFilterThroughGroupTopK
-  }
+    * required. Synchronized: the check-and-append below is a
+    * read-modify-write on the session's mutable strategy list, and two
+    * concurrent topK calls on one session could otherwise double-register
+    * (or interleave and drop) a strategy. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupTopKStrategy
+      if (!spark.experimental.extraOptimizations.contains(PushFilterThroughGroupTopK))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ PushFilterThroughGroupTopK
+    }
 
   /** Top `k` rows per group, ranked 1..k in `orderBy` order (append a
     * unique tiebreak for deterministic results, as with any window). The
@@ -310,13 +314,17 @@ object GroupTopK {
     val sortPlan = GraftColumnBridge.logicalPlan(df.sort(orderBy: _*))
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
     val grp = groupCols.map(c => GraftColumnBridge.expression(df(c)))
-    // Internal rank name no user column can collide with; renamed on the
-    // way out (withColumnRenamed renames every match, so the attr must be
-    // unique in the node's output).
+    // Internal rank name, renamed on the way out. withColumnRenamed
+    // renames EVERY match, so the name must not collide with any input
+    // column — including a user column literally named "__gtk_rnk":
+    // suffix until unique instead of assuming the prefix is reserved.
+    val internal = Iterator.from(0)
+      .map(i => if (i == 0) "__gtk_rnk" else s"__gtk_rnk$i")
+      .find(n => !df.columns.contains(n)).get
     val node = GroupTopK(grp, sortPlan.order, k, sortPlan.child,
-      rankAttr = AttributeReference("__gtk_rnk", LongType, nullable = false)(),
+      rankAttr = AttributeReference(internal, LongType, nullable = false)(),
       maxPartialKeys = maxPartialKeys)
     GraftColumnBridge.ofRows(spark, node)
-      .withColumnRenamed("__gtk_rnk", rankName)
+      .withColumnRenamed(internal, rankName)
   }
 }

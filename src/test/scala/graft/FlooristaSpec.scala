@@ -120,6 +120,42 @@ class FlooristaSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$root/dumps/top_customers").count() > 0)
   }
 
+  test("production path e2e: translated floorplan SQL over the lake, Scalable sink") {
+    // The full deployment shape in one test: GRAFT_TABLE_DIR registers the
+    // parquet lake, the floorplan SQL carries Postgres-isms (quoted
+    // identifiers, uuid_generate_v1) that SqlTranslate rewrites, and the
+    // DEFAULT Scalable contract writes the dated partitioned layout.
+    val lake = "/root/testdata/sf0.001"
+    val (code, root) = run(
+      """- prefix: dumps/lang_census
+        |  query: SELECT "lang", count(*) AS n_docs FROM documents GROUP BY "lang"
+        |- prefix: dumps/doc_tags
+        |  query: SELECT uuid_generate_v1() AS tag, doc_id FROM documents WHERE doc_id < 40
+        |  chunksize: 16
+        |""".stripMargin,
+      extraEnv = Map("GRAFT_TABLE_DIR" -> lake))
+    assert(code == 0)
+
+    // Layout: dated Hive leaf with UNPADDED month/day (datedLeaf asserts),
+    // readable as a partitioned dataset from the prefix root.
+    val census = spark.read.parquet(datedLeaf(s"$root/dumps/lang_census").getPath)
+    // Row counts match the lake queried directly.
+    val expected = spark.read.parquet(s"$lake/documents.parquet")
+      .groupBy("lang").count().count()
+    assert(census.count() == expected && expected > 0)
+    assert(census.columns.sorted.toSeq == Seq("lang", "n_docs"))
+
+    val tags = spark.read.parquet(s"$root/dumps/doc_tags")
+    assert(tags.count() == 40)
+    assert(tags.schema("tag").dataType.typeName == "string") // uuid → string
+    // Scalable contract: parallel multi-file writes, but every file still
+    // honors the chunksize ceiling.
+    val leaf = datedLeaf(s"$root/dumps/doc_tags")
+    val parts = leaf.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach(f => assert(spark.read.parquet(f.getPath).count() <= 16))
+  }
+
   test("unreachable output root aborts before any dump -> exit 1, nothing written") {
     // Reference parity: S3Client.verify() raises in Floorist.__init__
     // (floorist.py:81-92,263-265) — no dump may run against a bad root.

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimilaritySearch}
+import graft.plans.GroupTopK
+import graft.queries.PipelineQueries
+
+/** Round-5 hardening: the shared memoized components frame, the capped d03
+  * production form, the offline MIPS index, and the GroupTopK collision /
+  * multi-flush edge cases. */
+class Round5Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Write a documents.parquet twin under a fresh dir; texts carry the
+    * driver schema (doc_id, text, lang, source, n_chars). */
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir("r5docs")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- memoized components frame (d03/d07/d09/d10/d11/d12) -------------
+
+  test("dupPairsAndClusters: one build per (session, dir), invalidated across dirs") {
+    // dirA has a planted near-dup pair; dirB has none. Same session.
+    val dirA = writeDocs(Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"), // 7/9 shared trigrams vs doc 1
+      (3L, "one two three four five six seven eight nine")))
+    val dirB = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "uno dos tres cuatro cinco seis siete")))
+
+    val (pairsA1, clustersA1) = PipelineQueries.dupPairsAndClusters(spark, dirA)
+    val (pairsA2, clustersA2) = PipelineQueries.dupPairsAndClusters(spark, dirA)
+    // Cache HIT: the identical materialized frames come back, not a rebuild.
+    assert(pairsA1 eq pairsA2, "pairs frame must be memoized per (session, dir)")
+    assert(clustersA1 eq clustersA2, "clusters frame must be memoized per (session, dir)")
+
+    val (pairsB, clustersB) = PipelineQueries.dupPairsAndClusters(spark, dirB)
+    assert(!(pairsB eq pairsA1), "a different dir must build its own frame")
+
+    // And each dir's content is its own: A has the planted pair, B none.
+    val aPairs = pairsA1.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(aPairs == Set((1L, 2L)), s"dirA pair set: $aPairs")
+    assert(pairsB.isEmpty, "dirB has no near-dups")
+    assert(clustersA1.count() == 2 && clustersB.isEmpty)
+  }
+
+  test("the dedup family reports all read the ONE shared clustering") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "p q r s t u v w x y"),
+      (4L, "p q r s t u v w x z")))
+    // d07 emits the components; d10 aggregates them; both must agree with
+    // the memoized frame (same object underneath, so they cannot drift).
+    val clusters = PipelineQueries.dupPairsAndClusters(spark, dir)._2
+    val d07 = PipelineQueries.queries("d07_dup_clusters")(spark, dir)
+    assert(d07.exceptAll(clusters).isEmpty && clusters.exceptAll(d07).isEmpty)
+    val d10 = PipelineQueries.queries("d10_dup_rate")(spark, dir)
+      .select($"source", $"n_docs", $"n_dups").as[(String, Long, Long)].collect().toSeq
+    assert(d10 == Seq(("t", 4L, 2L)), s"d10: $d10") // one non-keeper per cluster
+  }
+
+  // ---- capped d03 (skew-safe production form) ---------------------------
+
+  test("ngramJaccardPairs cap truncates each bucket to its first N ids, exactly") {
+    // 10 mutual near-dups in ONE length bucket; cap 4 must keep only pairs
+    // among doc_ids 1..4 and equal the uncapped run restricted to them.
+    val docs = (1L to 10L).map(i => (i, s"a b c d e f g h i j k$i"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars",
+      threshold = 0.2, lengthBucketWidth = 1000, maxBucketSize = Some(4))
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars",
+      threshold = 0.2, lengthBucketWidth = 1000)
+    val cappedSet = capped.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val expected = uncapped.filter($"a_id" <= 4 && $"b_id" <= 4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(cappedSet == expected, s"capped: $cappedSet vs expected: $expected")
+    assert(cappedSet.size == 6 && uncapped.count() == 45,
+      "cap must bound within-bucket pairs at C(cap,2)")
+  }
+
+  // ---- offline MIPS index ------------------------------------------------
+
+  test("MipsIndex: build / save / load / memoize, probe path unchanged") {
+    val emb = Seq(
+      (0L, Seq(3.0f, 4.0f)),   // norm 5 — the max
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 2.0f)),
+      (3L, Seq(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val built = SimilaritySearch.buildMipsIndex(emb, "embedding")
+    assert(math.abs(built.maxNorm - 5.0) < 1e-12, s"maxNorm: ${built.maxNorm}")
+
+    val dir = tmpDir("r5mips")
+    built.save(spark, dir)
+    val loaded = SimilaritySearch.loadMipsIndex(spark, dir)
+    assert(loaded == built, "save/load round trip must preserve the artifact")
+
+    val m1 = SimilaritySearch.memoizedMipsIndex(emb, "embedding", "r5key")
+    val m2 = SimilaritySearch.memoizedMipsIndex(emb, "embedding", "r5key")
+    assert(m1 eq m2, "memoized index must be built once per (session, key)")
+
+    // A prebuilt index and the self-computing path rank identically.
+    val viaIndex = SimilaritySearch.annMipsTopK(emb, "vec_id", "embedding",
+      isQuery = $"vec_id" === 0, k = 2, index = Some(built))
+    val viaSelf = SimilaritySearch.annMipsTopK(emb, "vec_id", "embedding",
+      isQuery = $"vec_id" === 0, k = 2)
+    assert(viaIndex.exceptAll(viaSelf).isEmpty && viaSelf.exceptAll(viaIndex).isEmpty)
+  }
+
+  // ---- GroupTopK edge cases ---------------------------------------------
+
+  test("GroupTopK: a user column literally named __gtk_rnk is not corrupted") {
+    val df = Seq((1L, 30.0, 77L), (1L, 10.0, 88L), (2L, 5.0, 99L))
+      .toDF("g", "v", "__gtk_rnk")
+    val out = GroupTopK.topK(df, Seq("g"), Seq($"v".desc), k = 1)
+    assert(out.columns.toSeq == Seq("g", "v", "__gtk_rnk", "rnk"))
+    val rows = out.as[(Long, Double, Long, Long)].collect().sorted.toSeq
+    // User values pass through untouched; ranks land in `rnk`.
+    assert(rows == Seq((1L, 30.0, 77L, 1L), (2L, 5.0, 99L, 1L)), s"rows: $rows")
+  }
+
+  test("GroupTopK: ~1M keys per partition multi-flush under AQE, window-exact") {
+    // 2 input partitions × 1M rows, ~1M distinct keys each — the default
+    // 64k partial-key cap must flush ≥ 15× per partition without changing
+    // a single row vs the window formulation. This is the operator's
+    // bounded-memory proof: partial state never exceeds cap × k rows no
+    // matter the key cardinality.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val df = spark.range(0, 2000000, 1, 2)
+      .select(($"id" % 1000000).as("g"), ($"id" * 48271 % 99991).as("v"), $"id")
+    val topk = GroupTopK.topK(df, Seq("g"), Seq($"v".desc, $"id"), k = 2)
+    // Execute THIS dataframe's own plan (count()/write spawn a fresh
+    // QueryExecution whose metrics we could not read back).
+    val rows = topk.queryExecution.toRdd.count()
+    assert(rows == 2000000) // every key has exactly 2 rows and k = 2
+    val finalPlan = topk.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val partials = finalPlan.collect {
+      case g: graft.plans.GroupTopKExec if g.partial => g
+    }
+    assert(partials.nonEmpty, s"no partial GroupTopKExec in:\n$finalPlan")
+    val flushes = partials.map(_.metrics("numFlushes").value).sum
+    assert(flushes > 2, s"expected multi-flush (> 2 partitions), got $flushes")
+    // Exactness under flushing: spot-check against the window on a slice
+    // (full-window equality over 2M rows is covered at smaller scale).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    val slice = df.filter($"g" < 1000)
+    val viaWindow = slice
+      .withColumn("rnk", row_number().over(w).cast("long")).filter($"rnk" <= 2)
+    val viaOp = topk.filter($"g" < 1000)
+    assert(viaOp.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaOp).isEmpty)
+  }
+}
