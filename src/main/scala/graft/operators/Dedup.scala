@@ -371,4 +371,139 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ---- delta dedup (incremental ingest vs an existing corpus) -----------
+
+  /** Exact cross-corpus n-gram-Jaccard pairs: every (new, old) doc pair in
+    * the same length bucket with Jaccard ≥ `threshold`. The INCREMENTAL
+    * twin of [[ngramJaccardPairs]] — at 100 TB a pipeline dedups each
+    * ingest batch against the standing corpus instead of re-clustering the
+    * world, so the join is delta × corpus (tiny × huge), never corpus².
+    * Same blocking, shingling, and skew cap as the self-join form (the cap
+    * truncates each side's bucket independently, first N ids); ids of the
+    * two frames are assumed disjoint (no self-pair filter). Output:
+    * (new_id, old_id, jaccard). */
+  def deltaJaccardPairs(delta: DataFrame, corpus: DataFrame, idCol: String,
+                        textCol: String, lengthCol: String, threshold: Double,
+                        lengthBucketWidth: Int = 50, n: Int = 3,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
+    def prep(df: DataFrame): DataFrame = {
+      val base0 = spreadToParallelism(df)
+        .select(col(idCol), expr(s"$lengthCol DIV $lengthBucketWidth").as("bkt"),
+          array_sort(transform(
+            graft.functions.WordShingles.wordShingles(col(textCol), n),
+            sh => xxhash64(sh))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      maxBucketSize match {
+        case Some(cap) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bkt")).orderBy(col(idCol))
+          val keep = base0.select(col(idCol), col("bkt"))
+            .withColumn("bkt_rn", row_number().over(w))
+            .filter(col("bkt_rn") <= cap)
+            .select(col(idCol))
+          base0.join(keep, Seq(idCol), "left_semi")
+        case None => base0
+      }
+    }
+    val a = prep(delta).select(col(idCol).as("new_id"), col("bkt"), col("sh").as("a_sh"))
+    val b = prep(corpus).select(col(idCol).as("old_id"), col("bkt"), col("sh").as("b_sh"))
+    val ic = graft.functions.IntersectCountSorted
+      .intersectCountSorted(col("a_sh"), col("b_sh"))
+    a.join(b, Seq("bkt"))
+      .withColumn("ic", ic)
+      .withColumn("jaccard",
+        col("ic").cast("double") /
+          (size(col("a_sh")) + size(col("b_sh")) - col("ic")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The persisted corpus-side artifact of index-based delta dedup: LSH
+    * band keys (the candidate-generation join table) plus full MinHash
+    * signatures (the verification table, 64 longs per doc — the standard
+    * sketch trade: ~512 B/doc instead of the full shingle sets). Build
+    * once offline, probe every ingest batch against it. */
+  final case class MinHashIndex(idCol: String, bands: DataFrame,
+                                signatures: DataFrame) {
+    def unpersist(): Unit = { bands.unpersist(); signatures.unpersist(); () }
+
+    def save(dir: String): Unit = {
+      bands.write.mode("overwrite").parquet(s"$dir/bands")
+      signatures.write.mode("overwrite").parquet(s"$dir/signatures")
+    }
+  }
+
+  /** Load an index previously written with [[MinHashIndex.save]]. */
+  def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       idCol: String): MinHashIndex =
+    MinHashIndex(idCol,
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/signatures"))
+
+  /** Build the [[MinHashIndex]] of a corpus: signatures scan-side (one
+    * codegen'd pass), band keys unrolled from them — no shuffle at all in
+    * the build; the parquet write (or cache) is the only materialization.
+    * Input: (id, shingles). */
+  def buildMinHashIndex(docs: DataFrame, idCol: String, shinglesCol: String,
+                        persist: Boolean = true): MinHashIndex = {
+    val sig = docs.select(col(idCol), minhashSignature(col(shinglesCol)).as("sig"))
+    val sigP = if (persist) sig.cache() else sig
+    val bands = sigP
+      .select(col(idCol), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val bandsP = if (persist) bands.cache() else bands
+    MinHashIndex(idCol, bandsP, sigP)
+  }
+
+  /** Per-(session, cacheKey) memoized [[buildMinHashIndex]] — the same
+    * build-once/probe-many pattern as the IVF and MIPS indexes; stopped
+    * -session entries are evicted on access. */
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), MinHashIndex]()
+
+  def memoizedMinHashIndex(docs: DataFrame, idCol: String, shinglesCol: String,
+                           cacheKey: String): MinHashIndex = {
+    val it = minhashIndexCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    minhashIndexCache.computeIfAbsent((docs.sparkSession, cacheKey),
+      _ => buildMinHashIndex(docs, idCol, shinglesCol))
+  }
+
+  /** Index-probing delta near-dups: the ingest batch's band keys equi-join
+    * the corpus index's band table (shuffle keyed on (band, bandHash) and
+    * sized by the DELTA, not the corpus), then candidates verify against
+    * the stored signatures with the standard MinHash Jaccard estimate
+    * (matching signature positions / [[NumHashes]]). The corpus text is
+    * never touched — this is what makes per-batch dedup feasible when the
+    * corpus is 100 TB and the index is the only thing kept hot. Estimated
+    * Jaccard (±1/sqrt(64) ≈ 0.125 std) is the documented trade vs
+    * [[deltaJaccardPairs]]' exact walk; threshold accordingly. Output:
+    * (new_id, old_id, est_jaccard). */
+  def deltaNearDupsIndexed(delta: DataFrame, index: MinHashIndex,
+                           idCol: String, shinglesCol: String,
+                           threshold: Double): DataFrame = {
+    val dSig = delta.select(col(idCol), minhashSignature(col(shinglesCol)).as("sig"))
+    val dBands = dSig
+      .select(col(idCol), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col(idCol).as("new_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candidates = dBands
+      .join(index.bands.select(col(index.idCol).as("old_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+    val est = size(filter(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+      m => m)).cast("double") / lit(NumHashes).cast("double")
+    candidates
+      .join(dSig.select(col(idCol).as("new_id"), col("sig").as("a_sig")), Seq("new_id"))
+      .join(index.signatures.select(col(index.idCol).as("old_id"), col("sig").as("b_sig")),
+        Seq("old_id"))
+      .withColumn("est_jaccard", round(est, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("est_jaccard"))
+  }
 }

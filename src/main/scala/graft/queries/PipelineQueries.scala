@@ -66,8 +66,18 @@ object PipelineQueries {
     })
   }
 
+  /** Drop the memoized dedup artifacts for one (session, dir) — for a
+    * long-lived session that re-ingests a corpus directory in place. The
+    * checkpoint blocks themselves are reclaimed by the ContextCleaner once
+    * the dropped frames become unreachable (localCheckpoint bypasses the
+    * CacheManager, so there is nothing to unpersist explicitly). */
+  def invalidateDupCache(s: SparkSession, dir: String): Unit = {
+    componentsCache.remove((s, dir))
+    ()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    primaryQueries ++ round4Queries
+    primaryQueries ++ round4Queries ++ round5Queries
 
   /** Shared quality computation (t02, p08): integer basis points
     * (0..10000) because FP `round` disagrees between engines at
@@ -422,8 +432,9 @@ object PipelineQueries {
     // cheap id-equi-joins. At 100 TB the pair source swaps to
     // Dedup.minhashNearDups — identical downstream shape.
     "p05_near_decontamination" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        "n_chars", threshold = 0.2)
+      // Same memoized capped pair set as the dedup family (its oracle
+      // builds on D03Sql, so the two must share one definition).
+      val pairs = dupPairsAndClusters(s, dir)._1
       val splits = docs(s, dir).select(col("doc_id"),
         graft.operators.Sampling.assignSplit(col("doc_id")).as("split"))
       val withSplits = pairs
@@ -494,6 +505,47 @@ object PipelineQueries {
 
   /** Round-4 additions, split out so the primary map literal stays under
     * scalac's method-size comfort zone. */
+  /** Round 5: incremental (delta-vs-corpus) dedup — the ingest-batch shape.
+    * The 10%-of-ids slice `doc_id % 10 = 7` plays the incoming batch; the
+    * other 90% is the standing corpus. */
+  private def round5Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact delta dedup: drop every incoming doc with a same-length-bucket
+    // Jaccard >= 0.2 twin in the corpus; emit the batch's survivors. The
+    // delta x corpus join is bounded by the batch size, never corpus² —
+    // this is the operator an ingest pipeline actually runs at 100 TB
+    // (d01/d03 re-examine the whole corpus; this examines one batch).
+    "d13_delta_dedup" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val delta = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val matched = Dedup.deltaJaccardPairs(delta, corpus, "doc_id", "text",
+          "n_chars", threshold = 0.2, maxBucketSize = Some(D03BucketCap))
+        .select(col("new_id").as("doc_id")).distinct()
+      delta.join(matched, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Index-probing delta dedup (the sketch scale path): the corpus is
+    // represented ONLY by its memoized MinHash band index (built once per
+    // (session, dir), parquet save/load for the offline cycle); the batch
+    // probes it and verifies candidates against stored signatures — the
+    // corpus text is never read on the probe path. No SQL oracle
+    // (signature estimation isn't expressible in DuckDB); Round5Spec
+    // bounds recall/precision against the exact d13 pair set.
+    "d14_delta_minhash" -> ((s, dir) => {
+      val withSh = Dedup.spreadToParallelism(docs(s, dir))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(10)).as("m"),
+          graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val delta = withSh.filter(col("m") === 7).select(col("doc_id"), col("sh"))
+      val corpus = withSh.filter(col("m") =!= 7).select(col("doc_id"), col("sh"))
+      val idx = Dedup.memoizedMinHashIndex(corpus, "doc_id", "sh",
+        cacheKey = dir + "#mhidx")
+      Dedup.deltaNearDupsIndexed(delta, idx, "doc_id", "sh", threshold = 0.5)
+    })
+  )
+
   private def round4Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-language token-budget selection (the "sample 1B tokens per
     // language" step of corpus assembly): admit docs in deterministic
@@ -653,7 +705,27 @@ object PipelineQueries {
             SELECT r.id, s.nb FROM reach r JOIN sym s ON r.nb = s.id),
           comp AS (SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id)"""
 
+  /** d13's oracle: the same per-side length-bucket blocking, per-side
+    * QUALIFY cap, and exact trigram Jaccard as [[Dedup.deltaJaccardPairs]],
+    * with `doc_id % 10 = 7` as the incoming batch. */
+  private val D13Sql: String =
+    s"""WITH w AS (SELECT doc_id, n_chars // 50 AS bkt, doc_id % 10 = 7 AS is_new,
+                          list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                   FROM documents),
+             s AS (SELECT doc_id, bkt, is_new,
+                          list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+                   FROM w WHERE len(ws) >= 3
+                   QUALIFY row_number() OVER (PARTITION BY bkt, is_new ORDER BY doc_id) <= $D03BucketCap),
+             m AS (SELECT DISTINCT a.doc_id AS new_id
+                   FROM s a JOIN s b ON a.bkt = b.bkt AND a.is_new AND NOT b.is_new
+                   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2)
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT new_id FROM m)"""
+
   val oracleSql: Map[String, String] = Map(
+    "d13_delta_dedup" -> D13Sql,
     "d07_dup_clusters" ->
       s"""WITH RECURSIVE $ComponentsCte
           SELECT id, cluster FROM comp""",

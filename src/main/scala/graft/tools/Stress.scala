@@ -159,6 +159,17 @@ object Stress {
         Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")),
         k = 3).count()
     }
+    time("group_topk_hicard") {
+      // Key cardinality far past the 64k partial-key cap (l_orderkey at
+      // ×4 is ~2.4M distinct keys): the bounded-heap map must flush and
+      // reset many times per task with memory pinned at cap × k rows —
+      // the credibility case for per-key top-k over a 100 TB key space.
+      // (Round5Spec asserts numFlushes > partitions and window equality
+      // at this shape; here we time it at scale.)
+      graft.plans.GroupTopK.topK(lineitem,
+        Seq("l_orderkey"), Seq(col("l_extendedprice").desc, col("l_linenumber")),
+        k = 2).count()
+    }
     time("mips_topk") {
       SimilaritySearch.mipsTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5).count()

@@ -45,6 +45,11 @@ class Round5Spec extends SparkSpecBase {
     val (pairsB, clustersB) = PipelineQueries.dupPairsAndClusters(spark, dirB)
     assert(!(pairsB eq pairsA1), "a different dir must build its own frame")
 
+    // Explicit invalidation forces a rebuild on the next read.
+    PipelineQueries.invalidateDupCache(spark, dirA)
+    val (pairsA3, _) = PipelineQueries.dupPairsAndClusters(spark, dirA)
+    assert(!(pairsA3 eq pairsA1), "invalidate must drop the memoized frame")
+
     // And each dir's content is its own: A has the planted pair, B none.
     val aPairs = pairsA1.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(aPairs == Set((1L, 2L)), s"dirA pair set: $aPairs")
@@ -117,6 +122,76 @@ class Round5Spec extends SparkSpecBase {
     assert(viaIndex.exceptAll(viaSelf).isEmpty && viaSelf.exceptAll(viaIndex).isEmpty)
   }
 
+  // ---- delta dedup (d13/d14) --------------------------------------------
+
+  test("d13: a batch doc is dropped for corpus twins only, never batch-internal ones") {
+    // ids ≡ 7 (mod 10) are the incoming batch. Doc 7 near-dups corpus doc
+    // 1 → dropped. Docs 17/27 near-dup EACH OTHER but no corpus doc →
+    // both survive (within-batch dedup is d01–d12's job; delta dedup must
+    // not conflate the two).
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e f g h i j"),   // corpus
+      (2L, "one two three four five six seven"), // corpus
+      (7L, "a b c d e f g h i k"),   // batch: corpus twin → dropped
+      (17L, "p q r s t u v w x y"),  // batch: twin of 27 only → kept
+      (27L, "p q r s t u v w x z"))) // batch: twin of 17 only → kept
+    val out = PipelineQueries.queries("d13_delta_dedup")(spark, dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(17L, 27L), s"survivors: $out")
+  }
+
+  test("d14/MinHashIndex: build, probe, save/load — exact copies found at est 1.0") {
+    import graft.functions.WordShingles
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", WordShingles.wordShingles($"text", 3).as("sh"))
+        .filter(size($"sh") > 0)
+    val corpus = sh(Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text"))
+    val batch = sh(Seq(
+      (101L, "a b c d e f g h i j"),          // exact copy of corpus 1
+      (102L, "totally different words here now"))
+      .toDF("doc_id", "text"))
+
+    val idx = Dedup.buildMinHashIndex(corpus, "doc_id", "sh")
+    val pairs = Dedup.deltaNearDupsIndexed(batch, idx, "doc_id", "sh",
+      threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // An exact copy shares every signature position: est_jaccard == 1.0;
+    // the unrelated doc must not surface above threshold.
+    assert(pairs == Set((101L, 1L, 1.0)), s"pairs: $pairs")
+
+    // The offline cycle: save → load → identical probe result.
+    val dir = tmpDir("r5mhidx")
+    idx.save(dir)
+    val loaded = Dedup.loadMinHashIndex(spark, dir, "doc_id")
+    val viaLoaded = Dedup.deltaNearDupsIndexed(batch, loaded, "doc_id", "sh",
+      threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(viaLoaded == pairs)
+    idx.unpersist()
+  }
+
+  test("d14 recall: every exact-path corpus match is recovered by the index probe") {
+    // The testdata's cross-slice near-dups all sit at jaccard ≥ 0.96,
+    // where the 16-band/4-row scheme's collision probability is ≈ 1 and
+    // the 64-hash estimate cannot fall below the 0.5 probe threshold —
+    // so full recall is a deterministic expectation, not a flaky one.
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.sources.Sources.table(spark, dir, "documents")
+    val delta = all.filter(pmod($"doc_id", lit(10)) === 7)
+    val corpus = all.filter(pmod($"doc_id", lit(10)) =!= 7)
+    val exact = Dedup.deltaJaccardPairs(delta, corpus, "doc_id", "text",
+        "n_chars", threshold = 0.9, lengthBucketWidth = Int.MaxValue)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    val approx = PipelineQueries.queries("d14_delta_minhash")(spark, dir)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata must contain planted cross-slice near-dups")
+    val recalled = exact.intersect(approx)
+    assert(recalled == exact,
+      s"index probe missed exact pairs: ${exact -- approx}")
+  }
+
   // ---- GroupTopK edge cases ---------------------------------------------
 
   test("GroupTopK: a user column literally named __gtk_rnk is not corrupted") {
@@ -143,15 +218,25 @@ class Round5Spec extends SparkSpecBase {
     // QueryExecution whose metrics we could not read back).
     val rows = topk.queryExecution.toRdd.count()
     assert(rows == 2000000) // every key has exactly 2 rows and k = 2
-    val finalPlan = topk.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
+    // Recurse into AQE query stages: a QueryStageExec is a leaf to
+    // TreeNode.collect, so the partial exec below the exchange is only
+    // reachable through the stage's own `plan`.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(qs.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(allNodes)
     }
-    val partials = finalPlan.collect {
+    val partials = allNodes(topk.queryExecution.executedPlan).collect {
       case g: graft.plans.GroupTopKExec if g.partial => g
     }
-    assert(partials.nonEmpty, s"no partial GroupTopKExec in:\n$finalPlan")
+    assert(partials.nonEmpty,
+      s"no partial GroupTopKExec in:\n${topk.queryExecution.executedPlan}")
     val flushes = partials.map(_.metrics("numFlushes").value).sum
     assert(flushes > 2, s"expected multi-flush (> 2 partitions), got $flushes")
     // Exactness under flushing: spot-check against the window on a slice

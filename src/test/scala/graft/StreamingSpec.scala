@@ -182,6 +182,55 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("event-time sessionization: a gap exactly AT the cutoff straddling a microbatch split") {
+    // The batch twin is microsecond-exact at the boundary (Round4Spec);
+    // the stream must agree even when the boundary-straddling event lands
+    // in a LATER microbatch: gap == cutoff continues the session, gap ==
+    // cutoff + 1µs starts a new one. Millisecond state arithmetic (or
+    // per-batch state resets) would merge or split both the same way.
+    import java.sql.Timestamp
+    val baseUs = 1700000000000000L
+    def tsu(offsetUs: Long): Timestamp = {
+      val us = baseUs + offsetUs
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val gapUs = 60L * 1000000L // gapMinutes = 1
+    def ev(id: Long, user: Long, offsetUs: Long) =
+      EventStreams.Event(id, tsu(offsetUs), user, "click", 1.0)
+
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event](spark, 1)
+    val q = EventStreams.sessionizeEventTime(
+      memStream.toDS(), gapMinutes = 1, watermarkDelay = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("et_boundary").start()
+    try {
+      // Microbatch 1: both users' openers.
+      memStream.addData(ev(1, 1L, 0), ev(2, 2L, 0))
+      q.processAllAvailable()
+      // Microbatch 2: user 1's follow-up EXACTLY at the cutoff (same
+      // session); user 2's at cutoff + 1µs (new session).
+      memStream.addData(ev(3, 1L, gapUs), ev(4, 2L, gapUs + 1))
+      q.processAllAvailable()
+      // Sentinels march the watermark past every gap window so the
+      // event-time timers fire and all sessions close.
+      memStream.addData(ev(5, 3L, 3600L * 1000000L))
+      q.processAllAvailable()
+      memStream.addData(ev(6, 3L, 7200L * 1000000L))
+      q.processAllAvailable()
+      val sessions = spark.table("et_boundary")
+        .select($"user_id", $"session_start", $"n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(sessions.contains((1L, tsu(0), 2L)),
+        s"user 1's boundary event must CONTINUE the session: $sessions")
+      assert(sessions.contains((2L, tsu(0), 1L)) &&
+             sessions.contains((2L, tsu(gapUs + 1), 1L)),
+        s"user 2's +1µs event must START a new session: $sessions")
+    } finally q.stop()
+  }
+
   test("batch sessionization is internally consistent") {
     val events = Sources.table(spark, dir, "events")
     val sessions = EventStreams.sessionizeBatch(events, gapMinutes = 30)
