@@ -58,6 +58,57 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming incremental NEAR-dup detection — the streaming twin of the
+    * d14 batch probe ([[graft.operators.Dedup.deltaNearDupsIndexed]]): an
+    * unbounded stream of incoming documents probes the STATIC persisted
+    * corpus [[graft.operators.Dedup.MinHashIndex]]. This is the natural
+    * ingest topology at 100 TB — the corpus index is built offline and
+    * loaded once; each arriving doc is checked in-flight, with the corpus
+    * text never read.
+    *
+    * Plan shape: signatures + band keys computed scan-side per arriving
+    * row (codegen'd expressions, no state), then a STREAM-STATIC equi-join
+    * on (band, bandHash) — stateless by construction, Spark never buffers
+    * the static side per trigger — then signature-estimate verification.
+    * The ONLY stateful operator is the final
+    * `dropDuplicatesWithinWatermark` that collapses the per-band candidate
+    * duplicates (a pair colliding in k bands appears k times), and its
+    * state is one entry per emitted pair, evicted by the watermark.
+    *
+    * Input: streaming (idCol, tsCol, shinglesCol). Output: (new_id,
+    * old_id, est_jaccard, tsCol) append-mode rows. */
+  def deltaDedupStream(docs: DataFrame, idCol: String, shinglesCol: String,
+                       tsCol: String, index: graft.operators.Dedup.MinHashIndex,
+                       threshold: Double,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    val sig = docs.select(col(idCol).as("new_id"), col(tsCol),
+      Dedup.minhashSignature(col(shinglesCol)).as("a_sig"))
+    val bands = sig
+      .select(col("new_id"), col(tsCol), col("a_sig"),
+        explode(Dedup.bandKeys(col("a_sig"))).as("bk"))
+      .select(col("new_id"), col(tsCol), col("a_sig"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val est = size(filter(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+      m => m)).cast("double") / lit(Dedup.NumHashes).cast("double")
+    bands
+      .join(index.bands.select(col(index.idCol).as("old_id"),
+        col("band"), col("bh")), Seq("band", "bh"))
+      // No broadcast hint on the signature lookup: at 100 TB the signature
+      // table is ~512 B × corpus size — far past any broadcast budget.
+      // Spark sizes the static side per microbatch (tiny candidate stream
+      // × indexed static: a shuffled hash join keyed on old_id).
+      .join(index.signatures
+        .select(col(index.idCol).as("old_id"), col("sig").as("b_sig")),
+        Seq("old_id"))
+      .withColumn("est_jaccard", round(est, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+      .select(col("new_id"), col("old_id"), col("est_jaccard"), col(tsCol))
+  }
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.operators.JoinStrategies.rangeJoinBinned]]: pairs rows with
     * equal `keyCol` where `right.tsCol` ∈ [`left.tsCol − windowSec`,

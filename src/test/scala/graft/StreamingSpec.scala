@@ -231,6 +231,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming delta dedup probes the static corpus index, matches the batch probe") {
+    import java.sql.Timestamp
+    import graft.operators.Dedup
+    import graft.functions.WordShingles
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    def shingled(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"ts", WordShingles.wordShingles($"text", 3).as("sh"))
+        .filter(size($"sh") > 0)
+
+    // Offline: the corpus index (built once, loaded by the ingest job).
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+      .select($"doc_id", WordShingles.wordShingles($"text", 3).as("sh"))
+    val idx = Dedup.buildMinHashIndex(corpus, "doc_id", "sh")
+
+    // Online: documents arrive across microbatches; 101 is a corpus twin,
+    // 102 unrelated, 103 a twin of corpus doc 2; 101 arrives AGAIN in the
+    // second batch (a replayed ingest) and must not re-emit its pair.
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val streamed = shingled(memStream.toDS().toDF("doc_id", "ts", "text"))
+    val q = EventStreams.deltaDedupStream(streamed, "doc_id", "sh", "ts",
+        idx, threshold = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("delta_dedup_out").start()
+    try {
+      memStream.addData((101L, ts(0), "a b c d e f g h i j"),
+                        (102L, ts(1), "totally different words here now"))
+      q.processAllAvailable()
+      memStream.addData((103L, ts(2), "one two three four five six seven eight"),
+                        (101L, ts(3), "a b c d e f g h i j")) // replay
+      q.processAllAvailable()
+      val got = spark.table("delta_dedup_out")
+        .select($"new_id", $"old_id", $"est_jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got.size == got.toSet.size, s"replayed doc re-emitted a pair: $got")
+      val want = Dedup.deltaNearDupsIndexed(
+        shingled(Seq((101L, ts(0), "a b c d e f g h i j"),
+                     (102L, ts(1), "totally different words here now"),
+                     (103L, ts(2), "one two three four five six seven eight"))
+          .toDF("doc_id", "ts", "text")),
+        idx, "doc_id", "sh", threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.toSet == want, s"stream $got vs batch $want")
+      assert(want == Set((101L, 1L, 1.0), (103L, 2L, 1.0)))
+    } finally q.stop()
+    idx.unpersist()
+  }
+
   test("batch sessionization is internally consistent") {
     val events = Sources.table(spark, dir, "events")
     val sessions = EventStreams.sessionizeBatch(events, gapMinutes = 30)
