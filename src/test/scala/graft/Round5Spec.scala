@@ -204,6 +204,29 @@ class Round5Spec extends SparkSpecBase {
     assert(rows == Seq((1L, 30.0, 77L, 1L), (2L, 5.0, 99L, 1L)), s"rows: $rows")
   }
 
+  test("GroupTopK: null group and sort keys rank exactly like the window") {
+    // NULL group key = one group (like groupBy/window); NULL sort values
+    // follow the SortOrder's null ordering (desc → nulls last by default).
+    val df = spark.range(0, 10000).select(
+      when($"id" % 97 === 0, lit(null)).otherwise($"id" % 50).as("g"),
+      when($"id" % 13 === 0, lit(null)).otherwise(($"id" * 48271) % 1000).as("v"),
+      $"id")
+    val viaOp = GroupTopK.topK(df, Seq("g"), Seq($"v".desc, $"id"), k = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    val viaWindow = df
+      .withColumn("rnk", row_number().over(w).cast("long")).filter($"rnk" <= 3)
+    assert(viaOp.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaOp).isEmpty,
+      "null keys/values must rank identically to the window formulation")
+    // And nulls-first explicitly, the non-default side.
+    val viaOpNf = GroupTopK.topK(df, Seq("g"), Seq($"v".desc_nulls_first, $"id"), k = 2)
+    val wNf = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc_nulls_first, $"id")
+    val viaWindowNf = df
+      .withColumn("rnk", row_number().over(wNf).cast("long")).filter($"rnk" <= 2)
+    assert(viaOpNf.exceptAll(viaWindowNf).isEmpty && viaWindowNf.exceptAll(viaOpNf).isEmpty)
+  }
+
   test("GroupTopK: ~1M keys per partition multi-flush under AQE, window-exact") {
     // 2 input partitions × 1M rows, ~1M distinct keys each — the default
     // 64k partial-key cap must flush ≥ 15× per partition without changing
