@@ -311,7 +311,13 @@ object RelationalQueries {
 
     ),
 
-    // Exact interpolated percentiles (median / p90)
+    // Exact interpolated percentiles (median / p90). SCALE NOTE: exact
+    // `percentile` buffers every group's values in the aggregation state
+    // (unbounded per-group memory) — correct here and required for the
+    // hash-exact quantile_cont parity, but at 100 TB a hot group blows the
+    // executor; the production form is `percentile_approx` (bounded
+    // KLL-style sketch, q35's family), traded at the cost of oracle
+    // exactness.
     "q38_percentile" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
