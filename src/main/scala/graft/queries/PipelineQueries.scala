@@ -503,8 +503,6 @@ object PipelineQueries {
     })
   )
 
-  /** Round-4 additions, split out so the primary map literal stays under
-    * scalac's method-size comfort zone. */
   /** Round 5: incremental (delta-vs-corpus) dedup — the ingest-batch shape.
     * The 10%-of-ids slice `doc_id % 10 = 7` plays the incoming batch; the
     * other 90% is the standing corpus. */
@@ -546,6 +544,8 @@ object PipelineQueries {
     })
   )
 
+  /** Round-4 additions, split out so the primary map literal stays under
+    * scalac's method-size comfort zone. */
   private def round4Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-language token-budget selection (the "sample 1B tokens per
     // language" step of corpus assembly): admit docs in deterministic
