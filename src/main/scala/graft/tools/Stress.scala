@@ -170,6 +170,31 @@ object Stress {
         Seq("l_orderkey"), Seq(col("l_extendedprice").desc, col("l_linenumber")),
         k = 2).count()
     }
+    // Incremental dedup: the CORPUS scales with factor while the incoming
+    // batch stays pinned at base size — the probe's cost must track the
+    // batch (plus one pass over the static band table), never corpus².
+    // Build and probe are timed separately: the build is the offline
+    // artifact job; the probe is what every ingest batch pays.
+    val corpusSh = docs
+      .select(col("doc_id"),
+        graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val deltaSh = graft.sources.Sources.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id") + lit(900000000L) as "doc_id",
+        graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    var deltaIdx: Dedup.MinHashIndex = null
+    time("delta_index_build") {
+      deltaIdx = Dedup.buildMinHashIndex(corpusSh, "doc_id", "sh")
+      // Materialize BOTH cached tables here: the band table and the
+      // signature table are the offline artifact — the probe must not get
+      // charged the (corpus-sized) cache fill.
+      deltaIdx.bands.count() + deltaIdx.signatures.count()
+    }
+    time("delta_probe") {
+      Dedup.deltaNearDupsIndexed(deltaSh, deltaIdx, "doc_id", "sh", 0.5).count()
+    }
     time("mips_topk") {
       SimilaritySearch.mipsTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5).count()
