@@ -428,11 +428,23 @@ object Dedup {
                                 signatures: DataFrame) {
     def unpersist(): Unit = { bands.unpersist(); signatures.unpersist(); () }
 
+    /** At 100 TB, write the band table BUCKETED on (band, bh)
+      * (`bucketBy` + `saveAsTable`, the [[JoinStrategies]] layout) so
+      * per-batch probes co-locate with the index and never re-shuffle the
+      * corpus side; the plain-parquet form here is the
+      * catalog-independent baseline. */
     def save(dir: String): Unit = {
       bands.write.mode("overwrite").parquet(s"$dir/bands")
       signatures.write.mode("overwrite").parquet(s"$dir/signatures")
     }
   }
+
+  /** MinHash Jaccard estimate from two signature columns: matching
+    * positions / [[NumHashes]] (std ≈ 1/√64 ≈ 0.125). Shared by the batch
+    * and streaming index probes. */
+  def signatureEstJaccard(aSig: Column, bSig: Column): Column =
+    size(filter(zip_with(aSig, bSig, (x, y) => x === y), m => m))
+      .cast("double") / lit(NumHashes).cast("double")
 
   /** Load an index previously written with [[MinHashIndex.save]]. */
   def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -495,9 +507,7 @@ object Dedup {
         Seq("band", "bh"))
       .select(col("new_id"), col("old_id"))
       .distinct()
-    val est = size(filter(
-      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-      m => m)).cast("double") / lit(NumHashes).cast("double")
+    val est = signatureEstJaccard(col("a_sig"), col("b_sig"))
     candidates
       .join(dSig.select(col(idCol).as("new_id"), col("sig").as("a_sig")), Seq("new_id"))
       .join(index.signatures.select(col(index.idCol).as("old_id"), col("sig").as("b_sig")),

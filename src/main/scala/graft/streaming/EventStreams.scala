@@ -89,9 +89,7 @@ object EventStreams {
         explode(Dedup.bandKeys(col("a_sig"))).as("bk"))
       .select(col("new_id"), col(tsCol), col("a_sig"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val est = size(filter(
-      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-      m => m)).cast("double") / lit(Dedup.NumHashes).cast("double")
+    val est = Dedup.signatureEstJaccard(col("a_sig"), col("b_sig"))
     bands
       .join(index.bands.select(col(index.idCol).as("old_id"),
         col("band"), col("bh")), Seq("band", "bh"))
