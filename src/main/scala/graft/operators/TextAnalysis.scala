@@ -150,4 +150,73 @@ object TextAnalysis {
 
   /** Deterministic content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Per-doc top-`k` salient keywords by the integer tf·N/df score
+    * (`salience_bp = tf × n_docs × 10000 DIV df`, rank ties broken by
+    * token) — tf-idf-style keyword extraction with the log weighting
+    * dropped in favor of an exact integer ratio, the engine's
+    * cross-engine-determinism convention (transcendental `ln` is the one
+    * place two engines' last-ulp can differ under rounding; an integer
+    * DIV cannot).
+    *
+    * Shapes for scale: tokenization is scan-side (codegen'd
+    * WordShingles n=1, blank-filtered); tf and df are two hash aggregates
+    * with map-side partials (df aggregates the already-reduced tf frame,
+    * never raw tokens); the corpus size joins in as a broadcast scalar
+    * FRAME (no driver collect); the per-doc rank tail is the bounded-heap
+    * [[graft.plans.GroupTopK]] — k rows per doc per partition reach the
+    * shuffle, never the full scored vocabulary. */
+  def keywordSalience(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(graft.functions.WordShingles
+        .wordShingles(col(textCol), 1, distinct = false)).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"),
+        expr("CAST(tf * n_docs * 10000 DIV df AS BIGINT)").as("salience_bp"))
+    graft.plans.GroupTopK.topK(scored, Seq(idCol),
+      Seq(col("salience_bp").desc, col("token")), k)
+  }
+
+  /** Per-doc bigram language-model likelihood — the CCNet-style "train a
+    * small LM on the corpus, score every document" quality signal, with
+    * the probability kept in integer basis points so DuckDB reproduces it
+    * bit-for-bit: `p_bp(w1 w2) = C(w1 w2) × 10000 DIV (C(w1) + V)`
+    * (add-V smoothing in the denominator) and the doc score is the single
+    * exact division mean(p_bp). Low scores = improbable token sequences
+    * (gibberish, OCR noise); high = repetitive/formulaic text.
+    *
+    * The "model" is two hash aggregates over the corpus (bigram and
+    * unigram counts) plus a broadcast vocab scalar — at 100 TB it is
+    * built once offline like the other index artifacts and the scoring
+    * pass is two shuffled equi-joins keyed on bigram/unigram (model
+    * tables are vocab-bounded, far smaller than the corpus). Docs with
+    * fewer than two (blank-filtered) tokens have no bigrams and are not
+    * emitted. */
+  def lmLikelihoodScore(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import graft.functions.WordShingles
+    val toks = docs.select(
+      explode(WordShingles.wordShingles(col(textCol), 1, distinct = false))
+        .as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("n1"))
+    val vocab = toks.agg(countDistinct(col("token")).as("vocab"))
+    val docBigrams = docs.select(col(idCol),
+      explode(WordShingles.wordShingles(col(textCol), 2, distinct = false))
+        .as("bigram"))
+    val bi = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
+    docBigrams.join(bi, Seq("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .join(uni.select(col("token").as("w1"), col("n1")), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_bp", expr("CAST(n2 * 10000 DIV (n1 + vocab) AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("p_bp")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("lm_score_bp"))
+  }
 }

@@ -541,7 +541,18 @@ object PipelineQueries {
       val idx = Dedup.memoizedMinHashIndex(corpus, "doc_id", "sh",
         cacheKey = dir + "#mhidx")
       Dedup.deltaNearDupsIndexed(delta, idx, "doc_id", "sh", threshold = 0.5)
-    })
+    }),
+
+    // Per-doc top-3 salient keywords: tf·N/df in integer basis points
+    // through the GroupTopK tail (see TextAnalysis.keywordSalience for
+    // the log-free determinism rationale).
+    "t13_keyword_salience" -> ((s, dir) =>
+      TA.keywordSalience(docs(s, dir), "doc_id", "text", k = 3)),
+
+    // Corpus-trained bigram-LM likelihood per doc (CCNet-style quality
+    // signal, integer-bp probabilities + one exact division).
+    "t14_lm_likelihood" -> ((s, dir) =>
+      TA.lmLikelihoodScore(docs(s, dir), "doc_id", "text"))
   )
 
   /** Round-4 additions, split out so the primary map literal stays under
@@ -725,6 +736,40 @@ object PipelineQueries {
         WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT new_id FROM m)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t13_keyword_salience" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              tok AS (SELECT doc_id, unnest(ws) AS token FROM t),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              sc AS (SELECT tf.doc_id, tf.token,
+                            CAST(tf.tf * n.n_docs * 10000 // dfq.df AS BIGINT) AS salience_bp
+                     FROM tf JOIN dfq USING (token) CROSS JOIN n),
+              r AS (SELECT doc_id, token, salience_bp,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY salience_bp DESC, token) AS rnk
+                    FROM sc)
+         SELECT doc_id, token, salience_bp, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 3""",
+    "t14_lm_likelihood" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              u AS (SELECT unnest(ws) AS token FROM t),
+              c1 AS (SELECT token, count(*) AS n1 FROM u GROUP BY 1),
+              v AS (SELECT count(DISTINCT token) AS vocab FROM u),
+              b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                             i -> concat_ws(' ', ws[i], ws[i+1]))) AS bigram
+                    FROM t WHERE len(ws) >= 2),
+              c2 AS (SELECT bigram, count(*) AS n2 FROM b GROUP BY 1),
+              s AS (SELECT b.doc_id,
+                           CAST(c2.n2 * 10000 // (c1.n1 + v.vocab) AS BIGINT) AS p_bp
+                    FROM b JOIN c2 USING (bigram)
+                           JOIN c1 ON c1.token = string_split(b.bigram, ' ')[1]
+                           CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(CAST(sum(p_bp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS lm_score_bp
+         FROM s GROUP BY doc_id""",
     "d13_delta_dedup" -> D13Sql,
     "d07_dup_clusters" ->
       s"""WITH RECURSIVE $ComponentsCte

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis => TA}
 import graft.plans.GroupTopK
 import graft.queries.PipelineQueries
 
@@ -190,6 +190,35 @@ class Round5Spec extends SparkSpecBase {
     val recalled = exact.intersect(approx)
     assert(recalled == exact,
       s"index probe missed exact pairs: ${exact -- approx}")
+  }
+
+  // ---- t13/t14 text-pipeline additions ----------------------------------
+
+  test("t13 keyword salience: GroupTopK tail, no window, no global sort") {
+    val q = PipelineQueries.queries("t13_keyword_salience")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("GroupTopK".r.findAllIn(plan).size == 2,
+      s"expected partial+final GroupTopK tail:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into the rank tail:\n$plan")
+    // Top-3 per doc, rank always 1..3, salience positive.
+    val rows = q.select($"doc_id", $"rnk", $"salience_bp")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 3 && r._3 > 0))
+  }
+
+  test("t14 LM likelihood: formulaic text scores above shuffled-vocab gibberish") {
+    // Six docs sharing a formulaic bigram pattern vs one doc of the same
+    // words in an order that appears nowhere else: the corpus-trained
+    // bigram model must prefer the pattern it has seen.
+    val rows = (1L to 6L).map(i => (i, "the cat sat on the mat again")) :+
+      (7L, "mat the on sat again cat the")
+    val df = rows.toDF("doc_id", "text")
+    val out = TA.lmLikelihoodScore(df, "doc_id", "text")
+      .select($"doc_id", $"lm_score_bp").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(7L),
+      s"formulaic ${out(1L)} must outscore gibberish ${out(7L)}")
   }
 
   // ---- GroupTopK edge cases ---------------------------------------------
