@@ -98,6 +98,36 @@ object Multimodal {
     }
   }
 
+  /** Cross-media content-copy detection over sampled frames: every media
+    * pair sharing at least one (distinct) frame fingerprint, with the
+    * shared-frame count — who re-encoded whose content. Composes the
+    * multimodal demux ([[sampleFrames]] → fingerprints) with the dedup
+    * family's equi-join discipline: the join key is the frame hash, never
+    * an all-pairs comparison.
+    *
+    * `maxFrameDocs` is the skew guard, same role as d03's bucket cap: a
+    * frame appearing in more than N media is BOILERPLATE (intros, test
+    * patterns, silence), contributes C(n,2) pairs per hash, and says
+    * nothing about copying — it is dropped before the self-join, so the
+    * within-hash pair fan-out is bounded at C(N,2) by construction.
+    * Input: (idCol, hashCol) frame fingerprint rows (duplicates per media
+    * collapse first). Output: (a_id, b_id, n_shared). */
+  def frameOverlap(frames: DataFrame, idCol: String, hashCol: String,
+                   maxFrameDocs: Int = 16): DataFrame = {
+    val perDoc = frames.select(col(idCol), col(hashCol)).distinct()
+    val keepHashes = perDoc.groupBy(col(hashCol))
+      .agg(count(lit(1)).as("nf"))
+      .filter(col("nf") >= 2 && col("nf") <= maxFrameDocs)
+      .select(col(hashCol))
+    val kept = perDoc.join(keepHashes, Seq(hashCol), "left_semi")
+    val a = kept.select(col(hashCol), col(idCol).as("a_id"))
+    val b = kept.select(col(hashCol), col(idCol).as("b_id"))
+    a.join(b, Seq(hashCol))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk. STUB chunking stands in for demux; the explode-shaped output
     * (one row per sampled frame) is the real contract. */

@@ -552,7 +552,18 @@ object PipelineQueries {
     // Corpus-trained bigram-LM likelihood per doc (CCNet-style quality
     // signal, integer-bp probabilities + one exact division).
     "t14_lm_likelihood" -> ((s, dir) =>
-      TA.lmLikelihoodScore(docs(s, dir), "doc_id", "text"))
+      TA.lmLikelihoodScore(docs(s, dir), "doc_id", "text")),
+
+    // Cross-media copy detection: media pairs sharing sampled-frame
+    // fingerprints (m02's demux + the dedup family's hash-equi-join
+    // discipline; boilerplate frames capped out before the self-join).
+    "m04_frame_overlap" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
+      val frames = graft.multimodal.Multimodal
+        .sampleFrames(media, frameBytes = 64, stride = 4).toDF()
+        .select(col("doc_id"), md5(col("frame")).as("frame_md5"))
+      graft.multimodal.Multimodal.frameOverlap(frames, "doc_id", "frame_md5")
+    })
   )
 
   /** Round-4 additions, split out so the primary map literal stays under
@@ -736,6 +747,20 @@ object PipelineQueries {
         WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT new_id FROM m)"""
 
   val oracleSql: Map[String, String] = Map(
+    "m04_frame_overlap" ->
+      """WITH f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM documents),
+              s AS (SELECT doc_id, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+                    FROM f WHERE i % 4 = 0),
+              d AS (SELECT DISTINCT doc_id, frame_md5 FROM s),
+              keep AS (SELECT frame_md5 FROM d GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT d.doc_id, d.frame_md5 FROM d
+                    JOIN keep USING (frame_md5))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM k a JOIN k b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
     "t13_keyword_salience" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
                     FROM documents),
