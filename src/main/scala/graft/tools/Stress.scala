@@ -202,6 +202,18 @@ object Stress {
     time("bigram_census") {
       graft.operators.TextAnalysis.ngramTopK(docs, "text", n = 2, k = 50).count()
     }
+    time("keyword_salience") {
+      // Output rows = 3 × docs (linear by construction); the cost to watch
+      // is the tf→df aggregation ladder + the GroupTopK tail.
+      graft.operators.TextAnalysis
+        .keywordSalience(docs, "doc_id", "text", k = 3).count()
+    }
+    time("lm_score") {
+      // Model build (two aggregates) + scoring joins, all corpus-linear;
+      // the vocab-bounded model tables are what keep the joins cheap.
+      graft.operators.TextAnalysis
+        .lmLikelihoodScore(docs, "doc_id", "text").count()
+    }
     time("semantic_dedup") {
       // nCells grows ∝ factor so per-cell population (and so the
       // within-cell quadratic work) stays constant — the SemDeDup scale
