@@ -192,6 +192,24 @@ class Round5Spec extends SparkSpecBase {
       s"index probe missed exact pairs: ${exact -- approx}")
   }
 
+  // ---- m04 frame overlap -------------------------------------------------
+
+  test("m04 frameOverlap: boilerplate frames past the cap never generate pairs") {
+    // Hash h1 in 2 media (a copy), h2 in 3 media (boilerplate past cap=2),
+    // h3 unique. Only the h1 pair may surface; per-media duplicate frame
+    // rows collapse before counting.
+    val frames = Seq(
+      (1L, "h1"), (2L, "h1"), (2L, "h1"),       // dup row within media 2
+      (1L, "h2"), (2L, "h2"), (3L, "h2"),       // boilerplate: 3 > cap
+      (3L, "h3"))
+      .toDF("doc_id", "fmd5")
+    val out = graft.multimodal.Multimodal
+      .frameOverlap(frames, "doc_id", "fmd5", maxFrameDocs = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L)),
+      s"expected only the capped-in h1 pair with n_shared=1: $out")
+  }
+
   // ---- t13/t14 text-pipeline additions ----------------------------------
 
   test("t13 keyword salience: GroupTopK tail, no window, no global sort") {
