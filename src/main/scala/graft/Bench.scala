@@ -64,7 +64,8 @@ object Bench {
     * all-queries-fail run (bad SF dir) must still print a parseable line.
     */
   def formatJson(results: Seq[(String, Double)], errors: Seq[String],
-                 sfDir: String, budget: Int = LineBudget): (String, String) = {
+                 sfDir: String, budget: Int = LineBudget,
+                 warmupBuild: Double = 0.0): (String, String) = {
     val total = ms(results.map(_._2).sum)
     val bySlowest = results.sortBy(-_._2)
 
@@ -73,7 +74,11 @@ object Bench {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       val es = errors.take(errKeep).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
       val eo = if (errKeep < errors.length) s""","errors_omitted":${errors.length - errKeep}""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"errors":$es$eo,"sf":"${esc(sfDir)}"}"""
+      // warmup_build: one-time memoized artifact cost (pair/components
+      // frame, IVF/MIPS/MinHash indexes) paid during the untimed warm-up —
+      // emitted explicitly so a consumer comparing rounds sees the
+      // excluded cost instead of mistaking memoization for a per-query win.
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_build":${ms(warmupBuild)},"queries":$m$om,"errors":$es$eo,"sf":"${esc(sfDir)}"}"""
     }
 
     val full = line(bySlowest, 0, errors.length)
@@ -119,10 +124,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     quietBoundedWindowWarning()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    graft.tools.BuildTimer.reset()
     names.foreach { name =>
       try exhaust(SparkEntry.queries(name)(spark, sfDir))
       catch { case scala.util.control.NonFatal(_) => }
     }
+    // One-time memoized artifact builds all fire inside the warm-up pass
+    // above; their accumulated wall clock is reported, not hidden.
+    val warmupBuild = graft.tools.BuildTimer.totalSeconds
     val errors = scala.collection.mutable.Buffer[String]()
     // Median of 3 timed runs per query: single-shot timing at these
     // magnitudes (most queries < 0.5s) is hostage to one GC pause or a
@@ -149,7 +158,8 @@ object Bench {
       }
       name -> times.sorted.apply(times.length / 2)
     }
-    val (compact, full) = formatJson(results, errors.toSeq, sfDir)
+    val (compact, full) = formatJson(results, errors.toSeq, sfDir,
+      warmupBuild = warmupBuild)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))

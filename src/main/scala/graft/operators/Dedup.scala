@@ -482,7 +482,25 @@ object Dedup {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     minhashIndexCache.computeIfAbsent((docs.sparkSession, cacheKey),
-      _ => buildMinHashIndex(docs, idCol, shinglesCol))
+      _ => graft.tools.BuildTimer.time(buildMinHashIndex(docs, idCol, shinglesCol)))
+  }
+
+  /** Evict every memoized [[MinHashIndex]] of `s` whose cacheKey starts
+    * with `keyPrefix`, unpersisting its cached frames — the invalidation
+    * twin of [[memoizedMinHashIndex]]. Keys are prefix-matched because the
+    * convention is `dir`-rooted keys (`dir`, `dir + "#mhidx"`, ...), so one
+    * corpus-level call after a re-ingest drops every artifact derived from
+    * that directory. */
+  def invalidateMinHashIndexCache(s: org.apache.spark.sql.SparkSession,
+                                  keyPrefix: String): Unit = {
+    val it = minhashIndexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq s) && e.getKey._2.startsWith(keyPrefix)) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
   }
 
   /** Index-probing delta near-dups: the ingest batch's band keys equi-join

@@ -282,7 +282,7 @@ object SimilaritySearch {
     }
     indexCache.computeIfAbsent(
       (emb.sparkSession, cacheKey, nCells),
-      _ => buildIvfIndex(emb, idCol, vecCol, nCells))
+      _ => graft.tools.BuildTimer.time(buildIvfIndex(emb, idCol, vecCol, nCells)))
   }
 
   /** Convenience wrapper = [[memoizedIvfIndex]] + [[probeIvf]].
@@ -419,7 +419,30 @@ object SimilaritySearch {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     mipsCache.computeIfAbsent((emb.sparkSession, cacheKey),
-      _ => buildMipsIndex(emb, vecCol))
+      _ => graft.tools.BuildTimer.time(buildMipsIndex(emb, vecCol)))
+  }
+
+  /** Evict every memoized IVF and MIPS index of `s` whose cacheKey starts
+    * with `keyPrefix` (IVF assignments are unpersisted) — the invalidation
+    * twin of [[memoizedIvfIndex]]/[[memoizedMipsIndex]]. Prefix matching
+    * covers the `dir`-rooted key convention (`dir`, `dir + "#aug"`, ...),
+    * so a corpus-level invalidate after a re-ingest drops every index
+    * derived from that directory in one call. */
+  def invalidateIndexCaches(s: org.apache.spark.sql.SparkSession,
+                            keyPrefix: String): Unit = {
+    val ivfIt = indexCache.entrySet().iterator()
+    while (ivfIt.hasNext) {
+      val e = ivfIt.next()
+      if ((e.getKey._1 eq s) && e.getKey._2.startsWith(keyPrefix)) {
+        e.getValue.unpersist()
+        ivfIt.remove()
+      }
+    }
+    val mipsIt = mipsCache.keySet().iterator()
+    while (mipsIt.hasNext) {
+      val k = mipsIt.next()
+      if ((k._1 eq s) && k._2.startsWith(keyPrefix)) mipsIt.remove()
+    }
   }
 
   /** Approximate MIPS: the [[mipsAugment]] reduction wired into the LSH

@@ -159,6 +159,17 @@ object TextAnalysis {
     * place two engines' last-ulp can differ under rounding; an integer
     * DIV cannot).
     *
+    * OVERFLOW BOUND: the naive product `tf × n_docs × 10000` wraps BIGINT
+    * silently in Spark (and raises in DuckDB) long before the SCORE itself
+    * does — at n_docs ~ 1e10 any tf ≥ ~9e4 overflows the intermediate. The
+    * score is therefore computed by the exact division identity
+    * `tf·(q·df + r) DIV df = tf·q + (tf·r) DIV df` where
+    * `q = (n_docs·10⁴) DIV df`, `r = (n_docs·10⁴) MOD df`: every
+    * intermediate is ≤ max(score, tf·df ≤ tf·n_docs), so the computation
+    * overflows only when the score itself exceeds 2⁶³ (tf·n_docs·10⁴/df ≥
+    * 2⁶³ — a df=1 token with tf ≥ 9e4 in a 1e10-doc corpus; cap tf or drop
+    * hapaxes upstream if a corpus can reach that regime).
+    *
     * Shapes for scale: tokenization is scan-side (codegen'd
     * WordShingles n=1, blank-filtered); tf and df are two hash aggregates
     * with map-side partials (df aggregates the already-reduced tf frame,
@@ -177,7 +188,9 @@ object TextAnalysis {
     val scored = tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("token"),
-        expr("CAST(tf * n_docs * 10000 DIV df AS BIGINT)").as("salience_bp"))
+        expr("""CAST(tf * ((n_docs * 10000) DIV df)
+                     + (tf * ((n_docs * 10000) % df)) DIV df AS BIGINT)""")
+          .as("salience_bp"))
     graft.plans.GroupTopK.topK(scored, Seq(idCol),
       Seq(col("salience_bp").desc, col("token")), k)
   }

@@ -57,22 +57,30 @@ object PipelineQueries {
       if (e.getKey._1.sparkContext.isStopped) it.remove()
     }
     componentsCache.computeIfAbsent((s, dir), { key =>
+      graft.tools.BuildTimer.time {
       val pairs = Dedup.ngramJaccardPairs(docs(key._1, key._2),
           "doc_id", "text", "n_chars", threshold = 0.2,
           maxBucketSize = Some(D03BucketCap))
         .localCheckpoint()
       val clusters = Dedup.connectedComponents(pairs, "a_id", "b_id")
       (pairs, clusters)
+      }
     })
   }
 
-  /** Drop the memoized dedup artifacts for one (session, dir) — for a
-    * long-lived session that re-ingests a corpus directory in place. The
-    * checkpoint blocks themselves are reclaimed by the ContextCleaner once
-    * the dropped frames become unreachable (localCheckpoint bypasses the
-    * CacheManager, so there is nothing to unpersist explicitly). */
+  /** Drop EVERY memoized artifact derived from one (session, dir) — the
+    * pair/components frame here plus the MinHash, IVF, and MIPS indexes
+    * (whose cacheKeys are all `dir`-rooted: `dir`, `dir + "#aug"`,
+    * `dir + "#mhidx"`) — for a long-lived session that re-ingests a corpus
+    * directory in place. The checkpoint blocks themselves are reclaimed by
+    * the ContextCleaner once the dropped frames become unreachable
+    * (localCheckpoint bypasses the CacheManager, so there is nothing to
+    * unpersist explicitly); the index caches unpersist their own cached
+    * frames on eviction. */
   def invalidateDupCache(s: SparkSession, dir: String): Unit = {
     componentsCache.remove((s, dir))
+    Dedup.invalidateMinHashIndexCache(s, dir)
+    SimilaritySearch.invalidateIndexCaches(s, dir)
     ()
   }
 
@@ -427,25 +435,30 @@ object PipelineQueries {
 
     // NEAR-duplicate decontamination: the near-dup analogue of p03 — a
     // training document whose near-duplicate (exact n-gram Jaccard >= 0.2,
-    // the same pair set as d03) lands in an eval split is a fuzzy leak.
-    // Pair generation is the bucketed d03 pipeline; the split join is two
-    // cheap id-equi-joins. At 100 TB the pair source swaps to
-    // Dedup.minhashNearDups — identical downstream shape.
+    // d03's similarity) lands in an eval split is a fuzzy leak.
+    //
+    // Decontamination is RECALL-critical, so unlike the dedup reports this
+    // path must not inherit D03BucketCap truncation (a leaked pair whose
+    // doc ranks past the cap in a hot length bucket would go silently
+    // unreported — a missed train/eval leak is worse than extra compute).
+    // Cross-split pairs are exactly the delta×corpus shape: the eval side
+    // is a small fixed fraction of the corpus (~20% under assignSplit, and
+    // a curated sliver in practice), so the per-bucket join is
+    // |train_bkt|×|eval_bkt| — bounded by the eval population, never the
+    // uncapped self-join's quadratic bucket². At 100 TB the same query
+    // swaps deltaJaccardPairs for the MinHash index probe
+    // (Dedup.deltaNearDupsIndexed) — identical downstream shape.
     "p05_near_decontamination" -> ((s, dir) => {
-      // Same memoized capped pair set as the dedup family (its oracle
-      // builds on D03Sql, so the two must share one definition).
-      val pairs = dupPairsAndClusters(s, dir)._1
-      val splits = docs(s, dir).select(col("doc_id"),
-        graft.operators.Sampling.assignSplit(col("doc_id")).as("split"))
-      val withSplits = pairs
-        .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), Seq("a_id"))
-        .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), Seq("b_id"))
-        .filter((col("a_split") === "train") =!= (col("b_split") === "train"))
-      withSplits.select(
-        when(col("a_split") === "train", col("a_id")).otherwise(col("b_id")).as("train_id"),
-        when(col("a_split") === "train", col("b_id")).otherwise(col("a_id")).as("eval_id"),
-        when(col("a_split") === "train", col("b_split")).otherwise(col("a_split")).as("eval_split"),
-        col("jaccard"))
+      val splits = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      val evalSide = splits.filter(col("split") =!= "train")
+      val trainSide = splits.filter(col("split") === "train")
+      Dedup.deltaJaccardPairs(evalSide, trainSide, "doc_id", "text",
+          "n_chars", threshold = 0.2, maxBucketSize = None)
+        .join(evalSide.select(col("doc_id").as("new_id"),
+          col("split").as("eval_split")), Seq("new_id"))
+        .select(col("old_id").as("train_id"), col("new_id").as("eval_id"),
+          col("eval_split"), col("jaccard"))
     }),
 
     // Temperature-flattened mixture sampling (the multinomial-sampling step
@@ -747,6 +760,13 @@ object PipelineQueries {
         WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT new_id FROM m)"""
 
   val oracleSql: Map[String, String] = Map(
+    // BYTE-vs-CHAR coupling: the engine (Multimodal.sampleFrames) slices
+    // the UTF-8 BYTE payload into 64-byte frames; this oracle slices
+    // CHARACTERS (substr over text) because DuckDB 1.0 cannot substring a
+    // BLOB. The two agree iff the corpus is pure ASCII (1 byte = 1 char) —
+    // asserted by Round6Spec."m04 oracle ASCII assumption" against the
+    // test corpus, and guarded here by the octet_length-based frame count
+    // (which would disagree with a char-based count on any non-ASCII doc).
     "m04_frame_overlap" ->
       """WITH f AS (SELECT doc_id, text,
                            unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
@@ -769,7 +789,12 @@ object PipelineQueries {
               dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
               n AS (SELECT count(*) AS n_docs FROM documents),
               sc AS (SELECT tf.doc_id, tf.token,
-                            CAST(tf.tf * n.n_docs * 10000 // dfq.df AS BIGINT) AS salience_bp
+                            -- overflow-safe exact identity, mirrored in
+                            -- TextAnalysis.keywordSalience:
+                            -- tf*N*1e4//df = tf*q + tf*r//df
+                            CAST(tf.tf * ((n.n_docs * 10000) // dfq.df)
+                                 + (tf.tf * ((n.n_docs * 10000) % dfq.df)) // dfq.df
+                                 AS BIGINT) AS salience_bp
                      FROM tf JOIN dfq USING (token) CROSS JOIN n),
               r AS (SELECT doc_id, token, salience_bp,
                            row_number() OVER (PARTITION BY doc_id
@@ -998,22 +1023,33 @@ object PipelineQueries {
          SELECT a.doc_id AS train_id, b.doc_id AS eval_id, b.split AS eval_split
          FROM s a JOIN s b ON a.h = b.h
          WHERE a.split = 'train' AND b.split <> 'train'""",
+    // UNCAPPED, unlike the D03Sql-derived dedup oracles: decontamination
+    // recall must not be bounded by the bucket cap, so both sides carry
+    // every ≥3-word doc and the cross-split join replaces the capped
+    // self-join (mirrors the engine's deltaJaccardPairs(eval, train, None)).
     "p05_near_decontamination" ->
-      s"""WITH p AS ($D03Sql),
+      """WITH w AS (SELECT doc_id, n_chars // 50 AS bkt,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              s AS (SELECT doc_id, bkt,
+                           list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+                    FROM w WHERE len(ws) >= 3),
               sp AS (SELECT doc_id,
                             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
                                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
                                  ELSE 'test' END AS split
                      FROM documents),
-              j AS (SELECT p.a_id, p.b_id, p.jaccard, sa.split AS a_split, sb.split AS b_split
-                    FROM p JOIN sp sa ON p.a_id = sa.doc_id
-                           JOIN sp sb ON p.b_id = sb.doc_id
-                    WHERE (sa.split = 'train') <> (sb.split = 'train'))
-         SELECT CASE WHEN a_split = 'train' THEN a_id ELSE b_id END AS train_id,
-                CASE WHEN a_split = 'train' THEN b_id ELSE a_id END AS eval_id,
-                CASE WHEN a_split = 'train' THEN b_split ELSE a_split END AS eval_split,
-                jaccard
-         FROM j""",
+              e AS (SELECT s.doc_id, s.bkt, s.sh, sp.split FROM s
+                    JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+              t AS (SELECT s.doc_id, s.bkt, s.sh FROM s
+                    JOIN sp USING (doc_id) WHERE sp.split = 'train')
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id, e.split AS eval_split,
+                round(CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(e.sh || t.sh)) AS DOUBLE), 4) AS jaccard
+         FROM e JOIN t ON e.bkt = t.bkt
+         WHERE CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(e.sh || t.sh)) AS DOUBLE) >= 0.2""",
     "p06_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
               m AS (SELECT min(n_lang) AS n_min FROM c),
