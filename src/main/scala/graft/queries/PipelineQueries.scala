@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis => TA}
+import graft.operators.{Dedup, Packing, Sampling, SimilaritySearch, TextAnalysis => TA}
 import graft.sources.Sources
 
 /** LLM-training-data pipeline operators over the `documents` / `embeddings`
@@ -85,7 +85,79 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    primaryQueries ++ round4Queries ++ round5Queries
+    primaryQueries ++ round4Queries ++ round5Queries ++ round6Queries
+
+  /** The end-to-end corpus build — the product story the 50 isolated
+    * pipeline ops exist for, composed in the order a training-data team
+    * actually runs them (the reference's floorplan shape applied to corpus
+    * assembly): quality gate (t08) → near-dup apply (d09, the shared
+    * memoized capped clusters) → exact train/eval decontamination (p03) →
+    * temperature mix (p06) → per-language token budget (p07) → sequence
+    * packing (p02) → hash split (p01).
+    *
+    * Each stage recomputes its statistics (language histogram, budget
+    * order, pack offsets) over the SURVIVORS of the previous stage — the
+    * semantics that make ordering matter and that the isolated per-op
+    * oracles cannot exercise. Shuffle ledger at 100 TB: the corpus
+    * streams through filters/semi-joins keyed on doc_id (the near-dup
+    * drop set and contaminated-id set are tiny and broadcast); the only
+    * corpus-wide shuffles are p07's (lang, sub-bucket) running sum and
+    * p02's pack-bucket scan, both of which bound their window partitions
+    * by construction. Dumped through Floorista → PartitionedParquetSink
+    * in FlooristaSpec (the reference's product shape).
+    *
+    * One token definition end-to-end: `TA.words` (plain space split), the
+    * p02/p07 convention, so the budget and the packer count the same
+    * tokens. */
+  private[graft] def corpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    // t08: rule-based quality gate.
+    val keep = TA.qualityFilter(base, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val s1 = base.join(keep, Seq("doc_id"), "left_semi")
+    // d09: drop near-dup cluster non-keepers (memoized capped pair set —
+    // the dedup-report semantics; decontamination below has its own
+    // recall-first path and p05 its uncapped pair source).
+    val drops = dupPairsAndClusters(s, dir)._2
+      .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+    val s2 = s1.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(TA.words(col("text"))).cast("long").as("n_tokens"))
+    // p03: drop TRAIN docs whose byte-identical twin lands in an eval
+    // split — computed over the deduped survivors, split assignment the
+    // same pure content hash p01 emits at the end.
+    val withSplit = s2.withColumn("split", Sampling.assignSplit(col("doc_id")))
+    val contaminated = Sampling
+      .exactContamination(withSplit, "doc_id", "text", "split")
+      .select(col("train_id").as("doc_id")).distinct()
+    val s3 = withSplit.join(contaminated, Seq("doc_id"), "left_anti")
+    // p06: temperature-flatten the language mix of the survivors.
+    val counts = s3.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate_bp", floor(lit(10000.0) *
+        sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
+      .select(col("lang"), col("rate_bp"))
+    val s4 = s3.join(broadcast(rates), Seq("lang"))
+      .filter(Sampling.hashBucket(col("doc_id"), 10000) < col("rate_bp"))
+    // p07: per-language token budget over what survived the mix.
+    val s5 = Sampling.tokenBudgetPerGroup(
+        s4.select(col("doc_id"), col("lang"), col("n_tokens")),
+        groupCol = "lang", keyCol = "doc_id", tokensCol = "n_tokens",
+        budget = 3000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    // p02 + p01: pack the admitted docs into fixed-context sequences and
+    // stamp the final bucket/split labels.
+    Packing.packSequences(s5, "doc_id", "n_tokens", ctxLen = 2048L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"),
+        Sampling.assignSplit(col("doc_id")).as("split"))
+  }
+
+  /** Round 6: the composed corpus build (see [[corpusBuild]]). */
+  private def round6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_corpus_build" -> ((s, dir) => corpusBuild(s, dir))
+  )
 
   /** Shared quality computation (t02, p08): integer basis points
     * (0..10000) because FP `round` disagrees between engines at
@@ -828,6 +900,53 @@ object PipelineQueries {
       s"""WITH RECURSIVE $ComponentsCte
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)""",
+    // The composed corpus build: every stage recomputes over the previous
+    // stage's survivors, so the CTE chain mirrors corpusBuild stage for
+    // stage (same capped components as d09 for the dedup drop, same split
+    // CASE as p01/p03, same mix/budget/pack arithmetic as p06/p07/p02).
+    "p10_corpus_build" ->
+      s"""WITH RECURSIVE $ComponentsCte,
+              tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+                      FROM documents),
+              qual AS (SELECT doc_id FROM (
+                        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                               CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+                               CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                        FROM tok)
+                       WHERE NOT (n_tokens < 20 OR n_tokens > 2000
+                              OR sum_len * 100 < n_tokens * 300 OR sum_len * 100 > n_tokens * 1000
+                              OR n_stop * 10000 < n_tokens * 100)),
+              s2 AS (SELECT t.doc_id, t.lang, t.text, CAST(len(t.ws) AS BIGINT) AS n_tokens
+                     FROM tok t JOIN qual USING (doc_id)
+                     WHERE t.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)),
+              spl AS (SELECT doc_id,
+                             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                  ELSE 'test' END AS split
+                      FROM documents),
+              s3 AS (SELECT s2.*, spl.split FROM s2 JOIN spl USING (doc_id)
+                     WHERE NOT (spl.split = 'train' AND md5(s2.text) IN (
+                         SELECT md5(b.text) FROM s2 b JOIN spl spb ON b.doc_id = spb.doc_id
+                         WHERE spb.split <> 'train'))),
+              mixc AS (SELECT lang, count(*) AS n_lang FROM s3 GROUP BY lang),
+              mixm AS (SELECT min(n_lang) AS n_min FROM mixc),
+              mixr AS (SELECT lang, CAST(floor(10000.0 * sqrt(CAST(n_min AS DOUBLE) / n_lang)) AS BIGINT) AS rate_bp
+                       FROM mixc, mixm),
+              s4 AS (SELECT s3.* FROM s3 JOIN mixr USING (lang)
+                     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < mixr.rate_bp),
+              bud AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum FROM s4),
+              s5 AS (SELECT doc_id, lang, n_tokens FROM bud WHERE cum - n_tokens < 3000),
+              s6 AS (SELECT doc_id, lang, n_tokens,
+                            CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS pack_id
+                     FROM s5)
+         SELECT doc_id, lang, n_tokens, pack_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+                CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM s6""",
     "t01_token_stats" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                 CAST(length(text) AS BIGINT) AS n_chars_calc,
