@@ -43,12 +43,42 @@ object Dedup {
     * through `df.rdd`, which forces eager physical planning — under AQE
     * that MATERIALIZES any upstream shuffle stages, whose work is then
     * recomputed by the real job (this helper does not cache). Streaming
-    * frames have no `.rdd` at all, hence the guard. */
+    * frames have no `.rdd` at all, hence the require; non-scan-rooted
+    * plans are detected in the analyzed plan and returned UNCHANGED with
+    * a warning — a shuffled input already carries `shuffle.partitions`
+    * partitions, so the spread would buy nothing and the eager `.rdd`
+    * would silently pre-run its shuffle stages. */
   def spreadToParallelism(df: DataFrame): DataFrame = {
     require(!df.isStreaming,
       "spreadToParallelism reads df.rdd.getNumPartitions, which a streaming frame cannot answer")
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    if (!scanRooted(df.queryExecution.analyzed)) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        "spreadToParallelism: input is not a map-only projection of a scan " +
+          "(aggregate/join/repartition upstream); returning it unspread — " +
+          "shuffled frames already carry cluster parallelism")
+      df
+    } else {
+      val parallelism = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    }
+  }
+
+  /** True iff the analyzed plan is scans + map-only operators (project/
+    * filter/alias) — the only shape whose eager `.rdd` planning pass is
+    * free of shuffle-stage materialization. */
+  private[graft] def scanRooted(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case p: Project       => scanRooted(p.child)
+      case f: Filter        => scanRooted(f.child)
+      case a: SubqueryAlias => scanRooted(a.child)
+      // Union is narrow (no exchange): the Stress harness feeds unions of
+      // perturbed scan replicas through the dedup family.
+      case u: Union         => u.children.forall(scanRooted)
+      case _: LeafNode      => true
+      case _                => false
+    }
   }
 
   /** MinHash signature (array<long>, length [[NumHashes]]) — one native
@@ -432,10 +462,40 @@ object Dedup {
       * (`bucketBy` + `saveAsTable`, the [[JoinStrategies]] layout) so
       * per-batch probes co-locate with the index and never re-shuffle the
       * corpus side; the plain-parquet form here is the
-      * catalog-independent baseline. */
-    def save(dir: String): Unit = {
-      bands.write.mode("overwrite").parquet(s"$dir/bands")
-      signatures.write.mode("overwrite").parquet(s"$dir/signatures")
+      * catalog-independent baseline.
+      *
+      * `mode = "append"` is the offline ingest-fold cycle (the reference's
+      * per-dump append-mode sink contract applied to the index artifact):
+      * `buildMinHashIndex(admittedBatch).save(dir, "append")` adds only
+      * the batch's files — the standing corpus index is never rewritten,
+      * so the append cost tracks the batch, not the corpus. */
+    def save(dir: String, mode: String = "overwrite"): Unit = {
+      bands.write.mode(mode).parquet(s"$dir/bands")
+      signatures.write.mode(mode).parquet(s"$dir/signatures")
+    }
+
+    /** Fold an admitted ingest batch into the in-memory index: the
+      * batch's signatures and band keys (computed scan-side, exactly the
+      * [[buildMinHashIndex]] shapes, cached batch-side only) union onto
+      * the standing frames. The standing frames are NOT re-materialized —
+      * append cost is one pass over the BATCH; subsequent probes read
+      * cached-old + cached-batch. Each append deepens the union lineage
+      * by one, so a long-lived ingest topology should compact every K
+      * batches: `save(dir)` + [[loadMinHashIndex]] (the offline cycle),
+      * or re-persist via [[buildMinHashIndex]] over the merged corpus.
+      * Ids are assumed disjoint from the standing index (same contract
+      * as [[deltaNearDupsIndexed]]); input: (id, shingles). */
+    def append(batch: DataFrame, shinglesCol: String,
+               persist: Boolean = true): MinHashIndex = {
+      val bSig0 = batch.select(col(idCol),
+        minhashSignature(col(shinglesCol)).as("sig"))
+      val bSig = if (persist) bSig0.cache() else bSig0
+      val bBands = bSig
+        .select(col(idCol), explode(bandKeys(col("sig"))).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val bBandsP = if (persist) bBands.cache() else bBands
+      MinHashIndex(idCol, bands.unionByName(bBandsP),
+        signatures.unionByName(bSig))
     }
   }
 

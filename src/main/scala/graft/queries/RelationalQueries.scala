@@ -315,9 +315,9 @@ object RelationalQueries {
     // `percentile` buffers every group's values in the aggregation state
     // (unbounded per-group memory) — correct here and required for the
     // hash-exact quantile_cont parity, but at 100 TB a hot group blows the
-    // executor; the production form is `percentile_approx` (bounded
-    // KLL-style sketch, q35's family), traded at the cost of oracle
-    // exactness.
+    // executor; the production form is q45_percentile_approx (bounded
+    // sketch state, q35's family, error-bounded vs this query in
+    // QueriesSpec), traded at the cost of oracle exactness.
     "q38_percentile" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
@@ -420,7 +420,42 @@ object RelationalQueries {
           col("o_totalprice")),
         groupCols = Seq("o_custkey"),
         orderBy = Seq(col("o_totalprice").desc, col("o_orderkey")),
-        k = 3))
+        k = 3)),
+
+    // q38's PRODUCTION twin: percentile_approx keeps bounded per-group
+    // state (a fixed-size quantile summary that merges associatively —
+    // map-side partials like any aggregate) where exact percentile
+    // buffers every value of the group in one task. The sketch result is
+    // deterministic for a given dataset but not DuckDB-reproducible, so
+    // the driver records rows-only; QueriesSpec bounds the relative error
+    // vs the exact q38 at <= 1%.
+    "q45_percentile_approx" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile_approx(o_totalprice, 0.5, 10000)"), 2)
+            .as("median_price_approx"),
+          round(expr("percentile_approx(o_totalprice, 0.9, 10000)"), 2)
+            .as("p90_price_approx"))),
+
+    // Salted skew join, exercised (not just spec'd): every 5th user's
+    // events collapse onto key 0 (~20% of the fact table on ONE key — the
+    // hot-key regime where a plain shuffled join straggles on a single
+    // task). saltedJoin spreads key 0 across 8 shuffle partitions; the
+    // output equals the plain inner join by construction, which is
+    // exactly what the oracle checks hash-for-hash.
+    "q46_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("skew_key",
+          when(pmod(col("user_id"), lit(5)) === 0, lit(0L))
+            .otherwise(col("user_id")))
+      val dim = ev.groupBy(col("skew_key"))
+        .agg(count(lit(1)).as("key_events"))
+      graft.operators.JoinStrategies.saltedJoin(
+          ev.select(col("event_id"), col("skew_key")), dim,
+          keys = Seq("skew_key"), numSalts = 8)
+        .select(col("event_id"), col("skew_key"), col("key_events"))
+    })
   )
 
   /** DuckDB-dialect oracle SQL, one per query above (driver contract). */
@@ -615,6 +650,17 @@ object RelationalQueries {
                            CAST(row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
                     FROM orders)
-         SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3"""
+         SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3""",
+    // q45_percentile_approx: no oracle by design — the sketch quantile is
+    // engine-specific; QueriesSpec bounds it against the exact q38.
+    // q46: the salted join must equal the PLAIN join — that equality is
+    // the oracle.
+    "q46_salted_join" ->
+      """WITH ev AS (SELECT event_id,
+                            CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id END AS skew_key
+                     FROM events),
+              dim AS (SELECT skew_key, count(*) AS key_events FROM ev GROUP BY skew_key)
+         SELECT ev.event_id, ev.skew_key, dim.key_events
+         FROM ev JOIN dim USING (skew_key)"""
   )
 }

@@ -107,6 +107,41 @@ object EventStreams {
       .select(col("new_id"), col("old_id"), col("est_jaccard"), col(tsCol))
   }
 
+  /** [[deltaDedupStream]] with INDEX REFRESH: the stream-static join above
+    * resolves the index frames once at stream start and pins them for the
+    * topology's lifetime — a corpus re-index (nightly rebuild, per-batch
+    * [[graft.operators.Dedup.MinHashIndex.append]] fold) is invisible to a
+    * running stream. The operational recipe for a long-lived ingest
+    * topology is `foreachBatch`: each microbatch is a plain BATCH frame,
+    * so it runs the batch probe ([[graft.operators.Dedup.deltaNearDupsIndexed]])
+    * against whatever index `currentIndex` returns AT THAT TRIGGER — a
+    * swapped/rebuilt/appended index takes effect at the next microbatch
+    * boundary, no stream restart. This is the standard Spark pattern for
+    * refreshing static join sides (re-resolve per batch inside
+    * foreachBatch); the trade is per-batch plan re-analysis (microbatch
+    * granularity, negligible against the probe itself) and `sink` being
+    * responsible for idempotence on microbatch replay (foreachBatch is
+    * at-least-once; key the write by `batchId` or dedup downstream —
+    * unlike the watermarked in-plan form, no
+    * `dropDuplicatesWithinWatermark` runs here).
+    *
+    * Input: streaming (idCol, shinglesCol) rows. The caller starts the
+    * returned writer (choose trigger/checkpoint there). */
+  def deltaDedupStreamRefreshing(
+      docs: DataFrame, idCol: String, shinglesCol: String, threshold: Double,
+      currentIndex: () => graft.operators.Dedup.MinHashIndex)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: java.lang.Long) =>
+        val out = graft.operators.Dedup.deltaNearDupsIndexed(
+          batch.select(col(idCol), col(shinglesCol)), currentIndex(),
+          idCol, shinglesCol, threshold)
+        sink(out, batchId.longValue())
+    }
+  }
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.operators.JoinStrategies.rangeJoinBinned]]: pairs rows with
     * equal `keyCol` where `right.tsCol` ∈ [`left.tsCol − windowSec`,

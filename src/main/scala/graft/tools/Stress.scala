@@ -195,6 +195,28 @@ object Stress {
     time("delta_probe") {
       Dedup.deltaNearDupsIndexed(deltaSh, deltaIdx, "doc_id", "sh", 0.5).count()
     }
+    // Index APPEND: fold a PINNED-size admitted batch into the standing
+    // index. Two costs, both of which must stay flat as `factor` grows the
+    // corpus: the offline fold (save-append writes ONLY the batch's files
+    // — the corpus index is never rewritten) and the probe against the
+    // appended in-memory index (cached-corpus + cached-batch union; the
+    // comparable is delta_probe above).
+    val batchSh = graft.sources.Sources.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id") + lit(950000000L) as "doc_id",
+        graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    time("index_append_fold") {
+      val out = java.nio.file.Files.createTempDirectory("stress_mhidx").toString
+      val batchIdx = Dedup.buildMinHashIndex(batchSh, "doc_id", "sh",
+        persist = false)
+      batchIdx.save(out, mode = "append")
+      spark.read.parquet(s"$out/signatures").count()
+    }
+    time("probe_after_append") {
+      val appended = deltaIdx.append(batchSh, "sh")
+      Dedup.deltaNearDupsIndexed(deltaSh, appended, "doc_id", "sh", 0.5).count()
+    }
     time("mips_topk") {
       SimilaritySearch.mipsTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5).count()

@@ -156,6 +156,38 @@ class FlooristaSpec extends SparkSpecBase {
     parts.foreach(f => assert(spark.read.parquet(f.getPath).count() <= 16))
   }
 
+  test("p10 corpus build dumps through Floorista into the product layout") {
+    // The composed pipeline's product shape: the corpus-build frame is the
+    // floorplan's query target and the dump flows through the same
+    // Floorista -> PartitionedParquetSink path as every reference dump —
+    // dated partitioned layout, chunked gzip parquet, append semantics.
+    val lake = "/root/testdata/sf0.001"
+    graft.queries.PipelineQueries.corpusBuild(spark, lake)
+      .createOrReplaceTempView("corpus_build")
+    val (code, root) = run(
+      """- prefix: corpora/main
+        |  query: SELECT * FROM corpus_build
+        |  chunksize: 100
+        |""".stripMargin,
+      extraEnv = Map("GRAFT_TABLE_DIR" -> lake))
+    assert(code == 0)
+
+    val leaf = datedLeaf(s"$root/corpora/main")
+    val parts = leaf.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach(f => assert(spark.read.parquet(f.getPath).count() <= 100,
+      s"chunksize ceiling violated by ${f.getName}"))
+
+    // Read-back equality against the frame that was dumped.
+    val expected = graft.queries.PipelineQueries.corpusBuild(spark, lake)
+      .collect().map(_.toSeq).toSet
+    val back = spark.read.parquet(leaf.getPath)
+      .select("doc_id", "lang", "n_tokens", "pack_id", "bucket", "split")
+      .collect().map(_.toSeq).toSet
+    assert(back == expected, "dumped corpus differs from the built corpus")
+    assert(expected.nonEmpty)
+  }
+
   test("unreachable output root aborts before any dump -> exit 1, nothing written") {
     // Reference parity: S3Client.verify() raises in Floorist.__init__
     // (floorist.py:81-92,263-265) — no dump may run against a bad root.

@@ -49,6 +49,26 @@ class JdbcSourceSpec extends SparkSpecBase {
     assert(df.count() == 20)
   }
 
+  test("predicates push into the JDBC scan (A2 pushdown proof)") {
+    seedTable()
+    // Data fidelity alone doesn't prove the database sees the WHERE — a
+    // post-scan Spark filter returns the same rows while shipping the
+    // whole table. Assert the predicate lands in the scan's pushed
+    // filters, the way GroupTopKSpec asserts its plan shape.
+    val df = JdbcSource.readUrl(spark, url, driver, Map.empty,
+        "SELECT id, name, qty FROM items")
+      .filter(col("ID") > 10)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a RowDataSourceScanExec JDBC scan, got:\n" +
+      df.queryExecution.executedPlan.toString)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(ID,10)"),
+      s"filter did not reach the JDBC source; PushedFilters: $pushed")
+    assert(df.count() == 10)
+  }
+
   test("partitioned read splits work without losing or duplicating rows") {
     seedTable()
     val df = JdbcSource.readUrl(spark, url, driver, Map.empty,
