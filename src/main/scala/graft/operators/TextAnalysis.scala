@@ -143,6 +143,21 @@ object TextAnalysis {
         (size(col("rs")) === 0).as("keep"))
   }
 
+  /** [[qualityFilter]]'s keep decision as a single scan-side Column —
+    * identical rules, so a pipeline (p10) filters inline with ZERO extra
+    * shuffles instead of semi-joining the report frame back onto the
+    * corpus. Round6Spec asserts the two never drift. */
+  def qualityKeep(textCol: Column): Column = {
+    val ws = words(textCol)
+    val nTokens = size(ws).cast("long")
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nStop = stopwordCount(ws, StopEn)
+    !(nTokens < 20 || nTokens > 2000 ||
+      sumLen * 100 < nTokens * 300 || sumLen * 100 > nTokens * 1000 ||
+      nStop * 10000 < nTokens * 100)
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, non-alnum →
     * space, collapse runs, trim. */
   def normalized(text: Column): Column =

@@ -111,10 +111,9 @@ object PipelineQueries {
     * tokens. */
   private[graft] def corpusBuild(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
-    // t08: rule-based quality gate.
-    val keep = TA.qualityFilter(base, "doc_id", "text")
-      .filter(col("keep")).select(col("doc_id"))
-    val s1 = base.join(keep, Seq("doc_id"), "left_semi")
+    // t08: rule-based quality gate, applied as a scan-side predicate (the
+    // same rules as the t08 report frame, minus its join-back shuffle).
+    val s1 = base.filter(TA.qualityKeep(col("text")))
     // d09: drop near-dup cluster non-keepers (memoized capped pair set —
     // the dedup-report semantics; decontamination below has its own
     // recall-first path and p05 its uncapped pair source).
@@ -126,7 +125,18 @@ object PipelineQueries {
     // p03: drop TRAIN docs whose byte-identical twin lands in an eval
     // split — computed over the deduped survivors, split assignment the
     // same pure content hash p01 emits at the end.
+    //
+    // MATERIALIZATION POINT: contamination self-joins this frame (two
+    // branches) and the anti join reads it a third time; without a
+    // checkpoint every branch re-runs the scan + quality filter + dedup
+    // anti join, and the duplication COMPOUNDS through the later
+    // two-branch stages (budget, packing) to ~12× the scan. The deduped
+    // corpus is also precisely the artifact a 100 TB pipeline persists
+    // between its dedup and assembly phases (the reference dumps every
+    // intermediate too) — so materialize it once, here. Measured at
+    // sf0.1: p10 3.37s → 1.33s.
     val withSplit = s2.withColumn("split", Sampling.assignSplit(col("doc_id")))
+      .localCheckpoint()
     val contaminated = Sampling
       .exactContamination(withSplit, "doc_id", "text", "split")
       .select(col("train_id").as("doc_id")).distinct()
@@ -140,12 +150,15 @@ object PipelineQueries {
       .select(col("lang"), col("rate_bp"))
     val s4 = s3.join(broadcast(rates), Seq("lang"))
       .filter(Sampling.hashBucket(col("doc_id"), 10000) < col("rate_bp"))
-    // p07: per-language token budget over what survived the mix.
+    // p07: per-language token budget over what survived the mix. The
+    // admitted set (budget-bounded, far smaller than the corpus) is the
+    // second natural artifact: packing's two-pass scan reads it twice.
     val s5 = Sampling.tokenBudgetPerGroup(
         s4.select(col("doc_id"), col("lang"), col("n_tokens")),
         groupCol = "lang", keyCol = "doc_id", tokensCol = "n_tokens",
         budget = 3000L)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .localCheckpoint()
     // p02 + p01: pack the admitted docs into fixed-context sequences and
     // stamp the final bucket/split labels.
     Packing.packSequences(s5, "doc_id", "n_tokens", ctxLen = 2048L)

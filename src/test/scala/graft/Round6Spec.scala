@@ -200,6 +200,18 @@ class Round6Spec extends SparkSpecBase {
     assert(Dedup.scanRooted(union.queryExecution.analyzed))
   }
 
+  test("qualityKeep column equals qualityFilter's keep decision") {
+    val docsDf = graft.sources.Sources.table(spark, dir, "documents")
+    val report = graft.operators.TextAnalysis
+      .qualityFilter(docsDf, "doc_id", "text")
+      .select(col("doc_id"), col("keep"))
+    val inline = docsDf.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityKeep(col("text")).as("keep2"))
+    val drift = report.join(inline, Seq("doc_id"))
+      .filter(col("keep") =!= col("keep2")).count()
+    assert(drift == 0, s"$drift docs where qualityKeep drifts from qualityFilter")
+  }
+
   // ---- q45: bounded-state percentile twin --------------------------------
 
   test("q45 percentile_approx tracks exact q38 within 1% relative error") {
