@@ -38,22 +38,31 @@ object Dedup {
     * join); a large corpus already has the partitions and must not pay a
     * gratuitous full-payload shuffle.
     *
-    * INPUT CONSTRAINT: pass a RAW SCAN (or a map-only projection of one),
-    * never a shuffled or streaming frame. Reading the partition count goes
-    * through `df.rdd`, which forces eager physical planning — under AQE
-    * that MATERIALIZES any upstream shuffle stages, whose work is then
+    * INPUT CONSTRAINT: pass a PHYSICALLY NARROW frame (scan, map-only
+    * projection, broadcast-join enrichment of a scan), never a shuffled
+    * or streaming frame. Reading the partition count goes through
+    * `df.rdd`, which forces eager physical planning — under AQE that
+    * MATERIALIZES any upstream shuffle stages, whose work is then
     * recomputed by the real job (this helper does not cache). Streaming
-    * frames have no `.rdd` at all, hence the require; non-scan-rooted
-    * plans are detected in the analyzed plan and returned UNCHANGED with
-    * a warning — a shuffled input already carries `shuffle.partitions`
-    * partitions, so the spread would buy nothing and the eager `.rdd`
-    * would silently pre-run its shuffle stages. */
+    * frames have no `.rdd` at all, hence the require. The guard is
+    * PHYSICAL, not logical: the planned (pre-AQE) tree is checked for a
+    * shuffle exchange, so a broadcast-join-enriched scan — Join node in
+    * the logical plan but physically narrow, its partitioning following
+    * the streamed scan — still qualifies for the spread, while any
+    * shuffle-bearing plan is returned UNCHANGED with a warning (it
+    * already carries `shuffle.partitions` partitions, and the eager
+    * `.rdd` would silently pre-run its shuffle stages; callers holding an
+    * AQE-coalesced shuffle output that is genuinely compact must
+    * `.repartition` explicitly). For a qualifying broadcast-join frame
+    * the eager pass does build — and discard — the small side's
+    * broadcast; that cost is bounded by the broadcast threshold and paid
+    * once, against a serialized pair-walk measured 3× slower. */
   def spreadToParallelism(df: DataFrame): DataFrame = {
     require(!df.isStreaming,
       "spreadToParallelism reads df.rdd.getNumPartitions, which a streaming frame cannot answer")
-    if (!scanRooted(df.queryExecution.analyzed)) {
+    if (hasShuffleExchange(df.queryExecution.executedPlan)) {
       org.apache.log4j.Logger.getLogger(getClass).warn(
-        "spreadToParallelism: input is not a map-only projection of a scan " +
+        "spreadToParallelism: physical plan contains a shuffle exchange " +
           "(aggregate/join/repartition upstream); returning it unspread — " +
           "shuffled frames already carry cluster parallelism")
       df
@@ -63,23 +72,19 @@ object Dedup {
     }
   }
 
-  /** True iff the analyzed plan is scans + map-only operators (project/
-    * filter/alias) — the only shape whose eager `.rdd` planning pass is
-    * free of shuffle-stage materialization. */
-  private[graft] def scanRooted(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    plan match {
-      case p: Project       => scanRooted(p.child)
-      case f: Filter        => scanRooted(f.child)
-      case a: SubqueryAlias => scanRooted(a.child)
-      // Union is narrow (no exchange): the Stress harness feeds unions of
-      // perturbed scan replicas through the dedup family.
-      case u: Union         => u.children.forall(scanRooted)
-      case _: LeafNode      => true
-      case _                => false
-    }
-  }
+  /** True iff the PREPARED physical plan contains a shuffle exchange.
+    * `executedPlan` (not `sparkPlan`: exchanges are only inserted by the
+    * EnsureRequirements preparation) — and under AQE the prepared tree is
+    * hidden inside a leaf [[AdaptiveSparkPlanExec]] wrapper, so recurse
+    * into its public `initialPlan` (post-preparation, pre-execution;
+    * reading it runs no stages). */
+  private def hasShuffleExchange(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          if hasShuffleExchange(a.initialPlan) => a
+    }.isDefined
 
   /** MinHash signature (array<long>, length [[NumHashes]]) — one native
     * codegen'd pass per row (see [[graft.functions.MinHashSignature]]; the
@@ -455,8 +460,21 @@ object Dedup {
     * sketch trade: ~512 B/doc instead of the full shingle sets). Build
     * once offline, probe every ingest batch against it. */
   final case class MinHashIndex(idCol: String, bands: DataFrame,
-                                signatures: DataFrame) {
-    def unpersist(): Unit = { bands.unpersist(); signatures.unpersist(); () }
+                                signatures: DataFrame,
+                                cachedFrames: Seq[DataFrame] = Nil,
+                                appendsSinceCompaction: Int = 0) {
+    /** Releases every cached block this index transitively owns: the top
+      * frames AND the cached constituents accumulated by [[append]] —
+      * unpersisting a union frame alone matches nothing in the
+      * CacheManager (it caches the constituent plans, cascade=false), so
+      * an appended index tracks its cached batch/base frames explicitly
+      * and releases each one here. Unpersist of an uncached frame is a
+      * no-op, so the list may safely over-approximate. */
+    def unpersist(): Unit = {
+      bands.unpersist(); signatures.unpersist()
+      cachedFrames.foreach(_.unpersist())
+      ()
+    }
 
     /** At 100 TB, write the band table BUCKETED on (band, bh)
       * (`bucketBy` + `saveAsTable`, the [[JoinStrategies]] layout) so
@@ -480,9 +498,9 @@ object Dedup {
       * the standing frames. The standing frames are NOT re-materialized —
       * append cost is one pass over the BATCH; subsequent probes read
       * cached-old + cached-batch. Each append deepens the union lineage
-      * by one, so a long-lived ingest topology should compact every K
-      * batches: `save(dir)` + [[loadMinHashIndex]] (the offline cycle),
-      * or re-persist via [[buildMinHashIndex]] over the merged corpus.
+      * by one and increments [[appendsSinceCompaction]];
+      * [[appendAndMaybeCompact]] is the lifecycle that bounds the depth
+      * automatically (the bare form here leaves folding to the caller).
       * Ids are assumed disjoint from the standing index (same contract
       * as [[deltaNearDupsIndexed]]); input: (id, shingles). */
     def append(batch: DataFrame, shinglesCol: String,
@@ -494,8 +512,59 @@ object Dedup {
         .select(col(idCol), explode(bandKeys(col("sig"))).as("bk"))
         .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
       val bBandsP = if (persist) bBands.cache() else bBands
+      // Carry forward the standing index's top frames too: for a base
+      // index built with persist=true they ARE the cached constituents,
+      // and unpersisting an uncached frame is a no-op — so the appended
+      // index's unpersist() releases the whole chain.
       MinHashIndex(idCol, bands.unionByName(bBandsP),
-        signatures.unionByName(bSig))
+        signatures.unionByName(bSig),
+        cachedFrames = cachedFrames ++ Seq(bands, signatures) ++
+          (if (persist) Seq(bSig, bBandsP) else Nil),
+        appendsSinceCompaction = appendsSinceCompaction + 1)
+    }
+
+    /** Number of Union nodes in the band frame's analyzed plan — the
+      * lineage-depth measure the compaction policy bounds (each
+      * [[append]] deepens it by one; each probe re-analyzes the whole
+      * tree). */
+    private[graft] def unionDepth: Int =
+      bands.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.size
+
+    /** Fold the accumulated append lineage flat: materialize the index to
+      * `dir` (overwrite — the amortized offline rewrite, paid once per
+      * [[appendAndMaybeCompact]] window, not per batch), release every
+      * cached block of the old lineage, and return a freshly-loaded FLAT
+      * index (union depth 0; probes re-analyze a two-scan plan). Probe
+      * results are invariant across the boundary (Round7Spec). `dir` must
+      * not be a path the current lineage SCANS (an index loaded from
+      * `dir` then appended — Spark refuses a self-overwrite); such
+      * topologies alternate generation dirs. */
+    def compact(dir: String, persist: Boolean = true): MinHashIndex = {
+      save(dir, "overwrite")
+      unpersist()
+      val fresh = loadMinHashIndex(bands.sparkSession, dir, idCol)
+      if (persist)
+        MinHashIndex(idCol, fresh.bands.cache(), fresh.signatures.cache())
+      else fresh
+    }
+
+    /** The automated ingest-fold lifecycle: [[append]] the batch, then
+      * every `compactEvery` appends [[compact]] to `compactDir` — so a
+      * long-lived ingest topology's union lineage stays BOUNDED at
+      * `compactEvery` no matter how many batches it absorbs (previously a
+      * manual "compact every K batches" scaladoc contract that nothing
+      * enforced). Per-batch cost stays batch-sized; the corpus rewrite is
+      * paid once per window. */
+    def appendAndMaybeCompact(batch: DataFrame, shinglesCol: String,
+                              compactDir: String, compactEvery: Int = 16,
+                              persist: Boolean = true): MinHashIndex = {
+      require(compactEvery > 0, "compactEvery must be positive")
+      val appended = append(batch, shinglesCol, persist)
+      if (appended.appendsSinceCompaction >= compactEvery)
+        appended.compact(compactDir, persist)
+      else appended
     }
   }
 
@@ -545,18 +614,20 @@ object Dedup {
       _ => graft.tools.BuildTimer.time(buildMinHashIndex(docs, idCol, shinglesCol)))
   }
 
-  /** Evict every memoized [[MinHashIndex]] of `s` whose cacheKey starts
-    * with `keyPrefix`, unpersisting its cached frames — the invalidation
-    * twin of [[memoizedMinHashIndex]]. Keys are prefix-matched because the
-    * convention is `dir`-rooted keys (`dir`, `dir + "#mhidx"`, ...), so one
-    * corpus-level call after a re-ingest drops every artifact derived from
-    * that directory. */
+  /** Evict every memoized [[MinHashIndex]] of `s` whose cacheKey IS
+    * `keyPrefix` or extends it with the documented `"#suffix"` convention
+    * (`dir`, `dir + "#mhidx"`, ...), unpersisting its cached frames — the
+    * invalidation twin of [[memoizedMinHashIndex]]. Matching on the `#`
+    * boundary (not a bare string prefix) keeps invalidating corpus
+    * `/data/corp` from also evicting a sibling `/data/corpus` that merely
+    * shares the character prefix. */
   def invalidateMinHashIndexCache(s: org.apache.spark.sql.SparkSession,
                                   keyPrefix: String): Unit = {
     val it = minhashIndexCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if ((e.getKey._1 eq s) && e.getKey._2.startsWith(keyPrefix)) {
+      val k = e.getKey._2
+      if ((e.getKey._1 eq s) && (k == keyPrefix || k.startsWith(keyPrefix + "#"))) {
         e.getValue.unpersist()
         it.remove()
       }

@@ -422,18 +422,20 @@ object SimilaritySearch {
       _ => graft.tools.BuildTimer.time(buildMipsIndex(emb, vecCol)))
   }
 
-  /** Evict every memoized IVF and MIPS index of `s` whose cacheKey starts
-    * with `keyPrefix` (IVF assignments are unpersisted) — the invalidation
-    * twin of [[memoizedIvfIndex]]/[[memoizedMipsIndex]]. Prefix matching
-    * covers the `dir`-rooted key convention (`dir`, `dir + "#aug"`, ...),
-    * so a corpus-level invalidate after a re-ingest drops every index
-    * derived from that directory in one call. */
+  /** Evict every memoized IVF and MIPS index of `s` whose cacheKey IS
+    * `keyPrefix` or extends it with the documented `"#suffix"` convention
+    * (`dir`, `dir + "#aug"`, ...; IVF assignments are unpersisted) — the
+    * invalidation twin of [[memoizedIvfIndex]]/[[memoizedMipsIndex]].
+    * Matching on the `#` boundary (not a bare string prefix) keeps
+    * invalidating corpus `/data/corp` from also evicting a sibling
+    * `/data/corpus` that merely shares the character prefix. */
   def invalidateIndexCaches(s: org.apache.spark.sql.SparkSession,
                             keyPrefix: String): Unit = {
+    def hits(k: String): Boolean = k == keyPrefix || k.startsWith(keyPrefix + "#")
     val ivfIt = indexCache.entrySet().iterator()
     while (ivfIt.hasNext) {
       val e = ivfIt.next()
-      if ((e.getKey._1 eq s) && e.getKey._2.startsWith(keyPrefix)) {
+      if ((e.getKey._1 eq s) && hits(e.getKey._2)) {
         e.getValue.unpersist()
         ivfIt.remove()
       }
@@ -441,7 +443,7 @@ object SimilaritySearch {
     val mipsIt = mipsCache.keySet().iterator()
     while (mipsIt.hasNext) {
       val k = mipsIt.next()
-      if ((k._1 eq s) && k._2.startsWith(keyPrefix)) mipsIt.remove()
+      if ((k._1 eq s) && hits(k._2)) mipsIt.remove()
     }
   }
 

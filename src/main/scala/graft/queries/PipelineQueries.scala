@@ -109,17 +109,41 @@ object PipelineQueries {
     * One token definition end-to-end: `TA.words` (plain space split), the
     * p02/p07 convention, so the budget and the packer count the same
     * tokens. */
-  private[graft] def corpusBuild(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
+  private[graft] def corpusBuild(s: SparkSession, dir: String): DataFrame =
+    corpusBuildFrom(docs(s, dir), dupPairsAndClusters(s, dir)._2,
+      budget = 3000L)
+
+  /** [[corpusBuild]] over an INJECTED corpus + near-dup cluster frame —
+    * the shape the Stress harness scales (replicated corpus, budget ∝
+    * factor) without touching the (session, dir)-memoized artifacts.
+    * `materialize = false` skips the two localCheckpoint points so the
+    * WHOLE composition is one plan tree — the Round7Spec exchange-ledger
+    * audit needs that (a checkpoint turns every upstream stage into an
+    * opaque RDD scan); production keeps the default. */
+  private[graft] def corpusBuildFrom(base: DataFrame, clusters: DataFrame,
+                                     budget: Long,
+                                     materialize: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
     // t08: rule-based quality gate, applied as a scan-side predicate (the
     // same rules as the t08 report frame, minus its join-back shuffle).
     val s1 = base.filter(TA.qualityKeep(col("text")))
     // d09: drop near-dup cluster non-keepers (memoized capped pair set —
     // the dedup-report semantics; decontamination below has its own
     // recall-first path and p05 its uncapped pair source).
-    val drops = dupPairsAndClusters(s, dir)._2
+    // EXPLICIT broadcast on both drop sets (here and p03 below): without
+    // the hint the planner's no-stats default is a sort-merge anti join,
+    // whose ENSURE_REQUIREMENTS exchange shuffles the whole corpus on
+    // doc_id — AQE only demotes it to broadcast AFTER that shuffle is
+    // written. The drop sets are bounded (cluster non-keepers of the
+    // CAPPED pair set; contaminated train ids ≤ the eval population), so
+    // the corpus streams through map-side anti joins and never
+    // repartitions on doc_id (Round7Spec pins this ledger). If a corpus
+    // ever pushes a drop set past executor broadcast capacity, remove the
+    // hint and accept the doc_id co-shuffle.
+    val drops = clusters
       .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
-    val s2 = s1.join(drops, Seq("doc_id"), "left_anti")
+    val s2 = s1.join(broadcast(drops), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("text"),
         size(TA.words(col("text"))).cast("long").as("n_tokens"))
     // p03: drop TRAIN docs whose byte-identical twin lands in an eval
@@ -135,12 +159,12 @@ object PipelineQueries {
     // between its dedup and assembly phases (the reference dumps every
     // intermediate too) — so materialize it once, here. Measured at
     // sf0.1: p10 3.37s → 1.33s.
-    val withSplit = s2.withColumn("split", Sampling.assignSplit(col("doc_id")))
-      .localCheckpoint()
+    val withSplit = cp(
+      s2.withColumn("split", Sampling.assignSplit(col("doc_id"))))
     val contaminated = Sampling
       .exactContamination(withSplit, "doc_id", "text", "split")
       .select(col("train_id").as("doc_id")).distinct()
-    val s3 = withSplit.join(contaminated, Seq("doc_id"), "left_anti")
+    val s3 = withSplit.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // p06: temperature-flatten the language mix of the survivors.
     val counts = s3.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     val nMin = counts.agg(min(col("n_lang")).as("n_min"))
@@ -153,12 +177,11 @@ object PipelineQueries {
     // p07: per-language token budget over what survived the mix. The
     // admitted set (budget-bounded, far smaller than the corpus) is the
     // second natural artifact: packing's two-pass scan reads it twice.
-    val s5 = Sampling.tokenBudgetPerGroup(
+    val s5 = cp(Sampling.tokenBudgetPerGroup(
         s4.select(col("doc_id"), col("lang"), col("n_tokens")),
         groupCol = "lang", keyCol = "doc_id", tokensCol = "n_tokens",
-        budget = 3000L)
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
-      .localCheckpoint()
+        budget = budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens")))
     // p02 + p01: pack the admitted docs into fixed-context sequences and
     // stamp the final bucket/split labels.
     Packing.packSequences(s5, "doc_id", "n_tokens", ctxLen = 2048L)

@@ -317,7 +317,7 @@ object RelationalQueries {
     // hash-exact quantile_cont parity, but at 100 TB a hot group blows the
     // executor; the production form is q45_percentile_approx (bounded
     // sketch state, q35's family, error-bounded vs this query in
-    // QueriesSpec), traded at the cost of oracle exactness.
+    // Round6Spec), traded at the cost of oracle exactness.
     "q38_percentile" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
@@ -427,7 +427,7 @@ object RelationalQueries {
     // map-side partials like any aggregate) where exact percentile
     // buffers every value of the group in one task. The sketch result is
     // deterministic for a given dataset but not DuckDB-reproducible, so
-    // the driver records rows-only; QueriesSpec bounds the relative error
+    // the driver records rows-only; Round6Spec bounds the relative error
     // vs the exact q38 at <= 1%.
     "q45_percentile_approx" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -652,7 +652,7 @@ object RelationalQueries {
                     FROM orders)
          SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3""",
     // q45_percentile_approx: no oracle by design — the sketch quantile is
-    // engine-specific; QueriesSpec bounds it against the exact q38.
+    // engine-specific; Round6Spec bounds it against the exact q38.
     // q46: the salted join must equal the PLAIN join — that equality is
     // the oracle.
     "q46_salted_join" ->

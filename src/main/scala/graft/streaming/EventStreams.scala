@@ -142,6 +142,21 @@ object EventStreams {
     }
   }
 
+  /** The batchId-keyed idempotent sink for [[deltaDedupStreamRefreshing]]
+    * (the recipe its scaladoc delegates to the caller, shipped): each
+    * microbatch's pairs land under `dir/batch_id=<id>` in per-directory
+    * OVERWRITE mode, so a REPLAYED microbatch — foreachBatch is
+    * at-least-once; a crash between the write and the checkpoint commit
+    * re-runs the batch with the same batchId — rewrites its own partition
+    * instead of appending duplicates. Across batches this is the
+    * reference's append-mode dump layout (new batch = new files, standing
+    * output never rewritten); within one batch it is exactly-once.
+    * Readers take `spark.read.parquet(dir)` and get `batch_id` as a
+    * partition column. */
+  def idempotentPairSink(dir: String): (DataFrame, Long) => Unit =
+    (out, batchId) =>
+      out.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.operators.JoinStrategies.rangeJoinBinned]]: pairs rows with
     * equal `keyCol` where `right.tsCol` ∈ [`left.tsCol − windowSec`,

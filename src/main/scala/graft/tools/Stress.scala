@@ -217,6 +217,56 @@ object Stress {
       val appended = deltaIdx.append(batchSh, "sh")
       Dedup.deltaNearDupsIndexed(deltaSh, appended, "doc_id", "sh", 0.5).count()
     }
+    // Skew join, salted vs plain — the measurement behind q46. Hot key 0
+    // owns 20% of events; broadcast and AQE's skew-split are disabled for
+    // BOTH cases (the regime the salt exists for: a dim side past the
+    // broadcast threshold, or a consumer that needs the join's hash
+    // partitioning, where AQE cannot re-split). The plain join serializes
+    // the hot key into ONE reduce task — its wall time tracks the hot
+    // key's share and grows with factor; the salted join spreads it over
+    // numSalts tasks and must not straggle.
+    locally {
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try {
+        val ev = events.withColumn("skew_key",
+            when(pmod(col("user_id"), lit(5)) === 0, lit(0L))
+              .otherwise(col("user_id")))
+          .select(col("event_id"), col("skew_key"))
+        val dim = ev.groupBy(col("skew_key"))
+          .agg(count(lit(1)).as("key_events"))
+        time("plain_join_hot") {
+          ev.join(dim, Seq("skew_key")).count()
+        }
+        time("salted_join_hot") {
+          graft.operators.JoinStrategies
+            .saltedJoin(ev, dim, Seq("skew_key"), numSalts = 8).count()
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      }
+    }
+    // The composed flagship: corpusBuild over the scaled corpus with
+    // budget ∝ factor (a fixed budget would admit a shrinking prefix and
+    // time only the selection window). Near-linear wall time here is the
+    // product-level scale proof — each stage is individually linear, and
+    // the composition must not reintroduce a corpus² join or a
+    // doc_id-keyed corpus shuffle (Round7Spec pins the exchange ledger;
+    // this case times it). Admitted tokens/packs grow exactly linearly:
+    // per-language budgets fill, so output ≈ budget ∝ factor.
+    time("corpus_build") {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars",
+          threshold = 0.2,
+          maxBucketSize = Some(graft.queries.PipelineQueries.D03BucketCap))
+        .localCheckpoint()
+      val clusters = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      graft.queries.PipelineQueries
+        .corpusBuildFrom(docs, clusters, budget = 3000L * factor)
+        .count()
+    }
     time("mips_topk") {
       SimilaritySearch.mipsTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5).count()

@@ -178,26 +178,35 @@ class Round6Spec extends SparkSpecBase {
 
   // ---- spreadToParallelism guard -----------------------------------------
 
-  test("spreadToParallelism returns shuffled inputs unchanged") {
+  test("spreadToParallelism returns shuffle-bearing inputs unchanged") {
     val base = graft.sources.Sources.table(spark, dir, "documents")
     val shuffled = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     // Reference equality: the guard must bail BEFORE the eager .rdd pass,
     // not after repartitioning a frame whose shuffle already spread it.
     assert(Dedup.spreadToParallelism(shuffled) eq shuffled)
-    val joined = base.join(base.select(col("doc_id")), Seq("doc_id"))
-    assert(Dedup.spreadToParallelism(joined) eq joined)
+    // A shuffle join (merge hint defeats the broadcast pick) bears a
+    // ShuffleExchange and must also bail.
+    val smj = base.join(base.select(col("doc_id")).hint("merge"), Seq("doc_id"))
+    assert(Dedup.spreadToParallelism(smj) eq smj)
   }
 
-  test("spreadToParallelism still spreads compact scan-rooted inputs") {
+  test("spreadToParallelism spreads physically-narrow inputs (scan, union, broadcast join)") {
     val scan = graft.sources.Sources.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val spread = Dedup.spreadToParallelism(scan)
-    assert(spread.rdd.getNumPartitions ==
-      spark.sparkContext.defaultParallelism)
+    val par = spark.sparkContext.defaultParallelism
+    assert(Dedup.spreadToParallelism(scan).rdd.getNumPartitions == par)
     // Unions of scans are narrow (the Stress replica shape) and must
     // still qualify.
     val union = scan.unionAll(scan.withColumn("doc_id", col("doc_id") + 1000000L))
-    assert(Dedup.scanRooted(union.queryExecution.analyzed))
+    assert(Dedup.spreadToParallelism(union).rdd.getNumPartitions == par)
+    // The guard is physical, not logical: a broadcast-join-enriched scan
+    // has a Join node in its logical plan but no shuffle exchange — its
+    // partitioning follows the streamed scan, so it MUST still be spread
+    // (the compact-corpus pair-walk serialization this helper exists for).
+    val enriched = scan.join(
+      broadcast(scan.select(col("doc_id"), length(col("text")).as("len"))),
+      Seq("doc_id"))
+    assert(Dedup.spreadToParallelism(enriched).rdd.getNumPartitions == par)
   }
 
   test("qualityKeep column equals qualityFilter's keep decision") {
@@ -264,7 +273,8 @@ class Round6Spec extends SparkSpecBase {
     val packs = out.sortBy(_.getLong(0)).map(_.getLong(3))
     assert(packs.head == 0L)
     packs.sliding(2).foreach { case Array(a, b) =>
-      assert(b == a || b == a + 1 || (b > a && packs.count(_ == a) >= 1))
+      assert(b == a || b == a + 1,
+        s"pack id jumped $a -> $b: ids must advance by at most one in doc order")
     }
     assert(packs.toSet == (packs.min to packs.max).toSet,
       "pack ids have gaps")
