@@ -49,6 +49,55 @@ object Sampling {
       .select(col("train_id"), col("eval_id"), col("eval_split"))
   }
 
+  /** N-gram-overlap train/eval decontamination (the GPT-3/PaLM recipe):
+    * flag every training document that shares at least one word n-gram
+    * (n=13 classically) with any evaluation document. This is the leak
+    * class the other two decontamination ops miss — [[exactContamination]]
+    * (p03) needs the WHOLE document byte-identical, and the near-dup
+    * variant (p05) needs whole-document similarity; an eval question
+    * quoted verbatim inside a much larger training page passes both but
+    * shares its 13-gram run, and is exactly what benchmark-contamination
+    * audits look for.
+    *
+    * Shape at 100 TB: n-grams are built scan-side (array HOFs, one pass,
+    * no shuffle), each side deduplicated per document. The eval side in
+    * production is a curated benchmark suite — KBs to MBs — so its
+    * distinct-gram table is BROADCAST and the corpus-sized train side
+    * streams through a map-side hash join; the only shuffled rows are the
+    * matches (bounded by eval size × dup factor), aggregated per train
+    * doc. `broadcastEval=false` falls back to a shuffle join for the
+    * stand-in case where the "eval" side is a whole corpus split. Output:
+    * one row per contaminated train doc — `(train_id, n_shared_grams,
+    * first_eval_id)` (count of distinct leaked n-grams; lowest sharing
+    * eval doc id, deterministic).
+    *
+    * Tokenization matches the corpus convention everywhere else in the
+    * engine (split on single space, drop empty tokens); documents with
+    * fewer than n tokens cannot leak and are filtered before the HOF
+    * (also guards Spark's `sequence(1, k)` producing a DESCENDING range
+    * when k < 1). */
+  def ngramContamination(df: DataFrame, idCol: String, textCol: String,
+                         splitCol: String, n: Int = 13,
+                         trainLabel: String = "train",
+                         broadcastEval: Boolean = true): DataFrame = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    val toks = df.select(col(idCol), col(splitCol),
+        filter(split(col(textCol), " "), t => t =!= "").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+    val grams = toks.select(col(idCol), col(splitCol),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("__ws")) - lit(n - 1)),
+        i => concat_ws(" ", slice(col("__ws"), i, lit(n)))))).as("gram"))
+    val ev = grams.filter(col(splitCol) =!= trainLabel)
+      .select(col("gram"), col(idCol).as("eval_id"))
+    val tr = grams.filter(col(splitCol) === trainLabel)
+      .select(col(idCol).as("train_id"), col("gram"))
+    tr.join(if (broadcastEval) broadcast(ev) else ev, Seq("gram"))
+      .groupBy(col("train_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"),
+        min(col("eval_id")).as("first_eval_id"))
+  }
+
   /** Token-budget selection: per group, admit documents in deterministic
     * hash order until the group's token budget is exhausted. A document is
     * admitted iff the tokens BEFORE it fit the budget (so the document that

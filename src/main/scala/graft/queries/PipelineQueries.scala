@@ -192,7 +192,20 @@ object PipelineQueries {
 
   /** Round 6: the composed corpus build (see [[corpusBuild]]). */
   private def round6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p10_corpus_build" -> ((s, dir) => corpusBuild(s, dir))
+    "p10_corpus_build" -> ((s, dir) => corpusBuild(s, dir)),
+
+    // N-gram-overlap decontamination (13-gram, the GPT-3/PaLM recipe):
+    // the third leak class beside p03 (byte-identical docs) and p05
+    // (whole-doc near-dups) — an eval passage quoted inside a larger
+    // train doc shares a 13-gram run without tripping either. Eval side
+    // broadcast (curated benchmark suites are tiny at 100 TB; the
+    // assignSplit-derived eval split here is a stand-in corpus).
+    "p11_ngram_decontaminate" -> ((s, dir) => {
+      val withSplit = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      graft.operators.Sampling
+        .ngramContamination(withSplit, "doc_id", "text", "split", n = 13)
+    })
   )
 
   /** Shared quality computation (t02, p08): integer basis points
@@ -936,6 +949,34 @@ object PipelineQueries {
       s"""WITH RECURSIVE $ComponentsCte
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)""",
+    // 13-gram decontamination: n-grams as strings (p05's word-list
+    // convention — literal-space split, empty tokens dropped, per-doc
+    // list_distinct matches the engine's array_distinct), split CASE as
+    // p01/p03. count(DISTINCT) cast to BIGINT to match count_distinct.
+    "p11_ngram_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                     FROM documents),
+              g AS (SELECT doc_id,
+                           list_distinct(list_transform(generate_series(1, len(ws) - 12),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4],
+                                            ws[i+5], ws[i+6], ws[i+7], ws[i+8], ws[i+9],
+                                            ws[i+10], ws[i+11], ws[i+12]))) AS gs
+                    FROM w WHERE len(ws) >= 13),
+              sp AS (SELECT doc_id,
+                            CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                 ELSE 'test' END AS split
+                     FROM documents),
+              eg AS (SELECT unnest(gs) AS gram, g.doc_id AS eval_id
+                     FROM g JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+              tg AS (SELECT g.doc_id AS train_id, unnest(gs) AS gram
+                     FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train')
+         SELECT t.train_id,
+                CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+                min(e.eval_id) AS first_eval_id
+         FROM tg t JOIN eg e ON t.gram = e.gram
+         GROUP BY t.train_id""",
     // The composed corpus build: every stage recomputes over the previous
     // stage's survivors, so the CTE chain mirrors corpusBuild stage for
     // stage (same capped components as d09 for the dedup drop, same split

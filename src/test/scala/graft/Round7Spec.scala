@@ -326,4 +326,51 @@ class Round7Spec extends SparkSpecBase {
     val framesPerDoc = expected.count(_._1 == 1L).toLong
     assert(overlap == Set((1L, 3L, framesPerDoc)))
   }
+
+  // ---- p11: n-gram-overlap decontamination -------------------------------
+
+  test("ngramContamination flags a quoted eval passage, not whole-doc similarity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val evalText = (1 to 13).map(i => s"ev$i").mkString(" ") // exactly 13 tokens
+    val docs = Seq(
+      // Train doc quoting the eval passage verbatim inside unrelated text:
+      // the leak p03 (whole-doc md5) and p05 (whole-doc near-dup) miss.
+      (1L, s"${(1 to 40).map(i => s"tr$i").mkString(" ")} $evalText ${(41 to 80).map(i => s"tr$i").mkString(" ")}", "train"),
+      // Unrelated train doc — must not be flagged.
+      (2L, (1 to 60).map(i => s"other$i").mkString(" "), "train"),
+      // Train doc sharing only a 12-token prefix of the passage: under the
+      // 13-gram rule that is NOT contamination.
+      (3L, s"${(1 to 30).map(i => s"pre$i").mkString(" ")} ${(1 to 12).map(i => s"ev$i").mkString(" ")}", "train"),
+      (100L, evalText, "test"),
+      (101L, s"$evalText trailing words here", "valid"))
+      .toDF("doc_id", "text", "split")
+    val out = graft.operators.Sampling
+      .ngramContamination(docs, "doc_id", "text", "split", n = 13)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Doc 1 shares exactly ONE distinct 13-gram (the passage) with docs
+    // 100 and 101; first_eval_id is the deterministic min. Docs 2/3 clean.
+    assert(rows.toSet == Set((1L, 1L, 100L)))
+    // The eval grams are broadcast: corpus-side scan must hash-join a
+    // broadcast relation, never shuffle the train grams to a sort-merge.
+    out.queryExecution.toRdd.count()
+    val bhj = allNodes(out.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "expected the eval gram set to be broadcast")
+  }
+
+  test("ngramContamination: sub-n documents are filtered before the HOF") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 12 tokens on both sides: no side can form a 13-gram — and the
+    // size(ws) >= n guard must keep sequence(1, size-12) from producing a
+    // descending range (Spark's sequence(1, 0) is [1, 0], not empty).
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" "), "train"),
+      (2L, (1 to 12).map(i => s"w$i").mkString(" "), "test"))
+      .toDF("doc_id", "text", "split")
+    assert(graft.operators.Sampling
+      .ngramContamination(docs, "doc_id", "text", "split", n = 13).count() == 0L)
+  }
 }
