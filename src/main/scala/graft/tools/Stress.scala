@@ -267,6 +267,29 @@ object Stress {
         .corpusBuildFrom(docs, clusters, budget = 3000L * factor)
         .count()
     }
+    // 13-gram decontamination with the PRODUCTION shape: the eval side is
+    // a PINNED curated set (base-corpus eval split) while the train corpus
+    // scales with factor — cost must be linear in the corpus (scan-side
+    // n-gram explode + broadcast hash join; only matches shuffle).
+    // Contamination stays pinned to the i=0 replica: the per-replica token
+    // suffixing breaks every cross-replica 13-gram by construction, so a
+    // growing match count would flag a perturbation bug, not a plan win.
+    time("ngram_decontaminate") {
+      // Every replica inherits its BASE doc's split (id mod the replica
+      // offset), so the train side is all replicas of base-train docs and
+      // never contains eval content verbatim.
+      val evalSide = graft.sources.Sources.table(spark, dir, "documents")
+        .withColumn("split", graft.operators.Sampling.assignSplit(col("doc_id")))
+        .filter(col("split") =!= "train")
+      val trainSide = docs
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(pmod(col("doc_id"), lit(10000000L))))
+        .filter(col("split") === "train")
+      graft.operators.Sampling.ngramContamination(
+        trainSide.select(col("doc_id"), col("text"), col("split"))
+          .unionAll(evalSide.select(col("doc_id"), col("text"), col("split"))),
+        "doc_id", "text", "split", n = 13).count()
+    }
     time("mips_topk") {
       SimilaritySearch.mipsTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5).count()
