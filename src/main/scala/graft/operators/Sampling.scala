@@ -76,18 +76,41 @@ object Sampling {
     * fewer than n tokens cannot leak and are filtered before the HOF
     * (also guards Spark's `sequence(1, k)` producing a DESCENDING range
     * when k < 1). */
+  /** Distinct word n-grams of a text column as an `array<string>` — one
+    * scan-side HOF pass, no shuffle, stream-safe (pure per-row). The
+    * corpus tokenization convention (literal-space split, empty tokens
+    * dropped); documents with fewer than n tokens yield an EMPTY array
+    * (guarded inside the expression — Spark's `sequence(1, k)` produces a
+    * DESCENDING `[1, 0]` when k < 1, so the bound must be checked before
+    * the range exists, not filtered after). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    val ws = filter(split(text, " "), t => t =!= "")
+    when(size(ws) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The static (gram, eval_id) lookup table [[ngramContamination]] and its
+    * streaming twin probe: every distinct n-gram of every eval document.
+    * In production this is built ONCE from the curated benchmark suite
+    * (KBs–MBs) and broadcast. */
+  def evalGramTable(evalDocs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    evalDocs.select(col(idCol).as("eval_id"),
+        wordNgrams(col(textCol), n).as("__gs"))
+      .select(col("eval_id"), explode(col("__gs")).as("gram"))
+
   def ngramContamination(df: DataFrame, idCol: String, textCol: String,
                          splitCol: String, n: Int = 13,
                          trainLabel: String = "train",
                          broadcastEval: Boolean = true): DataFrame = {
-    require(n >= 2, s"n-gram size must be >= 2, got $n")
-    val toks = df.select(col(idCol), col(splitCol),
-        filter(split(col(textCol), " "), t => t =!= "").as("__ws"))
-      .filter(size(col("__ws")) >= n)
-    val grams = toks.select(col(idCol), col(splitCol),
-      explode(array_distinct(transform(
-        sequence(lit(1), size(col("__ws")) - lit(n - 1)),
-        i => concat_ws(" ", slice(col("__ws"), i, lit(n)))))).as("gram"))
+    val grams = df.select(col(idCol), col(splitCol),
+        wordNgrams(col(textCol), n).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .select(col(idCol), col(splitCol), explode(col("__gs")).as("gram"))
     val ev = grams.filter(col(splitCol) =!= trainLabel)
       .select(col("gram"), col(idCol).as("eval_id"))
     val tr = grams.filter(col(splitCol) === trainLabel)

@@ -157,6 +157,40 @@ object EventStreams {
     (out, batchId) =>
       out.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
 
+  /** Streaming ingest-time n-gram decontamination — p11's streaming twin
+    * ([[graft.operators.Sampling.ngramContamination]]): arriving documents
+    * are checked in-flight against the STATIC eval gram table
+    * ([[graft.operators.Sampling.evalGramTable]] over the curated
+    * benchmark suite — KBs to MBs, broadcast once). A training doc that
+    * would leak an eval passage is flagged before it ever lands in the
+    * corpus — the admission-control shape, same topology as
+    * [[deltaDedupStream]].
+    *
+    * Plan shape: n-grams built scan-side per arriving row (array HOFs,
+    * stateless), broadcast hash join against the eval grams — only
+    * matches survive — then the one stateful op: the watermarked pair
+    * dedup (a doc sharing k grams with an eval doc appears k times; state
+    * is one entry per emitted (doc, eval) pair, watermark-evicted), so a
+    * replayed doc does not re-flag.
+    *
+    * Input: streaming (idCol, tsCol, textCol). Output: append-mode
+    * (new_id, eval_id, tsCol) — one row per contaminated arriving doc ×
+    * leaked-from eval doc. (The batch op's n_shared_grams count needs a
+    * full aggregation; admission control only needs the flag.) */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, evalGrams: DataFrame, n: Int = 13,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("new_id"), col(tsCol),
+        graft.operators.Sampling.wordNgrams(col(textCol), n).as("__gs"))
+      .select(col("new_id"), col(tsCol), explode(col("__gs")).as("gram"))
+    grams
+      .join(broadcast(evalGrams.select(col("gram"), col("eval_id"))), Seq("gram"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "eval_id")
+      .select(col("new_id"), col("eval_id"), col(tsCol))
+  }
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.operators.JoinStrategies.rangeJoinBinned]]: pairs rows with
     * equal `keyCol` where `right.tsCol` ∈ [`left.tsCol − windowSec`,

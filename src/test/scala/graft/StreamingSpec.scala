@@ -312,4 +312,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch,
       "per-row quality filter must be identical on stream and batch")
   }
+
+  test("streaming decontamination matches batch p11 and suppresses replays") {
+    import java.sql.Timestamp
+    import graft.operators.Sampling
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+
+    // Offline: the curated eval suite's gram table (built once, broadcast).
+    val passage = (1 to 13).map(i => s"ev$i").mkString(" ")
+    val evalDocs = Seq(
+      (100L, passage),
+      (101L, s"$passage plus trailing context words")).toDF("doc_id", "text")
+    val evalGrams = Sampling.evalGramTable(evalDocs, "doc_id", "text", n = 13)
+
+    // Online: 201 quotes the eval passage inside unrelated text, 202 is
+    // clean, 203 shares only a 12-token prefix (not contamination), and
+    // 201 is REPLAYED in the second batch — must not re-flag.
+    val quoting =
+      s"${(1 to 20).map(i => s"tr$i").mkString(" ")} $passage tr_tail"
+    val clean = (1 to 40).map(i => s"other$i").mkString(" ")
+    val nearMiss =
+      s"${(1 to 20).map(i => s"pre$i").mkString(" ")} ${(1 to 12).map(i => s"ev$i").mkString(" ")}"
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.decontaminateStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", evalGrams, n = 13)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decon_out").start()
+    try {
+      memStream.addData((201L, ts(0), quoting), (202L, ts(1), clean))
+      q.processAllAvailable()
+      memStream.addData((203L, ts(2), nearMiss), (201L, ts(3), quoting))
+      q.processAllAvailable()
+      val got = spark.table("decon_out")
+        .select($"new_id", $"eval_id").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"replayed doc re-flagged: $got")
+      // Batch twin over the union: same flagged docs, and the stream's
+      // min eval id per doc equals the batch's first_eval_id.
+      val batch = Sampling.ngramContamination(
+          Seq((201L, quoting, "train"), (202L, clean, "train"),
+              (203L, nearMiss, "train"),
+              (100L, passage, "test"),
+              (101L, s"$passage plus trailing context words", "valid"))
+            .toDF("doc_id", "text", "split"),
+          "doc_id", "text", "split", n = 13)
+        .select($"train_id", $"first_eval_id").as[(Long, Long)].collect().toMap
+      val streamMin = got.groupBy(_._1).map { case (id, ps) => (id, ps.map(_._2).min) }
+      assert(streamMin == batch, s"stream $streamMin vs batch $batch")
+      assert(batch.keySet == Set(201L))
+      // The quoting doc leaked from BOTH eval docs (the passage is in each).
+      assert(got.toSet == Set((201L, 100L), (201L, 101L)))
+    } finally q.stop()
+  }
 }
