@@ -13,11 +13,16 @@ import graft.operators.{Dedup, SimilaritySearch}
   * aggregation) scale; quadratic blowup would flag a plan bug before a
   * cluster ever sees it.
   *
-  * `runMain graft.tools.Stress [factor]` — prints one JSON line per op.
+  * `runMain graft.tools.Stress [factor] [opSubstring]` — prints one JSON
+  * line per op; the optional second arg runs only ops whose name contains
+  * it (the delta-probe ops build their index untimed when its build op is
+  * filtered out).
   */
 object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(4)
+    val opFilter = args.lift(1)
+    def want(name: String): Boolean = opFilter.forall(name.contains)
     // The embedding decorrelation below circular-shifts the 64-dim vectors
     // by the replica index: shift i must stay in [1, 63] and distinct per
     // replica, or replicas re-correlate (i=64 is the identity shift) and
@@ -60,7 +65,7 @@ object Stress {
       }.reduce(_ union _)
     }
 
-    def time(name: String)(body: => Long): Unit = {
+    def time(name: String)(body: => Long): Unit = if (want(name)) {
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
@@ -185,13 +190,19 @@ object Stress {
         graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     var deltaIdx: Dedup.MinHashIndex = null
-    time("delta_index_build") {
-      deltaIdx = Dedup.buildMinHashIndex(corpusSh, "doc_id", "sh")
-      // Materialize BOTH cached tables here: the band table and the
-      // signature table are the offline artifact — the probe must not get
-      // charged the (corpus-sized) cache fill.
-      deltaIdx.bands.count() + deltaIdx.signatures.count()
+    def ensureDeltaIdx(): Long = {
+      if (deltaIdx == null) {
+        deltaIdx = Dedup.buildMinHashIndex(corpusSh, "doc_id", "sh")
+        // Materialize BOTH cached tables here: the band table and the
+        // signature table are the offline artifact — the probe must not
+        // get charged the (corpus-sized) cache fill.
+        deltaIdx.bands.count() + deltaIdx.signatures.count()
+      } else 0L
     }
+    time("delta_index_build") { ensureDeltaIdx() }
+    // Probe ops still need the index when the build op is filtered out —
+    // build it UNTIMED so the probe numbers stay comparable.
+    if (Seq("delta_probe", "probe_after_append").exists(want)) ensureDeltaIdx()
     time("delta_probe") {
       Dedup.deltaNearDupsIndexed(deltaSh, deltaIdx, "doc_id", "sh", 0.5).count()
     }
