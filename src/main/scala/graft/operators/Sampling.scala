@@ -121,6 +121,38 @@ object Sampling {
         min(col("eval_id")).as("first_eval_id"))
   }
 
+  /** Epoch-weighted repeat sampling — the data-constrained-scaling recipe
+    * (repeat data when the token budget exceeds the unique corpus, and
+    * repeat BETTER documents more often). Given an integer quality weight
+    * in basis points (0..10000), the target repeat count interpolates
+    * 1..maxEpochs: `target_bp = 10000 + weight_bp·(maxEpochs−1)`. The
+    * integer part is deterministic; the fractional part is a content-hash
+    * Bernoulli (same convention as the temperature mix: reproducible,
+    * placement-independent, any doc's fate independent of row order or
+    * cluster size). All-integer arithmetic, so every engine agrees
+    * exactly.
+    *
+    * Output: one row per (doc, epoch_idx), `epoch_idx` in 1..repeats,
+    * with the repeat count carried. Shape at 100 TB: map-only — the
+    * weight is an input column, the repeat decision is per-row
+    * arithmetic, and the fan-out is a scan-side `explode(sequence)`;
+    * there is NO shuffle anywhere in the plan, so it composes freely
+    * after budget/mix stages. Weight 0 ⇒ exactly 1 epoch; weight 10000 ⇒
+    * exactly maxEpochs. */
+  def epochRepeat(df: DataFrame, idCol: String, weightBpCol: String,
+                  maxEpochs: Int): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    df.select(col(idCol), col(weightBpCol),
+        (col(weightBpCol).cast("long") * lit((maxEpochs - 1).toLong) +
+          lit(10000L)).as("__target_bp"))
+      .withColumn("repeats",
+        expr("__target_bp DIV 10000") +
+          when(hashBucket(col(idCol), 10000) < col("__target_bp") % lit(10000L),
+            lit(1L)).otherwise(lit(0L)))
+      .select(col(idCol), col(weightBpCol), col("repeats"),
+        explode(sequence(lit(1L), col("repeats"))).as("epoch_idx"))
+  }
+
   /** Token-budget selection: per group, admit documents in deterministic
     * hash order until the group's token budget is exhausted. A document is
     * admitted iff the tokens BEFORE it fit the budget (so the document that

@@ -205,7 +205,18 @@ object PipelineQueries {
         graft.operators.Sampling.assignSplit(col("doc_id")))
       graft.operators.Sampling
         .ngramContamination(withSplit, "doc_id", "text", "split", n = 13)
-    })
+    }),
+
+    // Epoch-weighted repeat sampling (the data-constrained-scaling
+    // recipe): when the token budget exceeds the unique corpus, repeat
+    // documents up to 4 epochs, better documents more often — the shared
+    // t02/p08 quality score (integer basis points) is the weight, and the
+    // fractional epoch is a content-hash Bernoulli. Map-only: no shuffle
+    // anywhere in the plan (the fan-out is a scan-side explode).
+    "p12_epoch_repeat" -> ((s, dir) =>
+      graft.operators.Sampling.epochRepeat(
+        qualityScored(docs(s, dir)).select(col("doc_id"), col("quality_bp")),
+        "doc_id", "quality_bp", maxEpochs = 4))
   )
 
   /** Shared quality computation (t02, p08): integer basis points
@@ -977,6 +988,29 @@ object PipelineQueries {
                 min(e.eval_id) AS first_eval_id
          FROM tg t JOIN eg e ON t.gram = e.gram
          GROUP BY t.train_id""",
+    // Epoch repeats: the t02/p08 quality CTE is the weight; repeats =
+    // (10000 + q*3) DIV 10000 plus a hash Bernoulli on the remainder;
+    // lateral unnest(generate_series) mirrors explode(sequence).
+    "p12_epoch_repeat" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+                           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                    FROM t),
+              q AS (SELECT doc_id,
+                           CAST(n_uniq * 5000 // n_tokens
+                                + (n_tokens - n_stop) * 3000 // n_tokens
+                                + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
+                    FROM c),
+              r AS (SELECT doc_id, quality_bp,
+                           CAST((10000 + quality_bp * 3) // 10000
+                                + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                                            < (10000 + quality_bp * 3) % 10000
+                                       THEN 1 ELSE 0 END AS BIGINT) AS repeats
+                    FROM q)
+         SELECT doc_id, quality_bp, repeats,
+                CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch_idx
+         FROM r""",
     // The composed corpus build: every stage recomputes over the previous
     // stage's survivors, so the CTE chain mirrors corpusBuild stage for
     // stage (same capped components as d09 for the dedup drop, same split

@@ -360,6 +360,36 @@ class Round7Spec extends SparkSpecBase {
     assert(bhj.nonEmpty, "expected the eval gram set to be broadcast")
   }
 
+  test("epochRepeat: boundary weights exact, epochs dense, placement-independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, 0L), (2L, 10000L), (3L, 5000L), (4L, 3333L))
+      .toDF("doc_id", "w_bp")
+    val out = graft.operators.Sampling.epochRepeat(docs, "doc_id", "w_bp", maxEpochs = 4)
+    val rows = out.select($"doc_id", $"repeats", $"epoch_idx")
+      .as[(Long, Long, Long)].collect()
+    val byDoc = rows.groupBy(_._1)
+    // Weight 0 => exactly 1 epoch; weight 10000 => exactly maxEpochs —
+    // the interpolation endpoints are deterministic, no Bernoulli at all.
+    assert(byDoc(1L).map(_._2).toSet == Set(1L) && byDoc(1L).length == 1)
+    assert(byDoc(2L).map(_._2).toSet == Set(4L) && byDoc(2L).length == 4)
+    // Interior weights: base DIV is a floor, the Bernoulli adds at most 1,
+    // and epoch_idx is dense 1..repeats for every doc.
+    for ((id, rs) <- byDoc) {
+      val rep = rs.head._2
+      assert(rs.forall(_._2 == rep), s"doc $id repeat count not constant")
+      assert(rs.map(_._3).sorted.toSeq == (1L to rep), s"doc $id epochs not dense")
+      assert(rep >= 1L && rep <= 4L)
+    }
+    // Placement independence: a repartitioned input yields the identical
+    // multiset (the repeat decision is pure content arithmetic).
+    val shuffled = graft.operators.Sampling
+      .epochRepeat(docs.repartition(7), "doc_id", "w_bp", maxEpochs = 4)
+      .select($"doc_id", $"repeats", $"epoch_idx")
+      .as[(Long, Long, Long)].collect()
+    assert(shuffled.sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("ngramContamination: sub-n documents are filtered before the HOF") {
     val spark2 = spark
     import spark2.implicits._
