@@ -85,12 +85,21 @@ object Sampling {
     * the range exists, not filtered after). */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 2, s"n-gram size must be >= 2, got $n")
-    val ws = filter(split(text, " "), t => t =!= "")
-    when(size(ws) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(ws) - lit(n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    // The token array must be BOUND ONCE per row: referencing the
+    // split+filter expression directly inside the transform lambda would
+    // re-evaluate it per sequence element (the nested-HOF re-evaluation
+    // trap — measured ~6× on p11 at sf0.1: 9.5s → 1.5s). A one-element
+    // `transform` turns it into a lambda variable (a cheap attribute
+    // read), which projection collapsing can never re-inline.
+    val ws0 = filter(split(text, " "), t => t =!= "")
+    element_at(
+      transform(array(ws0), ws =>
+        when(size(ws) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(ws) - lit(n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n))))))
+          .otherwise(array().cast("array<string>"))),
+      1)
   }
 
   /** The static (gram, eval_id) lookup table [[ngramContamination]] and its
@@ -107,7 +116,16 @@ object Sampling {
                          splitCol: String, n: Int = 13,
                          trainLabel: String = "train",
                          broadcastEval: Boolean = true): DataFrame = {
-    val grams = df.select(col(idCol), col(splitCol),
+    // The dominant cost is per-row CPU (the n-gram HOF + explode), and a
+    // compact parquet corpus reads as ONE partition per row group — behind
+    // a broadcast join nothing re-parallelizes that scan, so both the
+    // broadcast-side build and the probe pass would serialize on it (the
+    // d03 scan-layout lesson; measured 9.5s → ~1s at sf0.1). Spread the
+    // shared input to cluster parallelism first (physical-plan-guarded:
+    // already-shuffled inputs pass through unchanged).
+    val base = Dedup.spreadToParallelism(
+      df.select(col(idCol), col(splitCol), col(textCol)))
+    val grams = base.select(col(idCol), col(splitCol),
         wordNgrams(col(textCol), n).as("__gs"))
       .filter(size(col("__gs")) > 0)
       .select(col(idCol), col(splitCol), explode(col("__gs")).as("gram"))
