@@ -115,16 +115,20 @@ object Sampling {
   def ngramContamination(df: DataFrame, idCol: String, textCol: String,
                          splitCol: String, n: Int = 13,
                          trainLabel: String = "train",
-                         broadcastEval: Boolean = true): DataFrame = {
+                         broadcastEval: Boolean = true,
+                         spread: Boolean = true): DataFrame = {
     // The dominant cost is per-row CPU (the n-gram HOF + explode), and a
     // compact parquet corpus reads as ONE partition per row group — behind
     // a broadcast join nothing re-parallelizes that scan, so both the
     // broadcast-side build and the probe pass would serialize on it (the
     // d03 scan-layout lesson; measured 9.5s → ~1s at sf0.1). Spread the
     // shared input to cluster parallelism first (physical-plan-guarded:
-    // already-shuffled inputs pass through unchanged).
-    val base = Dedup.spreadToParallelism(
-      df.select(col(idCol), col(splitCol), col(textCol)))
+    // already-shuffled inputs pass through unchanged). `spread=false` for
+    // composition callers: spreadToParallelism's partition-count read is
+    // EAGER (df.rdd), which would pre-run the upstream stages of a
+    // multi-stage plan once just to plan the repartition.
+    val base0 = df.select(col(idCol), col(splitCol), col(textCol))
+    val base = if (spread) Dedup.spreadToParallelism(base0) else base0
     val grams = base.select(col(idCol), col(splitCol),
         wordNgrams(col(textCol), n).as("__gs"))
       .filter(size(col("__gs")) > 0)
@@ -160,15 +164,15 @@ object Sampling {
   def epochRepeat(df: DataFrame, idCol: String, weightBpCol: String,
                   maxEpochs: Int): DataFrame = {
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    df.select(col(idCol), col(weightBpCol),
-        (col(weightBpCol).cast("long") * lit((maxEpochs - 1).toLong) +
-          lit(10000L)).as("__target_bp"))
+    df.withColumn("__target_bp",
+        col(weightBpCol).cast("long") * lit((maxEpochs - 1).toLong) +
+          lit(10000L))
       .withColumn("repeats",
         expr("__target_bp DIV 10000") +
           when(hashBucket(col(idCol), 10000) < col("__target_bp") % lit(10000L),
             lit(1L)).otherwise(lit(0L)))
-      .select(col(idCol), col(weightBpCol), col("repeats"),
-        explode(sequence(lit(1L), col("repeats"))).as("epoch_idx"))
+      .drop("__target_bp")
+      .withColumn("epoch_idx", explode(sequence(lit(1L), col("repeats"))))
   }
 
   /** Token-budget selection: per group, admit documents in deterministic

@@ -190,9 +190,92 @@ object PipelineQueries {
         Sampling.assignSplit(col("doc_id")).as("split"))
   }
 
+  /** [[corpusBuildFrom]] extended with the round-7 admission ops — v2 of
+    * the composed product story. Two new stages, same recompute-over-
+    * survivors semantics: after the exact (p03) decontamination, drop
+    * train docs sharing any 13-gram with an eval-split SURVIVOR (p11 —
+    * the quoted-passage leak p03's whole-doc hash misses); after packing,
+    * expand the admitted corpus into epoch-weighted repeats (p12) keyed
+    * on the shared t02 quality score computed once over the deduped
+    * survivors and carried through budget and packing. Shuffle-ledger
+    * delta vs [[corpusBuildFrom]]: the gram stage adds one broadcast
+    * probe whose shuffled rows are the matches (bounded by the eval
+    * population), and p12 is map-only (scan-side explode) — the
+    * corpus-wide shuffles remain p07's bounded scan + p02's pack scan. */
+  private[graft] def corpusBuildV2From(base: DataFrame, clusters: DataFrame,
+                                       budget: Long,
+                                       materialize: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val s1 = base.filter(TA.qualityKeep(col("text")))
+    val drops = clusters
+      .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+    // Quality is computed HERE, over the deduped survivors, and carried
+    // through every later stage (budget and packing preserve extra
+    // columns) — the epoch weights at the end must reflect the corpus the
+    // pipeline actually admitted, not a pre-dedup scoring pass.
+    val s2 = s1.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("text"),
+        TA.words(col("text")).as("__ws"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__ws"))).cast("long").as("n_uniq"),
+        TA.stopwordCount(col("__ws"), TA.StopEn).as("n_stop"))
+      .withColumn("quality_bp",
+        expr("""CAST(n_uniq * 5000 DIV n_tokens
+                     + (n_tokens - n_stop) * 3000 DIV n_tokens
+                     + least(n_tokens, 100L) * 20 AS BIGINT)"""))
+      .drop("n_uniq", "n_stop")
+    val withSplit = cp(
+      s2.withColumn("split", Sampling.assignSplit(col("doc_id"))))
+    val contaminated = Sampling
+      .exactContamination(withSplit, "doc_id", "text", "split")
+      .select(col("train_id").as("doc_id")).distinct()
+    val s3 = withSplit.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // p11 over the p03 survivors: spread=false — the input is one stage
+    // of a composed plan, and the spread helper's partition-count read is
+    // eager. Matches are bounded by the eval population; the dropped-id
+    // set broadcasts like the other two.
+    // No .distinct(): ngramContamination's per-train-doc aggregate already
+    // emits unique ids — a redundant distinct after the rename would add a
+    // doc_id-keyed exchange the ledger forbids.
+    val gramContaminated = Sampling.ngramContamination(
+        s3.select(col("doc_id"), col("text"), col("split")),
+        "doc_id", "text", "split", n = 13, spread = false)
+      .select(col("train_id").as("doc_id"))
+    val s3b = s3.join(broadcast(gramContaminated), Seq("doc_id"), "left_anti")
+    val counts = s3b.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate_bp", floor(lit(10000.0) *
+        sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
+      .select(col("lang"), col("rate_bp"))
+    val s4 = s3b.join(broadcast(rates), Seq("lang"))
+      .filter(Sampling.hashBucket(col("doc_id"), 10000) < col("rate_bp"))
+    val s5 = cp(Sampling.tokenBudgetPerGroup(
+        s4.select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality_bp")),
+        groupCol = "lang", keyCol = "doc_id", tokensCol = "n_tokens",
+        budget = budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_bp")))
+    val packed = Packing.packSequences(s5, "doc_id", "n_tokens", ctxLen = 2048L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
+        col("quality_bp"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"),
+        Sampling.assignSplit(col("doc_id")).as("split"))
+    Sampling.epochRepeat(packed, "doc_id", "quality_bp", maxEpochs = 4)
+  }
+
   /** Round 6: the composed corpus build (see [[corpusBuild]]). */
   private def round6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_corpus_build" -> ((s, dir) => corpusBuild(s, dir)),
+
+    // The v2 composed build (see [[corpusBuildV2From]]): p10 + the
+    // round-7 admission ops (13-gram decontamination stage, epoch-weighted
+    // repeat tail).
+    "p13_corpus_build_v2" -> ((s, dir) =>
+      corpusBuildV2From(docs(s, dir), dupPairsAndClusters(s, dir)._2,
+        budget = 3000L)),
 
     // N-gram-overlap decontamination (13-gram, the GPT-3/PaLM recipe):
     // the third leak class beside p03 (byte-identical docs) and p05
@@ -1058,6 +1141,81 @@ object PipelineQueries {
                      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
                      ELSE 'test' END AS split
          FROM s6""",
+    // The v2 composed build: p10's CTE chain with quality carried from the
+    // deduped survivors (t02 formula), a 13-gram decontamination stage
+    // (p11's gram convention — filtered word list, per-doc list_distinct)
+    // between p03 and the mix, and the p12 epoch-repeat tail.
+    "p13_corpus_build_v2" ->
+      s"""WITH RECURSIVE $ComponentsCte,
+              tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+                      FROM documents),
+              qual AS (SELECT doc_id FROM (
+                        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                               CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+                               CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                        FROM tok)
+                       WHERE NOT (n_tokens < 20 OR n_tokens > 2000
+                              OR sum_len * 100 < n_tokens * 300 OR sum_len * 100 > n_tokens * 1000
+                              OR n_stop * 10000 < n_tokens * 100)),
+              s2c AS (SELECT t.doc_id, t.lang, t.text, t.ws,
+                             CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                             CAST(len(list_distinct(t.ws)) AS BIGINT) AS n_uniq,
+                             CAST(len(list_filter(t.ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                      FROM tok t JOIN qual USING (doc_id)
+                      WHERE t.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)),
+              s2 AS (SELECT doc_id, lang, text, n_tokens,
+                            CAST(n_uniq * 5000 // n_tokens
+                                 + (n_tokens - n_stop) * 3000 // n_tokens
+                                 + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
+                     FROM s2c),
+              spl AS (SELECT doc_id,
+                             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                  ELSE 'test' END AS split
+                      FROM documents),
+              s3 AS (SELECT s2.*, spl.split FROM s2 JOIN spl USING (doc_id)
+                     WHERE NOT (spl.split = 'train' AND md5(s2.text) IN (
+                         SELECT md5(b.text) FROM s2 b JOIN spl spb ON b.doc_id = spb.doc_id
+                         WHERE spb.split <> 'train'))),
+              gw AS (SELECT doc_id, split,
+                            list_filter(string_split(text, ' '), t -> t <> '') AS fws
+                     FROM s3),
+              gg AS (SELECT doc_id, split,
+                            list_distinct(list_transform(generate_series(1, len(fws) - 12),
+                              i -> concat_ws(' ', fws[i], fws[i+1], fws[i+2], fws[i+3], fws[i+4],
+                                             fws[i+5], fws[i+6], fws[i+7], fws[i+8], fws[i+9],
+                                             fws[i+10], fws[i+11], fws[i+12]))) AS gs
+                     FROM gw WHERE len(fws) >= 13),
+              ge AS (SELECT unnest(gs) AS gram FROM gg WHERE split <> 'train'),
+              gt AS (SELECT doc_id, unnest(gs) AS gram FROM gg WHERE split = 'train'),
+              gc AS (SELECT DISTINCT gt.doc_id FROM gt JOIN ge USING (gram)),
+              s3b AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM gc)),
+              mixc AS (SELECT lang, count(*) AS n_lang FROM s3b GROUP BY lang),
+              mixm AS (SELECT min(n_lang) AS n_min FROM mixc),
+              mixr AS (SELECT lang, CAST(floor(10000.0 * sqrt(CAST(n_min AS DOUBLE) / n_lang)) AS BIGINT) AS rate_bp
+                       FROM mixc, mixm),
+              s4 AS (SELECT s3b.* FROM s3b JOIN mixr USING (lang)
+                     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < mixr.rate_bp),
+              bud AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum FROM s4),
+              s5 AS (SELECT doc_id, lang, n_tokens, quality_bp FROM bud WHERE cum - n_tokens < 3000),
+              s6 AS (SELECT doc_id, lang, n_tokens, quality_bp,
+                            CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS pack_id
+                     FROM s5),
+              rep AS (SELECT doc_id, lang, n_tokens, pack_id, quality_bp,
+                             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+                             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                  ELSE 'test' END AS split,
+                             CAST((10000 + quality_bp * 3) // 10000
+                                  + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                                              < (10000 + quality_bp * 3) % 10000
+                                         THEN 1 ELSE 0 END AS BIGINT) AS repeats
+                      FROM s6)
+         SELECT doc_id, lang, n_tokens, pack_id, quality_bp, bucket, split, repeats,
+                CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch_idx
+         FROM rep""",
     "t01_token_stats" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                 CAST(length(text) AS BIGINT) AS n_chars_calc,

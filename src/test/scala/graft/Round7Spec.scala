@@ -259,6 +259,44 @@ class Round7Spec extends SparkSpecBase {
       s"packs grew ${packRatio}x for a 2x corpus + 2x budget")
   }
 
+  test("p13 exchange ledger and epoch invariants") {
+    val base = graft.sources.Sources.table(spark, dir, "documents")
+    val clusters = PipelineQueries.dupPairsAndClusters(spark, dir)._2
+    val built = PipelineQueries.corpusBuildV2From(base, clusters,
+      budget = 3000L, materialize = false)
+    assert(built.queryExecution.toRdd.count() > 0)
+    // Ledger = p10's allowlist + the gram stage: its broadcast probe's
+    // matched rows aggregate per (train doc, gram) for the distinct count.
+    // Still NOTHING shuffles the corpus on doc_id alone — the gram-drop id
+    // set joins back as a broadcast anti like the other two drop sets, and
+    // p12's epoch explode is map-only (adds no exchange at all).
+    val allowed = Set(Set("__h"), Set("lang"), Set("lang", "__sub"),
+      Set("__bkt"), Set("gram"), Set("train_id", "gram"), Set("train_id"))
+    shuffleExchanges(built).foreach { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          val names = h.expressions.flatMap(_.references.map(_.name)).toSet
+          assert(allowed.contains(names),
+            s"unexpected corpus shuffle on $names:\n${built.queryExecution.executedPlan}")
+          assert(names != Set("doc_id"), s"corpus shuffled on doc_id")
+        case _ => ()
+      }
+    }
+    // Epoch invariants on the real output: repeats in 1..4, epochs dense
+    // per doc, and the doc-level frame equals p10's shape semantics
+    // (every admitted doc appears exactly `repeats` times).
+    val rows = PipelineQueries.corpusBuildV2From(base, clusters, budget = 3000L)
+      .select(col("doc_id"), col("repeats"), col("epoch_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val rep = rs.head._2
+      assert(rep >= 1L && rep <= 4L, s"doc $id repeats $rep out of range")
+      assert(rs.map(_._3).sorted.toSeq == (1L to rep),
+        s"doc $id epochs not dense 1..$rep")
+    }
+  }
+
   // ---- foreachBatch replay idempotence -----------------------------------
 
   test("idempotentPairSink: a replayed microbatch lands no duplicate pairs") {
