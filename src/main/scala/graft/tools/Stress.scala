@@ -288,6 +288,20 @@ object Stress {
         .corpusBuildFrom(docs, clusters, budget = 3000L * factor)
         .count()
     }
+    // The v2 composition (p13): adds the 13-gram decontamination stage and
+    // the epoch-repeat tail to the same chain — the delta over
+    // corpus_build must stay bounded by the gram probe (matches ∝ eval
+    // population) plus a map-only explode.
+    time("corpus_build_v2") {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars",
+          threshold = 0.2,
+          maxBucketSize = Some(graft.queries.PipelineQueries.D03BucketCap))
+        .localCheckpoint()
+      val clusters = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      graft.queries.PipelineQueries
+        .corpusBuildV2From(docs, clusters, budget = 3000L * factor)
+        .count()
+    }
     // 13-gram decontamination with the PRODUCTION shape: the eval side is
     // a PINNED curated set (base-corpus eval split) while the train corpus
     // scales with factor — cost must be linear in the corpus (scan-side
