@@ -44,11 +44,16 @@ object Sources {
 
   /** Read one table as a DataFrame (no view registration).
     *
-    * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects by
-    * default (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via the legacy
-    * conf and downcast to Spark's native microsecond TimestampType; the
-    * sub-microsecond truncation is invisible to every query (all bucket to
-    * >= 1s granularity or never emit the raw timestamp).
+    * `events.ts` has shipped in two physical encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (Spark rejects by default —
+    * PARQUET_TYPE_ILLEGAL — so we read raw nanos via the legacy conf and
+    * downcast), and plain `timestamp[us]` without UTC adjustment (Spark
+    * infers TIMESTAMP_NTZ). Both normalize to Spark's native microsecond
+    * TimestampType here so every downstream query sees one stable type;
+    * with the session timezone pinned to UTC the NTZ→TZ cast is
+    * value-preserving. Sub-microsecond truncation on the nanos path is
+    * invisible to every query (all bucket to >= 1s granularity or never
+    * emit the raw timestamp).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, dir, name).getOrElse(
@@ -59,11 +64,18 @@ object Sources {
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))) None
     else if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Some(spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case LongType => timestamp_micros(expr("ts div 1000")) // legacy INT64 nanos
+        case TimestampNTZType => col("ts").cast(TimestampType) // UTC session tz: value-preserving
+        case TimestampType => col("ts")
+        case other => throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other")
+      }
+      Some(raw.withColumn("ts", ts))
     } else Some(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
