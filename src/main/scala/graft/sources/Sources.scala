@@ -44,39 +44,168 @@ object Sources {
 
   /** Read one table as a DataFrame (no view registration).
     *
-    * `events.ts` has shipped in two physical encodings across testdata
-    * generations: INT64 TIMESTAMP(NANOS) (Spark rejects by default —
-    * PARQUET_TYPE_ILLEGAL — so we read raw nanos via the legacy conf and
-    * downcast), and plain `timestamp[us]` without UTC adjustment (Spark
-    * infers TIMESTAMP_NTZ). Both normalize to Spark's native microsecond
-    * TimestampType here so every downstream query sees one stable type;
-    * with the session timezone pinned to UTC the NTZ→TZ cast is
-    * value-preserving. Sub-microsecond truncation on the nanos path is
-    * invisible to every query (all bucket to >= 1s granularity or never
-    * emit the raw timestamp).
+    * Timestamp columns have shipped in three physical encodings across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (Spark rejects by
+    * default — ILLEGAL_PARQUET_TYPE), plain `timestamp[us]` without UTC
+    * adjustment (Spark infers TIMESTAMP_NTZ), and native microsecond
+    * TimestampType. All three normalize to TimestampType here — for EVERY
+    * column of EVERY table, keyed on the inspected physical type, not on a
+    * hardcoded (table, column) — so a driver-side re-encoding of any table
+    * is absorbed (or fails loudly), never a silent multi-query outage
+    * (round 7 lost all ten event queries to exactly that). The session is
+    * never left mutated: the legacy-nanos conf is set only when a footer
+    * actually carries TIMESTAMP(NANOS) and is restored after the read
+    * (see [[readWithLegacyNanos]]). Sub-microsecond truncation on the
+    * nanos path is invisible to every query (all bucket to >= 1s
+    * granularity or never emit the raw timestamp).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, dir, name).getOrElse(
       throw new java.io.FileNotFoundException(s"$dir/$name.parquet"))
 
+  private val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Columns whose parquet physical type is an UN-annotated INT64 but
+    * whose table contract says "epoch nanoseconds" (one historical
+    * testdata generation shipped `events.ts` that way). A bare INT64 is
+    * otherwise just a long — only a declared contract can justify
+    * reinterpreting it, so this map is the ONLY table-specific knowledge
+    * in the loader; annotated NANOS / NTZ / native timestamps normalize
+    * type-driven on any table. */
+  private val RawInt64NanosCols: Map[String, Set[String]] =
+    Map("events" -> Set("ts"))
+
   private def load(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+    val path = s"$dir/$name.parquet"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))) None
-    else if (name == "events") {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      val ts = raw.schema("ts").dataType match {
-        case LongType => timestamp_micros(expr("ts div 1000")) // legacy INT64 nanos
-        case TimestampNTZType => col("ts").cast(TimestampType) // UTC session tz: value-preserving
-        case TimestampType => col("ts")
-        case other => throw new IllegalStateException(
-          s"events.ts: unsupported physical type $other")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
+    else {
+      val raw =
+        try spark.read.parquet(path)
+        catch {
+          // ILLEGAL_PARQUET_TYPE on TIMESTAMP(NANOS): take the legacy
+          // read path, but only after the footer CONFIRMS a nanos column
+          // (any other analysis failure rethrows untouched).
+          case e: org.apache.spark.sql.AnalysisException =>
+            val nanosCols = nanosAnnotatedColumns(spark, path)
+            if (nanosCols.isEmpty) throw e
+            readWithLegacyNanos(spark, path, nanosCols)
+        }
+      Some(normalizeTimestamps(spark, raw, name))
+    }
+  }
+
+  /** Column names in the first data file's footer annotated
+    * TIMESTAMP(unit=NANOS). One footer read (the testdata writer emits a
+    * uniform schema across part files), driver-side, metadata-only. */
+  private def nanosAnnotatedColumns(spark: SparkSession, path: String): Set[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hconf)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val dataFile =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_"))
+      else Some(p)
+    dataFile.fold(Set.empty[String]) { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+          case field if field.isPrimitive &&
+            (field.asPrimitiveType().getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+              case _ => false
+            }) => field.getName
+        }.toSet
+      } finally reader.close()
+    }
+  }
+
+  /** Read a TIMESTAMP(NANOS) parquet under a SCOPED legacy conf: set
+    * `nanosAsLong`, read, convert ns→us, materialize, restore. The
+    * materialization (localCheckpoint, eager) is what makes the restore
+    * safe — the vectorized reader re-resolves the conf at physical
+    * planning, so a lazy plan would fail once the conf reverts. Priced
+    * accordingly: this branch eagerly reads the table once. It is a
+    * compat shim for one historical testdata encoding, never the scale
+    * path (the current writer emits micros); at 100 TB the fix is
+    * re-encoding the data, not this shim.
+    */
+  private def readWithLegacyNanos(spark: SparkSession, path: String,
+                                  nanosCols: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption(NanosAsLongKey)
+    try {
+      spark.conf.set(NanosAsLongKey, "true")
+      val raw = spark.read.parquet(path) // nanos columns arrive as raw longs
+      val cols = raw.schema.fields.map { f =>
+        if (nanosCols(f.name)) timestamp_micros(expr(s"`${f.name}` div 1000")).as(f.name)
+        else col(f.name)
       }
-      Some(raw.withColumn("ts", ts))
-    } else Some(spark.read.parquet(s"$dir/$name.parquet"))
+      raw.select(cols.toSeq: _*).localCheckpoint()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosAsLongKey, v)
+        case None => spark.conf.unset(NanosAsLongKey)
+      }
+    }
+  }
+
+  /** Normalize every timestamp-bearing column of `df` to TimestampType.
+    * Type-driven over all columns: TIMESTAMP_NTZ casts (value-preserving
+    * only under a UTC session — asserted where consumed, per the loader
+    * contract every entry point pins `spark.sql.session.timeZone=UTC`);
+    * declared raw-INT64 nanos columns convert with a PLAUSIBILITY GUARD
+    * (a lazy `raise_error`, zero extra jobs): if the contract is stale —
+    * say a future generation ships un-annotated micros — values land
+    * outside [1990, 2100) after ns→us and the first query fails loudly
+    * instead of silently reading times divided by 1000. A declared
+    * timestamp column with any other physical type fails the load
+    * itself. */
+  private def normalizeTimestamps(spark: SparkSession, df: DataFrame,
+                                  name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val declared = RawInt64NanosCols.getOrElse(name, Set.empty)
+    def requireUtc(colName: String): Unit = {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC" || tz == "Etc/UTC",
+        s"$name.$colName: TIMESTAMP_NTZ normalization requires a UTC session " +
+          s"timezone (got $tz) — the NTZ→TimestampType cast re-interprets " +
+          "wall-clock values in the session zone")
+    }
+    // Epoch-micros plausibility window for the declared-nanos contract:
+    // [1990-01-01, 2100-01-01) UTC.
+    val loUs = 631152000000000L
+    val hiUs = 4102444800000000L
+    var changed = false
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampNTZType =>
+          requireUtc(f.name); changed = true
+          col(f.name).cast(TimestampType).as(f.name)
+        case LongType if declared(f.name) =>
+          changed = true
+          val us = expr(s"`${f.name}` div 1000")
+          when(col(f.name).isNull, lit(null).cast(TimestampType))
+            .when(us.between(lit(loUs), lit(hiUs - 1)), timestamp_micros(us))
+            .otherwise(raise_error(concat(
+              lit(s"$name.${f.name}: raw INT64 value "), col(f.name).cast("string"),
+              lit(" is implausible as epoch nanoseconds — re-encoded testdata?")))
+              .cast(TimestampType))
+            .as(f.name)
+        case _ if declared(f.name) && f.dataType != TimestampType =>
+          throw new IllegalStateException(
+            s"$name.${f.name}: unsupported physical type ${f.dataType}")
+        case _ => col(f.name)
+      }
+    }
+    if (changed) df.select(cols.toSeq: _*) else df
   }
 
   /** Register every testdata table that exists under `dir` as a temp view. */

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round 9: the timestamp physical-encoding normalization is generalized
+  * beyond `events.ts` (any column, any table, keyed on inspected physical
+  * type) and the legacy `nanosAsLong` conf is SCOPED — set only when a
+  * footer actually carries TIMESTAMP(NANOS), restored after the read, so
+  * a table load can never change how unrelated reads in the same session
+  * behave. Also pins the raw-INT64 plausibility guard (ADVICE r8): a
+  * stale "bare INT64 = nanos" contract fails loudly, not by silently
+  * dividing times by 1000.
+  */
+class Round9Spec extends SparkSpecBase {
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  private def writeNanosParquet(file: String, rows: Seq[(Long, Long)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .addField(Types.required(INT64).named("event_id"))
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts"))
+      .named("spark_schema")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), hconf))
+      .withType(schema)
+      .build()
+    val gf = new SimpleGroupFactory(schema)
+    rows.foreach { case (id, nanos) =>
+      val g = gf.newGroup()
+      g.add("event_id", id)
+      g.add("ts", nanos)
+      writer.write(g)
+    }
+    writer.close()
+  }
+
+  test("NTZ normalization is table-agnostic: a re-encoded documents column normalizes too") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("r9-docs-ntz")
+    Seq((1L, "alpha", "2024-05-01 08:00:00.000001"),
+        (2L, "beta", "2024-05-02 09:30:00.999999"))
+      .toDF("doc_id", "text", "created_str")
+      .withColumn("created_at", to_timestamp(col("created_str")).cast(TimestampNTZType))
+      .drop("created_str")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.sources.Sources.table(spark, dir, "documents")
+    assert(got.schema("created_at").dataType === TimestampType)
+    assert(got.schema("doc_id").dataType === LongType) // non-timestamp columns untouched
+    val micros = got.select(unix_micros(col("created_at")))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(micros.sameElements(Array(1714550400000001L, 1714642200999999L)),
+      s"NTZ normalization changed values: ${micros.toSeq}")
+    assert(spark.conf.get(NanosKey) === "false",
+      "an NTZ load must not leave the legacy nanos conf enabled")
+  }
+
+  test("true TIMESTAMP(NANOS) parquet loads via the scoped legacy read; session conf restored") {
+    val dir = tmpDir("r9-true-nanos")
+    // 2024-03-01T10:45:30.123456789Z — sub-microsecond digits must truncate.
+    writeNanosParquet(s"$dir/events.parquet",
+      Seq((1L, 1709289930123456789L), (2L, 1709289931000000001L)))
+    assert(spark.conf.get(NanosKey) === "false", "precondition: legacy conf disabled")
+    val got = graft.sources.Sources.table(spark, dir, "events")
+    assert(got.schema("ts").dataType === TimestampType)
+    val micros = got.select(unix_micros(col("ts")))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(micros.sameElements(Array(1709289930123456L, 1709289931000000L)),
+      s"nanos load must keep micros and drop the sub-micro tail: ${micros.toSeq}")
+    assert(spark.conf.get(NanosKey) === "false",
+      "the legacy conf must be restored after the scoped read")
+    // The session-wide behavior for OTHER nanos reads is unaffected: a
+    // direct read still rejects the type, exactly as a fresh session would.
+    val other = tmpDir("r9-other-nanos")
+    writeNanosParquet(s"$other/other.parquet", Seq((1L, 1709289930123456789L)))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(s"$other/other.parquet").collect()
+    }
+  }
+
+  test("stale raw-INT64 nanos contract fails loudly, not by silent division") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("r9-stale-int64")
+    // Micros stored where the contract says nanos: div 1000 lands in 1970,
+    // far outside the [1990, 2100) plausibility window.
+    Seq((1L, 1709289930123456L, 7L, "click", 1.5, """{"k":1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.sources.Sources.table(spark, dir, "events")
+    val e = intercept[Exception] { got.collect() }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("implausible"),
+      s"expected the plausibility guard to fire, got: $messages")
+  }
+
+  test("multiple timestamp columns on one table all normalize (mixed encodings)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("r9-two-ts")
+    // ts: bare INT64 nanos (the declared events contract); ingested_at: NTZ.
+    Seq((1L, 1709289930123456789L, "2024-03-01 11:00:00.000001"))
+      .toDF("event_id", "ts", "ingested_str")
+      .withColumn("ingested_at", to_timestamp(col("ingested_str")).cast(TimestampNTZType))
+      .drop("ingested_str")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.sources.Sources.table(spark, dir, "events")
+    assert(got.schema("ts").dataType === TimestampType)
+    assert(got.schema("ingested_at").dataType === TimestampType)
+    val row = got.select(unix_micros(col("ts")), unix_micros(col("ingested_at"))).head()
+    assert(row.getLong(0) === 1709289930123456L)
+    assert(row.getLong(1) === 1709290800000001L)
+  }
+}
