@@ -280,22 +280,31 @@ object Dedup {
     * grows quadratically and no bucketing helps — that regime belongs to
     * the exact [[SimilaritySearch.thresholdPairs]] ground-truth op.
     *
-    * SIZING `bits`: per-table bucket density is N / 2^bits, and
-    * within-bucket candidate pairs grow with density². `bits` must track
-    * log2(N) — grow it by one per corpus doubling to hold density (and so
-    * per-row cost) constant; a fixed `bits` under a growing corpus goes
-    * quadratic (measured: 8 bits is linear to ~4× sf0.1 and super-linear
-    * at 8×, where bits=11 restores linearity — see `tools/Stress`). Each
-    * extra bit costs recall at fixed `tables`; add ~2 tables per bit to
-    * compensate (the recall formula above prices it exactly). */
+    * SIZING: per-table bucket density is N / 2^bits, and within-bucket
+    * candidate pairs grow with density², so `bits` must track log2(N) — a
+    * fixed `bits` under a growing corpus goes quadratic (measured: 8 bits
+    * is linear to ~4× sf0.1 and super-linear at 8×, where bits=11
+    * restores linearity — see `tools/Stress`). The default (`bits = 0`)
+    * therefore AUTO-SIZES from the corpus count via
+    * [[SimilaritySearch.autoLshParams]] — one cheap count job (column-
+    * pruned to row counts on a parquet-backed input), so the documented
+    * sizing rule is code, not a knob someone forgets at 10× the corpus.
+    * Pass explicit `bits` (and optionally `tables`) only when the input
+    * frame is expensive to recompute or the cardinality is already known;
+    * an explicit `bits` without `tables` still gets the +2-tables-per-bit
+    * recall compensation the formula above prices. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, bits: Int = 8, tables: Int = 12): DataFrame = {
+                        threshold: Double, bits: Int = 0, tables: Int = 0): DataFrame = {
+    val (nBits, nTables) =
+      if (bits <= 0) SimilaritySearch.autoLshParams(emb.count())
+      else if (tables <= 0) (bits, 12 + 2 * math.max(0, bits - 8))
+      else (bits, tables)
     // Candidate generation on (id, t, bucket) triples ONLY — the vectors
     // never ride the `tables`-way bucket shuffle (joining them through the
     // bucket join would shuffle every embedding `tables` times per side).
     // They join back by id exactly once per side, after the candidate
     // distinct has collapsed multi-table collisions.
-    val keyed = SimilaritySearch.lshKeyed(emb, idCol, vecCol, bits, tables)
+    val keyed = SimilaritySearch.lshKeyed(emb, idCol, vecCol, nBits, nTables)
       .select(col(idCol), col("t"), col("bucket"))
     val a = keyed.select(col(idCol).as("a_id"), col("t"), col("bucket"))
     val b = keyed.select(col(idCol).as("b_id"), col("t"), col("bucket"))

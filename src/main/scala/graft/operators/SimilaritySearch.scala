@@ -135,6 +135,38 @@ object SimilaritySearch {
   val HyperplaneBits = 6
   val HashTables = 8
 
+  /** Auto-sized LSH density parameters from a corpus count — the sizing
+    * rule that was previously scaladoc prose, as code, so a growing corpus
+    * cannot silently go quadratic behind a forgotten knob.
+    *
+    * Per-table bucket density is n / 2^bits and within-bucket candidate
+    * pairs grow with density², so `bits` must track log2(n):
+    * `bits = max(baseBits, ceil(log2(n / targetDensity)))`. The target
+    * density default (16 rows/bucket/table) is calibrated from `tools/
+    * Stress`: with bits pinned at 8 the bucketed dedup measured linear at
+    * density ≤ 32 and super-linear at density 64, and bits = 11 (density
+    * 8) restored linearity at the same corpus size — 16 sits safely
+    * inside the measured-linear regime at the next doubling.
+    *
+    * Each extra bit multiplies a true pair's per-table collision
+    * probability by p (< 1), so `tables` compensates at +2 per bit — at
+    * cosine ≥ 0.99 (p ≈ 0.955) this holds miss probability ≤ ~1e-6
+    * through n = 10^12 (spec-asserted across six decades). The growth is
+    * the LINEAR price of quadratic avoidance: scan-side bucket rows per
+    * vector = `tables`, which grows with log(n), while an undersized
+    * bucket space grows candidate pairs with n²/2^bits. */
+  def autoLshParams(n: Long, targetDensity: Long = 16,
+                    baseBits: Int = 8, baseTables: Int = 12): (Int, Int) = {
+    require(n >= 0, s"corpus count must be non-negative, got $n")
+    val buckets = math.max(1L, n / math.max(1L, targetDensity))
+    val bits = math.max(baseBits, ceilLog2(buckets))
+    val tables = baseTables + 2 * (bits - baseBits)
+    (bits, tables)
+  }
+
+  private def ceilLog2(x: Long): Int =
+    if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1L)
+
   /** Deterministic pseudo-random hyperplane matrix (bits × dim) in [-1, 1],
     * seeded by (table, bit, dim) through MurmurHash3 — stable across JVMs.
     * This is the REFERENCE definition; the hot path evaluates the same
@@ -360,11 +392,23 @@ object SimilaritySearch {
   /** Approximate top-k: exact scoring restricted to multi-table LSH bucket
     * mates. The N×M cross join becomes an equi-join on (table, bucket) —
     * shuffle keyed on the bucket id, candidate set ∪ over tables, then one
-    * distinct + window per query. */
+    * distinct + window per query.
+    *
+    * `bits <= 0` auto-sizes density from a corpus count via
+    * [[autoLshParams]] (base 6 bits × 8 tables — top-k wants denser
+    * buckets than dedup, since every query must FIND k mates, not just
+    * collide with its twin). The explicit default stays (6, 8) because
+    * results at a given recall target are parameter-dependent and the
+    * shipped s03 spec bounds are pinned against it. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int,
               bits: Int = HyperplaneBits, tables: Int = HashTables): DataFrame = {
-    val keyed = lshKeyed(emb, idCol, vecCol, bits, tables)
+    val (nBits, nTables) =
+      if (bits <= 0)
+        autoLshParams(emb.count(), targetDensity = 32,
+          baseBits = HyperplaneBits, baseTables = HashTables)
+      else (bits, tables)
+    val keyed = lshKeyed(emb, idCol, vecCol, nBits, nTables)
     val q = keyed.filter(isQuery)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("t"), col("bucket"))
     val c = keyed.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("t"), col("bucket"))

@@ -132,18 +132,17 @@ object Stress {
     }
     time("embedding_dedup") {
       // Same augmentation shape as d06: plant perturbed near-dup copies so
-      // the verified-survivor set is non-trivial, then bucketed dedup.
-      // `bits` grows with log2(factor): LSH bucket density (N / 2^bits) is
-      // what bounds within-bucket pairs, so the hyperplane count must track
-      // corpus size — exactly what a 100 TB deployment would tune. With
-      // bits pinned at 8 this op measures quadratic at 8x BY DESIGN of the
-      // sketch, not a plan bug (see Dedup.embeddingNearDups scaladoc).
-      val bits = 8 + (63 - java.lang.Long.numberOfLeadingZeros(factor.toLong)).toInt
+      // the verified-survivor set is non-trivial, then bucketed dedup. NO
+      // explicit bits/tables: the operator auto-sizes its LSH density from
+      // the corpus count (SimilaritySearch.autoLshParams) — this op is the
+      // linearity evidence that the auto-sizing holds under growth, where
+      // round 7 measured a PINNED bits=8 quadratic at 8x and a hand-tuned
+      // bits=11 linear.
       val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val aug = Dedup.withPlantedNearDups(base, "vec_id", "v",
         pred = pmod(col("vec_id"), lit(40)) === 0, idOffset = 1000000000L)
-      Dedup.embeddingNearDups(aug, "vec_id", "v", 0.9, bits = bits).count()
+      Dedup.embeddingNearDups(aug, "vec_id", "v", 0.9).count()
     }
     // The three ops below run the SAME operator functions the shipped
     // queries call (t10/d08/s05) — the linearity evidence must measure the

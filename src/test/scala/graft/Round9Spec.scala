@@ -121,4 +121,62 @@ class Round9Spec extends SparkSpecBase {
     assert(row.getLong(0) === 1709289930123456L)
     assert(row.getLong(1) === 1709290800000001L)
   }
+
+  // ---- LSH auto-sizing (the last documented quadratic footgun, as code) ----
+
+  test("autoLshParams: bits tracks log2(n) at constant bucket density, +2 tables per bit") {
+    import graft.operators.SimilaritySearch.autoLshParams
+    // Below the base scale the floor holds (sf0.01/sf0.1 corpora land here,
+    // so shipped d06 results are bit-for-bit what the pinned (8, 12) gave).
+    assert(autoLshParams(0) === ((8, 12)))
+    assert(autoLshParams(500) === ((8, 12)))
+    assert(autoLshParams(2050) === ((8, 12)))
+    assert(autoLshParams(4096) === ((8, 12)))  // 256 buckets = 2^8 exactly
+    // Stress's measured boundary: 8x sf0.1 (~16.4k vectors) pinned at
+    // bits=8 went super-linear; hand-tuned bits=11 was linear. The rule
+    // lands exactly there without a hand on the knob.
+    assert(autoLshParams(16400) === ((11, 18)))
+    // One bit per doubling from there on.
+    assert(autoLshParams(32800)._1 === 12)
+    assert(autoLshParams(1L << 34) === ((30, 56))) // 2^34/16 = 2^30 buckets
+  }
+
+  test("autoLshParams: table compensation holds near-dup recall through 10^12 vectors") {
+    import graft.operators.SimilaritySearch.autoLshParams
+    // Collision probability of a true pair at cosine c under one random
+    // hyperplane: p = 1 - arccos(c)/pi. Candidate recall over the multi-
+    // table family: 1 - (1 - p^bits)^tables. The +2-tables-per-bit rule
+    // must keep recall >= 0.999 at the c >= 0.99 near-dup regime the
+    // operator is shipped for, at EVERY scale the rule will ever pick.
+    val p = 1.0 - math.acos(0.99) / math.Pi
+    for (exp <- 3 to 12) {
+      val n = math.pow(10, exp).toLong
+      val (bits, tables) = autoLshParams(n)
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+      assert(recall >= 0.999,
+        f"recall $recall%.6f at n=1e$exp (bits=$bits, tables=$tables)")
+    }
+  }
+
+  test("embeddingNearDups with no bits argument matches the explicit (8, 12) baseline") {
+    val s = spark
+    import s.implicits._
+    val base = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val aug = graft.operators.Dedup.withPlantedNearDups(
+      base, "vec_id", "v", pred = pmod(col("vec_id"), lit(40)) === 0,
+      idOffset = 1000000000L)
+    // At this corpus size the auto rule must land on the base point — that
+    // is WHY the outputs are identical, so pin both facts.
+    assert(graft.operators.SimilaritySearch.autoLshParams(aug.count()) === ((8, 12)))
+    val auto = graft.operators.Dedup
+      .embeddingNearDups(aug, "vec_id", "v", threshold = 0.9)
+      .collect().map(_.toSeq).toSet
+    val explicit = graft.operators.Dedup
+      .embeddingNearDups(aug, "vec_id", "v", threshold = 0.9, bits = 8, tables = 12)
+      .collect().map(_.toSeq).toSet
+    assert(auto === explicit)
+    assert(auto.nonEmpty, "planted near-dups must surface")
+  }
 }
