@@ -68,17 +68,47 @@ object PipelineQueries {
     })
   }
 
+  /** Per-(session, dir) memoized dedup-survivors frame — the s1→s2→split
+    * prefix that BOTH composed corpus builds (p10 and p13) start from:
+    * quality gate, near-dup cluster drop, token count, split stamp, one
+    * localCheckpoint. Round 8 built this twice per bench session (once per
+    * composed build, byte-identical blocks both times); at 100 TB the
+    * deduped corpus is THE artifact a pipeline persists between its dedup
+    * and assembly phases, and nobody materializes it once per downstream
+    * consumer. Built inside [[graft.tools.BuildTimer]] so the bench prices
+    * it in `warmup_build` — sharing must show as an explicit one-time
+    * cost, never a silent per-query win. */
+  private val survivorsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def memoizedDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val it = survivorsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) it.remove()
+    }
+    survivorsCache.computeIfAbsent((s, dir), { key =>
+      // The cluster build times itself (nested BuildTimer spans would
+      // double-count); only the survivors checkpoint is timed here.
+      val clusters = dupPairsAndClusters(key._1, key._2)._2
+      graft.tools.BuildTimer.time {
+        dedupSurvivorsWithSplit(docs(key._1, key._2), clusters)
+      }
+    })
+  }
+
   /** Drop EVERY memoized artifact derived from one (session, dir) — the
-    * pair/components frame here plus the MinHash, IVF, and MIPS indexes
-    * (whose cacheKeys are all `dir`-rooted: `dir`, `dir + "#aug"`,
-    * `dir + "#mhidx"`) — for a long-lived session that re-ingests a corpus
-    * directory in place. The checkpoint blocks themselves are reclaimed by
-    * the ContextCleaner once the dropped frames become unreachable
-    * (localCheckpoint bypasses the CacheManager, so there is nothing to
-    * unpersist explicitly); the index caches unpersist their own cached
-    * frames on eviction. */
+    * pair/components frame here plus the shared dedup-survivors frame and
+    * the MinHash, IVF, and MIPS indexes (whose cacheKeys are all
+    * `dir`-rooted: `dir`, `dir + "#aug"`, `dir + "#mhidx"`) — for a
+    * long-lived session that re-ingests a corpus directory in place. The
+    * checkpoint blocks themselves are reclaimed by the ContextCleaner once
+    * the dropped frames become unreachable (localCheckpoint bypasses the
+    * CacheManager, so there is nothing to unpersist explicitly); the index
+    * caches unpersist their own cached frames on eviction. */
   def invalidateDupCache(s: SparkSession, dir: String): Unit = {
     componentsCache.remove((s, dir))
+    survivorsCache.remove((s, dir))
     Dedup.invalidateMinHashIndexCache(s, dir)
     SimilaritySearch.invalidateIndexCaches(s, dir)
     ()
@@ -110,57 +140,71 @@ object PipelineQueries {
     * p02/p07 convention, so the budget and the packer count the same
     * tokens. */
   private[graft] def corpusBuild(s: SparkSession, dir: String): DataFrame =
-    corpusBuildFrom(docs(s, dir), dupPairsAndClusters(s, dir)._2,
-      budget = 3000L)
+    corpusBuildFromSurvivors(memoizedDedupSurvivors(s, dir), budget = 3000L)
 
-  /** [[corpusBuild]] over an INJECTED corpus + near-dup cluster frame —
-    * the shape the Stress harness scales (replicated corpus, budget ∝
-    * factor) without touching the (session, dir)-memoized artifacts.
-    * `materialize = false` skips the two localCheckpoint points so the
-    * WHOLE composition is one plan tree — the Round7Spec exchange-ledger
-    * audit needs that (a checkpoint turns every upstream stage into an
-    * opaque RDD scan); production keeps the default. */
-  private[graft] def corpusBuildFrom(base: DataFrame, clusters: DataFrame,
-                                     budget: Long,
-                                     materialize: Boolean = true): DataFrame = {
-    def cp(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint() else df
-    // t08: rule-based quality gate, applied as a scan-side predicate (the
-    // same rules as the t08 report frame, minus its join-back shuffle).
+  /** The s1→s2→split prefix both composed builds share: t08 quality gate
+    * (scan-side predicate — the same rules as the t08 report frame, minus
+    * its join-back shuffle), d09 near-dup non-keeper drop, token count,
+    * split stamp.
+    *
+    * EXPLICIT broadcast on the drop set (and on every drop set in the
+    * stages below): without the hint the planner's no-stats default is a
+    * sort-merge anti join, whose ENSURE_REQUIREMENTS exchange shuffles the
+    * whole corpus on doc_id — AQE only demotes it to broadcast AFTER that
+    * shuffle is written. The drop sets are bounded (cluster non-keepers of
+    * the CAPPED pair set; contaminated train ids ≤ the eval population),
+    * so the corpus streams through map-side anti joins and never
+    * repartitions on doc_id (Round7Spec pins this ledger). If a corpus
+    * ever pushes a drop set past executor broadcast capacity, remove the
+    * hint and accept the doc_id co-shuffle.
+    *
+    * MATERIALIZATION POINT: contamination self-joins this frame (two
+    * branches) and the anti join reads it a third time; without a
+    * checkpoint every branch re-runs the scan + quality filter + dedup
+    * anti join, and the duplication COMPOUNDS through the later
+    * two-branch stages (budget, packing) to ~12× the scan. The deduped
+    * corpus is also precisely the artifact a 100 TB pipeline persists
+    * between its dedup and assembly phases (the reference dumps every
+    * intermediate too) — so materialize it once, here, and share it across
+    * BOTH composed builds via [[memoizedDedupSurvivors]]. Measured at
+    * sf0.1: p10 3.37s → 1.33s (round 6, checkpoint); round 9 removes the
+    * second materialization p13 used to pay on top. */
+  private[graft] def dedupSurvivorsWithSplit(base: DataFrame, clusters: DataFrame,
+                                             materialize: Boolean = true): DataFrame = {
     val s1 = base.filter(TA.qualityKeep(col("text")))
-    // d09: drop near-dup cluster non-keepers (memoized capped pair set —
-    // the dedup-report semantics; decontamination below has its own
-    // recall-first path and p05 its uncapped pair source).
-    // EXPLICIT broadcast on both drop sets (here and p03 below): without
-    // the hint the planner's no-stats default is a sort-merge anti join,
-    // whose ENSURE_REQUIREMENTS exchange shuffles the whole corpus on
-    // doc_id — AQE only demotes it to broadcast AFTER that shuffle is
-    // written. The drop sets are bounded (cluster non-keepers of the
-    // CAPPED pair set; contaminated train ids ≤ the eval population), so
-    // the corpus streams through map-side anti joins and never
-    // repartitions on doc_id (Round7Spec pins this ledger). If a corpus
-    // ever pushes a drop set past executor broadcast capacity, remove the
-    // hint and accept the doc_id co-shuffle.
     val drops = clusters
       .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
     val s2 = s1.join(broadcast(drops), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("text"),
         size(TA.words(col("text"))).cast("long").as("n_tokens"))
+    val withSplit = s2.withColumn("split", Sampling.assignSplit(col("doc_id")))
+    if (materialize) withSplit.localCheckpoint() else withSplit
+  }
+
+  /** [[corpusBuild]] over an INJECTED corpus + near-dup cluster frame —
+    * the shape the Stress harness scales (replicated corpus, budget ∝
+    * factor) without touching the (session, dir)-memoized artifacts.
+    * `materialize = false` skips the localCheckpoint points so the
+    * WHOLE composition is one plan tree — the Round7Spec exchange-ledger
+    * audit needs that (a checkpoint turns every upstream stage into an
+    * opaque RDD scan); production keeps the default. */
+  private[graft] def corpusBuildFrom(base: DataFrame, clusters: DataFrame,
+                                     budget: Long,
+                                     materialize: Boolean = true): DataFrame =
+    corpusBuildFromSurvivors(
+      dedupSurvivorsWithSplit(base, clusters, materialize), budget, materialize)
+
+  /** The p10 tail over an already-materialized survivors frame
+    * (doc_id, lang, text, n_tokens, split): p03 exact decontamination →
+    * p06 temperature mix → p07 token budget → p02 packing → p01 labels. */
+  private[graft] def corpusBuildFromSurvivors(withSplit: DataFrame,
+                                              budget: Long,
+                                              materialize: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
     // p03: drop TRAIN docs whose byte-identical twin lands in an eval
     // split — computed over the deduped survivors, split assignment the
     // same pure content hash p01 emits at the end.
-    //
-    // MATERIALIZATION POINT: contamination self-joins this frame (two
-    // branches) and the anti join reads it a third time; without a
-    // checkpoint every branch re-runs the scan + quality filter + dedup
-    // anti join, and the duplication COMPOUNDS through the later
-    // two-branch stages (budget, packing) to ~12× the scan. The deduped
-    // corpus is also precisely the artifact a 100 TB pipeline persists
-    // between its dedup and assembly phases (the reference dumps every
-    // intermediate too) — so materialize it once, here. Measured at
-    // sf0.1: p10 3.37s → 1.33s.
-    val withSplit = cp(
-      s2.withColumn("split", Sampling.assignSplit(col("doc_id"))))
     val contaminated = Sampling
       .exactContamination(withSplit, "doc_id", "text", "split")
       .select(col("train_id").as("doc_id")).distinct()
@@ -204,30 +248,21 @@ object PipelineQueries {
     * corpus-wide shuffles remain p07's bounded scan + p02's pack scan. */
   private[graft] def corpusBuildV2From(base: DataFrame, clusters: DataFrame,
                                        budget: Long,
-                                       materialize: Boolean = true): DataFrame = {
+                                       materialize: Boolean = true): DataFrame =
+    corpusBuildV2FromSurvivors(
+      dedupSurvivorsWithSplit(base, clusters, materialize), budget, materialize)
+
+  /** The p13 tail over the SAME survivors artifact p10 starts from — round
+    * 8 materialized a second, quality-widened copy of the survivors frame
+    * just for v2; the quality columns are a per-row pure function of
+    * `text`, so they attach map-side over the shared checkpoint blocks
+    * AFTER the decontamination anti-joins instead (same values on every
+    * surviving row, and rows about to be dropped are never scored). */
+  private[graft] def corpusBuildV2FromSurvivors(withSplit: DataFrame,
+                                                budget: Long,
+                                                materialize: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
-    val s1 = base.filter(TA.qualityKeep(col("text")))
-    val drops = clusters
-      .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
-    // Quality is computed HERE, over the deduped survivors, and carried
-    // through every later stage (budget and packing preserve extra
-    // columns) — the epoch weights at the end must reflect the corpus the
-    // pipeline actually admitted, not a pre-dedup scoring pass.
-    val s2 = s1.join(broadcast(drops), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("text"),
-        TA.words(col("text")).as("__ws"))
-      .select(col("doc_id"), col("lang"), col("text"),
-        size(col("__ws")).cast("long").as("n_tokens"),
-        size(array_distinct(col("__ws"))).cast("long").as("n_uniq"),
-        TA.stopwordCount(col("__ws"), TA.StopEn).as("n_stop"))
-      .withColumn("quality_bp",
-        expr("""CAST(n_uniq * 5000 DIV n_tokens
-                     + (n_tokens - n_stop) * 3000 DIV n_tokens
-                     + least(n_tokens, 100L) * 20 AS BIGINT)"""))
-      .drop("n_uniq", "n_stop")
-    val withSplit = cp(
-      s2.withColumn("split", Sampling.assignSplit(col("doc_id"))))
     val contaminated = Sampling
       .exactContamination(withSplit, "doc_id", "text", "split")
       .select(col("train_id").as("doc_id")).distinct()
@@ -243,7 +278,23 @@ object PipelineQueries {
         s3.select(col("doc_id"), col("text"), col("split")),
         "doc_id", "text", "split", n = 13, spread = false)
       .select(col("train_id").as("doc_id"))
+    // Quality is computed over the deduped, fully decontaminated
+    // survivors and carried through every later stage (budget and packing
+    // preserve extra columns) — the epoch weights at the end must reflect
+    // the corpus the pipeline actually admitted. Per-row pure in `text`
+    // (n_tokens in the shared frame is the same TA.words count), so
+    // attaching it here instead of before the split checkpoint changes no
+    // value — it just scores map-side over the shared blocks and skips
+    // rows the decontamination already dropped.
     val s3b = s3.join(broadcast(gramContaminated), Seq("doc_id"), "left_anti")
+      .withColumn("__ws", TA.words(col("text")))
+      .withColumn("__n_uniq", size(array_distinct(col("__ws"))).cast("long"))
+      .withColumn("__n_stop", TA.stopwordCount(col("__ws"), TA.StopEn))
+      .withColumn("quality_bp",
+        expr("""CAST(__n_uniq * 5000 DIV n_tokens
+                     + (n_tokens - __n_stop) * 3000 DIV n_tokens
+                     + least(n_tokens, 100L) * 20 AS BIGINT)"""))
+      .drop("__ws", "__n_uniq", "__n_stop")
     val counts = s3b.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     val nMin = counts.agg(min(col("n_lang")).as("n_min"))
     val rates = counts.crossJoin(broadcast(nMin))
@@ -270,11 +321,12 @@ object PipelineQueries {
   private def round6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_corpus_build" -> ((s, dir) => corpusBuild(s, dir)),
 
-    // The v2 composed build (see [[corpusBuildV2From]]): p10 + the
-    // round-7 admission ops (13-gram decontamination stage, epoch-weighted
-    // repeat tail).
+    // The v2 composed build (see [[corpusBuildV2FromSurvivors]]): p10 +
+    // the round-7 admission ops (13-gram decontamination stage,
+    // epoch-weighted repeat tail), over the SAME memoized survivors
+    // artifact p10 reads.
     "p13_corpus_build_v2" -> ((s, dir) =>
-      corpusBuildV2From(docs(s, dir), dupPairsAndClusters(s, dir)._2,
+      corpusBuildV2FromSurvivors(memoizedDedupSurvivors(s, dir),
         budget = 3000L)),
 
     // N-gram-overlap decontamination (13-gram, the GPT-3/PaLM recipe):
