@@ -112,11 +112,14 @@ object Sampling {
         wordNgrams(col(textCol), n).as("__gs"))
       .select(col("eval_id"), explode(col("__gs")).as("gram"))
 
-  def ngramContamination(df: DataFrame, idCol: String, textCol: String,
-                         splitCol: String, n: Int = 13,
-                         trainLabel: String = "train",
-                         broadcastEval: Boolean = true,
-                         spread: Boolean = true): DataFrame = {
+  /** The (train_id, gram, eval_id) match stream both decontamination
+    * reports aggregate: corpus n-grams scan-side, eval gram set broadcast,
+    * so the corpus streams through a map-side hash join and ONLY matches
+    * (bounded by the eval population's grams) ever shuffle. */
+  private def contaminationMatches(df: DataFrame, idCol: String,
+                                   textCol: String, splitCol: String, n: Int,
+                                   trainLabel: String, broadcastEval: Boolean,
+                                   spread: Boolean): DataFrame = {
     // The dominant cost is per-row CPU (the n-gram HOF + explode), and a
     // compact parquet corpus reads as ONE partition per row group — behind
     // a broadcast join nothing re-parallelizes that scan, so both the
@@ -138,9 +141,54 @@ object Sampling {
     val tr = grams.filter(col(splitCol) === trainLabel)
       .select(col(idCol).as("train_id"), col("gram"))
     tr.join(if (broadcastEval) broadcast(ev) else ev, Seq("gram"))
+  }
+
+  def ngramContamination(df: DataFrame, idCol: String, textCol: String,
+                         splitCol: String, n: Int = 13,
+                         trainLabel: String = "train",
+                         broadcastEval: Boolean = true,
+                         spread: Boolean = true): DataFrame =
+    contaminationMatches(df, idCol, textCol, splitCol, n, trainLabel,
+        broadcastEval, spread)
       .groupBy(col("train_id"))
       .agg(count_distinct(col("gram")).as("n_shared_grams"),
         min(col("eval_id")).as("first_eval_id"))
+
+  /** The leak audit seen from the EVAL side — the artifact a benchmark
+    * owner reads: for each compromised eval document, how many train docs
+    * quote it, the worst offender, and how many distinct n-grams that
+    * offender shares. [[ngramContamination]] answers "which train docs do
+    * I drop"; this answers "which benchmarks are compromised and how
+    * badly" (the GPT-3-appendix-style per-benchmark contamination table).
+    *
+    * Same match stream as the drop list (scan-side grams, broadcast eval
+    * probe, only matches shuffle); the pair aggregate and the two
+    * windows partition on eval_id over the MATCH population — bounded by
+    * the curated benchmark suite, never the corpus, so the report costs
+    * one small shuffle beyond the probe at any corpus scale.
+    *
+    * Output: (eval_id, n_leaky_train_docs, max_shared_grams,
+    * worst_train_id), worst = most distinct shared grams, ties to the
+    * smallest train id (deterministic across engines). */
+  def contaminationProvenance(df: DataFrame, idCol: String, textCol: String,
+                              splitCol: String, n: Int = 13,
+                              trainLabel: String = "train",
+                              broadcastEval: Boolean = true,
+                              spread: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = contaminationMatches(df, idCol, textCol, splitCol, n,
+        trainLabel, broadcastEval, spread)
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count_distinct(col("gram")).as("n_shared"))
+    val byEval = Window.partitionBy(col("eval_id"))
+    val ranked = byEval.orderBy(col("n_shared").desc, col("train_id").asc)
+    pairs
+      .withColumn("rn", row_number().over(ranked))
+      .withColumn("n_leaky_train_docs", count(lit(1)).over(byEval))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("n_leaky_train_docs"),
+        col("n_shared").as("max_shared_grams"),
+        col("train_id").as("worst_train_id"))
   }
 
   /** Epoch-weighted repeat sampling — the data-constrained-scaling recipe

@@ -115,7 +115,23 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    primaryQueries ++ round4Queries ++ round5Queries ++ round6Queries
+    primaryQueries ++ round4Queries ++ round5Queries ++ round6Queries ++
+      round9Queries
+
+  /** Round 9: the decontamination family's audit artifact. */
+  private def round9Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-eval-document leak provenance (the GPT-3-appendix-style
+    // per-benchmark contamination table): p11 emits the train-side drop
+    // list; this reads the SAME match stream from the eval side — which
+    // benchmarks are compromised, by how many train docs, and who the
+    // worst offender is. The pair aggregate and windows partition on
+    // eval_id over the bounded match population.
+    "p14_contamination_report" -> ((s, dir) => {
+      val withSplit = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      graft.operators.Sampling
+        .contaminationProvenance(withSplit, "doc_id", "text", "split", n = 13)
+    }))
 
   /** The end-to-end corpus build — the product story the 50 isolated
     * pipeline ops exist for, composed in the order a training-data team
@@ -1123,6 +1139,42 @@ object PipelineQueries {
                 min(e.eval_id) AS first_eval_id
          FROM tg t JOIN eg e ON t.gram = e.gram
          GROUP BY t.train_id""",
+    // p11's match stream read from the eval side: per-(eval, train) pair
+    // distinct-gram counts, then one window per eval picks the worst
+    // offender (most shared grams, ties to the smallest train id — the
+    // same deterministic order the engine's row_number uses).
+    "p14_contamination_report" ->
+      s"""WITH w AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                     FROM documents),
+              g AS (SELECT doc_id,
+                           list_distinct(list_transform(generate_series(1, len(ws) - 12),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4],
+                                            ws[i+5], ws[i+6], ws[i+7], ws[i+8], ws[i+9],
+                                            ws[i+10], ws[i+11], ws[i+12]))) AS gs
+                    FROM w WHERE len(ws) >= 13),
+              sp AS (SELECT doc_id,
+                            CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                 ELSE 'test' END AS split
+                     FROM documents),
+              eg AS (SELECT unnest(gs) AS gram, g.doc_id AS eval_id
+                     FROM g JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+              tg AS (SELECT g.doc_id AS train_id, unnest(gs) AS gram
+                     FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+              pairs AS (SELECT e.eval_id, t.train_id,
+                               CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared
+                        FROM tg t JOIN eg e ON t.gram = e.gram
+                        GROUP BY 1, 2),
+              ranked AS (SELECT eval_id, train_id, n_shared,
+                                row_number() OVER (PARTITION BY eval_id
+                                  ORDER BY n_shared DESC, train_id ASC) AS rn,
+                                CAST(count(*) OVER (PARTITION BY eval_id) AS BIGINT)
+                                  AS n_leaky_train_docs
+                         FROM pairs)
+         SELECT eval_id, n_leaky_train_docs, n_shared AS max_shared_grams,
+                train_id AS worst_train_id
+         FROM ranked WHERE rn = 1""",
     // Epoch repeats: the t02/p08 quality CTE is the weight; repeats =
     // (10000 + q*3) DIV 10000 plus a hash Bernoulli on the remainder;
     // lateral unnest(generate_series) mirrors explode(sequence).

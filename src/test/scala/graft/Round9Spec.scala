@@ -179,4 +179,53 @@ class Round9Spec extends SparkSpecBase {
     assert(auto === explicit)
     assert(auto.nonEmpty, "planted near-dups must surface")
   }
+
+  // ---- p14: the decontamination audit seen from the eval side ----
+
+  test("contaminationProvenance: leak counts, worst offender, deterministic tie-break") {
+    val s = spark
+    import s.implicits._
+    val passage14 = (1 to 14).map(i => s"w$i").mkString(" ") // two 13-grams
+    val passage13 = (1 to 13).map(i => s"w$i").mkString(" ") // one 13-gram
+    val clean = (1 to 14).map(i => s"z$i").mkString(" ")     // no overlap
+    val docs = Seq(
+      (100L, passage14, "eval"),
+      (200L, clean, "eval"),                      // compromised by nobody
+      (1L, s"intro $passage14 outro", "train"),   // shares both grams
+      (2L, s"alpha $passage13", "train"),         // shares one gram
+      (3L, s"$passage14 beta", "train"),          // shares both — ties doc 1
+      (4L, clean.replace("z", "y"), "train")      // leaks nothing
+    ).toDF("doc_id", "text", "split")
+    val got = graft.operators.Sampling
+      .contaminationProvenance(docs, "doc_id", "text", "split", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // One report row per COMPROMISED eval doc: three leaky train docs, the
+    // worst offenders share 2 grams, and the tie between docs 1 and 3
+    // breaks to the smaller id — the same order the oracle SQL pins.
+    assert(got.toSeq === Seq((100L, 3L, 2L, 1L)))
+  }
+
+  test("contaminationProvenance agrees with ngramContamination's drop list") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("split", graft.operators.Sampling.assignSplit(col("doc_id")))
+    val dropList = graft.operators.Sampling
+      .ngramContamination(docs, "doc_id", "text", "split", n = 13)
+    val report = graft.operators.Sampling
+      .contaminationProvenance(docs, "doc_id", "text", "split", n = 13)
+    // Same match stream, two aggregations: the total (eval, train) pair
+    // count must reconcile, and every worst offender must be on the drop
+    // list with at least its pairwise gram count.
+    val nPairsFromReport = report.agg(sum(col("n_leaky_train_docs"))).head().getLong(0)
+    val nPairsDirect = dropList.count() // train side: one row per train doc
+    assert(nPairsFromReport >= nPairsDirect,
+      "each train doc pairs with >= 1 eval doc")
+    val joined = report.join(dropList,
+      report("worst_train_id") === dropList("train_id"))
+    assert(joined.count() === report.count(),
+      "every worst offender appears on the drop list")
+    assert(joined.filter(col("n_shared_grams") < col("max_shared_grams")).isEmpty,
+      "a train doc's total shared grams bounds its per-eval share")
+  }
 }
