@@ -228,4 +228,46 @@ class Round9Spec extends SparkSpecBase {
     assert(joined.filter(col("n_shared_grams") < col("max_shared_grams")).isEmpty,
       "a train doc's total shared grams bounds its per-eval share")
   }
+
+  test("p14 plan: broadcast gram probe; every exchange keyed on the match population") {
+    val s = spark
+    import s.implicits._
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(allNodes)
+    }
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("split", graft.operators.Sampling.assignSplit(col("doc_id")))
+    val out = graft.operators.Sampling
+      .contaminationProvenance(docs, "doc_id", "text", "split", n = 13)
+    out.queryExecution.toRdd.count()
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    // The corpus side must hash-join a broadcast eval gram relation — the
+    // same contract as p11 (shared match-stream builder).
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "expected the eval gram set to be broadcast")
+    // Post-probe, every shuffle is keyed on match-population columns
+    // (eval_id/train_id/gram aggregates + the per-eval window) or the
+    // eager spread's round-robin — NEVER a corpus-wide text/doc key.
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    val allowed = Set("eval_id", "train_id", "gram")
+    shuffles.foreach { e =>
+      val names = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name))
+        case _ => Seq.empty // round-robin spread of the scan side
+      }
+      assert(names.forall(allowed),
+        s"unexpected shuffle key $names:\n${out.queryExecution.executedPlan}")
+    }
+  }
 }
