@@ -324,6 +324,31 @@ object Stress {
           .unionAll(evalSide.select(col("doc_id"), col("text"), col("split"))),
         "doc_id", "text", "split", n = 13).count()
     }
+    // p14 over the same production shape: the provenance report reads the
+    // identical match stream from the eval side — its extra cost beyond
+    // the drop list is the pair aggregate + per-eval window, both over
+    // the MATCH population (pinned here, bounded by the eval suite in
+    // production), so the curve must track ngram_decontaminate's.
+    time("contamination_report") {
+      val evalSide = graft.sources.Sources.table(spark, dir, "documents")
+        .withColumn("split", graft.operators.Sampling.assignSplit(col("doc_id")))
+        .filter(col("split") =!= "train")
+      val trainSide = docs
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(pmod(col("doc_id"), lit(10000000L))))
+        .filter(col("split") === "train")
+      graft.operators.Sampling.contaminationProvenance(
+        trainSide.select(col("doc_id"), col("text"), col("split"))
+          .unionAll(evalSide.select(col("doc_id"), col("text"), col("split"))),
+        "doc_id", "text", "split", n = 13).count()
+    }
+    // LSH ANN with the AUTO-sized density (bits<=0): the s03 analogue of
+    // embedding_dedup's auto evidence — the knob must size itself as the
+    // corpus grows, at the denser top-k base point (6 bits × 8 tables).
+    time("ann_lsh_auto") {
+      SimilaritySearch.annTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 3, bits = 0).count()
+    }
     // Epoch-weighted repeat: map-only by design (per-row arithmetic +
     // scan-side explode, zero shuffles) — cost and output must both be
     // exactly linear in the corpus.
