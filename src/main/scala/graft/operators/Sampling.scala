@@ -273,6 +273,57 @@ object Sampling {
       .drop("__h", "__sub", "__cum", "__off")
   }
 
+  /** Target-mixture reweighting — admit the LARGEST corpus whose group
+    * (domain/language/source) token shares hit EXPLICIT target weights,
+    * the DoReMi/Pile-style "train at these mixture proportions" op that
+    * generalizes the temperature mix (p06 flattens the natural skew by a
+    * sqrt law; this hits arbitrary stated weights). Closed form, no
+    * iteration: the admissible total is capped by the single BINDING
+    * group with the least headroom, `T = min_g 10^4·n_g / w_g`, and each
+    * group's admission rate is `rate_bp_g = floor(w_g·T / n_g)` — the
+    * binding group admits everything (rate 10000), every other group
+    * downsamples to proportion. Admission is the family's content-hash
+    * Bernoulli ([[hashBucket]] on the key), so any document's fate is
+    * reproducible and placement-independent, and a re-run over grown
+    * data re-solves the same closed form.
+    *
+    * Shape at 100 TB: one partial-aggregated groupBy for the per-group
+    * token totals (shuffled rows = |groups| after map-side combine), the
+    * solve is arithmetic over that tiny frame joined against the
+    * broadcast targets, and the admission itself is a map-side broadcast
+    * join + filter — the corpus never shuffles.
+    *
+    * `targets`: (groupCol, weight_bp) with weights in basis points;
+    * groups of `df` absent from `targets` are dropped (weight 0). A
+    * non-positive or > 10000 weight fails loudly at first execution (a
+    * lazy `raise_error` guard — no eager action in the operator). Rates
+    * use double arithmetic (the p06 precedent: IEEE754 division + floor
+    * is engine-exact) floored back to integer basis points. */
+  def targetMixture(df: DataFrame, groupCol: String, keyCol: String,
+                    tokensCol: String, targets: DataFrame,
+                    weightCol: String = "weight_bp"): DataFrame = {
+    val guarded = targets.select(col(groupCol),
+      when(col(weightCol) > 0 && col(weightCol) <= 10000, col(weightCol))
+        .otherwise(raise_error(concat(
+          lit(s"targetMixture: $weightCol out of (0, 10000]: "),
+          col(weightCol).cast("string"))).cast(targets.schema(weightCol).dataType))
+        .as(weightCol))
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__n_toks"))
+    val joined = counts
+      .join(broadcast(guarded), Seq(groupCol))
+    val tMax = joined.agg(
+      min(col("__n_toks").cast("double") * 10000.0 /
+        col(weightCol).cast("double")).as("__t_max"))
+    val rates = joined.crossJoin(broadcast(tMax))
+      .withColumn("rate_bp",
+        floor(col(weightCol).cast("double") * col("__t_max") /
+          col("__n_toks").cast("double")))
+      .select(col(groupCol), col("rate_bp"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), 10000) < col("rate_bp"))
+  }
+
   /** Deterministic "random" k-per-group sample: the k rows whose key hash
     * sorts lowest within each group. One shuffle on the group columns;
     * rank-k per group, so output is `k × |groups|` regardless of skew. */

@@ -210,6 +210,42 @@ object TextAnalysis {
       Seq(col("salience_bp").desc, col("token")), k)
   }
 
+  /** Seed-corpus overlap quality — the classifier-free "similarity to a
+    * curated corpus" importance signal (the CCNet/GPT-3-style quality
+    * filter without a trained model): score = fraction of a document's
+    * distinct 3-gram shingles that also occur anywhere in a designated
+    * high-quality SEED corpus, in integer basis points so every engine
+    * agrees bit-for-bit. Gibberish and boilerplate share few shingles
+    * with curated text; natural prose shares many.
+    *
+    * Shape at 100 TB: the seed gram table is built from the curated
+    * subset (bounded — a wiki-sized seed, not the lake) and BROADCAST;
+    * corpus shingles are computed scan-side by the codegen'd
+    * [[graft.functions.WordShingles]] expression, the membership probe is
+    * a map-side broadcast left join, and the per-doc ratio is one
+    * hash aggregate whose map-side partials collapse each document's
+    * grams before the shuffle (grams of a doc are co-located with the
+    * doc) — shuffled rows ≈ one per document, never per gram. Documents
+    * with fewer than 3 tokens have no shingles and are not emitted
+    * (score undefined, not zero). */
+  def seedOverlapScore(docs: DataFrame, idCol: String, textCol: String,
+                       seedPred: Column): DataFrame = {
+    import graft.functions.WordShingles
+    val seed = docs.filter(seedPred)
+      .select(explode(WordShingles.wordShingles(col(textCol), 3)).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    docs
+      .select(col(idCol), WordShingles.wordShingles(col(textCol), 3).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), explode(col("__sh")).as("gram"))
+      .join(broadcast(seed), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seed_grams"))
+      .withColumn("overlap_bp",
+        expr("CAST(n_seed_grams * 10000 DIV n_grams AS BIGINT)"))
+  }
+
   /** Per-doc bigram language-model likelihood — the CCNet-style "train a
     * small LM on the corpus, score every document" quality signal, with
     * the probability kept in integer basis points so DuckDB reproduces it

@@ -131,6 +131,28 @@ object PipelineQueries {
         graft.operators.Sampling.assignSplit(col("doc_id")))
       graft.operators.Sampling
         .contaminationProvenance(withSplit, "doc_id", "text", "split", n = 13)
+    }),
+
+    // Seed-corpus overlap quality (classifier-free importance signal):
+    // fraction of each doc's distinct 3-gram shingles present anywhere in
+    // the designated seed source. Spread before the shingle projection —
+    // the per-row shingle CPU must not serialize on a compact scan (the
+    // d04 pattern).
+    "t15_seed_overlap" -> ((s, dir) => {
+      val base = Dedup.spreadToParallelism(docs(s, dir))
+      TA.seedOverlapScore(base, "doc_id", "text", col("source") === "src0")
+    }),
+
+    // Target-mixture reweighting: admit the largest corpus whose source
+    // token shares hit explicit uniform targets (500 bp × 20 sources) —
+    // the stated-weights generalization of p06's sqrt temperature.
+    "p15_target_mixture" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TA.words(col("text"))).cast("long").as("n_tokens"))
+      val targets = docs(s, dir).select(col("source")).distinct()
+        .withColumn("weight_bp", lit(500L))
+      graft.operators.Sampling
+        .targetMixture(d, "source", "doc_id", "n_tokens", targets)
     }))
 
   /** The end-to-end corpus build — the product story the 50 isolated
@@ -1175,6 +1197,50 @@ object PipelineQueries {
          SELECT eval_id, n_leaky_train_docs, n_shared AS max_shared_grams,
                 train_id AS worst_train_id
          FROM ranked WHERE rn = 1""",
+    // Seed overlap: d03's 3-gram shingle convention (blank-filtered
+    // split, list_distinct); count(s.gram) counts non-null = LEFT-join
+    // hits, mirroring count(hit).
+    "t15_seed_overlap" ->
+      """WITH w AS (SELECT doc_id, source,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              g AS (SELECT doc_id, source,
+                           list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+                    FROM w WHERE len(ws) >= 3),
+              seed AS (SELECT DISTINCT unnest(sh) AS gram FROM g WHERE source = 'src0'),
+              e AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+              a AS (SELECT e.doc_id,
+                           CAST(count(*) AS BIGINT) AS n_grams,
+                           CAST(count(s.gram) AS BIGINT) AS n_seed_grams
+                    FROM e LEFT JOIN seed s ON e.gram = s.gram
+                    GROUP BY 1)
+         SELECT doc_id, n_grams, n_seed_grams,
+                CAST(n_seed_grams * 10000 // n_grams AS BIGINT) AS overlap_bp
+         FROM a""",
+    // Target mixture: the closed-form solve in DOUBLE arithmetic written
+    // operation-for-operation as the engine computes it (min of
+    // n*10000/w, then floor(w*t/n)) so IEEE754 agreement is exact; plain
+    // string_split length matches the engine's split-on-space token count.
+    "p15_target_mixture" ->
+      """WITH d AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+              tgt AS (SELECT DISTINCT source, CAST(500 AS BIGINT) AS weight_bp
+                      FROM documents),
+              c AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_toks
+                    FROM d GROUP BY 1),
+              j AS (SELECT c.source, n_toks, weight_bp FROM c JOIN tgt USING (source)),
+              tm AS (SELECT min(CAST(n_toks AS DOUBLE) * 10000.0
+                                / CAST(weight_bp AS DOUBLE)) AS t_max FROM j),
+              r AS (SELECT source,
+                           CAST(floor(CAST(weight_bp AS DOUBLE) * t_max
+                                      / CAST(n_toks AS DOUBLE)) AS BIGINT) AS rate_bp
+                    FROM j, tm)
+         SELECT d.doc_id, d.source, d.n_tokens, r.rate_bp
+         FROM d JOIN r USING (source)
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+               < rate_bp""",
     // Epoch repeats: the t02/p08 quality CTE is the weight; repeats =
     // (10000 + q*3) DIV 10000 plus a hash Bernoulli on the remainder;
     // lateral unnest(generate_series) mirrors explode(sequence).

@@ -229,6 +229,64 @@ class Round9Spec extends SparkSpecBase {
       "a train doc's total shared grams bounds its per-eval share")
   }
 
+  // ---- t15 seed overlap + p15 target mixture ----
+
+  test("seedOverlapScore: hand-computed overlap ratios, short docs absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "seed"),  // 3 shingles, all seed
+      (2L, "the quick brown fox sleeps", "web"),  // shingles: {tqb, qbf, bfs'} — 2 of 3 in seed
+      (3L, "entirely different tokens here now", "web"), // 0 of 3
+      (4L, "too short", "web")                    // < 3 tokens: not emitted
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis
+      .seedOverlapScore(docs, "doc_id", "text", col("source") === "seed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 3L, 10000L),  // the seed doc itself: full overlap
+      (2L, 3L, 2L, 6666L),   // 2/3 → floor(20000/3)
+      (3L, 3L, 0L, 0L)))
+  }
+
+  test("targetMixture: closed-form rates — binding group admits everything") {
+    val s = spark
+    import s.implicits._
+    // Token totals: a=1000, b=4000; targets 50/50. Binding group is a
+    // (least headroom): T = min(1000·1e4/5000, 4000·1e4/5000) = 2000
+    // tokens·bp-scale → rate_a = 10000 (all), rate_b = 2500 (downsample
+    // 4x so b contributes the same 1000 tokens).
+    val docs = (1 to 100).map(i => (i.toLong, "a", 10L)) ++
+      (101 to 200).map(i => (i.toLong, "b", 40L))
+    val df = docs.toDF("doc_id", "grp", "n_tokens")
+    val targets = Seq(("a", 5000L), ("b", 5000L)).toDF("grp", "weight_bp")
+    val got = graft.operators.Sampling
+      .targetMixture(df, "grp", "doc_id", "n_tokens", targets)
+    val rates = got.select(col("grp"), col("rate_bp")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rates("a") === 10000L)
+    assert(rates("b") === 2500L)
+    // Every group-a doc admitted; group b roughly a quarter (hash Bernoulli).
+    assert(got.filter(col("grp") === "a").count() === 100L)
+    val bCount = got.filter(col("grp") === "b").count()
+    assert(bCount > 5 && bCount < 60, s"expected ~25 of 100, got $bCount")
+  }
+
+  test("targetMixture: an out-of-range weight fails loudly at execution") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 10L)).toDF("doc_id", "grp", "n_tokens")
+    val targets = Seq(("a", 0L)).toDF("grp", "weight_bp")
+    val e = intercept[Exception] {
+      graft.operators.Sampling
+        .targetMixture(df, "grp", "doc_id", "n_tokens", targets).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("out of (0, 10000]"), s"got: $messages")
+  }
+
   test("p14 plan: broadcast gram probe; every exchange keyed on the match population") {
     val s = spark
     import s.implicits._
