@@ -342,6 +342,32 @@ object Stress {
           .unionAll(evalSide.select(col("doc_id"), col("text"), col("split"))),
         "doc_id", "text", "split", n = 13).count()
     }
+    // t15 with the production shape: the seed gram table is PINNED (the
+    // base corpus's src0 — a curated seed does not grow with the lake)
+    // while the scored corpus scales; cost must be linear in the corpus
+    // (scan-side shingles + broadcast membership probe + one-row-per-doc
+    // aggregate).
+    time("seed_overlap") {
+      val seedGrams = graft.sources.Sources.table(spark, dir, "documents")
+        .filter(col("source") === "src0")
+      // Union so the operator sees one frame; replicas keep src0 content
+      // perturbed, so only the i=0 replica matches the pinned seed fully.
+      graft.operators.TextAnalysis.seedOverlapScore(
+        docs.select(col("doc_id"), col("text"), lit("corpus").as("source"))
+          .unionAll(seedGrams.select(col("doc_id") + lit(900000000L),
+            col("text"), col("source"))),
+        "doc_id", "text", col("source") === "src0").count()
+    }
+    // p15: the solve is arithmetic over |groups| rows; admission is a
+    // map-side broadcast join — the curve must track the bare scan.
+    time("target_mixture") {
+      val d = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val targets = docs.select(col("source")).distinct()
+        .withColumn("weight_bp", lit(500L))
+      graft.operators.Sampling
+        .targetMixture(d, "source", "doc_id", "n_tokens", targets).count()
+    }
     // LSH ANN with the AUTO-sized density (bits<=0): the s03 analogue of
     // embedding_dedup's auto evidence — the knob must size itself as the
     // corpus grows, at the denser top-k base point (6 bits × 8 tables).
