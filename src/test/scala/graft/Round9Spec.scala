@@ -287,19 +287,74 @@ class Round9Spec extends SparkSpecBase {
     assert(messages.contains("out of (0, 10000]"), s"got: $messages")
   }
 
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val through = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+      case other => other.children
+    }
+    p +: through.flatMap(allNodes)
+  }
+
+  /** Hash-partitioning key names of every shuffle in an EXECUTED plan. */
+  private def shuffleKeyNames(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    df.queryExecution.toRdd.count()
+    allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.map(_.name)).toSeq
+          case _ => Seq.empty // round-robin spread
+        }
+    }
+  }
+
+  test("t15 plan: broadcast seed probe; the only hash shuffle is the per-doc aggregate") {
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextAnalysis
+      .seedOverlapScore(docs, "doc_id", "text", col("source") === "src0")
+    out.queryExecution.toRdd.count()
+    assert(allNodes(out.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "expected the seed gram set to be broadcast")
+    // Two legitimate shuffles: the SEED-side gram distinct (bounded by the
+    // curated seed corpus, built once before the broadcast) and the
+    // one-row-per-doc partial aggregate. Nothing may shuffle corpus text.
+    shuffleKeyNames(out).foreach { names =>
+      assert(names.forall(Set("doc_id", "gram")),
+        s"t15 may only shuffle the seed gram build and the per-doc " +
+          s"aggregate, got $names")
+    }
+  }
+
+  test("p15 plan: the corpus never shuffles — only the |groups|-sized solve does") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val targets = docs.select(col("source")).distinct()
+      .withColumn("weight_bp", lit(500L))
+    val out = graft.operators.Sampling
+      .targetMixture(docs, "source", "doc_id", "n_tokens", targets)
+    // Admission must reach the corpus as a broadcast join; every hash
+    // shuffle keys on the group column (the token-count aggregate and the
+    // targets distinct), never on doc_id.
+    out.queryExecution.toRdd.count()
+    assert(allNodes(out.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "expected the rate table to broadcast onto the corpus")
+    shuffleKeyNames(out).foreach { names =>
+      assert(names.forall(Set("source")),
+        s"p15 must never shuffle on the document key, got $names")
+    }
+  }
+
   test("p14 plan: broadcast gram probe; every exchange keyed on the match population") {
     val s = spark
     import s.implicits._
-    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val through = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
-        case other => other.children
-      }
-      p +: through.flatMap(allNodes)
-    }
     val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("split", graft.operators.Sampling.assignSplit(col("doc_id")))
     val out = graft.operators.Sampling
