@@ -88,7 +88,11 @@ object Sources {
           // read path, but only after the footer CONFIRMS a nanos column
           // (any other analysis failure rethrows untouched).
           case e: org.apache.spark.sql.AnalysisException =>
-            val nanosCols = nanosAnnotatedColumns(spark, path)
+            // If the footer inspection itself fails, surface the ORIGINAL
+            // read error, not the inspection's.
+            val nanosCols =
+              try nanosAnnotatedColumns(spark, path)
+              catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
             if (nanosCols.isEmpty) throw e
             readWithLegacyNanos(spark, path, nanosCols)
         }
