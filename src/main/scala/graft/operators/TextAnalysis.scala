@@ -229,12 +229,26 @@ object TextAnalysis {
     * with fewer than 3 tokens have no shingles and are not emitted
     * (score undefined, not zero). */
   def seedOverlapScore(docs: DataFrame, idCol: String, textCol: String,
-                       seedPred: Column): DataFrame = {
-    import graft.functions.WordShingles
-    val seed = docs.filter(seedPred)
-      .select(explode(WordShingles.wordShingles(col(textCol), 3)).as("gram"))
+                       seedPred: Column): DataFrame =
+    seedOverlapAgainst(docs, idCol, textCol,
+      seedGramTable(docs.filter(seedPred), textCol))
+
+  /** The distinct 3-gram shingle set of a seed corpus — the static,
+    * broadcastable artifact [[seedOverlapAgainst]] and the streaming twin
+    * ([[graft.streaming.EventStreams.seedScoreStream]]) probe. Built once
+    * from the curated subset (bounded), like [[graft.operators.Sampling
+    * .evalGramTable]] for decontamination. */
+  def seedGramTable(seedDocs: DataFrame, textCol: String): DataFrame =
+    seedDocs
+      .select(explode(graft.functions.WordShingles
+        .wordShingles(col(textCol), 3)).as("gram"))
       .distinct()
-      .withColumn("hit", lit(1))
+
+  /** [[seedOverlapScore]] against a pre-built seed gram table. */
+  def seedOverlapAgainst(docs: DataFrame, idCol: String, textCol: String,
+                         seedGrams: DataFrame): DataFrame = {
+    import graft.functions.WordShingles
+    val seed = seedGrams.select(col("gram")).withColumn("hit", lit(1))
     docs
       .select(col(idCol), WordShingles.wordShingles(col(textCol), 3).as("__sh"))
       .filter(size(col("__sh")) > 0)

@@ -191,6 +191,40 @@ object EventStreams {
       .select(col("new_id"), col("eval_id"), col(tsCol))
   }
 
+  /** Ingest-time seed-overlap scoring — [[graft.operators.TextAnalysis
+    * .seedOverlapScore]]'s streaming twin: arriving documents are scored
+    * against the STATIC broadcast seed gram table in-flight, the
+    * admission-control topology of [[decontaminateStream]] (score at the
+    * door, route by threshold — at 100 TB/day nobody lands raw text and
+    * re-scores it in batch).
+    *
+    * Per-doc state is bounded by construction: a document is one row, so
+    * all its shingles share its event time and land in ONE window — the
+    * windowed aggregate's state evicts with the watermark, and the
+    * (id, gram) `dropDuplicatesWithinWatermark` ahead of it makes replays
+    * score exactly-once instead of double-counting grams (the
+    * [[idempotentPairSink]] concern, solved in-plan). Documents with
+    * fewer than 3 tokens have no shingles and are never emitted —
+    * identical to the batch twin's contract. */
+  def seedScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, seedGrams: DataFrame,
+                      watermarkDelay: String = "10 minutes",
+                      windowDuration: String = "10 minutes"): DataFrame = {
+    val grams = docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol),
+        explode(graft.functions.WordShingles.wordShingles(col(textCol), 3))
+          .as("gram"))
+      .dropDuplicatesWithinWatermark(idCol, "gram")
+    grams
+      .join(broadcast(seedGrams.select(col("gram")).withColumn("hit", lit(1))),
+        Seq("gram"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seed_grams"))
+      .withColumn("overlap_bp",
+        expr("CAST(n_seed_grams * 10000 DIV n_grams AS BIGINT)"))
+      .select(col(idCol), col("n_grams"), col("n_seed_grams"), col("overlap_bp"))
+  }
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.operators.JoinStrategies.rangeJoinBinned]]: pairs rows with
     * equal `keyCol` where `right.tsCol` ∈ [`left.tsCol − windowSec`,

@@ -313,6 +313,50 @@ class StreamingSpec extends SparkSpecBase {
       "per-row quality filter must be identical on stream and batch")
   }
 
+  test("streaming seed scoring matches batch t15; replays score exactly-once") {
+    import java.sql.Timestamp
+    import graft.operators.{TextAnalysis => TA}
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    // Offline: the curated seed's shingle table (built once, broadcast).
+    val seedDocs = Seq((1L, "the quick brown fox jumps")).toDF("sid", "text")
+    val seedGrams = TA.seedGramTable(seedDocs, "text")
+    val arriving = Seq(
+      (301L, ts(0), "the quick brown fox sleeps"),       // 2 of 3 shingles
+      (302L, ts(1), "entirely different tokens here"),   // 0 of 2
+      (303L, ts(2), "too short"))                        // no shingles: absent
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.seedScoreStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", seedGrams,
+        watermarkDelay = "1 minute", windowDuration = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("seed_out").start()
+    try {
+      memStream.addData(arriving: _*)
+      q.processAllAvailable()
+      // REPLAY doc 301 in a later batch, then advance the watermark far
+      // past its window so the aggregate emits.
+      memStream.addData((301L, ts(0), "the quick brown fox sleeps"))
+      q.processAllAvailable()
+      memStream.addData((999L, ts(120), "late watermark advancer doc"))
+      q.processAllAvailable()
+      val got = spark.table("seed_out")
+        .select($"doc_id", $"n_grams", $"n_seed_grams", $"overlap_bp")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got.size == got.map(_._1).toSet.size,
+        s"a replayed doc must score once, not twice: $got")
+      val batch = TA.seedOverlapAgainst(
+          arriving.map { case (id, _, text) => (id, text) }.toDF("doc_id", "text"),
+          "doc_id", "text", seedGrams)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.filter(_._1 != 999L).toSet == batch,
+        s"stream ${got.toSet} vs batch $batch")
+      // The replay must not have double-counted grams into the window agg.
+      assert(got.find(_._1 == 301L).get === ((301L, 3L, 2L, 6666L)))
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches batch p11 and suppresses replays") {
     import java.sql.Timestamp
     import graft.operators.Sampling
