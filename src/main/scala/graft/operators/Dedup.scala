@@ -321,6 +321,53 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Verbatim-run near-dup pairs — the ExactSubstr recipe ("Deduplicating
+    * Training Data Makes Language Models Better": drop documents sharing
+    * a ≥ k-token VERBATIM run at any offset). The third dedup geometry
+    * beside [[ngramJaccardPairs]] (set similarity — misses a short quote
+    * inside a long doc) and [[chunkDedup]] (fixed chunk boundaries — a
+    * shared run straddling a boundary hashes into different chunks on
+    * each side): any-offset exact runs, the class that catches licensed
+    * boilerplate and quoted passages verbatim-copied between documents.
+    *
+    * Plan: k-token runs are scan-side n-grams (the p11 gram machinery,
+    * per-doc distinct), candidate pairs come from a gram-keyed self
+    * equi-join — never an all-pairs theta join — and a DOC-FREQUENCY CAP
+    * drops grams occurring in more than `maxGramDocs` documents before
+    * the join: a boilerplate phrase shared by a million docs would
+    * otherwise create a million²/2-pair bucket (the [[ngramJaccardPairs]]
+    * bucket-cap argument, applied per gram; dropped grams are by
+    * definition boilerplate, not plagiarism signal). Per-gram join work
+    * is then ≤ maxGramDocs², and shuffled volume is (id, gram) pairs —
+    * never document text.
+    *
+    * Output: (a_id, b_id, n_shared_runs), one row per unordered pair
+    * sharing ≥ 1 surviving k-gram; n_shared_runs counts distinct shared
+    * grams (adjacent overlapping grams of one long run each count — the
+    * run-length proxy Lee et al. threshold on). */
+  def exactSubstrPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 10, maxGramDocs: Int = 256): DataFrame = {
+    require(k >= 2, s"run length must be >= 2 tokens, got $k")
+    require(maxGramDocs >= 2, s"doc-frequency cap must be >= 2, got $maxGramDocs")
+    // wordNgrams emits per-doc DISTINCT grams, so (id, gram) rows are
+    // unique and count(*) per gram below is exactly its doc frequency.
+    val grams = docs.select(col(idCol),
+        explode(Sampling.wordNgrams(col(textCol), k)).as("gram"))
+    val keep = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxGramDocs)
+      .select(col("gram"))
+    val g = grams.join(keep, Seq("gram"), "left_semi")
+    val a = g.select(col("gram"), col(idCol).as("a_id"))
+    val b = g.select(col("gram"), col(idCol).as("b_id"))
+    a.join(b, Seq("gram"))
+      .filter(col("a_id") < col("b_id"))
+      // (a, b, gram) rows are unique (per-doc distinct grams), so the
+      // count IS the distinct shared-run count — no count_distinct state.
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_runs"))
+  }
+
   /** Duplicate clusters from near-dup PAIRS: connected components by
     * iterative min-label propagation with POINTER JUMPING — the step that
     * turns pair output (d03/d04/d06) into actionable keeper groups

@@ -143,6 +143,14 @@ object PipelineQueries {
       TA.seedOverlapScore(base, "doc_id", "text", col("source") === "src0")
     }),
 
+    // ExactSubstr verbatim-run pairs (Lee et al.): docs sharing a
+    // >= 10-token verbatim run at ANY offset — the dedup geometry d03's
+    // jaccard and d08's fixed chunks both miss. Doc-frequency cap 256
+    // bounds the per-gram join quadratics (boilerplate grams dropped).
+    "d15_exact_substr" -> ((s, dir) =>
+      Dedup.exactSubstrPairs(Dedup.spreadToParallelism(docs(s, dir)),
+        "doc_id", "text", k = 10, maxGramDocs = 256)),
+
     // Target-mixture reweighting: admit the largest corpus whose source
     // token shares hit explicit uniform targets (500 bp × 20 sources) —
     // the stated-weights generalization of p06's sqrt temperature.
@@ -1218,6 +1226,25 @@ object PipelineQueries {
          SELECT doc_id, n_grams, n_seed_grams,
                 CAST(n_seed_grams * 10000 // n_grams AS BIGINT) AS overlap_bp
          FROM a""",
+    // ExactSubstr: 10-token runs via inclusive list slice + string_agg
+    // (equality semantics identical to the engine's space-joined grams);
+    // per-doc list_distinct makes (doc, gram) unique, so count(*) is both
+    // the doc frequency (cap CTE) and the distinct shared-run count.
+    "d15_exact_substr" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              g AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(
+                             generate_series(1, len(ws) - 9),
+                             i -> list_aggregate(ws[i:i+9], 'string_agg', ' ')))) AS gram
+                    FROM w WHERE len(ws) >= 10),
+              keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 256),
+              gg AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(count(*) AS BIGINT) AS n_shared_runs
+         FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
     // Target mixture: the closed-form solve in DOUBLE arithmetic written
     // operation-for-operation as the engine computes it (min of
     // n*10000/w, then floor(w*t/n)) so IEEE754 agreement is exact; plain

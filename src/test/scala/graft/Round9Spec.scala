@@ -180,6 +180,35 @@ class Round9Spec extends SparkSpecBase {
     assert(auto.nonEmpty, "planted near-dups must surface")
   }
 
+  // ---- d15: ExactSubstr verbatim-run pairs ----
+
+  test("exactSubstrPairs: any-offset runs found, chunk-boundary-blind, boilerplate capped") {
+    val s = spark
+    import s.implicits._
+    val run = (1 to 12).map(i => s"r$i").mkString(" ") // 12-token run: 3 distinct 10-grams
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // shared by ALL docs below
+    val docs = Seq(
+      // The run sits at DIFFERENT offsets in 1 and 2 — d08's fixed
+      // chunks would hash it into misaligned chunks; d15 must pair them.
+      (1L, s"$run ${(1 to 9).map(i => s"x$i").mkString(" ")} $boiler"),
+      (2L, s"${(1 to 5).map(i => s"y$i").mkString(" ")} $run $boiler"),
+      (3L, s"${(1 to 25).map(i => s"z$i").mkString(" ")} $boiler"),
+      (4L, s"${(1 to 25).map(i => s"w$i").mkString(" ")} $boiler")
+    ).toDF("doc_id", "text")
+    // Cap at 3: the boilerplate 10-gram occurs in 4 docs and is dropped,
+    // so docs 3/4 (which share ONLY boilerplate) never pair.
+    val got = graft.operators.Dedup
+      .exactSubstrPairs(docs, "doc_id", "text", k = 10, maxGramDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq.sorted === Seq((1L, 2L, 3L)),
+      s"expected exactly the planted run pair with 3 shared 10-grams, got ${got.toSeq}")
+    // Without the cap the boilerplate pairs everything with everything.
+    val uncapped = graft.operators.Dedup
+      .exactSubstrPairs(docs, "doc_id", "text", k = 10, maxGramDocs = 100)
+      .count()
+    assert(uncapped === 6L, "4 docs sharing a boilerplate gram = C(4,2) pairs")
+  }
+
   // ---- p14: the decontamination audit seen from the eval side ----
 
   test("contaminationProvenance: leak counts, worst offender, deterministic tie-break") {
