@@ -342,6 +342,14 @@ object Stress {
           .unionAll(evalSide.select(col("doc_id"), col("text"), col("split"))),
         "doc_id", "text", "split", n = 13).count()
     }
+    // d15: the per-replica token perturbation breaks every cross-replica
+    // 10-token run by construction (a suffixed token lands within any 10
+    // consecutive positions), so pairs must scale ∝ factor (within-replica
+    // only) and the doc-frequency cap bounds every gram bucket.
+    time("exact_substr") {
+      Dedup.exactSubstrPairs(docs, "doc_id", "text",
+        k = 10, maxGramDocs = 256).count()
+    }
     // t15 with the production shape: the seed gram table is PINNED (the
     // base corpus's src0 — a curated seed does not grow with the lake)
     // while the scored corpus scales; cost must be linear in the corpus
