@@ -296,9 +296,14 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bits: Int = 0, tables: Int = 0): DataFrame = {
     val (nBits, nTables) =
-      if (bits <= 0) SimilaritySearch.autoLshParams(emb.count())
-      else if (tables <= 0) (bits, 12 + 2 * math.max(0, bits - 8))
-      else (bits, tables)
+      if (bits > 0 && tables > 0) (bits, tables)
+      else if (bits > 0) (bits, 12 + 2 * math.max(0, bits - 8))
+      else {
+        // Auto bits; an explicitly passed `tables` still wins (a caller
+        // buying extra recall must not have the argument silently eaten).
+        val (autoBits, autoTables) = SimilaritySearch.autoLshParams(emb.count())
+        (autoBits, if (tables > 0) tables else autoTables)
+      }
     // Candidate generation on (id, t, bucket) triples ONLY — the vectors
     // never ride the `tables`-way bucket shuffle (joining them through the
     // bucket join would shuffle every embedding `tables` times per side).
@@ -346,13 +351,22 @@ object Dedup {
     * grams (adjacent overlapping grams of one long run each count — the
     * run-length proxy Lee et al. threshold on). */
   def exactSubstrPairs(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int = 10, maxGramDocs: Int = 256): DataFrame = {
+                       k: Int = 10, maxGramDocs: Int = 256,
+                       materialize: Boolean = true): DataFrame = {
     require(k >= 2, s"run length must be >= 2 tokens, got $k")
     require(maxGramDocs >= 2, s"doc-frequency cap must be >= 2, got $maxGramDocs")
     // wordNgrams emits per-doc DISTINCT grams, so (id, gram) rows are
     // unique and count(*) per gram below is exactly its doc frequency.
-    val grams = docs.select(col(idCol),
+    //
+    // MATERIALIZATION POINT: the gram frame feeds both the doc-frequency
+    // aggregate and the semi-join probe side (exchange reuse covers the
+    // a/b self-join branches but not these two inputs) — without a
+    // checkpoint the dominant cost, the per-row k-gram HOF over the full
+    // corpus, is paid twice. `materialize = false` for plan-audit
+    // callers, same contract as the corpus builds.
+    val grams0 = docs.select(col(idCol),
         explode(Sampling.wordNgrams(col(textCol), k)).as("gram"))
+    val grams = if (materialize) grams0.localCheckpoint() else grams0
     val keep = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxGramDocs)

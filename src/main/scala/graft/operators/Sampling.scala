@@ -308,17 +308,31 @@ object Sampling {
           lit(s"targetMixture: $weightCol out of (0, 10000]: "),
           col(weightCol).cast("string"))).cast(targets.schema(weightCol).dataType))
         .as(weightCol))
+    // A targeted group with zero tokens drives T to 0 and would silently
+    // admit NOTHING corpus-wide — an infeasible mixture must fail loudly
+    // like a bad weight does.
     val counts = df.groupBy(col(groupCol))
       .agg(sum(col(tokensCol)).cast("long").as("__n_toks"))
+      .withColumn("__n_toks",
+        when(col("__n_toks") > 0, col("__n_toks"))
+          .otherwise(raise_error(concat(
+            lit("targetMixture: group "), col(groupCol).cast("string"),
+            lit(" has zero tokens - mixture infeasible"))).cast("long")))
     val joined = counts
       .join(broadcast(guarded), Seq(groupCol))
     val tMax = joined.agg(
       min(col("__n_toks").cast("double") * 10000.0 /
         col(weightCol).cast("double")).as("__t_max"))
+    // +1e-7 before the floor: the binding group recomputes its own ratio
+    // in doubles, and rounding can land at 9999.999999999998 — without
+    // the nudge the documented "binding group admits everything"
+    // invariant loses one hash bucket on non-FP-exact (n, w) pairs. The
+    // epsilon is far below half a basis point, and the oracle mirrors it
+    // verbatim, so engine agreement is unaffected.
     val rates = joined.crossJoin(broadcast(tMax))
       .withColumn("rate_bp",
         floor(col(weightCol).cast("double") * col("__t_max") /
-          col("__n_toks").cast("double")))
+          col("__n_toks").cast("double") + lit(1e-7)))
       .select(col(groupCol), col("rate_bp"))
     df.join(broadcast(rates), Seq(groupCol))
       .filter(hashBucket(col(keyCol), 10000) < col("rate_bp"))

@@ -404,10 +404,14 @@ object SimilaritySearch {
               isQuery: Column, k: Int,
               bits: Int = HyperplaneBits, tables: Int = HashTables): DataFrame = {
     val (nBits, nTables) =
-      if (bits <= 0)
-        autoLshParams(emb.count(), targetDensity = 32,
-          baseBits = HyperplaneBits, baseTables = HashTables)
-      else (bits, tables)
+      if (bits > 0) (bits, tables)
+      else {
+        val (autoBits, autoTables) = autoLshParams(emb.count(),
+          targetDensity = 32, baseBits = HyperplaneBits,
+          baseTables = HashTables)
+        // An explicitly passed `tables` survives the auto branch.
+        (autoBits, if (tables != HashTables) tables else autoTables)
+      }
     val keyed = lshKeyed(emb, idCol, vecCol, nBits, nTables)
     val q = keyed.filter(isQuery)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("t"), col("bucket"))

@@ -244,11 +244,15 @@ object TextAnalysis {
         .wordShingles(col(textCol), 3)).as("gram"))
       .distinct()
 
-  /** [[seedOverlapScore]] against a pre-built seed gram table. */
+  /** [[seedOverlapScore]] against a pre-built seed gram table. The
+    * distinct is re-applied here (cheap on the bounded seed side) so the
+    * contract is self-enforcing: a duplicated gram row from a caller's
+    * hand-built table would otherwise fan the left join out and inflate
+    * ratios past 10000 bp. */
   def seedOverlapAgainst(docs: DataFrame, idCol: String, textCol: String,
                          seedGrams: DataFrame): DataFrame = {
     import graft.functions.WordShingles
-    val seed = seedGrams.select(col("gram")).withColumn("hit", lit(1))
+    val seed = seedGrams.select(col("gram")).distinct().withColumn("hit", lit(1))
     docs
       .select(col(idCol), WordShingles.wordShingles(col(textCol), 3).as("__sh"))
       .filter(size(col("__sh")) > 0)

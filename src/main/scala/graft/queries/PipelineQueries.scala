@@ -1262,7 +1262,7 @@ object PipelineQueries {
                                 / CAST(weight_bp AS DOUBLE)) AS t_max FROM j),
               r AS (SELECT source,
                            CAST(floor(CAST(weight_bp AS DOUBLE) * t_max
-                                      / CAST(n_toks AS DOUBLE)) AS BIGINT) AS rate_bp
+                                      / CAST(n_toks AS DOUBLE) + 1e-7) AS BIGINT) AS rate_bp
                     FROM j, tm)
          SELECT d.doc_id, d.source, d.n_tokens, r.rate_bp
          FROM d JOIN r USING (source)

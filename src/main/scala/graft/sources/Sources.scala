@@ -75,7 +75,16 @@ object Sources {
   private val RawInt64NanosCols: Map[String, Set[String]] =
     Map("events" -> Set("ts"))
 
-  private def load(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+  /** Serializes table loads against [[readWithLegacyNanos]]'s scoped conf
+    * window: SparkSessions are thread-safe, and a PLAIN read racing the
+    * window would silently succeed on a nanos-annotated file (conf
+    * momentarily true) WITHOUT taking the footer-confirmed conversion
+    * path — raw longs where timestamps belong, the exact outage class
+    * the scoped conf exists to close. First loads are rare (memoized per
+    * session/dir/table), so the serialization costs nothing steady-state. */
+  private val loadLock = new Object
+
+  private def load(spark: SparkSession, dir: String, name: String): Option[DataFrame] = loadLock.synchronized {
     val path = s"$dir/$name.parquet"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)

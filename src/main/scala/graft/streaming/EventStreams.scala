@@ -216,7 +216,8 @@ object EventStreams {
           .as("gram"))
       .dropDuplicatesWithinWatermark(idCol, "gram")
     grams
-      .join(broadcast(seedGrams.select(col("gram")).withColumn("hit", lit(1))),
+      .join(broadcast(
+          seedGrams.select(col("gram")).distinct().withColumn("hit", lit(1))),
         Seq("gram"), "left")
       .groupBy(window(col(tsCol), windowDuration), col(idCol))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seed_grams"))

@@ -302,6 +302,56 @@ class Round9Spec extends SparkSpecBase {
     assert(bCount > 5 && bCount < 60, s"expected ~25 of 100, got $bCount")
   }
 
+  test("targetMixture: binding group admits everything on FP-inexact (n, w) too") {
+    val s = spark
+    import s.implicits._
+    // n=1, w=139: t = 1e4/139 = 71.94244604316547, and w*t/n lands at
+    // 9999.999999999998 in doubles (one of ~100k small (n, w) combos
+    // that floor to 9999) — the epsilon nudge must floor it to 10000,
+    // not silently drop one hash bucket of the binding group.
+    val df = Seq((1L, "a", 1L), (2L, "b", 1000L)).toDF("doc_id", "grp", "n_tokens")
+    val targets = Seq(("a", 139L), ("b", 9861L)).toDF("grp", "weight_bp")
+    val got = graft.operators.Sampling
+      .targetMixture(df, "grp", "doc_id", "n_tokens", targets)
+    val rateA = got.filter(col("grp") === "a").select(col("rate_bp"))
+      .distinct().collect().map(_.getLong(0))
+    assert(rateA.toSeq === Seq(10000L),
+      s"binding group's rate must survive double rounding, got ${rateA.toSeq}")
+    assert(got.filter(col("grp") === "a").count() === 1L)
+  }
+
+  test("targetMixture: a zero-token target group fails loudly, not an empty corpus") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 0L), (2L, "b", 10L)).toDF("doc_id", "grp", "n_tokens")
+    val targets = Seq(("a", 5000L), ("b", 5000L)).toDF("grp", "weight_bp")
+    val e = intercept[Exception] {
+      graft.operators.Sampling
+        .targetMixture(df, "grp", "doc_id", "n_tokens", targets).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("zero tokens"), s"got: $messages")
+  }
+
+  test("embeddingNearDups: explicit tables survives the auto-bits branch") {
+    val s = spark
+    import s.implicits._
+    val base = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    // tables=24 with auto bits must equal tables=24 with the explicit
+    // (8, 24) point (auto lands bits=8 at this corpus size) — the
+    // argument must not be silently eaten by the auto branch.
+    val auto = graft.operators.Dedup
+      .embeddingNearDups(base, "vec_id", "v", 0.9, tables = 24)
+      .collect().map(_.toSeq).toSet
+    val explicit = graft.operators.Dedup
+      .embeddingNearDups(base, "vec_id", "v", 0.9, bits = 8, tables = 24)
+      .collect().map(_.toSeq).toSet
+    assert(auto === explicit)
+  }
+
   test("targetMixture: an out-of-range weight fails loudly at execution") {
     val s = spark
     import s.implicits._
