@@ -209,6 +209,24 @@ class Round9Spec extends SparkSpecBase {
     assert(uncapped === 6L, "4 docs sharing a boilerplate gram = C(4,2) pairs")
   }
 
+  test("d15 plan: gram-keyed exchanges only, no nested-loop or cartesian stage") {
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.Dedup
+      .exactSubstrPairs(docs, "doc_id", "text", k = 10, maxGramDocs = 256,
+        materialize = false) // one plan tree for the audit (house convention)
+    out.queryExecution.toRdd.count()
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"candidate generation must be the gram equi-join, never all-pairs:\n" +
+        s"${out.queryExecution.executedPlan}")
+    shuffleKeyNames(out).foreach { names =>
+      assert(names.forall(Set("gram", "a_id", "b_id")),
+        s"d15 shuffles (id, gram) rows and the pair aggregate only, got $names")
+    }
+  }
+
   // ---- p14: the decontamination audit seen from the eval side ----
 
   test("contaminationProvenance: leak counts, worst offender, deterministic tie-break") {
