@@ -286,22 +286,26 @@ object Dedup {
     * is linear to ~4× sf0.1 and super-linear at 8×, where bits=11
     * restores linearity — see `tools/Stress`). The default (`bits = 0`)
     * therefore AUTO-SIZES from the corpus count via
-    * [[SimilaritySearch.autoLshParams]] — one cheap count job (column-
-    * pruned to row counts on a parquet-backed input), so the documented
-    * sizing rule is code, not a knob someone forgets at 10× the corpus.
-    * Pass explicit `bits` (and optionally `tables`) only when the input
-    * frame is expensive to recompute or the cardinality is already known;
-    * an explicit `bits` without `tables` still gets the +2-tables-per-bit
+    * [[SimilaritySearch.autoLshParams]]. The count is one cheap job ONLY
+    * for a raw scan (column-pruned to parquet row counts); a COMPOSED
+    * input re-executes its whole upstream plan for the count and then
+    * again for the real job — such callers should pass `corpusCount`
+    * (an upstream cardinality they usually already track) or count a
+    * cached/checkpointed frame. Pass explicit `bits` (and optionally
+    * `tables`) only when the cardinality class is already known; an
+    * explicit `bits` without `tables` still gets the +2-tables-per-bit
     * recall compensation the formula above prices. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, bits: Int = 0, tables: Int = 0): DataFrame = {
+                        threshold: Double, bits: Int = 0, tables: Int = 0,
+                        corpusCount: Option[Long] = None): DataFrame = {
     val (nBits, nTables) =
       if (bits > 0 && tables > 0) (bits, tables)
       else if (bits > 0) (bits, 12 + 2 * math.max(0, bits - 8))
       else {
         // Auto bits; an explicitly passed `tables` still wins (a caller
         // buying extra recall must not have the argument silently eaten).
-        val (autoBits, autoTables) = SimilaritySearch.autoLshParams(emb.count())
+        val (autoBits, autoTables) = SimilaritySearch.autoLshParams(
+          corpusCount.getOrElse(emb.count()))
         (autoBits, if (tables > 0) tables else autoTables)
       }
     // Candidate generation on (id, t, bucket) triples ONLY — the vectors
@@ -343,8 +347,12 @@ object Dedup {
     * otherwise create a million²/2-pair bucket (the [[ngramJaccardPairs]]
     * bucket-cap argument, applied per gram; dropped grams are by
     * definition boilerplate, not plagiarism signal). Per-gram join work
-    * is then ≤ maxGramDocs², and shuffled volume is (id, gram) pairs —
-    * never document text.
+    * is then ≤ maxGramDocs². Grams are hashed to 64-bit keys SCAN-SIDE
+    * (before the checkpoint), so the shuffled/checkpointed volume is
+    * (id, long) pairs — never the k-token gram text, which would be ~k
+    * copies of the corpus (astronomically unlikely xxhash64 collisions
+    * can merge two distinct runs into one pair credit — the standard
+    * fingerprint trade, same as [[ngramJaccardPairs]]' hashed shingles).
     *
     * Output: (a_id, b_id, n_shared_runs), one row per unordered pair
     * sharing ≥ 1 surviving k-gram; n_shared_runs counts distinct shared
@@ -357,6 +365,8 @@ object Dedup {
     require(maxGramDocs >= 2, s"doc-frequency cap must be >= 2, got $maxGramDocs")
     // wordNgrams emits per-doc DISTINCT grams, so (id, gram) rows are
     // unique and count(*) per gram below is exactly its doc frequency.
+    // Hashed to longs inside the same scan-side pass — the text never
+    // leaves its scan task.
     //
     // MATERIALIZATION POINT: the gram frame feeds both the doc-frequency
     // aggregate and the semi-join probe side (exchange reuse covers the
@@ -365,7 +375,8 @@ object Dedup {
     // corpus, is paid twice. `materialize = false` for plan-audit
     // callers, same contract as the corpus builds.
     val grams0 = docs.select(col(idCol),
-        explode(Sampling.wordNgrams(col(textCol), k)).as("gram"))
+        explode(transform(Sampling.wordNgrams(col(textCol), k),
+          g => xxhash64(g))).as("gram"))
     val grams = if (materialize) grams0.localCheckpoint() else grams0
     val keep = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__df"))

@@ -294,20 +294,35 @@ object Sampling {
     * join + filter — the corpus never shuffles.
     *
     * `targets`: (groupCol, weight_bp) with weights in basis points;
-    * groups of `df` absent from `targets` are dropped (weight 0). A
-    * non-positive or > 10000 weight fails loudly at first execution (a
-    * lazy `raise_error` guard — no eager action in the operator). Rates
-    * use double arithmetic (the p06 precedent: IEEE754 division + floor
-    * is engine-exact) floored back to integer basis points. */
+    * groups of `df` absent from `targets` are dropped (weight 0). The
+    * targets frame is caller-built, so its contract is enforced here
+    * rather than trusted (the seedOverlapAgainst convention): duplicate
+    * (group, weight) rows collapse, CONFLICTING weights for one group
+    * fail loudly, and a targeted group with no corpus rows fails loudly
+    * too — an inner join would silently renormalize the realized mixture
+    * over only the present groups. A non-positive or > 10000 weight fails
+    * loudly at first execution (lazy `raise_error` guards throughout — no
+    * eager action in the operator). Rates use double arithmetic (the p06
+    * precedent: IEEE754 division + floor is engine-exact) floored back to
+    * integer basis points. */
   def targetMixture(df: DataFrame, groupCol: String, keyCol: String,
                     tokensCol: String, targets: DataFrame,
                     weightCol: String = "weight_bp"): DataFrame = {
+    val wType = targets.schema(weightCol).dataType
     val guarded = targets.select(col(groupCol),
       when(col(weightCol) > 0 && col(weightCol) <= 10000, col(weightCol))
         .otherwise(raise_error(concat(
           lit(s"targetMixture: $weightCol out of (0, 10000]: "),
-          col(weightCol).cast("string"))).cast(targets.schema(weightCol).dataType))
+          col(weightCol).cast("string"))).cast(wType))
         .as(weightCol))
+      .groupBy(col(groupCol))
+      .agg(min(col(weightCol)).as("__wmin"), max(col(weightCol)).as("__wmax"))
+      .select(col(groupCol),
+        when(col("__wmin") === col("__wmax"), col("__wmin"))
+          .otherwise(raise_error(concat(
+            lit("targetMixture: conflicting weights for group "),
+            col(groupCol).cast("string"))).cast(wType))
+          .as(weightCol))
     // A targeted group with zero tokens drives T to 0 and would silently
     // admit NOTHING corpus-wide — an infeasible mixture must fail loudly
     // like a bad weight does.
@@ -318,8 +333,15 @@ object Sampling {
           .otherwise(raise_error(concat(
             lit("targetMixture: group "), col(groupCol).cast("string"),
             lit(" has zero tokens - mixture infeasible"))).cast("long")))
-    val joined = counts
-      .join(broadcast(guarded), Seq(groupCol))
+    // LEFT join from the targets side: a targeted group the corpus lacks
+    // surfaces as a null count → loud failure, mirroring the zero-token
+    // guard (both frames are |groups|-row aggregates; AQE broadcasts).
+    val joined = guarded.join(counts, Seq(groupCol), "left")
+      .withColumn("__n_toks",
+        when(col("__n_toks").isNotNull, col("__n_toks"))
+          .otherwise(raise_error(concat(
+            lit("targetMixture: targeted group "), col(groupCol).cast("string"),
+            lit(" absent from corpus - mixture infeasible"))).cast("long")))
     val tMax = joined.agg(
       min(col("__n_toks").cast("double") * 10000.0 /
         col(weightCol).cast("double")).as("__t_max"))

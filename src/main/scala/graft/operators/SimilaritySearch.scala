@@ -397,20 +397,25 @@ object SimilaritySearch {
     * `bits <= 0` auto-sizes density from a corpus count via
     * [[autoLshParams]] (base 6 bits × 8 tables — top-k wants denser
     * buckets than dedup, since every query must FIND k mates, not just
-    * collide with its twin). The explicit default stays (6, 8) because
-    * results at a given recall target are parameter-dependent and the
-    * shipped s03 spec bounds are pinned against it. */
+    * collide with its twin). `tables <= 0` is the not-passed sentinel
+    * (the [[graft.operators.Dedup.embeddingNearDups]] convention —
+    * `tables != default` would silently eat an explicitly passed value
+    * equal to the default), resolving to [[HashTables]] on the explicit-
+    * bits path and to the auto compensation on the auto path. The
+    * explicit default stays bits = 6 because results at a given recall
+    * target are parameter-dependent and the shipped s03 spec bounds are
+    * pinned against (6, 8). */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int,
-              bits: Int = HyperplaneBits, tables: Int = HashTables): DataFrame = {
+              bits: Int = HyperplaneBits, tables: Int = 0): DataFrame = {
     val (nBits, nTables) =
-      if (bits > 0) (bits, tables)
+      if (bits > 0) (bits, if (tables > 0) tables else HashTables)
       else {
         val (autoBits, autoTables) = autoLshParams(emb.count(),
           targetDensity = 32, baseBits = HyperplaneBits,
           baseTables = HashTables)
         // An explicitly passed `tables` survives the auto branch.
-        (autoBits, if (tables != HashTables) tables else autoTables)
+        (autoBits, if (tables > 0) tables else autoTables)
       }
     val keyed = lshKeyed(emb, idCol, vecCol, nBits, nTables)
     val q = keyed.filter(isQuery)
