@@ -393,6 +393,128 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_runs"))
   }
 
+  /** Positional k-gram instances: (id, pos — 1-based token offset, g —
+    * xxhash64 of the space-joined k-token run). Scan-side (one
+    * [[graft.functions.WordShingles]] positional pass + hash, the t09
+    * machinery); the text never leaves its scan task. */
+  private def positionalGramInstances(docs: DataFrame, idCol: String,
+                                      textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol),
+        posexplode(transform(
+          graft.functions.WordShingles.wordShingles(col(textCol), k, distinct = false),
+          g => xxhash64(g))).as(Seq("pos0", "g")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("g"))
+
+  /** Span-level ExactSubstr: the maximal token ranges to CUT so that no
+    * ≥ k-token verbatim run survives in more than one place — the apply
+    * step of the Lee-et-al. recipe whose detection step is
+    * [[exactSubstrPairs]] (that op names the duplicated PAIRS; this one
+    * names the duplicated SPANS and keeps both documents, cutting the
+    * shared run from all but one).
+    *
+    * Keep-first semantics, deterministic and placement-independent: for
+    * every duplicated k-gram (≥ 2 occurrences corpus-wide, within- or
+    * cross-document) the single globally-first occurrence by (id, pos)
+    * survives; every other occurrence marks its k tokens for cutting.
+    * Marked instances then merge per document into maximal spans
+    * (overlapping or adjacent ranges coalesce) — adjacent overlapping
+    * grams of one long duplicated run collapse into one span covering
+    * the whole run.
+    *
+    * Shape at 100 TB: positional gram instances are scan-side (id, pos,
+    * 64-bit hash) triples — never text; the duplicate-gram table comes
+    * from a two-level hash aggregate ((g, id) partials first, so a hot
+    * gram spread across documents stays spread and map-side combine
+    * collapses within-doc repeats); the cut-marking join is keyed on the
+    * gram hash with per-gram work bounded by the same doc-frequency cap
+    * as [[exactSubstrPairs]] (grams in more than `maxGramDocs` documents
+    * are EXEMPT — declared boilerplate, dedup elsewhere, never a
+    * million²-row bucket); the span merge windows partition per document
+    * over its CUT instances only (bounded by doc length, never
+    * corpus-wide). Same caveat as the pair op: the dominant cost — the
+    * per-row k-gram pass — is paid once behind a localCheckpoint
+    * (`materialize = false` for plan-audit callers).
+    *
+    * Output: (id, cut_start, cut_len) — 1-based token offsets, one row
+    * per maximal span; documents needing no cut have no rows. */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 10, maxGramDocs: Int = 256,
+                       materialize: Boolean = true): DataFrame = {
+    require(k >= 2, s"run length must be >= 2 tokens, got $k")
+    require(maxGramDocs >= 2, s"doc-frequency cap must be >= 2, got $maxGramDocs")
+    val inst0 = positionalGramInstances(docs, idCol, textCol, k)
+    val inst = if (materialize) inst0.localCheckpoint() else inst0
+    val perDoc = inst.groupBy(col("g"), col(idCol))
+      .agg(count(lit(1)).as("__n_in_doc"), min(col("pos")).as("__min_pos"))
+    val firsts = perDoc.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"), sum(col("__n_in_doc")).as("__n_inst"),
+        min(struct(col(idCol), col("__min_pos"))).as("__first"))
+      .filter(col("__n_inst") >= 2 && col("__df") <= maxGramDocs)
+      .select(col("g"), col("__first"))
+    val cut = inst.join(firsts, Seq("g"))
+      .filter(!(col(idCol) === col("__first")(idCol) &&
+        col("pos") === col("__first")("__min_pos")))
+      .select(col(idCol), col("pos"))
+    // Merge overlapping/adjacent [pos, pos+k-1] ranges into maximal spans:
+    // a range starts a new span iff it begins past the running max end of
+    // everything before it (+1: touching ranges coalesce too).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMaxEnd = max(col("__e"))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    cut.withColumn("__e", col("pos") + lit(k - 1))
+      .withColumn("__new",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-2)) + 1, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast("long").as("cut_start"),
+        (max(col("__e")) - min(col("pos")) + 1).cast("long").as("cut_len"))
+      .select(col(idCol), col("cut_start"), col("cut_len"))
+  }
+
+  /** Apply precomputed [[exactSubstrSpans]] rows to the corpus: every
+    * document (cut or not) with its cleaned text — tokens covered by a
+    * cut span removed, survivors re-joined by single space (the corpus
+    * tokenization convention; an untouched document's text is normalized
+    * the same way, so `clean_text` is uniformly space-canonical). The
+    * spans frame joins per document (left — uncut documents pass
+    * through), collected to a per-doc sorted array that a scan-side
+    * indexed-lambda filter consumes: per-token cost is |spans of that
+    * doc|, never corpus-wide. Output: (id, n_tokens, n_cut_spans,
+    * n_cut_tokens, clean_text). */
+  def exactSubstrApplyFromSpans(docs: DataFrame, spans: DataFrame,
+                                idCol: String, textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_cut_spans"),
+        sum(col("cut_len")).as("n_cut_tokens"),
+        sort_array(collect_list(struct(col("cut_start"), col("cut_len")))).as("__sp"))
+    docs.select(col(idCol), col(textCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("__ws", filter(split(col(textCol), " "), t => t =!= ""))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"),
+        when(col("__sp").isNull, array_join(col("__ws"), " "))
+          .otherwise(array_join(
+            filter(col("__ws"), (t, i) =>
+              !exists(col("__sp"), s =>
+                (i + 1 >= s.getField("cut_start")) &&
+                  (i + 1 < s.getField("cut_start") + s.getField("cut_len")))),
+            " ")).as("clean_text"))
+  }
+
+  /** [[exactSubstrSpans]] + [[exactSubstrApplyFromSpans]] in one call —
+    * the d16 product shape: the corpus with every ≥ k-token duplicated
+    * run cut down to its single first occurrence. */
+  def exactSubstrApply(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 10, maxGramDocs: Int = 256,
+                       materialize: Boolean = true): DataFrame =
+    exactSubstrApplyFromSpans(docs,
+      exactSubstrSpans(docs, idCol, textCol, k, maxGramDocs, materialize),
+      idCol, textCol)
+
   /** Duplicate clusters from near-dup PAIRS: connected components by
     * iterative min-label propagation with POINTER JUMPING — the step that
     * turns pair output (d03/d04/d06) into actionable keeper groups

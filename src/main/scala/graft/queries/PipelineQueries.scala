@@ -116,7 +116,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     primaryQueries ++ round4Queries ++ round5Queries ++ round6Queries ++
-      round9Queries
+      round9Queries ++ round10Queries
 
   /** Round 9: the decontamination family's audit artifact. */
   private def round9Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,6 +161,25 @@ object PipelineQueries {
         .withColumn("weight_bp", lit(500L))
       graft.operators.Sampling
         .targetMixture(d, "source", "doc_id", "n_tokens", targets)
+    }))
+
+  /** Round 10: the ExactSubstr family's APPLY step. */
+  private def round10Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Span-level ExactSubstr apply (Lee et al.): d15 names the duplicated
+    // PAIRS; this emits the duplicated SPANS (keep-first: the globally
+    // first occurrence of every >= 10-token run survives, every other
+    // occurrence is cut) joined with each cut doc's cleaned text. Spans
+    // are checkpointed (a tiny frame) so the gram pass isn't paid twice
+    // across the spans/apply branches.
+    "d16_exact_substr_apply" -> ((s, dir) => {
+      val base = Dedup.spreadToParallelism(docs(s, dir))
+      val spans = Dedup.exactSubstrSpans(base, "doc_id", "text",
+        k = 10, maxGramDocs = 256).localCheckpoint()
+      spans.join(
+        Dedup.exactSubstrApplyFromSpans(base, spans, "doc_id", "text")
+          .select(col("doc_id"), col("n_cut_spans"), col("n_cut_tokens"),
+            col("clean_text")),
+        Seq("doc_id"))
     }))
 
   /** The end-to-end corpus build — the product story the 50 isolated
@@ -1245,6 +1264,61 @@ object PipelineQueries {
                 CAST(count(*) AS BIGINT) AS n_shared_runs
          FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+    // ExactSubstr APPLY: positional 10-gram instances, keep-first by
+    // (doc_id, pos) per duplicated gram (row_number mirrors the engine's
+    // min(struct) ownership), cut instances merged into maximal spans
+    // (adjacent/overlapping coalesce via the running-max-end island
+    // trick), cleaned text re-joined by single space over the surviving
+    // token positions. Cap semantics identical to d15: grams in > 256
+    // docs are exempt boilerplate.
+    "d16_exact_substr_apply" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              inst AS (SELECT doc_id, i AS pos,
+                              list_aggregate(ws[i:i+9], 'string_agg', ' ') AS g
+                       FROM w, UNNEST(generate_series(1, len(ws) - 9)) AS t(i)
+                       WHERE len(ws) >= 10),
+              stats AS (SELECT g, count(DISTINCT doc_id) AS df, count(*) AS n_inst
+                        FROM inst GROUP BY g),
+              keepg AS (SELECT g FROM stats WHERE n_inst >= 2 AND df <= 256),
+              ranked AS (SELECT i.doc_id, i.pos,
+                                row_number() OVER (PARTITION BY i.g
+                                                   ORDER BY i.doc_id, i.pos) AS rn
+                         FROM inst i JOIN keepg USING (g)),
+              cut AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+              flag AS (SELECT doc_id, pos, pos + 9 AS e,
+                              CASE WHEN pos > coalesce(max(pos + 9) OVER (
+                                     PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                     -2) + 1
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM cut),
+              isl AS (SELECT doc_id, pos, e,
+                             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING) AS island
+                      FROM flag),
+              spans AS (SELECT doc_id, island,
+                               CAST(min(pos) AS BIGINT) AS cut_start,
+                               CAST(max(e) - min(pos) + 1 AS BIGINT) AS cut_len
+                        FROM isl GROUP BY doc_id, island),
+              perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans,
+                                CAST(sum(cut_len) AS BIGINT) AS n_cut_tokens
+                         FROM spans GROUP BY doc_id),
+              cutpos AS (SELECT DISTINCT doc_id, pos + off AS p
+                         FROM cut, UNNEST(generate_series(0, 9)) AS o(off)),
+              tok AS (SELECT doc_id, i AS tp, ws[i] AS tok
+                      FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+              clean AS (SELECT t.doc_id,
+                               string_agg(t.tok, ' ' ORDER BY t.tp) AS clean_text
+                        FROM tok t LEFT JOIN cutpos c
+                          ON t.doc_id = c.doc_id AND t.tp = c.p
+                        WHERE c.doc_id IS NULL
+                        GROUP BY t.doc_id)
+         SELECT s.doc_id, s.cut_start, s.cut_len, p.n_cut_spans,
+                p.n_cut_tokens, coalesce(cl.clean_text, '') AS clean_text
+         FROM spans s JOIN perdoc p USING (doc_id)
+         LEFT JOIN clean cl USING (doc_id)""",
     // Target mixture: the closed-form solve in DOUBLE arithmetic written
     // operation-for-operation as the engine computes it (min of
     // n*10000/w, then floor(w*t/n)) so IEEE754 agreement is exact; plain

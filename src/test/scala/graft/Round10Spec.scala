@@ -73,6 +73,96 @@ class Round10Spec extends SparkSpecBase {
     assert(auto === explicit)
   }
 
+  // ---- d16: span-level ExactSubstr apply ----
+
+  test("exactSubstrSpans: keep-first geometry — later copy cut, overlapping grams merge") {
+    val s = spark
+    import s.implicits._
+    val run = (1 to 12).map(i => s"r$i").mkString(" ") // 12-token run: 3 10-grams
+    val docs = Seq(
+      (1L, s"$run ${(1 to 9).map(i => s"x$i").mkString(" ")}"),  // run at pos 1
+      (2L, s"${(1 to 5).map(i => s"y$i").mkString(" ")} $run ${(1 to 6).map(i => s"z$i").mkString(" ")}")
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup
+      .exactSubstrSpans(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Doc 1 owns every gram of the run (smallest (id, pos)); doc 2's three
+    // overlapping cut grams [6,15],[7,16],[8,17] merge into ONE span.
+    assert(spans.toSeq === Seq((2L, 6L, 12L)), spans.toSeq.toString)
+  }
+
+  test("exactSubstrApply: cleaned text drops exactly the cut span; within-doc repeats cut too") {
+    val s = spark
+    import s.implicits._
+    val runA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      // within-doc repeat: second copy of the 10-run is cut
+      (5L, s"$runA m1 m2 m3 $runA"),
+      (6L, (1 to 15).map(i => s"u$i").mkString(" ")) // untouched
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .exactSubstrApply(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got(0) === ((5L, 23L, 1L, 10L, s"$runA m1 m2 m3")), got(0).toString)
+    assert(got(1) === ((6L, 15L, 0L, 0L, (1 to 15).map(i => s"u$i").mkString(" "))))
+  }
+
+  test("exactSubstrApply ground truth: the cleaned corpus has zero >=k-token cross-doc runs") {
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val cleaned = graft.operators.Dedup
+      .exactSubstrApply(docs, "doc_id", "text", k = 10, maxGramDocs = 256)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .localCheckpoint()
+    val remaining = graft.operators.Dedup
+      .exactSubstrPairs(cleaned, "doc_id", "text", k = 10, maxGramDocs = 256)
+    assert(remaining.isEmpty,
+      s"cleaned corpus still shares runs: ${remaining.collect().mkString(", ")}")
+  }
+
+  test("d16 plan: gram/doc-keyed exchanges only, no nested-loop or cartesian stage") {
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.Dedup
+      .exactSubstrSpans(docs, "doc_id", "text", k = 10, maxGramDocs = 256,
+        materialize = false) // one plan tree for the audit (house convention)
+    out.queryExecution.toRdd.count()
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"cut marking must be the gram equi-join, never all-pairs:\n" +
+        s"${out.queryExecution.executedPlan}")
+    shuffleKeyNames(out).foreach { names =>
+      assert(names.forall(Set("g", "doc_id", "__island")),
+        s"d16 shuffles gram-hash aggregates, the cut-mark join, and per-doc " +
+          s"span merges only, got $names")
+    }
+  }
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val through = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+      case other => other.children
+    }
+    p +: through.flatMap(allNodes)
+  }
+
+  /** Hash-partitioning key names of every shuffle in an EXECUTED plan. */
+  private def shuffleKeyNames(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    df.queryExecution.toRdd.count()
+    allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.map(_.name)).toSeq
+          case _ => Seq.empty // round-robin spread
+        }
+    }
+  }
+
   test("embeddingNearDups: a precomputed corpusCount matches the counted auto path") {
     val s = spark
     import s.implicits._
