@@ -837,6 +837,189 @@ object Dedup {
     }
   }
 
+  /** Per-doc distinct hashed k-grams — the shared scan-side shape of the
+    * ExactSubstr family ([[exactSubstrPairs]], the [[GramIndex]] build
+    * and probe, the streaming probe): (id, gram — xxhash64 of the
+    * space-joined k-token run). Text never leaves its scan task. */
+  private def hashedDocGrams(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(transform(Sampling.wordNgrams(col(textCol), k),
+        g => xxhash64(g))).as("gram"))
+
+  /** Doc-frequency cap as a left-semi filter: keep only (id, gram) rows
+    * whose gram occurs in at most `cap` documents of THIS frame. */
+  private def capGramDf(grams: DataFrame, cap: Int): DataFrame =
+    grams.join(
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select(col("gram")),
+      Seq("gram"), "left_semi")
+
+  /** The persisted corpus-side artifact of index-based ExactSubstr delta
+    * dedup (the d15 family's [[MinHashIndex]] analogue): each corpus
+    * document's DISTINCT hashed k-grams, with the doc-frequency cap
+    * applied at build time — grams in more than `maxGramDocs` documents
+    * are DROPPED FROM THE INDEX (declared boilerplate, the
+    * [[exactSubstrPairs]] semantics enforced index-side), so every probe
+    * join is bounded at ≤ maxGramDocs index rows per gram by
+    * construction, and a capped-out boilerplate gram can never fan an
+    * ingest batch out against the corpus.
+    *
+    * Lifecycle mirrors [[MinHashIndex]]: build once offline, probe every
+    * batch, [[append]] admitted batches (batch-side cap only — a gram
+    * spread across appends can exceed the global cap between
+    * compactions, by at most compactEvery × maxGramDocs, the documented
+    * drift bound), [[compact]] re-caps GLOBALLY and flattens the union
+    * lineage. At 100 TB write the gram table bucketed on `gram` so
+    * probes co-locate without re-shuffling the corpus side. */
+  final case class GramIndex(idCol: String, grams: DataFrame,
+                             k: Int, maxGramDocs: Int,
+                             cachedFrames: Seq[DataFrame] = Nil,
+                             appendsSinceCompaction: Int = 0) {
+    /** Releases every cached block this index transitively owns (the
+      * [[MinHashIndex.unpersist]] over-approximation contract). */
+    def unpersist(): Unit = {
+      grams.unpersist()
+      cachedFrames.foreach(_.unpersist())
+      ()
+    }
+
+    /** Persist grams + the (k, maxGramDocs) parameters the probe must
+      * reuse (a probe gramming at a different k would silently never
+      * match). `mode = "append"` is the offline ingest-fold cycle: only
+      * the batch's files are added, the standing index is not rewritten
+      * (meta is idempotent — re-written each append with the same row). */
+    def save(dir: String, mode: String = "overwrite"): Unit = {
+      grams.write.mode(mode).parquet(s"$dir/grams")
+      val spark = grams.sparkSession
+      import spark.implicits._
+      Seq((k, maxGramDocs)).toDF("k", "max_gram_docs").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+
+    /** Fold an admitted ingest batch in: the batch's grams (capped
+      * WITHIN the batch) union onto the standing frame — append cost is
+      * one pass over the batch; ids assumed disjoint from the standing
+      * index. Union depth is bounded by [[appendAndMaybeCompact]]. */
+    def append(batch: DataFrame, textCol: String,
+               persist: Boolean = true): GramIndex = {
+      val b0 = capGramDf(hashedDocGrams(batch, idCol, textCol, k), maxGramDocs)
+      val b = if (persist) b0.cache() else b0
+      GramIndex(idCol, grams.unionByName(b), k, maxGramDocs,
+        cachedFrames = cachedFrames ++ Seq(grams) ++
+          (if (persist) Seq(b) else Nil),
+        appendsSinceCompaction = appendsSinceCompaction + 1)
+    }
+
+    /** Flatten the append lineage AND restore the global doc-frequency
+      * cap (the only point where cross-append boilerplate drift is
+      * re-zeroed): re-cap over the full union, overwrite `dir`, release
+      * the old lineage, return the freshly-loaded flat index. `dir` must
+      * not be a path the current lineage scans (self-overwrite — the
+      * [[MinHashIndex.compact]] caveat; alternate generation dirs). */
+    def compact(dir: String, persist: Boolean = true): GramIndex = {
+      val spark = grams.sparkSession
+      capGramDf(grams, maxGramDocs).write.mode("overwrite").parquet(s"$dir/grams")
+      import spark.implicits._
+      Seq((k, maxGramDocs)).toDF("k", "max_gram_docs").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      unpersist()
+      val fresh = loadGramIndex(spark, dir, idCol)
+      if (persist)
+        fresh.copy(grams = fresh.grams.cache(),
+          cachedFrames = Seq(fresh.grams))
+      else fresh
+    }
+
+    /** [[append]] then, every `compactEvery` appends, [[compact]] — the
+      * bounded-lineage ingest-fold lifecycle. */
+    def appendAndMaybeCompact(batch: DataFrame, textCol: String,
+                              compactDir: String, compactEvery: Int = 16,
+                              persist: Boolean = true): GramIndex = {
+      require(compactEvery > 0, "compactEvery must be positive")
+      val appended = append(batch, textCol, persist)
+      if (appended.appendsSinceCompaction >= compactEvery)
+        appended.compact(compactDir, persist)
+      else appended
+    }
+  }
+
+  /** Load an index previously written with [[GramIndex.save]]. */
+  def loadGramIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    idCol: String): GramIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    GramIndex(idCol, spark.read.parquet(s"$dir/grams"),
+      meta.getInt(0), meta.getInt(1))
+  }
+
+  /** Build the [[GramIndex]] of a corpus: grams scan-side, one hash
+    * aggregate for the cap — nothing else shuffles in the build. */
+  def buildGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 10, maxGramDocs: Int = 256,
+                     persist: Boolean = true): GramIndex = {
+    require(k >= 2, s"run length must be >= 2 tokens, got $k")
+    require(maxGramDocs >= 2, s"doc-frequency cap must be >= 2, got $maxGramDocs")
+    val g = capGramDf(hashedDocGrams(docs, idCol, textCol, k), maxGramDocs)
+    val gP = if (persist) g.cache() else g
+    GramIndex(idCol, gP, k, maxGramDocs,
+      cachedFrames = if (persist) Seq(gP) else Nil)
+  }
+
+  /** Per-(session, cacheKey) memoized [[buildGramIndex]] — the same
+    * build-once/probe-many pattern as the MinHash/IVF/MIPS indexes;
+    * stopped-session entries are evicted on access. */
+  private val gramIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), GramIndex]()
+
+  def memoizedGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, maxGramDocs: Int, cacheKey: String): GramIndex = {
+    val it = gramIndexCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    gramIndexCache.computeIfAbsent((docs.sparkSession, cacheKey),
+      _ => graft.tools.BuildTimer.time(
+        buildGramIndex(docs, idCol, textCol, k, maxGramDocs)))
+  }
+
+  /** Evict every memoized [[GramIndex]] of `s` under `keyPrefix` (the
+    * `"#suffix"` boundary convention of the other index caches). */
+  def invalidateGramIndexCache(s: org.apache.spark.sql.SparkSession,
+                               keyPrefix: String): Unit = {
+    val it = gramIndexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kk = e.getKey._2
+      if ((e.getKey._1 eq s) && (kk == keyPrefix || kk.startsWith(keyPrefix + "#"))) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
+
+  /** Index-probing delta ExactSubstr: the ingest batch's hashed k-grams
+    * (scan-side, capped WITHIN the batch — a batch-wide boilerplate gram
+    * must not fan out against the corpus) equi-join the standing
+    * [[GramIndex]]'s gram table. The shuffle is keyed on the 64-bit gram
+    * hash and sized by the BATCH plus its matches — never the corpus;
+    * per-gram join work is ≤ maxGramDocs (index-side cap, structural) ×
+    * batch df (probe-side cap). The corpus text is never read. Ids of
+    * the two frames are assumed disjoint (the [[deltaNearDupsIndexed]]
+    * contract). Output: (new_id, old_id, n_shared_runs) — the
+    * [[exactSubstrPairs]] row shape with the batch on the `new` side. */
+  def deltaExactSubstrPairs(delta: DataFrame, index: GramIndex,
+                            textCol: String): DataFrame = {
+    val b = capGramDf(
+      hashedDocGrams(delta, index.idCol, textCol, index.k)
+        .withColumnRenamed(index.idCol, "new_id"),
+      index.maxGramDocs)
+    b.join(index.grams.select(col(index.idCol).as("old_id"), col("gram")),
+        Seq("gram"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("n_shared_runs"))
+  }
+
   /** Index-probing delta near-dups: the ingest batch's band keys equi-join
     * the corpus index's band table (shuffle keyed on (band, bandHash) and
     * sized by the DELTA, not the corpus), then candidates verify against

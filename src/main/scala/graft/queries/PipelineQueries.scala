@@ -110,6 +110,7 @@ object PipelineQueries {
     componentsCache.remove((s, dir))
     survivorsCache.remove((s, dir))
     Dedup.invalidateMinHashIndexCache(s, dir)
+    Dedup.invalidateGramIndexCache(s, dir)
     SimilaritySearch.invalidateIndexCaches(s, dir)
     ()
   }
@@ -180,6 +181,20 @@ object PipelineQueries {
           .select(col("doc_id"), col("n_cut_spans"), col("n_cut_tokens"),
             col("clean_text")),
         Seq("doc_id"))
+    }),
+
+    // Index-probing delta ExactSubstr (the d13/d14 ingest shape applied
+    // to the verbatim-run geometry): the standing corpus is represented
+    // ONLY by its memoized capped gram index (built once per (session,
+    // dir), parquet save/load for the offline cycle); the batch's grams
+    // probe it — shuffle sized by the batch, corpus text never read.
+    "d17_delta_exact_substr" -> ((s, dir) => {
+      val all = Dedup.spreadToParallelism(docs(s, dir))
+      val delta = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val idx = Dedup.memoizedGramIndex(corpus, "doc_id", "text",
+        k = 10, maxGramDocs = 256, cacheKey = dir + "#gidx")
+      Dedup.deltaExactSubstrPairs(delta, idx, "text")
     }))
 
   /** The end-to-end corpus build — the product story the 50 isolated
@@ -1319,6 +1334,29 @@ object PipelineQueries {
                 p.n_cut_tokens, coalesce(cl.clean_text, '') AS clean_text
          FROM spans s JOIN perdoc p USING (doc_id)
          LEFT JOIN clean cl USING (doc_id)""",
+    // Delta ExactSubstr: d15's gram convention split delta-vs-corpus
+    // (doc_id % 10 = 7 plays the batch). BOTH caps mirrored: the corpus
+    // side's 256-doc cap is the INDEX build (capGramDf over corpus df
+    // only), the delta side's is the batch-side probe cap.
+    "d17_delta_exact_substr" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              g AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(
+                             generate_series(1, len(ws) - 9),
+                             i -> list_aggregate(ws[i:i+9], 'string_agg', ' ')))) AS gram
+                    FROM w WHERE len(ws) >= 10),
+              gc AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7),
+              gd AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 = 7),
+              keepc AS (SELECT gram FROM gc GROUP BY gram HAVING count(*) <= 256),
+              keepd AS (SELECT gram FROM gd GROUP BY gram HAVING count(*) <= 256),
+              idx AS (SELECT gc.doc_id, gc.gram FROM gc JOIN keepc USING (gram)),
+              bat AS (SELECT gd.doc_id, gd.gram FROM gd JOIN keepd USING (gram))
+         SELECT b.doc_id AS new_id, i.doc_id AS old_id,
+                CAST(count(*) AS BIGINT) AS n_shared_runs
+         FROM bat b JOIN idx i USING (gram)
+         GROUP BY 1, 2""",
     // Target mixture: the closed-form solve in DOUBLE arithmetic written
     // operation-for-operation as the engine computes it (min of
     // n*10000/w, then floor(w*t/n)) so IEEE754 agreement is exact; plain

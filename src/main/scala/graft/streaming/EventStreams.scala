@@ -191,6 +191,47 @@ object EventStreams {
       .select(col("new_id"), col("eval_id"), col(tsCol))
   }
 
+  /** Streaming ExactSubstr probe — the d15/d16 family's ingest-time twin
+    * ([[graft.operators.Dedup.deltaExactSubstrPairs]]'s topology applied
+    * to a stream, mirroring [[deltaDedupStream]]): arriving documents'
+    * hashed k-grams are checked in-flight against the STATIC persisted
+    * corpus [[graft.operators.Dedup.GramIndex]]. A doc that verbatim-
+    * quotes ≥ k consecutive corpus tokens is flagged before it lands.
+    *
+    * Plan shape: k-grams are scan-side per arriving row (the positional
+    * HOF + xxhash64, stateless — text never leaves its scan task), then
+    * a STREAM-STATIC equi-join on the 64-bit gram hash. The
+    * doc-frequency cap is enforced INDEX-SIDE (capped-out boilerplate
+    * grams are structurally absent from the index — [[graft.operators
+    * .Dedup.buildGramIndex]]), so per-row join fan-out is bounded at
+    * ≤ maxGramDocs matches per gram by construction; a stream cannot
+    * apply a batch-side cap (no cross-row state before the join), which
+    * is exactly why the index carries it. The one stateful operator is
+    * the watermarked pair dedup (a doc sharing many grams with one
+    * corpus doc appears once per gram; state = one entry per emitted
+    * pair, watermark-evicted), which also makes replays flag
+    * exactly-once.
+    *
+    * Input: streaming (idCol, tsCol, textCol). Output: append-mode
+    * (new_id, old_id, tsCol) — the flag the admission gate routes on
+    * (the batch probe's n_shared_runs count needs a full aggregation;
+    * the [[decontaminateStream]] precedent). */
+  def exactSubstrStream(docs: DataFrame, idCol: String, textCol: String,
+                        tsCol: String,
+                        index: graft.operators.Dedup.GramIndex,
+                        watermarkDelay: String = "10 minutes"): DataFrame = {
+    val grams = docs.select(col(idCol).as("new_id"), col(tsCol),
+      explode(transform(
+        graft.operators.Sampling.wordNgrams(col(textCol), index.k),
+        g => xxhash64(g))).as("gram"))
+    grams
+      .join(index.grams.select(col(index.idCol).as("old_id"), col("gram")),
+        Seq("gram"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+      .select(col("new_id"), col("old_id"), col(tsCol))
+  }
+
   /** Ingest-time seed-overlap scoring — [[graft.operators.TextAnalysis
     * .seedOverlapScore]]'s streaming twin: arriving documents are scored
     * against the STATIC broadcast seed gram table in-flight, the

@@ -237,6 +237,29 @@ object Stress {
       val appended = deltaIdx.append(batchSh, "sh")
       Dedup.deltaNearDupsIndexed(deltaSh, appended, "doc_id", "sh", 0.5).count()
     }
+    // d17: the ExactSubstr gram index. Build is the offline corpus-sized
+    // artifact job (scales with factor); the probe batch is PINNED (the
+    // base slice, ids offset out of corpus range), so probe cost must
+    // track the batch + the cached index scan — never corpus². Matches
+    // are the batch docs' identical i=0 twins (the per-replica token
+    // perturbation breaks every cross-replica 10-gram run), so pair rows
+    // stay flat as factor grows.
+    var gramIdx: Dedup.GramIndex = null
+    def ensureGramIdx(): Long = {
+      if (gramIdx == null) {
+        gramIdx = Dedup.buildGramIndex(docs, "doc_id", "text",
+          k = 10, maxGramDocs = 256)
+        gramIdx.grams.count() // cache fill charged to the build, not probes
+      } else 0L
+    }
+    time("gram_index_build") { ensureGramIdx() }
+    if (want("gram_probe")) ensureGramIdx()
+    val gramDelta = graft.sources.Sources.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id") + lit(900000000L) as "doc_id", col("text"))
+    time("gram_probe") {
+      Dedup.deltaExactSubstrPairs(gramDelta, gramIdx, "text").count()
+    }
     // Skew join, salted vs plain — the measurement behind q46. Hot key 0
     // owns 20% of events; broadcast and AQE's skew-split are disabled for
     // BOTH cases (the regime the salt exists for: a dim side past the
@@ -348,6 +371,13 @@ object Stress {
     // only) and the doc-frequency cap bounds every gram bucket.
     time("exact_substr") {
       Dedup.exactSubstrPairs(docs, "doc_id", "text",
+        k = 10, maxGramDocs = 256).count()
+    }
+    // d16: the apply step — span reconstruction + cleaned text on top of
+    // the same gram machinery; within-replica duplicated runs only, so
+    // both cost and cut rows must scale ∝ factor.
+    time("exact_substr_apply") {
+      Dedup.exactSubstrApply(docs, "doc_id", "text",
         k = 10, maxGramDocs = 256).count()
     }
     // t15 with the production shape: the seed gram table is PINNED (the

@@ -139,6 +139,90 @@ class Round10Spec extends SparkSpecBase {
     }
   }
 
+  // ---- d17: index-probing delta ExactSubstr ----
+
+  test("deltaExactSubstrPairs: batch-vs-corpus pairs, index-side cap blocks boilerplate") {
+    val s = spark
+    import s.implicits._
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // in 3 corpus docs
+    val corpus = Seq(
+      (1L, s"$run ${(1 to 5).map(i => s"p$i").mkString(" ")} $boiler"),
+      (2L, s"${(1 to 15).map(i => s"q$i").mkString(" ")} $boiler"),
+      (3L, s"${(1 to 15).map(i => s"s$i").mkString(" ")} $boiler")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, s"intro ${(1 to 4).map(i => s"m$i").mkString(" ")} $run"), // quotes doc 1
+      (102L, s"${(1 to 12).map(i => s"n$i").mkString(" ")} $boiler")    // boilerplate only
+    ).toDF("doc_id", "text")
+    // Cap 2: the boilerplate gram lives in 3 corpus docs and is dropped
+    // from the INDEX, so doc 102 (which shares only boilerplate) never
+    // flags — the cap is structural, not a probe-time filter.
+    val idx = graft.operators.Dedup
+      .buildGramIndex(corpus, "doc_id", "text", k = 10, maxGramDocs = 2)
+    try {
+      val got = graft.operators.Dedup
+        .deltaExactSubstrPairs(delta, idx, "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === Seq((101L, 1L, 3L)), got.toSeq.toString)
+    } finally idx.unpersist()
+  }
+
+  test("GramIndex: save/load round-trip probes identically; meta restores k and cap") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, (1 to 14).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 14).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val delta = Seq((101L, (1 to 12).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = graft.operators.Dedup
+      .buildGramIndex(corpus, "doc_id", "text", k = 10, maxGramDocs = 7)
+    val dir = tmpDir("r10-gidx")
+    try {
+      idx.save(dir)
+      val loaded = graft.operators.Dedup.loadGramIndex(spark, dir, "doc_id")
+      assert(loaded.k === 10 && loaded.maxGramDocs === 7)
+      val direct = graft.operators.Dedup
+        .deltaExactSubstrPairs(delta, idx, "text")
+        .collect().map(_.toSeq).toSet
+      val viaDisk = graft.operators.Dedup
+        .deltaExactSubstrPairs(delta, loaded, "text")
+        .collect().map(_.toSeq).toSet
+      assert(direct === viaDisk && direct.nonEmpty)
+    } finally idx.unpersist()
+  }
+
+  test("GramIndex append/compact: cross-append cap drift is re-zeroed at compaction") {
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 10).map(i => s"bb$i").mkString(" ")
+    def doc(id: Long, seed: String) =
+      (id, s"${(1 to 12).map(i => s"$seed$i").mkString(" ")} $boiler")
+    // Build: boilerplate in 2 corpus docs (cap 3 — kept). Each append adds
+    // 2 more docs carrying it; WITHIN each batch df=2 <= 3, so appends
+    // cannot see the global drift — by design.
+    val idx0 = graft.operators.Dedup.buildGramIndex(
+      Seq(doc(1L, "k"), doc(2L, "l")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 10, maxGramDocs = 3)
+    val idx1 = idx0.append(
+      Seq(doc(3L, "m"), doc(4L, "n")).toDF("doc_id", "text"), "text")
+    val probe = Seq((101L, s"x1 x2 $boiler")).toDF("doc_id", "text")
+    val drifted = graft.operators.Dedup
+      .deltaExactSubstrPairs(probe, idx1, "text")
+      .collect().map(r => r.getLong(1)).sorted
+    assert(drifted.toSeq === Seq(1L, 2L, 3L, 4L),
+      s"between compactions the gram may exceed the global cap (bounded drift): $drifted")
+    // Compact re-caps globally: df=4 > 3, the gram drops out of the index.
+    val dir = tmpDir("r10-gidx-compact")
+    val idx2 = idx1.compact(dir)
+    try {
+      val after = graft.operators.Dedup
+        .deltaExactSubstrPairs(probe, idx2, "text").count()
+      assert(after === 0L, "compaction must restore the global doc-frequency cap")
+    } finally idx2.unpersist()
+  }
+
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val through = p match {

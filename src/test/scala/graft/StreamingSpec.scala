@@ -281,6 +281,48 @@ class StreamingSpec extends SparkSpecBase {
     idx.unpersist()
   }
 
+  test("streaming ExactSubstr probes the static gram index, matches the batch probe") {
+    import java.sql.Timestamp
+    import graft.operators.Dedup
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+
+    // Offline: the capped gram index (built once, loaded by the ingest job).
+    val corpus = Seq(
+      (1L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val idx = Dedup.buildGramIndex(corpus, "doc_id", "text",
+      k = 10, maxGramDocs = 256)
+
+    // Online: 101 verbatim-quotes doc 1's run, 102 is unrelated, 103
+    // quotes doc 2; 101 arrives AGAIN in the second microbatch (replayed
+    // ingest) and must not re-flag.
+    val quote1 = s"intro ${(1 to 10).map(i => s"c$i").mkString(" ")} outro"
+    val other = (1 to 12).map(i => s"z$i").mkString(" ")
+    val quote2 = (1 to 10).map(i => s"d$i").mkString(" ")
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.exactSubstrStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", idx)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("exact_substr_out").start()
+    try {
+      memStream.addData((101L, ts(0), quote1), (102L, ts(1), other))
+      q.processAllAvailable()
+      memStream.addData((103L, ts(2), quote2), (101L, ts(3), quote1)) // replay
+      q.processAllAvailable()
+      val got = spark.table("exact_substr_out")
+        .select($"new_id", $"old_id").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"replayed doc re-flagged: $got")
+      val want = Dedup.deltaExactSubstrPairs(
+        Seq((101L, quote1), (102L, other), (103L, quote2)).toDF("doc_id", "text"),
+        idx, "text")
+        .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+      assert(got.toSet == want, s"stream $got vs batch $want")
+      assert(want == Set((101L, 1L), (103L, 2L)))
+    } finally q.stop()
+    idx.unpersist()
+  }
+
   test("batch sessionization is internally consistent") {
     val events = Sources.table(spark, dir, "events")
     val sessions = EventStreams.sessionizeBatch(events, gapMinutes = 30)
