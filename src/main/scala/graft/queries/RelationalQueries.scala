@@ -295,12 +295,21 @@ object RelationalQueries {
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("suppressed")).as("seg_filled"))),
 
     // Approximate distinct-count sketch (HLL). Sketch estimates differ
-    // across engines by design -> no oracle; ScalaTest bounds the error.
+    // across engines by design, so the ESTIMATE itself cannot be oracled —
+    // the ERROR BAND can: both engines compute their own sketch AND the
+    // exact distinct count and emit an integer within-10% flag, so the
+    // driver hash-compares a bounded claim instead of recording rows-only
+    // (the exact side doubles as a value check). Integer cross-multiply
+    // (|a-e|*10 <= e  <=>  |a-e| <= 0.1e) keeps the flag FP-free.
     "q35_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             count(lit(1)).as("n"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
+             countDistinct(col("l_partkey")).as("exact_parts"),
+             count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          when(abs(col("__approx") - col("exact_parts")) * 10 <= col("exact_parts"),
+            lit(1L)).otherwise(lit(0L)).as("within_10pct"))),
 
     // Regexp extraction
     "q36_regexp" -> ((s, dir) =>
@@ -345,20 +354,30 @@ object RelationalQueries {
     // re-aggregated to region level with hll_union_agg. THE incremental
     // aggregation pattern at 100 TB — partials are built once close to the
     // data, then any rollup level (or a later day's increment) merges
-    // byte-size sketches instead of rescanning the lake. No DuckDB oracle:
-    // sketch estimators differ across engines (driver records rows-only);
-    // QueriesSpec bounds the estimate against exact count distinct.
+    // byte-size sketches instead of rescanning the lake. Sketch estimators
+    // differ across engines, so the oracle checks the ERROR BAND (q35's
+    // convention): the rolled-up estimate must sit within 5% of the exact
+    // region-level distinct count, flagged as an integer on both sides.
+    // QueriesSpec still bounds the raw estimate directly.
     "q42_hll_union" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation"); val r = t(s, dir, "region")
-      val sketches = c
+      val joined = c
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      val sketches = joined
         .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
         .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
-      sketches.groupBy(col("region"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
+      val rollup = sketches.groupBy(col("region"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__approx"),
              count(lit(1)).as("n_nations"))
+      val exact = joined.groupBy(col("r_name").as("region"))
+        .agg(countDistinct(col("c_custkey")).as("exact_customers"))
+      rollup.join(exact, Seq("region"))
+        .select(col("region"), col("n_nations"), col("exact_customers"),
+          when(abs(col("__approx") - col("exact_customers")) * 20
+                 <= col("exact_customers"),
+            lit(1L)).otherwise(lit(0L)).as("within_5pct"))
     }),
 
     // As-of join: each purchase gains the most recent preceding click's
@@ -425,18 +444,29 @@ object RelationalQueries {
     // q38's PRODUCTION twin: percentile_approx keeps bounded per-group
     // state (a fixed-size quantile summary that merges associatively —
     // map-side partials like any aggregate) where exact percentile
-    // buffers every value of the group in one task. The sketch result is
+    // buffers every value of the group in one task. The sketch value is
     // deterministic for a given dataset but not DuckDB-reproducible, so
-    // the driver records rows-only; Round6Spec bounds the relative error
-    // vs the exact q38 at <= 1%.
+    // the oracle checks the ERROR BAND (q35's convention): each engine's
+    // own sketch quantile must land within 1% of its exact interpolated
+    // quantile, flagged per group; the exact values ride along as the
+    // hashable payload (q38's expressions verbatim). Round6Spec still
+    // bounds the raw sketch vs exact directly. The 1% comparison is FP
+    // but nowhere near the boundary (observed error <= 0.2% both engines).
     "q45_percentile_approx" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          round(expr("percentile_approx(o_totalprice, 0.5, 10000)"), 2)
-            .as("median_price_approx"),
-          round(expr("percentile_approx(o_totalprice, 0.9, 10000)"), 2)
-            .as("p90_price_approx"))),
+          expr("percentile_approx(o_totalprice, 0.5, 10000)").as("__am"),
+          expr("percentile_approx(o_totalprice, 0.9, 10000)").as("__ap"),
+          expr("percentile(o_totalprice, 0.5)").as("__em"),
+          expr("percentile(o_totalprice, 0.9)").as("__ep"))
+        .select(col("o_orderstatus"),
+          round(col("__em"), 2).as("median_price"),
+          round(col("__ep"), 2).as("p90_price"),
+          when(abs(col("__am") - col("__em")) <= col("__em") * 0.01,
+            lit(1L)).otherwise(lit(0L)).as("median_within_1pct"),
+          when(abs(col("__ap") - col("__ep")) <= col("__ep") * 0.01,
+            lit(1L)).otherwise(lit(0L)).as("p90_within_1pct"))),
 
     // Salted skew join, exercised (not just spec'd): every 5th user's
     // events collapse onto key 0 (~20% of the fact table on ONE key — the
@@ -603,6 +633,44 @@ object RelationalQueries {
                 round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
                 round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
          FROM orders GROUP BY o_orderstatus""",
+    // Error-band oracles for the sketch ops (q35/q42/q45): the estimate is
+    // engine-specific, so each engine computes ITS OWN sketch and the exact
+    // value and emits an integer within-band flag — the hash compare then
+    // verifies a bounded-accuracy CLAIM both engines must independently
+    // satisfy, plus the exact payload values verbatim.
+    "q35_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(CASE WHEN abs(approx_count_distinct(l_partkey)
+                                   - count(DISTINCT l_partkey)) * 10
+                               <= count(DISTINCT l_partkey)
+                          THEN 1 ELSE 0 END AS BIGINT) AS within_10pct
+         FROM lineitem GROUP BY 1""",
+    "q42_hll_union" ->
+      """SELECT r_name AS region,
+                CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations,
+                CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+                CAST(CASE WHEN abs(approx_count_distinct(c_custkey)
+                                   - count(DISTINCT c_custkey)) * 20
+                               <= count(DISTINCT c_custkey)
+                          THEN 1 ELSE 0 END AS BIGINT) AS within_5pct
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+    "q45_percentile_approx" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+                CAST(CASE WHEN abs(approx_quantile(o_totalprice, 0.5)
+                                   - quantile_cont(o_totalprice, 0.5))
+                               <= quantile_cont(o_totalprice, 0.5) * 0.01
+                          THEN 1 ELSE 0 END AS BIGINT) AS median_within_1pct,
+                CAST(CASE WHEN abs(approx_quantile(o_totalprice, 0.9)
+                                   - quantile_cont(o_totalprice, 0.9))
+                               <= quantile_cont(o_totalprice, 0.9) * 0.01
+                          THEN 1 ELSE 0 END AS BIGINT) AS p90_within_1pct
+         FROM orders GROUP BY 1""",
     "q41_pivot" ->
       """SELECT o_orderpriority,
                 round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
@@ -651,8 +719,8 @@ object RelationalQueries {
                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
                     FROM orders)
          SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3""",
-    // q45_percentile_approx: no oracle by design — the sketch quantile is
-    // engine-specific; Round6Spec bounds it against the exact q38.
+    // q45_percentile_approx: error-band oracle above (the sketch quantile
+    // is engine-specific; the flag is the cross-engine contract).
     // q46: the salted join must equal the PLAIN join — that equality is
     // the oracle.
     "q46_salted_join" ->

@@ -39,17 +39,30 @@ class QueriesSpec extends SparkSpecBase {
       val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
       assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
     }
+    // The q35 query's own error-band flags must all hold.
+    val flags = SparkEntry.queries("q35_approx_distinct")(spark, dir)
+      .select(col("l_returnflag"), col("within_10pct")).collect()
+    assert(flags.nonEmpty && flags.forall(_.getLong(1) == 1L),
+      "q35 within_10pct flag cleared for some return flag")
   }
 
   test("HLL sketch rollup estimates match exact distinct counts within 5%") {
     import org.apache.spark.sql.functions._
-    val est = SparkEntry.queries("q42_hll_union")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Raw estimate-vs-exact bound (the q42 query itself now emits only the
+    // exact counts + the within-band flag, so the sketch rollup is rebuilt
+    // here for a direct numeric check).
     val c = spark.read.parquet(s"$dir/customer.parquet")
     val n = spark.read.parquet(s"$dir/nation.parquet")
     val r = spark.read.parquet(s"$dir/region.parquet")
-    val exact = c.join(n, col("c_nationkey") === col("n_nationkey"))
+    val joined = c.join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
+    val est = joined
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      .groupBy(col("r_name"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    val exact = joined
       .groupBy(col("r_name")).agg(countDistinct(col("c_custkey")).as("e"))
       .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
     assert(est.keySet == exact.keySet)
@@ -57,6 +70,11 @@ class QueriesSpec extends SparkSpecBase {
       val a = est(region).toDouble
       assert(math.abs(a - e) / e < 0.05, s"$region: approx $a vs exact $e")
     }
+    // And the query's own error-band flags agree.
+    val flags = SparkEntry.queries("q42_hll_union")(spark, dir)
+      .select(col("region"), col("within_5pct")).collect()
+    assert(flags.nonEmpty && flags.forall(_.getLong(1) == 1L),
+      "q42 within_5pct flag cleared for some region")
   }
 
   test("pipeline plans: bucketed ops never degrade to nested-loop/cartesian joins") {
