@@ -195,7 +195,17 @@ object PipelineQueries {
       val idx = Dedup.memoizedGramIndex(corpus, "doc_id", "text",
         k = 10, maxGramDocs = 256, cacheKey = dir + "#gidx")
       Dedup.deltaExactSubstrPairs(delta, idx, "text")
-    }))
+    }),
+
+    // The v3 composed build (see [[corpusBuildV3FromSurvivors]]): v2's
+    // chain with the sqrt-temperature mix stage swapped for p15's
+    // stated-proportion target-mixture solve (uniform 2000 bp token share
+    // per language) — the DoReMi-shaped product story: the mixture the
+    // corpus ships with is DECLARED, not an emergent function of corpus
+    // counts. Same memoized survivors artifact as p10/p13.
+    "p16_corpus_build_v3" -> ((s, dir) =>
+      corpusBuildV3FromSurvivors(memoizedDedupSurvivors(s, dir),
+        budget = 3000L)))
 
   /** The end-to-end corpus build — the product story the 50 isolated
     * pipeline ops exist for, composed in the order a training-data team
@@ -383,6 +393,82 @@ object PipelineQueries {
       .select(col("lang"), col("rate_bp"))
     val s4 = s3b.join(broadcast(rates), Seq("lang"))
       .filter(Sampling.hashBucket(col("doc_id"), 10000) < col("rate_bp"))
+    val s5 = cp(Sampling.tokenBudgetPerGroup(
+        s4.select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality_bp")),
+        groupCol = "lang", keyCol = "doc_id", tokensCol = "n_tokens",
+        budget = budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_bp")))
+    val packed = Packing.packSequences(s5, "doc_id", "n_tokens", ctxLen = 2048L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
+        col("quality_bp"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"),
+        Sampling.assignSplit(col("doc_id")).as("split"))
+    Sampling.epochRepeat(packed, "doc_id", "quality_bp", maxEpochs = 4)
+  }
+
+  /** [[corpusBuildV2From]] with the mixture stage swapped: v3 of the
+    * composed build, for the Stress harness's injected-corpus shape. */
+  private[graft] def corpusBuildV3From(base: DataFrame, clusters: DataFrame,
+                                       budget: Long,
+                                       materialize: Boolean = true): DataFrame =
+    corpusBuildV3FromSurvivors(
+      dedupSurvivorsWithSplit(base, clusters, materialize), budget, materialize)
+
+  /** v3 of the composed build: [[corpusBuildV2FromSurvivors]]'s chain with
+    * the p06 sqrt-temperature mix replaced by p15's target-mixture solve
+    * ([[Sampling.targetMixture]]) over TOKEN shares — every language is
+    * admitted toward a STATED uniform 2000 bp share instead of the
+    * emergent sqrt-flattened one (the DoReMi/stated-proportions recipe:
+    * the training mixture is a declared input, reproducible from the spec
+    * sheet, not a function the corpus counts happen to produce).
+    *
+    * The targets frame derives its language SET from the survivors
+    * checkpoint (one cheap scan of the memoized artifact — not from the
+    * decontaminated s3b, whose anti-join lineage would re-run just to list
+    * languages) with the weight an explicit literal. If decontamination
+    * wiped out a targeted language entirely, targetMixture's absent-group
+    * guard fails loudly — a stated mixture over a language with zero
+    * surviving tokens IS infeasible, same contract as p15 standalone.
+    *
+    * Shuffle-ledger delta vs v2: none. The solve replaces the doc-count
+    * aggregate with a token-sum aggregate (both partial-aggregated to
+    * |langs| rows), the closed form is arithmetic over that tiny frame,
+    * and the admission stays a broadcast join + content-hash filter — the
+    * corpus still never shuffles keyed on doc_id (Round10Spec pins the
+    * ledger like Round7Spec does for v2). */
+  private[graft] def corpusBuildV3FromSurvivors(withSplit: DataFrame,
+                                                budget: Long,
+                                                materialize: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val contaminated = Sampling
+      .exactContamination(withSplit, "doc_id", "text", "split")
+      .select(col("train_id").as("doc_id")).distinct()
+    val s3 = withSplit.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val gramContaminated = Sampling.ngramContamination(
+        s3.select(col("doc_id"), col("text"), col("split")),
+        "doc_id", "text", "split", n = 13, spread = false)
+      .select(col("train_id").as("doc_id"))
+    val s3b = s3.join(broadcast(gramContaminated), Seq("doc_id"), "left_anti")
+      .withColumn("__ws", TA.words(col("text")))
+      .withColumn("__n_uniq", size(array_distinct(col("__ws"))).cast("long"))
+      .withColumn("__n_stop", TA.stopwordCount(col("__ws"), TA.StopEn))
+      .withColumn("quality_bp",
+        expr("""CAST(__n_uniq * 5000 DIV n_tokens
+                     + (n_tokens - __n_stop) * 3000 DIV n_tokens
+                     + least(n_tokens, 100L) * 20 AS BIGINT)"""))
+      .drop("__ws", "__n_uniq", "__n_stop")
+    // The v3 mixture: stated uniform token-share targets, solved by
+    // targetMixture's closed form (binding language admits everything,
+    // every other downsamples to proportion via the content-hash
+    // Bernoulli — the same hashBucket convention p06 used, so only the
+    // RATE computation changes between v2 and v3).
+    val targets = withSplit.select(col("lang")).distinct()
+      .withColumn("weight_bp", lit(2000L))
+    val s4 = Sampling
+      .targetMixture(s3b, "lang", "doc_id", "n_tokens", targets)
+      .drop("rate_bp")
     val s5 = cp(Sampling.tokenBudgetPerGroup(
         s4.select(col("doc_id"), col("lang"), col("n_tokens"),
           col("quality_bp")),
@@ -1503,6 +1589,90 @@ object PipelineQueries {
               mixm AS (SELECT min(n_lang) AS n_min FROM mixc),
               mixr AS (SELECT lang, CAST(floor(10000.0 * sqrt(CAST(n_min AS DOUBLE) / n_lang)) AS BIGINT) AS rate_bp
                        FROM mixc, mixm),
+              s4 AS (SELECT s3b.* FROM s3b JOIN mixr USING (lang)
+                     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < mixr.rate_bp),
+              bud AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum FROM s4),
+              s5 AS (SELECT doc_id, lang, n_tokens, quality_bp FROM bud WHERE cum - n_tokens < 3000),
+              s6 AS (SELECT doc_id, lang, n_tokens, quality_bp,
+                            CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS pack_id
+                     FROM s5),
+              rep AS (SELECT doc_id, lang, n_tokens, pack_id, quality_bp,
+                             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+                             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                  ELSE 'test' END AS split,
+                             CAST((10000 + quality_bp * 3) // 10000
+                                  + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                                              < (10000 + quality_bp * 3) % 10000
+                                         THEN 1 ELSE 0 END AS BIGINT) AS repeats
+                      FROM s6)
+         SELECT doc_id, lang, n_tokens, pack_id, quality_bp, bucket, split, repeats,
+                CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch_idx
+         FROM rep""",
+    // The v3 composed build: p13's CTE chain verbatim except the mixture
+    // CTEs — doc-count sqrt temperature becomes the p15 token-share solve
+    // (uniform stated 2000 bp per language; binding language admits all,
+    // rate = floor(w*T/n_toks + 1e-7) in doubles, the targetMixture
+    // arithmetic verbatim). Targets' language set comes from the s2
+    // survivors (the engine reads it off the survivors checkpoint).
+    "p16_corpus_build_v3" ->
+      s"""WITH RECURSIVE $ComponentsCte,
+              tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+                      FROM documents),
+              qual AS (SELECT doc_id FROM (
+                        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                               CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+                               CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                        FROM tok)
+                       WHERE NOT (n_tokens < 20 OR n_tokens > 2000
+                              OR sum_len * 100 < n_tokens * 300 OR sum_len * 100 > n_tokens * 1000
+                              OR n_stop * 10000 < n_tokens * 100)),
+              s2c AS (SELECT t.doc_id, t.lang, t.text, t.ws,
+                             CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                             CAST(len(list_distinct(t.ws)) AS BIGINT) AS n_uniq,
+                             CAST(len(list_filter(t.ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                      FROM tok t JOIN qual USING (doc_id)
+                      WHERE t.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)),
+              s2 AS (SELECT doc_id, lang, text, n_tokens,
+                            CAST(n_uniq * 5000 // n_tokens
+                                 + (n_tokens - n_stop) * 3000 // n_tokens
+                                 + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
+                     FROM s2c),
+              spl AS (SELECT doc_id,
+                             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                  ELSE 'test' END AS split
+                      FROM documents),
+              s3 AS (SELECT s2.*, spl.split FROM s2 JOIN spl USING (doc_id)
+                     WHERE NOT (spl.split = 'train' AND md5(s2.text) IN (
+                         SELECT md5(b.text) FROM s2 b JOIN spl spb ON b.doc_id = spb.doc_id
+                         WHERE spb.split <> 'train'))),
+              gw AS (SELECT doc_id, split,
+                            list_filter(string_split(text, ' '), t -> t <> '') AS fws
+                     FROM s3),
+              gg AS (SELECT doc_id, split,
+                            list_distinct(list_transform(generate_series(1, len(fws) - 12),
+                              i -> concat_ws(' ', fws[i], fws[i+1], fws[i+2], fws[i+3], fws[i+4],
+                                             fws[i+5], fws[i+6], fws[i+7], fws[i+8], fws[i+9],
+                                             fws[i+10], fws[i+11], fws[i+12]))) AS gs
+                     FROM gw WHERE len(fws) >= 13),
+              ge AS (SELECT unnest(gs) AS gram FROM gg WHERE split <> 'train'),
+              gt AS (SELECT doc_id, unnest(gs) AS gram FROM gg WHERE split = 'train'),
+              gc AS (SELECT DISTINCT gt.doc_id FROM gt JOIN ge USING (gram)),
+              s3b AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM gc)),
+              tc AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_toks
+                     FROM s3b GROUP BY 1),
+              tgt AS (SELECT DISTINCT lang, CAST(2000 AS BIGINT) AS weight_bp
+                      FROM s2),
+              tj AS (SELECT tc.lang, n_toks, weight_bp FROM tc JOIN tgt USING (lang)),
+              tmx AS (SELECT min(CAST(n_toks AS DOUBLE) * 10000.0
+                                 / CAST(weight_bp AS DOUBLE)) AS t_max FROM tj),
+              mixr AS (SELECT lang,
+                              CAST(floor(CAST(weight_bp AS DOUBLE) * t_max
+                                         / CAST(n_toks AS DOUBLE) + 1e-7) AS BIGINT) AS rate_bp
+                       FROM tj, tmx),
               s4 AS (SELECT s3b.* FROM s3b JOIN mixr USING (lang)
                      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < mixr.rate_bp),
               bud AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang

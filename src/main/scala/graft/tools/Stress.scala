@@ -324,6 +324,21 @@ object Stress {
         .corpusBuildV2From(docs, clusters, budget = 3000L * factor)
         .count()
     }
+    // The v3 composition (p16): v2 with the mixture stage swapped for the
+    // target-mixture closed-form solve. Cost profile must match v2 — the
+    // solve's token-sum aggregate replaces the doc-count aggregate on the
+    // SAME lang-keyed exchange, so any superlinear delta here means the
+    // stated-mixture stage added a corpus shuffle it must not have.
+    time("corpus_build_v3") {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars",
+          threshold = 0.2,
+          maxBucketSize = Some(graft.queries.PipelineQueries.D03BucketCap))
+        .localCheckpoint()
+      val clusters = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      graft.queries.PipelineQueries
+        .corpusBuildV3From(docs, clusters, budget = 3000L * factor)
+        .count()
+    }
     // 13-gram decontamination with the PRODUCTION shape: the eval side is
     // a PINNED curated set (base-corpus eval split) while the train corpus
     // scales with factor — cost must be linear in the corpus (scan-side

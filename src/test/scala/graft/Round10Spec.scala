@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   */
 class Round10Spec extends SparkSpecBase {
 
+  private val sfDir = "/root/testdata/sf0.001"
+
   private def rootMessages(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
@@ -244,6 +246,76 @@ class Round10Spec extends SparkSpecBase {
             h.expressions.flatMap(_.references.map(_.name)).toSeq
           case _ => Seq.empty // round-robin spread
         }
+    }
+  }
+
+  // ---- p16: the v3 composed build (target-mixture stage) ----
+
+  test("p16 exchange ledger: the mixture swap adds no corpus shuffle") {
+    val base = graft.sources.Sources.table(spark, sfDir, "documents")
+    val clusters = graft.queries.PipelineQueries.dupPairsAndClusters(spark, sfDir)._2
+    val built = graft.queries.PipelineQueries.corpusBuildV3From(base, clusters,
+      budget = 3000L, materialize = false)
+    built.queryExecution.toRdd.count()
+    // p13's allowlist verbatim: the target-mixture solve replaces the
+    // doc-count aggregate with a token-sum aggregate but keys the SAME
+    // lang exchange, the closed form runs over |langs|-row frames, and
+    // admission stays a broadcast join + content-hash filter. Above all:
+    // the corpus still never shuffles on doc_id.
+    val allowed = Set(Set("__h"), Set("lang"), Set("lang", "__sub"),
+      Set("__bkt"), Set("gram"), Set("train_id", "gram"), Set("train_id"))
+    shuffleKeyNames(built).foreach { names =>
+      if (names.nonEmpty) {
+        assert(allowed.contains(names.toSet),
+          s"unexpected corpus shuffle on $names:\n${built.queryExecution.executedPlan}")
+        assert(names.toSet != Set("doc_id"), "corpus shuffled on doc_id")
+      }
+    }
+  }
+
+  test("p16 mixture semantics: binding language admits ALL its tokens, others downsample toward parity") {
+    // With the budget stage opened wide, the output IS the
+    // mixture-admitted set: under uniform stated weights the binding
+    // language (smallest decontaminated token total) must admit every one
+    // of its documents (rate exactly 10000 — the closed form's invariant),
+    // and every language's admitted token count is bounded by the binding
+    // total modulo content-hash Bernoulli noise (deterministic for fixed
+    // data, so the band below is a fixed fact of sf0.001, not a flake).
+    val base = graft.sources.Sources.table(spark, sfDir, "documents")
+    val clusters = graft.queries.PipelineQueries.dupPairsAndClusters(spark, sfDir)._2
+    val out = graft.queries.PipelineQueries
+      .corpusBuildV3From(base, clusters, budget = 1000000L)
+      .filter(col("epoch_idx") === 1) // one row per admitted doc
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).cast("long").as("adm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size >= 2, s"expected several languages, got $out")
+    // Reconstruct the decontaminated per-lang totals the solve saw.
+    val totals = {
+      // totals = admitted/rate is circular; recompute via the v2 build's
+      // pre-mix stage equivalent: quality+dedup+p03+p11 survivors.
+      val withSplit = graft.queries.PipelineQueries
+        .dedupSurvivorsWithSplit(base, clusters, materialize = false)
+      val cont = graft.operators.Sampling
+        .exactContamination(withSplit, "doc_id", "text", "split")
+        .select(col("train_id").as("doc_id")).distinct()
+      val s3 = withSplit.join(broadcast(cont), Seq("doc_id"), "left_anti")
+      val gramCont = graft.operators.Sampling.ngramContamination(
+          s3.select(col("doc_id"), col("text"), col("split")),
+          "doc_id", "text", "split", n = 13, spread = false)
+        .select(col("train_id").as("doc_id"))
+      s3.join(broadcast(gramCont), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang")).agg(sum(col("n_tokens")).cast("long").as("tot"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(totals.keySet == out.keySet, s"langs dropped: $totals vs $out")
+    val binding = totals.minBy(_._2)._1
+    assert(out(binding) == totals(binding),
+      s"binding lang $binding must admit everything: ${out(binding)} of ${totals(binding)}")
+    out.foreach { case (lang, adm) =>
+      assert(adm <= totals(lang), s"$lang admitted more than it has")
+      val ratio = adm.toDouble / totals(binding)
+      assert(ratio > 0.4 && ratio < 1.7,
+        s"$lang admitted ${adm} vs binding total ${totals(binding)} (ratio $ratio)")
     }
   }
 
