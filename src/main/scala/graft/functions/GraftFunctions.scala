@@ -21,6 +21,7 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
+    "dhash64" -> (es => DHash64(es.head)),
     "word_shingles" -> (es => es match {
       case Seq(c) => WordShingles(c)
       case Seq(c, n) => WordShingles(c, n.eval().asInstanceOf[Int])

@@ -98,6 +98,35 @@ object Multimodal {
     }
   }
 
+  /** Partition-local "re-encode": shift every payload byte up by `shift`
+    * (a monotone byte-value remap — the byte-level model of a
+    * brightness/contrast adjustment during re-encoding). STUB: a real
+    * implementation decodes and re-encodes through the codec; the
+    * contract — a map-shaped stage producing a payload that is
+    * byte-DIFFERENT (m04's md5 fingerprints all change) yet
+    * perceptually identical (every [[graft.functions.DHash64]] gradient
+    * sign is preserved, so m05 still matches it to the original) — is the
+    * real part. Requires headroom: payload bytes must stay below
+    * 256 - shift unsigned or the wrap breaks monotonicity (ASCII payloads
+    * are <= 126, so the stub's domain always has it). `idOffset`
+    * relabels the copy so planted originals and re-encodes coexist. */
+  def reencodeStub(media: Dataset[MediaRow], shift: Int = 1,
+                   idOffset: Long = 0L): Dataset[MediaRow] = {
+    require(shift >= 1 && shift <= 128, s"shift out of (0, 128]: $shift")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // --- STUB re-encode: replace with codec decode->adjust->encode ---
+        val out = new Array[Byte](r.media.length)
+        var i = 0
+        while (i < out.length) { out(i) = (r.media(i) + shift).toByte; i += 1 }
+        // -----------------------------------------------------------------
+        MediaRow(r.doc_id + idOffset, out, r.format + ";reencoded")
+      }
+    }
+  }
+
   /** Cross-media content-copy detection over sampled frames: every media
     * pair sharing at least one (distinct) frame fingerprint, with the
     * shared-frame count — who re-encoded whose content. Composes the

@@ -205,7 +205,27 @@ object PipelineQueries {
     // counts. Same memoized survivors artifact as p10/p13.
     "p16_corpus_build_v3" -> ((s, dir) =>
       corpusBuildV3FromSurvivors(memoizedDedupSurvivors(s, dir),
-        budget = 3000L)))
+        budget = 3000L)),
+
+    // Perceptual frame-overlap (m04's re-encode-surviving twin): docs < 40
+    // are planted back as byte-shifted "re-encodes" (monotone remap — every
+    // md5 changes, so m04 would MISS all of them), then frames are
+    // fingerprinted with the gradient-sign dHash instead of md5 and joined
+    // through the same capped frameOverlap. The oracle hashes the ORIGINAL
+    // text for the planted ids — equality across the engines holds exactly
+    // because the dHash is monotone-remap-invariant, so the driver compare
+    // proves the perceptual property end-to-end, not just the plumbing.
+    "m05_perceptual_overlap" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
+      val planted = graft.multimodal.Multimodal.reencodeStub(
+        media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)
+      val frames = graft.multimodal.Multimodal
+        .sampleFrames(media.unionByName(planted), frameBytes = 64, stride = 4)
+        .toDF()
+        .select(col("doc_id"),
+          graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+      graft.multimodal.Multimodal.frameOverlap(frames, "doc_id", "fp")
+    }))
 
   /** The end-to-end corpus build — the product story the 50 isolated
     * pipeline ops exist for, composed in the order a training-data team
@@ -1213,6 +1233,36 @@ object PipelineQueries {
                     JOIN keep USING (frame_md5))
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
          FROM k a JOIN k b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+    // m05: same frame slicing (and the m04 ASCII coupling note), but the
+    // fingerprint is the 63-comparison gradient-sign dHash — bit i-1 set
+    // iff char i > char i+1, summed as shifted BIGINTs (DuckDB's `<<`,
+    // never power(): doubles lose bits past 2^53). The planted re-encodes
+    // (doc_id+100000 for doc_id < 40) hash the ORIGINAL text: the +1 byte
+    // shift the engine applies is monotone, so dHash equality with the
+    // unshifted mirror IS the perceptual-invariance claim under test.
+    "m05_perceptual_overlap" ->
+      """WITH f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM documents),
+              fr AS (SELECT doc_id, substr(text, i * 64 + 1, 64) AS frame
+                     FROM f WHERE i % 4 = 0),
+              allf AS (SELECT doc_id, frame FROM fr
+                       UNION ALL
+                       SELECT doc_id + 100000, frame FROM fr WHERE doc_id < 40),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 63),
+                                i -> CASE WHEN ascii(substr(frame, i, 1))
+                                               > ascii(substr(frame, i + 1, 1))
+                                          THEN (CAST(1 AS BIGINT) << (i - 1))
+                                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                    FROM allf),
+              d AS (SELECT DISTINCT doc_id, fp FROM h),
+              keep AS (SELECT fp FROM d GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT d.doc_id, d.fp FROM d JOIN keep USING (fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
     "t13_keyword_salience" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws

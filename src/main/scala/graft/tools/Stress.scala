@@ -438,6 +438,23 @@ object Stress {
       graft.operators.Sampling
         .epochRepeat(scored, "doc_id", "w_bp", maxEpochs = 4).count()
     }
+    // m05: frame demux + dHash fingerprint + capped hash-equi-join. The
+    // planted re-encode slice is PINNED (base docs < 40, monotone byte
+    // shift) while the corpus scales; replicas perturb text so only
+    // within-replica frames collide — cost must be linear in the corpus
+    // (flatMap demux + codegen'd hash + boilerplate-capped join), pair
+    // rows pinned to the planted set.
+    time("perceptual_overlap") {
+      val media = graft.multimodal.Multimodal.asMediaTable(docs)
+      val planted = graft.multimodal.Multimodal.reencodeStub(
+        media.filter(col("doc_id") < 40), shift = 1, idOffset = 1000000000L)
+      val frames = graft.multimodal.Multimodal
+        .sampleFrames(media.unionByName(planted), frameBytes = 64, stride = 4)
+        .toDF()
+        .select(col("doc_id"),
+          graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+      graft.multimodal.Multimodal.frameOverlap(frames, "doc_id", "fp").count()
+    }
     time("mips_topk") {
       SimilaritySearch.mipsTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5).count()

@@ -334,4 +334,60 @@ class Round10Spec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(counted === precomputed)
   }
+
+  test("DHash64: bit-exact under a strictly monotone byte remap; md5 is not") {
+    val rnd = new scala.util.Random(10)
+    // Payload over byte values 0..127; remap = 128 sorted distinct values
+    // sampled from 0..255 — an arbitrary strictly monotone byte-value map
+    // (the byte-level model of brightness/contrast/gamma re-encoding).
+    val payload = Array.fill(80)(rnd.nextInt(128).toByte)
+    val table = rnd.shuffle((0 to 255).toList).take(128).sorted.toArray
+    val remapped = payload.map(b => table(b & 0xFF).toByte)
+    assert(!(payload sameElements remapped))
+    assert(graft.functions.DHash64.compute(payload) ===
+      graft.functions.DHash64.compute(remapped),
+      "dHash must survive a strictly monotone remap")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    assert(!(md5.digest(payload) sameElements md5.digest(remapped)),
+      "md5 must NOT survive it (that is the m04 gap m05 closes)")
+    // Codegen path agrees with the interpreted compute().
+    val s = spark
+    import s.implicits._
+    val viaDf = Seq(payload, remapped).toDF("b")
+      .select(graft.functions.DHash64.dhash64(col("b")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(viaDf(0) === graft.functions.DHash64.compute(payload))
+    assert(viaDf(0) === viaDf(1))
+    // Degenerate payloads: <2 bytes hash to 0; only the first 64 count.
+    assert(graft.functions.DHash64.compute(Array[Byte](5)) === 0L)
+    assert(graft.functions.DHash64.compute(Array.empty[Byte]) === 0L)
+    val long1 = Array.fill(200)(rnd.nextInt(128).toByte)
+    val long2 = long1.clone(); long2(150) = (long2(150) ^ 0x7f).toByte
+    assert(graft.functions.DHash64.compute(long1) ===
+      graft.functions.DHash64.compute(long2))
+  }
+
+  test("m05: dHash frames re-identify planted re-encodes that md5 misses") {
+    import graft.multimodal.Multimodal
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.asMediaTable(docs)
+    val planted = Multimodal.reencodeStub(
+      media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)
+    val frames = Multimodal.sampleFrames(
+      media.unionByName(planted), frameBytes = 64, stride = 4).toDF()
+    def plantedPairs(fp: org.apache.spark.sql.Column): Set[Long] =
+      Multimodal.frameOverlap(
+          frames.select(col("doc_id"), fp.as("fp")), "doc_id", "fp")
+        .filter(col("b_id") === col("a_id") + 100000L)
+        .collect().map(_.getLong(0)).toSet
+    val viaMd5 = plantedPairs(md5(col("frame")))
+    val viaDHash = plantedPairs(graft.functions.DHash64.dhash64(col("frame")))
+    assert(viaMd5.isEmpty,
+      s"byte-shifted re-encodes must defeat md5 fingerprints, found $viaMd5")
+    // Every planted doc long enough to emit a frame (>=64 bytes) whose
+    // fingerprints aren't all boilerplate-capped should match its original.
+    assert(viaDHash.size >= 30,
+      s"dHash should re-identify most of the 40 planted re-encodes, got ${viaDHash.size}")
+  }
 }
