@@ -308,6 +308,25 @@ object Sampling {
   def targetMixture(df: DataFrame, groupCol: String, keyCol: String,
                     tokensCol: String, targets: DataFrame,
                     weightCol: String = "weight_bp"): DataFrame = {
+    val rates = targetMixtureRates(df, groupCol, tokensCol, targets, weightCol)
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), 10000) < col("rate_bp"))
+  }
+
+  /** The solve half of [[targetMixture]], exposed as its own artifact:
+    * (groupCol, rate_bp) — the per-group admission rates realizing the
+    * stated mixture over THIS census. In production the census runs
+    * offline (yesterday's corpus totals) and the rates table is the tiny
+    * broadcast artifact the online admission gate — batch
+    * [[targetMixture]] or the streaming twin
+    * `EventStreams.targetMixtureStream` — routes on; solve-once /
+    * admit-many, the MinHashIndex build/probe split applied to mixture
+    * control. All fail-loud guards (bad weight, conflicting weights,
+    * zero-token group, targeted group absent) live here, so every
+    * consumer inherits them. */
+  def targetMixtureRates(df: DataFrame, groupCol: String, tokensCol: String,
+                         targets: DataFrame,
+                         weightCol: String = "weight_bp"): DataFrame = {
     val wType = targets.schema(weightCol).dataType
     val guarded = targets.select(col(groupCol),
       when(col(weightCol) > 0 && col(weightCol) <= 10000, col(weightCol))
@@ -351,13 +370,11 @@ object Sampling {
     // invariant loses one hash bucket on non-FP-exact (n, w) pairs. The
     // epsilon is far below half a basis point, and the oracle mirrors it
     // verbatim, so engine agreement is unaffected.
-    val rates = joined.crossJoin(broadcast(tMax))
+    joined.crossJoin(broadcast(tMax))
       .withColumn("rate_bp",
         floor(col(weightCol).cast("double") * col("__t_max") /
           col("__n_toks").cast("double") + lit(1e-7)))
       .select(col(groupCol), col("rate_bp"))
-    df.join(broadcast(rates), Seq(groupCol))
-      .filter(hashBucket(col(keyCol), 10000) < col("rate_bp"))
   }
 
   /** Deterministic "random" k-per-group sample: the k rows whose key hash

@@ -267,6 +267,36 @@ object EventStreams {
       .select(col(idCol), col("n_grams"), col("n_seed_grams"), col("overlap_bp"))
   }
 
+  /** Ingest-time target-mixture admission — [[graft.operators.Sampling
+    * .targetMixture]]'s streaming twin, completing the family pattern
+    * (every batch admission op has one): arriving documents are admitted
+    * or dropped IN-FLIGHT at the per-group rates a prior OFFLINE solve
+    * produced ([[graft.operators.Sampling.targetMixtureRates]] over the
+    * standing corpus census — a stream cannot see global group totals, so
+    * the solve/admit split is forced, exactly the production topology:
+    * re-solve the tiny rates artifact daily, admit online against it).
+    *
+    * Plan shape: a map-side broadcast join on the group + the same
+    * content-hash Bernoulli filter as the batch twin — admission is a
+    * pure function of (group, key), so a doc admits identically in batch
+    * and stream, and identically on replay. The one stateful operator is
+    * the watermarked id dedup turning that replay determinism into
+    * exactly-once emission (the [[seedScoreStream]] concern), placed
+    * AFTER the admission filter so state holds only admitted ids — the
+    * smallest set that preserves the contract. Groups
+    * absent from the rates table drop (weight 0), inheriting the batch
+    * contract; all solve-side guards fired offline. */
+  def targetMixtureStream(docs: DataFrame, groupCol: String, keyCol: String,
+                          tsCol: String, rates: DataFrame,
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .join(broadcast(rates.select(col(groupCol), col("rate_bp"))),
+        Seq(groupCol))
+      .filter(graft.operators.Sampling
+        .hashBucket(col(keyCol), 10000) < col("rate_bp"))
+      .dropDuplicatesWithinWatermark(keyCol)
+      .drop("rate_bp")
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.operators.JoinStrategies.rangeJoinBinned]]: pairs rows with
     * equal `keyCol` where `right.tsCol` ∈ [`left.tsCol − windowSec`,

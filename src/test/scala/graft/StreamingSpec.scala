@@ -399,6 +399,53 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming target-mixture admission matches batch p15; replays admit exactly-once") {
+    import java.sql.Timestamp
+    import graft.operators.Sampling
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+
+    // Offline: the census + solve. en has 4x fr's tokens but 1/4 its
+    // weight, so fr binds (admits everything) and en downsamples hard.
+    val census = ((1L to 40L).map(id => (id, "en", 10L)) ++
+      (101L to 120L).map(id => (id, "fr", 10L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    val targets = Seq(("en", 2000L), ("fr", 8000L)).toDF("lang", "weight_bp")
+    val rates = Sampling.targetMixtureRates(
+      census, "lang", "n_tokens", targets)
+
+    // Online: the same docs arrive as a stream (plus one from a group the
+    // targets omit — weight 0, must drop); doc 101 is REPLAYED in the
+    // second microbatch and must not re-admit.
+    val arriving = ((1L to 40L).map(id => (id, ts(id), "en")) ++
+      (101L to 120L).map(id => (id, ts(id), "fr")) :+
+      ((900L, ts(50L), "de"))).toSeq
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.targetMixtureStream(
+        memStream.toDS().toDF("doc_id", "ts", "lang"),
+        "lang", "doc_id", "ts", rates)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_out").start()
+    try {
+      memStream.addData(arriving.take(30): _*)
+      q.processAllAvailable()
+      memStream.addData(arriving.drop(30) :+ ((101L, ts(101L), "fr")): _*)
+      q.processAllAvailable()
+      val got = spark.table("mix_out")
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(got.size == got.toSet.size, s"replayed doc re-admitted: $got")
+      // Batch twin over the same census with the same stated targets.
+      val batch = Sampling.targetMixture(
+          census, "lang", "doc_id", "n_tokens", targets)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got.toSet == batch, s"stream ${got.toSet} vs batch $batch")
+      // fr binds: all 20 fr docs admitted; en admits a strict subset.
+      assert((101L to 120L).toSet.subsetOf(batch))
+      assert(batch.count(_ <= 40L) < 40)
+      assert(!batch.contains(900L), "untargeted group must drop")
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches batch p11 and suppresses replays") {
     import java.sql.Timestamp
     import graft.operators.Sampling
