@@ -551,6 +551,231 @@ object SimilaritySearch {
       .select(col("q_id"), col("n_id"), round(col("ip"), 4).as("ip"), col("rnk"))
   }
 
+  // ---- product quantization (PQ / IVF-PQ) --------------------------------
+
+  /** The PQ index artifact (Jégou et al. 2011, public method): per-subspace
+    * codebooks + the corpus' m-int code words. At 100 TB this is the
+    * memory story of the similarity family: a 64-dim float vector is 256
+    * bytes; its PQ code at m=8 is 8 small ints — a 32× smaller scan side
+    * that additionally scores via m table lookups per pair
+    * ([[graft.functions.PqAdcScore]]) instead of a 64-term multiply-add.
+    * Codebooks are m·k short centroids (m·k·dim/m floats ≈ one vector's
+    * worth per codebook) — a broadcast-sized artifact like the IVF
+    * centroid table.
+    *
+    * Vectors are L2-NORMALIZED before fit and encode, so ADC inner
+    * product approximates cosine — the metric every exact twin here
+    * ranks by; queries normalize the same way at probe time. */
+  final case class PqIndex(
+      codebooks: Array[Array[Array[Double]]], // [sub][code][subDim]
+      codes: DataFrame,                       // (idCol, codes array<int>)
+      m: Int, k: Int, subDim: Int, idCol: String) {
+    def unpersist(): Unit = { codes.unpersist(); () }
+
+    /** Persist the index as parquet (codes + codebooks). */
+    def save(dir: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
+      codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+      }.toSeq.toDF("sub", "code", "cvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    }
+  }
+
+  /** Load an index previously written with [[PqIndex.save]]. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  idCol: String): PqIndex = {
+    val rows = spark.read.parquet(s"$dir/pq_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val codebooks = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (sub, code, c) => codebooks(sub)(code) = c }
+    val subDim = rows.head._3.length
+    PqIndex(codebooks, spark.read.parquet(s"$dir/pq_codes"),
+      m, k, subDim, idCol)
+  }
+
+  /** L2-normalize an `array<float|double>` column to array<double> (zero
+    * vectors pass through unchanged — cosine against them is 0 anyway). */
+  private def l2normalize(vec: Column): Column = {
+    val n = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(n === 0.0, transform(vec, x => x.cast("double")))
+      .otherwise(transform(vec, x => x.cast("double") / n))
+  }
+
+  /** Fit m per-subspace codebooks on a deterministic hash-sample (the
+    * [[buildIvfIndex]] discipline: the KMeans jobs only ever see the
+    * sample — m small fits, never an iterative job over the lake), then
+    * encode every vector in ONE map pass (m chained KMeans transforms,
+    * no shuffle). dim must divide evenly into m subspaces. */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 8, k: Int = 256, sampleMod: Int = 1,
+                   persist: Boolean = true): PqIndex = {
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1 && k >= 2, s"need m >= 1 subspaces, k >= 2 codes: $m/$k")
+    val normalized = emb.select(col(idCol), l2normalize(col(vecCol)).as("__vn"))
+    val first = normalized.select(size(col("__vn"))).limit(1).collect()
+    if (first.isEmpty) {
+      val empty = emb.sparkSession.createDataFrame(
+        emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        normalized.select(col(idCol)).schema
+          .add("codes", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false)))
+      return PqIndex(Array.empty, empty, m, k, 0, idCol)
+    }
+    val dim = first.head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val withSlices = (0 until m).foldLeft(normalized) { (df, sub) =>
+      df.withColumn(s"__fv$sub",
+        array_to_vector(slice(col("__vn"), sub * subDim + 1, subDim)))
+    }
+    val fitInput =
+      (if (sampleMod <= 1) withSlices
+       else withSlices.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0))
+        .cache()
+    // One count materializes the cached sample all m fits share; kEff
+    // degrades gracefully below k points (the buildIvfIndex guard).
+    val fitCount = fitInput.count()
+    val kEff = math.max(1L, math.min(k.toLong, fitCount)).toInt
+    val models = (0 until m).map { sub =>
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(kEff).setSeed(42L + sub).setMaxIter(10)
+        .setFeaturesCol(s"__fv$sub").setPredictionCol(s"__c$sub")
+        .fit(fitInput)
+    }
+    fitInput.unpersist()
+    val encoded = models.zipWithIndex
+      .foldLeft(withSlices) { case (df, (model, _)) => model.transform(df) }
+      .select(col(idCol),
+        array((0 until m).map(sub => col(s"__c$sub")): _*).as("codes"))
+    val codes = if (persist) encoded.cache() else encoded
+    val codebooks = models.map(_.clusterCenters.map(_.toArray)).toArray
+    PqIndex(codebooks, codes, m, kEff, subDim, idCol)
+  }
+
+  /** Per-query ADC lookup tables against a [[PqIndex]]: one row per query
+    * — (q_id, lut), lut laid out [sub·k + code] as [[graft.functions
+    * .PqAdcScore]] expects. m·k short dot products per query, computed
+    * once and amortized over every candidate the caller scores. */
+  private def pqLut(index: PqIndex, queries: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cbDf = index.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "cvec")
+    queries.crossJoin(broadcast(cbDf))
+      .withColumn("__d", graft.functions.DotProduct.dotProduct(
+        slice(col("__qn"), col("sub") * index.subDim + 1, lit(index.subDim)),
+        col("cvec")))
+      .groupBy(col("q_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(
+          (col("sub") * index.k + col("code")).as("idx"), col("__d").as("d")))),
+        s => s.getField("d")).as("lut"))
+  }
+
+  /** Brute-force ADC top-k over a [[PqIndex]] — every query scans ALL
+    * code words, by design: this is the compressed-scan regime (faiss
+    * IndexPQ), the right plan when the corpus' CODES fit the cluster
+    * comfortably but its floats would not. The scan side carries m ints
+    * per row and scores via m lookups; the query side (tiny) broadcasts,
+    * so the corpus streams through once with no shuffle — same topology
+    * as [[bruteForceTopK]] with a 32× smaller, cheaper-per-pair scan.
+    * Cell-pruned probing on top: [[ivfPqTopK]]. */
+  def pqTopK(index: PqIndex, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      l2normalize(col(vecCol)).as("__qn"))
+    val luts = pqLut(index, q)
+    val scored = index.codes
+      .select(col(index.idCol).as("n_id"), col("codes"))
+      .crossJoin(broadcast(luts))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", graft.functions.PqAdcScore.pqAdcScore(
+        col("codes"), col("lut"), index.k))
+    rankTopK(scored, "adc", k)
+      .select(col("q_id"), col("n_id"), round(col("adc"), 4).as("adc"), col("rnk"))
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes to `nProbe` cells per query and
+    * PQ codes score the survivors — the standard composition (faiss
+    * IndexIVFPQ) and the production ANN shape at 100 TB: Σ(probed cell
+    * sizes) candidate rows per query instead of N, each candidate 8
+    * bytes of codes instead of 256 of floats, scored by m lookups. Both
+    * index halves build on the SAME normalized frame (cells and codes
+    * must describe the same geometry); `cacheKey` memoizes both. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCodes: Int = 256,
+                cacheKey: Option[String] = None,
+                sampleMod: Int = 1): DataFrame = {
+    val normalized = emb.select(col(idCol), col(vecCol),
+      l2normalize(col(vecCol)).as("__vn"))
+    val ivf = cacheKey match {
+      case Some(key) =>
+        memoizedIvfIndex(normalized, idCol, "__vn", nCells, key + "#pqcells")
+      case None =>
+        buildIvfIndex(normalized, idCol, "__vn", nCells,
+          sampleMod = sampleMod, persist = false)
+    }
+    val pq = cacheKey match {
+      case Some(key) => memoizedPqIndex(normalized, idCol, "__vn", m, kCodes, key)
+      case None => buildPqIndex(normalized, idCol, "__vn", m, kCodes,
+        sampleMod = sampleMod, persist = false)
+    }
+    // Per-query probe cells — the probeIvf selection over the broadcast
+    // centroid table (already-normalized vectors, so cosine ranks cells).
+    val spark = emb.sparkSession
+    val centDf = spark.createDataFrame(
+      ivf.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }).toDF("cell", "cvec")
+    val q = normalized.filter(isQuery)
+      .select(col(idCol).as("q_id"), col("__vn").as("__qn"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("cdist", cosineSim(col("__qn"), col("cvec")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .select(col("q_id"), col("cell"))
+      .join(broadcast(pqLut(pq, q)), Seq("q_id"))
+    // Candidate side: cell assignments joined to code words on the id —
+    // both corpus-sized, id-keyed (AQE plans the equi-join); floats never
+    // reach the scoring join.
+    val candidates = ivf.assigned
+      .select(col(idCol).as("n_id"), col("cell"))
+      .join(pq.codes.select(col(idCol).as("n_id"), col("codes")), Seq("n_id"))
+    val scored = probes.join(candidates, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", graft.functions.PqAdcScore.pqAdcScore(
+        col("codes"), col("lut"), pq.k))
+    rankTopK(scored, "adc", k)
+      .select(col("q_id"), col("n_id"), round(col("adc"), 4).as("adc"), col("rnk"))
+  }
+
+  /** Per-(session, corpus) memoized [[PqIndex]] — same keying and
+    * stopped-session eviction as [[memoizedIvfIndex]]. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, Int, Int), PqIndex]()
+
+  def memoizedPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      m: Int, k: Int, cacheKey: String): PqIndex = {
+    val it = pqCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.codes.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    pqCache.computeIfAbsent(
+      (emb.sparkSession, cacheKey, m, k),
+      _ => graft.tools.BuildTimer.time(
+        buildPqIndex(emb, idCol, vecCol, m, k)))
+  }
+
   /** Shared per-query ranking tail: top-k by (score desc, n_id) through
     * the custom [[graft.plans.GroupTopK]] operator — map-side bounded
     * heaps mean only k rows per query per partition reach the shuffle,

@@ -1062,6 +1062,25 @@ object PipelineQueries {
       SimilaritySearch.annMipsTopK(emb(s, dir), "vec_id", "embedding",
         isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))),
 
+    // IVF-PQ: the coarse quantizer prunes to nProbe cells, product-
+    // quantized code words (16 small ints per vector vs 64 floats) score
+    // the survivors by ADC table lookups — the memory-and-cost-compressed
+    // production ANN shape (both index halves memoized per (session,
+    // dir)). Corpus augmented with byte-identical twins of the queries so
+    // the approximate path has a deterministic signal: Round10Spec proves
+    // every twin ranks top-1 and bounds raw-corpus recall vs exact s01.
+    // No SQL oracle — KMeans codebooks aren't expressible in DuckDB (the
+    // s03/s04/s05 convention); driver records rows-only.
+    "s10_ivf_pq" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val twins = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      SimilaritySearch.ivfPqTopK(base.unionByName(twins), "vec_id",
+        "embedding", isQuery = col("vec_id") < 10, k = 3,
+        nCells = 16, nProbe = 8, m = 16, kCodes = 256,
+        cacheKey = Some(dir + "#pqtwin"))
+    }),
+
     // Corpus top-50 bigrams: the n-gram census a contamination or
     // memorization audit starts from. Scan-side codegen'd shingling, one
     // hash aggregate, distributed TakeOrdered.

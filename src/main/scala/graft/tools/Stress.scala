@@ -421,6 +421,18 @@ object Stress {
       graft.operators.Sampling
         .targetMixture(d, "source", "doc_id", "n_tokens", targets).count()
     }
+    // s10 IVF-PQ: both index halves are offline artifacts (sampled fits +
+    // one encode pass), so build cost is corpus-linear; the probe is
+    // nProbe cells' candidates per query, scored over 16-int code words —
+    // nCells grows ∝ factor so per-cell population (and per-query probe
+    // work) stays constant, the same scale knob as semantic_dedup.
+    // sampleMod ∝ factor pins every KMeans fit size.
+    time("ivf_pq") {
+      SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3,
+        nCells = 16 * factor, nProbe = 4, m = 16, kCodes = 256,
+        sampleMod = factor).count()
+    }
     // LSH ANN with the AUTO-sized density (bits<=0): the s03 analogue of
     // embedding_dedup's auto evidence — the knob must size itself as the
     // corpus grows, at the denser top-k base point (6 bits × 8 tables).
