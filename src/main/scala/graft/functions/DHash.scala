@@ -53,6 +53,61 @@ case class DHash64(child: Expression) extends UnaryExpression with Serializable 
     copy(child = newChild)
 }
 
+/** Integer variance NUMERATOR of a binary payload's byte values:
+  * n·Σx² − (Σx)² over unsigned bytes — n² times the population variance,
+  * kept in exact integer arithmetic so the threshold compare is
+  * engine-stable (a floating variance would make the keep/drop flag
+  * hash-fragile at the boundary). The energy signal of the multimodal
+  * family: a constant payload (digital silence, a black frame) scores
+  * exactly 0; any content scores thousands. Bounded: n ≤ 2^31 bytes of
+  * values ≤ 255 keeps n·Σx² < 2^63 for payloads under ~140 KB per frame —
+  * frames here are fixed small windows (64 B), far inside it.
+  * Same codegen rationale as [[DHash64]]: runs once per sampled frame. */
+case class ByteEnergy(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_energy"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_energy expects binary, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ByteEnergy.compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ByteEnergy.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteEnergy {
+  /** n·Σx² − (Σx)² over unsigned byte values; empty payloads score 0. */
+  def compute(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var sq = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val x = (bytes(i) & 0xFF).toLong
+      s += x
+      sq += x * x
+      i += 1
+    }
+    bytes.length * sq - s * s
+  }
+
+  def byteEnergy(payload: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(ByteEnergy(GraftColumnBridge.expression(payload)))
+  }
+}
+
 object DHash64 {
   /** Bit i (0..62) set iff byte i > byte i+1 unsigned, over the first
     * min(len, 64) bytes. Payloads shorter than 2 bytes hash to 0. */

@@ -22,6 +22,7 @@ object GraftFunctions {
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "dhash64" -> (es => DHash64(es.head)),
+    "byte_energy" -> (es => ByteEnergy(es.head)),
     "pq_adc_score" -> (es => es match {
       case Seq(c, l, k) => PqAdcScore(c, l, k.eval().asInstanceOf[Int])
       case other => throw new IllegalArgumentException(

@@ -127,6 +127,26 @@ object Multimodal {
     }
   }
 
+  /** Frame-energy gate — the "drop silence / black frames" preprocessing
+    * step that runs BEFORE fingerprinting or feature extraction in any
+    * real media pipeline (dead frames carry no signal, bloat every
+    * downstream join, and — being identical across unrelated media — are
+    * exactly the boilerplate m04/m05's frequency cap exists to fight;
+    * cheaper to never emit them). Energy = the integer byte-variance
+    * numerator n·Σx² − (Σx)² ([[graft.functions.ByteEnergy]], exact
+    * integer arithmetic so the keep flag is engine-stable): a constant
+    * payload scores exactly 0, content scores thousands. Map-only — the
+    * gate runs scan-side in the same codegen stage as the demux, no
+    * shuffle. `minVariance` is in whole variance units; the compare runs
+    * entirely in integers (threshold = n²·minVariance), so the keep flag
+    * can never dither on an FP boundary. */
+  def frameEnergyFilter(frames: DataFrame, frameCol: String = "frame",
+                        minVariance: Long = 4L): DataFrame =
+    frames.filter(
+      graft.functions.ByteEnergy.byteEnergy(col(frameCol)) >=
+        length(col(frameCol)).cast("long") * length(col(frameCol)).cast("long")
+          * lit(minVariance))
+
   /** Cross-media content-copy detection over sampled frames: every media
     * pair sharing at least one (distinct) frame fingerprint, with the
     * shared-frame count — who re-encoded whose content. Composes the

@@ -215,6 +215,31 @@ object PipelineQueries {
     // text for the planted ids — equality across the engines holds exactly
     // because the dHash is monotone-remap-invariant, so the driver compare
     // proves the perceptual property end-to-end, not just the plumbing.
+    // Frame-energy gate (the pre-fingerprint "drop silence / black
+    // frames" stage): docs < 30 are planted back as constant-byte
+    // "silent" media whose every frame scores an integer byte-variance
+    // of exactly 0 and must be dropped, while real text frames clear the
+    // threshold; per-media live-frame rates are the driver-visible
+    // output. The energy compare is pure integer arithmetic
+    // (n·Σx² − (Σx)² vs n²·minVar) on both engines — no FP boundary.
+    "m06_frame_energy" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val media = M.asMediaTable(docs(s, dir))
+      val silent = M.asMediaTable(docs(s, dir).filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          repeat(lit("x"), 256).as("text")))
+      val frames = M.sampleFrames(media.unionByName(silent),
+        frameBytes = 64, stride = 4).toDF()
+      val allCnt = frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
+      val liveCnt = M.frameEnergyFilter(frames, minVariance = 4L)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_live"))
+      allCnt.join(liveCnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_live"), lit(0L)).as("n_live"))
+        .withColumn("live_bp", expr("n_live * 10000 DIV n_frames"))
+    }),
+
     "m05_perceptual_overlap" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
       val planted = graft.multimodal.Multimodal.reencodeStub(
@@ -1283,6 +1308,38 @@ object PipelineQueries {
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
          FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+    // m06: same frame slicing (and the m04 ASCII coupling note); energy is
+    // the integer variance numerator 64·Σx² − (Σx)² over the frame's byte
+    // values, compared against 64²·4 — all BIGINT (list_sum yields
+    // HUGEINT, cast back), mirroring the engine's exact-integer contract.
+    // The planted silence (doc_id+200000 for doc_id < 30, repeat('x'))
+    // scores exactly 0 per frame and drops to live_bp = 0.
+    "m06_frame_energy" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 200000, repeat('x', 256)
+                       FROM documents WHERE doc_id < 30),
+              f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM base),
+              fr AS (SELECT doc_id, substr(text, i * 64 + 1, 64) AS frame
+                     FROM f WHERE i % 4 = 0),
+              e AS (SELECT doc_id,
+                           CAST(64 AS BIGINT)
+                             * CAST(list_sum(list_transform(generate_series(1, 64),
+                                 i -> ascii(substr(frame, i, 1)) * ascii(substr(frame, i, 1)))) AS BIGINT)
+                           - CAST(list_sum(list_transform(generate_series(1, 64),
+                               i -> ascii(substr(frame, i, 1)))) AS BIGINT)
+                             * CAST(list_sum(list_transform(generate_series(1, 64),
+                                 i -> ascii(substr(frame, i, 1)))) AS BIGINT) AS energy
+                    FROM fr),
+              allcnt AS (SELECT doc_id, count(*) AS n_frames FROM e GROUP BY 1),
+              livecnt AS (SELECT doc_id, count(*) AS n_live FROM e
+                          WHERE energy >= CAST(64 AS BIGINT) * 64 * 4 GROUP BY 1)
+         SELECT a.doc_id, a.n_frames,
+                coalesce(l.n_live, 0) AS n_live,
+                CAST(coalesce(l.n_live, 0) * 10000 // a.n_frames AS BIGINT) AS live_bp
+         FROM allcnt a LEFT JOIN livecnt l USING (doc_id)""",
     "t13_keyword_salience" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
                     FROM documents),

@@ -461,6 +461,34 @@ class Round10Spec extends SparkSpecBase {
       graft.functions.DHash64.compute(long2))
   }
 
+  test("ByteEnergy: exact integer variance numerator; energy gate drops only dead frames") {
+    val s = spark
+    import s.implicits._
+    // Hand-computed: [0, 255] -> 2*(0+255²) - 255² = 65025; constant -> 0;
+    // empty -> 0; [10, 12] -> 2*(100+144) - 22² = 4.
+    assert(graft.functions.ByteEnergy.compute(
+      Array(0.toByte, 255.toByte)) === 65025L)
+    assert(graft.functions.ByteEnergy.compute(Array.fill(64)(7.toByte)) === 0L)
+    assert(graft.functions.ByteEnergy.compute(Array.empty[Byte]) === 0L)
+    assert(graft.functions.ByteEnergy.compute(
+      Array(10.toByte, 12.toByte)) === 4L)
+    // Codegen path agrees with the interpreted compute().
+    val payloads = Seq(Array(0.toByte, 255.toByte), Array.fill(8)(42.toByte))
+    val viaDf = payloads.toDF("b")
+      .select(graft.functions.ByteEnergy.byteEnergy(col("b")).as("e"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaDf === payloads.map(graft.functions.ByteEnergy.compute))
+    // The gate: constant frames drop, low-contrast-but-alive frames with
+    // variance exactly at the threshold keep (>= is inclusive).
+    val alive = Array.tabulate(64)(i => (100 + (i % 2) * 4).toByte) // var = 4
+    val dead = Array.fill(64)(100.toByte)
+    val kept = graft.multimodal.Multimodal.frameEnergyFilter(
+        Seq((1L, alive), (2L, dead)).toDF("doc_id", "frame"),
+        minVariance = 4L)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("m05: dHash frames re-identify planted re-encodes that md5 misses") {
     import graft.multimodal.Multimodal
     val docs = graft.sources.Sources
