@@ -600,7 +600,7 @@ object SimilaritySearch {
 
   /** L2-normalize an `array<float|double>` column to array<double> (zero
     * vectors pass through unchanged — cosine against them is 0 anyway). */
-  private def l2normalize(vec: Column): Column = {
+  def l2normalizeCol(vec: Column): Column = {
     val n = sqrt(aggregate(vec, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
     when(n === 0.0, transform(vec, x => x.cast("double")))
@@ -617,7 +617,7 @@ object SimilaritySearch {
                    persist: Boolean = true): PqIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     require(m >= 1 && k >= 2, s"need m >= 1 subspaces, k >= 2 codes: $m/$k")
-    val normalized = emb.select(col(idCol), l2normalize(col(vecCol)).as("__vn"))
+    val normalized = emb.select(col(idCol), l2normalizeCol(col(vecCol)).as("__vn"))
     val first = normalized.select(size(col("__vn"))).limit(1).collect()
     if (first.isEmpty) {
       val empty = emb.sparkSession.createDataFrame(
@@ -690,7 +690,7 @@ object SimilaritySearch {
   def pqTopK(index: PqIndex, queries: DataFrame, idCol: String,
              vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"),
-      l2normalize(col(vecCol)).as("__qn"))
+      l2normalizeCol(col(vecCol)).as("__qn"))
     val luts = pqLut(index, q)
     val scored = index.codes
       .select(col(index.idCol).as("n_id"), col("codes"))
@@ -715,7 +715,7 @@ object SimilaritySearch {
                 cacheKey: Option[String] = None,
                 sampleMod: Int = 1): DataFrame = {
     val normalized = emb.select(col(idCol), col(vecCol),
-      l2normalize(col(vecCol)).as("__vn"))
+      l2normalizeCol(col(vecCol)).as("__vn"))
     val ivf = cacheKey match {
       case Some(key) =>
         memoizedIvfIndex(normalized, idCol, "__vn", nCells, key + "#pqcells")
@@ -728,13 +728,25 @@ object SimilaritySearch {
       case None => buildPqIndex(normalized, idCol, "__vn", m, kCodes,
         sampleMod = sampleMod, persist = false)
     }
+    probeIvfPq(ivf, pq,
+      normalized.filter(isQuery).select(col(idCol).as("q_id"),
+        col("__vn").as("__qn")),
+      k, nProbe)
+  }
+
+  /** The probe half of [[ivfPqTopK]], against PREBUILT index halves — the
+    * build-once/probe-many split every other index artifact here has
+    * (the stress harness and any online serving path time exactly this).
+    * `queries`: (q_id, __qn) with __qn already L2-normalized in the
+    * index's geometry. */
+  def probeIvfPq(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+                 k: Int, nProbe: Int = 4): DataFrame = {
     // Per-query probe cells — the probeIvf selection over the broadcast
     // centroid table (already-normalized vectors, so cosine ranks cells).
-    val spark = emb.sparkSession
+    val spark = queries.sparkSession
     val centDf = spark.createDataFrame(
       ivf.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }).toDF("cell", "cvec")
-    val q = normalized.filter(isQuery)
-      .select(col(idCol).as("q_id"), col("__vn").as("__qn"))
+    val q = queries
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("cdist").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centDf))
@@ -744,11 +756,12 @@ object SimilaritySearch {
       .select(col("q_id"), col("cell"))
       .join(broadcast(pqLut(pq, q)), Seq("q_id"))
     // Candidate side: cell assignments joined to code words on the id —
-    // both corpus-sized, id-keyed (AQE plans the equi-join); floats never
-    // reach the scoring join.
+    // both corpus-sized, id-keyed (AQE plans the equi-join; a production
+    // deployment stores them as ONE bucketed artifact so this join is
+    // build-time, not probe-time); floats never reach the scoring join.
     val candidates = ivf.assigned
-      .select(col(idCol).as("n_id"), col("cell"))
-      .join(pq.codes.select(col(idCol).as("n_id"), col("codes")), Seq("n_id"))
+      .select(col(ivf.idCol).as("n_id"), col("cell"))
+      .join(pq.codes.select(col(pq.idCol).as("n_id"), col("codes")), Seq("n_id"))
     val scored = probes.join(candidates, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", graft.functions.PqAdcScore.pqAdcScore(

@@ -421,17 +421,34 @@ object Stress {
       graft.operators.Sampling
         .targetMixture(d, "source", "doc_id", "n_tokens", targets).count()
     }
-    // s10 IVF-PQ: both index halves are offline artifacts (sampled fits +
-    // one encode pass), so build cost is corpus-linear; the probe is
-    // nProbe cells' candidates per query, scored over 16-int code words —
-    // nCells grows ∝ factor so per-cell population (and per-query probe
-    // work) stays constant, the same scale knob as semantic_dedup.
-    // sampleMod ∝ factor pins every KMeans fit size.
-    time("ivf_pq") {
-      SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding",
-        isQuery = col("vec_id") < 10, k = 3,
-        nCells = 16 * factor, nProbe = 4, m = 16, kCodes = 256,
-        sampleMod = factor).count()
+    // s10 IVF-PQ, split build/probe like the other index artifacts. The
+    // BUILD is the offline job (m sampled KMeans fits + one encode pass;
+    // sampleMod ∝ factor pins every fit size, nCells ∝ factor pins
+    // per-cell population — the semantic_dedup scale knob), timed with
+    // both halves materialized. The PROBE is what a query pays: nProbe
+    // cells' candidates scored over 16-int code words via ADC lookups —
+    // must stay near-flat as the corpus grows.
+    var pqHalves: (SimilaritySearch.IvfIndex, SimilaritySearch.PqIndex) = null
+    def ensurePqHalves(): Long = {
+      if (pqHalves == null) {
+        val normalized = emb.select(col("vec_id"),
+          SimilaritySearch.l2normalizeCol(col("embedding")).as("__vn"))
+        val ivf = SimilaritySearch.buildIvfIndex(normalized, "vec_id", "__vn",
+          nCells = 16 * factor, sampleMod = factor)
+        val pq = SimilaritySearch.buildPqIndex(normalized, "vec_id", "__vn",
+          m = 16, k = 256, sampleMod = factor)
+        pqHalves = (ivf, pq)
+        ivf.assigned.count() + pq.codes.count() // cache fill charged to build
+      } else 0L
+    }
+    time("ivf_pq_build") { ensurePqHalves() }
+    if (want("ivf_pq_probe")) ensurePqHalves()
+    time("ivf_pq_probe") {
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          SimilaritySearch.l2normalizeCol(col("embedding")).as("__qn"))
+      SimilaritySearch.probeIvfPq(pqHalves._1, pqHalves._2,
+        queries, k = 3, nProbe = 4).count()
     }
     // LSH ANN with the AUTO-sized density (bits<=0): the s03 analogue of
     // embedding_dedup's auto evidence — the knob must size itself as the
@@ -452,10 +469,13 @@ object Stress {
     }
     // m05: frame demux + dHash fingerprint + capped hash-equi-join. The
     // planted re-encode slice is PINNED (base docs < 40, monotone byte
-    // shift) while the corpus scales; replicas perturb text so only
-    // within-replica frames collide — cost must be linear in the corpus
-    // (flatMap demux + codegen'd hash + boilerplate-capped join), pair
-    // rows pinned to the planted set.
+    // shift) while the corpus scales. Cost must be linear in the corpus
+    // (flatMap demux + codegen'd hash + boilerplate-capped join). Pair
+    // rows are NOT pinned: a 63-bit gradient-sign hash is perceptual by
+    // design, so same-vocabulary frames collide across replicas and
+    // buckets fill toward the frequency cap as the corpus grows — pair
+    // fan-out stays bounded at C(cap, 2) per bucket by construction
+    // (what the time curve, not the row count, must prove).
     time("perceptual_overlap") {
       val media = graft.multimodal.Multimodal.asMediaTable(docs)
       val planted = graft.multimodal.Multimodal.reencodeStub(

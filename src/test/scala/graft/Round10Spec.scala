@@ -405,6 +405,31 @@ class Round10Spec extends SparkSpecBase {
       s"IVF-PQ recall@3 below floor: ${(exact & ivfpq).size}/${exact.size}")
   }
 
+  test("s10 plan: corpus rows only enter hash equi-joins; no raw cartesian stage") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val out = graft.operators.SimilaritySearch.ivfPqTopK(
+      emb, "vec_id", "embedding", isQuery = col("vec_id") < 10,
+      k = 3, nCells = 16, nProbe = 4, m = 8, kCodes = 64)
+    out.queryExecution.toRdd.count()
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    // The deliberate nested-loop joins here broadcast QUERY-bounded sides
+    // (the m·k codebook table, the nCells centroid table, the per-query
+    // LUTs); what must never appear is a non-broadcast cartesian — the
+    // shape a corpus-side cross product would take.
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"IVF-PQ probe must never cross-product corpus rows:\n" +
+        s"${out.queryExecution.executedPlan}")
+    // Every exchange keys on the probe geometry: query id (LUT build +
+    // top-k), candidate id (codes ⋈ cells), or cell (probe ⋈ candidates).
+    shuffleKeyNames(out).foreach { names =>
+      assert(names.forall(Set("q_id", "n_id", "cell")),
+        s"IVF-PQ shuffles on q_id/n_id/cell only, got $names")
+    }
+  }
+
   test("PqIndex: save/load round-trip probes identically; codes are m ints") {
     import graft.operators.SimilaritySearch
     val emb = graft.sources.Sources
