@@ -1051,4 +1051,129 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_id"), col("old_id"), col("est_jaccard"))
   }
+
+  /** The vector analogue of [[MinHashIndex]]/[[GramIndex]] — the standing
+    * artifact that makes per-batch EMBEDDING dedup feasible against a
+    * 100 TB corpus: the corpus' hyperplane-LSH bucket table (id, t,
+    * bucket — computed once, scan-side) plus its vectors for exact-cosine
+    * verification. (bits, tables) are part of the artifact: a probe
+    * bucketing at a different density would silently never collide, the
+    * [[GramIndex]] k-mismatch argument. Build with the
+    * [[embeddingNearDups]] auto-sizing so the density tracks the corpus.
+    * At 100 TB write `buckets` bucketed on (t, bucket) so probes
+    * co-locate without re-shuffling the corpus side. */
+  final case class LshVecIndex(idCol: String, vecCol: String,
+                               buckets: DataFrame, vectors: DataFrame,
+                               bits: Int, tables: Int,
+                               cachedFrames: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = {
+      buckets.unpersist(); vectors.unpersist()
+      cachedFrames.foreach(_.unpersist())
+      ()
+    }
+
+    /** Persist buckets + vectors + the (bits, tables) density the probe
+      * must reuse. `mode = "append"` folds an admitted batch's files in
+      * without rewriting the standing index (meta idempotent). */
+    def save(dir: String, mode: String = "overwrite"): Unit = {
+      buckets.write.mode(mode).parquet(s"$dir/buckets")
+      vectors.write.mode(mode).parquet(s"$dir/vectors")
+      val spark = buckets.sparkSession
+      import spark.implicits._
+      Seq((bits, tables)).toDF("bits", "tables").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+
+    /** Fold an admitted ingest batch in at the INDEX's density — append
+      * cost is one pass over the batch; ids assumed disjoint. */
+    def append(batch: DataFrame, persist: Boolean = true): LshVecIndex = {
+      val bB0 = SimilaritySearch.lshKeyed(batch, idCol, vecCol, bits, tables)
+        .select(col(idCol), col("t"), col("bucket"))
+      val bV0 = batch.select(col(idCol), col(vecCol))
+      val (bB, bV) = if (persist) (bB0.cache(), bV0.cache()) else (bB0, bV0)
+      LshVecIndex(idCol, vecCol, buckets.unionByName(bB),
+        vectors.unionByName(bV), bits, tables,
+        cachedFrames = cachedFrames ++ Seq(buckets, vectors) ++
+          (if (persist) Seq(bB, bV) else Nil))
+    }
+  }
+
+  /** Load an index previously written with [[LshVecIndex.save]]. */
+  def loadLshVecIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      idCol: String, vecCol: String): LshVecIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    LshVecIndex(idCol, vecCol, spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/vectors"), meta.getInt(0), meta.getInt(1))
+  }
+
+  /** Build the [[LshVecIndex]] of a corpus: buckets scan-side via the
+    * codegen'd [[graft.functions.LshTableBuckets]], density auto-sized
+    * from the corpus count unless pinned — nothing but the cache fill
+    * shuffles in the build. */
+  def buildLshVecIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       bits: Int = 0, tables: Int = 0,
+                       corpusCount: Option[Long] = None,
+                       persist: Boolean = true): LshVecIndex = {
+    val (nBits, nTables) =
+      if (bits > 0 && tables > 0) (bits, tables)
+      else if (bits > 0) (bits, 12 + 2 * math.max(0, bits - 8))
+      else {
+        val (autoBits, autoTables) = SimilaritySearch.autoLshParams(
+          corpusCount.getOrElse(emb.count()))
+        (autoBits, if (tables > 0) tables else autoTables)
+      }
+    val b0 = SimilaritySearch.lshKeyed(emb, idCol, vecCol, nBits, nTables)
+      .select(col(idCol), col("t"), col("bucket"))
+    val v0 = emb.select(col(idCol), col(vecCol))
+    val (b, v) = if (persist) (b0.cache(), v0.cache()) else (b0, v0)
+    LshVecIndex(idCol, vecCol, b, v, nBits, nTables,
+      cachedFrames = if (persist) Seq(b, v) else Nil)
+  }
+
+  /** Per-(session, cacheKey) memoized [[buildLshVecIndex]] — the same
+    * build-once/probe-many pattern as the other index caches. */
+  private val lshVecIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), LshVecIndex]()
+
+  def memoizedLshVecIndex(emb: DataFrame, idCol: String, vecCol: String,
+                          cacheKey: String, bits: Int = 0,
+                          tables: Int = 0): LshVecIndex = {
+    val it = lshVecIndexCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    lshVecIndexCache.computeIfAbsent((emb.sparkSession, cacheKey),
+      _ => graft.tools.BuildTimer.time(
+        buildLshVecIndex(emb, idCol, vecCol, bits, tables)))
+  }
+
+  /** Index-probing delta embedding near-dups — [[deltaNearDupsIndexed]]'s
+    * vector twin, completing the delta family's geometry set (d13 exact
+    * text, d14 minhash text, d17 verbatim runs, this for embeddings):
+    * the ingest batch's LSH buckets (scan-side, at the INDEX's density)
+    * equi-join the standing bucket table — shuffle keyed on (t, bucket)
+    * and sized by the batch plus its collisions, never the corpus — and
+    * candidates verify with exact cosine against the stored vectors.
+    * Ids assumed disjoint. Output: (new_id, old_id, cos). */
+  def deltaEmbeddingNearDups(delta: DataFrame, index: LshVecIndex,
+                             threshold: Double): DataFrame = {
+    val dKeyed = SimilaritySearch.lshKeyed(delta, index.idCol, index.vecCol,
+        index.bits, index.tables)
+      .select(col(index.idCol).as("new_id"), col("t"), col("bucket"))
+    val candidates = dKeyed
+      .join(index.buckets.select(col(index.idCol).as("old_id"),
+        col("t"), col("bucket")), Seq("t", "bucket"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+    candidates
+      .join(delta.select(col(index.idCol).as("new_id"),
+        col(index.vecCol).as("av")), Seq("new_id"))
+      .join(index.vectors.select(col(index.idCol).as("old_id"),
+        col(index.vecCol).as("bv")), Seq("old_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
+        col("av"), col("bv")))
+      .filter(col("cos") > threshold)
+      .select(col("new_id"), col("old_id"), round(col("cos"), 4).as("cos"))
+  }
 }

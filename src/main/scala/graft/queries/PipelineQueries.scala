@@ -760,6 +760,26 @@ object PipelineQueries {
           col("cos").as("similarity"))
     }),
 
+    // Index-probing delta dedup for the VECTOR geometry (d13/d14/d17's
+    // embedding twin): a pinned ingest batch — the d06 perturbation of
+    // vec_id < 25, ids offset out of corpus range — probes the standing
+    // corpus LshVecIndex (memoized per dir; buckets scan-side, exact
+    // cosine verify against stored vectors). Probe cost tracks the
+    // batch, never corpus². The oracle is the exact batch x corpus
+    // cosine join (the d06 convention: LSH recall at >= 0.9 cosine is
+    // effectively 1, which the hash compare itself verifies).
+    "d18_delta_embedding_dedup" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val index = Dedup.memoizedLshVecIndex(base, "vec_id", "v",
+        cacheKey = dir + "#vecidx")
+      val batch = base.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"),
+            (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
+      Dedup.deltaEmbeddingNearDups(batch, index, threshold = 0.9)
+    }),
+
     // Chunk-level exact-substring dedup (see Dedup.chunkDedup for the
     // skew-safe keep-first shape).
     "d08_chunk_dedup" -> ((s, dir) =>
@@ -1095,14 +1115,17 @@ object PipelineQueries {
     // the approximate path has a deterministic signal: Round10Spec proves
     // every twin ranks top-1 and bounds raw-corpus recall vs exact s01.
     // No SQL oracle — KMeans codebooks aren't expressible in DuckDB (the
-    // s03/s04/s05 convention); driver records rows-only.
+    // s03/s04/s05 convention); driver records rows-only. Sized m=8/k=64
+    // here (the twin signal is codebook-size-invariant — identical inputs
+    // get identical codes at any k — and the warmup index build is 8x
+    // cheaper); Round10Spec carries the full m=16/k=256 recall evidence.
     "s10_ivf_pq" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id"), col("embedding"))
       val twins = base.filter(col("vec_id") < 10)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       SimilaritySearch.ivfPqTopK(base.unionByName(twins), "vec_id",
         "embedding", isQuery = col("vec_id") < 10, k = 3,
-        nCells = 16, nProbe = 8, m = 16, kCodes = 256,
+        nCells = 16, nProbe = 8, m = 8, kCodes = 64,
         cacheKey = Some(dir + "#pqtwin"))
     }),
 
@@ -1924,6 +1947,21 @@ object PipelineQueries {
       """SELECT doc_id, lang, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
     "d03_ngram_jaccard" -> D03Sql,
+    // d18: exact batch x corpus mirror of the index probe (the d06
+    // convention — the LSH candidate stage has ~unit recall at the 0.9
+    // verify threshold, so the exact join IS the expected output; the
+    // hash compare is itself the recall proof).
+    "d18_delta_embedding_dedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              batch AS (SELECT vec_id + 100000 AS new_id,
+                               list_transform(v, (x, i) -> x * (1.0 + 0.01 * (((i - 1) % 7) - 3))) AS av
+                        FROM base WHERE vec_id < 25)
+         SELECT b.new_id, c.vec_id AS old_id,
+                round(list_inner_product(b.av, c.v)
+                      / (sqrt(list_inner_product(b.av, b.av)) * sqrt(list_inner_product(c.v, c.v))), 4) AS cos
+         FROM batch b JOIN base c
+           ON list_inner_product(b.av, c.v)
+              / (sqrt(list_inner_product(b.av, b.av)) * sqrt(list_inner_product(c.v, c.v))) > 0.9""",
     "d06_embedding_dedup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               aug AS (SELECT vec_id, v FROM base

@@ -232,6 +232,45 @@ object EventStreams {
       .select(col("new_id"), col("old_id"), col(tsCol))
   }
 
+  /** Streaming embedding near-dup admission — [[graft.operators.Dedup
+    * .deltaEmbeddingNearDups]]'s streaming twin, giving the VECTOR
+    * geometry the same ingest-time gate the text geometries have
+    * ([[deltaDedupStream]] minhash, [[exactSubstrStream]] verbatim runs):
+    * arriving embeddings' LSH buckets — computed scan-side at the STATIC
+    * [[graft.operators.Dedup.LshVecIndex]]'s density, stateless — probe
+    * the standing bucket table in a stream-static equi-join, and
+    * collisions verify with exact cosine against the stored vectors
+    * before anything is flagged.
+    *
+    * Multi-table collisions surface the same (new, old) pair once per
+    * colliding table; a stream cannot pre-aggregate them away (no
+    * cross-row state before the join), so the one stateful operator — the
+    * watermarked pair dedup — collapses them AND makes replays flag
+    * exactly-once, state = one entry per surviving verified pair,
+    * watermark-evicted. Output: append-mode (new_id, old_id, cos, ts). */
+  def embeddingDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
+                           tsCol: String,
+                           index: graft.operators.Dedup.LshVecIndex,
+                           threshold: Double,
+                           watermarkDelay: String = "10 minutes"): DataFrame = {
+    val keyed = vecs.select(col(idCol).as("new_id"), col(tsCol),
+        col(vecCol).as("av"),
+        posexplode(graft.functions.LshTableBuckets.lshTableBuckets(
+          col(vecCol), index.tables, index.bits)).as(Seq("t", "bucket")))
+    keyed
+      .join(index.buckets.select(col(index.idCol).as("old_id"),
+        col("t"), col("bucket")), Seq("t", "bucket"))
+      .join(index.vectors.select(col(index.idCol).as("old_id"),
+        col(index.vecCol).as("bv")), Seq("old_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
+        col("av"), col("bv")))
+      .filter(col("cos") > threshold)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+      .select(col("new_id"), col("old_id"),
+        round(col("cos"), 4).as("cos"), col(tsCol))
+  }
+
   /** Ingest-time seed-overlap scoring — [[graft.operators.TextAnalysis
     * .seedOverlapScore]]'s streaming twin: arriving documents are scored
     * against the STATIC broadcast seed gram table in-flight, the

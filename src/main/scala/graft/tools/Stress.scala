@@ -260,6 +260,31 @@ object Stress {
     time("gram_probe") {
       Dedup.deltaExactSubstrPairs(gramDelta, gramIdx, "text").count()
     }
+    // d18: the vector-LSH index — the embedding twin of the delta/gram
+    // probes above. Build scales with the corpus (scan-side buckets at the
+    // auto-sized density + cache fill); the probe batch is PINNED (base
+    // vectors, ids offset, d06's perturbation), so probe cost must track
+    // the batch plus its bucket collisions — never corpus². Matches are
+    // the batch's i=0 twins only (the circular shift decorrelates
+    // replicas), so pair rows stay flat as factor grows.
+    var vecIdx: Dedup.LshVecIndex = null
+    def ensureVecIdx(): Long = {
+      if (vecIdx == null) {
+        vecIdx = Dedup.buildLshVecIndex(emb, "vec_id", "embedding")
+        vecIdx.buckets.count() + vecIdx.vectors.count()
+      } else 0L
+    }
+    time("vec_index_build") { ensureVecIdx() }
+    if (want("vec_probe")) ensureVecIdx()
+    val vecDelta = graft.sources.Sources.table(spark, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0f) + lit(0.01f) * ((i % 7) - lit(3)).cast("float")))
+          .as("embedding"))
+    time("vec_probe") {
+      Dedup.deltaEmbeddingNearDups(vecDelta, vecIdx, threshold = 0.9).count()
+    }
     // Skew join, salted vs plain — the measurement behind q46. Hot key 0
     // owns 20% of events; broadcast and AQE's skew-split are disabled for
     // BOTH cases (the regime the salt exists for: a dim side past the

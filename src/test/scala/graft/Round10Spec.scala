@@ -454,6 +454,55 @@ class Round10Spec extends SparkSpecBase {
     idx.unpersist()
   }
 
+  test("LshVecIndex: delta probe = exact batch-vs-corpus pairs; save/load and append hold") {
+    import graft.operators.Dedup
+    val base = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val idx = Dedup.buildLshVecIndex(base, "vec_id", "v")
+    val batch = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"),
+          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)))).as("v"))
+    val got = Dedup.deltaEmbeddingNearDups(batch, idx, threshold = 0.9)
+      .select(col("new_id"), col("old_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth: the exact batch x corpus cosine join.
+    val exact = batch.select(col("vec_id").as("new_id"), col("v").as("av"))
+      .crossJoin(base.select(col("vec_id").as("old_id"), col("v").as("bv")))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
+        col("av"), col("bv")))
+      .filter(col("cos") > 0.9)
+      .select(col("new_id"), col("old_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact, s"probe must equal the exact join")
+    (0L until 10L).foreach { id =>
+      assert(got.contains((id + 100000L, id)),
+        s"planted near-dup $id not found against its original")
+    }
+    // save/load probes identically; meta restores the density.
+    val dir = tmpDir("vecidx")
+    idx.save(dir)
+    val loaded = Dedup.loadLshVecIndex(spark, dir, "vec_id", "v")
+    assert(loaded.bits === idx.bits && loaded.tables === idx.tables)
+    val viaLoaded = Dedup.deltaEmbeddingNearDups(batch, loaded, 0.9)
+      .select(col("new_id"), col("old_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLoaded === got)
+    // append folds a batch in at the index's density: a later probe sees it.
+    val fold = base.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("v"))
+    val appended = idx.append(fold)
+    val probe2 = base.filter(col("vec_id") === 12)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("v"))
+    val got2 = Dedup.deltaEmbeddingNearDups(probe2, appended, 0.99)
+      .select(col("old_id")).collect().map(_.getLong(0)).toSet
+    assert(got2.contains(12L) && got2.contains(500012L),
+      s"probe after append must see both the corpus and the folded batch, got $got2")
+    appended.unpersist()
+  }
+
   test("DHash64: bit-exact under a strictly monotone byte remap; md5 is not") {
     val rnd = new scala.util.Random(10)
     // Payload over byte values 0..127; remap = 128 sorted distinct values

@@ -399,6 +399,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming embedding dedup probes the static vector index, matches the batch probe") {
+    import java.sql.Timestamp
+    import graft.operators.Dedup
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    // Offline: the corpus vector index (8-dim synthetic, explicit density).
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.5, 0.5)))
+      .toDF("vec_id", "v")
+    val idx = Dedup.buildLshVecIndex(corpus, "vec_id", "v",
+      bits = 8, tables = 12)
+    // Online: 101 is a near-dup of 1, 102 is unrelated to everything,
+    // 103 nears 2; 101 is REPLAYED in the second microbatch.
+    val near1 = Seq(0.99, 0.02, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0)
+    val lone = Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, -1.0)
+    val near2 = Seq(0.01, 0.98, 0.0, 0.0, 0.0, 0.51, 0.0, 0.0)
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Seq[Double])](spark, 1)
+    val q = EventStreams.embeddingDedupStream(
+        memStream.toDS().toDF("vec_id", "ts", "v"),
+        "vec_id", "v", "ts", idx, threshold = 0.9)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vecdedup_out").start()
+    try {
+      memStream.addData((101L, ts(0), near1), (102L, ts(1), lone))
+      q.processAllAvailable()
+      memStream.addData((103L, ts(2), near2), (101L, ts(3), near1)) // replay
+      q.processAllAvailable()
+      val got = spark.table("vecdedup_out")
+        .select($"new_id", $"old_id").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"replayed vector re-flagged: $got")
+      val want = Dedup.deltaEmbeddingNearDups(
+          Seq((101L, near1), (102L, lone), (103L, near2)).toDF("vec_id", "v"),
+          idx, threshold = 0.9)
+        .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+      assert(got.toSet == want, s"stream $got vs batch $want")
+      assert(want == Set((101L, 1L), (103L, 2L)))
+    } finally q.stop()
+    idx.unpersist()
+  }
+
   test("streaming target-mixture admission matches batch p15; replays admit exactly-once") {
     import java.sql.Timestamp
     import graft.operators.Sampling
