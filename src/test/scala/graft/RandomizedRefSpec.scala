@@ -97,4 +97,66 @@ class RandomizedRefSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(rows.forall { case (k, b, _) => again(k) == b })
   }
+
+  test("DHash64/ByteEnergy equal sequential references on 300 random payloads; monotone invariance holds") {
+    val s = spark
+    import s.implicits._
+    val payloads = (1 to 300).map { i =>
+      val len = rng.nextInt(130) // 0..129 bytes: shorter, at, and past the 64-byte window
+      (i.toLong, Array.fill(len)(rng.nextInt(128).toByte))
+    }
+    def refDHash(b: Array[Byte]): Long = {
+      val n = math.min(b.length, 64)
+      (0 until math.max(0, n - 1)).foldLeft(0L) { (acc, i) =>
+        if ((b(i) & 0xFF) > (b(i + 1) & 0xFF)) acc | (1L << i) else acc
+      }
+    }
+    def refEnergy(b: Array[Byte]): Long = {
+      val xs = b.map(v => BigInt(v & 0xFF))
+      (BigInt(b.length) * xs.map(x => x * x).sum - xs.sum * xs.sum).toLong
+    }
+    val got = payloads.toDF("id", "b")
+      .select($"id",
+        graft.functions.DHash64.dhash64($"b").as("h"),
+        graft.functions.ByteEnergy.byteEnergy($"b").as("e"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    payloads.foreach { case (id, b) =>
+      assert(got(id)._1 === refDHash(b), s"dhash mismatch on payload $id")
+      assert(got(id)._2 === refEnergy(b), s"energy mismatch on payload $id")
+    }
+    // Monotone invariance over 50 random strictly increasing remaps of the
+    // 0..127 domain (the generalization of Round10Spec's single case).
+    (1 to 50).foreach { _ =>
+      val table = rng.shuffle((0 to 255).toList).take(128).sorted.toArray
+      val (_, b) = payloads(rng.nextInt(payloads.length))
+      val remapped = b.map(v => table(v & 0xFF).toByte)
+      assert(graft.functions.DHash64.compute(b) ===
+        graft.functions.DHash64.compute(remapped))
+    }
+  }
+
+  test("PqAdcScore equals the sequential lookup-sum reference on 200 random code words") {
+    val s = spark
+    import s.implicits._
+    val k = 1 + rng.nextInt(31)
+    val m = 1 + rng.nextInt(16)
+    val lut = Array.fill(m * k)(rng.nextDouble() * 2 - 1)
+    val rows = (1 to 200).map { i =>
+      // Mostly valid codes; sprinkle out-of-range on every 9th row.
+      val codes = Array.fill(m)(
+        if (i % 9 == 0) rng.nextInt(2 * k) - k / 2 else rng.nextInt(k))
+      (i.toLong, codes)
+    }
+    def ref(codes: Array[Int]): Double =
+      codes.zipWithIndex.collect {
+        case (c, sub) if c >= 0 && c < k => lut(sub * k + c)
+      }.sum
+    val got = rows.toDF("id", "codes")
+      .select($"id", graft.functions.PqAdcScore.pqAdcScore(
+        $"codes", typedLit(lut.toSeq), k).as("adc"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, codes) =>
+      assert(math.abs(got(id) - ref(codes)) < 1e-9, s"adc mismatch on row $id")
+    }
+  }
 }
