@@ -455,9 +455,16 @@ object Dedup {
       .filter(!(col(idCol) === col("__first")(idCol) &&
         col("pos") === col("__first")("__min_pos")))
       .select(col(idCol), col("pos"))
-    // Merge overlapping/adjacent [pos, pos+k-1] ranges into maximal spans:
-    // a range starts a new span iff it begins past the running max end of
-    // everything before it (+1: touching ranges coalesce too).
+    mergeCutSpans(cut, idCol, k)
+  }
+
+  /** Merge cut-marked k-gram instances (idCol, pos) into maximal
+    * [cut_start, cut_len] spans per document: a range starts a new span
+    * iff it begins past the running max end of everything before it
+    * (+1: touching ranges coalesce too). The window partitions per
+    * document over its CUT instances only — bounded by doc length,
+    * never corpus-wide. */
+  private def mergeCutSpans(cut: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val prevMaxEnd = max(col("__e"))
@@ -1019,6 +1026,42 @@ object Dedup {
       .groupBy(col("new_id"), col("old_id"))
       .agg(count(lit(1)).as("n_shared_runs"))
   }
+
+  /** Span-level delta ExactSubstr: the maximal token ranges of ARRIVING
+    * documents that verbatim-quote ≥ k consecutive corpus tokens — the
+    * apply geometry of [[exactSubstrSpans]] in the d13/d14/d17 ingest
+    * shape. The corpus occurrence is by definition the first (it landed
+    * first), so every matching batch-side gram instance marks its k
+    * tokens for cutting; marked instances merge into maximal spans per
+    * document. Within-batch duplication is deliberately out of scope
+    * (run [[exactSubstrSpans]] over the batch for that) — this operator
+    * answers "what of this batch is already in the corpus".
+    *
+    * Probe shape: positional grams are scan-side (id, pos, 64-bit hash)
+    * triples; the membership check is a LEFT SEMI join against the
+    * standing [[GramIndex]] — no fan-out at all (one surviving row per
+    * batch instance, regardless of how many corpus docs share the gram),
+    * with boilerplate grams structurally absent index-side. Shuffle is
+    * keyed on the gram hash and sized by the batch; the span merge
+    * windows per batch document. Corpus text is never read.
+    * Output: (id, cut_start, cut_len), the [[exactSubstrSpans]] shape. */
+  def deltaExactSubstrSpans(delta: DataFrame, index: GramIndex,
+                            textCol: String): DataFrame = {
+    val inst = positionalGramInstances(delta, index.idCol, textCol, index.k)
+    val cut = inst
+      .join(index.grams.select(col("gram").as("g")), Seq("g"), "left_semi")
+      .select(col(index.idCol), col("pos"))
+    mergeCutSpans(cut, index.idCol, index.k)
+  }
+
+  /** [[deltaExactSubstrSpans]] + [[exactSubstrApplyFromSpans]] — every
+    * arriving document with its corpus-quoting runs cut: the cleaned
+    * batch an admission pipeline lands instead of the raw one. Uncut
+    * documents pass through (space-canonical), the apply contract. */
+  def deltaExactSubstrApply(delta: DataFrame, index: GramIndex,
+                            textCol: String): DataFrame =
+    exactSubstrApplyFromSpans(delta,
+      deltaExactSubstrSpans(delta, index, textCol), index.idCol, textCol)
 
   /** Index-probing delta near-dups: the ingest batch's band keys equi-join
     * the corpus index's band table (shuffle keyed on (band, bandHash) and

@@ -197,6 +197,20 @@ object PipelineQueries {
       Dedup.deltaExactSubstrPairs(delta, idx, "text")
     }),
 
+    // Span-level delta ExactSubstr APPLY (d17's cleaning counterpart,
+    // sharing its memoized corpus gram index): arriving docs (% 10 = 7)
+    // land with every run that verbatim-quotes >= 10 consecutive corpus
+    // tokens cut — the cleaned batch an admission pipeline persists.
+    // Every delta doc emits (uncut ones pass through space-canonical).
+    "d19_delta_substr_apply" -> ((s, dir) => {
+      val all = Dedup.spreadToParallelism(docs(s, dir))
+      val delta = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val idx = Dedup.memoizedGramIndex(corpus, "doc_id", "text",
+        k = 10, maxGramDocs = 256, cacheKey = dir + "#gidx")
+      Dedup.deltaExactSubstrApply(delta, idx, "text")
+    }),
+
     // The v3 composed build (see [[corpusBuildV3FromSurvivors]]): v2's
     // chain with the sqrt-temperature mix stage swapped for p15's
     // stated-proportion target-mixture solve (uniform 2000 bp token share
@@ -1568,6 +1582,66 @@ object PipelineQueries {
          SELECT s.doc_id, s.cut_start, s.cut_len, p.n_cut_spans,
                 p.n_cut_tokens, coalesce(cl.clean_text, '') AS clean_text
          FROM spans s JOIN perdoc p USING (doc_id)
+         LEFT JOIN clean cl USING (doc_id)""",
+    // d19: the delta APPLY mirror — delta docs' positional gram instances
+    // (d16's inst machinery restricted to doc_id % 10 = 7) join the
+    // CAPPED corpus gram set (the index build's 256-doc cap, d17's
+    // convention); matched instances merge into spans and cut (d16's
+    // flag/island/clean machinery over the delta side); every delta doc
+    // emits, uncut ones space-canonical.
+    "d19_delta_substr_apply" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              inst AS (SELECT doc_id, i AS pos,
+                              list_aggregate(ws[i:i+9], 'string_agg', ' ') AS g
+                       FROM w, UNNEST(generate_series(1, len(ws) - 9)) AS t(i)
+                       WHERE len(ws) >= 10 AND doc_id % 10 = 7),
+              gcorp AS (SELECT DISTINCT doc_id, gram FROM (
+                          SELECT doc_id,
+                                 unnest(list_distinct(list_transform(
+                                   generate_series(1, len(ws) - 9),
+                                   i -> list_aggregate(ws[i:i+9], 'string_agg', ' ')))) AS gram
+                          FROM w WHERE len(ws) >= 10 AND doc_id % 10 <> 7)),
+              member AS (SELECT gram FROM gcorp GROUP BY gram
+                         HAVING count(*) <= 256),
+              cut AS (SELECT i.doc_id, i.pos
+                      FROM inst i JOIN member m ON i.g = m.gram),
+              flag AS (SELECT doc_id, pos, pos + 9 AS e,
+                              CASE WHEN pos > coalesce(max(pos + 9) OVER (
+                                     PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                     -2) + 1
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM cut),
+              isl AS (SELECT doc_id, pos, e,
+                             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING) AS island
+                      FROM flag),
+              spans AS (SELECT doc_id, island,
+                               CAST(min(pos) AS BIGINT) AS cut_start,
+                               CAST(max(e) - min(pos) + 1 AS BIGINT) AS cut_len
+                        FROM isl GROUP BY doc_id, island),
+              perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans,
+                                CAST(sum(cut_len) AS BIGINT) AS n_cut_tokens
+                         FROM spans GROUP BY doc_id),
+              cutpos AS (SELECT DISTINCT doc_id, pos + off AS p
+                         FROM cut, UNNEST(generate_series(0, 9)) AS o(off)),
+              tok AS (SELECT doc_id, i AS tp, ws[i] AS tok
+                      FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+                      WHERE doc_id % 10 = 7),
+              clean AS (SELECT t.doc_id,
+                               string_agg(t.tok, ' ' ORDER BY t.tp) AS clean_text
+                        FROM tok t LEFT JOIN cutpos c
+                          ON t.doc_id = c.doc_id AND t.tp = c.p
+                        WHERE c.doc_id IS NULL
+                        GROUP BY t.doc_id)
+         SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+                coalesce(p.n_cut_spans, 0) AS n_cut_spans,
+                coalesce(p.n_cut_tokens, 0) AS n_cut_tokens,
+                coalesce(cl.clean_text, '') AS clean_text
+         FROM (SELECT doc_id, ws FROM w WHERE doc_id % 10 = 7) d
+         LEFT JOIN perdoc p USING (doc_id)
          LEFT JOIN clean cl USING (doc_id)""",
     // Delta ExactSubstr: d15's gram convention split delta-vs-corpus
     // (doc_id % 10 = 7 plays the batch). BOTH caps mirrored: the corpus

@@ -232,6 +232,68 @@ object EventStreams {
       .select(col("new_id"), col("old_id"), col(tsCol))
   }
 
+  /** Streaming ExactSubstr APPLY — arriving documents land with their
+    * corpus-quoting runs already cut: [[graft.operators.Dedup
+    * .deltaExactSubstrApply]]'s ingest-time twin, the cleaning
+    * counterpart of [[exactSubstrStream]]'s flagging (route on the flag,
+    * or land the cleaned text — both gates share the index).
+    *
+    * Topology: positional k-gram hashes are scan-side per arriving row;
+    * corpus membership is a stream-static LEFT join against the standing
+    * [[graft.operators.Dedup.GramIndex]]'s distinct gram set (no
+    * fan-out — one row per instance survives with a hit flag). A
+    * document is one row, so all its gram instances share its event time
+    * and land in ONE window — the [[seedScoreStream]] state argument:
+    * the windowed aggregate collects the doc's matched positions
+    * (bounded by doc length), evicts with the watermark, and the
+    * (id, pos) `dropDuplicatesWithinWatermark` ahead of it makes
+    * replays cut exactly-once instead of double-collecting. The cut
+    * itself is a post-aggregate scan-side projection: token i drops iff
+    * some matched position p has p ≤ i+1 < p+k (identical to the batch
+    * apply's span semantics — the union of [p, p+k-1] ranges IS the
+    * merged span set). Documents with fewer than k tokens carry no
+    * grams and pass through untouched.
+    *
+    * Output: append-mode (id, n_tokens, n_cut_tokens, clean_text) — the
+    * batch apply's columns minus the span count (spans are an artifact
+    * of the merge; the stream cuts by position union directly). */
+  def exactSubstrApplyStream(docs: DataFrame, idCol: String, textCol: String,
+                             tsCol: String,
+                             index: graft.operators.Dedup.GramIndex,
+                             watermarkDelay: String = "10 minutes",
+                             windowDuration: String = "10 minutes"): DataFrame = {
+    val k = index.k
+    val inst = docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol), col(textCol),
+        posexplode_outer(transform(
+          graft.functions.WordShingles.wordShingles(col(textCol), k,
+            distinct = false),
+          g => xxhash64(g))).as(Seq("pos0", "g")))
+      .select(col(idCol), col(tsCol), col(textCol),
+        // posexplode_outer: a sub-k document emits ONE null-gram row, so
+        // it still reaches the aggregate and passes through untouched
+        // instead of vanishing. pos 0 stands in for its null position
+        // (no real instance is at 0 — positions are 1-based).
+        coalesce(col("pos0") + 1, lit(0)).as("pos"), col("g"))
+      .dropDuplicatesWithinWatermark(idCol, "pos")
+    inst
+      .join(index.grams.select(col("gram").as("g")).distinct()
+        .withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol), col(textCol))
+      .agg(sort_array(collect_list(when(col("hit").isNotNull, col("pos"))))
+        .as("__ps"))
+      .withColumn("__ws", filter(split(col(textCol), " "), t => t =!= ""))
+      .withColumn("__clean",
+        filter(col("__ws"), (t, i) =>
+          !exists(col("__ps"), p =>
+            (i + 1 >= p) && (i + 1 < p + lit(k)))))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        (size(col("__ws")) - size(col("__clean"))).cast("long")
+          .as("n_cut_tokens"),
+        array_join(col("__clean"), " ").as("clean_text"))
+  }
+
   /** Streaming embedding near-dup admission — [[graft.operators.Dedup
     * .deltaEmbeddingNearDups]]'s streaming twin, giving the VECTOR
     * geometry the same ingest-time gate the text geometries have

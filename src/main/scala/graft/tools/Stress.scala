@@ -260,6 +260,14 @@ object Stress {
     time("gram_probe") {
       Dedup.deltaExactSubstrPairs(gramDelta, gramIdx, "text").count()
     }
+    // d19: the delta APPLY over the same index and pinned batch — adds
+    // the left-semi membership probe, per-doc span merge, and the token
+    // cut to gram_probe's cost; all batch-bounded, so the curve must
+    // stay flat like the probe's.
+    if (want("gram_apply")) ensureGramIdx()
+    time("gram_apply") {
+      Dedup.deltaExactSubstrApply(gramDelta, gramIdx, "text").count()
+    }
     // d18: the vector-LSH index — the embedding twin of the delta/gram
     // probes above. Build scales with the corpus (scan-side buckets at the
     // auto-sized density + cache fill); the probe batch is PINNED (base

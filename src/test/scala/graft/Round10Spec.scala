@@ -454,6 +454,39 @@ class Round10Spec extends SparkSpecBase {
     idx.unpersist()
   }
 
+  test("deltaExactSubstrApply: corpus-quoting runs cut, batch-internal dups kept, short docs pass") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, (1 to 14).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val idx = Dedup.buildGramIndex(corpus, "doc_id", "text",
+      k = 10, maxGramDocs = 256)
+    val quote = (3 to 12).map(i => s"c$i").mkString(" ") // 10-run from doc 1
+    val batchDup = (1 to 10).map(i => s"z$i").mkString(" ")
+    val batch = Seq(
+      (101L, s"intro $quote outro extra tokens here"), // cut the quoted run
+      (102L, batchDup), (103L, batchDup),              // batch-internal dup: NOT cut
+      (104L, "too short")                              // sub-k: pass through
+    ).toDF("doc_id", "text")
+    val got = Dedup.deltaExactSubstrApply(batch, idx, "text")
+      .select($"doc_id", $"n_tokens", $"n_cut_spans", $"n_cut_tokens", $"clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(101L) === ((101L, 15L, 1L, 10L,
+      "intro outro extra tokens here")),
+      s"quoting doc must lose exactly the quoted run: ${got(101L)}")
+    assert(got(102L)._5 === batchDup && got(103L)._5 === batchDup,
+      "within-batch duplication is out of scope for the delta apply")
+    assert(got(104L) === ((104L, 2L, 0L, 0L, "too short")))
+    // The spans themselves: one maximal span covering positions 2..11.
+    val spans = Dedup.deltaExactSubstrSpans(batch, idx, "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans === Set((101L, 2L, 10L)), s"spans: $spans")
+    idx.unpersist()
+  }
+
   test("LshVecIndex: delta probe = exact batch-vs-corpus pairs; save/load and append hold") {
     import graft.operators.Dedup
     val base = graft.sources.Sources

@@ -399,6 +399,54 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming ExactSubstr apply cuts in-flight, matches the batch delta apply") {
+    import java.sql.Timestamp
+    import graft.operators.Dedup
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    val corpus = Seq(
+      (1L, (1 to 14).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val idx = Dedup.buildGramIndex(corpus, "doc_id", "text",
+      k = 10, maxGramDocs = 256)
+    val quote = (3 to 12).map(i => s"c$i").mkString(" ")
+    val arriving = Seq(
+      (201L, ts(0), s"intro $quote outro extra tokens here"),
+      (202L, ts(1), (1 to 12).map(i => s"z$i").mkString(" ")), // clean
+      (203L, ts(2), "too short"))                              // sub-k
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.exactSubstrApplyStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", idx,
+        watermarkDelay = "1 minute", windowDuration = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("substr_apply_out").start()
+    try {
+      memStream.addData(arriving: _*)
+      q.processAllAvailable()
+      // REPLAY doc 201, then advance the watermark so windows emit.
+      memStream.addData((201L, ts(0), s"intro $quote outro extra tokens here"))
+      q.processAllAvailable()
+      memStream.addData((999L, ts(120), (1 to 11).map(i => s"w$i").mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("substr_apply_out")
+        .select($"doc_id", $"n_tokens", $"n_cut_tokens", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got.size == got.map(_._1).toSet.size,
+        s"a replayed doc must land once, not twice: $got")
+      val batch = Dedup.deltaExactSubstrApply(
+          arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
+          idx, "text")
+        .select($"doc_id", $"n_tokens", $"n_cut_tokens", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got.filter(_._1 != 999L).toSet == batch,
+        s"stream ${got.toSet} vs batch $batch")
+      assert(got.find(_._1 == 201L).get ===
+        ((201L, 15L, 10L, "intro outro extra tokens here")))
+    } finally q.stop()
+    idx.unpersist()
+  }
+
   test("streaming embedding dedup probes the static vector index, matches the batch probe") {
     import java.sql.Timestamp
     import graft.operators.Dedup
