@@ -536,6 +536,55 @@ class Round10Spec extends SparkSpecBase {
     appended.unpersist()
   }
 
+  test("d18 probe plan: bucket/id-keyed exchanges only, no nested-loop or cartesian") {
+    import graft.operators.Dedup
+    val base = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val idx = Dedup.buildLshVecIndex(base, "vec_id", "v")
+    val batch = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+    val out = Dedup.deltaEmbeddingNearDups(batch, idx, threshold = 0.9)
+    out.queryExecution.toRdd.count()
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"the vector probe must be bucket equi-join + id verify joins, never " +
+        s"all-pairs:\n${out.queryExecution.executedPlan}")
+    shuffleKeyNames(out).foreach { names =>
+      assert(names.forall(Set("t", "bucket", "new_id", "old_id")),
+        s"d18 shuffles on (t, bucket) candidates and id-keyed verify/distinct " +
+          s"only, got $names")
+    }
+    idx.unpersist()
+  }
+
+  test("d19 plan: gram/doc-keyed exchanges only, no nested-loop or cartesian") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val idx = Dedup.buildGramIndex(corpus, "doc_id", "text",
+      k = 10, maxGramDocs = 256)
+    val out = Dedup.deltaExactSubstrApply(delta, idx, "text")
+    out.queryExecution.toRdd.count()
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"the apply probe must be the gram semi-join, never all-pairs:\n" +
+        s"${out.queryExecution.executedPlan}")
+    shuffleKeyNames(out).foreach { names =>
+      assert(names.forall(Set("g", "doc_id", "__island")),
+        s"d19 shuffles the gram membership probe, per-doc span merges, and " +
+          s"the apply join only, got $names")
+    }
+    idx.unpersist()
+  }
+
   test("DHash64: bit-exact under a strictly monotone byte remap; md5 is not") {
     val rnd = new scala.util.Random(10)
     // Payload over byte values 0..127; remap = 128 sorted distinct values
