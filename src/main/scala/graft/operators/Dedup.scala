@@ -374,9 +374,7 @@ object Dedup {
     // checkpoint the dominant cost, the per-row k-gram HOF over the full
     // corpus, is paid twice. `materialize = false` for plan-audit
     // callers, same contract as the corpus builds.
-    val grams0 = docs.select(col(idCol),
-        explode(transform(Sampling.wordNgrams(col(textCol), k),
-          g => xxhash64(g))).as("gram"))
+    val grams0 = hashedDocGrams(docs, idCol, textCol, k)
     val grams = if (materialize) grams0.localCheckpoint() else grams0
     val keep = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__df"))
@@ -1173,11 +1171,14 @@ object Dedup {
       cachedFrames = if (persist) Seq(b, v) else Nil)
   }
 
-  /** Per-(session, cacheKey) memoized [[buildLshVecIndex]] — the same
-    * build-once/probe-many pattern as the other index caches. */
+  /** Per-(session, cacheKey, density) memoized [[buildLshVecIndex]] — the
+    * same build-once/probe-many pattern as the other index caches. The
+    * requested (bits, tables) are part of the key (the memoizedIvfIndex/
+    * memoizedPqIndex convention): a caller tuning density must never be
+    * silently handed an index built at a different one. */
   private val lshVecIndexCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), LshVecIndex]()
+      (org.apache.spark.sql.SparkSession, String, Int, Int), LshVecIndex]()
 
   def memoizedLshVecIndex(emb: DataFrame, idCol: String, vecCol: String,
                           cacheKey: String, bits: Int = 0,
@@ -1186,9 +1187,25 @@ object Dedup {
     while (it.hasNext) {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
-    lshVecIndexCache.computeIfAbsent((emb.sparkSession, cacheKey),
+    lshVecIndexCache.computeIfAbsent(
+      (emb.sparkSession, cacheKey, bits, tables),
       _ => graft.tools.BuildTimer.time(
         buildLshVecIndex(emb, idCol, vecCol, bits, tables)))
+  }
+
+  /** Evict every memoized [[LshVecIndex]] of `s` under `keyPrefix` (the
+    * `"#suffix"` boundary convention of the other index caches). */
+  def invalidateLshVecIndexCache(s: org.apache.spark.sql.SparkSession,
+                                 keyPrefix: String): Unit = {
+    val it = lshVecIndexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kk = e.getKey._2
+      if ((e.getKey._1 eq s) && (kk == keyPrefix || kk.startsWith(keyPrefix + "#"))) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
   }
 
   /** Index-probing delta embedding near-dups — [[deltaNearDupsIndexed]]'s

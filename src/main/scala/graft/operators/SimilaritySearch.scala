@@ -475,7 +475,7 @@ object SimilaritySearch {
       _ => graft.tools.BuildTimer.time(buildMipsIndex(emb, vecCol)))
   }
 
-  /** Evict every memoized IVF and MIPS index of `s` whose cacheKey IS
+  /** Evict every memoized IVF, MIPS, and PQ index of `s` whose cacheKey IS
     * `keyPrefix` or extends it with the documented `"#suffix"` convention
     * (`dir`, `dir + "#aug"`, ...; IVF assignments are unpersisted) — the
     * invalidation twin of [[memoizedIvfIndex]]/[[memoizedMipsIndex]].
@@ -497,6 +497,14 @@ object SimilaritySearch {
     while (mipsIt.hasNext) {
       val k = mipsIt.next()
       if ((k._1 eq s) && hits(k._2)) mipsIt.remove()
+    }
+    val pqIt = pqCache.entrySet().iterator()
+    while (pqIt.hasNext) {
+      val e = pqIt.next()
+      if ((e.getKey._1 eq s) && hits(e.getKey._2)) {
+        e.getValue.unpersist()
+        pqIt.remove()
+      }
     }
   }
 
@@ -572,7 +580,9 @@ object SimilaritySearch {
       m: Int, k: Int, subDim: Int, idCol: String) {
     def unpersist(): Unit = { codes.unpersist(); () }
 
-    /** Persist the index as parquet (codes + codebooks). */
+    /** Persist the index as parquet (codes + codebooks + the (m, k,
+      * subDim) meta the probe must reuse — explicit rather than derived
+      * from the codebook rows, so an empty-corpus index round-trips). */
     def save(dir: String): Unit = {
       val spark = codes.sparkSession
       import spark.implicits._
@@ -581,19 +591,25 @@ object SimilaritySearch {
         cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
       }.toSeq.toDF("sub", "code", "cvec").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+      Seq((m, k, subDim)).toDF("m", "k", "sub_dim").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/pq_meta")
     }
   }
 
   /** Load an index previously written with [[PqIndex.save]]. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                   idCol: String): PqIndex = {
+    val meta = spark.read.parquet(s"$dir/pq_meta").collect().head
+    val (m, k, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val rows = spark.read.parquet(s"$dir/pq_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = rows.map(_._1).max + 1
-    val k = rows.map(_._2).max + 1
-    val codebooks = Array.ofDim[Array[Double]](m, k)
-    rows.foreach { case (sub, code, c) => codebooks(sub)(code) = c }
-    val subDim = rows.head._3.length
+    val codebooks =
+      if (rows.isEmpty) Array.empty[Array[Array[Double]]]
+      else {
+        val cb = Array.ofDim[Array[Double]](m, k)
+        rows.foreach { case (sub, code, c) => cb(sub)(code) = c }
+        cb
+      }
     PqIndex(codebooks, spark.read.parquet(s"$dir/pq_codes"),
       m, k, subDim, idCol)
   }
@@ -634,13 +650,24 @@ object SimilaritySearch {
       df.withColumn(s"__fv$sub",
         array_to_vector(slice(col("__vn"), sub * subDim + 1, subDim)))
     }
-    val fitInput =
+    val sampled =
       (if (sampleMod <= 1) withSlices
        else withSlices.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0))
         .cache()
     // One count materializes the cached sample all m fits share; kEff
-    // degrades gracefully below k points (the buildIvfIndex guard).
-    val fitCount = fitInput.count()
+    // degrades gracefully below k points (the buildIvfIndex guard). An
+    // EMPTY hash-sample (sampleMod past the corpus count — KMeans.fit
+    // would throw) falls back to the full frame: a corpus the sample
+    // misses entirely is by construction smaller than sampleMod rows, so
+    // the full fit is cheap and the sampling intent (bound the fit size)
+    // is still honored.
+    var fitInput = sampled
+    var fitCount = fitInput.count()
+    if (fitCount == 0 && sampleMod > 1) {
+      sampled.unpersist()
+      fitInput = withSlices.cache()
+      fitCount = fitInput.count()
+    }
     val kEff = math.max(1L, math.min(k.toLong, fitCount)).toInt
     val models = (0 until m).map { sub =>
       new org.apache.spark.ml.clustering.KMeans()

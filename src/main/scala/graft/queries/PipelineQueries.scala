@@ -111,6 +111,7 @@ object PipelineQueries {
     survivorsCache.remove((s, dir))
     Dedup.invalidateMinHashIndexCache(s, dir)
     Dedup.invalidateGramIndexCache(s, dir)
+    Dedup.invalidateLshVecIndexCache(s, dir)
     SimilaritySearch.invalidateIndexCaches(s, dir)
     ()
   }
@@ -409,7 +410,28 @@ object PipelineQueries {
     * surviving row, and rows about to be dropped are never scored). */
   private[graft] def corpusBuildV2FromSurvivors(withSplit: DataFrame,
                                                 budget: Long,
-                                                materialize: Boolean = true): DataFrame = {
+                                                materialize: Boolean = true): DataFrame =
+    corpusBuildTail(withSplit, budget, materialize, { s3b =>
+      // The v2 mixture: p06's sqrt temperature over per-language DOC
+      // counts — the emergent flattening the stated-proportion v3 replaces.
+      val counts = s3b.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nMin))
+        .withColumn("rate_bp", floor(lit(10000.0) *
+          sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
+        .select(col("lang"), col("rate_bp"))
+      s3b.join(broadcast(rates), Seq("lang"))
+        .filter(Sampling.hashBucket(col("doc_id"), 10000) < col("rate_bp"))
+    })
+
+  /** The chain v2 and v3 share — decontamination anti-joins, map-side
+    * quality scoring, then `mixStage` (THE stage the versions differ in:
+    * p06's sqrt temperature vs p15's stated-proportion solve; one
+    * definition here so a fix to the shared stages cannot silently leave
+    * the other version stale), then the budget/pack/epoch tail. */
+  private def corpusBuildTail(withSplit: DataFrame, budget: Long,
+                              materialize: Boolean,
+                              mixStage: DataFrame => DataFrame): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
     val contaminated = Sampling
@@ -444,14 +466,7 @@ object PipelineQueries {
                      + (n_tokens - __n_stop) * 3000 DIV n_tokens
                      + least(n_tokens, 100L) * 20 AS BIGINT)"""))
       .drop("__ws", "__n_uniq", "__n_stop")
-    val counts = s3b.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
-      .withColumn("rate_bp", floor(lit(10000.0) *
-        sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
-      .select(col("lang"), col("rate_bp"))
-    val s4 = s3b.join(broadcast(rates), Seq("lang"))
-      .filter(Sampling.hashBucket(col("doc_id"), 10000) < col("rate_bp"))
+    val s4 = mixStage(s3b)
     val s5 = cp(Sampling.tokenBudgetPerGroup(
         s4.select(col("doc_id"), col("lang"), col("n_tokens"),
           col("quality_bp")),
@@ -498,49 +513,18 @@ object PipelineQueries {
     * ledger like Round7Spec does for v2). */
   private[graft] def corpusBuildV3FromSurvivors(withSplit: DataFrame,
                                                 budget: Long,
-                                                materialize: Boolean = true): DataFrame = {
-    def cp(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint() else df
-    val contaminated = Sampling
-      .exactContamination(withSplit, "doc_id", "text", "split")
-      .select(col("train_id").as("doc_id")).distinct()
-    val s3 = withSplit.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    val gramContaminated = Sampling.ngramContamination(
-        s3.select(col("doc_id"), col("text"), col("split")),
-        "doc_id", "text", "split", n = 13, spread = false)
-      .select(col("train_id").as("doc_id"))
-    val s3b = s3.join(broadcast(gramContaminated), Seq("doc_id"), "left_anti")
-      .withColumn("__ws", TA.words(col("text")))
-      .withColumn("__n_uniq", size(array_distinct(col("__ws"))).cast("long"))
-      .withColumn("__n_stop", TA.stopwordCount(col("__ws"), TA.StopEn))
-      .withColumn("quality_bp",
-        expr("""CAST(__n_uniq * 5000 DIV n_tokens
-                     + (n_tokens - __n_stop) * 3000 DIV n_tokens
-                     + least(n_tokens, 100L) * 20 AS BIGINT)"""))
-      .drop("__ws", "__n_uniq", "__n_stop")
-    // The v3 mixture: stated uniform token-share targets, solved by
-    // targetMixture's closed form (binding language admits everything,
-    // every other downsamples to proportion via the content-hash
-    // Bernoulli — the same hashBucket convention p06 used, so only the
-    // RATE computation changes between v2 and v3).
-    val targets = withSplit.select(col("lang")).distinct()
-      .withColumn("weight_bp", lit(2000L))
-    val s4 = Sampling
-      .targetMixture(s3b, "lang", "doc_id", "n_tokens", targets)
-      .drop("rate_bp")
-    val s5 = cp(Sampling.tokenBudgetPerGroup(
-        s4.select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("quality_bp")),
-        groupCol = "lang", keyCol = "doc_id", tokensCol = "n_tokens",
-        budget = budget)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_bp")))
-    val packed = Packing.packSequences(s5, "doc_id", "n_tokens", ctxLen = 2048L)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
-        col("quality_bp"),
-        Sampling.hashBucket(col("doc_id")).as("bucket"),
-        Sampling.assignSplit(col("doc_id")).as("split"))
-    Sampling.epochRepeat(packed, "doc_id", "quality_bp", maxEpochs = 4)
-  }
+                                                materialize: Boolean = true): DataFrame =
+    corpusBuildTail(withSplit, budget, materialize, { s3b =>
+      // The v3 mixture: stated uniform token-share targets, solved by
+      // targetMixture's closed form (binding language admits everything,
+      // every other downsamples to proportion via the content-hash
+      // Bernoulli — the same hashBucket convention p06 used, so only the
+      // RATE computation changes between v2 and v3).
+      val targets = withSplit.select(col("lang")).distinct()
+        .withColumn("weight_bp", lit(2000L))
+      Sampling.targetMixture(s3b, "lang", "doc_id", "n_tokens", targets)
+        .drop("rate_bp")
+    })
 
   /** Round 6: the composed corpus build (see [[corpusBuild]]). */
   private def round6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
