@@ -234,19 +234,39 @@ object SimilaritySearch {
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = emb.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("fv"))
-    val fitInput =
+    var fitInput =
       if (sampleMod <= 1) vecs
       else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
     // KMeans cannot fit zero points (and degenerates below k points): an
     // empty/tiny corpus gets a single-cell index instead of a crash —
     // probes then scan the one cell, which IS the whole corpus.
-    val fitCount = fitInput.count()
+    var fitCount = fitInput.count()
+    if (fitCount == 0 && sampleMod > 1) {
+      // EMPTY hash-sample (sampleMod past the corpus count): fall back to
+      // the full frame — such a corpus is by construction smaller than
+      // sampleMod rows, so the full fit is cheap and the sampling intent
+      // (bound the fit size) still holds (the buildPqIndex guard; without
+      // it the whole corpus would silently vanish from the index).
+      fitInput = vecs
+      fitCount = fitInput.count()
+    }
     if (fitCount == 0) {
       val empty = emb.sparkSession.createDataFrame(
         emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         vecs.select(col(idCol), col(vecCol)).schema
           .add("cell", org.apache.spark.sql.types.IntegerType, nullable = false))
       return IvfIndex(Array.empty, empty, idCol, vecCol)
+    }
+    if (math.min(nCells.toLong, fitCount) < 2L) {
+      // Spark ML KMeans rejects k < 2: a 1-means "fit" is just the mean —
+      // emit the single-cell index directly (nCells = 1, or a one-point
+      // fit input).
+      val cvec = fitInput
+        .select(org.apache.spark.ml.stat.Summarizer.mean(col("fv")).as("m"))
+        .head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+      val assignedPlan = vecs.select(col(idCol), col(vecCol), lit(0).as("cell"))
+      val assigned = if (persist) assignedPlan.cache() else assignedPlan
+      return IvfIndex(Array((0, cvec.map(_.toFloat))), assigned, idCol, vecCol)
     }
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(math.min(nCells.toLong, fitCount).toInt)
@@ -262,6 +282,189 @@ object SimilaritySearch {
       (i, c.toArray.map(_.toFloat))
     }
     IvfIndex(centroids, assigned, idCol, vecCol)
+  }
+
+  /** Hierarchical (two-level) coarse-quantizer build — the SAME
+    * [[IvfIndex]] artifact and probe path as [[buildIvfIndex]], with the
+    * assignment cost term rewritten. The flat build assigns through one
+    * KMeans transform: n·nCells kernel evaluations — and the IVF sizing
+    * rule (nCells ∝ corpus, pinning per-cell population) makes that term
+    * ∝ n², the one superlinear build-side curve left in the round-10
+    * stress sweep (`ivf_pq_build` 44.9→119.9 s at 16×→32×). The standard
+    * fix (faiss's two-level / IMI-style coarse quantizer) fits
+    * k1 = ⌈√nCells⌉ top-level groups and ≈ nCells/k1 fine cells inside
+    * each, so a vector locates its fine cell in k1 + nCells/k1 ≈ 2·√nCells
+    * evaluations: assignment is n·2√nCells — ∝ n^1.5 under the sizing
+    * rule instead of n².
+    *
+    * Both fit levels see only the hash-sample (the [[buildIvfIndex]]
+    * discipline; the k1 fine fits partition ONE cached sample). The fine
+    * assignment is scan-side: the per-group fine-centroid table (nCells
+    * rows total) broadcasts, a map-side hash join on the coarse cell
+    * attaches each vector's candidate array, and a codegen'd argmin HOF
+    * picks the cell via the dot identity argmin‖v−c‖² = argmin(‖c‖² −
+    * 2·v·c) — no shuffle anywhere in the assignment plan, exactly like
+    * the flat transform it replaces. Fine centroids ARE the cells, so
+    * [[probeIvf]]/[[probeIvfPq]]/[[IvfIndex.save]] work unchanged on the
+    * result; recall vs the flat build differs only through the usual
+    * hierarchical-quantizer edge loss (a vector near a coarse boundary
+    * may land in a slightly-off fine cell), which nProbe absorbs.
+    *
+    * A coarse group the sample left empty keeps its coarse centroid as a
+    * single fine cell, so the cell table always covers the whole space
+    * and every corpus vector gets a cell. Distance ties break toward the
+    * lowest fine-cell id (candidates are cell-ascending and the argmin
+    * is strict). */
+  def buildIvfIndexHier(emb: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int = 16, sampleMod: Int = 1,
+                        persist: Boolean = true): IvfIndex =
+    buildIvfIndexHierFull(emb, idCol, vecCol, nCells, sampleMod, persist).index
+
+  /** [[buildIvfIndexHier]] plus the two internals a ground-truth spec
+    * needs to recompute every assignment driver-side: the coarse
+    * centroids (level 1) and each fine cell's coarse group. Package-
+    * private — the artifact the production path holds is [[IvfIndex]]. */
+  private[graft] final case class HierBuild(
+      index: IvfIndex,
+      coarseCentroids: Array[Array[Double]],
+      groupOfCell: Array[Int],
+      fineCentroidsD: Array[Array[Double]]) // cell-ascending, the exact
+                                            // doubles assignment ran on
+                                            // (index.centroids truncates
+                                            // to float for the probe)
+
+  private[graft] def buildIvfIndexHierFull(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, sampleMod: Int = 1,
+      persist: Boolean = true): HierBuild = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.DotProduct.dotProduct
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("fv"))
+    val sampled =
+      (if (sampleMod <= 1) vecs
+       else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0))
+        .cache()
+    var fitInput = sampled
+    var fitCount = fitInput.count()
+    if (fitCount == 0 && sampleMod > 1) {
+      // Empty hash-sample: fall back to the full (tiny, < sampleMod rows)
+      // frame — the buildIvfIndex/buildPqIndex guard.
+      sampled.unpersist()
+      fitInput = vecs.cache()
+      fitCount = fitInput.count()
+    }
+    if (fitCount == 0) {
+      fitInput.unpersist()
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        vecs.select(col(idCol), col(vecCol)).schema
+          .add("cell", org.apache.spark.sql.types.IntegerType, nullable = false))
+      return HierBuild(IvfIndex(Array.empty, empty, idCol, vecCol),
+        Array.empty, Array.empty, Array.empty)
+    }
+    val k1 = math.max(1L,
+      math.min(math.ceil(math.sqrt(nCells.toDouble)).toLong, fitCount)).toInt
+    if (k1 < 2) {
+      // Degenerate: one coarse group is no hierarchy — the flat build (n·
+      // nCells with tiny fit input) is the honest plan. The HierBuild
+      // metadata collapses to a single group so spec recomputation stays
+      // well-defined.
+      fitInput.unpersist()
+      val flat = buildIvfIndex(emb, idCol, vecCol, nCells, sampleMod, persist)
+      val dbl = flat.centroids.map(_._2.map(_.toDouble))
+      return HierBuild(flat,
+        if (dbl.isEmpty) Array.empty else Array(dbl.head),
+        Array.fill(dbl.length)(0), dbl)
+    }
+    val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
+    val coarse = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k1).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("__ccell")
+      .fit(fitInput)
+    val coarseAssigned = coarse.transform(fitInput)
+      .select(col("fv"), col("__ccell")).cache()
+    val groupCounts = coarseAssigned.groupBy("__ccell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // k1 fine fits, each over one coarse slice of the cached sample; fine
+    // ids are assigned globally in coarse-group order.
+    val fineCentroids =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Double])]
+    var nextCell = 0
+    (0 until k1).foreach { g =>
+      val cnt = groupCounts.getOrElse(g, 0L)
+      val kg = math.min(k2.toLong, cnt).toInt
+      if (cnt == 0L) {
+        fineCentroids += ((g, nextCell, coarse.clusterCenters(g).toArray))
+        nextCell += 1
+      } else if (kg < 2) {
+        // Spark ML KMeans rejects k < 2; a 1-means "fit" is the group
+        // mean (= the point itself for a single-point group).
+        val m = coarseAssigned.filter(col("__ccell") === g)
+          .select(org.apache.spark.ml.stat.Summarizer.mean(col("fv")).as("m"))
+          .head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+        fineCentroids += ((g, nextCell, m))
+        nextCell += 1
+      } else {
+        val m = new org.apache.spark.ml.clustering.KMeans()
+          .setK(kg).setSeed(42L + g).setMaxIter(10).setFeaturesCol("fv")
+          .fit(coarseAssigned.filter(col("__ccell") === g))
+        m.clusterCenters.foreach { c =>
+          fineCentroids += ((g, nextCell, c.toArray)); nextCell += 1
+        }
+      }
+    }
+    coarseAssigned.unpersist()
+    fitInput.unpersist()
+    // Per-group candidate arrays (cell, ‖c‖², c), cell-ascending so the
+    // strict-< argmin breaks distance ties toward the lowest cell id.
+    // ‖c‖² is a sequential left fold in double — the same accumulation
+    // order the spec's driver-side recomputation uses. The grouping
+    // happens DRIVER-side (the centroids are already in memory): the
+    // broadcast side of the assignment join is a LocalTableScan, so the
+    // whole assignment plan is scan + broadcast join + HOF — zero
+    // shuffles.
+    val finesDf = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val fineStruct = StructType(Seq(
+        StructField("cell", IntegerType, nullable = false),
+        StructField("cnorm", DoubleType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false),
+          nullable = false)))
+      val schema = StructType(Seq(
+        StructField("__ccell", IntegerType, nullable = false),
+        StructField("fines", ArrayType(fineStruct, containsNull = false),
+          nullable = false)))
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+      fineCentroids.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (g, cs) =>
+        rows.add(Row(g, cs.sortBy(_._2).map { case (_, cell, c) =>
+          Row(cell, c.foldLeft(0.0)((a, x) => a + x * x), c.toSeq)
+        }))
+      }
+      spark.createDataFrame(rows, schema)
+    }
+    val best = aggregate(col("fines"),
+      struct(lit(-1).as("cell"), lit(Double.MaxValue).as("d")),
+      (acc, f) => {
+        val d = f.getField("cnorm") -
+          lit(2.0) * dotProduct(col(vecCol), f.getField("cvec"))
+        when(d < acc.getField("d"),
+          struct(f.getField("cell").as("cell"), d.as("d"))).otherwise(acc)
+      })
+    val assignedPlan = coarse.transform(vecs)
+      .join(broadcast(finesDf), Seq("__ccell"))
+      .select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
+    val assigned = if (persist) assignedPlan.cache() else assignedPlan
+    val cents = fineCentroids.toArray
+      .map { case (_, cell, c) => (cell, c.map(_.toFloat)) }
+      .sortBy(_._1)
+    val byCell = fineCentroids.toArray.sortBy(_._2)
+    HierBuild(IvfIndex(cents, assigned, idCol, vecCol),
+      coarse.clusterCenters.map(_.toArray), byCell.map(_._1),
+      byCell.map(_._3))
   }
 
   /** Approximate top-k against a prebuilt [[IvfIndex]]: each query probes its
@@ -317,6 +520,23 @@ object SimilaritySearch {
       _ => graft.tools.BuildTimer.time(buildIvfIndex(emb, idCol, vecCol, nCells)))
   }
 
+  /** Memoized [[buildIvfIndexHier]] — the [[memoizedIvfIndex]] contract
+    * (same cache, same stopped-session eviction) under a "#hier"-suffixed
+    * key so flat and hierarchical indexes over the same corpus never
+    * collide. */
+  def memoizedIvfIndexHier(emb: DataFrame, idCol: String, vecCol: String,
+                           nCells: Int, cacheKey: String): IvfIndex = {
+    val it = indexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.assigned.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    indexCache.computeIfAbsent(
+      (emb.sparkSession, cacheKey + "#hier", nCells),
+      _ => graft.tools.BuildTimer.time(
+        buildIvfIndexHier(emb, idCol, vecCol, nCells)))
+  }
+
   /** Convenience wrapper = [[memoizedIvfIndex]] + [[probeIvf]].
     * `cacheKey` identifies the corpus (e.g. its directory); when provided,
     * repeated invocations reuse the fitted index instead of re-clustering.
@@ -324,10 +544,13 @@ object SimilaritySearch {
     * leaks into the CacheManager. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              cacheKey: Option[String] = None): DataFrame = {
-    val index = cacheKey match {
-      case Some(key) => memoizedIvfIndex(emb, idCol, vecCol, nCells, key)
-      case None => buildIvfIndex(emb, idCol, vecCol, nCells, persist = false)
+              cacheKey: Option[String] = None,
+              hier: Boolean = false): DataFrame = {
+    val index = (cacheKey, hier) match {
+      case (Some(key), false) => memoizedIvfIndex(emb, idCol, vecCol, nCells, key)
+      case (Some(key), true)  => memoizedIvfIndexHier(emb, idCol, vecCol, nCells, key)
+      case (None, false) => buildIvfIndex(emb, idCol, vecCol, nCells, persist = false)
+      case (None, true)  => buildIvfIndexHier(emb, idCol, vecCol, nCells, persist = false)
     }
     probeIvf(index, isQuery, k, nProbe)
   }
@@ -740,14 +963,20 @@ object SimilaritySearch {
                 isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 8, kCodes: Int = 256,
                 cacheKey: Option[String] = None,
-                sampleMod: Int = 1): DataFrame = {
+                sampleMod: Int = 1,
+                hierCells: Boolean = false): DataFrame = {
     val normalized = emb.select(col(idCol), col(vecCol),
       l2normalizeCol(col(vecCol)).as("__vn"))
-    val ivf = cacheKey match {
-      case Some(key) =>
+    val ivf = (cacheKey, hierCells) match {
+      case (Some(key), false) =>
         memoizedIvfIndex(normalized, idCol, "__vn", nCells, key + "#pqcells")
-      case None =>
+      case (Some(key), true) =>
+        memoizedIvfIndexHier(normalized, idCol, "__vn", nCells, key + "#pqcells")
+      case (None, false) =>
         buildIvfIndex(normalized, idCol, "__vn", nCells,
+          sampleMod = sampleMod, persist = false)
+      case (None, true) =>
+        buildIvfIndexHier(normalized, idCol, "__vn", nCells,
           sampleMod = sampleMod, persist = false)
     }
     val pq = cacheKey match {

@@ -811,6 +811,20 @@ object PipelineQueries {
       SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
         isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))),
 
+    // s04's two-level (hierarchical coarse quantizer) twin — the build
+    // whose cell ASSIGNMENT is n·2√nCells instead of n·nCells, the fix
+    // for the one superlinear build-side curve in the round-10 stress
+    // sweep (under the IVF sizing rule nCells ∝ corpus, flat assignment
+    // is ∝ n²). Identical IvfIndex artifact and probe path; memoized
+    // under a "#hier"-suffixed key. No SQL oracle — KMeans isn't
+    // expressible in DuckDB (the s03/s04/s05 convention); HierIvfSpec
+    // recomputes every assignment driver-side bit-exactly and bounds
+    // probe recall vs exact s01 instead.
+    "s11_ivf_hier" -> ((s, dir) =>
+      SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3, nProbe = 8,
+        cacheKey = Some(dir), hier = true)),
+
     // SemDeDup-style semantic dedup: IVF-cluster the corpus (memoized
     // index — no KMeans refit per call), within-cluster cosine pairs only,
     // drop to the lowest-id keeper. Corpus augmented with the same planted

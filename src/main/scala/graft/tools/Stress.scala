@@ -475,6 +475,26 @@ object Stress {
       } else 0L
     }
     time("ivf_pq_build") { ensurePqHalves() }
+    // The assignment term isolated, flat vs hierarchical, same sizing
+    // rule (nCells ∝ factor pins per-cell population, sampleMod ∝ factor
+    // pins every fit size): flat assignment is n·nCells ⇒ ∝ factor²; the
+    // two-level build locates a cell in ≈ 2√nCells kernels ⇒ ∝ factor^1.5.
+    // The pair of curves is the before/after of ivf_pq_build's one
+    // documented superlinear term.
+    time("ivf_flat_build") {
+      val normalized = emb.select(col("vec_id"),
+        SimilaritySearch.l2normalizeCol(col("embedding")).as("__vn"))
+      SimilaritySearch.buildIvfIndex(normalized, "vec_id", "__vn",
+        nCells = 16 * factor, sampleMod = factor, persist = false)
+        .assigned.count()
+    }
+    time("ivf_hier_build") {
+      val normalized = emb.select(col("vec_id"),
+        SimilaritySearch.l2normalizeCol(col("embedding")).as("__vn"))
+      SimilaritySearch.buildIvfIndexHier(normalized, "vec_id", "__vn",
+        nCells = 16 * factor, sampleMod = factor, persist = false)
+        .assigned.count()
+    }
     if (want("ivf_pq_probe")) ensurePqHalves()
     time("ivf_pq_probe") {
       val queries = emb.filter(col("vec_id") < 10)
