@@ -377,6 +377,83 @@ object Sampling {
       .select(col(groupCol), col("rate_bp"))
   }
 
+  /** DSIR-style hashed n-gram importance scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169 — public method description): score every raw
+    * document by how much more its hashed unigram+bigram features look
+    * like the TARGET (curated seed) distribution than like the RAW
+    * corpus distribution. Both distributions are Laplace-smoothed
+    * bag-of-hashed-ngrams models over `buckets` hash buckets — the
+    * hashing is what makes the model table a BOUNDED artifact (`buckets`
+    * rows) no matter how large either corpus is.
+    *
+    * Integer discipline (the t14/t15 convention — what makes the oracle
+    * hash-exact across engines): per-bucket probabilities are integer
+    * basis points, `p_bp = (cnt + 1) * 10000 DIV (total + buckets)`, the
+    * per-bucket weight is the bp difference `target_bp − raw_bp` (same
+    * sign and ranking intent as the paper's log-ratio, exactly
+    * reproducible in any engine — no libm in sight), a doc's raw weight
+    * is the exact integer sum over its gram OCCURRENCES (multiset, the
+    * paper's raw counts), and the only FP step is one final
+    * division-then-round(4) into the per-gram average.
+    *
+    * Shape at 100 TB: grams and buckets are scan-side (codegen'd
+    * [[graft.functions.WordShingles]] + the md5 bucket hash inside a
+    * `transform`); the model build is one hash aggregate whose key space
+    * is `buckets` (tiny, then a broadcast totals join); scoring is a
+    * map-side broadcast join against the `buckets`-row weight table plus
+    * one per-doc aggregate whose map-side partials collapse each doc's
+    * grams before the shuffle — shuffled rows ≈ one per document (the
+    * t15 ledger). The corpus never shuffles keyed on content.
+    *
+    * Output: (idCol, n_grams, sum_w_bp, dsir_w) for every non-target doc
+    * with at least one gram. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    import graft.functions.WordShingles.wordShingles
+    val grams = docs
+      .select(col(idCol), isTarget.as("__t"),
+        concat(wordShingles(col(textCol), 1, distinct = false),
+          wordShingles(col(textCol), 2, distinct = false)).as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col(idCol), col("__t"),
+        explode(transform(col("__g"),
+          g => hashBucket(g, buckets))).as("bucket"))
+    val counts = grams.groupBy(col("bucket")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("t_cnt"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("r_cnt"))
+    val totals = counts.agg(sum(col("t_cnt")).as("t_total"),
+      sum(col("r_cnt")).as("r_total"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("w_bp",
+        expr(s"CAST((t_cnt + 1) * 10000 DIV (t_total + $buckets) AS BIGINT)" +
+          s" - CAST((r_cnt + 1) * 10000 DIV (r_total + $buckets) AS BIGINT)"))
+      .select(col("bucket"), col("w_bp"))
+    grams.filter(!col("__t"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_bp")).as("sum_w_bp"))
+      .withColumn("dsir_w",
+        round(col("sum_w_bp").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
+  /** The selection step over [[dsirScore]]: the top `n` raw documents by
+    * importance, ties toward the smaller id (deterministic under any
+    * partitioning). Runs as a distributed TakeOrdered — every partition
+    * keeps a bounded heap, the driver merges n rows — which is the right
+    * plan while n is report-sized; selecting a corpus-scale fraction
+    * should instead threshold on `dsir_w` (approx_percentile for the
+    * cutoff, then a scan-side filter) so no global order is ever
+    * materialized. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, n: Int, buckets: Int = 1024): DataFrame = {
+    require(n > 0)
+    dsirScore(docs, idCol, textCol, isTarget, buckets)
+      .orderBy(col("dsir_w").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Deterministic "random" k-per-group sample: the k rows whose key hash
     * sorts lowest within each group. One shuffle on the group columns;
     * rank-k per group, so output is `k × |groups|` regardless of skew. */

@@ -212,6 +212,18 @@ object PipelineQueries {
       Dedup.deltaExactSubstrApply(delta, idx, "text")
     }),
 
+    // DSIR importance selection (Xie et al. 2023): the classifier-free
+    // "pick raw docs that look like the curated seed" selection step —
+    // hashed unigram+bigram models of the seed (src0, the t15 seed
+    // convention) and the raw remainder, per-doc importance = integer-bp
+    // probability difference summed over gram occurrences, top-100 by
+    // the per-gram average (ties to the smaller id). Model table is
+    // `buckets` rows (bounded, broadcast); scoring shuffles ≈ one row
+    // per doc (the t15 ledger); the top-n is a distributed TakeOrdered.
+    "p17_dsir_select" -> ((s, dir) =>
+      graft.operators.Sampling.dsirSelect(docs(s, dir), "doc_id", "text",
+        isTarget = col("source") === "src0", n = 100, buckets = 1024)),
+
     // The v3 composed build (see [[corpusBuildV3FromSurvivors]]): v2's
     // chain with the sqrt-temperature mix stage swapped for p15's
     // stated-proportion target-mixture solve (uniform 2000 bp token share
@@ -1832,6 +1844,43 @@ object PipelineQueries {
          SELECT doc_id, lang, n_tokens, pack_id, quality_bp, bucket, split, repeats,
                 CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch_idx
          FROM rep""",
+    // DSIR selection: hashed unigram+bigram multisets (no DISTINCT — the
+    // paper's raw counts), the p01 md5-bucket mirror, Laplace-smoothed
+    // integer-bp probabilities with `//` (all operands positive, so
+    // DuckDB floor-div == Spark DIV), and t14's one
+    // final division-then-round(4).
+    "p17_dsir_select" ->
+      """WITH w AS (SELECT doc_id, source,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              g AS (SELECT doc_id, source, unnest(ws) AS gram FROM w
+                    UNION ALL
+                    SELECT doc_id, source,
+                           unnest(list_transform(generate_series(1, len(ws) - 1),
+                             i -> concat_ws(' ', ws[i], ws[i+1]))) AS gram
+                    FROM w WHERE len(ws) >= 2),
+              h AS (SELECT doc_id, source = 'src0' AS t,
+                           CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS bucket
+                    FROM g),
+              c AS (SELECT bucket,
+                           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+                           CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS r_cnt
+                    FROM h GROUP BY 1),
+              tt AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_total,
+                            CAST(sum(r_cnt) AS BIGINT) AS r_total FROM c),
+              m AS (SELECT bucket,
+                           CAST((t_cnt + 1) * 10000 // (t_total + 1024) AS BIGINT)
+                         - CAST((r_cnt + 1) * 10000 // (r_total + 1024) AS BIGINT) AS w_bp
+                    FROM c CROSS JOIN tt),
+              s AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                           CAST(sum(m.w_bp) AS BIGINT) AS sum_w_bp
+                    FROM h JOIN m USING (bucket) WHERE NOT h.t
+                    GROUP BY 1)
+         SELECT doc_id, n_grams, sum_w_bp,
+                round(CAST(sum_w_bp AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS dsir_w
+         FROM s
+         ORDER BY dsir_w DESC, doc_id
+         LIMIT 100""",
     // The v3 composed build: p13's CTE chain verbatim except the mixture
     // CTEs — doc-count sqrt temperature becomes the p15 token-share solve
     // (uniform stated 2000 bp per language; binding language admits all,

@@ -444,6 +444,20 @@ object Stress {
             col("text"), col("source"))),
         "doc_id", "text", col("source") === "src0").count()
     }
+    // p17 with the production shape: the target (seed) corpus is PINNED
+    // (base src0) while the scored raw corpus scales — model table stays
+    // `buckets` rows, scoring is a broadcast probe + one-row-per-doc
+    // aggregate, so the curve must be linear in the corpus like t15's.
+    time("dsir_select") {
+      val seed = graft.sources.Sources.table(spark, dir, "documents")
+        .filter(col("source") === "src0")
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          col("text"), col("source"))
+      graft.operators.Sampling.dsirSelect(
+        docs.select(col("doc_id"), col("text"), lit("corpus").as("source"))
+          .unionAll(seed),
+        "doc_id", "text", col("source") === "src0", n = 100).count()
+    }
     // p15: the solve is arithmetic over |groups| rows; admission is a
     // map-side broadcast join — the curve must track the bare scan.
     time("target_mixture") {
