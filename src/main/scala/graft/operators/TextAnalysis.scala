@@ -301,4 +301,76 @@ object TextAnalysis {
         round(sum(col("p_bp")).cast("double") / count(lit(1)).cast("double"), 4)
           .as("lm_score_bp"))
   }
+
+  /** Per-doc positional "lines" — the d08 chunk convention (non-
+    * overlapping `lineTokens`-word windows, the line analogue this
+    * newline-free corpus supports): (idCol, line_idx, h) with h =
+    * md5(space-joined window). Scan-side (codegen'd tokenize + slice);
+    * shared by the boilerplate build and scrub halves so the two can
+    * never drift on window geometry. */
+  private[graft] def docLines(docs: DataFrame, idCol: String, textCol: String,
+                              lineTokens: Int,
+                              extra: Seq[String] = Nil): DataFrame = {
+    val c = lineTokens
+    val keep = (idCol +: extra).map(col)
+    docs
+      .select(keep :+ graft.functions.WordShingles
+        .wordShingles(col(textCol), 1, distinct = false).as("ws"): _*)
+      .filter(size(col("ws")) >= 1)
+      .select(keep :+ posexplode(expr(
+        s"transform(sequence(0, (size(ws)-1) DIV $c), " +
+          s"i -> array_join(slice(ws, i*$c+1, $c), ' '))"))
+        .as(Seq("line_idx", "line")): _*)
+  }
+
+  /** The standing boilerplate artifact: md5 hashes of every "line" whose
+    * DOCUMENT frequency reaches `minDocs` — nav bars, cookie banners,
+    * license headers; the lines RefinedWeb/CCNet-style curation cuts
+    * from EVERY document (unlike d08's chunk dedup and d16's span
+    * apply, which keep the first copy — boilerplate's first copy is
+    * still noise). One hash aggregate whose map-side partials collapse
+    * per-partition repeats; the output is the corpus' repeated-line
+    * set — small in practice and the equi-join side of every apply. */
+  def boilerplateLineTable(docs: DataFrame, idCol: String, textCol: String,
+                           lineTokens: Int = 16, minDocs: Int = 4): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would flag every line: $minDocs")
+    docLines(docs, idCol, textCol, lineTokens)
+      .groupBy(md5(col("line")).as("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+  }
+
+  /** Cut every flagged line from every document and rebuild the text in
+    * line order: (idCol, n_lines, n_cut_lines, clean_text). The probe is
+    * a left join on the line hash (AQE broadcasts the flagged table when
+    * it is small — the expected regime); the rebuild is one per-doc
+    * aggregate (sort_array over (line_idx, line) structs — per-doc
+    * state, never a window over the corpus). Docs whose every line is
+    * boilerplate survive with empty clean_text, so the op composes as a
+    * map of the corpus, not a filter. */
+  def scrubBoilerplateAgainst(docs: DataFrame, idCol: String, textCol: String,
+                              flagged: DataFrame,
+                              lineTokens: Int = 16): DataFrame = {
+    val flag = flagged.select(col("h")).distinct().withColumn("cut", lit(1))
+    docLines(docs, idCol, textCol, lineTokens)
+      .withColumn("h", md5(col("line")))
+      .join(flag, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("cut")).as("n_cut_lines"),
+        array_join(transform(
+          sort_array(collect_list(when(col("cut").isNull,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), " ").as("clean_text"))
+  }
+
+  /** [[boilerplateLineTable]] + [[scrubBoilerplateAgainst]] over the same
+    * corpus — the one-shot batch form (the build/apply split exists for
+    * the ingest twins, where the table is the standing artifact). */
+  def scrubBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       lineTokens: Int = 16, minDocs: Int = 4): DataFrame =
+    scrubBoilerplateAgainst(docs, idCol, textCol,
+      boilerplateLineTable(docs, idCol, textCol, lineTokens, minDocs),
+      lineTokens)
 }

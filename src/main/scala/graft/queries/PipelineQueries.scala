@@ -166,6 +166,12 @@ object PipelineQueries {
     }))
 
   /** Round 10: the ExactSubstr family's APPLY step. */
+  /** Exactly 16 words — one full line at the t16 window width, so the
+    * planted banner IS line 0 and the original windows stay aligned
+    * behind it. The oracle interpolates the same constant. */
+  private val BoilerplateBanner =
+    "subscribe to our newsletter click here to accept all cookies and terms of service today now"
+
   private def round10Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Span-level ExactSubstr apply (Lee et al.): d15 names the duplicated
     // PAIRS; this emits the duplicated SPANS (keep-first: the globally
@@ -210,6 +216,21 @@ object PipelineQueries {
       val idx = Dedup.memoizedGramIndex(corpus, "doc_id", "text",
         k = 10, maxGramDocs = 256, cacheKey = dir + "#gidx")
       Dedup.deltaExactSubstrApply(delta, idx, "text")
+    }),
+
+    // Boilerplate line removal (RefinedWeb/CCNet-style): cut every
+    // "line" (16-token window, the d08 chunk convention) whose document
+    // frequency reaches 4 from EVERY document — unlike d08/d16, the
+    // first copy dies too, because a cookie banner's first copy is still
+    // noise. Docs = 0 mod 5 get a 16-word banner planted at line 0 (the
+    // oracle plants the identical banner), so the flagged set, the cuts,
+    // and the untouched remainder are all driver-visible.
+    "t16_boilerplate_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat_ws(" ", lit(BoilerplateBanner), col("text")))
+          .otherwise(col("text")).as("text"))
+      TA.scrubBoilerplate(d, "doc_id", "text", lineTokens = 16, minDocs = 4)
     }),
 
     // DSIR importance selection (Xie et al. 2023): the classifier-free
@@ -1844,6 +1865,30 @@ object PipelineQueries {
          SELECT doc_id, lang, n_tokens, pack_id, quality_bp, bucket, split, repeats,
                 CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch_idx
          FROM rep""",
+    // Boilerplate scrub: d08's window CTE verbatim, doc-frequency flag,
+    // cuts via the NULL-skipping string_agg (coalesced — an all-
+    // boilerplate doc keeps an empty clean_text row, same as the
+    // engine's array_join over the empty kept set).
+    "t16_boilerplate_scrub" ->
+      s"""WITH d AS (SELECT doc_id,
+                            CASE WHEN doc_id % 5 = 0
+                                 THEN '$BoilerplateBanner ' || text
+                                 ELSE text END AS text
+                     FROM documents),
+              t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM d),
+              l AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(ws) - 1) // 16),
+                             i -> {'line_idx': i, 'line': array_to_string(ws[i*16+1 : i*16+16], ' ')})) AS u
+                    FROM t WHERE len(ws) >= 1),
+              e AS (SELECT doc_id, u.line_idx AS line_idx, u.line AS line FROM l),
+              f AS (SELECT md5(line) AS h FROM e
+                    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 4)
+         SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(count(f.h) AS BIGINT) AS n_cut_lines,
+                coalesce(string_agg(CASE WHEN f.h IS NULL THEN e.line END,
+                                    ' ' ORDER BY e.line_idx), '') AS clean_text
+         FROM e LEFT JOIN f ON md5(e.line) = f.h
+         GROUP BY 1""",
     // DSIR selection: hashed unigram+bigram multisets (no DISTINCT — the
     // paper's raw counts), the p01 md5-bucket mirror, Laplace-smoothed
     // integer-bp probabilities with `//` (all operands positive, so

@@ -294,6 +294,43 @@ object EventStreams {
         array_join(col("__clean"), " ").as("clean_text"))
   }
 
+  /** Streaming boilerplate scrub — [[graft.operators.TextAnalysis
+    * .scrubBoilerplateAgainst]]'s ingest twin (t16): arriving documents'
+    * lines (the d08 window geometry, built scan-side) probe the STATIC
+    * flagged-line table in a stream-static left join, flagged windows
+    * are cut, and the text is rebuilt in one windowed per-doc aggregate
+    * — the [[exactSubstrApplyStream]] shape. The flagged table is the
+    * standing artifact the batch build produces
+    * ([[graft.operators.TextAnalysis.boilerplateLineTable]]); a stream
+    * cannot compute document frequency in-flight (no cross-doc state
+    * before the join), which is exactly why the threshold lives in the
+    * artifact. An (id, line_idx) watermarked dedup ahead of the
+    * aggregate makes replays cut exactly-once. Docs with no tokens never
+    * reach the aggregate (the batch op's contract).
+    *
+    * Output: append-mode (idCol, n_lines, n_cut_lines, clean_text). */
+  def boilerplateScrubStream(docs: DataFrame, idCol: String, textCol: String,
+                             tsCol: String, flagged: DataFrame,
+                             lineTokens: Int = 16,
+                             watermarkDelay: String = "10 minutes",
+                             windowDuration: String = "10 minutes"): DataFrame = {
+    val flag = flagged.select(col("h")).distinct().withColumn("cut", lit(1))
+    graft.operators.TextAnalysis
+      .docLines(docs.withWatermark(tsCol, watermarkDelay), idCol, textCol,
+        lineTokens, extra = Seq(tsCol))
+      .dropDuplicatesWithinWatermark(idCol, "line_idx")
+      .withColumn("h", md5(col("line")))
+      .join(flag, Seq("h"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("cut")).as("n_cut_lines"),
+        array_join(transform(
+          sort_array(collect_list(when(col("cut").isNull,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), " ").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_cut_lines"), col("clean_text"))
+  }
+
   /** Streaming embedding near-dup admission — [[graft.operators.Dedup
     * .deltaEmbeddingNearDups]]'s streaming twin, giving the VECTOR
     * geometry the same ingest-time gate the text geometries have

@@ -444,6 +444,22 @@ object Stress {
             col("text"), col("source"))),
         "doc_id", "text", col("source") === "src0").count()
     }
+    // t16: every replica's planted docs carry the same 16-word banner, so
+    // the flagged-line table stays tiny while the corpus scales; the
+    // scrub (hash equi-join + per-doc rebuild) must be linear in the
+    // corpus. Replica text perturbation does NOT break the banner (it is
+    // prepended after scaling), so cut lines track planted docs 1:1.
+    time("boilerplate_scrub") {
+      val banner = "subscribe to our newsletter click here to accept " +
+        "all cookies and terms of service today now"
+      val d = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat_ws(" ", lit(banner), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.TextAnalysis
+        .scrubBoilerplate(d, "doc_id", "text", lineTokens = 16, minDocs = 4)
+        .count()
+    }
     // p17 with the production shape: the target (seed) corpus is PINNED
     // (base src0) while the scored raw corpus scales — model table stays
     // `buckets` rows, scoring is a broadcast probe + one-row-per-doc

@@ -588,4 +588,59 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.toSet == Set((201L, 100L), (201L, 101L)))
     } finally q.stop()
   }
+
+  test("streaming boilerplate scrub probes the static flagged-line table, matches the batch apply") {
+    import java.sql.Timestamp
+    import graft.operators.TextAnalysis
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    val banner =
+      "b01 b02 b03 b04 b05 b06 b07 b08 b09 b10 b11 b12 b13 b14 b15 b16"
+    // Offline: the standing flagged-line artifact from a corpus where the
+    // banner reaches the document-frequency threshold.
+    val corpus = (0L until 4L).map(i =>
+      (i, s"$banner " + (0 until 20).map(j => s"c${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.boilerplateLineTable(
+      corpus, "doc_id", "text", lineTokens = 16, minDocs = 4)
+    // Online: 201 carries the banner mid-doc, 202 is clean, 203 is ALL
+    // banner; 201 is replayed in the second microbatch.
+    val head16 = (1 to 16).map(i => s"h$i").mkString(" ")
+    val arriving = Seq(
+      (201L, ts(0), s"$head16 $banner tail_a tail_b"),
+      (202L, ts(1), (1 to 20).map(i => s"z$i").mkString(" ")),
+      (203L, ts(2), banner))
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.boilerplateScrubStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", flagged,
+        lineTokens = 16, watermarkDelay = "1 minute",
+        windowDuration = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("boiler_out").start()
+    try {
+      memStream.addData(arriving: _*)
+      q.processAllAvailable()
+      // REPLAY doc 201, then advance the watermark so windows emit.
+      memStream.addData((201L, ts(0), s"$head16 $banner tail_a tail_b"))
+      q.processAllAvailable()
+      memStream.addData((999L, ts(120), (1 to 5).map(i => s"w$i").mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("boiler_out")
+        .select($"doc_id", $"n_lines", $"n_cut_lines", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got.size == got.map(_._1).toSet.size,
+        s"a replayed doc must land once, not twice: $got")
+      val batch = TextAnalysis.scrubBoilerplateAgainst(
+          arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
+          "doc_id", "text", flagged, lineTokens = 16)
+        .select($"doc_id", $"n_lines", $"n_cut_lines", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got.filter(_._1 != 999L).toSet == batch,
+        s"stream ${got.toSet} vs batch $batch")
+      assert(got.find(_._1 == 201L).get ===
+        ((201L, 3L, 1L, s"$head16 tail_a tail_b")))
+      assert(got.find(_._1 == 203L).get === ((203L, 1L, 1L, "")))
+    } finally q.stop()
+  }
 }
