@@ -409,33 +409,66 @@ object Sampling {
     * Output: (idCol, n_grams, sum_w_bp, dsir_w) for every non-target doc
     * with at least one gram. */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
-                isTarget: Column, buckets: Int = 1024): DataFrame = {
+                isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirScoreAgainst(docs.filter(!isTarget), idCol, textCol,
+      dsirModelTable(docs, textCol, isTarget, buckets), buckets)
+
+  /** The standing DSIR artifact: the DENSE `buckets`-row weight table
+    * (bucket, w_bp) — dense so any future document scores against it,
+    * including one whose grams hash to buckets neither fit corpus ever
+    * saw (those get the pure-smoothing weight; a sparse table would
+    * silently drop them from the doc's gram count). Totals ride a
+    * broadcast 1-row aggregate — no driver action anywhere. This is
+    * what [[dsirScoreAgainst]] and the streaming twin probe, the
+    * build/apply split every standing artifact here has. */
+  def dsirModelTable(docs: DataFrame, textCol: String, isTarget: Column,
+                     buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
-    import graft.functions.WordShingles.wordShingles
-    val grams = docs
-      .select(col(idCol), isTarget.as("__t"),
-        concat(wordShingles(col(textCol), 1, distinct = false),
-          wordShingles(col(textCol), 2, distinct = false)).as("__g"))
-      .filter(size(col("__g")) > 0)
-      .select(col(idCol), col("__t"),
-        explode(transform(col("__g"),
-          g => hashBucket(g, buckets))).as("bucket"))
-    val counts = grams.groupBy(col("bucket")).agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("t_cnt"),
-      sum(when(!col("__t"), 1L).otherwise(0L)).as("r_cnt"))
+    val counts = dsirGrams(docs, textCol, isTarget.as("__t"), buckets)
+      .groupBy(col("bucket")).agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("t_cnt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("r_cnt"))
     val totals = counts.agg(sum(col("t_cnt")).as("t_total"),
       sum(col("r_cnt")).as("r_total"))
-    val model = counts.crossJoin(broadcast(totals))
+    docs.sparkSession.range(0, buckets).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("t_cnt", "r_cnt"))
+      .crossJoin(broadcast(totals))
       .withColumn("w_bp",
         expr(s"CAST((t_cnt + 1) * 10000 DIV (t_total + $buckets) AS BIGINT)" +
           s" - CAST((r_cnt + 1) * 10000 DIV (r_total + $buckets) AS BIGINT)"))
       .select(col("bucket"), col("w_bp"))
-    grams.filter(!col("__t"))
-      .join(broadcast(model), Seq("bucket"))
+  }
+
+  /** Score any frame against a prebuilt [[dsirModelTable]] — the apply
+    * half: scan-side gram buckets, a broadcast probe of the
+    * `buckets`-row weight table, one per-doc aggregate (map-side
+    * partials collapse each doc's grams before the shuffle — the t15
+    * ledger). Docs with no grams are absent, the [[dsirScore]]
+    * contract. */
+  def dsirScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+                       model: DataFrame, buckets: Int = 1024): DataFrame =
+    dsirGrams(docs, textCol, lit(false).as("__t"), buckets, Seq(idCol))
+      .join(broadcast(model.select(col("bucket"), col("w_bp"))), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(col("w_bp")).as("sum_w_bp"))
       .withColumn("dsir_w",
         round(col("sum_w_bp").cast("double") / col("n_grams").cast("double"), 4))
+
+  /** Shared scan-side gram→bucket pass (unigram+bigram multisets, the
+    * md5 bucket hash) so the model build and every apply agree on
+    * feature geometry by construction. */
+  private def dsirGrams(docs: DataFrame, textCol: String, tag: Column,
+                        buckets: Int, extra: Seq[String] = Nil): DataFrame = {
+    import graft.functions.WordShingles.wordShingles
+    docs
+      .select(extra.map(col) :+ tag :+
+        concat(wordShingles(col(textCol), 1, distinct = false),
+          wordShingles(col(textCol), 2, distinct = false)).as("__g"): _*)
+      .filter(size(col("__g")) > 0)
+      .select(extra.map(col) :+ col("__t") :+
+        explode(transform(col("__g"),
+          g => hashBucket(g, buckets))).as("bucket"): _*)
   }
 
   /** The selection step over [[dsirScore]]: the top `n` raw documents by

@@ -294,6 +294,48 @@ object EventStreams {
         array_join(col("__clean"), " ").as("clean_text"))
   }
 
+  /** Streaming DSIR importance scoring — [[graft.operators.Sampling
+    * .dsirScoreAgainst]]'s ingest twin (p17): arriving documents score
+    * against the STATIC dense `buckets`-row weight table
+    * ([[graft.operators.Sampling.dsirModelTable]], the standing
+    * artifact) in-flight — the admission signal a quality-gated ingest
+    * routes on. A stream cannot fit the raw-corpus half of the model
+    * in-flight (no global counts), which is exactly why the model is an
+    * offline artifact here, like the boilerplate threshold and the gram
+    * index caps.
+    *
+    * Gram buckets are scan-side (stateless); the probe is a broadcast
+    * stream-static join; the per-doc sum is one windowed aggregate
+    * (watermark-evicted). An (id, gram_idx) watermarked dedup ahead of
+    * the aggregate makes replays score exactly-once instead of
+    * double-counting gram occurrences — positional, because DSIR counts
+    * MULTISET occurrences, so a same-gram repeat at a different position
+    * must survive the dedup (the seedScoreStream argument, shifted from
+    * distinct grams to positions).
+    *
+    * Output: append-mode (idCol, n_grams, sum_w_bp, dsir_w). */
+  def dsirScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, model: DataFrame,
+                      buckets: Int = 1024,
+                      watermarkDelay: String = "10 minutes",
+                      windowDuration: String = "10 minutes"): DataFrame = {
+    import graft.functions.WordShingles.wordShingles
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol),
+        posexplode(transform(
+          concat(wordShingles(col(textCol), 1, distinct = false),
+            wordShingles(col(textCol), 2, distinct = false)),
+          g => graft.operators.Sampling.hashBucket(g, buckets)))
+          .as(Seq("gram_idx", "bucket")))
+      .dropDuplicatesWithinWatermark(idCol, "gram_idx")
+      .join(broadcast(model.select(col("bucket"), col("w_bp"))), Seq("bucket"))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_bp")).as("sum_w_bp"))
+      .withColumn("dsir_w",
+        round(col("sum_w_bp").cast("double") / col("n_grams").cast("double"), 4))
+      .select(col(idCol), col("n_grams"), col("sum_w_bp"), col("dsir_w"))
+  }
+
   /** Streaming boilerplate scrub — [[graft.operators.TextAnalysis
     * .scrubBoilerplateAgainst]]'s ingest twin (t16): arriving documents'
     * lines (the d08 window geometry, built scan-side) probe the STATIC

@@ -643,4 +643,57 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.find(_._1 == 203L).get === ((203L, 1L, 1L, "")))
     } finally q.stop()
   }
+
+  test("streaming DSIR scoring probes the static model table, matches the batch apply") {
+    import java.sql.Timestamp
+    import graft.operators.Sampling
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    // Offline: the dense model artifact fit on a seed + raw corpus.
+    val corpus = (
+      (0L until 4L).map(i => (i, "alpha beta gamma delta epsilon", "seed")) ++
+      (10L until 14L).map(i => (i, "omega psi chi phi upsilon", "raw")))
+      .toDF("doc_id", "text", "source")
+    val model = Sampling.dsirModelTable(corpus, "text",
+      col("source") === "seed", buckets = 256)
+    // Online: 201 looks like the seed (incl. a REPEATED gram — the
+    // positional dedup must keep both occurrences), 202 looks raw;
+    // 201 is replayed in the second microbatch.
+    val arriving = Seq(
+      (201L, ts(0), "alpha beta alpha beta"),
+      (202L, ts(1), "omega psi chi"))
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.dsirScoreStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", model, buckets = 256,
+        watermarkDelay = "1 minute", windowDuration = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_out").start()
+    try {
+      memStream.addData(arriving: _*)
+      q.processAllAvailable()
+      memStream.addData((201L, ts(0), "alpha beta alpha beta"))
+      q.processAllAvailable()
+      memStream.addData((999L, ts(120), "w1 w2"))
+      q.processAllAvailable()
+      val got = spark.table("dsir_out")
+        .select($"doc_id", $"n_grams", $"sum_w_bp", $"dsir_w")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got.size == got.map(_._1).toSet.size,
+        s"a replayed doc must land once, not twice: $got")
+      val batch = Sampling.dsirScoreAgainst(
+          arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
+          "doc_id", "text", model, buckets = 256)
+        .select($"doc_id", $"n_grams", $"sum_w_bp", $"dsir_w")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got.filter(_._1 != 999L).toSet == batch,
+        s"stream ${got.toSet} vs batch $batch")
+      // Multiset semantics survived the positional dedup: 4 unigrams +
+      // 3 bigrams = 7 gram occurrences, repeats included.
+      assert(got.find(_._1 == 201L).get._2 === 7L)
+      val seedish = got.find(_._1 == 201L).get._4
+      val rawish = got.find(_._1 == 202L).get._4
+      assert(seedish > rawish, s"seed-like $seedish !> raw-like $rawish")
+    } finally q.stop()
+  }
 }
