@@ -294,6 +294,62 @@ object EventStreams {
         array_join(col("__clean"), " ").as("clean_text"))
   }
 
+  /** Streaming ANN serving — the similarity family's ingest twin (the
+    * dedup/decontamination twins gate arriving DOCUMENTS; this serves
+    * arriving QUERIES): each query vector probes a static prebuilt
+    * [[graft.operators.SimilaritySearch.IvfIndex]] in-flight and emits
+    * its top-k neighbours — the online-retrieval path over the offline
+    * index artifact.
+    *
+    * The batch probe ranks probe cells with a per-query window
+    * (row_number), which streams cannot run — so cell selection here is
+    * SCAN-side: the centroid table is a literal array (it is
+    * broadcast-sized by construction), and one sort/slice HOF picks the
+    * nProbe nearest cells per query row, stateless, inside codegen. The
+    * candidate join is stream-static on the cell id; the only stateful
+    * operators are the watermarked query dedup (replays serve
+    * exactly-once) and one windowed per-query aggregate that assembles
+    * top-k — ordered exactly like the batch GroupTopK (cos desc, id
+    * asc), so stream and batch agree row-for-row.
+    *
+    * Output: append-mode (q_id, topk: array<struct<n_id, cos, rnk>>) —
+    * the serving answer shape, one row per query. */
+  def ivfProbeStream(queries: DataFrame, idCol: String, vecCol: String,
+                     tsCol: String,
+                     index: graft.operators.SimilaritySearch.IvfIndex,
+                     k: Int, nProbe: Int = 4,
+                     watermarkDelay: String = "10 minutes",
+                     windowDuration: String = "10 minutes"): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    require(index.centroids.nonEmpty,
+      "ivfProbeStream needs a non-empty index (an empty one answers nothing)")
+    val centArr = array(index.centroids.map { case (i, c) =>
+      struct(lit(i).as("cell"), typedlit(c.toSeq).as("cvec"))
+    }.toIndexedSeq: _*)
+    val probes = queries.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol).as("q_id"), col(tsCol), col(vecCol).as("qv"),
+        explode(transform(
+          slice(array_sort(transform(centArr, c =>
+            struct((-cosineSim(col(vecCol), c.getField("cvec"))).as("negcos"),
+              c.getField("cell").as("cell")))), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    probes
+      .join(index.assigned.select(col(index.idCol).as("n_id"),
+        col(index.vecCol).as("nv"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("nv")))
+      .groupBy(window(col(tsCol), windowDuration), col("q_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("cos")).as("negcos"), col("n_id").as("n_id")))), 1, k)
+        .as("__top"))
+      .select(col("q_id"),
+        transform(col("__top"), (s, i) =>
+          struct(s.getField("n_id").as("n_id"),
+            round(-s.getField("negcos"), 4).as("cos"),
+            (i + 1).cast("int").as("rnk"))).as("topk"))
+  }
+
   /** Streaming DSIR importance scoring — [[graft.operators.Sampling
     * .dsirScoreAgainst]]'s ingest twin (p17): arriving documents score
     * against the STATIC dense `buckets`-row weight table

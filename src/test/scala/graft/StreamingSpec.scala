@@ -696,4 +696,51 @@ class StreamingSpec extends SparkSpecBase {
       assert(seedish > rawish, s"seed-like $seedish !> raw-like $rawish")
     } finally q.stop()
   }
+
+  test("streaming IVF probe serves arriving queries against the static index, matches the batch probe") {
+    import java.sql.Timestamp
+    import graft.operators.SimilaritySearch
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => if (d == i % 8) 1.0 else 0.1 * ((i + d) % 3))
+    // Offline: the index over corpus + the (known) query vectors — the
+    // batch probe can only rank queries the index carries, so equality
+    // is checked on exactly those.
+    val all = ((1 to 30).map(i => (i.toLong, vec(i))) ++
+      Seq((901L, vec(3)), (902L, vec(7)))).toDF("vec_id", "v")
+    val idx = SimilaritySearch.buildIvfIndex(all, "vec_id", "v", nCells = 4)
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Seq[Double])](spark, 1)
+    val q = EventStreams.ivfProbeStream(
+        memStream.toDS().toDF("vec_id", "ts", "v"),
+        "vec_id", "v", "ts", idx, k = 3, nProbe = 2,
+        watermarkDelay = "1 minute", windowDuration = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivf_serve_out").start()
+    try {
+      memStream.addData((901L, ts(0), vec(3)), (902L, ts(1), vec(7)))
+      q.processAllAvailable()
+      // REPLAY query 901, then advance the watermark so windows emit.
+      memStream.addData((901L, ts(0), vec(3)))
+      q.processAllAvailable()
+      memStream.addData((999L, ts(120), vec(5)))
+      q.processAllAvailable()
+      val got = spark.table("ivf_serve_out")
+        .select($"q_id", explode($"topk").as("t"))
+        .select($"q_id", $"t.n_id", $"t.cos", $"t.rnk")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(got.map(_._1).distinct.sorted ==
+        got.filter(_._4 == 1).map(_._1).sorted,
+        s"every served query has a rank-1 row: $got")
+      assert(got.count(_._4 == 1) == got.map(_._1).distinct.size,
+        s"a replayed query must be served once, not twice: $got")
+      val batch = SimilaritySearch
+        .probeIvf(idx, col("vec_id").isin(901L, 902L), k = 3, nProbe = 2)
+        .select($"q_id", $"n_id", $"cos", $"rnk".cast("int"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got.filter(_._1 != 999L).toSet == batch,
+        s"stream ${got.toSet} vs batch $batch")
+    } finally q.stop()
+    idx.unpersist()
+  }
 }
