@@ -298,17 +298,24 @@ object SimilaritySearch {
     * rule instead of n².
     *
     * Both fit levels see only the hash-sample (the [[buildIvfIndex]]
-    * discipline; the k1 fine fits partition ONE cached sample). The fine
-    * assignment is scan-side: the per-group fine-centroid table (nCells
-    * rows total) broadcasts, a map-side hash join on the coarse cell
-    * attaches each vector's candidate array, and a codegen'd argmin HOF
-    * picks the cell via the dot identity argmin‖v−c‖² = argmin(‖c‖² −
-    * 2·v·c) — no shuffle anywhere in the assignment plan, exactly like
-    * the flat transform it replaces. Fine centroids ARE the cells, so
-    * [[probeIvf]]/[[probeIvfPq]]/[[IvfIndex.save]] work unchanged on the
-    * result; recall vs the flat build differs only through the usual
-    * hierarchical-quantizer edge loss (a vector near a coarse boundary
-    * may land in a slightly-off fine cell), which nProbe absorbs.
+    * discipline) — and because the sample is BOUNDED by contract, the
+    * fits run DRIVER-LOCAL (deterministic k-means++/Lloyd,
+    * [[localKMeans]]): one bounded collect, then zero Spark jobs until
+    * the assignment pass. A Spark ML fit pays ~10 scheduled jobs of
+    * cluster latency per fit; the k1+1 fits here would be hundreds —
+    * measured 2-4× the whole build at sf0.1 scale. The assignment is
+    * then ONE codegen scan pass with no ML transform anywhere: the
+    * coarse argmin runs over a literal centroid array, the per-group
+    * fine-centroid table (nCells rows total) broadcasts as a
+    * LocalTableScan, and both levels pick their cell via the dot
+    * identity argmin‖v−c‖² = argmin(‖c‖² − 2·v·c) inside whole-stage
+    * codegen — no shuffle anywhere in the assignment plan, and the
+    * non-codegen ML Vector path of the flat transform is gone entirely.
+    * Fine centroids ARE the cells, so [[probeIvf]]/[[probeIvfPq]]/
+    * [[IvfIndex.save]] work unchanged on the result; recall vs the flat
+    * build differs only through the usual hierarchical-quantizer edge
+    * loss (a vector near a coarse boundary may land in a slightly-off
+    * fine cell), which nProbe absorbs.
     *
     * A coarse group the sample left empty keeps its coarse centroid as a
     * single fine cell, so the cell table always covers the whole space
@@ -333,38 +340,123 @@ object SimilaritySearch {
                                             // (index.centroids truncates
                                             // to float for the probe)
 
+  /** Driver-local deterministic Lloyd's k-means with k-means++ seeding
+    * (LCG randomness — no RNG state, reproducible across runs and
+    * engines). Used by the hierarchical build, whose fit input is a
+    * BOUNDED sample by contract: at that size a local fit is
+    * microseconds, where a Spark ML fit pays ~10 scheduled jobs of
+    * cluster latency PER fit — the k1+1 fits here would be hundreds of
+    * jobs. k = 1 degrades to the mean (no Spark ML k >= 2 restriction);
+    * a cluster emptied during iteration keeps its previous center. */
+  private[graft] def localKMeans(pts: Array[Array[Double]], k: Int,
+                                 seed: Long, iters: Int = 10): Array[Array[Double]] = {
+    if (pts.isEmpty) return Array.empty
+    val n = pts.length
+    val dim = pts(0).length
+    val kk = math.max(1, math.min(k, n))
+    var state = seed * 6364136223846793005L + 1442695040888963407L
+    def nextDouble(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ init: first center uniform, then sample proportional to
+    // squared distance from the nearest chosen center.
+    val centers = Array.ofDim[Array[Double]](kk)
+    centers(0) = pts((nextDouble() * n).toInt.min(n - 1)).clone()
+    val minD = pts.map(d2(_, centers(0)))
+    var c = 1
+    while (c < kk) {
+      val total = minD.sum
+      var pick = 0
+      if (total <= 0.0) pick = (nextDouble() * n).toInt.min(n - 1)
+      else {
+        var r = nextDouble() * total
+        var i = 0
+        while (i < n - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+        pick = i
+      }
+      centers(c) = pts(pick).clone()
+      var i = 0
+      while (i < n) {
+        val d = d2(pts(i), centers(c)); if (d < minD(i)) minD(i) = d; i += 1
+      }
+      c += 1
+    }
+    // Lloyd iterations: nearest center (first index wins ties) → means.
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < kk) {
+          val d = d2(pts(i), centers(j)); if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Long](kk)
+      i = 0
+      while (i < n) {
+        val a = assign(i); cnts(a) += 1
+        var d = 0
+        while (d < dim) { sums(a)(d) += pts(i)(d); d += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (cnts(j) > 0) {
+          var d = 0
+          while (d < dim) { sums(j)(d) /= cnts(j); d += 1 }
+          centers(j) = sums(j)
+        } // empty cluster keeps its previous center
+        j += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   private[graft] def buildIvfIndexHierFull(
       emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, sampleMod: Int = 1,
-      persist: Boolean = true): HierBuild = {
-    import org.apache.spark.ml.functions.array_to_vector
+      persist: Boolean = true,
+      maxLocalFit: Int = 250000): HierBuild = {
     import graft.functions.DotProduct.dotProduct
     val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol)).as("fv"))
+    val vecs = emb.select(col(idCol), col(vecCol))
     val sampled =
-      (if (sampleMod <= 1) vecs
-       else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0))
-        .cache()
-    var fitInput = sampled
-    var fitCount = fitInput.count()
-    if (fitCount == 0 && sampleMod > 1) {
-      // Empty hash-sample: fall back to the full (tiny, < sampleMod rows)
-      // frame — the buildIvfIndex/buildPqIndex guard.
-      sampled.unpersist()
-      fitInput = vecs.cache()
-      fitCount = fitInput.count()
-    }
-    if (fitCount == 0) {
-      fitInput.unpersist()
+      if (sampleMod <= 1) vecs
+      else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    // ONE bounded collect of the fit sample — the same discipline as the
+    // centroid/codebook artifacts (the sample is chosen bounded at 100 TB;
+    // maxLocalFit makes an unbounded "sample" loud instead of an OOM).
+    // Falls back to the full frame when the hash-sample is empty (the
+    // buildIvfIndex/buildPqIndex guard).
+    var pts = sampled
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .limit(maxLocalFit + 1).collect().map(_.getSeq[Double](0).toArray)
+    if (pts.isEmpty && sampleMod > 1)
+      pts = vecs.select(transform(col(vecCol), x => x.cast("double")).as("v"))
+        .limit(maxLocalFit + 1).collect().map(_.getSeq[Double](0).toArray)
+    require(pts.length <= maxLocalFit,
+      s"hier IVF fit sample exceeds $maxLocalFit vectors — raise sampleMod " +
+        "(the coarse-quantizer fit is a bounded-sample job by design)")
+    if (pts.isEmpty) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        vecs.select(col(idCol), col(vecCol)).schema
+        vecs.schema
           .add("cell", org.apache.spark.sql.types.IntegerType, nullable = false))
       return HierBuild(IvfIndex(Array.empty, empty, idCol, vecCol),
         Array.empty, Array.empty, Array.empty)
     }
+    val fitCount = pts.length.toLong
     val k1 = math.max(1L,
       math.min(math.ceil(math.sqrt(nCells.toDouble)).toLong, fitCount)).toInt
     if (k1 < 2) {
@@ -372,7 +464,6 @@ object SimilaritySearch {
       // nCells with tiny fit input) is the honest plan. The HierBuild
       // metadata collapses to a single group so spec recomputation stays
       // well-defined.
-      fitInput.unpersist()
       val flat = buildIvfIndex(emb, idCol, vecCol, nCells, sampleMod, persist)
       val dbl = flat.centroids.map(_._2.map(_.toDouble))
       return HierBuild(flat,
@@ -380,44 +471,40 @@ object SimilaritySearch {
         Array.fill(dbl.length)(0), dbl)
     }
     val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
-    val coarse = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k1).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("__ccell")
-      .fit(fitInput)
-    val coarseAssigned = coarse.transform(fitInput)
-      .select(col("fv"), col("__ccell")).cache()
-    val groupCounts = coarseAssigned.groupBy("__ccell").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // k1 fine fits, each over one coarse slice of the cached sample; fine
-    // ids are assigned globally in coarse-group order.
+    // Both fit levels run DRIVER-LOCAL over the bounded sample: a coarse
+    // k-means++, a partition of the sample by nearest coarse center, and
+    // k1 fine fits — zero Spark jobs between the sample collect and the
+    // one assignment pass below.
+    val coarseC = localKMeans(pts, k1, seed = 42L)
+    val k1Eff = coarseC.length
+    val groups = Array.fill(k1Eff)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    pts.foreach { p =>
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < k1Eff) {
+        var s = 0.0; var d = 0
+        while (d < p.length && d < coarseC(j).length) {
+          val dx = p(d) - coarseC(j)(d); s += dx * dx; d += 1
+        }
+        if (s < bd) { bd = s; best = j }
+        j += 1
+      }
+      groups(best) += p
+    }
     val fineCentroids =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Double])]
     var nextCell = 0
-    (0 until k1).foreach { g =>
-      val cnt = groupCounts.getOrElse(g, 0L)
-      val kg = math.min(k2.toLong, cnt).toInt
-      if (cnt == 0L) {
-        fineCentroids += ((g, nextCell, coarse.clusterCenters(g).toArray))
-        nextCell += 1
-      } else if (kg < 2) {
-        // Spark ML KMeans rejects k < 2; a 1-means "fit" is the group
-        // mean (= the point itself for a single-point group).
-        val m = coarseAssigned.filter(col("__ccell") === g)
-          .select(org.apache.spark.ml.stat.Summarizer.mean(col("fv")).as("m"))
-          .head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray
-        fineCentroids += ((g, nextCell, m))
-        nextCell += 1
+    (0 until k1Eff).foreach { g =>
+      if (groups(g).isEmpty) {
+        // A coarse group the sample left empty keeps its coarse centroid
+        // as a single fine cell so the cell table covers the space.
+        fineCentroids += ((g, nextCell, coarseC(g))); nextCell += 1
       } else {
-        val m = new org.apache.spark.ml.clustering.KMeans()
-          .setK(kg).setSeed(42L + g).setMaxIter(10).setFeaturesCol("fv")
-          .fit(coarseAssigned.filter(col("__ccell") === g))
-        m.clusterCenters.foreach { c =>
-          fineCentroids += ((g, nextCell, c.toArray)); nextCell += 1
+        localKMeans(groups(g).toArray, k2, seed = 43L + g).foreach { c =>
+          fineCentroids += ((g, nextCell, c)); nextCell += 1
         }
       }
     }
-    coarseAssigned.unpersist()
-    fitInput.unpersist()
     // Per-group candidate arrays (cell, ‖c‖², c), cell-ascending so the
     // strict-< argmin breaks distance ties toward the lowest cell id.
     // ‖c‖² is a sequential left fold in double — the same accumulation
@@ -446,25 +533,44 @@ object SimilaritySearch {
       }
       spark.createDataFrame(rows, schema)
     }
-    val best = aggregate(col("fines"),
-      struct(lit(-1).as("cell"), lit(Double.MaxValue).as("d")),
-      (acc, f) => {
-        val d = f.getField("cnorm") -
-          lit(2.0) * dotProduct(col(vecCol), f.getField("cvec"))
-        when(d < acc.getField("d"),
-          struct(f.getField("cell").as("cell"), d.as("d"))).otherwise(acc)
-      })
-    val assignedPlan = coarse.transform(vecs)
+    // Assignment is ONE scan pass, zero ML transforms: the coarse argmin
+    // runs over a literal centroid array (k1 structs — broadcast-sized
+    // by construction) and the fine argmin over the joined group's
+    // candidate array, both via the dot identity argmin‖v−c‖² =
+    // argmin(‖c‖² − 2·v·c). Two traps priced in: (1) the vector column
+    // is often an ALIAS of an expensive expression (l2normalizeCol in
+    // the IVF-PQ caller) that CollapseProject would inline into every
+    // lambda reference — re-evaluated per CANDIDATE — so it is bound
+    // ONCE per row as a lambda variable (the wordNgrams one-element-
+    // transform pattern; measured 21 s → scan-speed on the 8× stress
+    // point); (2) HOF lambdas are interpreted, so the distance is
+    // computed once per candidate (transform → array_min over (d, cell)
+    // structs, lexicographic min = smallest d, ties to the lowest cell)
+    // instead of twice through a strict-< accumulator.
+    def argminCell(cands: Column, v: Column, keyField: String): Column =
+      array_min(transform(cands, f =>
+        struct((f.getField("cnorm") -
+          lit(2.0) * dotProduct(v, f.getField("cvec"))).as("d"),
+          f.getField(keyField).as("k")))).getField("k")
+    val coarseArr = array(coarseC.zipWithIndex.map { case (cc, i) =>
+      struct(lit(i).as("ccell"),
+        lit(cc.foldLeft(0.0)((a, x) => a + x * x)).as("cnorm"),
+        typedlit(cc.toSeq).as("cvec"))
+    }.toIndexedSeq: _*)
+    def bindOnce(body: Column => Column): Column =
+      element_at(transform(array(col(vecCol)), v => body(v)), 1)
+    val assignedPlan = vecs
+      .withColumn("__ccell", bindOnce(v => argminCell(coarseArr, v, "ccell")))
       .join(broadcast(finesDf), Seq("__ccell"))
-      .select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
+      .select(col(idCol), col(vecCol),
+        bindOnce(v => argminCell(col("fines"), v, "cell")).as("cell"))
     val assigned = if (persist) assignedPlan.cache() else assignedPlan
     val cents = fineCentroids.toArray
       .map { case (_, cell, c) => (cell, c.map(_.toFloat)) }
       .sortBy(_._1)
     val byCell = fineCentroids.toArray.sortBy(_._2)
     HierBuild(IvfIndex(cents, assigned, idCol, vecCol),
-      coarse.clusterCenters.map(_.toArray), byCell.map(_._1),
-      byCell.map(_._3))
+      coarseC, byCell.map(_._1), byCell.map(_._3))
   }
 
   /** Approximate top-k against a prebuilt [[IvfIndex]]: each query probes its
@@ -892,12 +998,28 @@ object SimilaritySearch {
       fitCount = fitInput.count()
     }
     val kEff = math.max(1L, math.min(k.toLong, fitCount)).toInt
-    val models = (0 until m).map { sub =>
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(kEff).setSeed(42L + sub).setMaxIter(10)
-        .setFeaturesCol(s"__fv$sub").setPredictionCol(s"__c$sub")
-        .fit(fitInput)
-    }
+    // The m per-subspace fits are independent jobs over the same cached
+    // sample — run them CONCURRENTLY (bounded pool) instead of paying m
+    // sequential job-submission + iteration latencies; results are
+    // order-preserved so codes/codebooks are identical to the
+    // sequential build.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, 8))
+    val models =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence((0 until m).map { sub =>
+            scala.concurrent.Future {
+              new org.apache.spark.ml.clustering.KMeans()
+                .setK(kEff).setSeed(42L + sub).setMaxIter(10)
+                .setFeaturesCol(s"__fv$sub").setPredictionCol(s"__c$sub")
+                .fit(fitInput)
+            }
+          }),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     fitInput.unpersist()
     val encoded = models.zipWithIndex
       .foldLeft(withSlices) { case (df, (model, _)) => model.transform(df) }

@@ -63,13 +63,16 @@ class HierIvfSpec extends SparkSpecBase {
       .as[(Long, Array[Float], Int)].collect()
     assert(assigned.length === 320)
     val byId = plantedVecs(320).toMap
+    val coarseNorms = hb.coarseCentroids.map(_.foldLeft(0.0)((a, x) => a + x * x))
     assigned.foreach { case (id, _, cell) =>
       val v = byId(id)
-      // Level 1: nearest coarse centroid, first index wins ties.
+      // Level 1: the plan's coarse argmin HOF — ‖c‖² − 2·v·c, strict <,
+      // index-ascending ties.
       var g = 0
       var gBest = Double.MaxValue
       hb.coarseCentroids.zipWithIndex.foreach { case (c, j) =>
-        val d = sqDist(v, c); if (d < gBest) { gBest = d; g = j }
+        val d = coarseNorms(j) - 2.0 * dotFold(v, c)
+        if (d < gBest) { gBest = d; g = j }
       }
       // Level 2: strict-< argmin of ‖c‖² − 2·v·c over the group's cells,
       // cell-ascending — exactly the plan's HOF.
