@@ -237,6 +237,10 @@ object SimilaritySearch {
     var fitInput =
       if (sampleMod <= 1) vecs
       else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+        // Bounded sample, possibly hundreds of inherited near-empty
+        // partitions — coalesce so KMeans iterations don't schedule a
+        // task per partition (the buildPqIndex lesson).
+        .coalesce(8)
     // KMeans cannot fit zero points (and degenerates below k points): an
     // empty/tiny corpus gets a single-cell index instead of a crash —
     // probes then scan the one cell, which IS the whole corpus.
@@ -979,9 +983,16 @@ object SimilaritySearch {
       df.withColumn(s"__fv$sub",
         array_to_vector(slice(col("__vn"), sub * subDim + 1, subDim)))
     }
+    // The hash-sample inherits the corpus' partitioning — for a replicated
+    // /union-heavy input that is hundreds of near-empty partitions, and
+    // every KMeans iteration of every fit schedules a task per partition
+    // (measured: the 16 fits were 63 s of a 32× stress build, almost all
+    // task-launch overhead). The sample is bounded by contract, so
+    // coalesce it to a handful of partitions before caching.
     val sampled =
       (if (sampleMod <= 1) withSlices
-       else withSlices.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0))
+       else withSlices.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+         .coalesce(8))
         .cache()
     // One count materializes the cached sample all m fits share; kEff
     // degrades gracefully below k points (the buildIvfIndex guard). An
@@ -1021,12 +1032,15 @@ object SimilaritySearch {
           scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
     fitInput.unpersist()
-    val encoded = models.zipWithIndex
-      .foldLeft(withSlices) { case (df, (model, _)) => model.transform(df) }
-      .select(col(idCol),
-        array((0 until m).map(sub => col(s"__c$sub")): _*).as("codes"))
-    val codes = if (persist) encoded.cache() else encoded
     val codebooks = models.map(_.clusterCenters.map(_.toArray)).toArray
+    // ONE codegen'd encode pass over the normalized vectors — the m
+    // chained ML transforms this replaces walked every row through the
+    // boxed Vector path m times and were the dominant ivf_pq_build term
+    // (≈95 s → seconds at the 32× stress point).
+    val encoded = normalized.select(col(idCol),
+      graft.functions.PqEncode.pqEncode(col("__vn"), codebooks, subDim)
+        .as("codes"))
+    val codes = if (persist) encoded.cache() else encoded
     PqIndex(codebooks, codes, m, kEff, subDim, idCol)
   }
 

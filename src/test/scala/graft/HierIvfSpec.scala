@@ -185,6 +185,28 @@ class HierIvfSpec extends SparkSpecBase {
     }
   }
 
+  test("ivfPqTopK with hierarchical cells keeps the planted-twin top-1 signal") {
+    val s = spark
+    import s.implicits._
+    // The real embeddings corpus (the s10 convention — the synthetic
+    // planted clusters quantize to colliding PQ codes, which is a
+    // property of that corpus, not of the cell assignment under test).
+    val base = graft.sources.Sources.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val top1 = SimilaritySearch
+      .ivfPqTopK(base.unionByName(twins), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10,
+        k = 1, nCells = 16, nProbe = 8, m = 8, kCodes = 64, hierCells = true)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect()
+    assert(top1.length === 10)
+    top1.foreach { case (q, n) =>
+      assert(n === q + 100000L, s"query $q top-1 was $n, not its twin")
+    }
+  }
+
   test("empty corpus still yields an empty, probe-safe index") {
     val s = spark
     import s.implicits._

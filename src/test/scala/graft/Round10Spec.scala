@@ -356,6 +356,36 @@ class Round10Spec extends SparkSpecBase {
     }
   }
 
+  test("PqEncode: hand-computed code words; codegen agrees; ties to lowest code; ragged truncates") {
+    val s = spark
+    import s.implicits._
+    // m=2 subspaces, k=3 codes, subDim=2. Codebooks [sub][code][d]:
+    val cbs = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(5.0, 5.0)),
+      Array(Array(2.0, 2.0), Array(2.0, 2.0), Array(9.0, 9.0))) // codes 0,1 tie
+    val rows = Seq(
+      (Seq(0.1f, 0.1f, 2.0f, 2.0f), Seq(0, 0)),  // near (0,0) / exact tie → 0
+      (Seq(1.2f, 0.9f, 8.5f, 9.4f), Seq(1, 2)),
+      (Seq(4.0f, 4.9f, 2.1f, 1.9f), Seq(2, 0)),
+      (Seq(0.9f, 1.1f), Seq(1, 0)))              // ragged: sub 1 sees no dims →
+                                                 // all dists 0 → lowest code
+    val got = rows.map(_._1).toDF("v")
+      .select(graft.functions.PqEncode.pqEncode(col("v"), cbs, 2).as("codes"))
+      .collect().map(_.getSeq[Int](0).toList)
+    rows.map(_._2.toList).zip(got).foreach { case (want, g) =>
+      assert(g === want, s"want $want got $g")
+    }
+    // Interpreted kernel agrees with the codegen'd column path.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val flat = Array(0.0, 0.0, 1.0, 1.0, 5.0, 5.0, 2.0, 2.0, 2.0, 2.0, 9.0, 9.0)
+    rows.foreach { case (v, want) =>
+      val direct = graft.functions.PqEncode
+        .compute(ArrayData.toArrayData(v.toArray), true, flat, 2, 3, 2)
+        .toIntArray().toList
+      assert(direct === want.toList)
+    }
+  }
+
   test("PQ: an exact planted twin is every query's top ADC hit; recall floors hold") {
     import graft.operators.SimilaritySearch
     val emb = graft.sources.Sources
