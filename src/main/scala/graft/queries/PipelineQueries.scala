@@ -97,6 +97,31 @@ object PipelineQueries {
     })
   }
 
+  private val dsirModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The p17 DSIR weight table, memoized per (session, dir) like the
+    * other standing artifacts (it is the build half of the build/apply
+    * split — two corpus-wide gram passes that the scoring probe should
+    * pay once per corpus, not once per call). Cached + materialized so
+    * repeat scores are a broadcast probe only; priced in warmup_build. */
+  private def memoizedDsirModel(s: SparkSession, dir: String): DataFrame = {
+    val it = dsirModelCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) it.remove()
+    }
+    dsirModelCache.computeIfAbsent((s, dir), { key =>
+      graft.tools.BuildTimer.time {
+        val m = graft.operators.Sampling.dsirModelTable(
+          docs(key._1, key._2), "text",
+          isTarget = col("source") === "src0", buckets = 1024).cache()
+        m.count()
+        m
+      }
+    })
+  }
+
   /** Drop EVERY memoized artifact derived from one (session, dir) — the
     * pair/components frame here plus the shared dedup-survivors frame and
     * the MinHash, IVF, and MIPS indexes (whose cacheKeys are all
@@ -109,6 +134,7 @@ object PipelineQueries {
   def invalidateDupCache(s: SparkSession, dir: String): Unit = {
     componentsCache.remove((s, dir))
     survivorsCache.remove((s, dir))
+    Option(dsirModelCache.remove((s, dir))).foreach(_.unpersist())
     Dedup.invalidateMinHashIndexCache(s, dir)
     Dedup.invalidateGramIndexCache(s, dir)
     Dedup.invalidateLshVecIndexCache(s, dir)
@@ -241,9 +267,13 @@ object PipelineQueries {
     // the per-gram average (ties to the smaller id). Model table is
     // `buckets` rows (bounded, broadcast); scoring shuffles ≈ one row
     // per doc (the t15 ledger); the top-n is a distributed TakeOrdered.
+    // Model memoized per (session, dir) — the build/apply split: repeat
+    // calls pay the broadcast probe only (the s04/s05 index convention).
     "p17_dsir_select" -> ((s, dir) =>
-      graft.operators.Sampling.dsirSelect(docs(s, dir), "doc_id", "text",
-        isTarget = col("source") === "src0", n = 100, buckets = 1024)),
+      graft.operators.Sampling.dsirScoreAgainst(
+        docs(s, dir).filter(col("source") =!= "src0"), "doc_id", "text",
+        memoizedDsirModel(s, dir), buckets = 1024)
+        .orderBy(col("dsir_w").desc, col("doc_id")).limit(100)),
 
     // The v3 composed build (see [[corpusBuildV3FromSurvivors]]): v2's
     // chain with the sqrt-temperature mix stage swapped for p15's
