@@ -411,18 +411,40 @@ object Sampling {
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
                 isTarget: Column, buckets: Int = 1024): DataFrame =
     dsirScoreAgainst(docs.filter(!isTarget), idCol, textCol,
-      dsirModelTable(docs, textCol, isTarget, buckets), buckets)
+      dsirModelTable(docs, textCol, isTarget, buckets))
 
   /** The standing DSIR artifact: the DENSE `buckets`-row weight table
     * (bucket, w_bp) — dense so any future document scores against it,
     * including one whose grams hash to buckets neither fit corpus ever
     * saw (those get the pure-smoothing weight; a sparse table would
-    * silently drop them from the doc's gram count). Totals ride a
-    * broadcast 1-row aggregate — no driver action anywhere. This is
-    * what [[dsirScoreAgainst]] and the streaming twin probe, the
-    * build/apply split every standing artifact here has. */
+    * silently drop them from the doc's gram count). The bucket count
+    * rides IN the artifact (the LshVecIndex-density principle: a probe
+    * at a different bucketing would silently hash grams into the wrong
+    * rows), with parquet save/load for the offline cycle. */
+  final case class DsirModel(weights: DataFrame, buckets: Int) {
+    def unpersist(): Unit = { weights.unpersist(); () }
+
+    def save(dir: String): Unit = {
+      val spark = weights.sparkSession
+      import spark.implicits._
+      weights.write.mode("overwrite").parquet(s"$dir/dsir_weights")
+      Seq(buckets).toDF("buckets").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/dsir_meta")
+    }
+  }
+
+  /** Load a model previously written with [[DsirModel.save]]. */
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DsirModel =
+    DsirModel(spark.read.parquet(s"$dir/dsir_weights"),
+      spark.read.parquet(s"$dir/dsir_meta").head().getInt(0))
+
+  /** Fit the [[DsirModel]]: totals ride a broadcast 1-row aggregate —
+    * no driver action anywhere. This is what [[dsirScoreAgainst]] and
+    * the streaming twin probe, the build/apply split every standing
+    * artifact here has. */
   def dsirModelTable(docs: DataFrame, textCol: String, isTarget: Column,
-                     buckets: Int = 1024): DataFrame = {
+                     buckets: Int = 1024): DsirModel = {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
     val counts = dsirGrams(docs, textCol, isTarget.as("__t"), buckets)
       .groupBy(col("bucket")).agg(
@@ -430,14 +452,16 @@ object Sampling {
         sum(when(!col("__t"), 1L).otherwise(0L)).as("r_cnt"))
     val totals = counts.agg(sum(col("t_cnt")).as("t_total"),
       sum(col("r_cnt")).as("r_total"))
-    docs.sparkSession.range(0, buckets).toDF("bucket")
-      .join(counts, Seq("bucket"), "left")
-      .na.fill(0L, Seq("t_cnt", "r_cnt"))
-      .crossJoin(broadcast(totals))
-      .withColumn("w_bp",
-        expr(s"CAST((t_cnt + 1) * 10000 DIV (t_total + $buckets) AS BIGINT)" +
-          s" - CAST((r_cnt + 1) * 10000 DIV (r_total + $buckets) AS BIGINT)"))
-      .select(col("bucket"), col("w_bp"))
+    DsirModel(
+      docs.sparkSession.range(0, buckets).toDF("bucket")
+        .join(counts, Seq("bucket"), "left")
+        .na.fill(0L, Seq("t_cnt", "r_cnt"))
+        .crossJoin(broadcast(totals))
+        .withColumn("w_bp",
+          expr(s"CAST((t_cnt + 1) * 10000 DIV (t_total + $buckets) AS BIGINT)" +
+            s" - CAST((r_cnt + 1) * 10000 DIV (r_total + $buckets) AS BIGINT)"))
+        .select(col("bucket"), col("w_bp")),
+      buckets)
   }
 
   /** Score any frame against a prebuilt [[dsirModelTable]] — the apply
@@ -447,9 +471,10 @@ object Sampling {
     * ledger). Docs with no grams are absent, the [[dsirScore]]
     * contract. */
   def dsirScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
-                       model: DataFrame, buckets: Int = 1024): DataFrame =
-    dsirGrams(docs, textCol, lit(false).as("__t"), buckets, Seq(idCol))
-      .join(broadcast(model.select(col("bucket"), col("w_bp"))), Seq("bucket"))
+                       model: DsirModel): DataFrame =
+    dsirGrams(docs, textCol, lit(false).as("__t"), model.buckets, Seq(idCol))
+      .join(broadcast(model.weights.select(col("bucket"), col("w_bp"))),
+        Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(col("w_bp")).as("sum_w_bp"))
       .withColumn("dsir_w",

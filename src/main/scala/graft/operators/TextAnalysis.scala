@@ -331,14 +331,36 @@ object TextAnalysis {
     * still noise). One hash aggregate whose map-side partials collapse
     * per-partition repeats; the output is the corpus' repeated-line
     * set — small in practice and the equi-join side of every apply. */
+  final case class BoilerplateLines(flagged: DataFrame, lineTokens: Int) {
+    def save(dir: String): Unit = {
+      val spark = flagged.sparkSession
+      import spark.implicits._
+      flagged.write.mode("overwrite").parquet(s"$dir/boiler_flagged")
+      Seq(lineTokens).toDF("line_tokens").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/boiler_meta")
+    }
+  }
+
+  /** Load an artifact previously written with [[BoilerplateLines.save]]. */
+  def loadBoilerplateLines(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): BoilerplateLines =
+    BoilerplateLines(spark.read.parquet(s"$dir/boiler_flagged"),
+      spark.read.parquet(s"$dir/boiler_meta").head().getInt(0))
+
   def boilerplateLineTable(docs: DataFrame, idCol: String, textCol: String,
-                           lineTokens: Int = 16, minDocs: Int = 4): DataFrame = {
+                           lineTokens: Int = 16,
+                           minDocs: Int = 4): BoilerplateLines = {
     require(minDocs >= 2, s"minDocs < 2 would flag every line: $minDocs")
-    docLines(docs, idCol, textCol, lineTokens)
-      .groupBy(md5(col("line")).as("h"))
-      .agg(countDistinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("h"))
+    // The window width rides IN the artifact (the LshVecIndex-density
+    // principle): an apply at a different width would silently cut
+    // nothing — geometry mismatches must be structurally impossible.
+    BoilerplateLines(
+      docLines(docs, idCol, textCol, lineTokens)
+        .groupBy(md5(col("line")).as("h"))
+        .agg(countDistinct(col(idCol)).as("df"))
+        .filter(col("df") >= minDocs)
+        .select(col("h")),
+      lineTokens)
   }
 
   /** Cut every flagged line from every document and rebuild the text in
@@ -350,10 +372,9 @@ object TextAnalysis {
     * boilerplate survive with empty clean_text, so the op composes as a
     * map of the corpus, not a filter. */
   def scrubBoilerplateAgainst(docs: DataFrame, idCol: String, textCol: String,
-                              flagged: DataFrame,
-                              lineTokens: Int = 16): DataFrame = {
-    val flag = flagged.select(col("h")).distinct().withColumn("cut", lit(1))
-    docLines(docs, idCol, textCol, lineTokens)
+                              idx: BoilerplateLines): DataFrame = {
+    val flag = idx.flagged.select(col("h")).distinct().withColumn("cut", lit(1))
+    docLines(docs, idCol, textCol, idx.lineTokens)
       .withColumn("h", md5(col("line")))
       .join(flag, Seq("h"), "left")
       .groupBy(col(idCol))
@@ -371,6 +392,5 @@ object TextAnalysis {
   def scrubBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                        lineTokens: Int = 16, minDocs: Int = 4): DataFrame =
     scrubBoilerplateAgainst(docs, idCol, textCol,
-      boilerplateLineTable(docs, idCol, textCol, lineTokens, minDocs),
-      lineTokens)
+      boilerplateLineTable(docs, idCol, textCol, lineTokens, minDocs))
 }

@@ -98,14 +98,16 @@ object PipelineQueries {
   }
 
   private val dsirModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), graft.operators.Sampling.DsirModel]()
 
   /** The p17 DSIR weight table, memoized per (session, dir) like the
     * other standing artifacts (it is the build half of the build/apply
     * split — two corpus-wide gram passes that the scoring probe should
     * pay once per corpus, not once per call). Cached + materialized so
     * repeat scores are a broadcast probe only; priced in warmup_build. */
-  private def memoizedDsirModel(s: SparkSession, dir: String): DataFrame = {
+  private def memoizedDsirModel(s: SparkSession,
+                                dir: String): graft.operators.Sampling.DsirModel = {
     val it = dsirModelCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -115,8 +117,8 @@ object PipelineQueries {
       graft.tools.BuildTimer.time {
         val m = graft.operators.Sampling.dsirModelTable(
           docs(key._1, key._2), "text",
-          isTarget = col("source") === "src0", buckets = 1024).cache()
-        m.count()
+          isTarget = col("source") === "src0", buckets = 1024)
+        m.weights.cache().count()
         m
       }
     })
@@ -272,7 +274,7 @@ object PipelineQueries {
     "p17_dsir_select" -> ((s, dir) =>
       graft.operators.Sampling.dsirScoreAgainst(
         docs(s, dir).filter(col("source") =!= "src0"), "doc_id", "text",
-        memoizedDsirModel(s, dir), buckets = 1024)
+        memoizedDsirModel(s, dir))
         .orderBy(col("dsir_w").desc, col("doc_id")).limit(100)),
 
     // The v3 composed build (see [[corpusBuildV3FromSurvivors]]): v2's

@@ -371,8 +371,8 @@ object EventStreams {
     *
     * Output: append-mode (idCol, n_grams, sum_w_bp, dsir_w). */
   def dsirScoreStream(docs: DataFrame, idCol: String, textCol: String,
-                      tsCol: String, model: DataFrame,
-                      buckets: Int = 1024,
+                      tsCol: String,
+                      model: graft.operators.Sampling.DsirModel,
                       watermarkDelay: String = "10 minutes",
                       windowDuration: String = "10 minutes"): DataFrame = {
     import graft.functions.WordShingles.wordShingles
@@ -381,10 +381,11 @@ object EventStreams {
         posexplode(transform(
           concat(wordShingles(col(textCol), 1, distinct = false),
             wordShingles(col(textCol), 2, distinct = false)),
-          g => graft.operators.Sampling.hashBucket(g, buckets)))
+          g => graft.operators.Sampling.hashBucket(g, model.buckets)))
           .as(Seq("gram_idx", "bucket")))
       .dropDuplicatesWithinWatermark(idCol, "gram_idx")
-      .join(broadcast(model.select(col("bucket"), col("w_bp"))), Seq("bucket"))
+      .join(broadcast(model.weights.select(col("bucket"), col("w_bp"))),
+        Seq("bucket"))
       .groupBy(window(col(tsCol), windowDuration), col(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(col("w_bp")).as("sum_w_bp"))
       .withColumn("dsir_w",
@@ -408,14 +409,14 @@ object EventStreams {
     *
     * Output: append-mode (idCol, n_lines, n_cut_lines, clean_text). */
   def boilerplateScrubStream(docs: DataFrame, idCol: String, textCol: String,
-                             tsCol: String, flagged: DataFrame,
-                             lineTokens: Int = 16,
+                             tsCol: String,
+                             idx: graft.operators.TextAnalysis.BoilerplateLines,
                              watermarkDelay: String = "10 minutes",
                              windowDuration: String = "10 minutes"): DataFrame = {
-    val flag = flagged.select(col("h")).distinct().withColumn("cut", lit(1))
+    val flag = idx.flagged.select(col("h")).distinct().withColumn("cut", lit(1))
     graft.operators.TextAnalysis
       .docLines(docs.withWatermark(tsCol, watermarkDelay), idCol, textCol,
-        lineTokens, extra = Seq(tsCol))
+        idx.lineTokens, extra = Seq(tsCol))
       .dropDuplicatesWithinWatermark(idCol, "line_idx")
       .withColumn("h", md5(col("line")))
       .join(flag, Seq("h"), "left")

@@ -79,9 +79,9 @@ class BoilerplateSpec extends SparkSpecBase {
     val s = spark
     import s.implicits._
     val rows = (0L until 3L).map(i => (i, bodies(3)(i.toInt)))
-    val empty = Seq.empty[String].toDF("h")
+    val empty = TextAnalysis.BoilerplateLines(Seq.empty[String].toDF("h"), 16)
     val out = TextAnalysis
-      .scrubBoilerplateAgainst(df(rows), "doc_id", "text", empty, lineTokens = 16)
+      .scrubBoilerplateAgainst(df(rows), "doc_id", "text", empty)
       .collect()
     assert(out.forall(_.getLong(2) == 0L))
     assert(out.map(r => r.getLong(0) -> r.getString(3)).toMap ===
@@ -95,11 +95,28 @@ class BoilerplateSpec extends SparkSpecBase {
     val rows = (0L until 4L).map(i => (i, s"$banner ${bs(i.toInt)}"))
     val flagged = TextAnalysis.boilerplateLineTable(
       df(rows), "doc_id", "text", lineTokens = 16, minDocs = 4)
-    def run(f: org.apache.spark.sql.DataFrame) = TextAnalysis
-      .scrubBoilerplateAgainst(df(rows), "doc_id", "text", f, lineTokens = 16)
+    def run(f: TextAnalysis.BoilerplateLines) = TextAnalysis
+      .scrubBoilerplateAgainst(df(rows), "doc_id", "text", f)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3))).sortBy(_._1).toSeq
-    assert(run(flagged) === run(flagged.unionAll(flagged)))
+    assert(run(flagged) === run(TextAnalysis.BoilerplateLines(
+      flagged.flagged.unionAll(flagged.flagged), flagged.lineTokens)))
+  }
+
+  test("artifact save/load round-trips the flagged set AND the window geometry") {
+    val bs = bodies(4)
+    val rows = (0L until 4L).map(i => (i, s"$banner ${bs(i.toInt)}"))
+    val built = TextAnalysis.boilerplateLineTable(
+      df(rows), "doc_id", "text", lineTokens = 16, minDocs = 4)
+    val d = tmpDir("boiler-idx")
+    built.save(d)
+    val loaded = TextAnalysis.loadBoilerplateLines(spark, d)
+    assert(loaded.lineTokens === 16)
+    def run(f: TextAnalysis.BoilerplateLines) = TextAnalysis
+      .scrubBoilerplateAgainst(df(rows), "doc_id", "text", f)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(run(built) === run(loaded))
   }
 
   test("minDocs < 2 is rejected loudly") {

@@ -86,6 +86,24 @@ class DsirSpec extends SparkSpecBase {
     assert(picked.sameElements(Array(10L, 11L, 12L, 13L)))
   }
 
+  test("model save/load round-trips the weights AND the bucket geometry") {
+    val seed = (0L until 3L).map(i => (i, "alpha beta gamma", "seed"))
+    val raws = (10L until 14L).map(i => (i, s"alpha omega$i psi", "raw"))
+    val corpus = df(seed ++ raws)
+    val built = Sampling.dsirModelTable(corpus, "text",
+      col("source") === "seed", buckets = 256)
+    val d = tmpDir("dsir-model")
+    built.save(d)
+    val loaded = Sampling.loadDsirModel(spark, d)
+    assert(loaded.buckets === 256)
+    def run(m: Sampling.DsirModel) = Sampling
+      .dsirScoreAgainst(corpus.filter(col("source") === "raw"),
+        "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(run(built) === run(loaded))
+  }
+
   test("plan ledger: model probe broadcasts; shuffles key only on bucket / doc_id") {
     val docs = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "documents")

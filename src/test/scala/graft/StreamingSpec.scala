@@ -614,7 +614,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = EventStreams.boilerplateScrubStream(
         memStream.toDS().toDF("doc_id", "ts", "text"),
         "doc_id", "text", "ts", flagged,
-        lineTokens = 16, watermarkDelay = "1 minute",
+        watermarkDelay = "1 minute",
         windowDuration = "5 minutes")
       .writeStream.outputMode("append").format("memory")
       .queryName("boiler_out").start()
@@ -633,7 +633,7 @@ class StreamingSpec extends SparkSpecBase {
         s"a replayed doc must land once, not twice: $got")
       val batch = TextAnalysis.scrubBoilerplateAgainst(
           arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
-          "doc_id", "text", flagged, lineTokens = 16)
+          "doc_id", "text", flagged)
         .select($"doc_id", $"n_lines", $"n_cut_lines", $"clean_text")
         .as[(Long, Long, Long, String)].collect().toSet
       assert(got.filter(_._1 != 999L).toSet == batch,
@@ -665,7 +665,7 @@ class StreamingSpec extends SparkSpecBase {
       .MemoryStream[(Long, Timestamp, String)](spark, 1)
     val q = EventStreams.dsirScoreStream(
         memStream.toDS().toDF("doc_id", "ts", "text"),
-        "doc_id", "text", "ts", model, buckets = 256,
+        "doc_id", "text", "ts", model,
         watermarkDelay = "1 minute", windowDuration = "5 minutes")
       .writeStream.outputMode("append").format("memory")
       .queryName("dsir_out").start()
@@ -683,7 +683,7 @@ class StreamingSpec extends SparkSpecBase {
         s"a replayed doc must land once, not twice: $got")
       val batch = Sampling.dsirScoreAgainst(
           arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
-          "doc_id", "text", model, buckets = 256)
+          "doc_id", "text", model)
         .select($"doc_id", $"n_grams", $"sum_w_bp", $"dsir_w")
         .as[(Long, Long, Long, Double)].collect().toSet
       assert(got.filter(_._1 != 999L).toSet == batch,
