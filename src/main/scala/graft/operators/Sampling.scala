@@ -512,6 +512,31 @@ object Sampling {
       .limit(n)
   }
 
+  /** The corpus-scale selection path [[dsirSelect]]'s scaladoc promises:
+    * admit the top `fractionBp` basis points of raw documents by
+    * importance WITHOUT ever materializing a global order. The cutoff is
+    * one `approx_percentile` aggregate over the scores (a sketch — a
+    * 1-row broadcast artifact at any corpus size, accuracy 10k ≈ ±0.01%
+    * rank error) and admission is a scan-side filter, so the plan is two
+    * passes over the scored frame and zero sorts. The realized fraction
+    * tracks `fractionBp` within the sketch's rank error (plus ties at
+    * the cutoff, which are all admitted — deterministic, no tie lottery).
+    * Use [[dsirSelect]] when n is report-sized and exact. */
+  def dsirSelectFraction(docs: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column, fractionBp: Long,
+                         buckets: Int = 1024): DataFrame = {
+    require(fractionBp >= 1 && fractionBp <= 10000,
+      s"fractionBp must be in [1, 10000]: $fractionBp")
+    val scored = dsirScore(docs, idCol, textCol, isTarget, buckets)
+    val cutoff = scored.agg(
+      percentile_approx(col("dsir_w"),
+        lit((10000L - fractionBp).toDouble / 10000.0), lit(10000))
+        .as("__cut"))
+    scored.crossJoin(broadcast(cutoff))
+      .filter(col("dsir_w") >= col("__cut"))
+      .drop("__cut")
+  }
+
   /** Deterministic "random" k-per-group sample: the k rows whose key hash
     * sorts lowest within each group. One shuffle on the group columns;
     * rank-k per group, so output is `k × |groups|` regardless of skew. */

@@ -104,6 +104,34 @@ class DsirSpec extends SparkSpecBase {
     assert(run(built) === run(loaded))
   }
 
+  test("dsirSelectFraction admits ~the top fraction with no global sort") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val scored = Sampling.dsirScore(docs, "doc_id", "text",
+      col("source") === "src0", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val picked = Sampling
+      .dsirSelectFraction(docs, "doc_id", "text", col("source") === "src0",
+        fractionBp = 2000, buckets = 1024) // top 20%
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // Size within sketch tolerance of the requested fraction.
+    val want = scored.size * 0.20
+    assert(math.abs(picked.length - want) <= math.max(3, want * 0.05),
+      s"picked ${picked.length}, wanted ~$want of ${scored.size}")
+    // Semantics: everything admitted outscores everything rejected
+    // (modulo cutoff ties, which are admitted).
+    val cut = picked.map(_._2).min
+    val rejected = scored.filterNot { case (id, _) => picked.exists(_._1 == id) }
+    assert(rejected.values.forall(_ <= cut),
+      "a rejected doc outscored an admitted one")
+    // Plan: no global sort anywhere (the exact top-n path has one).
+    val plan = Sampling.dsirSelectFraction(docs, "doc_id", "text",
+      col("source") === "src0", fractionBp = 2000, buckets = 1024)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in the fraction path:\n$plan")
+  }
+
   test("plan ledger: model probe broadcasts; shuffles key only on bucket / doc_id") {
     val docs = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "documents")
