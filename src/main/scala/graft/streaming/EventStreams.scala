@@ -326,14 +326,18 @@ object EventStreams {
     val centArr = array(index.centroids.map { case (i, c) =>
       struct(lit(i).as("cell"), typedlit(c.toSeq).as("cvec"))
     }.toIndexedSeq: _*)
+    // The query vector binds ONCE per row (the one-element-transform
+    // pattern): a caller-aliased expression column would otherwise be
+    // re-evaluated per centroid inside the ranking lambda.
     val probes = queries.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
       .select(col(idCol).as("q_id"), col(tsCol), col(vecCol).as("qv"),
-        explode(transform(
-          slice(array_sort(transform(centArr, c =>
-            struct((-cosineSim(col(vecCol), c.getField("cvec"))).as("negcos"),
-              c.getField("cell").as("cell")))), 1, nProbe),
-          s => s.getField("cell"))).as("cell"))
+        explode(element_at(transform(array(col(vecCol)), v =>
+          transform(
+            slice(array_sort(transform(centArr, c =>
+              struct((-cosineSim(v, c.getField("cvec"))).as("negcos"),
+                c.getField("cell").as("cell")))), 1, nProbe),
+            s => s.getField("cell"))), 1)).as("cell"))
     probes
       .join(index.assigned.select(col(index.idCol).as("n_id"),
         col(index.vecCol).as("nv"), col("cell")), Seq("cell"))
