@@ -483,7 +483,7 @@ object Sampling {
   /** Shared scan-side gram→bucket pass (unigram+bigram multisets, the
     * md5 bucket hash) so the model build and every apply agree on
     * feature geometry by construction. */
-  private def dsirGrams(docs: DataFrame, textCol: String, tag: Column,
+  private[graft] def dsirGrams(docs: DataFrame, textCol: String, tag: Column,
                         buckets: Int, extra: Seq[String] = Nil): DataFrame = {
     import graft.functions.WordShingles.wordShingles
     docs

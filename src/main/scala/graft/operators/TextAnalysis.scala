@@ -393,4 +393,134 @@ object TextAnalysis {
                        lineTokens: Int = 16, minDocs: Int = 4): DataFrame =
     scrubBoilerplateAgainst(docs, idCol, textCol,
       boilerplateLineTable(docs, idCol, textCol, lineTokens, minDocs))
+
+  // ---- t17: seed-vs-raw quality classifier ------------------------------
+
+  /** The trained quality-classifier artifact (the GPT-3/PaLM "WebText
+    * classifier" recipe, public method description: a linear classifier
+    * on hashed n-gram features, positives = the curated seed corpus,
+    * negatives = raw web text; documents are kept in proportion to the
+    * classifier's score). Weights are a DENSE `buckets`-row table like
+    * [[graft.operators.Sampling.DsirModel]] — geometry rides in the
+    * artifact, parquet save/load for the offline cycle. */
+  final case class QualityClassifier(weights: DataFrame, bias: Double,
+                                     buckets: Int) {
+    def save(dir: String): Unit = {
+      val spark = weights.sparkSession
+      import spark.implicits._
+      weights.write.mode("overwrite").parquet(s"$dir/qc_weights")
+      Seq((bias, buckets)).toDF("bias", "buckets").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/qc_meta")
+    }
+  }
+
+  /** Load a classifier previously written with [[QualityClassifier.save]]. */
+  def loadQualityClassifier(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): QualityClassifier = {
+    val meta = spark.read.parquet(s"$dir/qc_meta").head()
+    QualityClassifier(spark.read.parquet(s"$dir/qc_weights"),
+      meta.getDouble(0), meta.getInt(1))
+  }
+
+  /** Deterministic full-batch gradient-descent logistic regression over
+    * sparse (featureIdx, value) rows — driver-local like
+    * [[graft.operators.SimilaritySearch.localKMeans]] and for the same
+    * reason: the fit input is a BOUNDED sample by contract, at which
+    * size a local fit is milliseconds and fully reproducible (zero-init,
+    * fixed iteration order, no RNG at all). Returns (weights, bias). */
+  private[graft] def localLogReg(
+      xs: Array[(Array[(Int, Double)], Double)], dim: Int,
+      iters: Int = 100, lr: Double = 0.5): (Array[Double], Double) = {
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val n = xs.length
+    if (n == 0) return (w, b)
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Double](dim)
+      var gb = 0.0
+      var i = 0
+      while (i < n) {
+        val (x, y) = xs(i)
+        var z = b
+        var j = 0
+        while (j < x.length) { z += x(j)._2 * w(x(j)._1); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val g = p - y
+        j = 0
+        while (j < x.length) { gw(x(j)._1) += g * x(j)._2; j += 1 }
+        gb += g
+        i += 1
+      }
+      var k = 0
+      while (k < dim) { w(k) -= lr / n * gw(k); k += 1 }
+      b -= lr / n * gb
+      it += 1
+    }
+    (w, b)
+  }
+
+  /** Train the [[QualityClassifier]]: per-doc hashed-ngram term-frequency
+    * vectors (the [[graft.operators.Sampling.dsirGrams]] feature
+    * geometry — unigram+bigram multisets over `buckets` md5 buckets,
+    * shared with p17 so the two selection recipes can never drift on
+    * features), label 1 for seed docs and 0 for the rest, one bounded
+    * collect, then a driver-local deterministic logistic fit. The fit
+    * input is the `sampleMod` hash-sample (the localKMeans discipline;
+    * an unbounded sample fails loudly). */
+  def trainQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                             isSeed: Column, buckets: Int = 1024,
+                             sampleMod: Int = 1, iters: Int = 100,
+                             maxLocalFit: Int = 250000): QualityClassifier = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base =
+      if (sampleMod <= 1) docs
+      else docs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    val perDoc = graft.operators.Sampling
+      .dsirGrams(base, textCol, isSeed.as("__t"), buckets, Seq(idCol))
+      .groupBy(col(idCol), col("__t"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("fs"),
+        sum(col("cnt")).as("n"))
+      .limit(maxLocalFit + 1)
+      .collect()
+    require(perDoc.length <= maxLocalFit,
+      s"classifier fit sample exceeds $maxLocalFit docs — raise sampleMod " +
+        "(the fit is a bounded-sample job by design)")
+    // Deterministic fit order (collect order is partition-dependent).
+    val xs = perDoc.map { r =>
+      val n = r.getLong(3).toDouble
+      val feats = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(f => (f.getLong(0).toInt, f.getLong(1).toDouble / n))
+        .sortBy(_._1).toArray
+      (r.getLong(0), feats, if (r.getBoolean(1)) 1.0 else 0.0)
+    }.sortBy(_._1).map { case (_, f, y) => (f, y) }
+    val (w, b) = localLogReg(xs, buckets, iters)
+    QualityClassifier(
+      spark.range(0, buckets).toDF("bucket")
+        .withColumn("w", element_at(typedlit(w.toSeq), col("bucket").cast("int") + 1)),
+      b, buckets)
+  }
+
+  /** Score any frame against a trained [[QualityClassifier]] — the
+    * [[graft.operators.Sampling.dsirScoreAgainst]] probe topology
+    * (scan-side gram buckets, broadcast weight join, one per-doc
+    * aggregate) with the logistic link applied scan-side after the
+    * aggregate: quality = sigmoid(bias + Σ tf_b·w_b), and
+    * Σ tf_b·w_b = (Σ_grams w_bucket)/n_grams. Output: (idCol, n_grams,
+    * quality), quality rounded to 4. */
+  def scoreQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                             clf: QualityClassifier): DataFrame =
+    graft.operators.Sampling
+      .dsirGrams(docs, textCol, lit(false).as("__t"), clf.buckets, Seq(idCol))
+      .join(broadcast(clf.weights.select(col("bucket"), col("w"))),
+        Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("__sw"))
+      .select(col(idCol), col("n_grams"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(clf.bias) + col("__sw") / col("n_grams").cast("double")))),
+          4).as("quality"))
 }

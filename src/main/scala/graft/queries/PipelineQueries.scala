@@ -124,6 +124,31 @@ object PipelineQueries {
     })
   }
 
+  private val qualityClfCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), graft.operators.TextAnalysis.QualityClassifier]()
+
+  /** The t17 trained classifier, memoized per (session, dir) — the
+    * [[memoizedDsirModel]] convention (train once, score many; the
+    * bounded local fit priced in warmup_build). */
+  private def memoizedQualityClf(s: SparkSession, dir: String)
+      : graft.operators.TextAnalysis.QualityClassifier = {
+    val it = qualityClfCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) it.remove()
+    }
+    qualityClfCache.computeIfAbsent((s, dir), { key =>
+      graft.tools.BuildTimer.time {
+        val clf = graft.operators.TextAnalysis.trainQualityClassifier(
+          docs(key._1, key._2), "doc_id", "text",
+          isSeed = col("source") === "src0", buckets = 1024)
+        clf.weights.cache().count()
+        clf
+      }
+    })
+  }
+
   /** Drop EVERY memoized artifact derived from one (session, dir) — the
     * pair/components frame here plus the shared dedup-survivors frame and
     * the MinHash, IVF, and MIPS indexes (whose cacheKeys are all
@@ -137,6 +162,7 @@ object PipelineQueries {
     componentsCache.remove((s, dir))
     survivorsCache.remove((s, dir))
     Option(dsirModelCache.remove((s, dir))).foreach(_.unpersist())
+    Option(qualityClfCache.remove((s, dir))).foreach(_.weights.unpersist())
     Dedup.invalidateMinHashIndexCache(s, dir)
     Dedup.invalidateGramIndexCache(s, dir)
     Dedup.invalidateLshVecIndexCache(s, dir)
@@ -269,6 +295,21 @@ object PipelineQueries {
     // the per-gram average (ties to the smaller id). Model table is
     // `buckets` rows (bounded, broadcast); scoring shuffles ≈ one row
     // per doc (the t15 ledger); the top-n is a distributed TakeOrdered.
+    // t17: the GPT-3/PaLM-style seed-vs-raw quality classifier —
+    // logistic regression on the SHARED p17 hashed-ngram feature
+    // geometry, trained driver-local on the bounded corpus (zero-init
+    // full-batch GD, fully deterministic, no RNG), scored through the
+    // DSIR probe topology with the sigmoid applied after the per-doc
+    // aggregate. No SQL oracle — trained weights aren't SQL-expressible
+    // (the s03/s04/s10 convention); QualityClassifierSpec carries the
+    // separability/determinism/save-load ground truth. Classifier
+    // memoized per (session, dir); scores are the raw docs' keep
+    // probabilities.
+    "t17_quality_classifier" -> ((s, dir) =>
+      graft.operators.TextAnalysis.scoreQualityClassifier(
+        docs(s, dir).filter(col("source") =!= "src0"), "doc_id", "text",
+        memoizedQualityClf(s, dir))),
+
     // Model memoized per (session, dir) — the build/apply split: repeat
     // calls pay the broadcast probe only (the s04/s05 index convention).
     "p17_dsir_select" -> ((s, dir) =>

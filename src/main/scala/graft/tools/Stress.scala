@@ -474,6 +474,25 @@ object Stress {
           .unionAll(seed),
         "doc_id", "text", col("source") === "src0", n = 100).count()
     }
+    // t17 with the production shape: the fit is BOUNDED on both sides
+    // (curated seed pinned at base src0; the raw negatives a pinned-size
+    // hash-sample of the scaled corpus) while SCORING covers the whole
+    // corpus — the curve must be linear in the corpus like t15/p17's.
+    time("quality_classifier") {
+      val seedDocs = graft.sources.Sources.table(spark, dir, "documents")
+        .filter(col("source") === "src0")
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          col("text"), col("source"))
+      val rawFit = docs
+        .filter(pmod(xxhash64(col("doc_id")), lit(factor)) === 0)
+        .select(col("doc_id"), col("text"), lit("corpus").as("source"))
+      val clf = graft.operators.TextAnalysis.trainQualityClassifier(
+        rawFit.unionAll(seedDocs), "doc_id", "text",
+        isSeed = col("source") === "src0")
+      graft.operators.TextAnalysis.scoreQualityClassifier(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", clf)
+        .count()
+    }
     // p15: the solve is arithmetic over |groups| rows; admission is a
     // map-side broadcast join — the curve must track the bare scan.
     time("target_mixture") {
