@@ -397,6 +397,41 @@ object EventStreams {
       .select(col(idCol), col("n_grams"), col("sum_w_bp"), col("dsir_w"))
   }
 
+  /** Streaming quality scoring — [[graft.operators.TextAnalysis
+    * .scoreQualityClassifier]]'s ingest twin (t17): arriving documents
+    * score against the STATIC trained classifier in-flight — the
+    * quality-gated admission a GPT-3-style curation pipeline routes on.
+    * Same topology as [[dsirScoreStream]] (the two share their feature
+    * geometry by construction): scan-side gram buckets, broadcast weight
+    * probe, positional (id, gram_idx) watermarked dedup so replays score
+    * exactly-once with multiset repeats intact, one windowed per-doc
+    * aggregate — and the logistic link applied scan-side AFTER the
+    * aggregate, exactly as in batch. Output: append-mode (idCol,
+    * n_grams, quality). */
+  def qualityScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String,
+                         clf: graft.operators.TextAnalysis.QualityClassifier,
+                         watermarkDelay: String = "10 minutes",
+                         windowDuration: String = "10 minutes"): DataFrame = {
+    import graft.functions.WordShingles.wordShingles
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol),
+        posexplode(transform(
+          concat(wordShingles(col(textCol), 1, distinct = false),
+            wordShingles(col(textCol), 2, distinct = false)),
+          g => graft.operators.Sampling.hashBucket(g, clf.buckets)))
+          .as(Seq("gram_idx", "bucket")))
+      .dropDuplicatesWithinWatermark(idCol, "gram_idx")
+      .join(broadcast(clf.weights.select(col("bucket"), col("w"))),
+        Seq("bucket"))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("__sw"))
+      .select(col(idCol), col("n_grams"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(clf.bias) + col("__sw") / col("n_grams").cast("double")))),
+          4).as("quality"))
+  }
+
   /** Streaming boilerplate scrub — [[graft.operators.TextAnalysis
     * .scrubBoilerplateAgainst]]'s ingest twin (t16): arriving documents'
     * lines (the d08 window geometry, built scan-side) probe the STATIC

@@ -697,6 +697,51 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming quality scoring probes the static classifier, matches the batch apply") {
+    import java.sql.Timestamp
+    import graft.operators.TextAnalysis
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    val corpus = (
+      (0L until 10L).map(i => (i, "alpha beta gamma delta epsilon", "seed")) ++
+      (100L until 110L).map(i => (i, "omega psi chi phi upsilon", "raw")))
+      .toDF("doc_id", "text", "source")
+    val clf = TextAnalysis.trainQualityClassifier(corpus, "doc_id", "text",
+      col("source") === "seed", buckets = 256)
+    val arriving = Seq(
+      (201L, ts(0), "alpha beta gamma"),   // seed-like
+      (202L, ts(1), "omega psi chi"))      // raw-like
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.qualityScoreStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", clf,
+        watermarkDelay = "1 minute", windowDuration = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qc_out").start()
+    try {
+      memStream.addData(arriving: _*)
+      q.processAllAvailable()
+      memStream.addData((201L, ts(0), "alpha beta gamma")) // replay
+      q.processAllAvailable()
+      memStream.addData((999L, ts(120), "w1 w2"))
+      q.processAllAvailable()
+      val got = spark.table("qc_out")
+        .select($"doc_id", $"n_grams", $"quality")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got.size == got.map(_._1).toSet.size,
+        s"a replayed doc must score once, not twice: $got")
+      val batch = TextAnalysis.scoreQualityClassifier(
+          arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
+          "doc_id", "text", clf)
+        .select($"doc_id", $"n_grams", $"quality")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.filter(_._1 != 999L).toSet == batch,
+        s"stream ${got.toSet} vs batch $batch")
+      assert(got.find(_._1 == 201L).get._3 > 0.5)
+      assert(got.find(_._1 == 202L).get._3 < 0.5)
+    } finally q.stop()
+  }
+
   test("streaming IVF probe serves arriving queries against the static index, matches the batch probe") {
     import java.sql.Timestamp
     import graft.operators.SimilaritySearch
