@@ -1236,4 +1236,28 @@ object Dedup {
       .filter(col("cos") > threshold)
       .select(col("new_id"), col("old_id"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * corpus versions (the "what changed since the last release" table a
+    * training-data pipeline publishes with every refresh): one row per
+    * doc id present in either snapshot, with
+    * `status ∈ {added, removed, changed, unchanged}` decided by content
+    * md5 (the d01/p03 equality convention — the join never carries the
+    * text, only the id and a 32-char digest).
+    *
+    * Plan shape: two column-pruned scans with the md5 computed map-side,
+    * ONE full-outer hash equi-join keyed on the id — co-partitionable /
+    * bucketable at 100 TB, no other shuffle, output streams map-side
+    * from the join. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("__old_h"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("__new_h"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old_h").isNull, lit("added"))
+          .when(col("__new_h").isNull, lit("removed"))
+          .when(col("__old_h") === col("__new_h"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

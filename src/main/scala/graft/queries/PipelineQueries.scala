@@ -295,6 +295,27 @@ object PipelineQueries {
     // the per-gram average (ties to the smaller id). Model table is
     // `buckets` rows (bounded, broadcast); scoring shuffles ≈ one row
     // per doc (the t15 ledger); the top-n is a distributed TakeOrdered.
+    // d20: corpus snapshot diff — the dataset-versioning audit between
+    // two corpus versions. Snapshot two is derived deterministically
+    // from snapshot one (drop %7=3, revise %5=0, add three docs; the
+    // oracle mirrors the construction), so added/removed/changed/
+    // unchanged are all exercised. One full-outer hash join on the id,
+    // digests only — text never joins.
+    "d20_corpus_diff" -> ((s, dir) => {
+      val old = docs(s, dir).select(col("doc_id"), col("text"))
+      val added = s.createDataFrame(Seq(
+        (9000001L, "snapshot two added this document"),
+        (9000002L, "and this second brand new document"),
+        (9000003L, "plus a third addition"))).toDF("doc_id", "text")
+      val newer = old.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("rev2 "), col("text"))).otherwise(col("text"))
+            .as("text"))
+        .unionAll(added)
+      Dedup.corpusDiff(old, newer, "doc_id", "text")
+    }),
+
     // t17: the GPT-3/PaLM-style seed-vs-raw quality classifier —
     // logistic regression on the SHARED p17 hashed-ngram feature
     // geometry, trained driver-local on the bounded corpus (zero-init
@@ -1938,6 +1959,29 @@ object PipelineQueries {
          SELECT doc_id, lang, n_tokens, pack_id, quality_bp, bucket, split, repeats,
                 CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch_idx
          FROM rep""",
+    // Snapshot diff: the same derived snapshot-two construction, one
+    // FULL OUTER join on the id, md5-digest equality for the status.
+    "d20_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+              new AS (SELECT doc_id,
+                             CASE WHEN doc_id % 5 = 0 THEN 'rev2 ' || text
+                                  ELSE text END AS text
+                      FROM documents WHERE doc_id % 7 <> 3
+                      UNION ALL
+                      SELECT CAST(v.doc_id AS BIGINT), v.text
+                      FROM (VALUES (9000001, 'snapshot two added this document'),
+                                   (9000002, 'and this second brand new document'),
+                                   (9000003, 'plus a third addition'))
+                           v(doc_id, text)),
+              j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                           md5(o.text) AS oh, md5(n.text) AS nh
+                    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+         SELECT doc_id,
+                CASE WHEN oh IS NULL THEN 'added'
+                     WHEN nh IS NULL THEN 'removed'
+                     WHEN oh = nh THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM j""",
     // Boilerplate scrub: d08's window CTE verbatim, doc-frequency flag,
     // cuts via the NULL-skipping string_agg (coalesced — an all-
     // boilerplate doc keeps an empty clean_text row, same as the

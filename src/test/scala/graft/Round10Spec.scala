@@ -698,4 +698,27 @@ class Round10Spec extends SparkSpecBase {
     assert(viaDHash.size >= 30,
       s"dHash should re-identify most of the 40 planted re-encodes, got ${viaDHash.size}")
   }
+
+  test("d20 corpusDiff: each status class exact; one id-keyed join, digests only") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val old = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val newer = Seq((1L, "same text"), (2L, "changed text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old, newer, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val out = Dedup.corpusDiff(old, newer, "doc_id", "text")
+    out.queryExecution.toRdd.count()
+    val plan = out.queryExecution.executedPlan.toString
+    val keyed = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keyed.subsetOf(Set("doc_id")),
+      s"diff must shuffle on the id only, got $keyed:\n$plan")
+    assert(!plan.toLowerCase.contains("nestedloop"),
+      s"diff must be a hash/merge join:\n$plan")
+  }
 }
