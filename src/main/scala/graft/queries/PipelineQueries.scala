@@ -295,6 +295,29 @@ object PipelineQueries {
     // the per-gram average (ties to the smaller id). Model table is
     // `buckets` rows (bounded, broadcast); scoring shuffles ≈ one row
     // per doc (the t15 ledger); the top-n is a distributed TakeOrdered.
+    // t18: the corpus card — the dataset-documentation table published
+    // with every corpus release (Datasheets/Dataset-Cards practice):
+    // per (lang, source) stratum, doc and token counts, mean quality
+    // (the shared t02 integer-bp score), exact median length, and the
+    // stratum's integer-bp share of all tokens. Two hash aggregates +
+    // one broadcast totals join; the exact percentile follows the q38
+    // convention (per-group sort of a bounded stratum, never a corpus
+    // window).
+    "t18_corpus_card" -> ((s, dir) => {
+      val q = qualityScored(docs(s, dir), extra = Seq("lang", "source"))
+      val g = q.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("quality_bp")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("avg_quality_bp"),
+          round(expr("percentile(n_tokens, 0.5)"), 2).as("med_tokens"))
+      val tot = g.agg(sum(col("n_tokens")).as("__tot"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("token_share_bp",
+          expr("CAST(n_tokens * 10000 DIV __tot AS BIGINT)"))
+        .drop("__tot")
+    }),
+
     // d20: corpus snapshot diff — the dataset-versioning audit between
     // two corpus versions. Snapshot two is derived deterministically
     // from snapshot one (drop %7=3, revise %5=0, add three docs; the
@@ -1959,6 +1982,29 @@ object PipelineQueries {
          SELECT doc_id, lang, n_tokens, pack_id, quality_bp, bucket, split, repeats,
                 CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch_idx
          FROM rep""",
+    // Corpus card: p08's quality CTE, group aggregates, quantile_cont
+    // (the q38 convention), one totals cross join.
+    "t18_corpus_card" ->
+      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
+              c AS (SELECT doc_id, lang, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+                           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                    FROM t),
+              q AS (SELECT doc_id, lang, source, n_tokens,
+                           CAST(n_uniq * 5000 // n_tokens
+                                + (n_tokens - n_stop) * 3000 // n_tokens
+                                + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
+                    FROM c),
+              g AS (SELECT lang, source,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                           round(CAST(sum(quality_bp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_quality_bp,
+                           round(quantile_cont(n_tokens, 0.5), 2) AS med_tokens
+                    FROM q GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+         SELECT lang, source, n_docs, n_tokens, avg_quality_bp, med_tokens,
+                CAST(n_tokens * 10000 // tt AS BIGINT) AS token_share_bp
+         FROM g CROSS JOIN tot""",
     // Snapshot diff: the same derived snapshot-two construction, one
     // FULL OUTER join on the id, md5-digest equality for the status.
     "d20_corpus_diff" ->
