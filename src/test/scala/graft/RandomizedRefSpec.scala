@@ -159,4 +159,139 @@ class RandomizedRefSpec extends SparkSpecBase {
       assert(math.abs(got(id) - ref(codes)) < 1e-9, s"adc mismatch on row $id")
     }
   }
+
+  test("PqEncode equals the sequential argmin reference on 200 random vectors") {
+    val s = spark
+    import s.implicits._
+    val m = 4; val k = 8; val subDim = 3
+    val cbs = Array.fill(m)(Array.fill(k)(Array.fill(subDim)(
+      rng.nextDouble() * 4 - 2)))
+    val rows = (1 to 200).map { i =>
+      // Mostly full-length vectors; every 9th is ragged (short).
+      val len = if (i % 9 == 0) rng.nextInt(m * subDim) else m * subDim
+      (i.toLong, Array.fill(len)((rng.nextDouble() * 4 - 2).toFloat))
+    }
+    def ref(v: Array[Float]): Seq[Int] =
+      (0 until m).map { sub =>
+        (0 until k).minBy { code =>
+          (0 until subDim).map { d =>
+            val vi = sub * subDim + d
+            val x = if (vi < v.length) v(vi).toDouble else Double.NaN
+            if (vi < v.length) { val dx = x - cbs(sub)(code)(d); dx * dx }
+            else 0.0
+          }.sum
+        }
+      }
+    val got = rows.toDF("id", "v")
+      .select($"id", graft.functions.PqEncode.pqEncode($"v", cbs, subDim)
+        .as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) === ref(v), s"codes mismatch on row $id")
+    }
+  }
+
+  private def md5Bucket(g: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+  }
+
+  private def naiveGramBuckets(text: String, buckets: Int): Seq[Long] = {
+    val ws = text.split(" ", -1).toSeq.filter(_.nonEmpty)
+    val grams = ws ++ (if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq
+                       else Seq.empty)
+    grams.map(md5Bucket(_, buckets))
+  }
+
+  test("dsirScore equals the sequential hashed-model reference on 200 adversarial docs") {
+    val s = spark
+    import s.implicits._
+    val buckets = 64
+    val docs = randomTexts(200).map { case (id, t) =>
+      (id, t, if (id % 4 == 0) "seed" else "raw")
+    }
+    // Sequential reference model.
+    val tCnt = new Array[Long](buckets)
+    val rCnt = new Array[Long](buckets)
+    docs.foreach { case (_, t, src) =>
+      naiveGramBuckets(t, buckets).foreach { b =>
+        if (src == "seed") tCnt(b.toInt) += 1 else rCnt(b.toInt) += 1
+      }
+    }
+    val tTot = tCnt.sum; val rTot = rCnt.sum
+    def wBp(b: Int): Long =
+      (tCnt(b) + 1) * 10000 / (tTot + buckets) -
+        (rCnt(b) + 1) * 10000 / (rTot + buckets)
+    val want = docs.filter(_._3 == "raw").flatMap { case (id, t, _) =>
+      val bs = naiveGramBuckets(t, buckets)
+      if (bs.isEmpty) None
+      else Some(id -> ((bs.length.toLong, bs.map(b => wBp(b.toInt)).sum)))
+    }.toMap
+    val got = graft.operators.Sampling
+      .dsirScore(docs.toDF("doc_id", "text", "source"), "doc_id", "text",
+        $"source" === "seed", buckets)
+      .select($"doc_id", $"n_grams", $"sum_w_bp")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want)
+  }
+
+  test("scrubBoilerplate equals the sequential line reference on 200 adversarial docs") {
+    val s = spark
+    import s.implicits._
+    val c = 4; val minDocs = 3
+    val banner = "nav1 nav2 nav3 nav4"
+    // Adversarial texts with a planted banner on every 3rd doc so the
+    // threshold actually fires (line 0 is the banner, alignment kept).
+    val docs = randomTexts(200).map { case (id, t) =>
+      (id, if (id % 3 == 0) s"$banner $t" else t)
+    }
+    def naiveLines(text: String): Seq[String] = {
+      val ws = text.split(" ", -1).toSeq.filter(_.nonEmpty)
+      if (ws.isEmpty) Seq.empty
+      else (0 to (ws.length - 1) / c).map(i =>
+        ws.slice(i * c, i * c + c).mkString(" "))
+    }
+    val df = docs.flatMap { case (id, t) => naiveLines(t).map(id -> _) }
+    val flagged = df.groupBy(_._2).collect {
+      case (line, occ) if occ.map(_._1).distinct.size >= minDocs => line
+    }.toSet
+    val want = docs.flatMap { case (id, t) =>
+      val ls = naiveLines(t)
+      if (ls.isEmpty) None
+      else Some(id -> ((ls.length.toLong,
+        ls.count(flagged).toLong,
+        ls.filterNot(flagged).mkString(" "))))
+    }.toMap
+    val got = graft.operators.TextAnalysis
+      .scrubBoilerplate(docs.toDF("doc_id", "text"), "doc_id", "text",
+        lineTokens = c, minDocs = minDocs)
+      .select($"doc_id", $"n_lines", $"n_cut_lines", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want)
+  }
+
+  test("corpusDiff equals the sequential map-compare reference on random snapshots") {
+    val s = spark
+    import s.implicits._
+    val old = (1L to 150L).map(i => (i, s"text ${rng.nextInt(40)}"))
+    val newer = (30L to 180L).map(i => (i, s"text ${rng.nextInt(40)}"))
+    val oldM = old.toMap; val newM = newer.toMap
+    val want = (oldM.keySet ++ newM.keySet).map { id =>
+      id -> ((oldM.get(id), newM.get(id)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case _ => "changed"
+      })
+    }.toMap
+    val got = graft.operators.Dedup
+      .corpusDiff(old.toDF("doc_id", "text"), newer.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === want)
+  }
 }
