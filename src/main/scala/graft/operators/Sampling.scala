@@ -527,7 +527,13 @@ object Sampling {
                          buckets: Int = 1024): DataFrame = {
     require(fractionBp >= 1 && fractionBp <= 10000,
       s"fractionBp must be in [1, 10000]: $fractionBp")
+    // Materialize the scored frame once: the cutoff aggregate and the
+    // admission filter both read it, and without the checkpoint each
+    // would re-execute the whole model+score pipeline (the p10 justified-
+    // materialization pattern; blocks are reclaimed by the
+    // ContextCleaner once the result is unreferenced).
     val scored = dsirScore(docs, idCol, textCol, isTarget, buckets)
+      .localCheckpoint()
     val cutoff = scored.agg(
       percentile_approx(col("dsir_w"),
         lit((10000L - fractionBp).toDouble / 10000.0), lit(10000))
