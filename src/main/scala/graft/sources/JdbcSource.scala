@@ -33,7 +33,11 @@ object JdbcSource {
   }
 
   /** Driver-agnostic option wiring (separated so the read path is testable
-    * against an embedded database — no Postgres exists in CI). */
+    * against an embedded database — no Postgres exists in CI).
+    * `sessionInit` runs on EVERY data connection right after it opens and
+    * before the query (Spark's public `sessionInitStatement` hook) — the
+    * seam [[SnapshotJdbcSource]] uses to pin all partitions to one
+    * exported snapshot. */
   private[graft] def readUrl(
       spark: SparkSession,
       url: String,
@@ -42,11 +46,13 @@ object JdbcSource {
       query: String,
       fetchSize: Int = 1000,
       stringColumns: Seq[String] = Nil,
-      partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
+      partitioning: Option[(String, Long, Long, Int)] = None,
+      sessionInit: Option[String] = None): DataFrame = {
     var reader = spark.read.format("jdbc")
       .option("url", url)
       .option("driver", driver)
       .option("fetchsize", fetchSize)
+    sessionInit.foreach(s => reader = reader.option("sessionInitStatement", s))
     connProps.foreach { case (k, v) => reader = reader.option(k, v) }
     if (stringColumns.nonEmpty)
       reader = reader.option("customSchema", stringColumns.map(c => s"$c STRING").mkString(", "))

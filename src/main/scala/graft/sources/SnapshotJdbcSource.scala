@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.JdbcConfig
+
+/** One-logical-snapshot JDBC reads — the closure of the reference's
+  * one-transaction-per-dump semantics (`floorist.py:148-152`: the dump
+  * query runs inside a single engine transaction so it sees one
+  * consistent snapshot).
+  *
+  * A distributed engine cannot hold ONE transaction across executors and
+  * task retries — but PostgreSQL's exported snapshots (the technique
+  * `pg_dump --jobs` uses, public and documented) achieve the SEMANTICS
+  * without the single connection: an anchor connection opens a
+  * REPEATABLE READ transaction and calls `pg_export_snapshot()`; every
+  * other connection that runs `SET TRANSACTION SNAPSHOT '<id>'` inside
+  * its own REPEATABLE READ transaction then sees exactly the anchor's
+  * snapshot, for as long as the anchor stays open. Wired through Spark's
+  * public `sessionInitStatement` hook, EVERY partition connection — and
+  * every retried task's fresh connection — reads the same snapshot, so
+  * this is strictly stronger than the reference's single cursor: the
+  * reference cannot parallelize its dump at all without losing the
+  * guarantee, while this path keeps it at any `numPartitions`.
+  *
+  * Lifecycle: [[withPinnedSnapshot]] pins, runs the dump body, and
+  * releases the anchor in a finally — the [[graft.core.DumpExecutor]]
+  * retry loop can sit INSIDE the body (same snapshot across wipe-and-redo
+  * retries, the strongest reading of A9+A7 together) or outside (fresh
+  * snapshot per attempt, the reference's behavior).
+  *
+  * Environment note: exported snapshots are PostgreSQL; the sandbox has
+  * no live Postgres (the docker-compose gap the integration suite
+  * documents), so — exactly like the S3A settings — the WIRING is
+  * Derby-tested (the init statement provably runs on the data connection
+  * before the query; the anchor lifecycle runs against a pluggable
+  * snapshot query) and the live behavior is documented against public
+  * PostgreSQL semantics. */
+object SnapshotJdbcSource {
+
+  /** The anchor transaction holding a snapshot open. `close()` is
+    * rollback+close — the anchor only ever reads the snapshot id, so
+    * there is never anything to commit. */
+  final case class PinnedSnapshot(snapshotId: String, anchor: Connection)
+      extends AutoCloseable {
+    override def close(): Unit = {
+      try anchor.rollback()
+      finally anchor.close()
+    }
+  }
+
+  /** Open the anchor connection, start a REPEATABLE READ transaction and
+    * export its snapshot. `snapshotQuery` is the Postgres
+    * `SELECT pg_export_snapshot()` by default; tests against embedded
+    * engines pass their own one-row query. */
+  def pin(url: String, props: Map[String, String],
+          snapshotQuery: String = "SELECT pg_export_snapshot()"): PinnedSnapshot = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, p)
+    try {
+      conn.setAutoCommit(false)
+      conn.setTransactionIsolation(Connection.TRANSACTION_REPEATABLE_READ)
+      val rs = conn.createStatement().executeQuery(snapshotQuery)
+      require(rs.next(), s"snapshot query returned no row: $snapshotQuery")
+      PinnedSnapshot(rs.getString(1), conn)
+    } catch {
+      case t: Throwable =>
+        try conn.close() catch { case _: Throwable => () }
+        throw t
+    }
+  }
+
+  /** The per-connection init statement that joins `snap`'s snapshot
+    * (Postgres syntax; runs via Spark's `sessionInitStatement` on every
+    * data connection, including a retried task's). */
+  def joinSnapshotStatement(snap: PinnedSnapshot): String =
+    s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
+      s"SET TRANSACTION SNAPSHOT '${snap.snapshotId.replace("'", "''")}'"
+
+  /** Read `query` with every partition pinned to `snap`'s snapshot. Same
+    * option surface as [[JdbcSource.read]]; safe to combine with
+    * `partitioning` — that is the point. */
+  def readPinned(spark: SparkSession, jdbc: JdbcConfig, query: String,
+                 snap: PinnedSnapshot, fetchSize: Int = 1000,
+                 uuidColumns: Seq[String] = Nil,
+                 partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    GraftPostgresDialect.register()
+    JdbcSource.readUrl(spark, jdbc.url, "org.postgresql.Driver",
+      Map("user" -> jdbc.user, "password" -> jdbc.password),
+      query, fetchSize, uuidColumns, partitioning,
+      sessionInit = Some(joinSnapshotStatement(snap)))
+  }
+
+  /** Pin a snapshot, run the dump body, release the anchor — the
+    * resource-safe form every caller should use. */
+  def withPinnedSnapshot[A](url: String, props: Map[String, String],
+                            snapshotQuery: String = "SELECT pg_export_snapshot()")(
+      body: PinnedSnapshot => A): A = {
+    val snap = pin(url, props, snapshotQuery)
+    try body(snap)
+    finally snap.close()
+  }
+}

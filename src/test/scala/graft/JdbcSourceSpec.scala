@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.JdbcSource
+import graft.sources.{JdbcSource, SnapshotJdbcSource}
 
 /** Live round-trip of the JDBC read path against embedded Derby (no
   * Postgres exists in this sandbox; the reference e2e-tests the same
@@ -76,5 +76,70 @@ class JdbcSourceSpec extends SparkSpecBase {
     assert(df.rdd.getNumPartitions == 4)
     assert(df.agg(sum("QTY")).head.getLong(0) == (1 to 20).map(_ * 10).sum)
     assert(df.select("ID").distinct().count() == 20)
+  }
+
+  test("sessionInit runs on EVERY partition's data connection before the query") {
+    seedTable()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE init_log") catch { case _: java.sql.SQLException => }
+      st.execute("CREATE TABLE init_log (hit INT)")
+      st.close()
+    } finally conn.close()
+    val df = JdbcSource.readUrl(spark, url, driver, Map.empty,
+      "SELECT id, qty FROM items", partitioning = Some(("ID", 1L, 20L, 4)),
+      sessionInit = Some("INSERT INTO init_log VALUES (1)"))
+    assert(df.count() == 20)
+    val check = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = check.createStatement()
+        .executeQuery("SELECT count(*) FROM init_log")
+      rs.next()
+      // One init per data connection: >= one per partition (the snapshot
+      // join statement must reach every split, or a retried task would
+      // silently read a different snapshot).
+      assert(rs.getInt(1) >= 4, s"init ran ${rs.getInt(1)} times, expected >= 4")
+    } finally check.close()
+  }
+
+  test("PinnedSnapshot: anchor holds a REPEATABLE READ txn open until close()") {
+    seedTable()
+    val snap = SnapshotJdbcSource.pin(url, Map.empty,
+      snapshotQuery = "VALUES 'derby-fake-snapshot'")
+    try {
+      assert(snap.snapshotId == "derby-fake-snapshot")
+      assert(!snap.anchor.isClosed, "anchor must stay open while pinned")
+      assert(!snap.anchor.getAutoCommit, "anchor must be in a transaction")
+      assert(snap.anchor.getTransactionIsolation ==
+        java.sql.Connection.TRANSACTION_REPEATABLE_READ)
+    } finally snap.close()
+    assert(snap.anchor.isClosed, "close() must release the anchor")
+  }
+
+  test("withPinnedSnapshot releases the anchor even when the body throws") {
+    seedTable()
+    var captured: SnapshotJdbcSource.PinnedSnapshot = null
+    intercept[RuntimeException] {
+      SnapshotJdbcSource.withPinnedSnapshot(url, Map.empty,
+        snapshotQuery = "VALUES 'x'") { s =>
+        captured = s
+        throw new RuntimeException("dump failed")
+      }
+    }
+    assert(captured != null && captured.anchor.isClosed)
+  }
+
+  test("joinSnapshotStatement escapes quotes and targets REPEATABLE READ") {
+    seedTable()
+    val snap = SnapshotJdbcSource.pin(url, Map.empty,
+      snapshotQuery = "VALUES 'id''with-quote'")
+    try {
+      val stmt = SnapshotJdbcSource.joinSnapshotStatement(snap)
+      assert(stmt.contains("ISOLATION LEVEL REPEATABLE READ"))
+      assert(stmt.contains("SET TRANSACTION SNAPSHOT 'id''''with-quote'") ||
+        stmt.contains("SET TRANSACTION SNAPSHOT 'id''with-quote'"),
+        s"quote not escaped: $stmt")
+    } finally snap.close()
   }
 }
