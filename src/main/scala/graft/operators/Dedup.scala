@@ -1061,6 +1061,41 @@ object Dedup {
     exactSubstrApplyFromSpans(delta,
       deltaExactSubstrSpans(delta, index, textCol), index.idCol, textCol)
 
+  /** d21: the FULL ingest-time ExactSubstr clean — the composition d19's
+    * scaladoc declared out of scope, shipped: arriving documents first
+    * lose every run that verbatim-quotes ≥ k consecutive CORPUS tokens
+    * (corpus precedence — those copies landed first; [[deltaExactSubstrApply]]
+    * over the standing capped gram index), then the corpus-cleaned batch
+    * runs the WITHIN-BATCH keep-first apply ([[exactSubstrApply]] — the
+    * d16 geometry: the batch's own first copy of every surviving run
+    * keeps, later copies are cut). The two stages cannot disagree on
+    * geometry: k comes from the index artifact in both.
+    *
+    * Stage order is semantic, not incidental: within-batch detection runs
+    * over corpus-CLEANED text, so a run already cut as a corpus quote
+    * can never also be charged as a batch duplicate, and (the usual
+    * apply caveat, same as d16 alone) a k-run spliced into existence by
+    * a cut is judged like any other text. Stage 1's output is
+    * materialized once (read by stage 2's span detection, its apply, and
+    * the final join — the justified-checkpoint pattern).
+    *
+    * Output: one row per delta doc — (idCol, n_tokens (original),
+    * n_cut_corpus_tokens, n_cut_batch_tokens, clean_text). */
+  def ingestExactSubstrClean(delta: DataFrame, index: GramIndex,
+                             textCol: String,
+                             maxGramDocs: Int = 256): DataFrame = {
+    val idCol = index.idCol
+    val s1 = deltaExactSubstrApply(delta, index, textCol)
+      .select(col(idCol), col("n_tokens"),
+        col("n_cut_tokens").as("n_cut_corpus_tokens"), col("clean_text"))
+      .localCheckpoint()
+    val s2 = exactSubstrApply(s1.select(col(idCol), col("clean_text")),
+      idCol, "clean_text", k = index.k, maxGramDocs = maxGramDocs)
+      .select(col(idCol), col("n_cut_tokens").as("n_cut_batch_tokens"),
+        col("clean_text"))
+    s1.drop("clean_text").join(s2, Seq(idCol))
+  }
+
   /** Index-probing delta near-dups: the ingest batch's band keys equi-join
     * the corpus index's band table (shuffle keyed on (band, bandHash) and
     * sized by the DELTA, not the corpus), then candidates verify against

@@ -295,6 +295,20 @@ object PipelineQueries {
     // the per-gram average (ties to the smaller id). Model table is
     // `buckets` rows (bounded, broadcast); scoring shuffles ≈ one row
     // per doc (the t15 ledger); the top-n is a distributed TakeOrdered.
+    // d21: the full ingest-time ExactSubstr clean — d19's corpus-quote
+    // cut composed with the d16 within-batch keep-first apply over the
+    // corpus-cleaned text (the composition d19's scope note deferred,
+    // shipped). Same delta/corpus split and memoized gram index as
+    // d17/d19; every delta doc emits with both cut counts.
+    "d21_ingest_substr_clean" -> ((s, dir) => {
+      val all = Dedup.spreadToParallelism(docs(s, dir))
+      val delta = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val idx = Dedup.memoizedGramIndex(corpus, "doc_id", "text",
+        k = 10, maxGramDocs = 256, cacheKey = dir + "#gidx")
+      Dedup.ingestExactSubstrClean(delta, idx, "text")
+    }),
+
     // t18: the corpus card — the dataset-documentation table published
     // with every corpus release (Datasheets/Dataset-Cards practice):
     // per (lang, source) stratum, doc and token counts, mean quality
@@ -1982,6 +1996,79 @@ object PipelineQueries {
          SELECT doc_id, lang, n_tokens, pack_id, quality_bp, bucket, split, repeats,
                 CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch_idx
          FROM rep""",
+    // d21: d19's CTE chain (stage 1, corpus precedence) feeding d16's
+    // chain (stage 2, within-batch keep-first) re-tokenized from the
+    // stage-1 clean text — the composed mirror, both caps preserved.
+    "d21_ingest_substr_clean" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              inst AS (SELECT doc_id, i AS pos,
+                              list_aggregate(ws[i:i+9], 'string_agg', ' ') AS g
+                       FROM w, UNNEST(generate_series(1, len(ws) - 9)) AS t(i)
+                       WHERE len(ws) >= 10 AND doc_id % 10 = 7),
+              gcorp AS (SELECT DISTINCT doc_id, gram FROM (
+                          SELECT doc_id,
+                                 unnest(list_distinct(list_transform(
+                                   generate_series(1, len(ws) - 9),
+                                   i -> list_aggregate(ws[i:i+9], 'string_agg', ' ')))) AS gram
+                          FROM w WHERE len(ws) >= 10 AND doc_id % 10 <> 7)),
+              member AS (SELECT gram FROM gcorp GROUP BY gram
+                         HAVING count(*) <= 256),
+              cut AS (SELECT i.doc_id, i.pos
+                      FROM inst i JOIN member m ON i.g = m.gram),
+              cutpos AS (SELECT DISTINCT doc_id, pos + off AS p
+                         FROM cut, UNNEST(generate_series(0, 9)) AS o(off)),
+              perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens
+                         FROM cutpos GROUP BY doc_id),
+              tok AS (SELECT doc_id, i AS tp, ws[i] AS tok
+                      FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+                      WHERE doc_id % 10 = 7),
+              clean AS (SELECT t.doc_id,
+                               string_agg(t.tok, ' ' ORDER BY t.tp) AS clean_text
+                        FROM tok t LEFT JOIN cutpos c
+                          ON t.doc_id = c.doc_id AND t.tp = c.p
+                        WHERE c.doc_id IS NULL
+                        GROUP BY t.doc_id),
+              s1 AS (SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+                            coalesce(p.n_cut_tokens, 0) AS n_cut_corpus_tokens,
+                            coalesce(cl.clean_text, '') AS clean_text
+                     FROM (SELECT doc_id, ws FROM w WHERE doc_id % 10 = 7) d
+                     LEFT JOIN perdoc p USING (doc_id)
+                     LEFT JOIN clean cl USING (doc_id)),
+              w2 AS (SELECT doc_id,
+                            list_filter(string_split(clean_text, ' '), t -> t <> '') AS ws
+                     FROM s1),
+              inst2 AS (SELECT doc_id, i AS pos,
+                               list_aggregate(ws[i:i+9], 'string_agg', ' ') AS g
+                        FROM w2, UNNEST(generate_series(1, len(ws) - 9)) AS t(i)
+                        WHERE len(ws) >= 10),
+              stats2 AS (SELECT g, count(DISTINCT doc_id) AS df, count(*) AS n_inst
+                         FROM inst2 GROUP BY g),
+              keepg2 AS (SELECT g FROM stats2 WHERE n_inst >= 2 AND df <= 256),
+              ranked2 AS (SELECT i.doc_id, i.pos,
+                                 row_number() OVER (PARTITION BY i.g
+                                                    ORDER BY i.doc_id, i.pos) AS rn
+                          FROM inst2 i JOIN keepg2 USING (g)),
+              cut2 AS (SELECT doc_id, pos FROM ranked2 WHERE rn > 1),
+              cutpos2 AS (SELECT DISTINCT doc_id, pos + off AS p
+                          FROM cut2, UNNEST(generate_series(0, 9)) AS o(off)),
+              perdoc2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens
+                          FROM cutpos2 GROUP BY doc_id),
+              tok2 AS (SELECT doc_id, i AS tp, ws[i] AS tok
+                       FROM w2, UNNEST(generate_series(1, len(ws))) AS t(i)),
+              clean2 AS (SELECT t.doc_id,
+                                string_agg(t.tok, ' ' ORDER BY t.tp) AS clean_text
+                         FROM tok2 t LEFT JOIN cutpos2 c
+                           ON t.doc_id = c.doc_id AND t.tp = c.p
+                         WHERE c.doc_id IS NULL
+                         GROUP BY t.doc_id)
+         SELECT s1.doc_id, s1.n_tokens, s1.n_cut_corpus_tokens,
+                coalesce(p2.n_cut_tokens, 0) AS n_cut_batch_tokens,
+                coalesce(cl2.clean_text, '') AS clean_text
+         FROM s1
+         LEFT JOIN perdoc2 p2 USING (doc_id)
+         LEFT JOIN clean2 cl2 USING (doc_id)""",
     // Corpus card: p08's quality CTE, group aggregates, quantile_cont
     // (the q38 convention), one totals cross join.
     "t18_corpus_card" ->

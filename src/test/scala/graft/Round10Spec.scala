@@ -699,6 +699,43 @@ class Round10Spec extends SparkSpecBase {
       s"dHash should re-identify most of the 40 planted re-encodes, got ${viaDHash.size}")
   }
 
+  test("d21 ingestExactSubstrClean: corpus quotes cut first, then within-batch keep-first") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val corpusRun = (1 to 12).map(i => s"c$i").mkString(" ")
+    val corpus = Seq((1L, s"$corpusRun filler tail here"),
+      (2L, (1 to 10).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val idx = Dedup.buildGramIndex(corpus, "doc_id", "text",
+      k = 10, maxGramDocs = 256)
+    val freshRun = (1 to 11).map(i => s"f$i").mkString(" ")
+    val quote = (2 to 11).map(i => s"c$i").mkString(" ")
+    // 201 quotes the corpus; 202 and 203 share a fresh run (202 first);
+    // 204 is clean; 205 quotes the corpus AND shares the fresh run.
+    val batch = Seq(
+      (201L, s"intro $quote outro w1 w2"),
+      (202L, s"$freshRun alpha beta"),
+      (203L, s"pre1 pre2 $freshRun"),
+      (204L, (1 to 12).map(i => s"z$i").mkString(" ")),
+      (205L, s"$quote mid $freshRun")).toDF("doc_id", "text")
+    val got = Dedup.ingestExactSubstrClean(batch, idx, "text")
+      .select($"doc_id", $"n_tokens", $"n_cut_corpus_tokens",
+        $"n_cut_batch_tokens", $"clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(201L) === ((14L, 10L, 0L, "intro outro w1 w2")))
+    // 202 is the batch's first copy of the fresh run — it keeps.
+    assert(got(202L) === ((13L, 0L, 0L, s"$freshRun alpha beta")))
+    // 203's copy is later (higher id) — the whole 11-token run is cut.
+    assert(got(203L) === ((13L, 0L, 11L, "pre1 pre2")))
+    assert(got(204L)._2 === 0L)
+    assert(got(204L)._3 === 0L)
+    // 205 loses the corpus quote in stage 1 AND its fresh-run copy in
+    // stage 2 — both cut classes on one doc.
+    assert(got(205L) === ((22L, 10L, 11L, "mid")))
+    idx.unpersist()
+  }
+
   test("d20 corpusDiff: each status class exact; one id-keyed join, digests only") {
     val s = spark
     import s.implicits._
