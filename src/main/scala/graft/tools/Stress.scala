@@ -268,6 +268,14 @@ object Stress {
     time("gram_apply") {
       Dedup.deltaExactSubstrApply(gramDelta, gramIdx, "text").count()
     }
+    // d21: the composed ingest clean (corpus-quote cut + within-batch
+    // keep-first) against the same standing index and the same PINNED
+    // batch — the cost must track gram_apply plus a batch-sized d16
+    // pass, never the corpus.
+    if (want("ingest_clean")) ensureGramIdx()
+    time("ingest_clean") {
+      Dedup.ingestExactSubstrClean(gramDelta, gramIdx, "text").count()
+    }
     // d18: the vector-LSH index — the embedding twin of the delta/gram
     // probes above. Build scales with the corpus (scan-side buckets at the
     // auto-sized density + cache fill); the probe batch is PINNED (base
