@@ -13,6 +13,13 @@ import graft.sources.SqlTranslate
   * reference's observable interleaving, A7) while Spark parallelizes
   * *within* each dump across partitions — strictly dominating the
   * reference's single thread.
+  *
+  * Snapshot consistency (the rest of A7): `runQuery` is injected, so a
+  * Postgres deployment composes the one-snapshot-per-dump guarantee by
+  * wrapping each dump in [[graft.sources.SnapshotJdbcSource
+  * .withPinnedSnapshot]] and reading via `readPinned` — every partition
+  * and every retried task then sees the anchor's exported snapshot, which
+  * the reference's single cursor cannot offer past one connection.
   */
 class Floorista(
     spark: SparkSession,
