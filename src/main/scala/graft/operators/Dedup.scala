@@ -1283,7 +1283,9 @@ object Dedup {
     * Plan shape: two column-pruned scans with the md5 computed map-side,
     * ONE full-outer hash equi-join keyed on the id — co-partitionable /
     * bucketable at 100 TB, no other shuffle, output streams map-side
-    * from the join. */
+    * from the join. The id is assumed unique within each snapshot (the
+    * corpus invariant everywhere in this engine); duplicate ids would
+    * fan the join out row×row rather than fail. */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
     val o = oldDocs.select(col(idCol), md5(col(textCol)).as("__old_h"))
