@@ -1297,4 +1297,231 @@ object Dedup {
           .when(col("__old_h") === col("__new_h"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  // ---- d22/d23: paragraph-level (line) deduplication --------------------
+
+  /** The corpus' lines as (idCol, line_idx, 64-bit hash, line) — the
+    * shared geometry of the paragraph-dedup family: [[TextAnalysis.docLines]]'
+    * positional 16-token windows (the d08 chunk convention, the line
+    * analogue this newline-free corpus supports), hashed with xxhash64 so
+    * aggregates and joins key on 8 bytes, with the text riding only where
+    * the rebuild needs it. */
+  private def hashedDocLines(docs: DataFrame, idCol: String, textCol: String,
+                             lineTokens: Int): DataFrame =
+    TextAnalysis.docLines(docs, idCol, textCol, lineTokens)
+      .withColumn("h", xxhash64(col("line")))
+
+  /** The per-line keep-first winner table of a lines frame: for every
+    * line hash, the (idCol, line_idx) of its FIRST occurrence — min over
+    * the (id, idx) struct, so the aggregate is map-side partial-combinable
+    * (one hash aggregate keyed on the 64-bit line hash; a window
+    * row_number over the corpus would shuffle every occurrence to a
+    * single partition per hot line with no partial collapse). */
+  private def lineWinners(lines: DataFrame, idCol: String): DataFrame =
+    lines.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("line_idx"))).as("__w"))
+      .select(col("h"), col("__w").getField(idCol).as("__wid"),
+        col("__w").getField("line_idx").as("__widx"))
+
+  /** Rebuild each document from its surviving lines: one per-doc hash
+    * aggregate (sort_array over (line_idx, line) structs — per-document
+    * state, never a window over the corpus), the t16 rebuild contract:
+    * docs whose every line was cut survive with empty clean_text, so the
+    * op composes as a map of the corpus, not a filter. `cutCounts` are
+    * (name → is-this-occurrence-cut) predicates, each summed into its own
+    * column. */
+  private def rebuildFromLines(lines: DataFrame, idCol: String,
+                               keep: Column,
+                               cutCounts: Seq[(String, Column)]): DataFrame =
+    lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        cutCounts.map { case (name, c) =>
+          sum(when(c, 1L).otherwise(0L)).as(name)
+        } ++ Seq(
+          array_join(transform(
+            sort_array(collect_list(when(keep,
+              struct(col("line_idx"), col("line"))))),
+            s => s.getField("line")), " ").as("clean_text")): _*)
+
+  /** d22: corpus-wide paragraph-level deduplication — CCNet's paragraph
+    * dedup (Wenzek et al. 2020) at the line granularity this corpus
+    * supports: every line keeps its FIRST occurrence (ordered by
+    * (id, line_idx)) and every later copy — across documents or within
+    * one — is cut, then each document is rebuilt from its surviving
+    * lines. Distinct from t16's boilerplate scrub (document-frequency
+    * threshold, first copy dies too) and from d16's span apply (verbatim
+    * runs at arbitrary offsets): this is the set-of-paragraphs view,
+    * cheap enough to run corpus-wide before the heavier span machinery.
+    *
+    * Plan shape: lines are scan-side (codegen'd tokenize + slice); one
+    * hash aggregate keyed on the 64-bit line hash produces the winner
+    * table (map-side partial min — a hot boilerplate line collapses per
+    * partition before it shuffles); one equi-join of the lines frame
+    * against the winners on the hash; one per-doc rebuild aggregate.
+    * Shuffled volume is the lines frame (≈ corpus text / lineTokens rows)
+    * keyed on the hash, then on the doc id — both co-partitionable at
+    * 100 TB. Winner identity rides an 8-byte hash; xxhash64 collisions
+    * (astronomically unlikely) would cut a non-duplicate line, the
+    * documented d15-family trade.
+    *
+    * Output: (idCol, n_lines, n_cut_lines, clean_text), one row per doc
+    * with ≥ 1 line. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     lineTokens: Int = 16): DataFrame = {
+    val lines = hashedDocLines(docs, idCol, textCol, lineTokens)
+    val isWinner = col(idCol) === col("__wid") && col("line_idx") === col("__widx")
+    rebuildFromLines(
+      lines.join(lineWinners(lines, idCol), Seq("h")),
+      idCol, keep = isWinner,
+      cutCounts = Seq("n_cut_lines" -> !isWinner))
+  }
+
+  /** The standing corpus-side artifact of ingest-time paragraph dedup
+    * (the [[GramIndex]] analogue at line granularity): the DISTINCT
+    * 64-bit line hashes of the corpus, with the window width riding in
+    * the artifact (a probe slicing at a different width would silently
+    * never match — the GramIndex k-mismatch argument). One row per
+    * distinct corpus line ≈ corpus text / lineTokens rows at worst, far
+    * smaller after dedup; at 100 TB write `hashes` bucketed on `h` so
+    * probes co-locate without re-shuffling the corpus side. Lifecycle
+    * mirrors [[GramIndex]]: build once, probe every batch, [[append]]
+    * admitted batches, [[compact]] to flatten the union lineage (append
+    * keeps per-batch distinctness only; compact restores global
+    * distinctness — until then a line appended by two batches is stored
+    * twice, a size bound, never a correctness one: probes are left-semi). */
+  final case class LineSetIndex(hashes: DataFrame, lineTokens: Int,
+                                cachedFrames: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = {
+      hashes.unpersist()
+      cachedFrames.foreach(_.unpersist())
+      ()
+    }
+
+    def save(dir: String, mode: String = "overwrite"): Unit = {
+      hashes.write.mode(mode).parquet(s"$dir/line_hashes")
+      val spark = hashes.sparkSession
+      import spark.implicits._
+      Seq(lineTokens).toDF("line_tokens").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+
+    /** Fold an admitted ingest batch in: the batch's distinct line hashes
+      * union onto the standing frame — one pass over the batch. */
+    def append(batch: DataFrame, idCol: String, textCol: String,
+               persist: Boolean = true): LineSetIndex = {
+      val b0 = hashedDocLines(batch, idCol, textCol, lineTokens)
+        .select(col("h")).distinct()
+      val b = if (persist) b0.cache() else b0
+      LineSetIndex(hashes.unionByName(b), lineTokens,
+        cachedFrames = cachedFrames ++ Seq(hashes) ++
+          (if (persist) Seq(b) else Nil))
+    }
+
+    /** Flatten the append lineage and restore global distinctness:
+      * re-distinct the union, overwrite `dir` (must not be a path the
+      * current lineage scans — the [[GramIndex.compact]] caveat), release
+      * the old lineage, return the freshly-loaded flat index. */
+    def compact(dir: String, persist: Boolean = true): LineSetIndex = {
+      val spark = hashes.sparkSession
+      hashes.distinct().write.mode("overwrite").parquet(s"$dir/line_hashes")
+      import spark.implicits._
+      Seq(lineTokens).toDF("line_tokens").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      unpersist()
+      val fresh = loadLineSetIndex(spark, dir)
+      if (persist)
+        fresh.copy(hashes = fresh.hashes.cache(),
+          cachedFrames = Seq(fresh.hashes))
+      else fresh
+    }
+  }
+
+  /** Load an index previously written with [[LineSetIndex.save]]. */
+  def loadLineSetIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): LineSetIndex =
+    LineSetIndex(spark.read.parquet(s"$dir/line_hashes"),
+      spark.read.parquet(s"$dir/meta").head().getInt(0))
+
+  /** Build the [[LineSetIndex]] of a corpus: lines scan-side, one
+    * distinct aggregate on the 64-bit hash — nothing else shuffles. */
+  def buildLineSetIndex(docs: DataFrame, idCol: String, textCol: String,
+                        lineTokens: Int = 16,
+                        persist: Boolean = true): LineSetIndex = {
+    require(lineTokens >= 1, s"lineTokens must be positive, got $lineTokens")
+    val h = hashedDocLines(docs, idCol, textCol, lineTokens)
+      .select(col("h")).distinct()
+    val hP = if (persist) h.cache() else h
+    LineSetIndex(hP, lineTokens,
+      cachedFrames = if (persist) Seq(hP) else Nil)
+  }
+
+  /** d23: ingest-time paragraph clean — the d21 composition at line
+    * granularity: arriving documents first lose every line already
+    * present in the corpus (corpus precedence — those copies landed
+    * first; a LEFT join against the standing [[LineSetIndex]]), then the
+    * surviving batch lines run the within-batch keep-first dedup (the
+    * d22 geometry over the corpus-surviving population only, so a line
+    * cut as a corpus copy is never also charged as a batch duplicate).
+    * Window width comes from the index artifact, so the two stages — and
+    * the corpus build — can never disagree on geometry.
+    *
+    * Probe shape: batch lines are scan-side; the corpus membership check
+    * joins the BATCH against the index keyed on the 64-bit hash (shuffle
+    * sized by the batch — with the index bucketed on `h`, no corpus-side
+    * shuffle at all); the within-batch winner aggregate and the rebuild
+    * are both batch-sized. The corpus text is never read. Ids of the two
+    * frames are assumed disjoint (the [[deltaNearDupsIndexed]] contract).
+    *
+    * Output: (idCol, n_lines, n_cut_corpus_lines, n_cut_batch_lines,
+    * clean_text), one row per batch doc with ≥ 1 line. */
+  def ingestParagraphClean(delta: DataFrame, index: LineSetIndex,
+                           idCol: String, textCol: String): DataFrame = {
+    val lines = hashedDocLines(delta, idCol, textCol, index.lineTokens)
+    val flagged = lines.join(
+      index.hashes.select(col("h")).distinct().withColumn("__corpus", lit(1)),
+      Seq("h"), "left")
+    val winners = lineWinners(flagged.filter(col("__corpus").isNull), idCol)
+    val isWinner = col("__corpus").isNull &&
+      col(idCol) === col("__wid") && col("line_idx") === col("__widx")
+    rebuildFromLines(
+      flagged.join(winners, Seq("h"), "left"),
+      idCol, keep = isWinner,
+      cutCounts = Seq(
+        "n_cut_corpus_lines" -> col("__corpus").isNotNull,
+        "n_cut_batch_lines" -> (col("__corpus").isNull && !isWinner)))
+  }
+
+  // ---- d24: soft dedup (duplication-discounted sampling weights) --------
+
+  /** d24: soft deduplication — instead of DROPPING near-duplicate
+    * documents, DOWN-WEIGHT them so each duplicate cluster contributes
+    * one document's worth of sampling mass (the reweighting alternative
+    * to hard dedup studied by e.g. He et al. 2024 "SoftDedup": rare
+    * text keeps full weight, duplicated text is discounted, nothing is
+    * lost outright). Input is any (id, cluster) assignment — in the
+    * shipped pipeline the [[connectedComponents]] output over the d03
+    * pair set, the same standing artifact d07/d09/d10/d12 read, so soft
+    * and hard dedup can never disagree on what is a duplicate.
+    *
+    * Every document in a cluster of size n gets weight_bp =
+    * 10000 / n (integer basis points, the engine-wide convention);
+    * documents in no cluster are singletons at 10000. The output
+    * composes directly with [[Sampling.epochRepeat]]'s weightBpCol —
+    * soft dedup IS a sampling schedule, not a corpus rewrite.
+    *
+    * Plan shape: one hash aggregate over the (bounded) cluster table for
+    * sizes, one LEFT join of the corpus ids against the weighted cluster
+    * assignment (broadcast when the duplicate population is small — the
+    * expected regime; the corpus never shuffles). Output: (idCol,
+    * cluster_size, weight_bp), one row per corpus doc. */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame,
+                       idCol: String): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val weighted = clusters.join(sizes, Seq("cluster"))
+      .select(col("id").as(idCol), col("cluster_size"))
+    docs.select(col(idCol)).join(weighted, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_bp", expr("CAST(10000 DIV cluster_size AS BIGINT)"))
+  }
 }

@@ -59,4 +59,33 @@ object Packing {
         expr(s"CAST((__cum + __off - $tokenCol) DIV $ctxLen AS BIGINT)"))
       .drop("__bkt", "__cum", "__off")
   }
+
+  /** p18: the training-shard manifest — the deterministic global shuffle
+    * every training-data pipeline ends with: each document lands in a
+    * pseudo-random shard (`shard` = the p01 md5-bucket of its id, so the
+    * assignment is reproducible, content-independent, and stable under
+    * re-runs) at a deterministic position within it (`shard_pos` = rank
+    * by (full md5, id) inside the shard — md5-ordered, so within-shard
+    * order is itself a shuffle, not ingest order). A trainer that reads
+    * shards in index order and rows in position order sees a reproducible
+    * global permutation of the corpus; the manifest is the contract that
+    * makes a 100 TB run resumable and auditable.
+    *
+    * Scale contract: `nShards` must scale with the corpus so one shard ≈
+    * one output file (the sink's maxRecordsPerFile geometry — millions of
+    * shards at 100 TB, NOT 32): per-shard population is then bounded and
+    * the rank window sorts bounded groups (the q38 per-group-sort
+    * argument). Writing is one `partitionBy(shard)` pass — the shuffle is
+    * keyed on the shard, exactly the exchange the manifest implies.
+    *
+    * Output: (idCol, shard, shard_pos), zero-based positions. */
+  def shardManifest(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("shard", Sampling.hashBucket(col(idCol), nShards))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
 }

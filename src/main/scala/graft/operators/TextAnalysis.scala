@@ -302,6 +302,48 @@ object TextAnalysis {
           .as("lm_score_bp"))
   }
 
+  /** t19: CCNet's perplexity bucketing (Wenzek et al. 2020) — split each
+    * language's documents into head / middle / tail by LM-likelihood
+    * tertiles (CCNet trains a KenLM per language and keeps the
+    * lowest-perplexity third as "head"; here the LM is [[lmLikelihoodScore]]'s
+    * bigram model, where HIGH score = probable text, so head is the TOP
+    * tertile). The per-language cut points are exact percentiles of the
+    * score distribution (the q38/t18 exact-percentile convention; at
+    * 100 TB swap in approx_percentile and accept the q45-style band, or
+    * compute cuts on a per-language sample — the bucketing is a
+    * curriculum signal, not an exact-set contract), rounded to 4 like
+    * every other score so engines agree at the boundary. Tertile
+    * fractions are spelled as exact 8-digit literals (0.33333333D) so
+    * both engines interpolate at the SAME rank — `1.0/3` would be a
+    * decimal division with engine-specific scale.
+    *
+    * Plan shape: the scoring pass is t14's (vocab-bounded model joins +
+    * one per-doc aggregate); the cut-point table is |languages| rows,
+    * broadcast back; bucket assignment is a scan-side comparison. The
+    * corpus shuffles only inside the scoring pass.
+    *
+    * Output: (idCol, langCol, n_bigrams, lm_score_bp, bucket) for every
+    * doc with ≥ 2 tokens (the t14 emission contract). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    // Materialized once (the justified-checkpoint pattern): both the cut
+    // aggregate and the bucket join read this frame, and without it the
+    // full t14 scoring chain — the expensive pass — would run twice.
+    val scores = lmLikelihoodScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint()
+    val cuts = scores.groupBy(col(langCol))
+      .agg(round(expr("percentile(lm_score_bp, 0.33333333D)"), 4).as("__lo"),
+        round(expr("percentile(lm_score_bp, 0.66666667D)"), 4).as("__hi"))
+    scores.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        when(col("lm_score_bp") >= col("__hi"), lit("head"))
+          .when(col("lm_score_bp") >= col("__lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("n_bigrams"),
+        col("lm_score_bp"), col("bucket"))
+  }
+
   /** Per-doc positional "lines" — the d08 chunk convention (non-
     * overlapping `lineTokens`-word windows, the line analogue this
     * newline-free corpus supports): (idCol, line_idx, h) with h =

@@ -163,6 +163,7 @@ object PipelineQueries {
     survivorsCache.remove((s, dir))
     Option(dsirModelCache.remove((s, dir))).foreach(_.unpersist())
     Option(qualityClfCache.remove((s, dir))).foreach(_.weights.unpersist())
+    Option(lineSetIndexCache.remove((s, dir))).foreach(_.unpersist())
     Dedup.invalidateMinHashIndexCache(s, dir)
     Dedup.invalidateGramIndexCache(s, dir)
     Dedup.invalidateLshVecIndexCache(s, dir)
@@ -225,6 +226,35 @@ object PipelineQueries {
     * behind it. The oracle interpolates the same constant. */
   private val BoilerplateBanner =
     "subscribe to our newsletter click here to accept all cookies and terms of service today now"
+
+  /** Exactly 16 words — one full line at the d22 window width (the
+    * [[BoilerplateBanner]] alignment argument), but planted at a rate
+    * (doc_id % 9 = 4) BELOW t16's document-frequency threshold family so
+    * the two planted populations stay distinguishable in the bench. */
+  private val ParagraphBanner =
+    "this exact same paragraph appears at the top of many crawled pages in the raw dump"
+
+  /** Per-(session, dir) memoized corpus [[Dedup.LineSetIndex]] — the
+    * [[Dedup.memoizedGramIndex]] convention for the d23 probe: build the
+    * corpus line-hash set once per directory, probe every batch; priced
+    * in warmup_build. */
+  private val lineSetIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Dedup.LineSetIndex]()
+
+  private def memoizedLineSetIndex(s: SparkSession, dir: String,
+                                   corpus: DataFrame): Dedup.LineSetIndex = {
+    val it = lineSetIndexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) it.remove()
+    }
+    lineSetIndexCache.computeIfAbsent((s, dir), { _ =>
+      graft.tools.BuildTimer.time {
+        Dedup.buildLineSetIndex(corpus, "doc_id", "text", lineTokens = 16)
+      }
+    })
+  }
 
   private def round10Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Span-level ExactSubstr apply (Lee et al.): d15 names the duplicated
@@ -308,6 +338,58 @@ object PipelineQueries {
         k = 10, maxGramDocs = 256, cacheKey = dir + "#gidx")
       Dedup.ingestExactSubstrClean(delta, idx, "text")
     }),
+
+    // d22: corpus-wide paragraph (line) dedup — CCNet's keep-first
+    // paragraph dedup at the 16-token line granularity: every line's
+    // first occurrence (by (doc_id, line_idx)) survives, every later
+    // copy across or within docs is cut, docs rebuild from survivors.
+    // Docs % 9 = 4 get a shared 16-word banner planted at line 0 (the
+    // oracle plants the identical banner), so exactly one planted copy
+    // survives and the cross-doc cuts are driver-visible alongside the
+    // corpus' natural duplicate docs.
+    "d22_paragraph_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 4,
+          concat_ws(" ", lit(ParagraphBanner), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.paragraphDedup(d, "doc_id", "text", lineTokens = 16)
+    }),
+
+    // d23: ingest-time paragraph clean — the d21 composition at line
+    // granularity: arriving docs (% 10 = 7, the delta convention) lose
+    // every line already in the corpus line-set index, then the
+    // survivors run the within-batch keep-first dedup. Index memoized
+    // per (session, dir) like the gram index.
+    "d23_ingest_paragraph_clean" -> ((s, dir) => {
+      val all = Dedup.spreadToParallelism(docs(s, dir))
+      val delta = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val idx = memoizedLineSetIndex(s, dir, corpus)
+      Dedup.ingestParagraphClean(delta, idx, "doc_id", "text")
+    }),
+
+    // d24: soft dedup — duplication-discounted sampling weights instead
+    // of hard drops: every doc in a d07 cluster of size n gets
+    // weight_bp = 10000 DIV n, singletons 10000, off the SAME memoized
+    // pair+cluster artifact d07/d09/d10/d12 read (soft and hard dedup
+    // can never disagree on what is a duplicate). Composes with p12's
+    // epochRepeat as a sampling schedule.
+    "d24_soft_dedup_weights" -> ((s, dir) =>
+      Dedup.softDedupWeights(docs(s, dir),
+        dupPairsAndClusters(s, dir)._2, "doc_id")),
+
+    // t19: CCNet's perplexity bucketing — per-language head/middle/tail
+    // tertiles of t14's bigram-LM score (high score = probable = head).
+    // Exact per-language percentile cuts (|langs| rows, broadcast back),
+    // tertile fractions as exact 8-digit double literals on both engines.
+    "t19_perplexity_buckets" -> ((s, dir) =>
+      TA.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")),
+
+    // p18: the training-shard manifest — deterministic global shuffle:
+    // md5-bucket shard assignment + md5-rank position within the shard;
+    // the reproducible permutation contract a trainer reads shards by.
+    "p18_shard_manifest" -> ((s, dir) =>
+      Packing.shardManifest(docs(s, dir), "doc_id", nShards = 32)),
 
     // t18: the corpus card — the dataset-documentation table published
     // with every corpus release (Datasheets/Dataset-Cards practice):
@@ -2069,6 +2151,109 @@ object PipelineQueries {
          FROM s1
          LEFT JOIN perdoc2 p2 USING (doc_id)
          LEFT JOIN clean2 cl2 USING (doc_id)""",
+    // Paragraph dedup: t16's line geometry (16-token windows) with the
+    // keep-first winner decided by row_number over (doc_id, line_idx) —
+    // the CCNet semantics, first copy survives (vs t16's all-copies-die).
+    "d22_paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+                            CASE WHEN doc_id % 9 = 4
+                                 THEN '$ParagraphBanner ' || text
+                                 ELSE text END AS text
+                     FROM documents),
+              t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM d),
+              l AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(ws) - 1) // 16),
+                             i -> {'line_idx': i, 'line': array_to_string(ws[i*16+1 : i*16+16], ' ')})) AS u
+                    FROM t WHERE len(ws) >= 1),
+              e AS (SELECT doc_id, u.line_idx AS line_idx, u.line AS line FROM l),
+              r AS (SELECT doc_id, line_idx, line,
+                           row_number() OVER (PARTITION BY line
+                                              ORDER BY doc_id, line_idx) AS rn
+                    FROM e)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_lines,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                    ' ' ORDER BY line_idx), '') AS clean_text
+         FROM r GROUP BY 1""",
+    // Ingest paragraph clean: the same line geometry split into corpus
+    // (% 10 <> 7) and batch (% 10 = 7); corpus membership cuts first,
+    // the within-batch keep-first runs over the survivors only.
+    "d23_ingest_paragraph_clean" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              l AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(ws) - 1) // 16),
+                             i -> {'line_idx': i, 'line': array_to_string(ws[i*16+1 : i*16+16], ' ')})) AS u
+                    FROM t WHERE len(ws) >= 1),
+              e AS (SELECT doc_id, u.line_idx AS line_idx, u.line AS line FROM l),
+              corp AS (SELECT DISTINCT line FROM e WHERE doc_id % 10 <> 7),
+              f AS (SELECT e.doc_id, e.line_idx, e.line,
+                           (corp.line IS NOT NULL) AS corpus_cut
+                    FROM e LEFT JOIN corp ON e.line = corp.line
+                    WHERE e.doc_id % 10 = 7),
+              k AS (SELECT doc_id, line_idx FROM (
+                      SELECT doc_id, line_idx,
+                             row_number() OVER (PARTITION BY line
+                                                ORDER BY doc_id, line_idx) AS rn
+                      FROM f WHERE NOT corpus_cut)
+                    WHERE rn = 1)
+         SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN f.corpus_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_corpus_lines,
+                CAST(sum(CASE WHEN NOT f.corpus_cut AND k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_batch_lines,
+                coalesce(string_agg(CASE WHEN k.doc_id IS NOT NULL THEN f.line END,
+                                    ' ' ORDER BY f.line_idx), '') AS clean_text
+         FROM f LEFT JOIN k ON f.doc_id = k.doc_id AND f.line_idx = k.line_idx
+         GROUP BY 1""",
+    // Perplexity buckets: t14's scoring chain, per-language quantile_cont
+    // cuts rounded to 4 (the t18 med_tokens convention), threshold CASE.
+    "t19_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              u AS (SELECT unnest(ws) AS token FROM t),
+              c1 AS (SELECT token, count(*) AS n1 FROM u GROUP BY 1),
+              v AS (SELECT count(DISTINCT token) AS vocab FROM u),
+              b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                             i -> concat_ws(' ', ws[i], ws[i+1]))) AS bigram
+                    FROM t WHERE len(ws) >= 2),
+              c2 AS (SELECT bigram, count(*) AS n2 FROM b GROUP BY 1),
+              s AS (SELECT b.doc_id,
+                           CAST(c2.n2 * 10000 // (c1.n1 + v.vocab) AS BIGINT) AS p_bp
+                    FROM b JOIN c2 USING (bigram)
+                           JOIN c1 ON c1.token = string_split(b.bigram, ' ')[1]
+                           CROSS JOIN v),
+              sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                            round(CAST(sum(p_bp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS lm_score_bp
+                     FROM s GROUP BY doc_id),
+              sl AS (SELECT sc.doc_id, d.lang, sc.n_bigrams, sc.lm_score_bp
+                     FROM sc JOIN documents d USING (doc_id)),
+              cuts AS (SELECT lang,
+                              round(quantile_cont(lm_score_bp, 0.33333333), 4) AS lo,
+                              round(quantile_cont(lm_score_bp, 0.66666667), 4) AS hi
+                       FROM sl GROUP BY 1)
+         SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.lm_score_bp,
+                CASE WHEN sl.lm_score_bp >= c.hi THEN 'head'
+                     WHEN sl.lm_score_bp >= c.lo THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM sl JOIN cuts c USING (lang)""",
+    // Shard manifest: the p01 md5-bucket shard + md5-rank position.
+    "p18_shard_manifest" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS shard
+                    FROM documents)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
+         FROM h""",
+    // Soft dedup: d07's recursive-CTE components, cluster sizes, and the
+    // integer-bp discount 10000 // n with singletons at 10000.
+    "d24_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $ComponentsCte,
+              sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                     FROM comp GROUP BY 1),
+              w AS (SELECT comp.id AS doc_id, sz.cluster_size
+                    FROM comp JOIN sz USING (cluster))
+         SELECT d.doc_id,
+                CAST(coalesce(w.cluster_size, 1) AS BIGINT) AS cluster_size,
+                CAST(10000 // coalesce(w.cluster_size, 1) AS BIGINT) AS weight_bp
+         FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""",
     // Corpus card: p08's quality CTE, group aggregates, quantile_cont
     // (the q38 convention), one totals cross join.
     "t18_corpus_card" ->

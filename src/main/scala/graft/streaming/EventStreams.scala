@@ -469,6 +469,47 @@ object EventStreams {
       .select(col(idCol), col("n_lines"), col("n_cut_lines"), col("clean_text"))
   }
 
+  /** Streaming paragraph clean — the ingest twin of
+    * [[graft.operators.Dedup.ingestParagraphClean]]'s CORPUS stage:
+    * arriving documents lose every 16-token line already present in the
+    * standing [[graft.operators.Dedup.LineSetIndex]] (stream-static LEFT
+    * join keyed on the xxhash64 line hash, stateless — the
+    * [[boilerplateScrubStream]] topology with the line-SET artifact
+    * instead of the frequency-flagged one), and rebuild from survivors.
+    * The batch op's WITHIN-batch keep-first stage is deliberately absent
+    * here, the same scoping as [[exactSubstrApplyStream]] vs d21: a
+    * stream has no cross-document state before the join; cross-batch
+    * dedup is what folding admitted batches into the index
+    * ([[graft.operators.Dedup.LineSetIndex.append]]) is for. An
+    * (id, line_idx) watermarked dedup ahead of the aggregate makes
+    * replays cut exactly-once. Docs with no tokens never reach the
+    * aggregate (the batch op's contract).
+    *
+    * Output: append-mode (idCol, n_lines, n_cut_corpus_lines,
+    * clean_text). */
+  def paragraphCleanStream(docs: DataFrame, idCol: String, textCol: String,
+                           tsCol: String,
+                           idx: graft.operators.Dedup.LineSetIndex,
+                           watermarkDelay: String = "10 minutes",
+                           windowDuration: String = "10 minutes"): DataFrame = {
+    val corpus = idx.hashes.select(col("h")).distinct().withColumn("cut", lit(1))
+    graft.operators.TextAnalysis
+      .docLines(docs.withWatermark(tsCol, watermarkDelay), idCol, textCol,
+        idx.lineTokens, extra = Seq(tsCol))
+      .dropDuplicatesWithinWatermark(idCol, "line_idx")
+      .withColumn("h", xxhash64(col("line")))
+      .join(corpus, Seq("h"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("cut")).as("n_cut_corpus_lines"),
+        array_join(transform(
+          sort_array(collect_list(when(col("cut").isNull,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), " ").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_cut_corpus_lines"),
+        col("clean_text"))
+  }
+
   /** Streaming embedding near-dup admission — [[graft.operators.Dedup
     * .deltaEmbeddingNearDups]]'s streaming twin, giving the VECTOR
     * geometry the same ingest-time gate the text geometries have

@@ -276,6 +276,44 @@ object Stress {
     time("ingest_clean") {
       Dedup.ingestExactSubstrClean(gramDelta, gramIdx, "text").count()
     }
+    // d22: corpus-wide paragraph keep-first dedup — scales with the
+    // corpus (lines ≈ tokens/16); one winner aggregate + one hash join +
+    // one rebuild aggregate, so the curve must stay linear-ish. The
+    // per-replica token perturbation breaks cross-replica 16-token
+    // lines, so cut counts track the base corpus's natural dups.
+    time("paragraph_dedup") {
+      Dedup.paragraphDedup(docs, "doc_id", "text").count()
+    }
+    // d23: the line-set index (corpus-sized build, like gram_index_build)
+    // probed by the PINNED batch — probe cost must track the batch plus
+    // the index-side hash join, never the corpus text.
+    var lineIdx: Dedup.LineSetIndex = null
+    def ensureLineIdx(): Long = {
+      if (lineIdx == null) {
+        lineIdx = Dedup.buildLineSetIndex(docs, "doc_id", "text")
+        lineIdx.hashes.count()
+      } else 0L
+    }
+    time("lineset_index_build") { ensureLineIdx() }
+    if (want("paragraph_probe")) ensureLineIdx()
+    time("paragraph_probe") {
+      Dedup.ingestParagraphClean(gramDelta, lineIdx, "doc_id", "text").count()
+    }
+    // t19: the CCNet tertile bucketing — t14's scoring chain (model
+    // joins keyed on vocab-bounded tables) + a |langs|-row cut table;
+    // the curve must track the scoring pass, i.e. the corpus.
+    time("perplexity_buckets") {
+      graft.operators.TextAnalysis
+        .perplexityBuckets(docs, "doc_id", "text", "lang").count()
+    }
+    // p18: the shard manifest at the production geometry — nShards
+    // scales WITH the corpus (shard ≈ file), so per-shard sort stays
+    // bounded and the curve must stay linear-ish; a pinned nShards
+    // would grow per-shard sorts with factor instead.
+    time("shard_manifest") {
+      graft.operators.Packing
+        .shardManifest(docs, "doc_id", nShards = 32 * factor).count()
+    }
     // d18: the vector-LSH index — the embedding twin of the delta/gram
     // probes above. Build scales with the corpus (scan-side buckets at the
     // auto-sized density + cache fill); the probe batch is PINNED (base

@@ -294,4 +294,84 @@ class RandomizedRefSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toMap
     assert(got === want)
   }
+
+  /** The shared naive line slicer of the paragraph-dedup references —
+    * must mirror TextAnalysis.docLines exactly (blank-token filter,
+    * partial tail window). */
+  private def naiveLines4(text: String): Seq[String] = {
+    val c = 4
+    val ws = text.split(" ", -1).toSeq.filter(_.nonEmpty)
+    if (ws.isEmpty) Seq.empty
+    else (0 to (ws.length - 1) / c).map(i =>
+      ws.slice(i * c, i * c + c).mkString(" "))
+  }
+
+  test("paragraphDedup equals the sequential keep-first reference on 200 adversarial docs") {
+    val s = spark
+    import s.implicits._
+    val banner = "nav1 nav2 nav3 nav4"
+    val docs = randomTexts(200).map { case (id, t) =>
+      (id, if (id % 3 == 0) s"$banner $t" else t)
+    }
+    // Sequential keep-first: walk docs by ascending (id, line_idx) —
+    // exactly the min-struct winner order — keep first global occurrence.
+    val seen = scala.collection.mutable.Set[String]()
+    val want = docs.sortBy(_._1).flatMap { case (id, t) =>
+      val ls = naiveLines4(t)
+      if (ls.isEmpty) None
+      else {
+        val keeps = ls.map { l => val k = !seen(l); if (k) seen += l; k }
+        Some(id -> ((ls.length.toLong,
+          keeps.count(!_).toLong,
+          ls.zip(keeps).collect { case (l, true) => l }.mkString(" "))))
+      }
+    }.toMap
+    val got = graft.operators.Dedup
+      .paragraphDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        lineTokens = 4)
+      .select($"doc_id", $"n_lines", $"n_cut_lines", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want)
+  }
+
+  test("ingestParagraphClean equals the sequential two-stage reference on 200 adversarial docs") {
+    val s = spark
+    import s.implicits._
+    val banner = "nav1 nav2 nav3 nav4"
+    val all = randomTexts(200).map { case (id, t) =>
+      (id, if (id % 3 == 0) s"$banner $t" else t)
+    }
+    val corpus = all.filter(_._1 % 10 != 7)
+    val batch = all.filter(_._1 % 10 == 7)
+    val corpusLines = corpus.flatMap(d => naiveLines4(d._2)).toSet
+    // Stage 1: corpus presence cuts; stage 2: keep-first among survivors
+    // walked in ascending (id, line_idx) order.
+    val seen = scala.collection.mutable.Set[String]()
+    val want = batch.sortBy(_._1).flatMap { case (id, t) =>
+      val ls = naiveLines4(t)
+      if (ls.isEmpty) None
+      else {
+        val states = ls.map { l =>
+          if (corpusLines(l)) "corpus"
+          else if (seen(l)) "batch"
+          else { seen += l; "keep" }
+        }
+        Some(id -> ((ls.length.toLong,
+          states.count(_ == "corpus").toLong,
+          states.count(_ == "batch").toLong,
+          ls.zip(states).collect { case (l, "keep") => l }.mkString(" "))))
+      }
+    }.toMap
+    val idx = graft.operators.Dedup.buildLineSetIndex(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", lineTokens = 4,
+      persist = false)
+    val got = graft.operators.Dedup
+      .ingestParagraphClean(batch.toDF("doc_id", "text"), idx, "doc_id", "text")
+      .select($"doc_id", $"n_lines", $"n_cut_corpus_lines",
+        $"n_cut_batch_lines", $"clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === want)
+  }
 }

@@ -788,4 +788,64 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
     idx.unpersist()
   }
+
+  test("streaming paragraph clean probes the static line-set index, matches the batch corpus stage") {
+    import java.sql.Timestamp
+    import graft.operators.Dedup
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    // Offline: the standing line-set artifact — EVERY corpus line cuts,
+    // no frequency threshold (the d23-vs-t16 distinction).
+    val corpusLine = (1 to 16).map(i => s"k$i").mkString(" ")
+    val corpus = Seq((1L, s"$corpusLine " +
+      (1 to 16).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val idx = Dedup.buildLineSetIndex(corpus, "doc_id", "text",
+      lineTokens = 16, persist = false)
+    // Online: 201 quotes the corpus line mid-doc, 202 is clean, 203 is
+    // ALL corpus lines; 201 replays in the second microbatch. No
+    // within-batch duplicates (the corpus-stage scoping this twin has).
+    val head16 = (1 to 16).map(i => s"h$i").mkString(" ")
+    val arriving = Seq(
+      (201L, ts(0), s"$head16 $corpusLine tail_a tail_b"),
+      (202L, ts(1), (1 to 20).map(i => s"z$i").mkString(" ")),
+      (203L, ts(2), corpusLine))
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.paragraphCleanStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", idx,
+        watermarkDelay = "1 minute",
+        windowDuration = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("parclean_out").start()
+    try {
+      memStream.addData(arriving: _*)
+      q.processAllAvailable()
+      // REPLAY doc 201, then advance the watermark so windows emit.
+      memStream.addData((201L, ts(0), s"$head16 $corpusLine tail_a tail_b"))
+      q.processAllAvailable()
+      memStream.addData((999L, ts(120), (1 to 5).map(i => s"w$i").mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("parclean_out")
+        .select($"doc_id", $"n_lines", $"n_cut_corpus_lines", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got.size == got.map(_._1).toSet.size,
+        s"a replayed doc must land once, not twice: $got")
+      // Batch twin: ingestParagraphClean on a batch with no within-batch
+      // dups — n_cut_batch_lines is all zeros and the corpus stage is
+      // exactly what the stream computes.
+      val batchOut = Dedup.ingestParagraphClean(
+          arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
+          idx, "doc_id", "text")
+      assert(batchOut.agg(sum($"n_cut_batch_lines")).head().getLong(0) === 0L,
+        "fixture must have no within-batch duplicates")
+      val batch = batchOut
+        .select($"doc_id", $"n_lines", $"n_cut_corpus_lines", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got.filter(_._1 != 999L).toSet == batch,
+        s"stream ${got.toSet} vs batch $batch")
+      assert(got.find(_._1 == 201L).get ===
+        ((201L, 3L, 1L, s"$head16 tail_a tail_b")))
+      assert(got.find(_._1 == 203L).get === ((203L, 1L, 1L, "")))
+    } finally q.stop()
+  }
 }
