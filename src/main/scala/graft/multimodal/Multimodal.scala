@@ -177,6 +177,31 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** m07: perceptual media dedup APPLY — close the loop m05 opens: from
+    * the pair stream ([[frameOverlap]] over [[graft.functions.DHash64]]
+    * fingerprints — re-encodes match their originals because the dHash
+    * survives monotone byte remaps), cluster with the dedup family's
+    * pointer-jumping [[graft.operators.Dedup.connectedComponents]] and
+    * keep ONE representative per cluster (the min id — the cluster
+    * label, the d09 convention), dropping every other member. A
+    * re-encoded copy is removed even though every byte differs; the
+    * original survives.
+    *
+    * Plan shape: clustering runs over the PAIR population (bounded by
+    * m05's maxFrameDocs cap, never corpus²); the apply is one LEFT ANTI
+    * hash join of the media ids against the non-representative cluster
+    * members (tiny in the expected regime — broadcast). The media
+    * payloads never join. Output: the surviving rows of `media`. */
+  def perceptualDedupApply(media: DataFrame, idCol: String,
+                           pairs: DataFrame,
+                           aCol: String = "a_id",
+                           bCol: String = "b_id"): DataFrame = {
+    val drops = graft.operators.Dedup.connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    media.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk. STUB chunking stands in for demux; the explode-shaped output
     * (one row per sampled frame) is the real contract. */

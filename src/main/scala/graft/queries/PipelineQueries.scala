@@ -501,17 +501,39 @@ object PipelineQueries {
         .withColumn("live_bp", expr("n_live * 10000 DIV n_frames"))
     }),
 
-    "m05_perceptual_overlap" -> ((s, dir) => {
+    "m05_perceptual_overlap" -> ((s, dir) =>
+      perceptualPairs(s, dir)),
+
+    // m07: the perceptual dedup APPLY — m05's pair stream clustered
+    // (pointer-jumping components over the bounded pair population) and
+    // every non-representative member dropped: the re-encoded planted
+    // copies (+100000 ids) are removed even though every byte differs,
+    // their originals survive. Same planted construction as m05, so the
+    // pair set — and therefore the drop set — is oracle-mirrored.
+    "m07_perceptual_dedup" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
       val planted = graft.multimodal.Multimodal.reencodeStub(
         media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)
-      val frames = graft.multimodal.Multimodal
-        .sampleFrames(media.unionByName(planted), frameBytes = 64, stride = 4)
-        .toDF()
-        .select(col("doc_id"),
-          graft.functions.DHash64.dhash64(col("frame")).as("fp"))
-      graft.multimodal.Multimodal.frameOverlap(frames, "doc_id", "fp")
+      val pop = media.unionByName(planted).toDF().select(col("doc_id"))
+      graft.multimodal.Multimodal
+        .perceptualDedupApply(pop, "doc_id", perceptualPairs(s, dir))
     }))
+
+  /** The m05 pair build (planted re-encodes + dHash fingerprints +
+    * capped frame-hash join), shared verbatim by m05 (which emits it)
+    * and m07 (which clusters and applies it) — the dupPairsAndClusters
+    * share-don't-drift principle at the media layer. */
+  private def perceptualPairs(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
+    val planted = graft.multimodal.Multimodal.reencodeStub(
+      media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)
+    val frames = graft.multimodal.Multimodal
+      .sampleFrames(media.unionByName(planted), frameBytes = 64, stride = 4)
+      .toDF()
+      .select(col("doc_id"),
+        graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+    graft.multimodal.Multimodal.frameOverlap(frames, "doc_id", "fp")
+  }
 
   /** The end-to-end corpus build — the product story the 50 isolated
     * pipeline ops exist for, composed in the order a training-data team
@@ -1589,6 +1611,43 @@ object PipelineQueries {
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
          FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+    // m07: m05's pair chain feeding the d07 recursive components, then
+    // the d09 anti-join — keep the cluster representative (min id), drop
+    // every other member of the media population.
+    "m07_perceptual_dedup" ->
+      """WITH RECURSIVE f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM documents),
+              fr AS (SELECT doc_id, substr(text, i * 64 + 1, 64) AS frame
+                     FROM f WHERE i % 4 = 0),
+              allf AS (SELECT doc_id, frame FROM fr
+                       UNION ALL
+                       SELECT doc_id + 100000, frame FROM fr WHERE doc_id < 40),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 63),
+                                i -> CASE WHEN ascii(substr(frame, i, 1))
+                                               > ascii(substr(frame, i + 1, 1))
+                                          THEN (CAST(1 AS BIGINT) << (i - 1))
+                                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                    FROM allf),
+              d AS (SELECT DISTINCT doc_id, fp FROM h),
+              keep AS (SELECT fp FROM d GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT d.doc_id, d.fp FROM d JOIN keep USING (fp)),
+              p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                    FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+              sym AS (SELECT a_id AS id, b_id AS nb FROM p
+                      UNION
+                      SELECT b_id AS id, a_id AS nb FROM p),
+              reach AS (SELECT id, nb FROM sym
+                        UNION
+                        SELECT r.id, s.nb FROM reach r JOIN sym s ON r.nb = s.id),
+              comp AS (SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id),
+              pop AS (SELECT doc_id FROM documents
+                      UNION ALL
+                      SELECT doc_id + 100000 FROM documents WHERE doc_id < 40)
+         SELECT doc_id FROM pop
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)""",
     // m06: same frame slicing (and the m04 ASCII coupling note); energy is
     // the integer variance numerator 64·Σx² − (Σx)² over the frame's byte
     // values, compared against 64²·4 — all BIGINT (list_sum yields

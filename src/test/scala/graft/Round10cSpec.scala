@@ -278,6 +278,33 @@ class Round10cSpec extends SparkSpecBase {
     assert(m.map(_._1).toSeq === want.toSeq)
   }
 
+  // ---- m07: perceptual dedup apply --------------------------------------
+
+  test("perceptualDedupApply: re-encoded copies drop, originals and singletons survive") {
+    val s = spark
+    import s.implicits._
+    val M = graft.multimodal.Multimodal
+    def payload(seed: Char): String =
+      (0 until 128).map(i => (('a' + ((seed + i * 7) % 20)).toChar)).mkString
+    val docs = Seq(
+      (1L, payload('a')), (2L, payload('q')),
+      (3L, "short")) // < 64 bytes: no frames, never pairs, must survive
+      .toDF("doc_id", "text")
+    val media = M.asMediaTable(docs)
+    val planted = M.reencodeStub(media.filter(col("doc_id") <= 2), shift = 1,
+      idOffset = 1000L)
+    val pop = media.unionByName(planted).toDF().select(col("doc_id"))
+    val frames = M.sampleFrames(media.unionByName(planted), 64, 4).toDF()
+      .select(col("doc_id"),
+        graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+    val pairs = M.frameOverlap(frames, "doc_id", "fp")
+    assert(pairs.count() === 2L, "each re-encode must pair with its original only")
+    val got = M.perceptualDedupApply(pop, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L),
+      s"originals + the frameless doc survive, re-encodes drop; got ${got.toSeq}")
+  }
+
   // ---- shared plan-audit helpers (the Round9Spec idiom) ------------------
 
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
