@@ -195,8 +195,16 @@ object Multimodal {
   def perceptualDedupApply(media: DataFrame, idCol: String,
                            pairs: DataFrame,
                            aCol: String = "a_id",
-                           bCol: String = "b_id"): DataFrame = {
-    val drops = graft.operators.Dedup.connectedComponents(pairs, aCol, bCol)
+                           bCol: String = "b_id"): DataFrame =
+    perceptualDedupApplyFromClusters(media, idCol,
+      graft.operators.Dedup.connectedComponents(pairs, aCol, bCol))
+
+  /** The apply half alone, for callers holding a standing (id, cluster)
+    * artifact (the memoized detect-once/report-many shape): one LEFT
+    * ANTI join against the non-representative members. */
+  def perceptualDedupApplyFromClusters(media: DataFrame, idCol: String,
+                                       clusters: DataFrame): DataFrame = {
+    val drops = clusters
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     media.join(drops, Seq(idCol), "left_anti")

@@ -164,6 +164,7 @@ object PipelineQueries {
     Option(dsirModelCache.remove((s, dir))).foreach(_.unpersist())
     Option(qualityClfCache.remove((s, dir))).foreach(_.weights.unpersist())
     Option(lineSetIndexCache.remove((s, dir))).foreach(_.unpersist())
+    mediaPairsCache.remove((s, dir))
     Dedup.invalidateMinHashIndexCache(s, dir)
     Dedup.invalidateGramIndexCache(s, dir)
     Dedup.invalidateLshVecIndexCache(s, dir)
@@ -502,37 +503,56 @@ object PipelineQueries {
     }),
 
     "m05_perceptual_overlap" -> ((s, dir) =>
-      perceptualPairs(s, dir)),
+      mediaPairsAndClusters(s, dir)._1),
 
     // m07: the perceptual dedup APPLY — m05's pair stream clustered
     // (pointer-jumping components over the bounded pair population) and
     // every non-representative member dropped: the re-encoded planted
     // copies (+100000 ids) are removed even though every byte differs,
-    // their originals survive. Same planted construction as m05, so the
-    // pair set — and therefore the drop set — is oracle-mirrored.
+    // their originals survive. Same planted construction as m05 — pairs
+    // and clusters come from the ONE memoized media artifact, so the
+    // pair set and the drop set can never drift.
     "m07_perceptual_dedup" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
       val planted = graft.multimodal.Multimodal.reencodeStub(
         media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)
       val pop = media.unionByName(planted).toDF().select(col("doc_id"))
-      graft.multimodal.Multimodal
-        .perceptualDedupApply(pop, "doc_id", perceptualPairs(s, dir))
+      graft.multimodal.Multimodal.perceptualDedupApplyFromClusters(
+        pop, "doc_id", mediaPairsAndClusters(s, dir)._2)
     }))
 
   /** The m05 pair build (planted re-encodes + dHash fingerprints +
-    * capped frame-hash join), shared verbatim by m05 (which emits it)
-    * and m07 (which clusters and applies it) — the dupPairsAndClusters
-    * share-don't-drift principle at the media layer. */
-  private def perceptualPairs(s: SparkSession, dir: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
-    val planted = graft.multimodal.Multimodal.reencodeStub(
-      media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)
-    val frames = graft.multimodal.Multimodal
-      .sampleFrames(media.unionByName(planted), frameBytes = 64, stride = 4)
-      .toDF()
-      .select(col("doc_id"),
-        graft.functions.DHash64.dhash64(col("frame")).as("fp"))
-    graft.multimodal.Multimodal.frameOverlap(frames, "doc_id", "fp")
+    * capped frame-hash join) + its connected components, shared by m05
+    * (which emits the pairs) and m07 (which applies the clustering) —
+    * [[dupPairsAndClusters]] at the media layer: detect + cluster ONCE
+    * per (session, dir), read many; both frames checkpoint-materialized,
+    * the build priced in warmup_build. */
+  private val mediaPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def mediaPairsAndClusters(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val it = mediaPairsCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    mediaPairsCache.computeIfAbsent((s, dir), { key =>
+      graft.tools.BuildTimer.time {
+        val media = graft.multimodal.Multimodal.asMediaTable(docs(key._1, key._2))
+        val planted = graft.multimodal.Multimodal.reencodeStub(
+          media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)
+        val frames = graft.multimodal.Multimodal
+          .sampleFrames(media.unionByName(planted), frameBytes = 64, stride = 4)
+          .toDF()
+          .select(col("doc_id"),
+            graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+        val pairs = graft.multimodal.Multimodal
+          .frameOverlap(frames, "doc_id", "fp").localCheckpoint()
+        val clusters = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        (pairs, clusters)
+      }
+    })
   }
 
   /** The end-to-end corpus build — the product story the 50 isolated
