@@ -302,6 +302,37 @@ object TextAnalysis {
           .as("lm_score_bp"))
   }
 
+  /** t20: the C4 blocklist filter (Raffel et al. 2020 — the public
+    * "bad words" page rule: DROP any document containing a blocklisted
+    * token; C4 applied it with the open "List of Dirty, Naughty ..."
+    * list). The blocklist is a caller-supplied one-column table —
+    * bounded by nature (thousands of entries), BROADCAST, and probed by
+    * the corpus tokens scan-side, the t15 seed-gram topology: shuffled
+    * rows collapse to ≈ one per document in the final aggregate
+    * (map-side partials), the corpus text never shuffles. Occurrences
+    * are counted (duplicates included) so the output doubles as a
+    * severity signal; `keep` is the C4 decision (zero hits). Docs with
+    * no tokens keep (explode_outer — the op is a map of the corpus,
+    * every doc emits exactly one row).
+    *
+    * Output: (idCol, n_tokens, n_flagged, keep). */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      blocklist: DataFrame,
+                      wordCol: String = "word"): DataFrame = {
+    import graft.functions.WordShingles
+    val bl = broadcast(blocklist.select(col(wordCol).as("__w")).distinct()
+      .withColumn("__hit", lit(1)))
+    docs
+      .select(col(idCol),
+        WordShingles.wordShingles(col(textCol), 1, distinct = false).as("__ws"))
+      .select(col(idCol), explode_outer(col("__ws")).as("__t"))
+      .join(bl, col("__t") === col("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__t")).as("n_tokens"),
+        count(col("__hit")).as("n_flagged"))
+      .withColumn("keep", col("n_flagged") === 0L)
+  }
+
   /** t19: CCNet's perplexity bucketing (Wenzek et al. 2020) — split each
     * language's documents into head / middle / tail by LM-likelihood
     * tertiles (CCNet trains a KenLM per language and keeps the

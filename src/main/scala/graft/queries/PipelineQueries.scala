@@ -392,6 +392,17 @@ object PipelineQueries {
     "p18_shard_manifest" -> ((s, dir) =>
       Packing.shardManifest(docs(s, dir), "doc_id", nShards = 32)),
 
+    // t20: the C4 blocklist page filter — any doc containing a
+    // blocklisted token is marked drop; occurrences counted as the
+    // severity signal. The two-word list hits the synthetic vocabulary
+    // so both outcomes are driver-visible; the oracle interpolates the
+    // identical VALUES list.
+    "t20_blocklist_filter" -> ((s, dir) => {
+      import s.implicits._
+      val bl = Seq("slow", "merge").toDF("word")
+      TA.blocklistFilter(docs(s, dir), "doc_id", "text", bl)
+    }),
+
     // t18: the corpus card — the dataset-documentation table published
     // with every corpus release (Datasheets/Dataset-Cards practice):
     // per (lang, source) stratum, doc and token counts, mean quality
@@ -2282,6 +2293,16 @@ object PipelineQueries {
                                     ' ' ORDER BY f.line_idx), '') AS clean_text
          FROM f LEFT JOIN k ON f.doc_id = k.doc_id AND f.line_idx = k.line_idx
          GROUP BY 1""",
+    // Blocklist filter: the same two-word VALUES list; count occurrences
+    // (duplicates included), keep iff zero.
+    "t20_blocklist_filter" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents)
+         SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(ws, w -> w IN ('slow', 'merge'))) AS BIGINT) AS n_flagged,
+                len(list_filter(ws, w -> w IN ('slow', 'merge'))) = 0 AS keep
+         FROM t""",
     // Perplexity buckets: t14's scoring chain, per-language quantile_cont
     // cuts rounded to 4 (the t18 med_tokens convention), threshold CASE.
     "t19_perplexity_buckets" ->

@@ -278,6 +278,27 @@ class Round10cSpec extends SparkSpecBase {
     assert(m.map(_._1).toSeq === want.toSeq)
   }
 
+  // ---- t20: C4 blocklist filter -----------------------------------------
+
+  test("blocklistFilter: occurrences counted, C4 zero-hit keep, empty docs keep") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "ok words here"),
+      (2L, "bad bad ok"),   // duplicate occurrences both count
+      (3L, ""),              // no tokens: must still emit, keep
+      (4L, "bad")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .blocklistFilter(docs, "doc_id", "text", Seq("bad", "worse").toDF("word"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 0L, true),
+      (2L, 3L, 2L, false),
+      (3L, 0L, 0L, true),
+      (4L, 1L, 1L, false)), s"got ${got.toSeq}")
+  }
+
   // ---- m07: perceptual dedup apply --------------------------------------
 
   test("perceptualDedupApply: re-encoded copies drop, originals and singletons survive") {
