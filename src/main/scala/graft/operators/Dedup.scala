@@ -1390,7 +1390,8 @@ object Dedup {
     * distinctness — until then a line appended by two batches is stored
     * twice, a size bound, never a correctness one: probes are left-semi). */
   final case class LineSetIndex(hashes: DataFrame, lineTokens: Int,
-                                cachedFrames: Seq[DataFrame] = Nil) {
+                                cachedFrames: Seq[DataFrame] = Nil,
+                                appendsSinceCompaction: Int = 0) {
     def unpersist(): Unit = {
       hashes.unpersist()
       cachedFrames.foreach(_.unpersist())
@@ -1414,7 +1415,8 @@ object Dedup {
       val b = if (persist) b0.cache() else b0
       LineSetIndex(hashes.unionByName(b), lineTokens,
         cachedFrames = cachedFrames ++ Seq(hashes) ++
-          (if (persist) Seq(b) else Nil))
+          (if (persist) Seq(b) else Nil),
+        appendsSinceCompaction = appendsSinceCompaction + 1)
     }
 
     /** Flatten the append lineage and restore global distinctness:
@@ -1433,6 +1435,19 @@ object Dedup {
         fresh.copy(hashes = fresh.hashes.cache(),
           cachedFrames = Seq(fresh.hashes))
       else fresh
+    }
+
+    /** [[append]] then, every `compactEvery` appends, [[compact]] — the
+      * bounded-lineage ingest-fold lifecycle ([[GramIndex.appendAndMaybeCompact]]'s
+      * twin). */
+    def appendAndMaybeCompact(batch: DataFrame, idCol: String, textCol: String,
+                              compactDir: String, compactEvery: Int = 16,
+                              persist: Boolean = true): LineSetIndex = {
+      require(compactEvery > 0, "compactEvery must be positive")
+      val appended = append(batch, idCol, textCol, persist)
+      if (appended.appendsSinceCompaction >= compactEvery)
+        appended.compact(compactDir, persist)
+      else appended
     }
   }
 

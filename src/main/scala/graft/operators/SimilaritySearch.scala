@@ -1189,4 +1189,69 @@ object SimilaritySearch {
   private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
     graft.plans.GroupTopK.topK(scored, Seq("q_id"),
       Seq(col(scoreCol).desc, col("n_id")), k)
+
+  /** s12: sparse lexical cosine pairs via an inverted-index join — the
+    * classic all-pairs sparse similarity join (Elsayed et al. 2008's
+    * MapReduce pairwise-similarity shape): document pairs whose
+    * bag-of-words cosine over TERM COUNTS reaches `threshold`. The
+    * lexical complement of the family's other similarity geometries —
+    * d03 compares shingle SETS (Jaccard), s02 dense embeddings; this is
+    * the sparse-vector dot product, computed exactly, without ever
+    * materializing a vector: the corpus becomes (id, term, tf) postings,
+    * the dot product is the postings self-join on the term with
+    * per-pair partial sums, and norms are one per-doc aggregate.
+    *
+    * Scale discipline: `maxTermDocs` is the d15/d03 document-frequency
+    * cap moved to the term level — a term in more than N documents
+    * (stopwords — near-zero angular signal, quadratic fan-out) is
+    * DROPPED FROM THE VOCABULARY: per-term join work is bounded at
+    * ≤ cap² postings pairs by construction, and both the dot products
+    * AND the norms are computed over the surviving vocabulary, so the
+    * semantics stay internally consistent ("cosine over the informative
+    * vocabulary" — mirrored verbatim in the oracle). Shuffles: the tf
+    * aggregate keyed on (id, term), the postings join keyed on the term,
+    * the pair aggregate keyed on (a_id, b_id), the norm aggregate keyed
+    * on the id — all hash partial-combinable, no all-pairs stage.
+    * cos = dot / (√n2a·√n2b): exact integer dot and norms, one IEEE
+    * sqrt/divide each side, round 4 (the engine-stability convention).
+    *
+    * `ngram` picks the term unit: 1 = words (real-corpus default); on a
+    * tiny-vocabulary corpus every WORD exceeds any sane df cap, so the
+    * shipped query uses 3 — n-gram counts, the d03 shingle space with
+    * multiplicity.
+    *
+    * Output: (a_id, b_id, cos) with a_id < b_id, cos ≥ threshold. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double,
+                        maxTermDocs: Int = 256,
+                        ngram: Int = 1): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(maxTermDocs >= 2, s"df cap must be >= 2, got $maxTermDocs")
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(graft.functions.WordShingles
+          .wordShingles(col(textCol), ngram, distinct = false)).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTermDocs)
+      .select(col("term"))
+    val kept = tf.join(vocab, Seq("term"), "left_semi")
+    val norms = kept.groupBy(col("id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = kept.select(col("term"), col("id").as("a_id"), col("tf").as("a_tf"))
+      .join(kept.select(col("term"), col("id").as("b_id"), col("tf").as("b_tf")),
+        Seq("term"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("a_tf") * col("b_tf")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("a_id"), col("n2").as("a_n2")), Seq("a_id"))
+      .join(norms.select(col("id").as("b_id"), col("n2").as("b_n2")), Seq("b_id"))
+      .withColumn("cos", round(col("dot").cast("double") /
+        (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
 }

@@ -403,6 +403,15 @@ object PipelineQueries {
       TA.blocklistFilter(docs(s, dir), "doc_id", "text", bl)
     }),
 
+    // s12: sparse lexical cosine pairs — the inverted-index all-pairs
+    // similarity join over 3-gram COUNTS (the d03 shingle space with
+    // multiplicity): exact integer dots + norms over the df-capped
+    // vocabulary, one sqrt/divide, round 4.
+    "s12_sparse_cosine" -> ((s, dir) =>
+      graft.operators.SimilaritySearch.sparseCosinePairs(
+        docs(s, dir), "doc_id", "text",
+        threshold = 0.9, maxTermDocs = 256, ngram = 3)),
+
     // t18: the corpus card — the dataset-documentation table published
     // with every corpus release (Datasheets/Dataset-Cards practice):
     // per (lang, source) stratum, doc and token counts, mean quality
@@ -2293,6 +2302,29 @@ object PipelineQueries {
                                     ' ' ORDER BY f.line_idx), '') AS clean_text
          FROM f LEFT JOIN k ON f.doc_id = k.doc_id AND f.line_idx = k.line_idx
          GROUP BY 1""",
+    // Sparse cosine: trigram multiset counts, df-capped vocabulary,
+    // integer dot/norms, sqrt+divide+round(4) — both engines IEEE.
+    "s12_sparse_cosine" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+              g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS term
+                    FROM w WHERE len(ws) >= 3),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM g GROUP BY 1, 2),
+              voc AS (SELECT term FROM tf GROUP BY 1 HAVING count(*) <= 256),
+              k AS (SELECT tf.* FROM tf JOIN voc USING (term)),
+              n AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                    FROM k GROUP BY 1),
+              d AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                           CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                    FROM k a JOIN k b ON a.term = b.term AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT a_id, b_id,
+                round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) AS cos
+         FROM d JOIN n na ON d.a_id = na.doc_id
+                JOIN n nb ON d.b_id = nb.doc_id
+         WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) >= 0.9""",
     // Blocklist filter: the same two-word VALUES list; count occurrences
     // (duplicates included), keep iff zero.
     "t20_blocklist_filter" ->

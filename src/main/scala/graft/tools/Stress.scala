@@ -299,6 +299,13 @@ object Stress {
     time("paragraph_probe") {
       Dedup.ingestParagraphClean(gramDelta, lineIdx, "doc_id", "text").count()
     }
+    // s12: the sparse-cosine postings join — tf aggregate + df-capped
+    // term self-join + pair/norm aggregates; per-term work bounded at
+    // cap², so the curve must track the corpus, not its square.
+    time("sparse_cosine") {
+      SimilaritySearch.sparseCosinePairs(docs, "doc_id", "text",
+        threshold = 0.9, maxTermDocs = 256, ngram = 3).count()
+    }
     // t19: the CCNet tertile bucketing — t14's scoring chain (model
     // joins keyed on vocab-bounded tables) + a |langs|-row cut table;
     // the curve must track the scoring pass, i.e. the corpus.

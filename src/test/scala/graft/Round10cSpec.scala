@@ -278,6 +278,53 @@ class Round10cSpec extends SparkSpecBase {
     assert(m.map(_._1).toSeq === want.toSeq)
   }
 
+  // ---- s12: sparse lexical cosine pairs ---------------------------------
+
+  test("sparseCosinePairs: exact hand-computed cosines over trigram counts") {
+    val docs = df(Seq(
+      (1L, "a b c a b c a b c"), // tf: "a b c":3, "b c a":2, "c a b":2, n2=17
+      (2L, "a b c a b c a b c"), // identical -> cos 1.0 with doc 1
+      (3L, "a b c x y z")))      // shares "a b c" once: dot=3, n2=4
+    val got = graft.operators.SimilaritySearch
+      .sparseCosinePairs(docs, "doc_id", "text", threshold = 0.3, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    // 3 / (sqrt(17) * sqrt(4)) = 0.36380... -> 0.3638
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1.0), (1L, 3L, 0.3638), (2L, 3L, 0.3638)), s"got ${got.toSeq}")
+  }
+
+  test("sparseCosinePairs: the df cap drops stopword-like terms from the vocabulary") {
+    val docs = df(Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c a b c"),
+      (3L, "a b c x y z")))
+    // cap 2: "a b c" (df 3) leaves the vocabulary; docs 1/2 still match
+    // on their df-2 terms at cos 1.0, doc 3 has no surviving shared term.
+    val got = graft.operators.SimilaritySearch
+      .sparseCosinePairs(docs, "doc_id", "text", threshold = 0.3,
+        maxTermDocs = 2, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)), s"got ${got.toSeq}")
+  }
+
+  test("s12 plan: postings equi-join only — no all-pairs stage; term/id-keyed shuffles") {
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.SimilaritySearch
+      .sparseCosinePairs(docs, "doc_id", "text", threshold = 0.9, ngram = 3)
+    out.queryExecution.toRdd.count()
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"candidate generation must be the postings equi-join:\n" +
+        s"${out.queryExecution.executedPlan}")
+    shuffleKeyNames(out).foreach { names =>
+      assert(names.forall(Set("id", "term", "a_id", "b_id")),
+        s"s12 shuffles postings and pair/norm aggregates only, got $names")
+    }
+  }
+
   // ---- t20: C4 blocklist filter -----------------------------------------
 
   test("blocklistFilter: occurrences counted, C4 zero-hit keep, empty docs keep") {
