@@ -127,6 +127,81 @@ object Multimodal {
     }
   }
 
+  /** Partition-local LOSSY "re-encode": bump ONE byte per 64-byte frame
+    * window (position 31, +2) — the byte-level model of a lossy codec
+    * pass that perturbs a few pixels. STUB like [[reencodeStub]]; the
+    * contract is the real part: the payload is byte-different AND
+    * flips at most two [[graft.functions.DHash64]] gradient signs per
+    * frame (comparisons (30,31) and (31,32)), so m05's EXACT fingerprint
+    * match misses it while m08's Hamming-tolerant banding still pairs it
+    * with the original. ASCII payloads stay in range (≤ 126 + 2). */
+  def reencodeLossyStub(media: Dataset[MediaRow],
+                        idOffset: Long = 0L): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // --- STUB lossy re-encode: replace with codec decode->encode ---
+        val out = new Array[Byte](r.media.length)
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (i % 64 == 31) (r.media(i) + 2).toByte else r.media(i)
+          i += 1
+        }
+        // ---------------------------------------------------------------
+        MediaRow(r.doc_id + idOffset, out, r.format + ";lossy")
+      }
+    }
+  }
+
+  /** m08: perceptual NEAR-dup pairs — [[frameOverlap]] with Hamming
+    * tolerance, the media twin of d05's SimHash banding: 64-bit frame
+    * dHashes split into 4×16-bit bands (lossless for Hamming ≤ 3 by
+    * pigeonhole — ≤ 3 flipped bits leave ≥ 1 band intact), candidates
+    * from the band equi-join, verified by exact popcount of the XOR.
+    * Catches what the exact matcher misses: a lossy re-encode that
+    * flips a couple of gradient signs still shares a band with its
+    * original and verifies within `maxHamming`.
+    *
+    * `maxBandDocs` is the [[frameOverlap]] skew guard at the band level:
+    * a band key carried by too many frame postings is boilerplate
+    * (flat gradients, test patterns) and is dropped before the
+    * self-join, bounding per-key fan-out at C(N,2). Shuffles: band
+    * aggregate + band equi-join + pair aggregate — no all-pairs stage;
+    * the verify is a scan-side popcount, not a join.
+    *
+    * Input: (idCol, hashCol) frame fingerprint rows. Output:
+    * (a_id, b_id, n_near) — distinct a-side fingerprints with ≥ 1
+    * near-match in b. */
+  def frameNearOverlap(frames: DataFrame, idCol: String, hashCol: String,
+                       maxHamming: Int = 3,
+                       maxBandDocs: Int = 16): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "4x16-bit banding only covers Hamming distance <= 3")
+    val perDoc = frames.select(col(idCol), col(hashCol).as("fp")).distinct()
+    val bands = perDoc.select(col(idCol), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bk"))): _*))
+        .as("bs"))
+      .select(col(idCol), col("fp"),
+        col("bs.band").as("band"), col("bs.bk").as("bk"))
+    val keep = bands.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBandDocs)
+      .select(col("band"), col("bk"))
+    val kb = bands.join(keep, Seq("band", "bk"), "left_semi")
+    kb.select(col("band"), col("bk"), col(idCol).as("a_id"), col("fp").as("a_fp"))
+      .join(kb.select(col("band"), col("bk"), col(idCol).as("b_id"),
+        col("fp").as("b_fp")), Seq("band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
+      .distinct()
+      .filter(expr(s"bit_count(a_fp ^ b_fp) <= $maxHamming"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("a_fp")).as("n_near"))
+  }
+
   /** Frame-energy gate — the "drop silence / black frames" preprocessing
     * step that runs BEFORE fingerprinting or feature extraction in any
     * real media pipeline (dead frames carry no signal, bloat every

@@ -539,6 +539,25 @@ object PipelineQueries {
       val pop = media.unionByName(planted).toDF().select(col("doc_id"))
       graft.multimodal.Multimodal.perceptualDedupApplyFromClusters(
         pop, "doc_id", mediaPairsAndClusters(s, dir)._2)
+    }),
+
+    // m08: perceptual NEAR-dup pairs — the Hamming-tolerant matcher the
+    // exact m05 fingerprint equality cannot be: LOSSY planted re-encodes
+    // (+300000 ids, one byte per frame bumped — flips ≤ 2 dHash bits per
+    // frame) still pair with their originals through the 4x16-bit
+    // banding + popcount verify. Byte-vs-char coupling: the oracle bumps
+    // CHARS; equal on the ASCII corpus (the m04 assumption, asserted).
+    "m08_perceptual_near" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val media = M.asMediaTable(docs(s, dir))
+      val planted = M.reencodeLossyStub(
+        media.filter(col("doc_id") < 40), idOffset = 300000L)
+      val frames = M.sampleFrames(media.unionByName(planted),
+        frameBytes = 64, stride = 4).toDF()
+        .select(col("doc_id"),
+          graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+      M.frameNearOverlap(frames, "doc_id", "fp",
+        maxHamming = 3, maxBandDocs = 16)
     }))
 
   /** The m05 pair build (planted re-encodes + dHash fingerprints +
@@ -1688,6 +1707,48 @@ object PipelineQueries {
                       SELECT doc_id + 100000 FROM documents WHERE doc_id < 40)
          SELECT doc_id FROM pop
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)""",
+    // m08: m05's dHash chain over the LOSSY planted construction (chars
+    // at (i-1)%64=31 bumped +2 — the byte perturbation's char mirror,
+    // ASCII-coupled like m04), 4x16-bit banding with the band-key cap,
+    // xor+bit_count verify, distinct-a_fp count per pair.
+    "m08_perceptual_near" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 300000,
+                              list_aggregate(list_transform(generate_series(1, len(text)),
+                                i -> CASE WHEN (i - 1) % 64 = 31
+                                          THEN chr(ascii(substr(text, i, 1)) + 2)
+                                          ELSE substr(text, i, 1) END),
+                                'string_agg', '') AS text
+                       FROM documents WHERE doc_id < 40),
+              f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM base),
+              fr AS (SELECT doc_id, substr(text, i * 64 + 1, 64) AS frame
+                     FROM f WHERE i % 4 = 0),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 63),
+                                i -> CASE WHEN ascii(substr(frame, i, 1))
+                                               > ascii(substr(frame, i + 1, 1))
+                                          THEN (CAST(1 AS BIGINT) << (i - 1))
+                                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                    FROM fr),
+              d AS (SELECT DISTINCT doc_id, fp FROM h),
+              bands AS (SELECT doc_id, fp, b.band AS band,
+                               (fp >> (16 * b.band)) & 65535 AS bk
+                        FROM d, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+              keep AS (SELECT band, bk FROM bands GROUP BY 1, 2
+                       HAVING count(*) <= 16),
+              kb AS (SELECT bands.* FROM bands JOIN keep USING (band, bk)),
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                              a.fp AS a_fp, b.fp AS b_fp
+                       FROM kb a JOIN kb b
+                         ON a.band = b.band AND a.bk = b.bk
+                            AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, CAST(count(DISTINCT a_fp) AS BIGINT) AS n_near
+         FROM cand
+         WHERE bit_count(xor(a_fp, b_fp)) <= 3
+         GROUP BY 1, 2""",
     // m06: same frame slicing (and the m04 ASCII coupling note); energy is
     // the integer variance numerator 64·Σx² − (Σx)² over the frame's byte
     // values, compared against 64²·4 — all BIGINT (list_sum yields

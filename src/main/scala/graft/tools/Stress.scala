@@ -299,6 +299,18 @@ object Stress {
     time("paragraph_probe") {
       Dedup.ingestParagraphClean(gramDelta, lineIdx, "doc_id", "text").count()
     }
+    // m08: the banded perceptual near-dup matcher — band explode (4 rows
+    // per distinct frame fp), capped band equi-join, scan-side popcount
+    // verify; per-band-key fan-out bounded, so the curve must track the
+    // frame population.
+    time("frame_near") {
+      val M = graft.multimodal.Multimodal
+      val media = M.asMediaTable(docs)
+      val frames = M.sampleFrames(media, frameBytes = 64, stride = 4).toDF()
+        .select(col("doc_id"),
+          graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+      M.frameNearOverlap(frames, "doc_id", "fp").count()
+    }
     // s12: the sparse-cosine postings join — tf aggregate + df-capped
     // term self-join + pair/norm aggregates; per-term work bounded at
     // cap², so the curve must track the corpus, not its square.

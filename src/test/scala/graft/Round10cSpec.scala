@@ -373,6 +373,34 @@ class Round10cSpec extends SparkSpecBase {
       s"originals + the frameless doc survive, re-encodes drop; got ${got.toSeq}")
   }
 
+  // ---- m08: perceptual near-dup pairs -----------------------------------
+
+  test("frameNearOverlap: a lossy re-encode pairs with its original where exact matching misses") {
+    val s = spark
+    import s.implicits._
+    val M = graft.multimodal.Multimodal
+    // Bytes 30/31/32 = 'b','a','b': the lossy +2 bump at position 31
+    // flips exactly the two adjacent gradient signs (98>97 -> 98>99 and
+    // 97>98 -> 99>98), so fp' differs from fp by Hamming 2 — inside the
+    // banding tolerance, outside exact equality.
+    val payload = { val a = Array.fill(128)('m'); a(30) = 'b'; a(31) = 'a'; a(32) = 'b'; new String(a) }
+    val docs = Seq((1L, payload)).toDF("doc_id", "text")
+    val media = M.asMediaTable(docs)
+    val lossy = M.reencodeLossyStub(media, idOffset = 100L)
+    val frames = M.sampleFrames(media.unionByName(lossy), 64, 4).toDF()
+      .select(col("doc_id"),
+        graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+    assert(M.frameOverlap(frames, "doc_id", "fp").count() === 0L,
+      "the exact matcher must miss the lossy copy (fingerprints differ)")
+    val near = M.frameNearOverlap(frames, "doc_id", "fp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(near.toSeq === Seq((1L, 101L, 1L)),
+      s"the banded matcher must recover the pair; got ${near.toSeq}")
+    // Tighter tolerance than the flip count must reject it again.
+    assert(M.frameNearOverlap(frames, "doc_id", "fp", maxHamming = 1)
+      .count() === 0L, "Hamming-2 pair must fail a maxHamming=1 verify")
+  }
+
   // ---- shared plan-audit helpers (the Round9Spec idiom) ------------------
 
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
