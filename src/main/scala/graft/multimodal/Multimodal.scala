@@ -190,7 +190,10 @@ object Multimodal {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBandDocs)
       .select(col("band"), col("bk"))
-    val kb = bands.join(keep, Seq("band", "bk"), "left_semi")
+    // Materialized once (the justified-checkpoint pattern): both
+    // self-join sides read this frame — without it the frame demux +
+    // fingerprint scan and the cap aggregate would run twice.
+    val kb = bands.join(keep, Seq("band", "bk"), "left_semi").localCheckpoint()
     kb.select(col("band"), col("bk"), col(idCol).as("a_id"), col("fp").as("a_fp"))
       .join(kb.select(col("band"), col("bk"), col(idCol).as("b_id"),
         col("fp").as("b_fp")), Seq("band", "bk"))

@@ -1368,6 +1368,12 @@ object Dedup {
     * with ≥ 1 line. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      lineTokens: Int = 16): DataFrame = {
+    // The lines frame is read by both the winner aggregate and the join
+    // side, so the scan-side tokenize+slice runs twice — deliberate: the
+    // frame is ≈ the corpus text volume, and at 100 TB re-scanning a
+    // columnar source beats materializing a corpus-sized checkpoint
+    // (the t16 build/apply trade; d23's probe checkpoints because its
+    // frame is batch-sized).
     val lines = hashedDocLines(docs, idCol, textCol, lineTokens)
     val isWinner = col(idCol) === col("__wid") && col("line_idx") === col("__widx")
     rebuildFromLines(
@@ -1492,9 +1498,14 @@ object Dedup {
   def ingestParagraphClean(delta: DataFrame, index: LineSetIndex,
                            idCol: String, textCol: String): DataFrame = {
     val lines = hashedDocLines(delta, idCol, textCol, index.lineTokens)
+    // Materialized once (the justified-checkpoint pattern — BATCH-sized
+    // by construction): both the winner aggregate and the final rebuild
+    // read this frame, and without it the batch scan AND the index
+    // probe would run twice.
     val flagged = lines.join(
       index.hashes.select(col("h")).distinct().withColumn("__corpus", lit(1)),
       Seq("h"), "left")
+      .localCheckpoint()
     val winners = lineWinners(flagged.filter(col("__corpus").isNull), idCol)
     val isWinner = col("__corpus").isNull &&
       col(idCol) === col("__wid") && col("line_idx") === col("__widx")

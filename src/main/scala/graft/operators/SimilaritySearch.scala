@@ -1237,7 +1237,10 @@ object SimilaritySearch {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxTermDocs)
       .select(col("term"))
-    val kept = tf.join(vocab, Seq("term"), "left_semi")
+    // Materialized once (the justified-checkpoint pattern): the norms
+    // aggregate and BOTH postings-join sides read this frame — without
+    // it the corpus tokenize + tf aggregate would run three times.
+    val kept = tf.join(vocab, Seq("term"), "left_semi").localCheckpoint()
     val norms = kept.groupBy(col("id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val dots = kept.select(col("term"), col("id").as("a_id"), col("tf").as("a_tf"))

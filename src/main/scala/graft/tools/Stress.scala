@@ -301,8 +301,13 @@ object Stress {
     }
     // m08: the banded perceptual near-dup matcher — band explode (4 rows
     // per distinct frame fp), capped band equi-join, scan-side popcount
-    // verify; per-band-key fan-out bounded, so the curve must track the
-    // frame population.
+    // verify. Pair ROWS grow superlinearly here BY CONSTRUCTION: the
+    // replica perturbation suffixes tokens with "_r$i", and replicas i
+    // and i+5 share suffix positions with a ONE-BYTE digit difference —
+    // a genuine Hamming-≤2 near-dup the matcher is SUPPOSED to find.
+    // The scale claim under test is the WALL curve: the band-key cap
+    // bounds per-key fan-out, so time must stay ~flat while the found
+    // population explodes.
     time("frame_near") {
       val M = graft.multimodal.Multimodal
       val media = M.asMediaTable(docs)
