@@ -350,6 +350,20 @@ object RelationalQueries {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(round(sum(col("o_totalprice")), 2))),
 
+    // q41's inverse: UNPIVOT/melt (Dataset.unpivot — Spark's native
+    // wide→long reshape, a map-only Expand: no shuffle beyond the
+    // feeding aggregate; the oracle mirrors it as the classic
+    // UNION ALL). Both measures cast double so the long `value` column
+    // is one type.
+    "q47_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n_orders"))
+      wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("sum_price"), col("n_orders")), "metric", "value")
+    }),
+
     // Mergeable-sketch rollup: per-nation HLL sketches of the customer key,
     // re-aggregated to region level with hll_union_agg. THE incremental
     // aggregation pattern at 100 TB — partials are built once close to the
@@ -677,6 +691,14 @@ object RelationalQueries {
                 round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
                 round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
          FROM orders GROUP BY o_orderpriority""",
+    "q47_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+                           round(sum(o_totalprice), 2) AS sum_price,
+                           CAST(count(*) AS DOUBLE) AS n_orders
+                    FROM orders GROUP BY 1)
+         SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM w
+         UNION ALL
+         SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w""",
     // ts casts to TIMESTAMP (µs) so DuckDB's nanosecond reads compare the
     // same instants Spark does after its nanos->micros conversion.
     "q39_asof_join" ->
