@@ -364,6 +364,16 @@ object RelationalQueries {
         Array(col("sum_price"), col("n_orders")), "metric", "value")
     }),
 
+    // Funnel analysis (windowFunnel-shaped): furthest view→click→purchase
+    // step reached in order within 24h of the user's first view — the
+    // deterministic greedy scan, one user-keyed shuffle, codegen'd
+    // aggregate HOF over the per-user sorted event array.
+    "q48_funnel" -> ((s, dir) =>
+      graft.operators.Sessionize.funnelStages(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        windowMicros = 86400000000L)),
+
     // Mergeable-sketch rollup: per-nation HLL sketches of the customer key,
     // re-aggregated to region level with hll_union_agg. THE incremental
     // aggregation pattern at 100 TB — partials are built once close to the
@@ -699,6 +709,35 @@ object RelationalQueries {
          SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM w
          UNION ALL
          SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w""",
+    // Funnel: the identical greedy state machine via list_reduce (DuckDB
+    // reduce seeds from the first element — the element→state mapping
+    // makes that exactly Spark's (0, 0)-init merge of element one).
+    "q48_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+                           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                                WHEN 'purchase' THEN 3 ELSE 0 END AS code
+                    FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+              s AS (SELECT user_id,
+                           list({'t': t, 'eid': event_id, 'code': code}
+                                ORDER BY t, event_id) AS evs
+                    FROM e GROUP BY 1),
+              sm AS (SELECT user_id,
+                            list_transform(evs, x -> {
+                              'stage': CASE WHEN x.code = 1 THEN 1 ELSE 0 END,
+                              'anchor': CASE WHEN x.code = 1 THEN x.t ELSE CAST(0 AS BIGINT) END,
+                              't': x.t, 'code': x.code}) AS xs
+                     FROM s)
+         SELECT user_id,
+                CAST(list_reduce(xs, (a, x) -> CASE
+                  WHEN a.stage = 0 AND x.code = 1
+                    THEN {'stage': 1, 'anchor': x.t, 't': x.t, 'code': x.code}
+                  WHEN a.stage = 1 AND x.code = 2 AND x.t - a.anchor <= 86400000000
+                    THEN {'stage': 2, 'anchor': a.anchor, 't': x.t, 'code': x.code}
+                  WHEN a.stage = 2 AND x.code = 3 AND x.t - a.anchor <= 86400000000
+                    THEN {'stage': 3, 'anchor': a.anchor, 't': x.t, 'code': x.code}
+                  ELSE {'stage': a.stage, 'anchor': a.anchor, 't': x.t, 'code': x.code}
+                END).stage AS BIGINT) AS funnel_stage
+         FROM sm""",
     // ts casts to TIMESTAMP (µs) so DuckDB's nanosecond reads compare the
     // same instants Spark does after its nanos->micros conversion.
     "q39_asof_join" ->

@@ -401,6 +401,37 @@ class Round10cSpec extends SparkSpecBase {
       .count() === 0L, "Hamming-2 pair must fail a maxHamming=1 verify")
   }
 
+  // ---- q48: funnel analysis ---------------------------------------------
+
+  test("funnelStages: ordered steps within window, greedy first-anchor, no-view users at stage 0") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val W = 60000000L // 60s in micros
+    val events = Seq(
+      // u1: full funnel inside the window
+      (1L, ts(0), 1L, "view"), (2L, ts(30), 1L, "click"), (3L, ts(59), 1L, "purchase"),
+      // u2: click lands outside the window of the first view
+      (4L, ts(0), 2L, "view"), (5L, ts(61), 2L, "click"),
+      // u3: no view at all — later steps can never fire
+      (6L, ts(0), 3L, "click"), (7L, ts(1), 3L, "purchase"),
+      // u4: a pre-funnel purchase is ignored; the funnel then completes
+      (8L, ts(0), 4L, "purchase"), (9L, ts(1), 4L, "view"),
+      (10L, ts(2), 4L, "click"), (11L, ts(3), 4L, "purchase"),
+      // u5: the greedy anchor is the FIRST view — the second view does
+      // not re-anchor, so the late click misses (documented semantics)
+      (12L, ts(0), 5L, "view"), (13L, ts(50), 5L, "view"), (14L, ts(70), 5L, "click"),
+      // u6: only irrelevant events — excluded from the output entirely
+      (15L, ts(0), 6L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Sessionize
+      .funnelStages(events, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), W)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, 3L), (5L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
   // ---- shared plan-audit helpers (the Round9Spec idiom) ------------------
 
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
