@@ -364,6 +364,22 @@ object RelationalQueries {
         Array(col("sum_price"), col("n_orders")), "metric", "value")
     }),
 
+    // RANGE-frame moving window (q13's rows-frame complement): per-user
+    // 24h moving sum/count over event time — the frame is VALUE-bounded
+    // (all events within 24h, however many), not row-bounded; ties at
+    // one timestamp are peers in both engines.
+    "q49_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"))
+        .rangeBetween(-86400000000L, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("tus"))
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("moving_sum"),
+          count(lit(1)).over(w).as("n_window"))
+    }),
+
     // Funnel analysis (windowFunnel-shaped): furthest view→click→purchase
     // step reached in order within 24h of the user's first view — the
     // deterministic greedy scan, one user-keyed shuffle, codegen'd
@@ -709,6 +725,15 @@ object RelationalQueries {
          SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM w
          UNION ALL
          SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w""",
+    "q49_moving_window" ->
+      """SELECT event_id, user_id,
+                round(sum(value) OVER w, 2) AS moving_sum,
+                CAST(count(*) OVER w AS BIGINT) AS n_window
+         FROM (SELECT event_id, user_id, value,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
     // Funnel: the identical greedy state machine via list_reduce (DuckDB
     // reduce seeds from the first element — the element→state mapping
     // makes that exactly Spark's (0, 0)-init merge of element one).

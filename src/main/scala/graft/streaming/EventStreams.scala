@@ -794,6 +794,61 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                               event_type: String)
+  final case class FunnelHit(user_id: Long, stage: Int, reached_ts: Timestamp)
+  final case class FunnelState(stage: Int, anchorMicros: Long)
+
+  /** Streaming funnel — [[graft.operators.Sessionize.funnelStages]]' ingest
+    * twin: the same deterministic greedy state machine ((stage, anchor),
+    * advance on `code = stage + 1` within the window of the first step),
+    * run incrementally per user via `flatMapGroupsWithState`. Emits one
+    * row per stage ADVANCE (append mode) — the final stage a user
+    * reached is the max emitted stage, which is exactly the batch op's
+    * `funnel_stage` for every user that advanced past 0.
+    *
+    * Replay safety comes from the state machine itself: stages only
+    * ascend, so a replayed event's `code = stage + 1` test fails against
+    * the already-advanced state and nothing re-emits — monotonicity IS
+    * the idempotence, no watermarked dedup needed. State per user is two
+    * fields forever (the [[budgetAdmitStream]] O(|groups|) convention;
+    * production hardening would evict completed/expired funnels on an
+    * event-time timeout). Within a microbatch events process in
+    * (ts, event_id) order; late events beyond a prior batch cannot
+    * rewind the state — the documented streaming-vs-batch gap every
+    * ingest twin in this file shares. */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+                   windowMicros: Long): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMicros > 0, "window must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepList = steps.toList
+
+    def update(u: Long, batch: Iterator[FunnelEvent],
+               state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      var cur = state.getOption.getOrElse(FunnelState(0, 0L))
+      val out = scala.collection.mutable.Buffer[FunnelHit]()
+      batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val code = stepList.indexOf(e.event_type) + 1
+        val t = micros(e.ts)
+        if (code == cur.stage + 1 &&
+            (cur.stage == 0 || t - cur.anchorMicros <= windowMicros)) {
+          cur = FunnelState(cur.stage + 1,
+            if (cur.stage == 0) t else cur.anchorMicros)
+          out += FunnelHit(u, cur.stage, e.ts)
+        }
+      }
+      state.update(cur)
+      out.iterator
+    }
+
+    events
+      .filter(e => stepList.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Batch twin of [[sessionize]] for correctness checks — ONE shared body
     * with the relational operator ([[graft.operators.Sessionize.sessions]],
     * the oracle-checked q43), so the streaming equality proof and the

@@ -789,6 +789,52 @@ class StreamingSpec extends SparkSpecBase {
     idx.unpersist()
   }
 
+  test("streaming funnel advances across microbatches, matches batch funnelStages, replays re-emit nothing") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val W = 60000000L // 60s in micros
+    // Batch 1: u1 view+click (stage 2 by end of batch), u2 view only.
+    val b1 = Seq(
+      EventStreams.FunnelEvent(1L, ts(0), 1L, "view"),
+      EventStreams.FunnelEvent(1L, ts(10), 2L, "click"),
+      EventStreams.FunnelEvent(2L, ts(0), 3L, "view"))
+    // Batch 2: u1 completes INSIDE the window (state carried across the
+    // batch boundary); u2's click lands outside its window.
+    val b2 = Seq(
+      EventStreams.FunnelEvent(1L, ts(59), 4L, "purchase"),
+      EventStreams.FunnelEvent(2L, ts(61), 5L, "click"))
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.FunnelEvent](spark, 1)
+    val q = EventStreams.funnelStream(memStream.toDS(),
+        Seq("view", "click", "purchase"), W)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      memStream.addData(b1: _*)
+      q.processAllAvailable()
+      memStream.addData(b2: _*)
+      q.processAllAvailable()
+      // REPLAY batch 2 — monotone state means nothing may re-emit.
+      memStream.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .select($"user_id", $"stage")
+        .as[(Long, Int)].collect().toSeq.sorted
+      assert(got === Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)),
+        s"one row per stage advance, none from the replay: $got")
+      // The max emitted stage per user equals the batch op's final stage.
+      val all = (b1 ++ b2).map(e => (e.event_id, e.ts, e.user_id, e.event_type))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val batchStages = graft.operators.Sessionize
+        .funnelStages(all, "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"), W)
+        .as[(Long, Long)].collect().toMap
+      val streamMax = got.groupBy(_._1).view.mapValues(_.map(_._2).max.toLong).toMap
+      assert(streamMax === batchStages.filter(_._2 > 0),
+        s"stream $streamMax vs batch $batchStages")
+    } finally q.stop()
+  }
+
   test("streaming paragraph clean probes the static line-set index, matches the batch corpus stage") {
     import java.sql.Timestamp
     import graft.operators.Dedup
