@@ -380,6 +380,20 @@ object RelationalQueries {
           count(lit(1)).over(w).as("n_window"))
     }),
 
+    // Cohort retention (q48's sibling analytic): users grouped by their
+    // first-activity day, distinct active users per (cohort, day offset)
+    // — two hash aggregates + one user-keyed join, no window.
+    "q50_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .join(firsts, Seq("user_id"))
+        .groupBy(col("cohort"), datediff(col("d"), col("cohort"))
+          .cast("long").as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // Funnel analysis (windowFunnel-shaped): furthest view→click→purchase
     // step reached in order within 24h of the user's first view — the
     // deterministic greedy scan, one user-keyed shuffle, codegen'd
@@ -734,6 +748,14 @@ object RelationalQueries {
                FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY tus
                       RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
+    "q50_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                    FROM events GROUP BY 1),
+              a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+         SELECT f.cohort, CAST(a.d - f.cohort AS BIGINT) AS day_offset,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2""",
     // Funnel: the identical greedy state machine via list_reduce (DuckDB
     // reduce seeds from the first element — the element→state mapping
     // makes that exactly Spark's (0, 0)-init merge of element one).
