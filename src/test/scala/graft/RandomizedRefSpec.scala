@@ -374,4 +374,77 @@ class RandomizedRefSpec extends SparkSpecBase {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(got === want)
   }
+
+  test("sparseCosinePairs equals the sequential postings reference on 150 adversarial docs") {
+    val s = spark
+    import s.implicits._
+    val cap = 50; val thr = 0.2
+    val docs = randomTexts(150)
+    // Sequential reference: trigram counts, df-capped vocabulary, exact
+    // integer dots/norms, one sqrt/divide, HALF_UP round to 4.
+    def tris(t: String): Seq[String] = {
+      val ws = t.split(" ", -1).toSeq.filter(_.nonEmpty)
+      if (ws.length < 3) Seq.empty else ws.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+      id -> tris(t).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    val kept = tf.view.mapValues(_.filter { case (g, _) => df(g) <= cap }).toMap
+    val n2 = kept.view.mapValues(_.values.map(v => v * v).sum).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = docs.map(_._1)
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      shared = kept(a).keySet intersect kept(b).keySet
+      if shared.nonEmpty
+      dot = shared.toSeq.map(g => kept(a)(g) * kept(b)(g)).sum
+      cos = r4(dot.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble)))
+      if cos >= thr
+    } yield (a, b) -> cos).toMap
+    val got = graft.operators.SimilaritySearch
+      .sparseCosinePairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = thr, maxTermDocs = cap, ngram = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === want, s"sizes got=${got.size} want=${want.size}")
+  }
+
+  test("funnelStages equals the sequential greedy reference on 80 random users") {
+    val s = spark
+    import s.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val types = steps ++ Seq("error", "signup")
+    val W = 40000000L // 40s in micros
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    var eid = 0L
+    val events = (1L to 80L).flatMap { u =>
+      (0 until (1 + rng.nextInt(12))).map { _ =>
+        eid += 1
+        (eid, ts(rng.nextInt(120000).toLong), u, types(rng.nextInt(types.length)))
+      }
+    }
+    // Sequential reference: the greedy (stage, anchor) scan over events
+    // sorted by (micros, event_id), relevant types only.
+    val want = events
+      .filter(e => steps.contains(e._4))
+      .groupBy(_._3).map { case (u, evs) =>
+        var stage = 0; var anchor = 0L
+        evs.sortBy(e => (e._2.getTime, e._1)).foreach { e =>
+          val code = steps.indexOf(e._4) + 1
+          val t = e._2.getTime * 1000L
+          if (code == stage + 1 && (stage == 0 || t - anchor <= W)) {
+            if (stage == 0) anchor = t
+            stage += 1
+          }
+        }
+        u -> stage.toLong
+      }
+    val got = graft.operators.Sessionize
+      .funnelStages(events.toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", steps, W)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
 }
