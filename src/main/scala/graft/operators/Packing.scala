@@ -88,4 +88,30 @@ object Packing {
       .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
       .drop("__h")
   }
+
+  /** p19: per-shard integrity checksums — the manifest table a dataset
+    * release publishes beside its shards (the HF-datasets checksum
+    * practice): per [[shardManifest]] shard, the document count and an
+    * ORDER-FREE content checksum (bit_xor of a 60-bit md5-derived digest
+    * per document — xor is commutative/associative, so the checksum is
+    * independent of row order and partitioning, and any single-document
+    * change flips it). Verification after a copy/rewrite is one scan +
+    * one aggregate against the published table; a 60-bit digest keeps
+    * the '0x'-parse inside signed BIGINT on every engine.
+    *
+    * Plan shape: the manifest's shard assignment is scan-side (md5
+    * bucket of the id — no join with the manifest needed, the
+    * assignment is recomputed, deterministic by construction); digests
+    * are scan-side; ONE hash aggregate keyed on the shard with map-side
+    * partial xor. Output: (shard, n_docs, checksum). */
+  def shardChecksums(df: DataFrame, idCol: String, textCol: String,
+                     nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    df.select(Sampling.hashBucket(col(idCol), nShards).as("shard"),
+        expr(s"CAST(conv(substring(md5($textCol), 1, 15), 16, 10) AS BIGINT)")
+          .as("__dg"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(__dg)").as("checksum"))
+  }
 }

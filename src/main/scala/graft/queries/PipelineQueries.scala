@@ -438,6 +438,12 @@ object PipelineQueries {
         docs(s, dir), "doc_id", "text",
         threshold = 0.9, maxTermDocs = 256, ngram = 3)),
 
+    // p19: per-shard integrity checksums — p18's manifest sibling: doc
+    // count + order-free bit_xor content checksum per shard, the table
+    // a release publishes for copy/rewrite verification.
+    "p19_shard_checksums" -> ((s, dir) =>
+      Packing.shardChecksums(docs(s, dir), "doc_id", "text", nShards = 32)),
+
     // t18: the corpus card — the dataset-documentation table published
     // with every corpus release (Datasheets/Dataset-Cards practice):
     // per (lang, source) stratum, doc and token counts, mean quality
@@ -2440,6 +2446,14 @@ object PipelineQueries {
          FROM d JOIN n na ON d.a_id = na.doc_id
                 JOIN n nb ON d.b_id = nb.doc_id
          WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) >= 0.9""",
+    // Shard checksums: p18's md5-bucket shard (recomputed scan-side),
+    // 60-bit md5-prefix digest, order-free bit_xor.
+    "p19_shard_checksums" ->
+      """SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
+         FROM documents
+         GROUP BY 1""",
     // Blocklist filter: the same two-word VALUES list; count occurrences
     // (duplicates included), keep iff zero.
     "t20_blocklist_filter" ->

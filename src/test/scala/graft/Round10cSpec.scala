@@ -325,6 +325,34 @@ class Round10cSpec extends SparkSpecBase {
     }
   }
 
+  // ---- p19: shard checksums ---------------------------------------------
+
+  test("shardChecksums: order-free, partition-invariant, flips on any single-doc change") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).map(i => (i, s"content of document $i")).toDF("doc_id", "text")
+    val base = graft.operators.Packing
+      .shardChecksums(docs, "doc_id", "text", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(base.map(_._2).sum === 100L, "every doc lands in exactly one shard")
+    // Physical order and partitioning must not matter (xor is order-free).
+    val shuffled = graft.operators.Packing
+      .shardChecksums(docs.orderBy(col("doc_id").desc).repartition(7),
+        "doc_id", "text", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(base.toSeq === shuffled.toSeq)
+    // A one-document edit flips exactly that document's shard checksum.
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 42L, lit("tampered")).otherwise(col("text")))
+    val after = graft.operators.Packing
+      .shardChecksums(edited, "doc_id", "text", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val changed = base.zip(after).filter { case (a, b) => a._3 != b._3 }
+    assert(changed.size === 1, s"exactly one shard checksum must flip: $changed")
+    assert(base.zip(after).forall { case (a, b) => a._2 == b._2 },
+      "counts are untouched by a content edit")
+  }
+
   // ---- t20: C4 blocklist filter -----------------------------------------
 
   test("blocklistFilter: occurrences counted, C4 zero-hit keep, empty docs keep") {
