@@ -316,6 +316,15 @@ object Stress {
           graft.functions.DHash64.dhash64(col("frame")).as("fp"))
       M.frameNearOverlap(frames, "doc_id", "fp").count()
     }
+    // t20: the blocklist page filter — scan-side tokens probing a
+    // broadcast list, one per-doc aggregate; must track the corpus scan.
+    time("blocklist_filter") {
+      val spark2 = docs.sparkSession
+      import spark2.implicits._
+      val bl = Seq("slow", "merge").toDF("word")
+      graft.operators.TextAnalysis
+        .blocklistFilter(docs, "doc_id", "text", bl).count()
+    }
     // s12: the sparse-cosine postings join — tf aggregate + df-capped
     // term self-join + pair/norm aggregates; per-term work bounded at
     // cap², so the curve must track the corpus, not its square.
