@@ -134,7 +134,12 @@ object Multimodal {
     * flips at most two [[graft.functions.DHash64]] gradient signs per
     * frame (comparisons (30,31) and (31,32)), so m05's EXACT fingerprint
     * match misses it while m08's Hamming-tolerant banding still pairs it
-    * with the original. ASCII payloads stay in range (≤ 126 + 2). */
+    * with the original. ASCII payloads stay in range only up to ≤ 125:
+    * 126+2 = 128 overflows the signed byte and wraps negative, where the
+    * m08 oracle's `chr(ascii+2)` diverges (chr(128) is multi-byte UTF-8,
+    * shifting every later frame boundary). The synthetic corpus is
+    * lowercase ASCII ≤ 122, inside the safe range; a real codec
+    * replacement makes the question moot (the stub markers bound it). */
   def reencodeLossyStub(media: Dataset[MediaRow],
                         idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = media.sparkSession

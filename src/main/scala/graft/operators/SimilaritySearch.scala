@@ -238,9 +238,14 @@ object SimilaritySearch {
       if (sampleMod <= 1) vecs
       else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
         // Bounded sample, possibly hundreds of inherited near-empty
-        // partitions — coalesce so KMeans iterations don't schedule a
-        // task per partition (the buildPqIndex lesson).
-        .coalesce(8)
+        // partitions — shrink so KMeans iterations don't schedule a task
+        // per partition (the buildPqIndex lesson). repartition, NOT
+        // coalesce: coalesce propagates its partition count upstream with
+        // no shuffle, so the full-corpus scan+filter that feeds the sample
+        // would run with only 8 tasks — a scan-parallelism regression on a
+        // genuinely large corpus. The shuffle moves only the bounded
+        // sample, never the corpus.
+        .repartition(8)
     // KMeans cannot fit zero points (and degenerates below k points): an
     // empty/tiny corpus gets a single-cell index instead of a crash —
     // probes then scan the one cell, which IS the whole corpus.
@@ -435,9 +440,23 @@ object SimilaritySearch {
     import graft.functions.DotProduct.dotProduct
     val spark = emb.sparkSession
     val vecs = emb.select(col(idCol), col(vecCol))
+    // The fit is a DRIVER-LOCAL collect, so the sample must be bounded BY
+    // CONSTRUCTION, never by the caller remembering to pass sampleMod —
+    // the memoized/ivfTopK wrappers don't, and with the old default a
+    // production-scale corpus hit the maxLocalFit require instead of
+    // sampling. With sampleMod unset, derive the modulus from a cheap
+    // id-only count (column-pruned scan, once per build) so the expected
+    // sample lands well under maxLocalFit; small corpora derive mod 1 and
+    // keep the bit-exact full-fit behavior the specs pin.
+    val effSampleMod =
+      if (sampleMod > 1) sampleMod
+      else {
+        val n = vecs.select(col(idCol)).count()
+        math.max(1L, math.ceil(n.toDouble / (maxLocalFit / 4)).toLong).toInt
+      }
     val sampled =
-      if (sampleMod <= 1) vecs
-      else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      if (effSampleMod <= 1) vecs
+      else vecs.filter(pmod(xxhash64(col(idCol)), lit(effSampleMod)) === 0)
     // ONE bounded collect of the fit sample — the same discipline as the
     // centroid/codebook artifacts (the sample is chosen bounded at 100 TB;
     // maxLocalFit makes an unbounded "sample" loud instead of an OOM).
@@ -446,7 +465,7 @@ object SimilaritySearch {
     var pts = sampled
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .limit(maxLocalFit + 1).collect().map(_.getSeq[Double](0).toArray)
-    if (pts.isEmpty && sampleMod > 1)
+    if (pts.isEmpty && effSampleMod > 1)
       pts = vecs.select(transform(col(vecCol), x => x.cast("double")).as("v"))
         .limit(maxLocalFit + 1).collect().map(_.getSeq[Double](0).toArray)
     require(pts.length <= maxLocalFit,
@@ -987,12 +1006,15 @@ object SimilaritySearch {
     // /union-heavy input that is hundreds of near-empty partitions, and
     // every KMeans iteration of every fit schedules a task per partition
     // (measured: the 16 fits were 63 s of a 32× stress build, almost all
-    // task-launch overhead). The sample is bounded by contract, so
-    // coalesce it to a handful of partitions before caching.
+    // task-launch overhead). The sample is bounded by contract, so shrink
+    // it to a handful of partitions before caching — via repartition, not
+    // coalesce: coalesce would propagate 8 partitions upstream into the
+    // full-corpus scan+filter (no shuffle), strangling scan parallelism at
+    // real scale, while this shuffle only ever moves the bounded sample.
     val sampled =
       (if (sampleMod <= 1) withSlices
        else withSlices.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
-         .coalesce(8))
+         .repartition(8))
         .cache()
     // One count materializes the cached sample all m fits share; kEff
     // degrades gracefully below k points (the buildIvfIndex guard). An

@@ -547,11 +547,16 @@ object TextAnalysis {
                              maxLocalFit: Int = 250000): QualityClassifier = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val base =
+    val base0 =
       if (sampleMod <= 1) docs
       else docs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    // The collected rows below are read with positional getLong/getBoolean
+    // accessors; cast the id and seed expressions up front so a caller
+    // with an int id or a non-boolean seed predicate gets a widened fit
+    // instead of a ClassCastException at collect time.
+    val base = base0.withColumn(idCol, col(idCol).cast("long"))
     val perDoc = graft.operators.Sampling
-      .dsirGrams(base, textCol, isSeed.as("__t"), buckets, Seq(idCol))
+      .dsirGrams(base, textCol, isSeed.cast("boolean").as("__t"), buckets, Seq(idCol))
       .groupBy(col(idCol), col("__t"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol), col("__t"))

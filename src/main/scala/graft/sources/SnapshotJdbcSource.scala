@@ -75,9 +75,20 @@ object SnapshotJdbcSource {
 
   /** The per-connection init statement that joins `snap`'s snapshot
     * (Postgres syntax; runs via Spark's `sessionInitStatement` on every
-    * data connection, including a retried task's). */
+    * data connection, including a retried task's).
+    *
+    * Deliberately NOT `BEGIN …`: Spark's JDBCRDD applies the dialect's
+    * `beforeFetch` (which sets autoCommit=false whenever fetchsize > 0)
+    * BEFORE running `sessionInitStatement`, so by the time this statement
+    * executes pgjdbc has already opened an implicit READ COMMITTED
+    * transaction. A `BEGIN` there is a warning-level no-op and the
+    * snapshot import then fails with "a snapshot-importing transaction
+    * must have isolation level SERIALIZABLE or REPEATABLE READ". Both
+    * statements below are legal before the already-open transaction's
+    * first query: `SET TRANSACTION ISOLATION LEVEL` upgrades the current
+    * transaction, and `SET TRANSACTION SNAPSHOT` then imports into it. */
   def joinSnapshotStatement(snap: PinnedSnapshot): String =
-    s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
+    s"SET TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
       s"SET TRANSACTION SNAPSHOT '${snap.snapshotId.replace("'", "''")}'"
 
   /** Read `query` with every partition pinned to `snap`'s snapshot. Same

@@ -137,6 +137,13 @@ class JdbcSourceSpec extends SparkSpecBase {
     try {
       val stmt = SnapshotJdbcSource.joinSnapshotStatement(snap)
       assert(stmt.contains("ISOLATION LEVEL REPEATABLE READ"))
+      // Must NOT open a new transaction: Spark's beforeFetch has already
+      // opened one (autoCommit=false) before sessionInitStatement runs, so
+      // the statement has to upgrade the CURRENT transaction instead.
+      assert(!stmt.toUpperCase.contains("BEGIN"),
+        s"statement must not BEGIN a transaction: $stmt")
+      assert(stmt.trim.toUpperCase.startsWith("SET TRANSACTION ISOLATION LEVEL"),
+        s"isolation upgrade must precede the snapshot import: $stmt")
       assert(stmt.contains("SET TRANSACTION SNAPSHOT 'id''''with-quote'") ||
         stmt.contains("SET TRANSACTION SNAPSHOT 'id''with-quote'"),
         s"quote not escaped: $stmt")
