@@ -819,7 +819,7 @@ object Dedup {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     minhashIndexCache.computeIfAbsent((docs.sparkSession, cacheKey),
-      _ => graft.tools.BuildTimer.time(buildMinHashIndex(docs, idCol, shinglesCol)))
+      _ => graft.tools.BuildTimer.time("minhash_index")(buildMinHashIndex(docs, idCol, shinglesCol)))
   }
 
   /** Evict every memoized [[MinHashIndex]] of `s` whose cacheKey IS
@@ -984,7 +984,7 @@ object Dedup {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     gramIndexCache.computeIfAbsent((docs.sparkSession, cacheKey),
-      _ => graft.tools.BuildTimer.time(
+      _ => graft.tools.BuildTimer.time("gram_index")(
         buildGramIndex(docs, idCol, textCol, k, maxGramDocs)))
   }
 
@@ -1224,7 +1224,7 @@ object Dedup {
     }
     lshVecIndexCache.computeIfAbsent(
       (emb.sparkSession, cacheKey, bits, tables),
-      _ => graft.tools.BuildTimer.time(
+      _ => graft.tools.BuildTimer.time("lsh_vec_index")(
         buildLshVecIndex(emb, idCol, vecCol, bits, tables)))
   }
 

@@ -646,7 +646,7 @@ object SimilaritySearch {
     }
     indexCache.computeIfAbsent(
       (emb.sparkSession, cacheKey, nCells),
-      _ => graft.tools.BuildTimer.time(buildIvfIndex(emb, idCol, vecCol, nCells)))
+      _ => graft.tools.BuildTimer.time("ivf_flat")(buildIvfIndex(emb, idCol, vecCol, nCells)))
   }
 
   /** Memoized [[buildIvfIndexHier]] — the [[memoizedIvfIndex]] contract
@@ -662,7 +662,7 @@ object SimilaritySearch {
     }
     indexCache.computeIfAbsent(
       (emb.sparkSession, cacheKey + "#hier", nCells),
-      _ => graft.tools.BuildTimer.time(
+      _ => graft.tools.BuildTimer.time("ivf_hier")(
         buildIvfIndexHier(emb, idCol, vecCol, nCells)))
   }
 
@@ -824,7 +824,7 @@ object SimilaritySearch {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     mipsCache.computeIfAbsent((emb.sparkSession, cacheKey),
-      _ => graft.tools.BuildTimer.time(buildMipsIndex(emb, vecCol)))
+      _ => graft.tools.BuildTimer.time("mips")(buildMipsIndex(emb, vecCol)))
   }
 
   /** Evict every memoized IVF, MIPS, and PQ index of `s` whose cacheKey IS
@@ -1199,7 +1199,7 @@ object SimilaritySearch {
     }
     pqCache.computeIfAbsent(
       (emb.sparkSession, cacheKey, m, k),
-      _ => graft.tools.BuildTimer.time(
+      _ => graft.tools.BuildTimer.time("pq")(
         buildPqIndex(emb, idCol, vecCol, m, k)))
   }
 

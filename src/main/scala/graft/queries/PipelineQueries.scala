@@ -57,7 +57,7 @@ object PipelineQueries {
       if (e.getKey._1.sparkContext.isStopped) it.remove()
     }
     componentsCache.computeIfAbsent((s, dir), { key =>
-      graft.tools.BuildTimer.time {
+      graft.tools.BuildTimer.time("dup_pairs_clusters") {
       val pairs = Dedup.ngramJaccardPairs(docs(key._1, key._2),
           "doc_id", "text", "n_chars", threshold = 0.2,
           maxBucketSize = Some(D03BucketCap))
@@ -91,7 +91,7 @@ object PipelineQueries {
       // The cluster build times itself (nested BuildTimer spans would
       // double-count); only the survivors checkpoint is timed here.
       val clusters = dupPairsAndClusters(key._1, key._2)._2
-      graft.tools.BuildTimer.time {
+      graft.tools.BuildTimer.time("dedup_survivors") {
         dedupSurvivorsWithSplit(docs(key._1, key._2), clusters)
       }
     })
@@ -116,7 +116,7 @@ object PipelineQueries {
       // The survivors build times itself; only the decontamination +
       // scoring checkpoint is timed here (the nested-span convention).
       val surv = memoizedDedupSurvivors(key._1, key._2)
-      graft.tools.BuildTimer.time {
+      graft.tools.BuildTimer.time("decontam_scored") {
         decontaminatedScoredSurvivors(surv).localCheckpoint()
       }
     })
@@ -139,7 +139,7 @@ object PipelineQueries {
       if (e.getKey._1.sparkContext.isStopped) it.remove()
     }
     dsirModelCache.computeIfAbsent((s, dir), { key =>
-      graft.tools.BuildTimer.time {
+      graft.tools.BuildTimer.time("dsir_model") {
         val m = graft.operators.Sampling.dsirModelTable(
           docs(key._1, key._2), "text",
           isTarget = col("source") === "src0", buckets = 1024)
@@ -164,7 +164,7 @@ object PipelineQueries {
       if (e.getKey._1.sparkContext.isStopped) it.remove()
     }
     qualityClfCache.computeIfAbsent((s, dir), { key =>
-      graft.tools.BuildTimer.time {
+      graft.tools.BuildTimer.time("quality_clf") {
         val clf = graft.operators.TextAnalysis.trainQualityClassifier(
           docs(key._1, key._2), "doc_id", "text",
           isSeed = col("source") === "src0", buckets = 1024)
@@ -277,7 +277,7 @@ object PipelineQueries {
       if (e.getKey._1.sparkContext.isStopped) it.remove()
     }
     lineSetIndexCache.computeIfAbsent((s, dir), { _ =>
-      graft.tools.BuildTimer.time {
+      graft.tools.BuildTimer.time("line_set_index") {
         Dedup.buildLineSetIndex(corpus, "doc_id", "text", lineTokens = 16)
       }
     })
@@ -610,7 +610,7 @@ object PipelineQueries {
       if (it.next().getKey._1.sparkContext.isStopped) it.remove()
     }
     mediaPairsCache.computeIfAbsent((s, dir), { key =>
-      graft.tools.BuildTimer.time {
+      graft.tools.BuildTimer.time("media_pairs") {
         val media = graft.multimodal.Multimodal.asMediaTable(docs(key._1, key._2))
         val planted = graft.multimodal.Multimodal.reencodeStub(
           media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)

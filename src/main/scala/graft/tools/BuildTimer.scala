@@ -1,12 +1,19 @@
 package graft.tools
 
+import scala.jdk.CollectionConverters._
+
 /** Wall-clock accumulator for the one-time memoized artifact builds (the
   * d03 pair/components frame, the IVF/MIPS/MinHash indexes). The builds run
   * during the bench's untimed warm-up pass — deliberately, since a
   * long-lived cluster builds each index once and probes it many times — but
   * excluding them SILENTLY would let a methodology change read as an engine
   * win, so [[graft.Bench]] reports the accumulated total as the
-  * `warmup_build` key beside the per-query medians.
+  * `warmup_build` key beside the per-query medians, and (since round 11)
+  * the PER-ARTIFACT breakdown as `warmup_artifacts` in BENCH_FULL.json —
+  * the warm-up bucket doubled between rounds 9 and 10, and a single
+  * undifferentiated number is exactly where slow build code would hide.
+  * BenchFormatSpec holds the committed total under
+  * [[graft.Bench.WarmupBudgetSeconds]].
   *
   * Eagerness caveat: each memoized builder wraps only its EAGER work
   * (KMeans fit, checkpoint materialization, collect-based scalars); a
@@ -16,13 +23,35 @@ package graft.tools
   */
 object BuildTimer {
   private val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val byLabel =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
-  def time[T](f: => T): T = {
+  /** Time one artifact build under `label`. An artifact built more than
+    * once in a JVM (distinct cache keys for the same family — e.g. the
+    * flat IVF index per (dir, nCells)) accumulates under one label: the
+    * breakdown answers "which FAMILY is the warm-up spending on", not
+    * "which key". */
+  def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
-    try f finally { acc.addAndGet(System.nanoTime() - t0); () }
+    try f finally {
+      val dt = System.nanoTime() - t0
+      acc.addAndGet(dt)
+      byLabel.computeIfAbsent(label,
+        _ => new java.util.concurrent.atomic.AtomicLong(0L)).addAndGet(dt)
+      ()
+    }
   }
+
+  /** Unlabeled form kept for callers outside the bench's artifact
+    * taxonomy; accumulates under `"other"`. */
+  def time[T](f: => T): T = time("other")(f)
 
   def totalSeconds: Double = acc.get() / 1e9
 
-  def reset(): Unit = acc.set(0L)
+  /** Per-label seconds, descending — the `warmup_artifacts` payload. */
+  def perArtifactSeconds: Seq[(String, Double)] =
+    byLabel.asScala.toSeq.map { case (k, v) => (k, v.get() / 1e9) }
+      .sortBy(-_._2)
+
+  def reset(): Unit = { acc.set(0L); byLabel.clear() }
 }

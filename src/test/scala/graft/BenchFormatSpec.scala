@@ -63,4 +63,48 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(compact.length <= Bench.LineBudget, s"${compact.length} chars")
     assert(compact.contains(""""errors_omitted":"""))
   }
+
+  test("warmup artifacts break down slowest-first; over-budget flags") {
+    val wa = Seq("ivf_flat" -> 2.5, "media_pairs" -> 9.0, "dsir_model" -> 0.4)
+    val (compact, full) = Bench.formatJson(Seq("a" -> 1.0), Nil, "/sf",
+      warmupBuild = 11.9, warmupArtifacts = wa)
+    parseable(compact); parseable(full)
+    assert(full.contains(""""warmup_artifacts":{"media_pairs":9,"ivf_flat":2.5,"dsir_model":0.4}"""))
+    assert(!full.contains("warmup_over_budget"), "11.9s is under budget")
+    val (over, _) = Bench.formatJson(Seq("a" -> 1.0), Nil, "/sf",
+      warmupBuild = Bench.WarmupBudgetSeconds + 0.1, warmupArtifacts = wa)
+    assert(over.contains(""""warmup_over_budget":1"""))
+  }
+
+  test("artifact tail truncates before any query entry, floor of 3") {
+    val names = SparkEntry.queries.keys.toSeq
+    val results = names.zipWithIndex.map { case (n, i) => n -> (0.1 + i * 0.0173) }
+    val wa = (1 to 40).map(i => f"artifact_family_name_$i%02d" -> i * 0.3)
+    val (compact, full) = Bench.formatJson(results, Nil, "/sf",
+      warmupBuild = wa.map(_._2).sum, warmupArtifacts = wa)
+    parseable(compact); parseable(full)
+    assert(compact.length <= Bench.LineBudget)
+    // the 3 hottest artifacts always survive
+    assert(compact.contains("artifact_family_name_40"))
+    assert(compact.contains("artifact_family_name_38"))
+    assert(compact.contains(""""wa_omitted":"""))
+    assert(!full.contains(""""wa_omitted":"""))
+    // no query entry was sacrificed for artifact telemetry while the
+    // artifact tail could still shrink
+    if (compact.contains(""""omitted":"""))
+      assert(compact.indexOf(""""wa_omitted":""") >= 0)
+  }
+
+  test("the committed BENCH_FULL.json stays under the warmup budget") {
+    val f = new java.io.File("BENCH_FULL.json")
+    assume(f.exists(), "no committed bench document")
+    val doc = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val m = """"warmup_build":([0-9.]+)""".r.findFirstMatchIn(doc)
+    assert(m.isDefined, "bench document carries no warmup_build key")
+    val v = m.get.group(1).toDouble
+    assert(v <= Bench.WarmupBudgetSeconds,
+      f"committed warmup_build $v%.1f s exceeds the ${Bench.WarmupBudgetSeconds}%.0f s " +
+        "budget — either make the artifact builds cheaper (see warmup_artifacts " +
+        "for the hot family) or raise the budget as a reviewed decision")
+  }
 }
