@@ -26,6 +26,41 @@ import graft.functions.LshTableBuckets
   */
 object SimilaritySearch {
 
+  /** Driver-visible banded-recall compare for the ANN family: the oracle
+    * convention that turned the sketch ops (q35/q42/q45) green, applied
+    * to approximate search. `exact` and `approx` are both (q_id, n_id,
+    * …, rnk) top-k frames; the output is one row per query carrying the
+    * EXACT side's neighbour list (rank order, csv — DuckDB recomputes it
+    * verbatim, so the exact-twin computation is value-checked) plus an
+    * aggregate `recall_floor_met` flag: 1 iff the approximate frame
+    * recovered at least `floorBp`/10000 of all exact pairs. The oracle
+    * emits literal 1 — a recall collapse below the declared floor
+    * hash-fails every row. Everything is deterministic (hash-derived
+    * hyperplanes, k-means++ seeded fits, no RNG), so the flag is stable
+    * for fixed data; floors are set from measurements at sf0.001/0.01/0.1
+    * with margin (see the per-query scaladoc).
+    *
+    * Plan shape: the flag is a two-scalar cross join (one row each side —
+    * a broadcast nested loop of 1×1, not a data join) over a left-semi
+    * hit count; no driver action anywhere. The approximate plan still
+    * executes in full — its pairs feed the semi join. */
+  def recallBand(exact: DataFrame, approx: DataFrame, floorBp: Int): DataFrame = {
+    val ex = exact.select(col("q_id"), col("n_id"), col("rnk"))
+    val hits = ex.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id")).distinct(),
+        Seq("q_id", "n_id"), "left_semi")
+    val flag = ex.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(when(col("n_hit") * 10000 >= col("n_exact") * floorBp, lit(1L))
+        .otherwise(lit(0L)).as("recall_floor_met"))
+    val payload = ex.groupBy(col("q_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("rnk"), col("n_id")))),
+        x => x.getField("n_id").cast("string")), ",").as("exact_ids"))
+    payload.crossJoin(broadcast(flag))
+      .select(col("q_id"), col("exact_ids"), col("recall_floor_met"))
+  }
+
   /** Exact top-k neighbours for each query vector. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      isQuery: Column, k: Int): DataFrame =

@@ -153,9 +153,37 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), graft.operators.TextAnalysis.QualityClassifier]()
 
+  /** t17's planted-seed vocabulary (the QualityClassifierSpec
+    * construction over the real corpus): 6 marker words absent from the
+    * synthetic raw vocabulary; each planted seed doc is 12 words cycling
+    * the vocabulary from a doc_id-derived offset. Deterministic and
+    * DuckDB-recomputable — the whole point. */
+  private[graft] val T17MarkerVocab =
+    Seq("qalpha", "qbeta", "qgamma", "qdelta", "qepsilon", "qzeta")
+
+  /** The 40 planted seed docs (ids +400000 so they never collide with a
+    * corpus id): the synthetic corpus has NO naturally separable "seed"
+    * source (measured: per-source mean quality differs by < 0.001), so —
+    * the d06/s05/s10 convention — the separability signal is planted,
+    * and the oracle recomputes the construction verbatim. */
+  private def t17PlantedSeeds(s: SparkSession, dir: String): DataFrame = {
+    val marker = array(T17MarkerVocab.map(lit): _*)
+    docs(s, dir).filter(col("doc_id") < 40).select(
+      (col("doc_id") + 400000L).as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(11)),
+        i => element_at(marker,
+          (pmod(i + pmod(col("doc_id"), lit(6)), lit(6)) + 1).cast("int"))),
+        " ").as("text"))
+  }
+
   /** The t17 trained classifier, memoized per (session, dir) — the
     * [[memoizedDsirModel]] convention (train once, score many; the
-    * bounded local fit priced in warmup_build). */
+    * bounded local fit priced in warmup_build). Trained on a BALANCED
+    * fit set (40 planted seeds vs the first 40 raw docs): with the
+    * 40-vs-500 imbalance the logistic bias drags every score under 0.15
+    * and the 0.5 decision boundary is meaningless; balanced, the planted
+    * vocabulary separates at 0.5 with wide margins (measured seed min
+    * 0.628 / raw max 0.403 at every SF). */
   private def memoizedQualityClf(s: SparkSession, dir: String)
       : graft.operators.TextAnalysis.QualityClassifier = {
     val it = qualityClfCache.entrySet().iterator()
@@ -165,9 +193,12 @@ object PipelineQueries {
     }
     qualityClfCache.computeIfAbsent((s, dir), { key =>
       graft.tools.BuildTimer.time("quality_clf") {
+        val fitInput = docs(key._1, key._2).filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"))
+          .unionByName(t17PlantedSeeds(key._1, key._2))
         val clf = graft.operators.TextAnalysis.trainQualityClassifier(
-          docs(key._1, key._2), "doc_id", "text",
-          isSeed = col("source") === "src0", buckets = 1024)
+          fitInput, "doc_id", "text",
+          isSeed = col("doc_id") >= 400000L, buckets = 1024)
         clf.weights.cache().count()
         clf
       }
@@ -493,15 +524,25 @@ object PipelineQueries {
     // geometry, trained driver-local on the bounded corpus (zero-init
     // full-batch GD, fully deterministic, no RNG), scored through the
     // DSIR probe topology with the sigmoid applied after the per-doc
-    // aggregate. No SQL oracle — trained weights aren't SQL-expressible
-    // (the s03/s04/s10 convention); QualityClassifierSpec carries the
-    // separability/determinism/save-load ground truth. Classifier
-    // memoized per (session, dir); scores are the raw docs' keep
-    // probabilities.
-    "t17_quality_classifier" -> ((s, dir) =>
+    // aggregate. Round-11 driver-visible form: the classifier trains on
+    // the balanced planted-seed construction ([[memoizedQualityClf]])
+    // and scores the WHOLE augmented corpus; each row claims the doc
+    // lands on its class's side of the 0.5 decision boundary
+    // (clf_side_ok), which the oracle pins at 1 over the recomputed
+    // construction — the QualityClassifierSpec separability claim as a
+    // hash gate (measured margins: seed min 0.628 vs raw max 0.403 at
+    // every SF). QualityClassifierSpec still carries determinism /
+    // save-load / plan-ledger ground truth.
+    "t17_quality_classifier" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(t17PlantedSeeds(s, dir))
       graft.operators.TextAnalysis.scoreQualityClassifier(
-        docs(s, dir).filter(col("source") =!= "src0"), "doc_id", "text",
-        memoizedQualityClf(s, dir))),
+          aug, "doc_id", "text", memoizedQualityClf(s, dir))
+        .select(col("doc_id"),
+          when(col("doc_id") >= 400000L, lit(1L)).otherwise(lit(0L)).as("is_seed"),
+          when(col("doc_id") >= 400000L, col("quality") > 0.5)
+            .otherwise(col("quality") < 0.5).cast("long").as("clf_side_ok"))
+    }),
 
     // Model memoized per (session, dir) — the build/apply split: repeat
     // calls pay the broadcast probe only (the s04/s05 index convention).
@@ -1089,6 +1130,16 @@ object PipelineQueries {
     // pair frame (detect once, report many).
     "d03_ngram_jaccard" -> ((s, dir) => dupPairsAndClusters(s, dir)._1),
 
+    // MinHash-LSH near-dup detection with a DRIVER-VISIBLE recall claim
+    // (round-11 conversion of the former no_oracle row): the full LSH
+    // pipeline runs at threshold 0.5 (band candidacy + exact-Jaccard
+    // verify), and the output enumerates every EXACT >= 0.8 pair (the
+    // d03 blocked geometry, DuckDB-recomputable) with a per-pair
+    // lsh_found flag the oracle pins at 1 — the DedupSpec recall=1 claim
+    // as a hash gate. Per-pair (not aggregate) because banding collision
+    // probability at j >= 0.8 with 16 bands × 4 rows is 1 − (1−j⁴)^16
+    // ≈ 1 − 1e-13: full recall is the deterministic expectation
+    // (measured 23/23, 24/24, 71/71 across SFs).
     "d04_minhash_lsh" -> ((s, dir) => {
       // Spread BEFORE the shingle+signature projection: a compact parquet
       // corpus scans as few partitions (one row group = one task) and the
@@ -1098,12 +1149,37 @@ object PipelineQueries {
         .select(col("doc_id"),
           graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-      Dedup.minhashNearDups(base, "doc_id", "sh", threshold = 0.5)
+      val mh = Dedup.minhashNearDups(base, "doc_id", "sh", threshold = 0.5)
+        .select(col("a_id"), col("b_id")).distinct()
+        .withColumn("lsh_found", lit(1L))
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "n_chars",
+          threshold = 0.8, maxBucketSize = Some(D03BucketCap))
+        .join(mh, Seq("a_id", "b_id"), "left")
+        .select(col("a_id"), col("b_id"), col("jaccard"),
+          coalesce(col("lsh_found"), lit(0L)).as("lsh_found"))
     }),
 
+    // SimHash near-dup detection, banded like d04 but with an AGGREGATE
+    // floor: a 64-bit simhash at Hamming <= 3 is a coarser sketch than
+    // 64-hash MinHash, so per-pair recall at j >= 0.9 is genuinely
+    // partial — the DedupSpec claim is "finds at least half", measured
+    // 78/61/72% across SFs. Payload rows enumerate the exact >= 0.9
+    // pairs (DuckDB-recomputable); simhash_found_half is the aggregate
+    // flag the oracle pins at 1.
     "d05_simhash_pairs" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("toks"))
-      Dedup.simhashNearDups(base, "doc_id", "toks", maxHamming = 3)
+      val sh = Dedup.simhashNearDups(base, "doc_id", "toks", maxHamming = 3)
+        .select(col("a_id"), col("b_id")).distinct()
+      val exact = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        "n_chars", threshold = 0.9, maxBucketSize = Some(D03BucketCap))
+      val hits = exact.select(col("a_id"), col("b_id"))
+        .join(sh, Seq("a_id", "b_id"), "left_semi")
+      val flag = exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(when(col("n_hit") * 2 >= col("n_exact"), lit(1L))
+          .otherwise(lit(0L)).as("simhash_found_half"))
+      exact.select(col("a_id"), col("b_id"), col("jaccard"))
+        .crossJoin(broadcast(flag))
     }),
 
     // Duplicate CLUSTERS from d03's exact near-dup pairs: connected
@@ -1188,15 +1264,33 @@ object PipelineQueries {
       SimilaritySearch.thresholdPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.4)),
 
-    "s03_ann_lsh" -> ((s, dir) =>
-      SimilaritySearch.annTopK(emb(s, dir), "vec_id", "embedding",
-        isQuery = col("vec_id") < 10, k = 3)),
+    // LSH ANN with a DRIVER-VISIBLE recall band (round-11 conversion of
+    // the former no_oracle row): the query runs the full LSH plan AND the
+    // exact brute-force twin, emits the exact top-3 list per query (rank-
+    // order csv — DuckDB recomputes it verbatim) plus an aggregate
+    // recall_floor_met flag the oracle pins at 1. Floor 20% — measured
+    // 27/43/37% at sf0.001/0.01/0.1 on these near-uniform synthetic
+    // vectors (a hard case: tiny neighbour margins; DedupSpec carries the
+    // >= 0.8 bound on planted-cluster structure, where recall is the
+    // meaningful claim).
+    "s03_ann_lsh" -> ((s, dir) => {
+      val ann = SimilaritySearch.annTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3)
+      val exact = SimilaritySearch.bruteForceTopK(emb(s, dir), "vec_id",
+        "embedding", isQuery = col("vec_id") < 10, k = 3)
+      SimilaritySearch.recallBand(exact, ann, floorBp = 2000)
+    }),
 
     // Index keyed on the corpus directory: built once per JVM (fit on the
     // coarse-quantizer sample, assignments cached), probed per call.
-    "s04_ann_ivf" -> ((s, dir) =>
-      SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
-        isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))),
+    // Banded oracle like s03; floor 40% (measured 53/63/60% across SFs).
+    "s04_ann_ivf" -> ((s, dir) => {
+      val ivf = SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))
+      val exact = SimilaritySearch.bruteForceTopK(emb(s, dir), "vec_id",
+        "embedding", isQuery = col("vec_id") < 10, k = 3)
+      SimilaritySearch.recallBand(exact, ivf, floorBp = 4000)
+    }),
 
     // s04's two-level (hierarchical coarse quantizer) twin — the build
     // whose cell ASSIGNMENT is n·2√nCells instead of n·nCells, the fix
@@ -1207,17 +1301,28 @@ object PipelineQueries {
     // expressible in DuckDB (the s03/s04/s05 convention); HierIvfSpec
     // recomputes every assignment driver-side bit-exactly and bounds
     // probe recall vs exact s01 instead.
-    "s11_ivf_hier" -> ((s, dir) =>
-      SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
+    // Banded oracle like s03/s04; floor 50% (measured 87/67/87% across
+    // SFs — the HierIvfSpec floor at nProbe=8, now driver-visible).
+    "s11_ivf_hier" -> ((s, dir) => {
+      val hier = SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
         isQuery = col("vec_id") < 10, k = 3, nProbe = 8,
-        cacheKey = Some(dir), hier = true)),
+        cacheKey = Some(dir), hier = true)
+      val exact = SimilaritySearch.bruteForceTopK(emb(s, dir), "vec_id",
+        "embedding", isQuery = col("vec_id") < 10, k = 3)
+      SimilaritySearch.recallBand(exact, hier, floorBp = 5000)
+    }),
 
     // SemDeDup-style semantic dedup: IVF-cluster the corpus (memoized
     // index — no KMeans refit per call), within-cluster cosine pairs only,
     // drop to the lowest-id keeper. Corpus augmented with the same planted
-    // near-dups as d06 so there is something to drop; DedupSpec verifies
-    // every planted copy is dropped with its original as keeper (KMeans
-    // cells aren't reproducible in SQL → rows-only driver check).
+    // near-dups as d06 so there is something to drop. Round-11 oracle
+    // conversion: at threshold 0.95 the synthetic corpus has NO natural
+    // pairs (max natural cosine ≈ 0.6), so the full drop set is exactly
+    // the planted construction — every copy dropped with its original as
+    // keeper — and the oracle recomputes that construction verbatim. The
+    // hash compare is therefore the DedupSpec claim (planted recall = 1,
+    // zero false drops) made driver-visible; a 0.9996-cosine twin landing
+    // in a different KMeans cell would fail it loudly.
     "s05_semantic_dedup" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -1226,6 +1331,8 @@ object PipelineQueries {
       val index = SimilaritySearch.memoizedIvfIndex(
         aug, "vec_id", "v", nCells = 16, cacheKey = dir + "#aug")
       SimilaritySearch.semanticDedup(index, threshold = 0.95)
+        .filter(!col("keep"))
+        .select(col("vec_id").as("dup_id"), col("keeper"))
     }),
 
     // Symmetric int8 quantization of the embedding column — the standard
@@ -1441,6 +1548,15 @@ object PipelineQueries {
     // corpus text is never read on the probe path. No SQL oracle
     // (signature estimation isn't expressible in DuckDB); Round5Spec
     // bounds recall/precision against the exact d13 pair set.
+    // Round-11 banded conversion (the d04 shape on the delta geometry):
+    // the batch probes the standing MinHash index at threshold 0.5, and
+    // the output enumerates every exact j >= 0.9 batch×corpus pair (no
+    // length blocking — DuckDB recomputes the full cross Jaccard) with a
+    // per-pair index_found flag pinned at 1. Full recall is the
+    // deterministic expectation (Round5Spec: the cross-slice near-dups
+    // sit at j >= 0.96, where band collision ≈ 1 and the 64-hash
+    // estimate cannot fall below 0.5; measured 4/4, 6/6, 45/45 across
+    // SFs).
     "d14_delta_minhash" -> ((s, dir) => {
       val withSh = Dedup.spreadToParallelism(docs(s, dir))
         .select(col("doc_id"), pmod(col("doc_id"), lit(10)).as("m"),
@@ -1450,7 +1566,19 @@ object PipelineQueries {
       val corpus = withSh.filter(col("m") =!= 7).select(col("doc_id"), col("sh"))
       val idx = Dedup.memoizedMinHashIndex(corpus, "doc_id", "sh",
         cacheKey = dir + "#mhidx")
-      Dedup.deltaNearDupsIndexed(delta, idx, "doc_id", "sh", threshold = 0.5)
+      val probed = Dedup.deltaNearDupsIndexed(delta, idx, "doc_id", "sh",
+          threshold = 0.5)
+        .select(col("new_id"), col("old_id")).distinct()
+        .withColumn("index_found", lit(1L))
+      val all = docs(s, dir)
+      Dedup.deltaJaccardPairs(
+          all.filter(pmod(col("doc_id"), lit(10)) === 7),
+          all.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+          "doc_id", "text", "n_chars", threshold = 0.9,
+          lengthBucketWidth = Int.MaxValue)
+        .join(probed, Seq("new_id", "old_id"), "left")
+        .select(col("new_id"), col("old_id"), col("jaccard"),
+          coalesce(col("index_found"), lit(0L)).as("index_found"))
     }),
 
     // Per-doc top-3 salient keywords: tf·N/df in integer basis points
@@ -1498,13 +1626,20 @@ object PipelineQueries {
 
     // Approximate MIPS: norm-augmentation reduction + LSH bucketing +
     // exact dot-product verify (the sublinear path whose exact twin is
-    // s07). No SQL oracle — hyperplane buckets aren't expressible in
-    // DuckDB (same as s03); Round4Spec bounds recall against s07 instead.
-    // cacheKey memoizes the MipsIndex (the corpus max norm) per
-    // (session, dir): the probe path itself runs zero driver actions.
-    "s09_ann_mips" -> ((s, dir) =>
-      SimilaritySearch.annMipsTopK(emb(s, dir), "vec_id", "embedding",
-        isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))),
+    // s07). Round-11 banded oracle (the s03 shape on the inner-product
+    // ranking): exact top-3 by raw inner product per query as the
+    // payload, aggregate recall floor 20% (measured 37/43/27% across SFs
+    // on the near-uniform corpus; Round4Spec carries the >= 0.8 bound on
+    // planted high-IP structure). cacheKey memoizes the MipsIndex (the
+    // corpus max norm) per (session, dir): the probe path itself runs
+    // zero driver actions.
+    "s09_ann_mips" -> ((s, dir) => {
+      val ann = SimilaritySearch.annMipsTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))
+      val exact = SimilaritySearch.mipsTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3)
+      SimilaritySearch.recallBand(exact, ann, floorBp = 2000)
+    }),
 
     // IVF-PQ: the coarse quantizer prunes to nProbe cells, product-
     // quantized code words (16 small ints per vector vs 64 floats) score
@@ -1513,8 +1648,12 @@ object PipelineQueries {
     // dir)). Corpus augmented with byte-identical twins of the queries so
     // the approximate path has a deterministic signal: Round10Spec proves
     // every twin ranks top-1 and bounds raw-corpus recall vs exact s01.
-    // No SQL oracle — KMeans codebooks aren't expressible in DuckDB (the
-    // s03/s04/s05 convention); driver records rows-only. Sized m=8/k=64
+    // Round-11 driver-visible form: one row per query claiming its twin
+    // appears in the IVF-PQ top-3 — deterministic because a byte-
+    // identical twin gets identical PQ codes (minimal ADC distance) and
+    // an identical cell assignment (the query's own-cell probe always
+    // covers it); the oracle recomputes the twin construction and pins
+    // twin_in_top3 at 1 (measured 10/10 at every SF). Sized m=8/k=64
     // here (the twin signal is codebook-size-invariant — identical inputs
     // get identical codes at any k — and the warmup index build is 8x
     // cheaper); Round10Spec carries the full m=16/k=256 recall evidence.
@@ -1523,9 +1662,14 @@ object PipelineQueries {
       val twins = base.filter(col("vec_id") < 10)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       SimilaritySearch.ivfPqTopK(base.unionByName(twins), "vec_id",
-        "embedding", isQuery = col("vec_id") < 10, k = 3,
-        nCells = 16, nProbe = 8, m = 8, kCodes = 64,
-        cacheKey = Some(dir + "#pqtwin"))
+          "embedding", isQuery = col("vec_id") < 10, k = 3,
+          nCells = 16, nProbe = 8, m = 8, kCodes = 64,
+          cacheKey = Some(dir + "#pqtwin"))
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 100000L, lit(1L))
+          .otherwise(lit(0L))).as("twin_in_top3"))
+        .select(col("q_id"), (col("q_id") + 100000L).as("twin_id"),
+          col("twin_in_top3"))
     }),
 
     // Corpus top-50 bigrams: the n-gram census a contamination or
@@ -1628,7 +1772,11 @@ object PipelineQueries {
     * the engine's [[D03BucketCap]] truncation (first 256 docs per length
     * bucket by id, ranked over the same ≥3-word population) so the
     * skew-safe shipped form stays hash-exact. */
-  private val D03Sql: String =
+  /** The d03 exact blocked-Jaccard pair SQL at an arbitrary threshold —
+    * shared by d03 (0.2) and the round-11 band payloads d04 (0.8) /
+    * d05 (0.9), so the engine and every banded claim compute pairs over
+    * ONE geometry. */
+  private def d03SqlAt(threshold: String): String =
     s"""WITH w AS (SELECT doc_id, n_chars // 50 AS bkt,
                          list_filter(string_split(text, ' '), t -> t <> '') AS ws
                   FROM documents),
@@ -1642,7 +1790,9 @@ object PipelineQueries {
                     / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
        FROM s a JOIN s b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2"""
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= $threshold"""
+
+  private val D03Sql: String = d03SqlAt("0.2")
 
   /** Connected components over [[D03Sql]]'s pair set as recursive CTEs
     * ending in `comp(id, cluster)` — shared by d07 (which emits it) and
@@ -1678,7 +1828,96 @@ object PipelineQueries {
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT new_id FROM m)"""
 
+  /** Shared exact-top-3 band payload for the ANN cosine family
+    * (s03/s04/s11): DuckDB recomputes the exact twin verbatim (the s01
+    * ranking at k=3, rank-order csv) and pins recall_floor_met at 1 —
+    * the engine computes its own flag from its approximate plan. */
+  private val AnnCosBandSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+            scored AS (SELECT q_id, e.vec_id AS n_id,
+                              list_inner_product(qv, e.v)
+                              / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+                       FROM q JOIN e ON e.vec_id <> q_id),
+            ranked AS (SELECT q_id, n_id,
+                              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+                       FROM scored)
+       SELECT q_id, string_agg(CAST(n_id AS VARCHAR), ',' ORDER BY rnk) AS exact_ids,
+              CAST(1 AS BIGINT) AS recall_floor_met
+       FROM ranked WHERE rnk <= 3 GROUP BY q_id"""
+
   val oracleSql: Map[String, String] = Map(
+    // ---- round-11 banded conversions of the former no_oracle rows ----
+    "s03_ann_lsh" -> AnnCosBandSql,
+    "s04_ann_ivf" -> AnnCosBandSql,
+    "s11_ivf_hier" -> AnnCosBandSql,
+    // s09: the same band over the INNER-PRODUCT ranking (s07's order).
+    "s09_ann_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              scored AS (SELECT q_id, e.vec_id AS n_id,
+                                list_inner_product(qv, e.v) AS ip
+                         FROM q JOIN e ON e.vec_id <> q_id),
+              ranked AS (SELECT q_id, n_id,
+                                row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rnk
+                         FROM scored)
+         SELECT q_id, string_agg(CAST(n_id AS VARCHAR), ',' ORDER BY rnk) AS exact_ids,
+                CAST(1 AS BIGINT) AS recall_floor_met
+         FROM ranked WHERE rnk <= 3 GROUP BY q_id""",
+    // s10: the planted byte-identical twin construction, twin-in-top-3
+    // pinned at 1 (identical PQ codes => minimal ADC distance; identical
+    // cell => always probed).
+    "s10_ivf_pq" ->
+      """SELECT CAST(vec_id AS BIGINT) AS q_id,
+                CAST(vec_id + 100000 AS BIGINT) AS twin_id,
+                CAST(1 AS BIGINT) AS twin_in_top3
+         FROM embeddings WHERE vec_id < 10""",
+    // s05: at threshold 0.95 the corpus has no natural pairs (max
+    // natural cosine ~ 0.6), so the semantic-dedup drop set IS the
+    // planted construction — recomputed verbatim here. The hash compare
+    // is the planted-recall-1 / zero-false-drops claim.
+    "s05_semantic_dedup" ->
+      """SELECT CAST(vec_id + 100000 AS BIGINT) AS dup_id,
+                CAST(vec_id AS BIGINT) AS keeper
+         FROM embeddings WHERE vec_id < 25""",
+    // d04: every exact >= 0.8 pair (the d03 geometry), lsh_found pinned
+    // at 1 — full recall is the deterministic expectation at 16x4 bands.
+    "d04_minhash_lsh" ->
+      s"""SELECT a_id, b_id, jaccard, CAST(1 AS BIGINT) AS lsh_found
+          FROM (${d03SqlAt("0.8")}) t""",
+    // d05: exact >= 0.9 pairs as payload; the found-at-least-half claim
+    // is the aggregate flag, pinned at 1.
+    "d05_simhash_pairs" ->
+      s"""SELECT a_id, b_id, jaccard, CAST(1 AS BIGINT) AS simhash_found_half
+          FROM (${d03SqlAt("0.9")}) t""",
+    // d14: exact batch x corpus pairs at j >= 0.9, no length blocking
+    // (mirrors deltaJaccardPairs with lengthBucketWidth = MaxValue);
+    // index_found pinned at 1 per the Round5Spec determinism argument.
+    "d14_delta_minhash" ->
+      """WITH w AS (SELECT doc_id, doc_id % 10 = 7 AS is_new,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              s AS (SELECT doc_id, is_new,
+                           list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+                    FROM w WHERE len(ws) >= 3)
+         SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard,
+                CAST(1 AS BIGINT) AS index_found
+         FROM s a JOIN s b ON a.is_new AND NOT b.is_new
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.9""",
+    // t17: the augmented corpus rows with clf_side_ok pinned at 1 — the
+    // balanced planted-vocabulary classifier must put every doc on its
+    // class's side of 0.5 (measured margins 0.628 vs 0.403).
+    "t17_quality_classifier" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS is_seed,
+                CAST(1 AS BIGINT) AS clf_side_ok
+         FROM documents
+         UNION ALL
+         SELECT CAST(doc_id + 400000 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+         FROM documents WHERE doc_id < 40""",
     // BYTE-vs-CHAR coupling: the engine (Multimodal.sampleFrames) slices
     // the UTF-8 BYTE payload into 64-byte frames; this oracle slices
     // CHARACTERS (substr over text) because DuckDB 1.0 cannot substring a

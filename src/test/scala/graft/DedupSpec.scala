@@ -199,27 +199,17 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("semantic dedup (s05) drops every planted near-dup to its original, keeps the rest") {
-    // Drives the actual s05 query: d06-style planted copies (cosine ≈
-    // 0.9996 to their originals; every other pair stays below 0.62, far
-    // under the 0.95 threshold).
-    val rows = graft.queries.PipelineQueries.queries("s05_semantic_dedup")(spark, dir)
-      .select($"vec_id", $"keep", $"keeper")
-      .as[(Long, Boolean, Option[Long])].collect()
-    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count() + 25
-    assert(rows.length == corpus, "one output row per input vector")
-    val (kept, dropped) = rows.partition(_._2)
-    // Only planted copies have a >0.95 twin with a SMALLER id, so every
-    // original must be kept and every drop must be a copy naming its
-    // original as keeper.
-    assert(kept.forall(_._3.isEmpty) && dropped.forall(_._3.isDefined))
-    assert(rows.filter(_._1 < 100000).forall(_._2), "an original was dropped")
-    dropped.foreach { case (id, _, keeper) =>
-      assert(id >= 100000 && keeper.contains(id - 100000),
-        s"drop $id -> $keeper is not a planted pair")
-    }
-    // KMeans could in principle split a twin pair across a cell boundary;
-    // with the fixed seed it does not split more than one of the 25.
-    assert(dropped.length >= 24, s"only ${dropped.length}/25 planted copies dropped")
+    // Drives the actual s05 query, whose round-11 output IS the drop set
+    // (dup_id, keeper): d06-style planted copies (cosine ≈ 0.9996 to
+    // their originals; every other pair stays below 0.62, far under the
+    // 0.95 threshold), so the drop set must be exactly the planted
+    // construction — the same claim the driver oracle now hash-checks.
+    val dropped = graft.queries.PipelineQueries.queries("s05_semantic_dedup")(spark, dir)
+      .select($"dup_id", $"keeper")
+      .as[(Long, Long)].collect().toSet
+    val planted = (0L until 25L).map(i => (i + 100000L, i)).toSet
+    assert(dropped == planted,
+      s"extra drops: ${dropped -- planted}; missed: ${planted -- dropped}")
   }
 
   test("semantic dedup path-compresses keeper chains to a kept root") {
