@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing, Sampling, SimilaritySearch, TextAnalysis => TA}
+import graft.queries.PipelineShared._
+
+/** m-family query registry — multimodal: binary payload metadata, frame demux, perceptual fingerprints, energy gates.
+  * Split out of the monolithic PipelineQueries in round 11 (pure
+  * re-grouping: every entry verbatim; shared machinery lives in
+  * [[PipelineShared]], aggregation in [[PipelineQueries]]). */
+private[queries] object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Perceptual frame-overlap (m04's re-encode-surviving twin): docs < 40
+    // are planted back as byte-shifted "re-encodes" (monotone remap — every
+    // md5 changes, so m04 would MISS all of them), then frames are
+    // fingerprinted with the gradient-sign dHash instead of md5 and joined
+    // through the same capped frameOverlap. The oracle hashes the ORIGINAL
+    // text for the planted ids — equality across the engines holds exactly
+    // because the dHash is monotone-remap-invariant, so the driver compare
+    // proves the perceptual property end-to-end, not just the plumbing.
+    // Frame-energy gate (the pre-fingerprint "drop silence / black
+    // frames" stage): docs < 30 are planted back as constant-byte
+    // "silent" media whose every frame scores an integer byte-variance
+    // of exactly 0 and must be dropped, while real text frames clear the
+    // threshold; per-media live-frame rates are the driver-visible
+    // output. The energy compare is pure integer arithmetic
+    // (n·Σx² − (Σx)² vs n²·minVar) on both engines — no FP boundary.
+    "m06_frame_energy" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val media = M.asMediaTable(docs(s, dir))
+      val silent = M.asMediaTable(docs(s, dir).filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          repeat(lit("x"), 256).as("text")))
+      val frames = M.sampleFrames(media.unionByName(silent),
+        frameBytes = 64, stride = 4).toDF()
+      val allCnt = frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
+      val liveCnt = M.frameEnergyFilter(frames, minVariance = 4L)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_live"))
+      allCnt.join(liveCnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_live"), lit(0L)).as("n_live"))
+        .withColumn("live_bp", expr("n_live * 10000 DIV n_frames"))
+    }),
+
+
+    "m05_perceptual_overlap" -> ((s, dir) =>
+      mediaPairsAndClusters(s, dir)._1),
+
+
+    // m07: the perceptual dedup APPLY — m05's pair stream clustered
+    // (pointer-jumping components over the bounded pair population) and
+    // every non-representative member dropped: the re-encoded planted
+    // copies (+100000 ids) are removed even though every byte differs,
+    // their originals survive. Same planted construction as m05 — pairs
+    // and clusters come from the ONE memoized media artifact, so the
+    // pair set and the drop set can never drift.
+    "m07_perceptual_dedup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
+      val planted = graft.multimodal.Multimodal.reencodeStub(
+        media.filter(col("doc_id") < 40), shift = 1, idOffset = 100000L)
+      val pop = media.unionByName(planted).toDF().select(col("doc_id"))
+      graft.multimodal.Multimodal.perceptualDedupApplyFromClusters(
+        pop, "doc_id", mediaPairsAndClusters(s, dir)._2)
+    }),
+
+
+    // m08: perceptual NEAR-dup pairs — the Hamming-tolerant matcher the
+    // exact m05 fingerprint equality cannot be: LOSSY planted re-encodes
+    // (+300000 ids, one byte per frame bumped — flips ≤ 2 dHash bits per
+    // frame) still pair with their originals through the 4x16-bit
+    // banding + popcount verify. Byte-vs-char coupling: the oracle bumps
+    // CHARS; equal on the ASCII corpus (the m04 assumption, asserted).
+    "m08_perceptual_near" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val media = M.asMediaTable(docs(s, dir))
+      val planted = M.reencodeLossyStub(
+        media.filter(col("doc_id") < 40), idOffset = 300000L)
+      val frames = M.sampleFrames(media.unionByName(planted),
+        frameBytes = 64, stride = 4).toDF()
+        .select(col("doc_id"),
+          graft.functions.DHash64.dhash64(col("frame")).as("fp"))
+      M.frameNearOverlap(frames, "doc_id", "fp",
+        maxHamming = 3, maxBandDocs = 16)
+    }),
+
+
+    // ---- multimodal (binary payload metadata; decode is stubbed) ----------
+    "m01_binary_meta" -> ((s, dir) => {
+      val media = encode(col("text"), "UTF-8")
+      docs(s, dir).select(
+        col("doc_id"),
+        length(media).cast("long").as("byte_len"),
+        sha2(media, 256).as("sha"))
+    }),
+
+
+    // Per-source binary storage accounting (the capacity-planning query of
+    // a multimodal corpus): payload volume, largest object, and the
+    // share of oversized payloads, in one map-side-partial aggregate.
+    "m03_payload_stats" -> ((s, dir) => {
+      val media = encode(col("text"), "UTF-8")
+      docs(s, dir)
+        .select(col("source"), length(media).cast("long").as("bytes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bytes")).as("total_bytes"),
+          max(col("bytes")).as("max_bytes"),
+          sum(when(col("bytes") > 1024, 1L).otherwise(0L)).as("n_over_1k"))
+    }),
+
+
+    // Frame sampling over the binary media table: every 4th 64-byte chunk,
+    // one output row per sampled frame (the explode-shaped demux contract).
+    // Frames are reported by md5 so the oracle can compare payload bytes as
+    // scalars (the corpus is ASCII, so DuckDB's character substr sees the
+    // same bytes Spark slices).
+    "m02_frame_sample" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+    }),
+
+
+    // Cross-media copy detection: media pairs sharing sampled-frame
+    // fingerprints (m02's demux + the dedup family's hash-equi-join
+    // discipline; boilerplate frames capped out before the self-join).
+    "m04_frame_overlap" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(docs(s, dir))
+      val frames = graft.multimodal.Multimodal
+        .sampleFrames(media, frameBytes = 64, stride = 4).toDF()
+        .select(col("doc_id"), md5(col("frame")).as("frame_md5"))
+      graft.multimodal.Multimodal.frameOverlap(frames, "doc_id", "frame_md5")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // BYTE-vs-CHAR coupling: the engine (Multimodal.sampleFrames) slices
+    // the UTF-8 BYTE payload into 64-byte frames; this oracle slices
+    // CHARACTERS (substr over text) because DuckDB 1.0 cannot substring a
+    // BLOB. The two agree iff the corpus is pure ASCII (1 byte = 1 char) —
+    // asserted by Round6Spec."m04 oracle ASCII assumption" against the
+    // test corpus, and guarded here by the octet_length-based frame count
+    // (which would disagree with a char-based count on any non-ASCII doc).
+    "m04_frame_overlap" ->
+      """WITH f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM documents),
+              s AS (SELECT doc_id, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+                    FROM f WHERE i % 4 = 0),
+              d AS (SELECT DISTINCT doc_id, frame_md5 FROM s),
+              keep AS (SELECT frame_md5 FROM d GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT d.doc_id, d.frame_md5 FROM d
+                    JOIN keep USING (frame_md5))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM k a JOIN k b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+
+    // m05: same frame slicing (and the m04 ASCII coupling note), but the
+    // fingerprint is the 63-comparison gradient-sign dHash — bit i-1 set
+    // iff char i > char i+1, summed as shifted BIGINTs (DuckDB's `<<`,
+    // never power(): doubles lose bits past 2^53). The planted re-encodes
+    // (doc_id+100000 for doc_id < 40) hash the ORIGINAL text: the +1 byte
+    // shift the engine applies is monotone, so dHash equality with the
+    // unshifted mirror IS the perceptual-invariance claim under test.
+    "m05_perceptual_overlap" ->
+      """WITH f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM documents),
+              fr AS (SELECT doc_id, substr(text, i * 64 + 1, 64) AS frame
+                     FROM f WHERE i % 4 = 0),
+              allf AS (SELECT doc_id, frame FROM fr
+                       UNION ALL
+                       SELECT doc_id + 100000, frame FROM fr WHERE doc_id < 40),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 63),
+                                i -> CASE WHEN ascii(substr(frame, i, 1))
+                                               > ascii(substr(frame, i + 1, 1))
+                                          THEN (CAST(1 AS BIGINT) << (i - 1))
+                                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                    FROM allf),
+              d AS (SELECT DISTINCT doc_id, fp FROM h),
+              keep AS (SELECT fp FROM d GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT d.doc_id, d.fp FROM d JOIN keep USING (fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+
+    // m07: m05's pair chain feeding the d07 recursive components, then
+    // the d09 anti-join — keep the cluster representative (min id), drop
+    // every other member of the media population.
+    "m07_perceptual_dedup" ->
+      """WITH RECURSIVE f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM documents),
+              fr AS (SELECT doc_id, substr(text, i * 64 + 1, 64) AS frame
+                     FROM f WHERE i % 4 = 0),
+              allf AS (SELECT doc_id, frame FROM fr
+                       UNION ALL
+                       SELECT doc_id + 100000, frame FROM fr WHERE doc_id < 40),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 63),
+                                i -> CASE WHEN ascii(substr(frame, i, 1))
+                                               > ascii(substr(frame, i + 1, 1))
+                                          THEN (CAST(1 AS BIGINT) << (i - 1))
+                                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                    FROM allf),
+              d AS (SELECT DISTINCT doc_id, fp FROM h),
+              keep AS (SELECT fp FROM d GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT d.doc_id, d.fp FROM d JOIN keep USING (fp)),
+              p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                    FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+              sym AS (SELECT a_id AS id, b_id AS nb FROM p
+                      UNION
+                      SELECT b_id AS id, a_id AS nb FROM p),
+              reach AS (SELECT id, nb FROM sym
+                        UNION
+                        SELECT r.id, s.nb FROM reach r JOIN sym s ON r.nb = s.id),
+              comp AS (SELECT id, least(id, min(nb)) AS cluster FROM reach GROUP BY id),
+              pop AS (SELECT doc_id FROM documents
+                      UNION ALL
+                      SELECT doc_id + 100000 FROM documents WHERE doc_id < 40)
+         SELECT doc_id FROM pop
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)""",
+
+    // m08: m05's dHash chain over the LOSSY planted construction (chars
+    // at (i-1)%64=31 bumped +2 — the byte perturbation's char mirror,
+    // ASCII-coupled like m04), 4x16-bit banding with the band-key cap,
+    // xor+bit_count verify, distinct-a_fp count per pair.
+    "m08_perceptual_near" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 300000,
+                              list_aggregate(list_transform(generate_series(1, len(text)),
+                                i -> CASE WHEN (i - 1) % 64 = 31
+                                          THEN chr(ascii(substr(text, i, 1)) + 2)
+                                          ELSE substr(text, i, 1) END),
+                                'string_agg', '') AS text
+                       FROM documents WHERE doc_id < 40),
+              f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM base),
+              fr AS (SELECT doc_id, substr(text, i * 64 + 1, 64) AS frame
+                     FROM f WHERE i % 4 = 0),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 63),
+                                i -> CASE WHEN ascii(substr(frame, i, 1))
+                                               > ascii(substr(frame, i + 1, 1))
+                                          THEN (CAST(1 AS BIGINT) << (i - 1))
+                                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                    FROM fr),
+              d AS (SELECT DISTINCT doc_id, fp FROM h),
+              bands AS (SELECT doc_id, fp, b.band AS band,
+                               (fp >> (16 * b.band)) & 65535 AS bk
+                        FROM d, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+              keep AS (SELECT band, bk FROM bands GROUP BY 1, 2
+                       HAVING count(*) <= 16),
+              kb AS (SELECT bands.* FROM bands JOIN keep USING (band, bk)),
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                              a.fp AS a_fp, b.fp AS b_fp
+                       FROM kb a JOIN kb b
+                         ON a.band = b.band AND a.bk = b.bk
+                            AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, CAST(count(DISTINCT a_fp) AS BIGINT) AS n_near
+         FROM cand
+         WHERE bit_count(xor(a_fp, b_fp)) <= 3
+         GROUP BY 1, 2""",
+
+    // m06: same frame slicing (and the m04 ASCII coupling note); energy is
+    // the integer variance numerator 64·Σx² − (Σx)² over the frame's byte
+    // values, compared against 64²·4 — all BIGINT (list_sum yields
+    // HUGEINT, cast back), mirroring the engine's exact-integer contract.
+    // The planted silence (doc_id+200000 for doc_id < 30, repeat('x'))
+    // scores exactly 0 per frame and drops to live_bp = 0.
+    "m06_frame_energy" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 200000, repeat('x', 256)
+                       FROM documents WHERE doc_id < 30),
+              f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM base),
+              fr AS (SELECT doc_id, substr(text, i * 64 + 1, 64) AS frame
+                     FROM f WHERE i % 4 = 0),
+              e AS (SELECT doc_id,
+                           CAST(64 AS BIGINT)
+                             * CAST(list_sum(list_transform(generate_series(1, 64),
+                                 i -> ascii(substr(frame, i, 1)) * ascii(substr(frame, i, 1)))) AS BIGINT)
+                           - CAST(list_sum(list_transform(generate_series(1, 64),
+                               i -> ascii(substr(frame, i, 1)))) AS BIGINT)
+                             * CAST(list_sum(list_transform(generate_series(1, 64),
+                                 i -> ascii(substr(frame, i, 1)))) AS BIGINT) AS energy
+                    FROM fr),
+              allcnt AS (SELECT doc_id, count(*) AS n_frames FROM e GROUP BY 1),
+              livecnt AS (SELECT doc_id, count(*) AS n_live FROM e
+                          WHERE energy >= CAST(64 AS BIGINT) * 64 * 4 GROUP BY 1)
+         SELECT a.doc_id, a.n_frames,
+                coalesce(l.n_live, 0) AS n_live,
+                CAST(coalesce(l.n_live, 0) * 10000 // a.n_frames AS BIGINT) AS live_bp
+         FROM allcnt a LEFT JOIN livecnt l USING (doc_id)""",
+
+    "m03_payload_stats" ->
+      """WITH b AS (SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+                    FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                CAST(max(bytes) AS BIGINT) AS max_bytes,
+                CAST(sum(CASE WHEN bytes > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_1k
+         FROM b GROUP BY source""",
+
+    "m01_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                sha256(text) AS sha
+         FROM documents""",
+
+    "m02_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS i
+                    FROM documents)
+         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+         FROM f WHERE i % 4 = 0""",
+  )
+}
