@@ -30,6 +30,19 @@ import org.apache.spark.sql.types.LongType
   * Rank semantics are exactly `row_number` (1-based, gap-free) provided
   * the ordering is total per key (give it a tiebreak column, same as any
   * deterministic window query).
+  *
+  * CODEGEN BOUNDARY (documented, by design): [[GroupTopKExec]] does not
+  * implement `CodegenSupport`, so whole-stage fusion breaks at its input
+  * — the upstream scan/project span ends in a `WholeStageCodegen` block
+  * that feeds this operator row-by-row, and any downstream codegen span
+  * starts fresh above it. That is the same boundary every blocking
+  * operator (sort, window, non-codegen aggregate) introduces, and it is
+  * the right trade here: the operator's value is shuffle-volume
+  * reduction (O(k·keys) vs O(N)), which dwarfs the per-row virtual-call
+  * cost at the boundary. The plan-shape expectations live with the
+  * operator's specs — GroupTopKSpec (partial/final split, pushdown
+  * through the node) and Round5Spec/Round11Spec (the multi-flush and
+  * AQE-coalesced-to-1 partition ends).
   */
 final case class GroupTopK(
     groupExprs: Seq[Expression],
