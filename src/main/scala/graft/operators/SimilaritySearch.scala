@@ -1277,41 +1277,157 @@ object SimilaritySearch {
     * shipped query uses 3 — n-gram counts, the d03 shingle space with
     * multiplicity.
     *
+    * PREFIX FILTERING (round 11, `prefix = true`, the default): the df
+    * cap alone does not bound candidate volume when term df grows with
+    * the corpus while staying under the cap — the round-11 32× stress
+    * measured exactly that curve (Σ_t df_t² quadratic by construction,
+    * wall following it: 12.7→35→81 s at 8×/16×/32×). The published
+    * lossless fix is Bayardo et al. 2007's all-pairs prefix filter
+    * (public method description), adapted to the symmetric join: order
+    * every document's terms by (df desc, term), and let each document
+    * SKIP indexing its maximal prefix S whose dot-product contribution
+    * is provably below threshold — Σ_{t∈S} w[t]·maxw[t] < τ, where
+    * w = tf/√n2 is the doc's normalized weight and maxw[t] the corpus
+    * max of w over t (an upper bound on ANY partner's weight). For a
+    * pair with cos ≥ τ the shared terms cannot all lie in either side's
+    * skip set (the skipped dot alone is < τ), so joining FULL postings
+    * against INDEXED postings — both orientations, then normalized to
+    * a < b — finds every qualifying pair; survivors get their EXACT dot
+    * recomputed over the full kept vectors (map_zip_with over per-doc
+    * term→tf maps), so the prefix filter can only ever prune, never
+    * alter a value, and the unchanged s12 oracle hash-verifies the
+    * losslessness at every driver run. High-df terms are skipped FIRST,
+    * so the df-growing stopword band that broke the cap-only bound
+    * contributes no candidates at all once the skip budget covers it —
+    * at τ = 0.9 the budget is large (each skipped term costs
+    * w·maxw ≈ 1/|terms|) and the measured 32× curve collapses. The
+    * skip condition uses τ − 1e-9: the bound chain is exact real
+    * arithmetic, the 1e-9 slack keeps double-precision summation from
+    * over-skipping a boundary pair (under-skipping only costs
+    * candidates, never correctness).
+    *
     * Output: (a_id, b_id, cos) with a_id < b_id, cos ≥ threshold. */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
                         maxTermDocs: Int = 256,
-                        ngram: Int = 1): DataFrame = {
-    require(threshold > 0, s"threshold must be positive, got $threshold")
+                        ngram: Int = 1,
+                        prefix: Boolean = true): DataFrame = {
+    val (kept, vecs) = sparseCosineBase(docs, idCol, textCol, maxTermDocs, ngram)
+    if (!prefix) {
+      // Cap-only plan, kept as the simpler exact twin the prefix path is
+      // spec-compared against (Round11Spec): per-term work <= cap^2, but
+      // candidate volume tracks SUM df^2 wherever df sits under the cap.
+      val norms = vecs.select(col("id"), col("n2"))
+      val dots = kept.select(col("th"), col("id").as("a_id"), col("tf").as("a_tf"))
+        .join(kept.select(col("th"), col("id").as("b_id"), col("tf").as("b_tf")),
+          Seq("th"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum(col("a_tf") * col("b_tf")).as("dot"))
+      dots
+        .join(norms.select(col("id").as("a_id"), col("n2").as("a_n2")), Seq("a_id"))
+        .join(norms.select(col("id").as("b_id"), col("n2").as("b_n2")), Seq("b_id"))
+        .withColumn("cos", round(col("dot").cast("double") /
+          (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 4))
+        .filter(col("cos") >= threshold)
+        .select(col("a_id"), col("b_id"), col("cos"))
+    } else {
+      val cand = sparseCosineCandidates(kept, vecs, threshold)
+      // Exact verify over the survivors: full kept vectors as hash->tf
+      // maps, dot by map_zip_with (integer, the same value the postings
+      // sum produces in the cap-only plan), norms from the same per-doc
+      // aggregate, same rounding.
+      cand
+        .join(vecs.select(col("id").as("a_id"), col("m").as("ma"),
+          col("n2").as("a_n2")), Seq("a_id"))
+        .join(vecs.select(col("id").as("b_id"), col("m").as("mb"),
+          col("n2").as("b_n2")), Seq("b_id"))
+        .withColumn("dot", expr(
+          "aggregate(map_values(map_zip_with(ma, mb," +
+            " (k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))), 0L, (acc, v) -> acc + v)"))
+        .withColumn("cos", round(col("dot").cast("double") /
+          (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 4))
+        .filter(col("cos") >= threshold)
+        .select(col("a_id"), col("b_id"), col("cos"))
+    }
+  }
+
+  /** Shared front of both s12 plans: hashed-term postings and the per-doc
+    * vector artifact.
+    *
+    * Terms are xxhash64'd SCAN-SIDE, before the first shuffle — the d03
+    * shingle discipline: every downstream exchange and sort moves 8-byte
+    * keys instead of n-gram strings (measured ~2x on the stress postings
+    * frame), and the original strings never leave their scan task. A
+    * 64-bit collision would merge two grams corpus-wide (both engines of
+    * the oracle compare would have to collide identically to hide it);
+    * at 10^9 distinct grams the expected collision count is ~0.03 — the
+    * same accepted trade the Jaccard family documents.
+    *
+    * Returns (kept, vecs): `kept` = (id, th, tf, df) postings over the
+    * df-capped vocabulary, checkpointed once (four consumers); `vecs` =
+    * one per-doc aggregate carrying the hash->tf map AND the squared
+    * norm — the verify artifact and the norm table are the same frame,
+    * not two aggregates. */
+  private[graft] def sparseCosineBase(docs: DataFrame, idCol: String, textCol: String,
+                                      maxTermDocs: Int, ngram: Int): (DataFrame, DataFrame) = {
     require(maxTermDocs >= 2, s"df cap must be >= 2, got $maxTermDocs")
     val tf = docs
       .select(col(idCol).as("id"),
         explode(graft.functions.WordShingles
           .wordShingles(col(textCol), ngram, distinct = false)).as("term"))
-      .groupBy(col("id"), col("term"))
+      .select(col("id"), xxhash64(col("term")).as("th"))
+      .groupBy(col("id"), col("th"))
       .agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxTermDocs)
-      .select(col("term"))
-    // Materialized once (the justified-checkpoint pattern): the norms
+    val vocab = tf.groupBy(col("th"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTermDocs)
+    // Materialized once (the justified-checkpoint pattern): the per-doc
     // aggregate and BOTH postings-join sides read this frame — without
-    // it the corpus tokenize + tf aggregate would run three times.
-    val kept = tf.join(vocab, Seq("term"), "left_semi").localCheckpoint()
-    val norms = kept.groupBy(col("id"))
-      .agg(sum(col("tf") * col("tf")).as("n2"))
-    val dots = kept.select(col("term"), col("id").as("a_id"), col("tf").as("a_tf"))
-      .join(kept.select(col("term"), col("id").as("b_id"), col("tf").as("b_tf")),
-        Seq("term"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("a_tf") * col("b_tf")).as("dot"))
-    dots
-      .join(norms.select(col("id").as("a_id"), col("n2").as("a_n2")), Seq("a_id"))
-      .join(norms.select(col("id").as("b_id"), col("n2").as("b_n2")), Seq("b_id"))
-      .withColumn("cos", round(col("dot").cast("double") /
-        (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cos"))
+    // it the corpus tokenize + tf aggregate would run three times. The
+    // inner join (not semi) carries df along for the prefix ordering.
+    val kept = tf.join(vocab, Seq("th")).localCheckpoint()
+    val vecs = kept.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("th"), col("tf")))).as("m"),
+        sum(col("tf") * col("tf")).as("n2"))
+    (kept, vecs)
+  }
+
+  /** The Bayardo prefix-filtered candidate set over [[sparseCosineBase]]'s
+    * postings: (a_id, b_id) pairs, a < b, guaranteed to contain every
+    * pair with cosine >= `threshold` (the skip-set bound in the
+    * [[sparseCosinePairs]] scaladoc). Package-visible so the stress
+    * harness can measure the candidate volume the verify stage pays. */
+  private[graft] def sparseCosineCandidates(kept: DataFrame, vecs: DataFrame,
+                                            threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    // Per-term max normalized weight — the partner-side upper bound the
+    // skip condition needs. Keyed on the hashed term like the postings
+    // join; vocabulary-sized, partial-combinable.
+    val withW = kept
+      .join(vecs.select(col("id"), col("n2")), Seq("id"))
+      .withColumn("w", col("tf").cast("double") / sqrt(col("n2").cast("double")))
+    val maxw = withW.groupBy(col("th")).agg(max(col("w")).as("maxw"))
+    // Running skip budget per doc, highest-df terms first (they are the
+    // least selective and the cheapest to skip). cum is the INCLUSIVE
+    // running SUM w*maxw; a term is indexed from the first position where
+    // the prefix through it can no longer be proven below threshold.
+    val byDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").desc, col("th"))
+    val indexed = withW
+      .join(maxw, Seq("th"))
+      .withColumn("cum", sum(col("w") * col("maxw")).over(byDoc))
+      .filter(col("cum") >= threshold - 1e-9)
+      .select(col("th"), col("id"))
+    // FULL x INDEXED candidate join (both orientations land here; the
+    // least/greatest normalization + distinct collapses them). Per-term
+    // fan-out = df x indexed_df — the second factor is what the prefix
+    // filter shrinks to ~0 for the high-df band.
+    kept.select(col("th"), col("id").as("x_id"))
+      .join(indexed.select(col("th"), col("id").as("y_id")), Seq("th"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
   }
 }

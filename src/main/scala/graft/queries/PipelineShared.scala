@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Packing, Sampling, SimilaritySearch, TextAnalysis => TA}
 import graft.sources.Sources
 
-/** LLM-training-data pipeline operators over the `documents` / `embeddings`
-  * tables: text analysis (t*), deduplication (d*), similarity search (s*),
-  * multimodal binary plumbing (m*). Oracle-able ops carry DuckDB SQL; the
-  * sketch-based ops (MinHash-LSH, SimHash, ANN) are exercised by ScalaTest
-  * against exact ground truth instead (driver records rows-only).
+/** Shared machinery of the LLM-training-data pipeline registries
+  * ([[DedupQueries]] / [[SimilarityQueries]] / [[TextQueries]] /
+  * [[SamplingQueries]] / [[MultimodalQueries]]): the per-(session, dir)
+  * memoized artifacts (pair/cluster frames, survivors chain, DSIR model,
+  * quality classifier, line/gram/media indexes), the composed corpus-build
+  * stages, and the SQL fragments the family oracles share. Since round 11
+  * every query in the inventory carries a DuckDB oracle — the sketch/ANN
+  * ops through banded claims (recall floors, planted-twin membership,
+  * decision-boundary sides) whose exact payloads DuckDB recomputes
+  * verbatim; ScalaTest keeps the stronger planted-structure ground truth.
   */
 private[queries] object PipelineShared {
 

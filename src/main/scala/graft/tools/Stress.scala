@@ -22,7 +22,12 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(4)
     val opFilter = args.lift(1)
-    def want(name: String): Boolean = opFilter.forall(name.contains)
+    // Substring filter; a trailing '$' anchors to an exact op name (needed
+    // for ops whose name is a prefix of another's, e.g. sparse_cosine vs
+    // sparse_cosine_cand).
+    def want(name: String): Boolean = opFilter.forall { f =>
+      if (f.endsWith("$")) name == f.dropRight(1) else name.contains(f)
+    }
     // The embedding decorrelation below circular-shifts the 64-dim vectors
     // by the replica index: shift i must stay in [1, 63] and distinct per
     // replica, or replicas re-correlate (i=64 is the identity shift) and
@@ -331,6 +336,48 @@ object Stress {
     time("sparse_cosine") {
       SimilaritySearch.sparseCosinePairs(docs, "doc_id", "text",
         threshold = 0.9, maxTermDocs = 256, ngram = 3).count()
+    }
+    // The round-11 16x/32x sweep showed the CAP-ONLY sparse_cosine wall
+    // going superlinear (12.7 -> 35 -> 81 s at 8x/16x/32x) while OUTPUT
+    // pairs stayed exactly linear. Diagnosis, verified by the two
+    // companion ops: sub-cap terms whose df grows with the corpus
+    // (shared unsuffixed 3-grams across replicas, df = factor < 256) —
+    // candidate volume Sum_t df_t*(df_t-1)/2 measured 20.7M -> 70.0M ->
+    // 249M at 8x/16x/32x (sparse_cosine_cand emits it as rows), and the
+    // wall tracked it (ratios 2.76/2.32 vs 3.38/3.56). Cap tuning is NOT
+    // the fix: sparse_cosine_df16 (cap 16, cutting the cross-replica
+    // band entirely at 32x) still read 7.6 -> 10.8 -> 34.4 s — the
+    // within-replica sub-cap df band keeps generating candidates, and
+    // any absolute cap leaves SOME growing band under it. The structural
+    // fix is the round-11 Bayardo prefix filter (now sparseCosinePairs'
+    // default, measured by the main sparse_cosine op above): candidates
+    // require an INDEXED term on one side, and the skip budget at
+    // threshold 0.9 covers precisely the low-selectivity df band that
+    // the cap can't, losslessly (Round11Spec + the unchanged s12
+    // oracle).
+    time("sparse_cosine_cand") {
+      val tf = docs
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles
+            .wordShingles(col("text"), 3, distinct = false)).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 256)
+        .agg(sum(col("df") * (col("df") - 1) / 2).cast("long").as("cand"))
+        .collect().head.getLong(0)
+    }
+    time("sparse_cosine_df16") {
+      SimilaritySearch.sparseCosinePairs(docs, "doc_id", "text",
+        threshold = 0.9, maxTermDocs = 16, ngram = 3).count()
+    }
+    // Candidate volume of the PREFIX plan (rows = pairs the verify stage
+    // pays for) — the number the filter exists to shrink; compare with
+    // sparse_cosine_cand's cap-only Sum df(df-1)/2.
+    time("sparse_cosine_pcand") {
+      val (kept, vecs) = SimilaritySearch.sparseCosineBase(
+        docs, "doc_id", "text", maxTermDocs = 256, ngram = 3)
+      SimilaritySearch.sparseCosineCandidates(kept, vecs, threshold = 0.9).count()
     }
     // t19: the CCNet tertile bucketing — t14's scoring chain (model
     // joins keyed on vocab-bounded tables) + a |langs|-row cut table;

@@ -320,7 +320,9 @@ class Round10cSpec extends SparkSpecBase {
       s"candidate generation must be the postings equi-join:\n" +
         s"${out.queryExecution.executedPlan}")
     shuffleKeyNames(out).foreach { names =>
-      assert(names.forall(Set("id", "term", "a_id", "b_id")),
+      // "th" = the xxhash64'd term key (round 11: grams hash scan-side, so
+      // no exchange ever moves an n-gram string).
+      assert(names.forall(Set("id", "th", "a_id", "b_id")),
         s"s12 shuffles postings and pair/norm aggregates only, got $names")
     }
   }

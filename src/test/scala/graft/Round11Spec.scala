@@ -62,6 +62,32 @@ class Round11Spec extends SparkSpecBase {
     assert(dedup == Set(0L), "duplicated approx pairs must not count twice")
   }
 
+  test("sparse cosine: the prefix-filtered plan is lossless vs the cap-only exact twin") {
+    // The Bayardo prefix filter may only PRUNE candidates, never change a
+    // surviving pair or its cosine — on the real corpus at the shipped
+    // s12 geometry the two plans must agree row-for-row. (The driver
+    // oracle re-proves this at sf0.01 every round: the s12 oracle is the
+    // cap-only computation in DuckDB.)
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(prefix: Boolean) = SimilaritySearch
+      .sparseCosinePairs(docs, "doc_id", "text", threshold = 0.9,
+        maxTermDocs = 256, ngram = 3, prefix = prefix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(prefix = false)
+    val filtered = pairs(prefix = true)
+    assert(exact.nonEmpty, "testdata should contain >= 0.9 sparse-cosine pairs")
+    assert(filtered == exact,
+      s"lost: ${exact -- filtered}; invented: ${filtered -- exact}")
+    // And at a LOW threshold the skip budget shrinks toward zero — the
+    // filter must degrade to completeness, not over-skip.
+    def lowPairs(prefix: Boolean) = SimilaritySearch
+      .sparseCosinePairs(docs, "doc_id", "text", threshold = 0.3,
+        maxTermDocs = 64, ngram = 3, prefix = prefix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lowPairs(prefix = true) == lowPairs(prefix = false))
+  }
+
   test("hier IVF fit sample is bounded by construction (no require-fail past maxLocalFit)") {
     // 2,000 vectors with maxLocalFit = 100 and the DEFAULT sampleMod:
     // before round 11 this threw 'raise sampleMod'; now the build derives
