@@ -1293,8 +1293,8 @@ object SimilaritySearch {
     * skip set (the skipped dot alone is < τ), so joining FULL postings
     * against INDEXED postings — both orientations, then normalized to
     * a < b — finds every qualifying pair; survivors get their EXACT dot
-    * recomputed over the full kept vectors (map_zip_with over per-doc
-    * term→tf maps), so the prefix filter can only ever prune, never
+    * recomputed over the full kept vectors (a codegen'd merge walk over
+    * per-doc sorted hash/tf arrays), so the prefix filter can only ever prune, never
     * alter a value, and the unchanged s12 oracle hash-verifies the
     * losslessness at every driver run. High-df terms are skipped FIRST,
     * so the df-growing stopword band that broke the cap-only bound
@@ -1333,18 +1333,21 @@ object SimilaritySearch {
         .select(col("a_id"), col("b_id"), col("cos"))
     } else {
       val cand = sparseCosineCandidates(kept, vecs, threshold)
-      // Exact verify over the survivors: full kept vectors as hash->tf
-      // maps, dot by map_zip_with (integer, the same value the postings
-      // sum produces in the cap-only plan), norms from the same per-doc
-      // aggregate, same rounding.
+      // Exact verify over the survivors: full kept vectors as parallel
+      // sorted (hash, tf) arrays, dot by the codegen'd merge walk
+      // (integer, the same value the postings sum produces in the
+      // cap-only plan), norms from the same per-doc aggregate, same
+      // rounding. This stage dominates the stress wall (the pair join
+      // ships a vector per side per candidate), so the payload is two
+      // flat long arrays and the per-pair CPU is allocation-free
+      // generated code, not an interpreted map HOF.
       cand
-        .join(vecs.select(col("id").as("a_id"), col("m").as("ma"),
-          col("n2").as("a_n2")), Seq("a_id"))
-        .join(vecs.select(col("id").as("b_id"), col("m").as("mb"),
-          col("n2").as("b_n2")), Seq("b_id"))
-        .withColumn("dot", expr(
-          "aggregate(map_values(map_zip_with(ma, mb," +
-            " (k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))), 0L, (acc, v) -> acc + v)"))
+        .join(vecs.select(col("id").as("a_id"), col("ks").as("aks"),
+          col("vs").as("avs"), col("n2").as("a_n2")), Seq("a_id"))
+        .join(vecs.select(col("id").as("b_id"), col("ks").as("bks"),
+          col("vs").as("bvs"), col("n2").as("b_n2")), Seq("b_id"))
+        .withColumn("dot", graft.functions.DotSortedArrays.dotSortedArrays(
+          col("aks"), col("avs"), col("bks"), col("bvs")))
         .withColumn("cos", round(col("dot").cast("double") /
           (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 4))
         .filter(col("cos") >= threshold)
@@ -1366,9 +1369,9 @@ object SimilaritySearch {
     *
     * Returns (kept, vecs): `kept` = (id, th, tf, df) postings over the
     * df-capped vocabulary, checkpointed once (four consumers); `vecs` =
-    * one per-doc aggregate carrying the hash->tf map AND the squared
-    * norm — the verify artifact and the norm table are the same frame,
-    * not two aggregates. */
+    * one per-doc aggregate carrying the sorted hash/tf arrays AND the
+    * squared norm — the verify artifact and the norm table are the same
+    * frame, not two aggregates. */
   private[graft] def sparseCosineBase(docs: DataFrame, idCol: String, textCol: String,
                                       maxTermDocs: Int, ngram: Int): (DataFrame, DataFrame) = {
     require(maxTermDocs >= 2, s"df cap must be >= 2, got $maxTermDocs")
@@ -1387,9 +1390,18 @@ object SimilaritySearch {
     // it the corpus tokenize + tf aggregate would run three times. The
     // inner join (not semi) carries df along for the prefix ordering.
     val kept = tf.join(vocab, Seq("th")).localCheckpoint()
+    // Per-doc artifact: the vector as PARALLEL SORTED ARRAYS (hash keys
+    // ascending + tfs) plus the squared norm — one aggregate, one sort
+    // per doc, and the shape [[graft.functions.DotSortedArrays]] walks
+    // without allocating (sort_array on an array<struct> orders by the
+    // first field, the hash, which is distinct within a doc).
     val vecs = kept.groupBy(col("id"))
-      .agg(map_from_entries(collect_list(struct(col("th"), col("tf")))).as("m"),
+      .agg(sort_array(collect_list(struct(col("th"), col("tf")))).as("kv"),
         sum(col("tf") * col("tf")).as("n2"))
+      .select(col("id"),
+        transform(col("kv"), x => x.getField("th")).as("ks"),
+        transform(col("kv"), x => x.getField("tf")).as("vs"),
+        col("n2"))
     (kept, vecs)
   }
 

@@ -62,6 +62,37 @@ class Round11Spec extends SparkSpecBase {
     assert(dedup == Set(0L), "duplicated approx pairs must not count twice")
   }
 
+  test("DotSortedArrays: merge-walk dot matches the HOF formulation, survives codegen") {
+    val df = Seq(
+      // overlapping keys, disjoint keys, empty side
+      (Seq(1L, 3L, 7L), Seq(2L, 5L, 1L), Seq(3L, 7L, 9L), Seq(4L, 10L, 6L)),
+      (Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L), Seq(7L, 8L)),
+      (Seq.empty[Long], Seq.empty[Long], Seq(1L), Seq(9L))
+    ).toDF("ak", "av", "bk", "bv")
+    val got = df.select(graft.functions.DotSortedArrays
+        .dotSortedArrays($"ak", $"av", $"bk", $"bv").as("dot"))
+      .collect().map(_.getLong(0)).toSeq
+    // key 3: 5*4 = 20, key 7: 1*10 = 10 -> 30; disjoint = 0; empty = 0
+    assert(got == Seq(30L, 0L, 0L))
+    // codegen path really is generated code (no fallback to interpreted):
+    // a local-relation input constant-folds to LocalTableScan, so build
+    // the arrays from a range — the projection must land in a
+    // WholeStageCodegen span and produce the same dot at every row.
+    val ranged = spark.range(0, 3)
+      .select(array($"id" + 1, $"id" + 3, $"id" + 7).as("ak"),
+        array(lit(2L), lit(5L), lit(1L)).as("av"),
+        array($"id" + 3, $"id" + 7, $"id" + 9).as("bk"),
+        array(lit(4L), lit(10L), lit(6L)).as("bv"))
+      .select(graft.functions.DotSortedArrays
+        .dotSortedArrays($"ak", $"av", $"bk", $"bv").as("dot"))
+    val hasCodegenSpan = ranged.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasCodegenSpan,
+      s"expression fell out of codegen:\n${ranged.queryExecution.executedPlan}")
+    assert(ranged.collect().map(_.getLong(0)).toSeq == Seq(30L, 30L, 30L))
+  }
+
   test("sparse cosine: the prefix-filtered plan is lossless vs the cap-only exact twin") {
     // The Bayardo prefix filter may only PRUNE candidates, never change a
     // surviving pair or its cosine — on the real corpus at the shipped
