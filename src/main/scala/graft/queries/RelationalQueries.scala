@@ -555,7 +555,99 @@ object RelationalQueries {
           ev.select(col("event_id"), col("skew_key")), dim,
           keys = Seq("skew_key"), numSalts = 8)
         .select(col("event_id"), col("skew_key"), col("key_events"))
-    })
+    }),
+
+    // Ordered string aggregation (LISTAGG / string_agg): the grouped
+    // concat every reporting surface needs. Deterministic under any
+    // partitioning by construction — collect_list is order-unstable, so
+    // the sort happens INSIDE the row (array_sort before the join), the
+    // same discipline as recallBand's exact_ids payload. Nation→region is
+    // a broadcast join (25×5 dims).
+    "q51_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))),
+
+    // Co-moment statistics (corr / regression slope / covariance /
+    // stddev) with the integer-exact-sums discipline: centi-unit BIGINT
+    // casts make every SUM order-independent (decimal accumulation —
+    // exact at any partitioning), and the float math happens ONCE per
+    // group on the closed-form co-moment identities. The naive route —
+    // Spark's corr()/covar_samp() — streams IEEE partials in partition
+    // order and is not cross-engine reproducible; this shape is, and it
+    // is also the 100 TB shape (five map-side-combinable integer sums,
+    // one tiny final projection).
+    "q52_stats_agg" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("qc")).cast(dec).as("sq"),
+          sum(col("pc")).cast(dec).as("sp"),
+          sum(col("qc").cast(dec) * col("qc")).as("sqq"),
+          sum(col("pc").cast(dec) * col("pc")).as("spp"),
+          sum(col("qc").cast(dec) * col("pc")).as("sqp"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          round((col("sqp") * col("n") - col("sq") * col("sp")).cast("double")
+            / (sqrt((col("sqq") * col("n") - col("sq") * col("sq")).cast("double"))
+               * sqrt((col("spp") * col("n") - col("sp") * col("sp")).cast("double"))),
+            6).as("corr_qty_price"),
+          round((col("sqp") * col("n") - col("sq") * col("sp")).cast("double")
+            / (col("sqq") * col("n") - col("sq") * col("sq")).cast("double"),
+            6).as("regr_slope"),
+          round((col("sqp") * col("n") - col("sq") * col("sp")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double") / 10000.0,
+            4).as("covar_samp"),
+          round(sqrt((col("spp") * col("n") - col("sp") * col("sp")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")) / 100.0,
+            4).as("stddev_price"))
+    }),
+
+    // Deterministic MODE + exact median per group. SQL MODE is
+    // tie-nondeterministic in every engine; the reproducible form ranks
+    // (count DESC, value ASC) and keeps rank 1 — run through the
+    // GroupTopK bounded-heap plan (k=1 degenerates to a map-side
+    // arg-max: one row per group per partition reaches the shuffle).
+    // Median rides the q38 exact-percentile convention.
+    "q53_mode_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+      val mode = graft.plans.GroupTopK.topK(
+          li.groupBy(col("l_returnflag"), col("qc"))
+            .agg(count(lit(1)).as("n_modal")),
+          groupCols = Seq("l_returnflag"),
+          orderBy = Seq(col("n_modal").desc, col("qc")),
+          k = 1)
+        .select(col("l_returnflag"),
+          (col("qc").cast("double") / 100.0).as("mode_qty"), col("n_modal"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(qc / 100.0, 0.5)"), 2).as("median_qty"))
+      mode.join(broadcast(med), Seq("l_returnflag"))
+    }),
+
+    // Explicit GROUPING SETS (the general form rollup/cube are sugar
+    // for) + grouping_id disambiguation of the NULL rows — one shuffle,
+    // Catalyst expands the sets map-side. gid follows Spark's bit order
+    // (leftmost grouping column = MSB); the oracle composes DuckDB's
+    // per-column GROUPING() to the same encoding. Integer centi-sums
+    // keep the aggregate order-independent (q52's discipline).
+    "q54_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("qc"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          (sum(col("qc")).cast("double") / 100.0).as("sum_qty")))
   )
 
   /** DuckDB-dialect oracle SQL, one per query above (driver contract). */
@@ -853,6 +945,60 @@ object RelationalQueries {
                      FROM events),
               dim AS (SELECT skew_key, count(*) AS key_events FROM ev GROUP BY skew_key)
          SELECT ev.event_id, ev.skew_key, dim.key_events
-         FROM ev JOIN dim USING (skew_key)"""
+         FROM ev JOIN dim USING (skew_key)""",
+    "q51_string_agg" ->
+      """SELECT r.r_name, count(*) AS n_nations,
+                string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name""",
+    // Same closed-form co-moment identities over the same exact integer
+    // sums (HUGEINT here, decimal(38,0) in Spark — both exact), float
+    // ops applied in the identical order.
+    "q52_stats_agg" ->
+      """WITH c AS (SELECT l_returnflag,
+                           CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+                    FROM lineitem),
+              g AS (SELECT l_returnflag,
+                           CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(qc) AS HUGEINT) AS sq,
+                           CAST(sum(pc) AS HUGEINT) AS sp,
+                           sum(CAST(qc AS HUGEINT) * qc) AS sqq,
+                           sum(CAST(pc AS HUGEINT) * pc) AS spp,
+                           sum(CAST(qc AS HUGEINT) * pc) AS sqp
+                    FROM c GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round(CAST(sqp * n - sq * sp AS DOUBLE)
+                      / (sqrt(CAST(sqq * n - sq * sq AS DOUBLE))
+                         * sqrt(CAST(spp * n - sp * sp AS DOUBLE))), 6) AS corr_qty_price,
+                round(CAST(sqp * n - sq * sp AS DOUBLE)
+                      / CAST(sqq * n - sq * sq AS DOUBLE), 6) AS regr_slope,
+                round(CAST(sqp * n - sq * sp AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 4) AS covar_samp,
+                round(sqrt(CAST(spp * n - sp * sp AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 4) AS stddev_price
+         FROM g""",
+    "q53_mode_median" ->
+      """WITH c AS (SELECT l_returnflag,
+                           CAST(round(l_quantity * 100) AS BIGINT) AS qc
+                    FROM lineitem),
+              m AS (SELECT l_returnflag, qc, count(*) AS n_modal,
+                           row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY count(*) DESC, qc) AS rnk
+                    FROM c GROUP BY 1, 2),
+              med AS (SELECT l_returnflag,
+                             round(quantile_cont(qc / 100.0, 0.5), 2) AS median_qty
+                      FROM c GROUP BY 1)
+         SELECT m.l_returnflag, CAST(m.qc AS DOUBLE) / 100.0 AS mode_qty,
+                m.n_modal, med.median_qty
+         FROM m JOIN med USING (l_returnflag) WHERE m.rnk = 1""",
+    // gid mirrors Spark's grouping_id bit order: leftmost column = MSB.
+    "q54_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
   )
 }
