@@ -158,6 +158,73 @@ object TextAnalysis {
       nStop * 10000 < nTokens * 100)
   }
 
+  /** Character-diversity signals (t21) — the repetitive-garbage filter
+    * every web-scale text pipeline runs before training (low-diversity
+    * docs are binary spew, pad runs, or single-phrase spam). The classic
+    * form is Shannon char entropy; this computes its exact-rational twin,
+    * the Gini–Simpson index `1 − Σp²` (one minus the char collision
+    * probability, the Rényi-2 monotone equivalent) — because Σp² is a
+    * ratio of integers it carries the engine's integer-bp determinism
+    * discipline where `ln` would put a libm last-ulp inside the oracle
+    * hash (the [[keywordSalience]] rule).
+    *
+    * Plan shape for 100 TB: the whole computation is ROW-LOCAL — chars,
+    * distinct chars, per-char counts, and the collision sum are
+    * higher-order array expressions on the scan, so the operator adds
+    * ZERO shuffles (per-doc work is |alphabet|·|doc| comparisons).
+    * Overflow bound: `coll · 10⁴` with `coll ≤ n²` wraps BIGINT only past
+    * n ≈ 3·10⁷ chars in one doc — chunk such docs upstream (d08).
+    *
+    * Output: (id, n_chars, n_char_kinds, diversity_bp,
+    * low_diversity = diversity_bp < floorBp). */
+  def charDiversity(docs: DataFrame, idCol: String, textCol: String,
+                    floorBp: Int = 5000): DataFrame = {
+    val chars = filter(split(col(textCol), ""), c => c =!= lit(""))
+    docs.select(col(idCol), chars.as("__cs"))
+      .select(col(idCol), col("__cs"),
+        array_distinct(col("__cs")).as("__d"), size(col("__cs")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol),
+        col("__n").cast("long").as("n_chars"),
+        size(col("__d")).cast("long").as("n_char_kinds"),
+        aggregate(
+          transform(col("__d"),
+            c => size(filter(col("__cs"), x => x === c)).cast("long")),
+          lit(0L), (a, x) => a + x * x).as("__coll"))
+      .select(col(idCol), col("n_chars"), col("n_char_kinds"),
+        expr("10000 - __coll * 10000 DIV (n_chars * n_chars)").as("diversity_bp"))
+      .withColumn("low_diversity", col("diversity_bp") < floorBp)
+  }
+
+  /** Code-vs-prose signals (t22) — the source-code router of a mixed
+    * web corpus (code goes to a code pipeline, prose to the text one;
+    * published splits all gate on symbol/identifier surface statistics).
+    * Token-level: a token is SYMBOLIC if fully non-alphanumeric
+    * (`^[^a-z0-9]+$` — brackets, operators, punctuation runs), NUMERIC if
+    * all digits; `sym_bp`/`num_bp` are their integer-bp rates and
+    * `is_code = sym_bp >= symFloorBp` (code lines are operator-dense —
+    * measured ~5800 bp on C-style tokens vs ~0 on the prose corpus, so
+    * the default floor sits far from both populations).
+    *
+    * Row-local like [[charDiversity]]: the regex runs inside a
+    * higher-order filter on the scan — no explode, no shuffle. */
+  def codeSignals(docs: DataFrame, idCol: String, textCol: String,
+                  symFloorBp: Int = 1500): DataFrame = {
+    val ws = filter(words(col(textCol)), w => w =!= lit(""))
+    docs.select(col(idCol), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(filter(col("__ws"), w => w.rlike("^[^a-z0-9]+$")))
+          .cast("long").as("__sym"),
+        size(filter(col("__ws"), w => w.rlike("^[0-9]+$")))
+          .cast("long").as("__num"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__sym * 10000 DIV n_tokens").as("sym_bp"),
+        expr("__num * 10000 DIV n_tokens").as("num_bp"))
+      .withColumn("is_code", col("sym_bp") >= symFloorBp)
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, non-alnum →
     * space, collapse runs, trim. */
   def normalized(text: Column): Column =

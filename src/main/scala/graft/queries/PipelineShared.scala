@@ -248,6 +248,13 @@ private[queries] object PipelineShared {
   private[queries] val ParagraphBanner =
     "this exact same paragraph appears at the top of many crawled pages in the raw dump"
 
+  /** 25 tokens, 14 fully-symbolic, 1 numeric — sym_bp = 5600, num_bp =
+    * 400: a C-style token stream far above t22's 1500 bp code floor
+    * while every natural doc in the corpus sits at 0. The oracle plants
+    * the identical constant. */
+  private[queries] val CodeTokenStream =
+    "for ( i = 0 ; i < n ; i ++ ) { acc += arr [ i ] ; } return acc ;"
+
   /** Per-(session, dir) memoized corpus [[Dedup.LineSetIndex]] — the
     * [[Dedup.memoizedGramIndex]] convention for the d23 probe: build the
     * corpus line-hash set once per directory, probe every batch; priced

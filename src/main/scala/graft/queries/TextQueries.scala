@@ -62,6 +62,32 @@ private[queries] object TextQueries {
     }),
 
 
+    // t21: char-diversity (Gini–Simpson) repetitive-garbage filter. Docs
+    // = 0 mod 9 are replaced by a two-symbol pad run ("aa " × 60 —
+    // diversity 4445 bp) so BOTH flag outcomes are driver-visible against
+    // the natural corpus (~9300 bp); the oracle plants the identical run.
+    // Entirely row-local — see TextAnalysis.charDiversity.
+    "t21_char_diversity" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 0, expr("repeat('aa ', 60)"))
+          .otherwise(col("text")).as("text"))
+      TA.charDiversity(d, "doc_id", "text")
+    }),
+
+
+    // t22: the code-vs-prose router. Docs = 0 mod 7 are replaced by a
+    // C-style token stream (sym_bp = 5600) so both routes are
+    // driver-visible against the all-prose corpus (sym_bp = 0); the
+    // oracle plants the identical stream. Row-local regex filters — no
+    // explode, no shuffle.
+    "t22_code_detect" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(CodeTokenStream))
+          .otherwise(col("text")).as("text"))
+      TA.codeSignals(d, "doc_id", "text")
+    }),
+
+
     // t18: the corpus card — the dataset-documentation table published
     // with every corpus release (Datasheets/Dataset-Cards practice):
     // per (lang, source) stratum, doc and token counts, mean quality
@@ -274,6 +300,52 @@ private[queries] object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // t21: identical planted pad run; Gini–Simpson in integer bp (list
+    // machinery mirrors the engine's row-local higher-order expressions;
+    // the collision sum is order-free integer arithmetic).
+    "t21_char_diversity" ->
+      """WITH d AS (SELECT doc_id,
+                           CASE WHEN doc_id % 9 = 0 THEN repeat('aa ', 60)
+                                ELSE text END AS text
+                    FROM documents),
+              c AS (SELECT doc_id,
+                           list_filter(string_split(text, ''), x -> x <> '') AS cs
+                    FROM d),
+              k AS (SELECT doc_id, cs, list_distinct(cs) AS dl,
+                           CAST(len(cs) AS BIGINT) AS n
+                    FROM c WHERE len(cs) > 0),
+              g AS (SELECT doc_id, n,
+                           CAST(len(dl) AS BIGINT) AS n_char_kinds,
+                           CAST(list_sum(list_transform(dl,
+                             ch -> CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT)
+                                   * CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT)))
+                             AS BIGINT) AS coll
+                    FROM k)
+         SELECT doc_id, n AS n_chars, n_char_kinds,
+                10000 - (coll * 10000) // (n * n) AS diversity_bp,
+                (10000 - (coll * 10000) // (n * n)) < 5000 AS low_diversity
+         FROM g""",
+
+    // t22: identical planted token stream; full-match regexes anchored
+    // on both engines.
+    "t22_code_detect" ->
+      s"""WITH d AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 0 THEN '$CodeTokenStream'
+                                 ELSE text END AS text
+                     FROM documents),
+              t AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM d),
+              g AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(len(list_filter(ws, w -> regexp_matches(w, '^[^a-z0-9]+$$'))) AS BIGINT) AS n_sym,
+                           CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$$'))) AS BIGINT) AS n_num
+                    FROM t WHERE len(ws) > 0)
+         SELECT doc_id, n_tokens,
+                (n_sym * 10000) // n_tokens AS sym_bp,
+                (n_num * 10000) // n_tokens AS num_bp,
+                (n_sym * 10000) // n_tokens >= 1500 AS is_code
+         FROM g""",
     // t17: the augmented corpus rows with clf_side_ok pinned at 1 — the
     // balanced planted-vocabulary classifier must put every doc on its
     // class's side of 0.5 (measured margins 0.628 vs 0.403).
