@@ -31,6 +31,38 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Weighted reservoir sampling WITHOUT replacement (p20) — the
+    * Efraimidis–Spirakis A-ES/A-ExpJ recipe: each row draws a uniform
+    * `u` and the k rows maximizing `u^(1/w)` (equivalently `ln(u)/w`)
+    * ARE a weighted sample without replacement. The engine's twist is
+    * the house determinism discipline: `u` is a pure function of row
+    * CONTENT (the [[hashBucket]] md5 window — `(h32+1)/(2³²+1)` ∈
+    * (0,1)), so the "random" sample is reproducible under any
+    * partitioning, any engine, any rerun — the property every published
+    * reservoir variant gives up by using an RNG stream.
+    *
+    * Plan shape: the key is one scan-side expression; selection is
+    * `orderBy(key).limit(k)` — Spark's distributed TakeOrdered (per-
+    * partition top-k heap, merge of k·parts rows, the [[dsirTopK]]
+    * convention), never a full sort. The selected frame is k rows;
+    * ranking it is free. `ln` stays out of the OUTPUT (only the
+    * selection ORDER uses it — key gaps are ~1/k, astronomically wider
+    * than a last-ulp libm disagreement, so the selected SET is stable
+    * cross-engine; the keywordSalience ln-rule applies to emitted
+    * values, not to well-separated orderings). Weights must be > 0. */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / 4294967297.0
+    val key = log(u) / col(weightCol).cast("double")
+    val top = df.select(col(idCol), col(weightCol), key.as("__key"))
+      .orderBy(col("__key").desc, col(idCol)).limit(k)
+    top.select(col(idCol), col(weightCol),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__key").desc, col(idCol))).cast("long").as("sel_rank"))
+  }
+
   /** Exact train/eval decontamination: pairs of byte-identical documents
     * whose split assignments straddle the train boundary — each pair is a
     * training document leaking into an evaluation split. Content equality

@@ -15,6 +15,29 @@ private[queries] object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // d25: host-cap selection (the RefinedWeb/C4 per-host limit — an
+    // over-represented site must not dominate the corpus regardless of
+    // per-doc quality). Host = source × a stable md5 bucket (the
+    // synthetic corpus has no URL column; the bucketing is the
+    // deterministic stand-in and the oracle recomputes it). Keep the
+    // top-3 docs per host by (quality DESC, doc_id) through the
+    // GroupTopK bounded-heap plan — per partition only k rows per host
+    // reach the shuffle, the same scale contract as q44, so the cap
+    // costs one k-bounded shuffle at any corpus size.
+    "d25_host_cap" -> ((s, dir) => {
+      val scored = qualityScored(docs(s, dir), extra = Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality_bp"))
+        .withColumn("host",
+          concat(col("source"), lit("/"),
+            Sampling.hashBucket(col("doc_id"), 10).cast("string")))
+      graft.plans.GroupTopK.topK(
+        scored.select(col("doc_id"), col("host"), col("quality_bp")),
+        groupCols = Seq("host"),
+        orderBy = Seq(col("quality_bp").desc, col("doc_id")),
+        k = 3)
+    }),
+
+
     // ExactSubstr verbatim-run pairs (Lee et al.): docs sharing a
     // >= 10-token verbatim run at ANY offset — the dedup geometry d03's
     // jaccard and d08's fixed chunks both miss. Doc-frequency cap 256
@@ -422,6 +445,28 @@ private[queries] object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // d25: t02 quality CTE + the md5 host bucket + a per-host window cap
+    // (the oracle's window IS the semantics; GroupTopK is the scale
+    // plan).
+    "d25_host_cap" ->
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                    FROM documents),
+              c AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+                           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                    FROM t),
+              q AS (SELECT doc_id,
+                           source || '/' || CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS VARCHAR) AS host,
+                           CAST(n_uniq * 5000 // n_tokens
+                                + (n_tokens - n_stop) * 3000 // n_tokens
+                                + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
+                    FROM c),
+              r AS (SELECT doc_id, host, quality_bp,
+                           CAST(row_number() OVER (PARTITION BY host
+                                ORDER BY quality_bp DESC, doc_id) AS BIGINT) AS rnk
+                    FROM q)
+         SELECT doc_id, host, quality_bp, rnk FROM r WHERE rnk <= 3""",
     // d04: every exact >= 0.8 pair (the d03 geometry), lsh_found pinned
     // at 1 — full recall is the deterministic expectation at 16x4 bands.
     "d04_minhash_lsh" ->

@@ -15,6 +15,19 @@ private[queries] object SamplingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // p20: weighted reservoir sample without replacement (Efraimidis–
+    // Spirakis A-ES keys over the content-hash uniform) — quality-
+    // weighted doc selection where every doc has a chance ∝ exp-key
+    // geometry, not just the argmax (p17's complement: importance
+    // SAMPLING vs importance TOP-K). Weight = the shared t02 quality
+    // score. Deterministic under any partitioning; the oracle replays
+    // the identical key arithmetic.
+    "p20_weighted_reservoir" -> ((s, dir) =>
+      Sampling.weightedReservoir(
+        qualityScored(docs(s, dir)).select(col("doc_id"), col("quality_bp")),
+        "doc_id", "quality_bp", k = 100)),
+
+
     // Per-eval-document leak provenance (the GPT-3-appendix-style
     // per-benchmark contamination table): p11 emits the train-side drop
     // list; this reads the SAME match stream from the eval side — which
@@ -257,6 +270,30 @@ private[queries] object SamplingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // p20: the t02 quality CTE + the A-ES key replayed bit-for-bit (u
+    // from the same md5 window, ln(u)/w ordering; key gaps dwarf libm
+    // ulp so the selected set is engine-stable).
+    "p20_weighted_reservoir" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                    FROM documents),
+              c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+                           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                    FROM t),
+              q AS (SELECT doc_id,
+                           CAST(n_uniq * 5000 // n_tokens
+                                + (n_tokens - n_stop) * 3000 // n_tokens
+                                + least(n_tokens, 100) * 20 AS BIGINT) AS quality_bp
+                    FROM c),
+              k AS (SELECT doc_id, quality_bp,
+                           ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                              / 4294967297.0) / quality_bp AS key
+                    FROM q),
+              r AS (SELECT doc_id, quality_bp,
+                           CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS sel_rank
+                    FROM k)
+         SELECT doc_id, quality_bp, sel_rank FROM r WHERE sel_rank <= 100""",
     // 13-gram decontamination: n-grams as strings (p05's word-list
     // convention — literal-space split, empty tokens dropped, per-doc
     // list_distinct matches the engine's array_distinct), split CASE as
