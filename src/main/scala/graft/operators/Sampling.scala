@@ -223,6 +223,161 @@ object Sampling {
         col("train_id").as("worst_train_id"))
   }
 
+  // ---- Bloom-filter decontamination (p21) ---------------------------------
+  //
+  // ngramContamination broadcasts the eval GRAM TABLE — fine while the
+  // benchmark suite is KBs–MBs, but the 100 TB regime also has to
+  // decontaminate against huge reference sets (every earlier corpus
+  // version, a partner's eval suite under NDA-by-hash, …) where the gram
+  // table itself is too big to broadcast. The classic answer is a Bloom
+  // filter: the reference set compresses to a FIXED-SIZE bit array you
+  // choose (128 KB here), the probe is scan-side and shuffle-free, and
+  // the one-sided error is exactly the direction decontamination needs —
+  // NO false negatives (a leak can never slip through), false positives
+  // only cost over-dropping at a measured, bounded rate.
+
+  /** The Bloom artifact: `mBits` bits as packed longs, `k` probes per
+    * item (Kirsch–Mitzenmacher double hashing — two xxhash64 draws
+    * derive all k positions). Save/load/memoize like the gram and IVF
+    * indexes. */
+  final case class BloomIndex(bits: Array[Long], mBits: Int, k: Int,
+                              nItems: Long) {
+    def save(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      import spark.implicits._
+      Seq((mBits, k, nItems)).toDF("m_bits", "k", "n_items").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/bloom_meta")
+      bits.zipWithIndex.map { case (b, i) => (i, b) }.toSeq
+        .toDF("w", "bits").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/bloom_bits")
+    }
+  }
+
+  def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): BloomIndex = {
+    val meta = spark.read.parquet(s"$dir/bloom_meta").collect().head
+    val (m, k, n) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
+    val bits = new Array[Long](m / 64)
+    spark.read.parquet(s"$dir/bloom_bits").collect()
+      .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    BloomIndex(bits, m, k, n)
+  }
+
+  /** 1L << i for i in 0..63 — the variable-shift stand-in: Spark's Column
+    * API only shifts by literals, so bit masks come from this 64-element
+    * literal array instead (element_at is O(1) on a constant). */
+  private val BitMasks: Seq[Long] = (0 until 64).map(i => 1L << i)
+
+  /** k bit positions of `gram` (Kirsch–Mitzenmacher: `h1 + i·(2·h2+1)`
+    * mod m; the odd multiplier keeps the stride nonzero). Both hashes are
+    * reduced mod m BEFORE the affine combine so no intermediate can
+    * overflow (ANSI-safe). */
+  private def bloomPositions(gram: Column, mBits: Int, k: Int): Seq[Column] = {
+    val m = lit(mBits.toLong)
+    val h1 = pmod(xxhash64(gram), m)
+    val h2 = pmod(xxhash64(gram, lit(0x9E3779B9L)), m) * 2L + 1L
+    (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, m))
+  }
+
+  /** Build the filter over a gram frame (one column of strings). The
+    * heavy part is distributed: positions fan out scan-side and reduce to
+    * ≤ mBits/64 (word, bit_or) rows — the driver collect is bounded by
+    * the FILTER SIZE, never by the reference set (contrast every other
+    * fit-collect in the engine, which bounds by sampling).
+    *
+    * `mBits <= 0` auto-sizes from the measured distinct-gram count (the
+    * autoLshParams discipline — a pinned size silently degrades as the
+    * reference set grows, exactly the bug the round-9 LSH fix closed):
+    * m = next power of two ≥ 32·n, floor 2¹⁷. The sizing target is the
+    * DOC-level verdict, which compounds the per-gram rate over every
+    * gram in a document (1−(1−p)^G): at load ≤ 1/32 with k=16 the
+    * per-gram FP is ≤ (1−e^{−1/2})¹⁶ ≈ 3·10⁻⁷, so even 10⁴-gram
+    * documents flag falsely at < 1%, far under
+    * [[bloomDecontamination]]'s 300 bp corpus ceiling. (A k=3 filter at
+    * load 0.1 — the textbook per-ITEM sizing — measures ~80% doc-level
+    * FP on 190-gram docs; the compounding is the whole sizing story.) */
+  def buildBloomIndex(grams: DataFrame, gramCol: String, mBits: Int = 0,
+                      k: Int = 16): BloomIndex = {
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val nItems = grams.select(col(gramCol)).distinct().count()
+    require(mBits > 0 || nItems * 32L <= (1L << 30),
+      s"auto-sized bloom would exceed 2^30 bits for $nItems grams — " +
+        "shard the reference set into per-range filters or pass mBits " +
+        "explicitly with a documented FP budget")
+    val m =
+      if (mBits > 0) mBits
+      else math.max(1 << 17,
+        java.lang.Long.highestOneBit(math.max(1L, nItems * 32L - 1L)).toInt << 1)
+    require(m % 64 == 0 && m > 0, s"mBits must be a positive multiple of 64, got $m")
+    val masks = typedlit(BitMasks)
+    val pos = grams.select(
+      explode(array(bloomPositions(col(gramCol), m, k): _*)).as("pos"))
+    val words = pos.select(
+        shiftright(col("pos"), 6).cast("int").as("w"),
+        element_at(masks, pmod(col("pos"), lit(64)).cast("int") + 1).as("mk"))
+      .groupBy(col("w")).agg(expr("bit_or(mk)").as("bits"))
+      .collect()
+    val bits = new Array[Long](m / 64)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    BloomIndex(bits, m, k, nItems)
+  }
+
+  /** Scan-side membership probe: true iff all k bits are set. The bit
+    * array rides the plan as ONE array literal (broadcast with the task
+    * binary — the intended shape for a fixed-size filter); the test is
+    * element_at + bitwiseAND, fully inside whole-stage codegen. May
+    * return false positives at the sized rate; never false negatives. */
+  def bloomMightContain(idx: BloomIndex)(gram: Column): Column = {
+    val bitsLit = typedlit(idx.bits.toSeq)
+    val masks = typedlit(BitMasks)
+    bloomPositions(gram, idx.mBits, idx.k).map { pos =>
+      (element_at(bitsLit, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(element_at(masks, pmod(pos, lit(64)).cast("int") + 1))
+        ) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-filter n-gram decontamination over a TRAIN frame: one row per
+    * train doc with the bloom verdict and, at test scale, the exact
+    * verdict recomputed beside it so the one-sided-error contract is
+    * driver-visible (the s03 exact-twin convention): `no_false_neg` —
+    * every exact leak is bloom-flagged — must be 1 on every row, and the
+    * corpus-level false-positive rate must sit under `fpCeilingBp`
+    * (`fp_ok`, the recallBand-style cross-joined flag). At 100 TB only
+    * the bloom column ships; the exact side IS the oracle's claim here.
+    *
+    * Shapes: grams scan-side (wordNgrams HOF); the bloom probe is
+    * row-local over the gram array (no shuffle, no join); the exact twin
+    * is the p11 broadcast probe bounded by the eval gram population. */
+  def bloomDecontamination(train: DataFrame, idCol: String, textCol: String,
+                           idx: BloomIndex, evalGrams: DataFrame,
+                           n: Int = 13, fpCeilingBp: Int = 300): DataFrame = {
+    val g = train.select(col(idCol),
+      wordNgrams(col(textCol), n).as("__gs"))
+    val probed = g.select(col(idCol),
+      size(col("__gs")).cast("long").as("n_grams"),
+      exists(col("__gs"), bloomMightContain(idx)).as("__bloom"),
+      col("__gs"))
+    val exactIds = probed.select(col(idCol), explode(col("__gs")).as("gram"))
+      .join(broadcast(evalGrams.select(col("gram")).distinct()), Seq("gram"),
+        "left_semi")
+      .select(col(idCol)).distinct().withColumn("__exact", lit(true))
+    val joined = probed.drop("__gs")
+      .join(exactIds, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__exact"), lit(false)).as("__exact"), col("__bloom"))
+    val flag = joined.agg(
+        sum(when(col("__bloom") && !col("__exact"), 1L).otherwise(0L)).as("n_fp"),
+        sum(when(!col("__exact"), 1L).otherwise(0L)).as("n_clean"))
+      .select(when(col("n_fp") * 10000 <= col("n_clean") * fpCeilingBp,
+        lit(1L)).otherwise(lit(0L)).as("fp_ok"))
+    joined.crossJoin(broadcast(flag))
+      .select(col(idCol),
+        col("n_grams"),
+        col("__exact").cast("long").as("exact_hit"),
+        (col("__bloom") || !col("__exact")).cast("long").as("no_false_neg"),
+        col("fp_ok"))
+  }
+
   /** Epoch-weighted repeat sampling — the data-constrained-scaling recipe
     * (repeat data when the token budget exceeds the unique corpus, and
     * repeat BETTER documents more often). Given an integer quality weight

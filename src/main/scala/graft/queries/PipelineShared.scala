@@ -255,6 +255,27 @@ private[queries] object PipelineShared {
   private[queries] val CodeTokenStream =
     "for ( i = 0 ; i < n ; i ++ ) { acc += arr [ i ] ; } return acc ;"
 
+  /** Per-(session, dir) memoized eval-side [[Sampling.BloomIndex]] over
+    * 13-grams of the non-train splits — the p21 probe artifact; priced
+    * in warmup_build. */
+  private[queries] val bloomIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Sampling.BloomIndex]()
+
+  private[queries] def memoizedBloomIndex(s: SparkSession, dir: String,
+                                          evalGrams: DataFrame): Sampling.BloomIndex = {
+    val it = bloomIndexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) it.remove()
+    }
+    bloomIndexCache.computeIfAbsent((s, dir), { _ =>
+      graft.tools.BuildTimer.time("bloom_index") {
+        Sampling.buildBloomIndex(evalGrams, "gram")
+      }
+    })
+  }
+
   /** Per-(session, dir) memoized corpus [[Dedup.LineSetIndex]] — the
     * [[Dedup.memoizedGramIndex]] convention for the d23 probe: build the
     * corpus line-hash set once per directory, probe every batch; priced

@@ -28,6 +28,26 @@ private[queries] object SamplingQueries {
         "doc_id", "quality_bp", k = 100)),
 
 
+    // p21: Bloom-filter decontamination — p11's leak class when the
+    // reference gram set is too big to broadcast as a table: the eval
+    // side compresses to a fixed 128 KB bit array (memoized per dir,
+    // priced in warmup_build) and the train corpus probes it scan-side,
+    // shuffle-free. Driver-visible contract: the exact verdict rides
+    // along (the s03 exact-twin convention) — `no_false_neg` pinned 1 on
+    // every row (Bloom's one-sided error), corpus FP rate under 300 bp
+    // (`fp_ok`, measured ~0–100 bp across SFs).
+    "p21_bloom_decontam" -> ((s, dir) => {
+      val withSplit = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      val evalGrams = Sampling.evalGramTable(
+        withSplit.filter(col("split") =!= "train"), "doc_id", "text", n = 13)
+      val idx = memoizedBloomIndex(s, dir, evalGrams)
+      Sampling.bloomDecontamination(
+        withSplit.filter(col("split") === "train"),
+        "doc_id", "text", idx, evalGrams)
+    }),
+
+
     // Per-eval-document leak provenance (the GPT-3-appendix-style
     // per-benchmark contamination table): p11 emits the train-side drop
     // list; this reads the SAME match stream from the eval side — which
@@ -270,6 +290,39 @@ private[queries] object SamplingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // p21: the exact side recomputed verbatim (p11's gram CTEs); the
+    // engine-specific bloom bit pattern stays out of the hash — the
+    // pinned flags ARE the cross-engine claim (no_false_neg: Bloom's
+    // one-sided error; fp_ok: the sized FP ceiling).
+    "p21_bloom_decontam" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              g AS (SELECT doc_id,
+                           CASE WHEN len(ws) >= 13
+                                THEN list_distinct(list_transform(generate_series(1, len(ws) - 12),
+                                  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4],
+                                                 ws[i+5], ws[i+6], ws[i+7], ws[i+8], ws[i+9],
+                                                 ws[i+10], ws[i+11], ws[i+12])))
+                                ELSE [] END AS gs
+                    FROM w),
+              sp AS (SELECT doc_id,
+                            CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                 ELSE 'test' END AS split
+                     FROM documents),
+              eg AS (SELECT DISTINCT unnest(gs) AS gram
+                     FROM g JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+              tg AS (SELECT g.doc_id, unnest(gs) AS gram
+                     FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+              hit AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))
+         SELECT g.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+                CAST(CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_hit,
+                CAST(1 AS BIGINT) AS no_false_neg,
+                CAST(1 AS BIGINT) AS fp_ok
+         FROM g JOIN sp USING (doc_id) LEFT JOIN hit ON g.doc_id = hit.doc_id
+         WHERE sp.split = 'train'""",
 
     // p20: the t02 quality CTE + the A-ES key replayed bit-for-bit (u
     // from the same md5 window, ln(u)/w ordering; key gaps dwarf libm
