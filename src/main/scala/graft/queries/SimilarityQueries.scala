@@ -201,6 +201,26 @@ private[queries] object SimilarityQueries {
     }),
 
 
+    // s13: kNN-GRAPH construction — every vector is a query (the input
+    // of SemDeDup-style clustering, graph-based ANN indexes, and
+    // label-propagation QA): approximate edges from the LSH bucket
+    // self-join (annTopK with the query predicate wide open — candidates
+    // stay bucket-bounded, never all-pairs), banded against the exact
+    // all-queries brute-force twin (s02's declared-quadratic role). The
+    // k·n edge frame is the output; recall floor 20% (measured 35/36/40%
+    // at sf0.001/0.01/0.1 on the near-uniform synthetic vectors — the
+    // s03 hard case; DedupSpec carries the >= 0.8 planted-structure
+    // bound).
+    "s13_knn_graph" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ann = SimilaritySearch.annTopK(e, "vec_id", "embedding",
+        isQuery = lit(true), k = 3)
+      val exact = SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
+        isQuery = lit(true), k = 3)
+      SimilaritySearch.recallBand(exact, ann, floorBp = 2000)
+    }),
+
+
     // Metadata-filtered vector search: top-k within the query's label
     // group; the filter is the hash-join key, not a post-filter (see
     // SimilaritySearch.filteredTopK).
@@ -213,6 +233,20 @@ private[queries] object SimilarityQueries {
 
     // ---- round-11 banded conversions of the former no_oracle rows ----
     "s03_ann_lsh" -> AnnCosBandSql,
+
+    // s13: the same cosine band with every vector as a query.
+    "s13_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                                list_inner_product(q.v, e.v)
+                                / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+                         FROM e q JOIN e ON e.vec_id <> q.vec_id),
+              ranked AS (SELECT q_id, n_id,
+                                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+                         FROM scored)
+         SELECT q_id, string_agg(CAST(n_id AS VARCHAR), ',' ORDER BY rnk) AS exact_ids,
+                CAST(1 AS BIGINT) AS recall_floor_met
+         FROM ranked WHERE rnk <= 3 GROUP BY q_id""",
 
     "s04_ann_ivf" -> AnnCosBandSql,
 

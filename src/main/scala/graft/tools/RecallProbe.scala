@@ -37,6 +37,11 @@ object RecallProbe {
     val s04 = pairSet(SimilaritySearch.ivfTopK(
       emb, "vec_id", "embedding", isQuery = col("vec_id") < 10, k = 3), "q_id", "n_id")
     println(s"RECALL s04_ivf: ${(exactCos & s04).size}/${exactCos.size}")
+    val exactAll = pairSet(SimilaritySearch.bruteForceTopK(
+      emb, "vec_id", "embedding", isQuery = lit(true), k = 3), "q_id", "n_id")
+    val s13 = pairSet(SimilaritySearch.annTopK(
+      emb, "vec_id", "embedding", isQuery = lit(true), k = 3), "q_id", "n_id")
+    println(s"RECALL s13_knn_graph: ${(exactAll & s13).size}/${exactAll.size}")
     val s11 = pairSet(SimilaritySearch.ivfTopK(
       emb, "vec_id", "embedding", isQuery = col("vec_id") < 10, k = 3,
       nProbe = 8, hier = true), "q_id", "n_id")
