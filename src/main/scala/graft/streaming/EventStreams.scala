@@ -191,6 +191,37 @@ object EventStreams {
       .select(col("new_id"), col("eval_id"), col(tsCol))
   }
 
+  /** Streaming Bloom-filter decontamination — p21's ingest twin
+    * ([[graft.operators.Sampling.bloomDecontamination]]'s scale path as
+    * an admission gate): arriving documents probe the FIXED-SIZE bloom
+    * bits of the reference gram set. Where [[decontaminateStream]]
+    * broadcasts the eval gram TABLE (bounded by the benchmark suite),
+    * this ships only the sized bit array — the variant that still works
+    * when the reference set is another 100 TB corpus version.
+    *
+    * Plan shape: completely STATELESS — grams scan-side, the probe is a
+    * row-local expression over the gram array ([[graft.operators
+    * .Sampling.bloomMightContain]]), no join, no watermark, no state
+    * store; a replayed doc trivially re-derives the same flag. The
+    * one-sided error contract carries over: `bloom_hit` is never false
+    * on a true leak; false positives occur at the filter's sized rate
+    * and route to a (bounded) exact re-check downstream.
+    *
+    * Input: streaming (idCol, tsCol, textCol). Output: append-mode
+    * (new_id, tsCol, n_grams, bloom_hit) — every arriving doc emits with
+    * its verdict (the admission gate routes on the flag). */
+  def bloomDecontamStream(docs: DataFrame, idCol: String, textCol: String,
+                          tsCol: String,
+                          idx: graft.operators.Sampling.BloomIndex,
+                          n: Int = 13): DataFrame =
+    docs
+      .select(col(idCol).as("new_id"), col(tsCol),
+        graft.operators.Sampling.wordNgrams(col(textCol), n).as("__gs"))
+      .select(col("new_id"), col(tsCol),
+        size(col("__gs")).cast("long").as("n_grams"),
+        exists(col("__gs"),
+          graft.operators.Sampling.bloomMightContain(idx)).as("bloom_hit"))
+
   /** Streaming ExactSubstr probe — the d15/d16 family's ingest-time twin
     * ([[graft.operators.Dedup.deltaExactSubstrPairs]]'s topology applied
     * to a stream, mirroring [[deltaDedupStream]]): arriving documents'
