@@ -378,6 +378,33 @@ object Sampling {
         col("fp_ok"))
   }
 
+  /** Two-stage bloom-prefiltered EXACT decontamination (p22) — the
+    * production composition: the corpus probes the bloom scan-side
+    * (shuffle-free, [[bloomMightContain]]) and ONLY the flagged sliver
+    * joins the exact gram table for verification and the per-doc report.
+    * Because the filter has no false negatives, the prefilter is
+    * LOSSLESS for the final output — this returns exactly
+    * [[ngramContamination]]'s rows (the oracle claim), while the exact
+    * join's probe side shrinks from the whole corpus to
+    * |exact hits| + |false positives| documents (at the sized FP rate,
+    * a vanishing fraction). The corpus pays one row-local expression;
+    * the join pays the leak population. Output: (train_id,
+    * n_shared_grams, first_eval_id) — p11's shape, byte-identical. */
+  def bloomVerifiedContamination(train: DataFrame, idCol: String,
+                                 textCol: String, idx: BloomIndex,
+                                 evalGrams: DataFrame,
+                                 n: Int = 13): DataFrame = {
+    val flagged = train
+      .select(col(idCol), wordNgrams(col(textCol), n).as("__gs"))
+      .filter(exists(col("__gs"), bloomMightContain(idx)))
+    flagged.select(col(idCol).as("train_id"), explode(col("__gs")).as("gram"))
+      .join(broadcast(evalGrams.select(col("gram"), col("eval_id"))),
+        Seq("gram"))
+      .groupBy(col("train_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"),
+        min(col("eval_id")).as("first_eval_id"))
+  }
+
   /** Epoch-weighted repeat sampling — the data-constrained-scaling recipe
     * (repeat data when the token budget exceeds the unique corpus, and
     * repeat BETTER documents more often). Given an integer quality weight

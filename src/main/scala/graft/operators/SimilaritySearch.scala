@@ -808,11 +808,22 @@ object SimilaritySearch {
     val q = keyed.filter(isQuery)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("t"), col("bucket"))
     val c = keyed.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("t"), col("bucket"))
-    val candidates = q.join(c, Seq("t", "bucket"))
+    // Score INSIDE the bucket join's output projection, so the pair
+    // dedup exchanges 24-byte (q_id, n_id, cos) triples instead of rows
+    // carrying both vectors. A pair landing in several tables' buckets
+    // re-scores once per collision (cheap, one dim-length dot), but the
+    // vector payload never leaves the join task — the old dropDuplicates
+    // plan shipped qv+nv through the dedup exchange, and with auto-LSH's
+    // table growth that shuffle measured ~20× the triple's bytes and
+    // turned the all-queries kNN-graph curve superlinear at 16×/32×
+    // (stress `knn_graph_auto`). The dedup itself is a partial-
+    // combinable min aggregate, not a row dedup: map-side combine
+    // collapses same-partition collisions before the exchange.
+    val scored = q.join(c, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("qv"), col("n_id"), col("nv"))
-      .dropDuplicates("q_id", "n_id")
-    val scored = candidates.withColumn("cos", cosineSim(col("qv"), col("nv")))
+      .select(col("q_id"), col("n_id"),
+        cosineSim(col("qv"), col("nv")).as("cos"))
+      .groupBy(col("q_id"), col("n_id")).agg(min(col("cos")).as("cos"))
     rankTopK(scored, "cos", k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }

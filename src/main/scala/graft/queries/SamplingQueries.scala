@@ -136,6 +136,24 @@ private[queries] object SamplingQueries {
     }),
 
 
+    // p22: the production two-stage — p21's scan-side bloom prefilter
+    // shrinks the exact join's probe side from the corpus to the flagged
+    // sliver, then p11's exact verification runs only there. Bloom's
+    // one-sided error makes the prefilter LOSSLESS for the final rows:
+    // the output (and so the oracle) is p11's, byte-identical — that
+    // equality IS the hash claim. Shares p21's memoized filter.
+    "p22_bloom_verified_decontam" -> ((s, dir) => {
+      val withSplit = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      val evalGrams = Sampling.evalGramTable(
+        withSplit.filter(col("split") =!= "train"), "doc_id", "text", n = 13)
+      val idx = memoizedBloomIndex(s, dir, evalGrams)
+      Sampling.bloomVerifiedContamination(
+        withSplit.filter(col("split") === "train"),
+        "doc_id", "text", idx, evalGrams)
+    }),
+
+
     // Epoch-weighted repeat sampling (the data-constrained-scaling
     // recipe): when the token budget exceeds the unique corpus, repeat
     // documents up to 4 epochs, better documents more often — the shared
@@ -352,6 +370,34 @@ private[queries] object SamplingQueries {
     // list_distinct matches the engine's array_distinct), split CASE as
     // p01/p03. count(DISTINCT) cast to BIGINT to match count_distinct.
     "p11_ngram_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                     FROM documents),
+              g AS (SELECT doc_id,
+                           list_distinct(list_transform(generate_series(1, len(ws) - 12),
+                             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4],
+                                            ws[i+5], ws[i+6], ws[i+7], ws[i+8], ws[i+9],
+                                            ws[i+10], ws[i+11], ws[i+12]))) AS gs
+                    FROM w WHERE len(ws) >= 13),
+              sp AS (SELECT doc_id,
+                            CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                                 ELSE 'test' END AS split
+                     FROM documents),
+              eg AS (SELECT unnest(gs) AS gram, g.doc_id AS eval_id
+                     FROM g JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+              tg AS (SELECT g.doc_id AS train_id, unnest(gs) AS gram
+                     FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train')
+         SELECT t.train_id,
+                CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+                min(e.eval_id) AS first_eval_id
+         FROM tg t JOIN eg e ON t.gram = e.gram
+         GROUP BY t.train_id""",
+
+    // p22: the bloom prefilter is LOSSLESS for the final rows (no false
+    // negatives), so the two-stage composition's oracle is p11's exact
+    // decontamination VERBATIM — the equality is the claim.
+    "p22_bloom_verified_decontam" ->
       s"""WITH w AS (SELECT doc_id,
                             list_filter(string_split(text, ' '), t -> t <> '') AS ws
                      FROM documents),

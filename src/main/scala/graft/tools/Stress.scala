@@ -734,6 +734,97 @@ object Stress {
       graft.operators.TextAnalysis
         .lmLikelihoodScore(docs, "doc_id", "text").count()
     }
+    // p21 PRODUCTION shape: the reference set is pinned (base eval
+    // split) and the train corpus scales — the probe is scan-side and
+    // row-local, so its curve must be linear with zero shuffle growth.
+    // The build scales the REFERENCE side instead (all replicas' eval
+    // splits): linear in the reference set with the driver collect
+    // bounded by the filter size, never the gram count.
+    lazy val pinnedBloom = {
+      val evalSide = graft.sources.Sources.table(spark, dir, "documents")
+        .withColumn("split", graft.operators.Sampling.assignSplit(col("doc_id")))
+        .filter(col("split") =!= "train")
+      graft.operators.Sampling.buildBloomIndex(
+        graft.operators.Sampling.evalGramTable(evalSide, "doc_id", "text", 13),
+        "gram")
+    }
+    time("bloom_build") {
+      val evalScaled = docs
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(pmod(col("doc_id"), lit(10000000L))))
+        .filter(col("split") =!= "train")
+      val idx = graft.operators.Sampling.buildBloomIndex(
+        graft.operators.Sampling.evalGramTable(evalScaled, "doc_id", "text", 13),
+        "gram")
+      idx.nItems
+    }
+    time("bloom_probe") {
+      val trainScaled = docs
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(pmod(col("doc_id"), lit(10000000L))))
+        .filter(col("split") === "train")
+        .select(col("doc_id"),
+          graft.operators.Sampling.wordNgrams(col("text"), 13).as("__gs"))
+      trainScaled.select(col("doc_id"),
+          exists(col("__gs"),
+            graft.operators.Sampling.bloomMightContain(pinnedBloom)).as("hit"))
+        .filter(col("hit")).count()
+    }
+    // p22: the two-stage composition with the reference PINNED — cost
+    // must track bloom_probe (the verify join's probe side is the
+    // flagged sliver, bounded by leaks + the sized FP rate, both pinned).
+    time("bloom_verify") {
+      val evalSide = graft.sources.Sources.table(spark, dir, "documents")
+        .withColumn("split", graft.operators.Sampling.assignSplit(col("doc_id")))
+        .filter(col("split") =!= "train")
+      val evalGrams = graft.operators.Sampling.evalGramTable(
+        evalSide, "doc_id", "text", 13)
+      val trainScaled = docs
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(pmod(col("doc_id"), lit(10000000L))))
+        .filter(col("split") === "train")
+      graft.operators.Sampling.bloomVerifiedContamination(
+        trainScaled, "doc_id", "text", pinnedBloom, evalGrams).count()
+    }
+    // d25: host population grows with the corpus (buckets ∝ factor — the
+    // real-web regime: more data means more hosts, per-host size roughly
+    // stable), so GroupTopK's k-bounded shuffle must stay ∝ hosts and
+    // the scan ∝ corpus.
+    time("host_cap") {
+      val scored = docs.select(col("doc_id"), col("source"),
+          graft.operators.TextAnalysis.words(col("text")).as("ws"))
+        .select(col("doc_id"), col("source"),
+          size(col("ws")).cast("long").as("quality_bp"))
+        .withColumn("host", concat(col("source"), lit("/"),
+          graft.operators.Sampling.hashBucket(col("doc_id"), 10 * factor)
+            .cast("string")))
+      graft.plans.GroupTopK.topK(
+        scored.select(col("doc_id"), col("host"), col("quality_bp")),
+        groupCols = Seq("host"),
+        orderBy = Seq(col("quality_bp").desc, col("doc_id")), k = 3).count()
+    }
+    // p20: distributed TakeOrdered over a scan-side key — linear, k pinned.
+    time("weighted_reservoir") {
+      graft.operators.Sampling.weightedReservoir(
+        docs.select(col("doc_id"),
+          (length(col("text")) + 1L).as("w")), "doc_id", "w", k = 100).count()
+    }
+    // t21/t22: row-local HOFs — pure scan CPU, no shuffle at any factor.
+    time("char_diversity") {
+      graft.operators.TextAnalysis.charDiversity(docs, "doc_id", "text")
+        .filter(col("low_diversity")).count()
+    }
+    time("code_detect") {
+      graft.operators.TextAnalysis.codeSignals(docs, "doc_id", "text")
+        .filter(col("is_code")).count()
+    }
+    // s13 at scale runs the AUTO-SIZED LSH (bits grow with the corpus to
+    // hold bucket density ~constant — the ann_lsh_auto knob), so the
+    // bucket self-join's candidate count stays ∝ n, never n²/buckets.
+    time("knn_graph_auto") {
+      SimilaritySearch.annTopK(emb, "vec_id", "embedding",
+        isQuery = lit(true), k = 3, bits = 0).count()
+    }
     time("semantic_dedup") {
       // nCells grows ∝ factor so per-cell population (and so the
       // within-cell quadratic work) stays constant — the SemDeDup scale

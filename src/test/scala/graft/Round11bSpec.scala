@@ -104,6 +104,15 @@ class Round11bSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("p22: bloom-prefiltered exact decontamination equals p11's one-stage exact") {
+    val p11 = graft.SparkEntry.queries("p11_ngram_decontaminate")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val p22 = graft.SparkEntry.queries("p22_bloom_verified_decontam")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p22 == p11, s"two-stage drifted: ${p22 -- p11} / ${p11 -- p22}")
+    assert(p11.nonEmpty, "construction must produce leaks to verify against")
+  }
+
   // ---- weighted reservoir (p20) ------------------------------------------
 
   test("weightedReservoir equals the driver-local A-ES reference and ignores partitioning") {
