@@ -45,7 +45,12 @@ object SimilaritySearch {
     * hit count; no driver action anywhere. The approximate plan still
     * executes in full — its pairs feed the semi join. */
   def recallBand(exact: DataFrame, approx: DataFrame, floorBp: Int): DataFrame = {
+    // Three consumers read the exact twin (the hit semi-join, the flag
+    // aggregate, the per-query payload); checkpoint the n·k-row frame so
+    // the brute-force plan executes once — material when the twin is
+    // all-queries (s13: every vector × k rows).
     val ex = exact.select(col("q_id"), col("n_id"), col("rnk"))
+      .localCheckpoint()
     val hits = ex.select(col("q_id"), col("n_id"))
       .join(approx.select(col("q_id"), col("n_id")).distinct(),
         Seq("q_id", "n_id"), "left_semi")
@@ -76,8 +81,12 @@ object SimilaritySearch {
                         scoreName: String): DataFrame = {
     val q = emb.filter(isQuery).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    // Project to the (q_id, n_id, score) triple BEFORE the top-k: the
+    // bounded heap then buffers and exchanges 24-byte rows, not vector
+    // payloads (the annTopK lesson applied to the exact twin).
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn(scoreName, score(col("qv"), col("nv")))
+      .select(col("q_id"), col("n_id"),
+        score(col("qv"), col("nv")).as(scoreName))
     rankTopK(scored, scoreName, k)
       .select(col("q_id"), col("n_id"),
         round(col(scoreName), 4).as(scoreName), col("rnk"))
@@ -118,7 +127,8 @@ object SimilaritySearch {
       col(filterCol).as(filterCol))
     val scored = c.join(broadcast(q),
         col(filterCol) === col("__fk") && col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosineSim(col("qv"), col("nv")))
+      .select(col("q_id"), col("n_id"), col(filterCol),
+        cosineSim(col("qv"), col("nv")).as("cos"))
     rankTopK(scored, "cos", k)
       .select(col("q_id"), col("n_id"), col(filterCol),
         round(col("cos"), 4).as("cos"), col("rnk"))

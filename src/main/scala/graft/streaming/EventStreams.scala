@@ -219,8 +219,8 @@ object EventStreams {
         graft.operators.Sampling.wordNgrams(col(textCol), n).as("__gs"))
       .select(col("new_id"), col(tsCol),
         size(col("__gs")).cast("long").as("n_grams"),
-        exists(col("__gs"),
-          graft.operators.Sampling.bloomMightContain(idx)).as("bloom_hit"))
+        graft.operators.Sampling.bloomContainsAny(idx)(col("__gs"))
+          .as("bloom_hit"))
 
   /** Streaming ExactSubstr probe — the d15/d16 family's ingest-time twin
     * ([[graft.operators.Dedup.deltaExactSubstrPairs]]'s topology applied
@@ -822,6 +822,47 @@ object EventStreams {
       out.iterator
     }
     docs.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
+  }
+
+  final case class HostDoc(doc_id: Long, host: String)
+  final case class HostVerdict(doc_id: Long, host: String, admitted: Boolean,
+                               host_seen: Long)
+
+  /** Streaming per-host quota — d25's ingest twin (the RefinedWeb
+    * host-cap as an admission gate): admit at most `cap` documents per
+    * host, FIFO. The batch op ranks by QUALITY within a complete corpus;
+    * a stream cannot see the future, so the gate admits in arrival order
+    * (within a microbatch: doc_id order, reproducible) — the documented
+    * streaming-vs-batch gap every ingest twin in this file shares; run
+    * the batch cap over the admitted corpus for the quality-ranked final
+    * cut.
+    *
+    * State per host is the ADMITTED ID SET, which the cap itself bounds
+    * at `cap` longs — so state is O(|hosts|·cap) forever AND replays are
+    * idempotent by lookup (a replayed admitted doc re-emits admitted=true
+    * without consuming quota; a replayed rejected doc re-rejects), the
+    * property a bare counter cannot give. Every doc emits its verdict
+    * (the bloomDecontamStream routing convention). */
+  def hostQuotaStream(docs: Dataset[HostDoc], cap: Int)
+      : Dataset[HostVerdict] = {
+    require(cap > 0 && cap <= 100000,
+      s"cap must be in [1, 1e5] (state holds cap ids per host), got $cap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def update(host: String, batch: Iterator[HostDoc],
+               state: GroupState[Set[Long]]): Iterator[HostVerdict] = {
+      var admitted = state.getOption.getOrElse(Set.empty[Long])
+      val out = scala.collection.mutable.Buffer[HostVerdict]()
+      batch.toSeq.sortBy(_.doc_id).foreach { d =>
+        val ok = admitted.contains(d.doc_id) ||
+          (admitted.size < cap && { admitted += d.doc_id; true })
+        out += HostVerdict(d.doc_id, host, ok, admitted.size.toLong)
+      }
+      state.update(admitted)
+      out.iterator
+    }
+    docs.groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
   }
 

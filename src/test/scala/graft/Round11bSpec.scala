@@ -56,6 +56,34 @@ class Round11bSpec extends SparkSpecBase {
     assert(java.util.Arrays.equals(back.bits, idx.bits))
   }
 
+  test("bloomContainsAny: the codegen'd probe equals the Column-composed reference on every doc") {
+    val idx = Sampling.buildBloomIndex(gramFrame(5000, "in"), "gram")
+    // Mixed population: pure members, pure non-members, mixed arrays,
+    // empty arrays — the expression must agree with exists+Column per row.
+    val rows = (0 until 400).map { i =>
+      val grams = i % 4 match {
+        case 0 => Seq(s"in_gram_${i % 5000}", s"out_gram_$i")
+        case 1 => Seq(s"out_gram_$i", s"out_gram_${i + 1}")
+        case 2 => Seq(s"in_gram_${(i * 7) % 5000}")
+        case 3 => Seq.empty[String]
+      }
+      (i.toLong, grams)
+    }
+    val df = rows.toDF("id", "gs")
+    val both = df.select($"id",
+        Sampling.bloomContainsAny(idx)($"gs").as("fast"),
+        exists($"gs", Sampling.bloomMightContain(idx)).as("ref"))
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(both.forall(r => r._2 == r._3),
+      s"drift: ${both.filter(r => r._2 != r._3).take(5).toSeq}")
+    // And interpreted eval (no codegen) agrees too.
+    val interp = graft.functions.BloomContainsAny.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("in_gram_7"))),
+      idx.bits, idx.mBits, idx.k)
+    assert(interp, "inserted gram must probe true interpreted")
+  }
+
   test("bloomDecontamination: exact leaks are always bloom-flagged, clean corpus mostly passes") {
     val passage = (1 to 13).map(i => s"ev$i").mkString(" ")
     val evalDocs = Seq((100L, passage)).toDF("doc_id", "text")
@@ -111,6 +139,32 @@ class Round11bSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(p22 == p11, s"two-stage drifted: ${p22 -- p11} / ${p11 -- p22}")
     assert(p11.nonEmpty, "construction must produce leaks to verify against")
+  }
+
+  test("hostQuotaStream: FIFO cap per host, bounded state, replay-idempotent verdicts") {
+    import EventStreams.{HostDoc, HostVerdict}
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[HostDoc](spark, 1)
+    val q = EventStreams.hostQuotaStream(memStream.toDS(), cap = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quota_out").start()
+    try {
+      memStream.addData(HostDoc(1L, "a"), HostDoc(2L, "a"), HostDoc(3L, "a"),
+        HostDoc(10L, "b"))
+      q.processAllAvailable()
+      memStream.addData(HostDoc(1L, "a"), HostDoc(3L, "a"), HostDoc(4L, "a"))
+      q.processAllAvailable()
+      val got = spark.table("quota_out").as[HostVerdict].collect()
+        .map(v => (v.doc_id, v.host, v.admitted)).toSeq
+      val first = got.take(4).toSet
+      assert(first == Set((1L, "a", true), (2L, "a", true), (3L, "a", false),
+        (10L, "b", true)), s"first batch: $first")
+      val second = got.drop(4).toSet
+      // Replays re-derive their original verdicts without consuming quota;
+      // the genuinely new doc is rejected because the host is full.
+      assert(second == Set((1L, "a", true), (3L, "a", false),
+        (4L, "a", false)), s"second batch: $second")
+    } finally q.stop()
   }
 
   // ---- weighted reservoir (p20) ------------------------------------------
