@@ -23,4 +23,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
+
+  /** Production-plan overrides for the [[queries]] entries that run an
+    * exact twin in-query as their driver-visible correctness payload
+    * (the round-11 banded-claim convention: s03/s04/s09/s11/s13 carry a
+    * brute-force ranking, d04/d05/d14 the exact pair enumeration, p21
+    * the exact broadcast verdict). At 100 TB only these plans ship, so
+    * [[Bench]] times them as the headline and prices the full oracle
+    * forms separately (`oracle_forms` / `twin_overhead`); [[Verify]] and
+    * the driver's correctness gate keep reading [[queries]]. */
+  def productionQueries: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.productionOverrides
 }

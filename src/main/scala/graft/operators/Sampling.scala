@@ -278,13 +278,22 @@ object Sampling {
     (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, m))
   }
 
-  /** Build the filter over a gram frame (one column of strings). The
-    * heavy part is distributed: positions fan out scan-side and reduce to
-    * ≤ mBits/64 (word, bit_or) rows — the driver collect is bounded by
-    * the FILTER SIZE, never by the reference set (contrast every other
-    * fit-collect in the engine, which bounds by sampling).
+  /** Build the filter over a gram frame (one column of strings) in TWO
+    * map-side-combining passes: a sizing pass (`approx_count_distinct` —
+    * HLL sketches merge map-side; the round-11 exact `distinct().count()`
+    * shuffled every gram just to pick a power of two that a ±5% estimate
+    * picks identically in all but knife-edge cases, where either
+    * neighbor is correctly sized) and one
+    * [[graft.functions.BloomBitsAgg]] pass: every task ORs its grams'
+    * bits into a local `long[m/64]`, partials merge by array OR, and the
+    * driver collects ONE binary row — bounded by the FILTER SIZE, never
+    * the reference set (contrast every other fit-collect in the engine,
+    * which bounds by sampling). Both hashes are drawn once per gram
+    * inside the aggregate; the round-11 k-way `explode(array(...))` →
+    * `(word, bit_or)` shape re-derived them in each of the 16 position
+    * expressions and pushed 16n rows through a hash aggregate.
     *
-    * `mBits <= 0` auto-sizes from the measured distinct-gram count (the
+    * `mBits <= 0` auto-sizes from the distinct-gram estimate (the
     * autoLshParams discipline — a pinned size silently degrades as the
     * reference set grows, exactly the bug the round-9 LSH fix closed):
     * m = next power of two ≥ 32·n, floor 2¹⁷. The sizing target is the
@@ -298,16 +307,36 @@ object Sampling {
   def buildBloomIndex(grams: DataFrame, gramCol: String, mBits: Int = 0,
                       k: Int = 16): BloomIndex = {
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
-    val nItems = grams.select(col(gramCol)).distinct().count()
+    val nItems = approxDistinct(grams, gramCol)
     require(mBits > 0 || nItems * 32L <= (1L << 30),
-      s"auto-sized bloom would exceed 2^30 bits for $nItems grams — " +
-        "shard the reference set into per-range filters or pass mBits " +
-        "explicitly with a documented FP budget")
-    val m =
-      if (mBits > 0) mBits
-      else math.max(1 << 17,
-        java.lang.Long.highestOneBit(math.max(1L, nItems * 32L - 1L)).toInt << 1)
+      s"auto-sized bloom would exceed 2^30 bits for ~$nItems grams — " +
+        "use buildShardedBloomIndex, or pass mBits explicitly with a " +
+        "documented FP budget")
+    val m = if (mBits > 0) mBits else autoBloomBits(nItems)
     require(m % 64 == 0 && m > 0, s"mBits must be a positive multiple of 64, got $m")
+    val bytes = grams
+      .agg(graft.functions.BloomBitsAgg.bloomBitsAgg(col(gramCol), m, k).as("bits"))
+      .head.getAs[Array[Byte]](0)
+    BloomIndex(graft.functions.BloomBitsAgg.fromBytes(bytes), m, k, nItems)
+  }
+
+  private def approxDistinct(grams: DataFrame, gramCol: String): Long =
+    grams.agg(approx_count_distinct(col(gramCol)).as("n")).head.getLong(0)
+
+  /** next power of two ≥ 32·n, floor 2¹⁷ (the load ≤ 1/32, k=16 doc-level
+    * sizing story above). */
+  private def autoBloomBits(nItems: Long): Int =
+    math.max(1 << 17,
+      java.lang.Long.highestOneBit(math.max(1L, nItems * 32L - 1L)).toInt << 1)
+
+  /** Round-11 build shape, kept as the REFERENCE definition the aggregate
+    * build is pinned against (Round12Spec asserts word-for-word equal bit
+    * arrays): positions fan out scan-side via the Column `bloomPositions`
+    * and reduce to (word, bit_or) rows. Quadratically more row traffic
+    * than the aggregate — never call it on a production-sized set. */
+  private[graft] def buildBloomIndexReference(grams: DataFrame, gramCol: String,
+                                              mBits: Int, k: Int = 16): BloomIndex = {
+    val m = mBits
     val masks = typedlit(BitMasks)
     val pos = grams.select(
       explode(array(bloomPositions(col(gramCol), m, k): _*)).as("pos"))
@@ -318,7 +347,80 @@ object Sampling {
       .collect()
     val bits = new Array[Long](m / 64)
     words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
-    BloomIndex(bits, m, k, nItems)
+    BloomIndex(bits, m, k, grams.select(col(gramCol)).distinct().count())
+  }
+
+  /** The past-2³⁰-bits artifact: nShards independent sub-filters, a
+    * per-gram hash draw picking the shard on BOTH sides (build routes the
+    * gram's bits into its shard; probe tests only that shard) — so no
+    * single bit array, aggregation buffer, or collected row ever exceeds
+    * mBitsPerShard, while the union behaves as one filter of
+    * nShards × mBitsPerShard bits. Same save/load lifecycle. */
+  final case class ShardedBloomIndex(shards: Array[Array[Long]],
+                                     mBitsPerShard: Int, k: Int,
+                                     nItems: Long) {
+    def nShards: Int = shards.length
+    def save(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      import spark.implicits._
+      Seq((mBitsPerShard, k, nItems, nShards))
+        .toDF("m_bits", "k", "n_items", "n_shards").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/bloom_meta")
+      shards.zipWithIndex.flatMap { case (bits, s) =>
+        bits.zipWithIndex.map { case (b, w) => (s, w, b) }
+      }.toSeq.toDF("shard", "w", "bits").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/bloom_bits")
+    }
+  }
+
+  def loadShardedBloomIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): ShardedBloomIndex = {
+    val meta = spark.read.parquet(s"$dir/bloom_meta").collect().head
+    val (m, k, n, s) =
+      (meta.getInt(0), meta.getInt(1), meta.getLong(2), meta.getInt(3))
+    val shards = Array.fill(s)(new Array[Long](m / 64))
+    spark.read.parquet(s"$dir/bloom_bits").collect()
+      .foreach(r => shards(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    ShardedBloomIndex(shards, m, k, n)
+  }
+
+  /** Sharded build: one sizing pass, then ONE pass routing each gram's
+    * bits into its shard's aggregate — `repartition(nShards, shard)` so
+    * every task holds exactly one `long[m/64]` buffer (the partial-agg
+    * buffer-per-group memory story in [[graft.functions.BloomBitsAgg]]'s
+    * scaladoc); the reference-set shuffle this adds is bounded by the
+    * reference set, which is precisely the population the op exists to
+    * avoid broadcasting. Per-shard m auto-sizes from n/nShards with the
+    * same 32-bits/item target, so the whole-filter FP story is unchanged. */
+  def buildShardedBloomIndex(grams: DataFrame, gramCol: String, nShards: Int,
+                             mBitsPerShard: Int = 0,
+                             k: Int = 16): ShardedBloomIndex = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val nItems = approxDistinct(grams, gramCol)
+    val m =
+      if (mBitsPerShard > 0) mBitsPerShard
+      else autoBloomBits(math.max(1L, nItems / nShards))
+    require(m % 64 == 0, s"mBitsPerShard must be a multiple of 64, got $m")
+    val rows = grams
+      .select(col(gramCol).as("__g"),
+        graft.functions.ShardedBloomContains.shardOfGram(col(gramCol), nShards)
+          .as("__shard"))
+      .repartition(nShards, col("__shard"))
+      .groupBy(col("__shard"))
+      .agg(graft.functions.BloomBitsAgg.bloomBitsAgg(col("__g"), m, k).as("bits"))
+      .collect()
+    val shards = Array.fill(nShards)(new Array[Long](m / 64))
+    rows.foreach(r => shards(r.getInt(0)) =
+      graft.functions.BloomBitsAgg.fromBytes(r.getAs[Array[Byte]](1)))
+    ShardedBloomIndex(shards, m, k, nItems)
+  }
+
+  /** Scan-side exists-over-grams probe of a sharded filter — the
+    * [[bloomContainsAny]] hot path with the shard draw fused in. */
+  def shardedBloomContainsAny(idx: ShardedBloomIndex)(grams: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ShardedBloomContains(
+      GraftColumnBridge.expression(grams), idx.shards, idx.mBitsPerShard, idx.k))
   }
 
   /** Scan-side membership probe: true iff all k bits are set. The bit
@@ -407,14 +509,28 @@ object Sampling {
     * |exact hits| + |false positives| documents (at the sized FP rate,
     * a vanishing fraction). The corpus pays one row-local expression;
     * the join pays the leak population. Output: (train_id,
-    * n_shared_grams, first_eval_id) — p11's shape, byte-identical. */
+    * n_shared_grams, first_eval_id) — p11's shape, byte-identical.
+    *
+    * MATERIALIZATION POINT on the flagged sliver: filter pushdown
+    * re-inlines the gram HOF through the projection (the filter tests
+    * `bloomContainsAny(wordNgrams(text))` scan-side — necessary — and
+    * the downstream Generate re-derives `wordNgrams(text)` separately;
+    * expression trees don't share across operator boundaries), which the
+    * round-11 stress sweep measured as `bloom_verify` ≈ 2× `bloom_probe`
+    * at every factor. Checkpointing the sliver pins the HOF to exactly
+    * one evaluation per corpus row; the materialized frame is the
+    * FLAGGED population (|exact leaks| + |sized FPs| rows), a vanishing
+    * fraction of the corpus at any scale. `materialize = false` for
+    * exchange-ledger audits that need one plan tree. */
   def bloomVerifiedContamination(train: DataFrame, idCol: String,
                                  textCol: String, idx: BloomIndex,
                                  evalGrams: DataFrame,
-                                 n: Int = 13): DataFrame = {
-    val flagged = train
+                                 n: Int = 13,
+                                 materialize: Boolean = true): DataFrame = {
+    val flagged0 = train
       .select(col(idCol), wordNgrams(col(textCol), n).as("__gs"))
       .filter(bloomContainsAny(idx)(col("__gs")))
+    val flagged = if (materialize) flagged0.localCheckpoint() else flagged0
     flagged.select(col(idCol).as("train_id"), explode(col("__gs")).as("gram"))
       .join(broadcast(evalGrams.select(col("gram"), col("eval_id"))),
         Seq("gram"))

@@ -758,28 +758,14 @@ object SimilaritySearch {
     val vc = index.vecCol
     val a = index.assigned.select(col("cell"), col(idc).as("a_id"), col(vc).as("av"))
     val b = index.assigned.select(col("cell"), col(idc).as("b_id"), col(vc).as("bv"))
-    var drops = a.join(b, Seq("cell"))
+    val raw = a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", cosineSim(col("av"), col("bv")))
       .filter(col("cos") > threshold)
       .groupBy(col("b_id").as(idc))
       .agg(min(col("a_id")).as("keeper"))
       .localCheckpoint()
-    // Pointer-jump until no keeper is itself a drop. Each hop strictly
-    // decreases the keeper id, so `hopped` nonempty ⇔ something changed.
-    var i = 0
-    var converged = false
-    while (!converged && i < 20) {
-      val next = drops
-        .join(drops.select(col(idc).as("kid"), col("keeper").as("kk")),
-          col("keeper") === col("kid"), "left")
-        .select(col(idc), coalesce(col("kk"), col("keeper")).as("keeper"),
-          col("kk").isNotNull.as("hopped"))
-        .localCheckpoint()
-      converged = next.filter(col("hopped")).isEmpty
-      drops = next.select(col(idc), col("keeper"))
-      i += 1
-    }
+    val drops = compressKeepers(raw, idc)
     index.assigned.select(col(idc), col("cell"))
       .join(drops, Seq(idc), "left")
       .select(col(idc), col("cell"),
@@ -836,6 +822,135 @@ object SimilaritySearch {
       .groupBy(col("q_id"), col("n_id")).agg(min(col("cos")).as("cos"))
     rankTopK(scored, "cos", k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** Pointer-jump `keeper ← keeper(keeper)` until every keeper is a KEPT
+    * root ([[semanticDedup]]'s chain argument: every raw keeper points to
+    * a strictly smaller id, so the pointer forest is acyclic and the jump
+    * converges in O(log chain) rounds; `hopped` nonempty ⇔ something
+    * changed). Shared by the cell-bounded ([[semanticDedup]]) and
+    * graph-bounded ([[knnGraphDedup]]) dedup variants. Input: (idc,
+    * keeper) rows, checkpointed. */
+  private def compressKeepers(drops0: DataFrame, idc: String): DataFrame = {
+    var drops = drops0
+    var i = 0
+    var converged = false
+    while (!converged && i < 20) {
+      val next = drops
+        .join(drops.select(col(idc).as("kid"), col("keeper").as("kk")),
+          col("keeper") === col("kid"), "left")
+        .select(col(idc), coalesce(col("kk"), col("keeper")).as("keeper"),
+          col("kk").isNotNull.as("hopped"))
+        .localCheckpoint()
+      converged = next.filter(col("hopped")).isEmpty
+      drops = next.select(col(idc), col("keeper"))
+      i += 1
+    }
+    drops
+  }
+
+  // ---- kNN graph (s13's product artifact) --------------------------------
+
+  /** The kNN-graph artifact — s13's SHIPPABLE output (the r11 query
+    * returned only the recall band): approximate directed edges
+    * (src, dst, cos, rnk) from the LSH bucket self-join ([[annTopK]]
+    * with the query predicate wide open), checkpoint-materialized and
+    * persisted with the index-artifact lifecycle (save / load / append /
+    * memoize). Declared consumers: SemDeDup-style clustering
+    * ([[knnGraphDedup]] — the graph-bounded variant of [[semanticDedup]])
+    * and label propagation ([[Dedup.connectedComponents]] over a
+    * thresholded edge set).
+    *
+    * Scale shape: the edge frame is k·n rows of 24-byte triples (the
+    * vector-free shuffle the round-11 fix pinned — vectors never leave
+    * the bucket-join task), so the artifact is linear in the corpus and
+    * orders of magnitude smaller than its input embeddings. */
+  final case class KnnGraph(edges: DataFrame, k: Int) {
+
+    /** Per-node degree + similarity envelope — the graph-quality summary
+      * a build publishes (isolated nodes appear with degree 0 nowhere:
+      * a node with no bucket mates emits no edges; count them by
+      * anti-joining the corpus if needed). One partial-aggregated
+      * shuffle on src. */
+    def degreeStats: DataFrame =
+      edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("degree"),
+          max(col("cos")).as("max_cos"),
+          min(col("cos")).as("min_cos"))
+
+    def save(dir: String): Unit = {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Seq(k).toDF("k").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/knn_meta")
+      edges.write.mode("overwrite").parquet(s"$dir/knn_edges")
+    }
+  }
+
+  def buildKnnGraph(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 3, bits: Int = HyperplaneBits,
+                    tables: Int = 0): KnnGraph =
+    KnnGraph(
+      annTopK(emb, idCol, vecCol, isQuery = lit(true), k = k,
+          bits = bits, tables = tables)
+        .select(col("q_id").as("src"), col("n_id").as("dst"),
+          col("cos"), col("rnk"))
+        .localCheckpoint(),
+      k)
+
+  def loadKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): KnnGraph =
+    KnnGraph(spark.read.parquet(s"$dir/knn_edges"),
+      spark.read.parquet(s"$dir/knn_meta").collect().head.getInt(0))
+
+  /** Incremental append — the delta-ingest shape of the graph build (the
+    * [[graft.operators.Dedup]] delta-index convention): edges for the NEW
+    * nodes come from one LSH probe of the combined corpus (delta-bounded,
+    * never old×old), and existing nodes see the delta through the REVERSE
+    * of those edges (cosine is symmetric, so a (new → old) edge is an
+    * (old → new) candidate at the same score) merged into their standing
+    * top-k. Approximation contract: an old node only gains a delta
+    * neighbour that ranked the old node in ITS top-k — the standard
+    * incremental-kNN-graph trade; a periodic full rebuild restores
+    * symmetric recall. */
+  def appendKnnGraph(graph: KnnGraph, emb: DataFrame, idCol: String,
+                     vecCol: String, isNew: Column): KnnGraph = {
+    val deltaEdges = annTopK(emb, idCol, vecCol, isQuery = isNew, k = graph.k)
+      .select(col("q_id").as("src"), col("n_id").as("dst"), col("cos"))
+    val reversed = deltaEdges
+      .select(col("dst").as("src"), col("src").as("dst"), col("cos"))
+    val merged = graph.edges.select(col("src"), col("dst"), col("cos"))
+      .unionByName(deltaEdges).unionByName(reversed)
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .select(col("src").as("q_id"), col("dst").as("n_id"), col("cos"))
+    KnnGraph(
+      rankTopK(merged, "cos", graph.k)
+        .select(col("q_id").as("src"), col("n_id").as("dst"),
+          col("cos"), col("rnk"))
+        .localCheckpoint(),
+      graph.k)
+  }
+
+  /** SemDeDup over the kNN graph instead of within-cell all-pairs — the
+    * consumer the artifact exists for: drop every node with a
+    * strictly-smaller neighbour above `threshold`, keeper pointers
+    * path-compressed exactly as in [[semanticDedup]] (shared
+    * [[compressKeepers]]). Pair coverage is graph-bounded (≤ k per node)
+    * rather than cell-bounded — the trade that makes dedup over an
+    * ALREADY-BUILT graph free of any further vector work. */
+  def knnGraphDedup(graph: KnnGraph, threshold: Double): DataFrame = {
+    val cand = graph.edges.filter(col("cos") > threshold)
+    // both directions: an edge qualifies whichever endpoint ranked it
+    val pairs = cand.select(least(col("src"), col("dst")).as("a_id"),
+        greatest(col("src"), col("dst")).as("b_id"))
+      .distinct()
+    val drops = pairs.groupBy(col("b_id").as("id"))
+      .agg(min(col("a_id")).as("keeper"))
+      .localCheckpoint()
+    val compressed = compressKeepers(drops, "id")
+    graph.edges.select(col("src").as("id")).distinct()
+      .join(compressed, Seq("id"), "left")
+      .select(col("id"), col("keeper").isNull.as("keep"), col("keeper"))
   }
 
   /** The MIPS index artifact: the corpus' max L2 norm, the one scalar the

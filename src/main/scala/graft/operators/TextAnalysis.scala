@@ -168,29 +168,28 @@ object TextAnalysis {
     * discipline where `ln` would put a libm last-ulp inside the oracle
     * hash (the [[keywordSalience]] rule).
     *
-    * Plan shape for 100 TB: the whole computation is ROW-LOCAL — chars,
-    * distinct chars, per-char counts, and the collision sum are
-    * higher-order array expressions on the scan, so the operator adds
-    * ZERO shuffles (per-doc work is |alphabet|·|doc| comparisons).
-    * Overflow bound: `coll · 10⁴` with `coll ≤ n²` wraps BIGINT only past
-    * n ≈ 3·10⁷ chars in one doc — chunk such docs upstream (d08).
+    * Plan shape for 100 TB: the whole computation is ROW-LOCAL — the
+    * per-doc counts come from ONE compiled counting pass
+    * ([[graft.functions.CharDiversityStats]]: an open-addressed
+    * code-point table, O(|doc|) per row), so the operator adds ZERO
+    * shuffles. (Round 11 shipped this as nested higher-order array
+    * expressions — O(|alphabet|·|doc|) per row with CodegenFallback
+    * interpretation, the bench's #2 query at 2.5 s/sf0.1; same values,
+    * ~25× the CPU.) Overflow bound: `coll · 10⁴` with `coll ≤ n²` wraps
+    * BIGINT only past n ≈ 3·10⁷ chars in one doc — chunk such docs
+    * upstream (d08).
     *
     * Output: (id, n_chars, n_char_kinds, diversity_bp,
     * low_diversity = diversity_bp < floorBp). */
   def charDiversity(docs: DataFrame, idCol: String, textCol: String,
                     floorBp: Int = 5000): DataFrame = {
-    val chars = filter(split(col(textCol), ""), c => c =!= lit(""))
-    docs.select(col(idCol), chars.as("__cs"))
-      .select(col(idCol), col("__cs"),
-        array_distinct(col("__cs")).as("__d"), size(col("__cs")).as("__n"))
-      .filter(col("__n") > 0)
+    val st = graft.functions.CharDiversityStats.charDiversityStats(col(textCol))
+    docs.select(col(idCol), st.as("__st"))
+      .filter(col("__st.n_chars") > 0)
       .select(col(idCol),
-        col("__n").cast("long").as("n_chars"),
-        size(col("__d")).cast("long").as("n_char_kinds"),
-        aggregate(
-          transform(col("__d"),
-            c => size(filter(col("__cs"), x => x === c)).cast("long")),
-          lit(0L), (a, x) => a + x * x).as("__coll"))
+        col("__st.n_chars").as("n_chars"),
+        col("__st.n_kinds").as("n_char_kinds"),
+        col("__st.coll").as("__coll"))
       .select(col(idCol), col("n_chars"), col("n_char_kinds"),
         expr("10000 - __coll * 10000 DIV (n_chars * n_chars)").as("diversity_bp"))
       .withColumn("low_diversity", col("diversity_bp") < floorBp)

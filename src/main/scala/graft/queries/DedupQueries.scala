@@ -444,6 +444,40 @@ private[queries] object DedupQueries {
     }),
   )
 
+  /** Production-plan sides of the entries whose oracle form enumerates
+    * the exact pair set in-query (the [[SimilarityQueries
+    * .productionOverrides]] convention): the sketch/index pipelines ship;
+    * the exact blocked/unblocked Jaccard walks are the oracle's recall
+    * apparatus. Bench headline times these; the oracle form is priced
+    * separately. */
+  val productionOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d04_minhash_lsh" -> ((s, dir) => {
+      val base = Dedup.spreadToParallelism(docs(s, dir))
+        .select(col("doc_id"),
+          graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      Dedup.minhashNearDups(base, "doc_id", "sh", threshold = 0.5)
+        .select(col("a_id"), col("b_id")).distinct()
+    }),
+    "d05_simhash_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), TA.words(col("text")).as("toks"))
+      Dedup.simhashNearDups(base, "doc_id", "toks", maxHamming = 3)
+        .select(col("a_id"), col("b_id")).distinct()
+    }),
+    "d14_delta_minhash" -> ((s, dir) => {
+      val withSh = Dedup.spreadToParallelism(docs(s, dir))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(10)).as("m"),
+          graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val delta = withSh.filter(col("m") === 7).select(col("doc_id"), col("sh"))
+      val corpus = withSh.filter(col("m") =!= 7).select(col("doc_id"), col("sh"))
+      val idx = Dedup.memoizedMinHashIndex(corpus, "doc_id", "sh",
+        cacheKey = dir + "#mhidx")
+      Dedup.deltaNearDupsIndexed(delta, idx, "doc_id", "sh", threshold = 0.5)
+        .select(col("new_id"), col("old_id")).distinct()
+    }),
+  )
+
   val oracleSql: Map[String, String] = Map(
 
     // d25: t02 quality CTE + the md5 host bucket + a per-host window cap

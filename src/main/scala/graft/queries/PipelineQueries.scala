@@ -22,6 +22,12 @@ object PipelineQueries {
       TextQueries.oracleSql ++ SamplingQueries.oracleSql ++
       MultimodalQueries.oracleSql
 
+  /** Production-plan overrides for entries whose [[queries]] form runs an
+    * exact twin in-query (bench accounting — see the per-family maps). */
+  val productionOverrides: Map[String, (SparkSession, String) => DataFrame] =
+    DedupQueries.productionOverrides ++ SimilarityQueries.productionOverrides ++
+      SamplingQueries.productionOverrides
+
   // ---- round-10 external API, forwarded ---------------------------------
 
   private[graft] val D03BucketCap: Int = PipelineShared.D03BucketCap

@@ -226,6 +226,8 @@ private[queries] object PipelineShared {
     Option(dsirModelCache.remove((s, dir))).foreach(_.unpersist())
     Option(qualityClfCache.remove((s, dir))).foreach(_.weights.unpersist())
     Option(lineSetIndexCache.remove((s, dir))).foreach(_.unpersist())
+    evalGramsCache.remove((s, dir))
+    bloomIndexCache.remove((s, dir))
     mediaPairsCache.remove((s, dir))
     Dedup.invalidateMinHashIndexCache(s, dir)
     Dedup.invalidateGramIndexCache(s, dir)
@@ -255,6 +257,33 @@ private[queries] object PipelineShared {
   private[queries] val CodeTokenStream =
     "for ( i = 0 ; i < n ; i ++ ) { acc += arr [ i ] ; } return acc ;"
 
+  /** Per-(session, dir) memoized eval-side GRAM TABLE (eval_id, gram)
+    * over 13-grams of the non-train splits — the reference-set artifact
+    * BOTH bloom ops and their exact twins read (in production it is
+    * derived once from the curated benchmark suite and persisted beside
+    * the filter). Round 11 re-ran the eval-side scan + gram HOF +
+    * explode inside EVERY p21/p22 execution; checkpointing it here turns
+    * those runs into probes of computed blocks. Priced in warmup_build
+    * (`eval_grams`). */
+  private[queries] val evalGramsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[queries] def memoizedEvalGrams(s: SparkSession, dir: String): DataFrame = {
+    val it = evalGramsCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    evalGramsCache.computeIfAbsent((s, dir), { key =>
+      graft.tools.BuildTimer.time("eval_grams") {
+        val withSplit = docs(key._1, key._2).withColumn("split",
+          Sampling.assignSplit(col("doc_id")))
+        Sampling.evalGramTable(
+          withSplit.filter(col("split") =!= "train"), "doc_id", "text", n = 13)
+          .localCheckpoint()
+      }
+    })
+  }
+
   /** Per-(session, dir) memoized eval-side [[Sampling.BloomIndex]] over
     * 13-grams of the non-train splits — the p21 probe artifact; priced
     * in warmup_build. */
@@ -262,14 +291,14 @@ private[queries] object PipelineShared {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), Sampling.BloomIndex]()
 
-  private[queries] def memoizedBloomIndex(s: SparkSession, dir: String,
-                                          evalGrams: DataFrame): Sampling.BloomIndex = {
+  private[queries] def memoizedBloomIndex(s: SparkSession, dir: String): Sampling.BloomIndex = {
     val it = bloomIndexCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1.sparkContext.isStopped) it.remove()
     }
-    bloomIndexCache.computeIfAbsent((s, dir), { _ =>
+    bloomIndexCache.computeIfAbsent((s, dir), { key =>
+      val evalGrams = memoizedEvalGrams(key._1, key._2)
       graft.tools.BuildTimer.time("bloom_index") {
         Sampling.buildBloomIndex(evalGrams, "gram")
       }

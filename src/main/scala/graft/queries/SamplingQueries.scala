@@ -39,12 +39,9 @@ private[queries] object SamplingQueries {
     "p21_bloom_decontam" -> ((s, dir) => {
       val withSplit = docs(s, dir).withColumn("split",
         graft.operators.Sampling.assignSplit(col("doc_id")))
-      val evalGrams = Sampling.evalGramTable(
-        withSplit.filter(col("split") =!= "train"), "doc_id", "text", n = 13)
-      val idx = memoizedBloomIndex(s, dir, evalGrams)
       Sampling.bloomDecontamination(
         withSplit.filter(col("split") === "train"),
-        "doc_id", "text", idx, evalGrams)
+        "doc_id", "text", memoizedBloomIndex(s, dir), memoizedEvalGrams(s, dir))
     }),
 
 
@@ -145,12 +142,9 @@ private[queries] object SamplingQueries {
     "p22_bloom_verified_decontam" -> ((s, dir) => {
       val withSplit = docs(s, dir).withColumn("split",
         graft.operators.Sampling.assignSplit(col("doc_id")))
-      val evalGrams = Sampling.evalGramTable(
-        withSplit.filter(col("split") =!= "train"), "doc_id", "text", n = 13)
-      val idx = memoizedBloomIndex(s, dir, evalGrams)
       Sampling.bloomVerifiedContamination(
         withSplit.filter(col("split") === "train"),
-        "doc_id", "text", idx, evalGrams)
+        "doc_id", "text", memoizedBloomIndex(s, dir), memoizedEvalGrams(s, dir))
     }),
 
 
@@ -304,6 +298,26 @@ private[queries] object SamplingQueries {
           col("win_start").cast("long").as("win_start"),
           size(slice(col("ws"), col("win_start"), lit(64))).cast("long").as("win_len"),
           md5(concat_ws(" ", slice(col("ws"), col("win_start"), lit(64)))).as("win_md5"))
+    }),
+  )
+
+  /** Production-plan side of p21 (the [[SimilarityQueries
+    * .productionOverrides]] convention): at 100 TB only the scan-side
+    * bloom probe ships — (doc_id, n_grams, bloom_flagged), zero shuffle,
+    * zero joins; the exact verdict riding along in [[queries]] is the
+    * oracle's one-sided-error apparatus. (p22 is NOT overridden: its
+    * exact verification of the flagged sliver IS the production
+    * composition.) */
+  val productionOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_bloom_decontam" -> ((s, dir) => {
+      val withSplit = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      val idx = memoizedBloomIndex(s, dir)
+      withSplit.filter(col("split") === "train")
+        .select(col("doc_id"), Sampling.wordNgrams(col("text"), 13).as("__gs"))
+        .select(col("doc_id"),
+          size(col("__gs")).cast("long").as("n_grams"),
+          Sampling.bloomContainsAny(idx)(col("__gs")).as("bloom_flagged"))
     }),
   )
 

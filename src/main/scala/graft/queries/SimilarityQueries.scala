@@ -229,6 +229,33 @@ private[queries] object SimilarityQueries {
         filterCol = "label", isQuery = col("vec_id") < 10, k = 5)),
   )
 
+  /** Production-plan sides of the entries whose oracle form runs an exact
+    * twin in-query (the round-11 banded-claim convention). At 100 TB only
+    * THESE plans ship — the brute-force twin is correctness apparatus —
+    * so the bench headline times these and prices the oracle form
+    * separately (r11 verdict: "no wrong answers; wrong accounting").
+    * Not driver-verified: the oracle claim lives on the full form in
+    * [[queries]], and Round12Spec pins each override to be a sub-plan of
+    * it (same ANN geometry, memoized index, k). */
+  val productionOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s03_ann_lsh" -> ((s, dir) =>
+      SimilaritySearch.annTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3)),
+    "s04_ann_ivf" -> ((s, dir) =>
+      SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))),
+    "s11_ivf_hier" -> ((s, dir) =>
+      SimilaritySearch.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3, nProbe = 8,
+        cacheKey = Some(dir), hier = true)),
+    "s09_ann_mips" -> ((s, dir) =>
+      SimilaritySearch.annMipsTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, k = 3, cacheKey = Some(dir))),
+    "s13_knn_graph" -> ((s, dir) =>
+      SimilaritySearch.annTopK(emb(s, dir), "vec_id", "embedding",
+        isQuery = lit(true), k = 3)),
+  )
+
   val oracleSql: Map[String, String] = Map(
 
     // ---- round-11 banded conversions of the former no_oracle rows ----

@@ -24,7 +24,9 @@ class Round11bSpec extends SparkSpecBase {
     val misses = grams
       .filter(!Sampling.bloomMightContain(idx)(col("gram"))).count()
     assert(misses == 0L, s"$misses inserted grams probed false")
-    assert(idx.nItems == 5000L)
+    // round 12: nItems is the sizing ESTIMATE (approx_count_distinct,
+    // rsd 5% — deterministic for fixed data) — band, not pin
+    assert(math.abs(idx.nItems - 5000L) <= 500L, s"nItems=${idx.nItems}")
   }
 
   test("bloom: per-gram FP rate sits far under the doc-level budget") {

@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, SimilaritySearch}
+
+/** Round-12 cost-debt wave: the t21 one-pass char-stats expression, the
+  * aggregate Bloom build (+ sharded variant past 2³⁰ bits), the p22
+  * flagged-sliver materialization, the kNN-graph product artifact, and
+  * the bench's production-vs-oracle-form accounting. */
+class Round12Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- t21: CharDiversityStats -------------------------------------------
+
+  /** The round-11 nested-HOF formulation, kept here as the reference twin
+    * the compiled expression is pinned against. */
+  private def hofStats(textCol: String) = {
+    val cs = filter(split(col(textCol), ""), c => c =!= lit(""))
+    struct(
+      size(cs).cast("long").as("n_chars"),
+      size(array_distinct(cs)).cast("long").as("n_kinds"),
+      aggregate(
+        transform(array_distinct(cs),
+          c => size(filter(cs, x => x === c)).cast("long")),
+        lit(0L), (a, x) => a + x * x).as("coll"))
+  }
+
+  test("char_diversity_stats equals the HOF formulation on the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 0, expr("repeat('aa ', 60)"))
+          .otherwise(col("text")).as("text"))
+    val both = docs.select(col("doc_id"),
+        graft.functions.CharDiversityStats.charDiversityStats(col("text")).as("e"),
+        hofStats("text").as("h"))
+      .filter(col("e.n_chars") =!= col("h.n_chars") ||
+        col("e.n_kinds") =!= col("h.n_kinds") ||
+        col("e.coll") =!= col("h.coll"))
+    assert(both.isEmpty, s"drift: ${both.take(3).toSeq}")
+  }
+
+  test("char_diversity_stats edge cases: empty, uniform, alphabet growth") {
+    val df = Seq(
+      (1L, ""),                    // zero chars
+      (2L, "aaaa"),                // one kind, coll = 16
+      (3L, "abab"),                // two kinds, coll = 8
+      (4L, "a b"),                 // space counts as a char kind
+      (5L, (0 until 200).map(i => ('a' + i % 26).toChar).mkString)) // table growth
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.CharDiversityStats.charDiversityStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_chars"), col("s.n_kinds"), col("s.coll"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0L, 0L, 0L)))
+    assert(got(1) == ((2L, 4L, 1L, 16L)))
+    assert(got(2) == ((3L, 4L, 2L, 8L)))
+    assert(got(3) == ((4L, 3L, 3L, 3L)))
+    val (_, n, kinds, coll) = got(4)
+    assert(n == 200L && kinds == 26L)
+    // 200 = 26*7 + 18: 18 kinds appear 8x, 8 kinds appear 7x
+    assert(coll == 18L * 64 + 8L * 49, s"coll=$coll")
+  }
+
+  test("char_diversity_stats counts code points, not UTF-16 units") {
+    val got = Seq((1L, "😀a😀")) // 😀a😀
+      .toDF("doc_id", "text")
+      .select(graft.functions.CharDiversityStats.charDiversityStats(col("text")).as("s"))
+      .select(col("s.n_chars"), col("s.n_kinds"), col("s.coll"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 2L, 5L)), s"$got")
+  }
+
+  test("t21 keeps its oracle shape through the expression swap") {
+    val out = SparkEntry.queries("t21_char_diversity")(spark, dir)
+    val planted = out.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select(col("n_chars"), col("n_char_kinds"), col("diversity_bp"),
+        col("low_diversity"))
+      .distinct().as[(Long, Long, Long, Boolean)].collect()
+    // repeat('aa ', 60) = 180 chars, 2 kinds ('a', ' '), coll = 120²+60²
+    assert(planted.toSeq == Seq((180L, 2L,
+      10000L - (120L * 120 + 60L * 60) * 10000 / (180L * 180), true)))
+  }
+
+  // ---- bloom: aggregate build + sharding ---------------------------------
+
+  private def gramFrame(n: Int, tag: String) =
+    (0 until n).map(i => s"${tag}_gram_$i").toDF("gram")
+
+  test("the aggregate bloom build is bit-identical to the Column reference build") {
+    val grams = gramFrame(4000, "agg")
+    val m = 1 << 17
+    val fast = Sampling.buildBloomIndex(grams, "gram", mBits = m)
+    val ref = Sampling.buildBloomIndexReference(grams, "gram", mBits = m)
+    assert(java.util.Arrays.equals(fast.bits, ref.bits),
+      "aggregate build drifted from the bloomPositions reference")
+    assert(fast.mBits == ref.mBits && fast.k == ref.k)
+  }
+
+  test("sharded bloom: 2-shard verdicts equal the unsharded filter's") {
+    val grams = gramFrame(5000, "in")
+    val flat = Sampling.buildBloomIndex(grams, "gram")
+    val sharded = Sampling.buildShardedBloomIndex(grams, "gram", nShards = 2)
+    assert(sharded.nShards == 2)
+    val probes = gramFrame(5000, "in").union(gramFrame(20000, "out"))
+      .select(array(col("gram")).as("gs"),
+        Sampling.bloomContainsAny(flat)(array(col("gram"))).as("flat"),
+        Sampling.shardedBloomContainsAny(sharded)(array(col("gram"))).as("shd"))
+    // members: both must be true (one-sided error, both filters)
+    val memberMiss = probes.limit(5000).filter(!col("flat") || !col("shd")).count()
+    assert(memberMiss == 0L, s"$memberMiss members missed")
+    // whole population: verdicts agree (both filters sized to ~3e-7 FP;
+    // deterministic data, so any disagreement is a real drift)
+    val disagree = probes.filter(col("flat") =!= col("shd")).count()
+    assert(disagree == 0L, s"$disagree verdicts disagree")
+  }
+
+  test("sharded bloom: both shards carry load and save/load round-trips") {
+    val idx = Sampling.buildShardedBloomIndex(gramFrame(8000, "s"), "gram",
+      nShards = 2)
+    def popcount(bits: Array[Long]) = bits.map(java.lang.Long.bitCount(_).toLong).sum
+    val loads = idx.shards.map(popcount)
+    assert(loads.forall(_ > 0), s"empty shard: ${loads.toSeq}")
+    // the shard draw splits ~evenly (hash balance, wide margin)
+    assert(loads.max < loads.min * 2, s"skewed shards: ${loads.toSeq}")
+    val d = tmpDir("shbloom")
+    idx.save(spark, d)
+    val back = Sampling.loadShardedBloomIndex(spark, d)
+    assert(back.nShards == idx.nShards && back.mBitsPerShard == idx.mBitsPerShard
+      && back.k == idx.k && back.nItems == idx.nItems)
+    idx.shards.zip(back.shards).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
+  test("sharded bloom with nShards=1 probes bit-identically to BloomContainsAny") {
+    val grams = gramFrame(3000, "one")
+    val flat = Sampling.buildBloomIndex(grams, "gram", mBits = 1 << 17)
+    val one = Sampling.ShardedBloomIndex(Array(flat.bits), flat.mBits, flat.k,
+      flat.nItems)
+    val disagree = gramFrame(3000, "one").union(gramFrame(9000, "x"))
+      .select(Sampling.bloomContainsAny(flat)(array(col("gram"))).as("a"),
+        Sampling.shardedBloomContainsAny(one)(array(col("gram"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(disagree == 0L)
+  }
+
+  // ---- p22: flagged-sliver materialization -------------------------------
+
+  test("p22 materialized equals the single-tree plan row-for-row") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("split", Sampling.assignSplit(col("doc_id")))
+    val evalGrams = Sampling.evalGramTable(
+      docs.filter(col("split") =!= "train"), "doc_id", "text", n = 13)
+    val idx = Sampling.buildBloomIndex(evalGrams.select(col("gram")), "gram")
+    val train = docs.filter(col("split") === "train")
+    val mat = Sampling.bloomVerifiedContamination(train, "doc_id", "text",
+      idx, evalGrams).as[(Long, Long, Long)].collect().toSet
+    val tree = Sampling.bloomVerifiedContamination(train, "doc_id", "text",
+      idx, evalGrams, materialize = false).as[(Long, Long, Long)].collect().toSet
+    assert(mat == tree, s"materialization changed rows: ${mat -- tree} / ${tree -- mat}")
+    assert(mat.nonEmpty, "construction must produce leaks")
+  }
+
+  // ---- kNN graph artifact ------------------------------------------------
+
+  private def twinned = {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    base.unionByName(base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  test("buildKnnGraph: byte-identical twins are mutual rank-1 edges; save/load round-trips") {
+    val g = SimilaritySearch.buildKnnGraph(twinned, "vec_id", "embedding", k = 3)
+    val edges = g.edges.as[(Long, Long, Double, Long)].collect()
+    assert(edges.nonEmpty)
+    // every twin's rank-1 neighbour is its original (cos = 1, smallest id
+    // tie-break) — identical vectors share every LSH bucket
+    val twinTop = edges.filter(e => e._1 >= 100000L && e._4 == 1L)
+    assert(twinTop.length == 10, s"${twinTop.length} twin rank-1 edges")
+    twinTop.foreach { case (src, dst, cos, _) =>
+      assert(dst == src - 100000L && cos > 0.9999, s"($src, $dst, $cos)")
+    }
+    val d = tmpDir("knng")
+    g.save(d)
+    val back = SimilaritySearch.loadKnnGraph(spark, d)
+    assert(back.k == 3)
+    assert(back.edges.as[(Long, Long, Double, Long)].collect().toSet ==
+      edges.toSet)
+    val deg = g.degreeStats.as[(Long, Long, Double, Double)].collect()
+    assert(deg.forall(r => r._2 >= 1L && r._2 <= 3L))
+  }
+
+  test("appendKnnGraph: delta twins link to their originals in BOTH directions") {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val g0 = SimilaritySearch.buildKnnGraph(base, "vec_id", "embedding", k = 3)
+    val g1 = SimilaritySearch.appendKnnGraph(g0, twinned, "vec_id", "embedding",
+      isNew = col("vec_id") >= 100000L)
+    val edges = g1.edges.as[(Long, Long, Double, Long)].collect()
+    // delta → original: rank 1 at cos ~ 1
+    val fwd = edges.filter(e => e._1 >= 100000L && e._4 == 1L)
+    assert(fwd.length == 10 && fwd.forall(e => e._2 == e._1 - 100000L),
+      s"fwd: ${fwd.toSeq}")
+    // original → delta: the reverse merge must promote the twin to rank 1
+    (0L until 10L).foreach { id =>
+      val top = edges.filter(e => e._1 == id && e._4 == 1L).head
+      assert(top._2 == id + 100000L && top._3 > 0.9999, s"old node $id top: $top")
+    }
+  }
+
+  test("knnGraphDedup drops every planted twin to its original keeper") {
+    val g = SimilaritySearch.buildKnnGraph(twinned, "vec_id", "embedding", k = 3)
+    val verdicts = SimilaritySearch.knnGraphDedup(g, threshold = 0.95)
+      .as[(Long, Boolean, java.lang.Long)].collect()
+    val dropped = verdicts.filter(!_._2)
+    assert(dropped.length == 10, s"${dropped.length} drops")
+    dropped.foreach { case (id, _, keeper) =>
+      assert(id >= 100000L && keeper == id - 100000L, s"($id, $keeper)")
+    }
+    // nothing else dropped: natural max cosine in the corpus ~ 0.6
+    assert(verdicts.count(_._2) == verdicts.length - 10)
+  }
+
+  // ---- bench accounting --------------------------------------------------
+
+  test("formatJson: oracle forms surface as twin_overhead + full-doc breakdown") {
+    val results = Seq("a" -> 1.0, "b" -> 0.5, "c" -> 0.25)
+    val (compact, full) = Bench.formatJson(results, Nil, "/sf",
+      oracleForms = Seq("a" -> 3.0, "b" -> 1.5))
+    assert(compact.contains(""""twin_overhead":3"""), compact)
+    assert(full.contains(""""oracle_forms":{"a":3,"b":1.5}"""), full)
+    assert(full.contains(""""twin_overhead":3"""))
+    // headline value stays the production total
+    assert(compact.contains(""""value":1.75"""))
+    // no oracle forms -> no key
+    val (c2, f2) = Bench.formatJson(results, Nil, "/sf")
+    assert(!c2.contains("twin_overhead") && !f2.contains("oracle_forms"))
+  }
+
+  test("every production override points at an existing oracle query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.productionQueries.keySet -- qs
+    assert(missing.isEmpty, s"overrides without oracle forms: $missing")
+  }
+
+  test("production overrides execute and stay nonempty at sf0.001") {
+    SparkEntry.productionQueries.foreach { case (name, q) =>
+      assert(q(spark, dir).count() > 0, s"$name production plan is empty")
+    }
+  }
+}
