@@ -465,8 +465,17 @@ object Sampling {
     * is the p11 broadcast probe bounded by the eval gram population. */
   def bloomDecontamination(train: DataFrame, idCol: String, textCol: String,
                            idx: BloomIndex, evalGrams: DataFrame,
-                           n: Int = 13, fpCeilingBp: Int = 300): DataFrame = {
-    val g = train.select(col(idCol),
+                           n: Int = 13, fpCeilingBp: Int = 300,
+                           spread: Boolean = true): DataFrame = {
+    // The dominant cost is per-row CPU (the gram HOF + the k-probe walk),
+    // and a compact parquet corpus scans as one partition per row group —
+    // spread to cluster parallelism first (the contaminationMatches
+    // lesson; physical-plan-guarded, already-shuffled inputs pass
+    // through). spread=false for composition callers (the eager
+    // partition-count read).
+    val base0 = train.select(col(idCol), col(textCol))
+    val base = if (spread) Dedup.spreadToParallelism(base0) else base0
+    val g = base.select(col(idCol),
       wordNgrams(col(textCol), n).as("__gs"))
     val probed = g.select(col(idCol),
       size(col("__gs")).cast("long").as("n_grams"),
@@ -526,8 +535,11 @@ object Sampling {
                                  textCol: String, idx: BloomIndex,
                                  evalGrams: DataFrame,
                                  n: Int = 13,
-                                 materialize: Boolean = true): DataFrame = {
-    val flagged0 = train
+                                 materialize: Boolean = true,
+                                 spread: Boolean = true): DataFrame = {
+    val base0 = train.select(col(idCol), col(textCol))
+    val base = if (spread) Dedup.spreadToParallelism(base0) else base0
+    val flagged0 = base
       .select(col(idCol), wordNgrams(col(textCol), n).as("__gs"))
       .filter(bloomContainsAny(idx)(col("__gs")))
     val flagged = if (materialize) flagged0.localCheckpoint() else flagged0

@@ -313,7 +313,9 @@ private[queries] object SamplingQueries {
       val withSplit = docs(s, dir).withColumn("split",
         graft.operators.Sampling.assignSplit(col("doc_id")))
       val idx = memoizedBloomIndex(s, dir)
-      withSplit.filter(col("split") === "train")
+      Dedup.spreadToParallelism(
+          withSplit.filter(col("split") === "train")
+            .select(col("doc_id"), col("text")))
         .select(col("doc_id"), Sampling.wordNgrams(col("text"), 13).as("__gs"))
         .select(col("doc_id"),
           size(col("__gs")).cast("long").as("n_grams"),
