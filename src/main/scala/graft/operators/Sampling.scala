@@ -466,7 +466,29 @@ object Sampling {
   def bloomDecontamination(train: DataFrame, idCol: String, textCol: String,
                            idx: BloomIndex, evalGrams: DataFrame,
                            n: Int = 13, fpCeilingBp: Int = 300,
-                           spread: Boolean = true): DataFrame = {
+                           spread: Boolean = true): DataFrame =
+    bloomDecontaminationWith(train, idCol, textCol, bloomContainsAny(idx),
+      evalGrams, n, fpCeilingBp, spread)
+
+  /** [[bloomDecontamination]] probing an N-way SHARDED filter — the
+    * past-2³⁰-bits composition: identical output contract (and so
+    * identical oracle claim — the bit layout never reaches the output;
+    * `no_false_neg`/`fp_ok` are properties BOTH filter shapes satisfy),
+    * with the probe the fused shard-draw expression. */
+  def shardedBloomDecontamination(train: DataFrame, idCol: String,
+                                  textCol: String, idx: ShardedBloomIndex,
+                                  evalGrams: DataFrame,
+                                  n: Int = 13, fpCeilingBp: Int = 300,
+                                  spread: Boolean = true): DataFrame =
+    bloomDecontaminationWith(train, idCol, textCol,
+      shardedBloomContainsAny(idx), evalGrams, n, fpCeilingBp, spread)
+
+  private def bloomDecontaminationWith(train: DataFrame, idCol: String,
+                                       textCol: String,
+                                       probe: Column => Column,
+                                       evalGrams: DataFrame,
+                                       n: Int, fpCeilingBp: Int,
+                                       spread: Boolean): DataFrame = {
     // The dominant cost is per-row CPU (the gram HOF + the k-probe walk),
     // and a compact parquet corpus scans as one partition per row group —
     // spread to cluster parallelism first (the contaminationMatches
@@ -479,7 +501,7 @@ object Sampling {
       wordNgrams(col(textCol), n).as("__gs"))
     val probed = g.select(col(idCol),
       size(col("__gs")).cast("long").as("n_grams"),
-      bloomContainsAny(idx)(col("__gs")).as("__bloom"),
+      probe(col("__gs")).as("__bloom"),
       col("__gs"))
     val exactIds = probed.select(col(idCol), explode(col("__gs")).as("gram"))
       .join(broadcast(evalGrams.select(col("gram")).distinct()), Seq("gram"),

@@ -1173,12 +1173,38 @@ object SimilaritySearch {
     * no shuffle). dim must divide evenly into m subspaces. */
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
                    m: Int = 8, k: Int = 256, sampleMod: Int = 1,
-                   persist: Boolean = true): PqIndex = {
-    import org.apache.spark.ml.functions.array_to_vector
+                   persist: Boolean = true,
+                   maxLocalFit: Int = 250000): PqIndex = {
     require(m >= 1 && k >= 2, s"need m >= 1 subspaces, k >= 2 codes: $m/$k")
     val normalized = emb.select(col(idCol), l2normalizeCol(col(vecCol)).as("__vn"))
-    val first = normalized.select(size(col("__vn"))).limit(1).collect()
-    if (first.isEmpty) {
+    // Round 12: the m per-subspace fits run DRIVER-LOCAL over one
+    // auto-bounded collected sample (the buildIvfIndex discipline) —
+    // the previous shape cached an m-column ML-Vector sample frame and
+    // ran m concurrent Spark ML fits over it, ~10 scheduled jobs of
+    // cluster latency each even with the concurrency pool (the pq warmup
+    // bucket was 3-4 s at sf0.1 for a 2000-vector corpus). One collect,
+    // m deterministic k-means++ fits over driver-side slices, then the
+    // unchanged single codegen'd encode pass.
+    val effSampleMod =
+      if (sampleMod > 1) sampleMod
+      else {
+        val n = normalized.select(col(idCol)).count()
+        math.max(1L, math.ceil(n.toDouble / (maxLocalFit / 4)).toLong).toInt
+      }
+    val sampled =
+      if (effSampleMod <= 1) normalized
+      else normalized.filter(pmod(xxhash64(col(idCol)), lit(effSampleMod)) === 0)
+    var pts = sampled.select(col("__vn"))
+      .limit(maxLocalFit + 1).collect().map(_.getSeq[Double](0).toArray)
+    if (pts.isEmpty && effSampleMod > 1)
+      // empty hash-sample -> full frame (the sampling-intent guard: such
+      // a corpus is by construction smaller than sampleMod rows)
+      pts = normalized.select(col("__vn"))
+        .limit(maxLocalFit + 1).collect().map(_.getSeq[Double](0).toArray)
+    require(pts.length <= maxLocalFit,
+      s"PQ fit sample exceeds $maxLocalFit vectors — raise sampleMod " +
+        "(the codebook fit is a bounded-sample job by design)")
+    if (pts.isEmpty) {
       val empty = emb.sparkSession.createDataFrame(
         emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         normalized.select(col(idCol)).schema
@@ -1186,66 +1212,14 @@ object SimilaritySearch {
             org.apache.spark.sql.types.IntegerType, containsNull = false)))
       return PqIndex(Array.empty, empty, m, k, 0, idCol)
     }
-    val dim = first.head.getInt(0)
+    val dim = pts.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val withSlices = (0 until m).foldLeft(normalized) { (df, sub) =>
-      df.withColumn(s"__fv$sub",
-        array_to_vector(slice(col("__vn"), sub * subDim + 1, subDim)))
-    }
-    // The hash-sample inherits the corpus' partitioning — for a replicated
-    // /union-heavy input that is hundreds of near-empty partitions, and
-    // every KMeans iteration of every fit schedules a task per partition
-    // (measured: the 16 fits were 63 s of a 32× stress build, almost all
-    // task-launch overhead). The sample is bounded by contract, so shrink
-    // it to a handful of partitions before caching — via repartition, not
-    // coalesce: coalesce would propagate 8 partitions upstream into the
-    // full-corpus scan+filter (no shuffle), strangling scan parallelism at
-    // real scale, while this shuffle only ever moves the bounded sample.
-    val sampled =
-      (if (sampleMod <= 1) withSlices
-       else withSlices.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
-         .repartition(8))
-        .cache()
-    // One count materializes the cached sample all m fits share; kEff
-    // degrades gracefully below k points (the buildIvfIndex guard). An
-    // EMPTY hash-sample (sampleMod past the corpus count — KMeans.fit
-    // would throw) falls back to the full frame: a corpus the sample
-    // misses entirely is by construction smaller than sampleMod rows, so
-    // the full fit is cheap and the sampling intent (bound the fit size)
-    // is still honored.
-    var fitInput = sampled
-    var fitCount = fitInput.count()
-    if (fitCount == 0 && sampleMod > 1) {
-      sampled.unpersist()
-      fitInput = withSlices.cache()
-      fitCount = fitInput.count()
-    }
-    val kEff = math.max(1L, math.min(k.toLong, fitCount)).toInt
-    // The m per-subspace fits are independent jobs over the same cached
-    // sample — run them CONCURRENTLY (bounded pool) instead of paying m
-    // sequential job-submission + iteration latencies; results are
-    // order-preserved so codes/codebooks are identical to the
-    // sequential build.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(m, 8))
-    val models =
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence((0 until m).map { sub =>
-            scala.concurrent.Future {
-              new org.apache.spark.ml.clustering.KMeans()
-                .setK(kEff).setSeed(42L + sub).setMaxIter(10)
-                .setFeaturesCol(s"__fv$sub").setPredictionCol(s"__c$sub")
-                .fit(fitInput)
-            }
-          }),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
-    fitInput.unpersist()
-    val codebooks = models.map(_.clusterCenters.map(_.toArray)).toArray
+    val kEff = math.max(1, math.min(k, pts.length))
+    val codebooks = (0 until m).map { sub =>
+      localKMeans(pts.map(_.slice(sub * subDim, (sub + 1) * subDim)),
+        kEff, seed = 42L + sub)
+    }.toArray
     // ONE codegen'd encode pass over the normalized vectors — the m
     // chained ML transforms this replaces walked every row through the
     // boxed Vector path m times and were the dominant ivf_pq_build term

@@ -228,6 +228,8 @@ private[queries] object PipelineShared {
     Option(lineSetIndexCache.remove((s, dir))).foreach(_.unpersist())
     evalGramsCache.remove((s, dir))
     bloomIndexCache.remove((s, dir))
+    shardedBloomCache.remove((s, dir))
+    knnGraphCache.remove((s, dir))
     mediaPairsCache.remove((s, dir))
     Dedup.invalidateMinHashIndexCache(s, dir)
     Dedup.invalidateGramIndexCache(s, dir)
@@ -305,6 +307,54 @@ private[queries] object PipelineShared {
       val evalGrams = memoizedEvalGrams(key._1, key._2)
       graft.tools.BuildTimer.time("bloom_index") {
         Sampling.buildBloomIndex(evalGrams, "gram")
+      }
+    })
+  }
+
+  /** Per-(session, dir) memoized 2-shard [[Sampling.ShardedBloomIndex]]
+    * over the same eval gram table as [[memoizedBloomIndex]] — p23's
+    * probe artifact (the past-2³⁰-bits lifecycle exercised end-to-end at
+    * bench scale: same grams, same k, the shard draw the only
+    * difference). Priced in warmup_build. */
+  private[queries] val shardedBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Sampling.ShardedBloomIndex]()
+
+  private[queries] def memoizedShardedBloom(s: SparkSession,
+                                            dir: String): Sampling.ShardedBloomIndex = {
+    val it = shardedBloomCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    shardedBloomCache.computeIfAbsent((s, dir), { key =>
+      val evalGrams = memoizedEvalGrams(key._1, key._2)
+      graft.tools.BuildTimer.time("bloom_sharded") {
+        Sampling.buildShardedBloomIndex(evalGrams, "gram", nShards = 2)
+      }
+    })
+  }
+
+  /** Per-(session, dir) memoized [[SimilaritySearch.KnnGraph]] over the
+    * s05-convention twinned embedding corpus (byte-identical copies of
+    * the first 10 vectors under ids +100000) — s14's product artifact;
+    * edges checkpoint inside buildKnnGraph, build priced in
+    * warmup_build. */
+  private[queries] val knnGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), SimilaritySearch.KnnGraph]()
+
+  private[queries] def memoizedKnnGraph(s: SparkSession,
+                                        dir: String): SimilaritySearch.KnnGraph = {
+    val it = knnGraphCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    knnGraphCache.computeIfAbsent((s, dir), { key =>
+      val base = emb(key._1, key._2).select(col("vec_id"), col("embedding"))
+      val aug = base.unionByName(base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      graft.tools.BuildTimer.time("knn_graph") {
+        SimilaritySearch.buildKnnGraph(aug, "vec_id", "embedding", k = 3)
       }
     })
   }

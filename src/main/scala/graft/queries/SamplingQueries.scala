@@ -45,6 +45,23 @@ private[queries] object SamplingQueries {
     }),
 
 
+    // p23: p21 through the N-way SHARDED filter (2 shards here — the
+    // past-2³⁰-bits lifecycle exercised end-to-end at bench scale: same
+    // eval grams, same k; the per-gram shard draw is the only plan
+    // difference, and the output contract — exact verdict beside the
+    // probe, no_false_neg pinned 1, corpus FP under 300 bp — is
+    // identical, so the oracle is p21's verbatim. The bit layout never
+    // reaches the output; the hash claim is that SHARDING PRESERVES the
+    // one-sided-error + FP-ceiling contract.
+    "p23_sharded_bloom_decontam" -> ((s, dir) => {
+      val withSplit = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      Sampling.shardedBloomDecontamination(
+        withSplit.filter(col("split") === "train"),
+        "doc_id", "text", memoizedShardedBloom(s, dir), memoizedEvalGrams(s, dir))
+    }),
+
+
     // Per-eval-document leak provenance (the GPT-3-appendix-style
     // per-benchmark contamination table): p11 emits the train-side drop
     // list; this reads the SAME match stream from the eval side — which
@@ -323,14 +340,14 @@ private[queries] object SamplingQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
-
-    // p21: the exact side recomputed verbatim (p11's gram CTEs); the
-    // engine-specific bloom bit pattern stays out of the hash — the
-    // pinned flags ARE the cross-engine claim (no_false_neg: Bloom's
-    // one-sided error; fp_ok: the sized FP ceiling).
-    "p21_bloom_decontam" ->
-      """WITH w AS (SELECT doc_id,
+  // p21/p23: the exact side recomputed verbatim (p11's gram CTEs); the
+  // engine-specific bloom bit pattern stays out of the hash — the pinned
+  // flags ARE the cross-engine claim (no_false_neg: Bloom's one-sided
+  // error; fp_ok: the sized FP ceiling). ONE definition for both filter
+  // shapes: sharding must preserve the contract, so the sharded query
+  // hashes against the identical oracle.
+  private val BloomDecontamSql: String =
+    """WITH w AS (SELECT doc_id,
                            list_filter(string_split(text, ' '), t -> t <> '') AS ws
                     FROM documents),
               g AS (SELECT doc_id,
@@ -356,7 +373,13 @@ private[queries] object SamplingQueries {
                 CAST(1 AS BIGINT) AS no_false_neg,
                 CAST(1 AS BIGINT) AS fp_ok
          FROM g JOIN sp USING (doc_id) LEFT JOIN hit ON g.doc_id = hit.doc_id
-         WHERE sp.split = 'train'""",
+         WHERE sp.split = 'train'"""
+
+  val oracleSql: Map[String, String] = Map(
+
+    "p21_bloom_decontam" -> BloomDecontamSql,
+
+    "p23_sharded_bloom_decontam" -> BloomDecontamSql,
 
     // p20: the t02 quality CTE + the A-ES key replayed bit-for-bit (u
     // from the same md5 window, ln(u)/w ordering; key gaps dwarf libm

@@ -227,6 +227,31 @@ private[queries] object SimilarityQueries {
     "s08_filtered_topk" -> ((s, dir) =>
       SimilaritySearch.filteredTopK(emb(s, dir), "vec_id", "embedding",
         filterCol = "label", isQuery = col("vec_id") < 10, k = 5)),
+
+
+    // s14: SemDeDup over the kNN-graph ARTIFACT (the s13 product made a
+    // consumer): the memoized graph is built once per (session, dir)
+    // over the s05-convention twinned corpus and the dedup pass reads
+    // EDGES ONLY — zero vector work, the whole point of dedup-over-a-
+    // built-graph. Oracle: the planted construction verbatim (the s05
+    // claim on the graph path): every byte-identical twin dropped with
+    // its original as keeper, nothing else dropped (natural max cosine
+    // ≈ 0.6 « 0.95; a twin shares every LSH bucket with its original,
+    // so the rank-1 edge at cos 1 is deterministic). Nodes the LSH left
+    // edgeless are kept by definition — the output is one verdict per
+    // CORPUS vector, never per edge endpoint, so the row set is
+    // engine-independent.
+    "s14_graph_dedup" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val aug = base.unionByName(base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val verdicts = SimilaritySearch.knnGraphDedup(
+        memoizedKnnGraph(s, dir), threshold = 0.95)
+      aug.select(col("vec_id").as("id"))
+        .join(verdicts, Seq("id"), "left")
+        .select(col("id"), coalesce(col("keep"), lit(true)).as("keep"),
+          col("keeper"))
+    }),
   )
 
   /** Production-plan sides of the entries whose oracle form runs an exact
@@ -278,6 +303,18 @@ private[queries] object SimilarityQueries {
     "s04_ann_ivf" -> AnnCosBandSql,
 
     "s11_ivf_hier" -> AnnCosBandSql,
+
+    // s14: the planted construction verbatim (the s05 oracle claim made
+    // on the graph-dedup path): one verdict per corpus vector, twins
+    // (+100000) dropped to their originals, everything else kept.
+    "s14_graph_dedup" ->
+      """WITH ids AS (SELECT vec_id FROM embeddings
+                      UNION ALL
+                      SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 10)
+         SELECT vec_id AS id,
+                vec_id < 100000 AS keep,
+                CASE WHEN vec_id >= 100000 THEN vec_id - 100000 END AS keeper
+         FROM ids""",
 
     // s09: the same band over the INNER-PRODUCT ranking (s07's order).
     "s09_ann_mips" ->

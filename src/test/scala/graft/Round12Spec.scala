@@ -225,6 +225,28 @@ class Round12Spec extends SparkSpecBase {
     assert(verdicts.count(_._2) == verdicts.length - 10)
   }
 
+  test("p23 sharded decontamination emits exactly p21's verdict frame") {
+    val p21 = SparkEntry.queries("p21_bloom_decontam")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val p23 = SparkEntry.queries("p23_sharded_bloom_decontam")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(p23 == p21, s"sharding changed the verdict frame: " +
+      s"${(p23 -- p21).take(3)} / ${(p21 -- p23).take(3)}")
+    assert(p21.nonEmpty)
+  }
+
+  test("s14 graph dedup agrees with s05's cell-bounded drop set on the planted corpus") {
+    val s14 = SparkEntry.queries("s14_graph_dedup")(spark, dir)
+      .filter(!col("keep"))
+      .select(col("id").as("dup_id"), col("keeper"))
+      .as[(Long, Long)].collect().toSet
+    // s05 augments vec_id < 25 with PERTURBED copies; s14's corpus twins
+    // vec_id < 10 byte-identically — compare against the construction,
+    // not s05's frame: both recipes must drop every planted copy to its
+    // original.
+    assert(s14 == (0L until 10L).map(i => (i + 100000L, i)).toSet, s"$s14")
+  }
+
   // ---- bench accounting --------------------------------------------------
 
   test("formatJson: oracle forms surface as twin_overhead + full-doc breakdown") {
