@@ -4,13 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Aggregated LLM-data-pipeline query registry — the driver-facing surface
   * over the per-family registries the round-11 split produced:
-  * [[DedupQueries]] (d01–d24), [[SimilarityQueries]] (s01–s12),
-  * [[TextQueries]] (t01–t20), [[SamplingQueries]] (p01–p19) and
+  * [[DedupQueries]] (d01–d25), [[SimilarityQueries]] (s01–s14),
+  * [[TextQueries]] (t01–t22), [[SamplingQueries]] (p01–p23) and
   * [[MultimodalQueries]] (m01–m08), with the shared memoized-artifact
-  * machinery in [[PipelineShared]]. Pure re-grouping: every query and
-  * oracle entry is verbatim from the pre-split file; the public members
-  * below forward to [[PipelineShared]] so external callers (specs, the
-  * stress harness) keep their round-10 API. */
+  * machinery in [[PipelineShared]]. The public members below forward to
+  * [[PipelineShared]] so external callers (specs, the stress harness)
+  * keep their round-10 API. */
 object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -326,6 +326,18 @@ private[queries] object SamplingQueries {
     * exact verification of the flagged sliver IS the production
     * composition.) */
   val productionOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_sharded_bloom_decontam" -> ((s, dir) => {
+      val withSplit = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      val idx = memoizedShardedBloom(s, dir)
+      Dedup.spreadToParallelism(
+          withSplit.filter(col("split") === "train")
+            .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), Sampling.wordNgrams(col("text"), 13).as("__gs"))
+        .select(col("doc_id"),
+          size(col("__gs")).cast("long").as("n_grams"),
+          Sampling.shardedBloomContainsAny(idx)(col("__gs")).as("bloom_flagged"))
+    }),
     "p21_bloom_decontam" -> ((s, dir) => {
       val withSplit = docs(s, dir).withColumn("split",
         graft.operators.Sampling.assignSplit(col("doc_id")))

@@ -252,6 +252,24 @@ private[queries] object SimilarityQueries {
         .select(col("id"), coalesce(col("keep"), lit(true)).as("keep"),
           col("keeper"))
     }),
+
+
+    // s15: connected components over the kNN-graph artifact — the
+    // label-propagation consumer (the d07 clustering applied to graph
+    // edges instead of Jaccard pairs): undirected ≥0.95 edges →
+    // pointer-jumping components. On the planted corpus the only such
+    // edges are the twin pairs, so the components are exactly ten
+    // (original, twin) doubletons with the original as label — the
+    // DuckDB-recomputable construction. Same memoized graph as s14:
+    // build once, consume many.
+    "s15_graph_components" -> ((s, dir) => {
+      val g = memoizedKnnGraph(s, dir)
+      val pairs = g.edges.filter(col("cos") >= 0.95)
+        .select(least(col("src"), col("dst")).as("a_id"),
+          greatest(col("src"), col("dst")).as("b_id"))
+        .distinct()
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+    }),
   )
 
   /** Production-plan sides of the entries whose oracle form runs an exact
@@ -303,6 +321,15 @@ private[queries] object SimilarityQueries {
     "s04_ann_ivf" -> AnnCosBandSql,
 
     "s11_ivf_hier" -> AnnCosBandSql,
+
+    // s15: components over ≥0.95 graph edges = exactly the ten planted
+    // (original, twin) doubletons, labeled by the original (the smaller
+    // id). Nodes in no qualifying edge emit no row (the d07 convention).
+    "s15_graph_components" ->
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < 10)
+         SELECT vec_id AS id, vec_id AS cluster FROM q
+         UNION ALL
+         SELECT vec_id + 100000 AS id, vec_id AS cluster FROM q""",
 
     // s14: the planted construction verbatim (the s05 oracle claim made
     // on the graph-dedup path): one verdict per corpus vector, twins

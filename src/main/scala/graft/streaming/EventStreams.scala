@@ -222,6 +222,24 @@ object EventStreams {
         graft.operators.Sampling.bloomContainsAny(idx)(col("__gs"))
           .as("bloom_hit"))
 
+  /** [[bloomDecontamStream]] probing the N-way SHARDED filter
+    * ([[graft.operators.Sampling.ShardedBloomIndex]]) — the
+    * past-2³⁰-bits admission gate. Identically stateless: the shard draw
+    * is per-gram arithmetic inside the fused probe expression, so the
+    * plan gains no operator, no state store, and replays still re-derive
+    * the verdict. */
+  def shardedBloomDecontamStream(docs: DataFrame, idCol: String,
+                                 textCol: String, tsCol: String,
+                                 idx: graft.operators.Sampling.ShardedBloomIndex,
+                                 n: Int = 13): DataFrame =
+    docs
+      .select(col(idCol).as("new_id"), col(tsCol),
+        graft.operators.Sampling.wordNgrams(col(textCol), n).as("__gs"))
+      .select(col("new_id"), col(tsCol),
+        size(col("__gs")).cast("long").as("n_grams"),
+        graft.operators.Sampling.shardedBloomContainsAny(idx)(col("__gs"))
+          .as("bloom_hit"))
+
   /** Streaming ExactSubstr probe — the d15/d16 family's ingest-time twin
     * ([[graft.operators.Dedup.deltaExactSubstrPairs]]'s topology applied
     * to a stream, mirroring [[deltaDedupStream]]): arriving documents'

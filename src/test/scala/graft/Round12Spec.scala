@@ -247,6 +247,44 @@ class Round12Spec extends SparkSpecBase {
     assert(s14 == (0L until 10L).map(i => (i + 100000L, i)).toSet, s"$s14")
   }
 
+  test("s15 graph components are exactly the planted twin doubletons") {
+    val got = SparkEntry.queries("s15_graph_components")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val want = (0L until 10L).flatMap(i =>
+      Seq((i, i), (i + 100000L, i))).toSet
+    assert(got == want, s"${got -- want} / ${want -- got}")
+  }
+
+  test("shardedBloomDecontamStream: stateless sharded gate matches the batch verdict on replay") {
+    import java.sql.Timestamp
+    import graft.streaming.EventStreams
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val passage = (1 to 13).map(i => s"ev$i").mkString(" ")
+    val evalGrams = Sampling.evalGramTable(
+      Seq((100L, passage)).toDF("doc_id", "text"), "doc_id", "text", 13)
+    val idx = Sampling.buildShardedBloomIndex(
+      evalGrams.select($"gram"), "gram", nShards = 2)
+    val leaky = s"${(1 to 20).map(i => s"t$i").mkString(" ")} $passage"
+    val clean = (1 to 40).map(i => s"c$i").mkString(" ")
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.shardedBloomDecontamStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", idx)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("shbloom_out").start()
+    try {
+      memStream.addData((201L, ts(0), leaky), (202L, ts(1), clean))
+      q.processAllAvailable()
+      memStream.addData((201L, ts(2), leaky)) // replay: stateless re-derive
+      q.processAllAvailable()
+      val got = spark.table("shbloom_out")
+        .select($"new_id", $"bloom_hit").as[(Long, Boolean)].collect().toSeq
+      assert(got.count(_ == (201L, true)) == 2, s"replay verdict drifted: $got")
+      assert(got.contains((202L, false)), s"clean doc flagged: $got")
+    } finally q.stop()
+  }
+
   // ---- bench accounting --------------------------------------------------
 
   test("formatJson: oracle forms surface as twin_overhead + full-doc breakdown") {
