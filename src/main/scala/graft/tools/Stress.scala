@@ -832,6 +832,40 @@ object Stress {
       SimilaritySearch.annTopK(emb, "vec_id", "embedding",
         isQuery = lit(true), k = 3, bits = 0).count()
     }
+    // s14/s15's consumer path: dedup + components read a BUILT graph's
+    // edges only (k·n 24-byte triples) — the build is knn_graph_auto's
+    // curve; this one must be linear in edges with zero vector work.
+    lazy val builtGraph = SimilaritySearch.buildKnnGraph(
+      emb, "vec_id", "embedding", k = 3, bits = 0)
+    if (want("graph_dedup") || want("graph_components")) { val _ = builtGraph }
+    time("graph_dedup") {
+      SimilaritySearch.knnGraphDedup(builtGraph, threshold = 0.95).count()
+    }
+    time("graph_components") {
+      val pairs = builtGraph.edges.filter(col("cos") >= 0.95)
+        .select(least(col("src"), col("dst")).as("a_id"),
+          greatest(col("src"), col("dst")).as("b_id"))
+        .distinct()
+      graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id").count()
+    }
+    // The sharded probe's only delta over bloom_probe is one extra
+    // 64-bit hash per gram (the shard draw) — the curve must track
+    // bloom_probe within noise at every factor.
+    lazy val pinnedShardedBloom = graft.operators.Sampling
+      .buildShardedBloomIndex(pinnedEvalGrams, "gram", nShards = 2)
+    if (want("sharded_bloom_probe")) { val _ = pinnedShardedBloom }
+    time("sharded_bloom_probe") {
+      val trainScaled = docs
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(pmod(col("doc_id"), lit(10000000L))))
+        .filter(col("split") === "train")
+        .select(col("doc_id"),
+          graft.operators.Sampling.wordNgrams(col("text"), 13).as("__gs"))
+      trainScaled.select(col("doc_id"),
+          graft.operators.Sampling
+            .shardedBloomContainsAny(pinnedShardedBloom)(col("__gs")).as("hit"))
+        .filter(col("hit")).count()
+    }
     time("semantic_dedup") {
       // nCells grows ∝ factor so per-cell population (and so the
       // within-cell quadratic work) stays constant — the SemDeDup scale
