@@ -968,8 +968,13 @@ object SimilaritySearch {
       .agg(min(col("a_id")).as("keeper"))
       .localCheckpoint()
     val compressed = compressKeepers(drops, "id")
+    // Explicit broadcast (the d09 drop-set convention): the checkpointed
+    // drop set has no stats, so the planner's default is a sort-merge
+    // join whose ENSURE_REQUIREMENTS exchange shuffles the node list on
+    // id; the drop set is the dedup OUTPUT (bounded small), the node
+    // list is corpus-sized.
     graph.edges.select(col("src").as("id")).distinct()
-      .join(compressed, Seq("id"), "left")
+      .join(broadcast(compressed), Seq("id"), "left")
       .select(col("id"), col("keeper").isNull.as("keep"), col("keeper"))
   }
 

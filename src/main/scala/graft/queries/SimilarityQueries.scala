@@ -245,12 +245,16 @@ private[queries] object SimilarityQueries {
       val base = emb(s, dir).select(col("vec_id"), col("embedding"))
       val aug = base.unionByName(base.filter(col("vec_id") < 10)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-      val verdicts = SimilaritySearch.knnGraphDedup(
-        memoizedKnnGraph(s, dir), threshold = 0.95)
+      // Only the DROP rows join back (bounded by the dedup output —
+      // the d09 broadcast-drop-set discipline): the corpus never
+      // exchanges on id, and edgeless/kept nodes fall out of the left
+      // join as keep=true.
+      val drops = SimilaritySearch.knnGraphDedup(
+          memoizedKnnGraph(s, dir), threshold = 0.95)
+        .filter(!col("keep")).select(col("id"), col("keeper"))
       aug.select(col("vec_id").as("id"))
-        .join(verdicts, Seq("id"), "left")
-        .select(col("id"), coalesce(col("keep"), lit(true)).as("keep"),
-          col("keeper"))
+        .join(broadcast(drops), Seq("id"), "left")
+        .select(col("id"), col("keeper").isNull.as("keep"), col("keeper"))
     }),
 
 
