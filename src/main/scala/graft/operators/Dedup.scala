@@ -543,9 +543,32 @@ object Dedup {
     * explicit unpersist() would be a no-op).
     *
     * Input: (aCol, bCol) pair rows. Output: (id, cluster) for every id
-    * that appears in at least one pair. */
+    * that appears in at least one pair.
+    *
+    * BOUNDED FAST PATH (round 12): the pair set is the dedup OUTPUT —
+    * small relative to the corpus by the same argument that lets every
+    * drop set broadcast — so up to `maxLocalEdges` long-id pairs are
+    * collected and union-found driver-side (path-compressed, label =
+    * smallest member: identical output), the localKMeans discipline
+    * applied to clustering. The iterative path costs ~5 scheduled jobs
+    * PER ROUND (three checkpoints, a convergence action) — at bench
+    * scale that was most of the `dup_pairs_clusters`/`media_pairs`
+    * warmup buckets for pair sets of a few hundred rows. Pair sets past
+    * the bound (or non-long ids) run the distributed loop unchanged;
+    * the probe collect is `limit`-bounded, and callers that might
+    * overflow it should checkpoint their pair frame first (every
+    * current caller does). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          maxLocalEdges: Int = 4000000): DataFrame = {
+    val longIds = pairs.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
+      pairs.schema(bCol).dataType == org.apache.spark.sql.types.LongType
+    if (longIds) {
+      val probe = pairs.select(col(aCol), col(bCol))
+        .limit(maxLocalEdges + 1).collect()
+      if (probe.length <= maxLocalEdges)
+        return localComponents(pairs.sparkSession, probe)
+    }
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -588,6 +611,42 @@ object Dedup {
         .warn(s"connectedComponents: not converged after $maxIter iterations; " +
           "returning best-effort labels (raise maxIter for exact components)")
     labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Driver-local union-find over a collected (a, b) long-pair array —
+    * path compression + union by smaller root, then one relabel pass so
+    * every node's cluster is its component's SMALLEST member (the exact
+    * contract of the distributed loop). */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path-halving walk to the root
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    val nodes = new java.util.LinkedHashSet[Long]()
+    edges.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      nodes.add(a); nodes.add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    // Roots are unioned toward the smaller id, so find(x) IS the
+    // component's smallest member once all edges are applied.
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+    val it = nodes.iterator()
+    while (it.hasNext) { val n = it.next(); out += ((n, find(n))) }
+    out.toSeq.toDF("id", "cluster")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for

@@ -109,20 +109,31 @@ object Sampling {
     * (also guards Spark's `sequence(1, k)` producing a DESCENDING range
     * when k < 1). */
   /** Distinct word n-grams of a text column as an `array<string>` — one
-    * scan-side HOF pass, no shuffle, stream-safe (pure per-row). The
-    * corpus tokenization convention (literal-space split, empty tokens
-    * dropped); documents with fewer than n tokens yield an EMPTY array
-    * (guarded inside the expression — Spark's `sequence(1, k)` produces a
-    * DESCENDING `[1, 0]` when k < 1, so the bound must be checked before
-    * the range exists, not filtered after). */
+    * scan-side pass, no shuffle, stream-safe (pure per-row). The corpus
+    * tokenization convention (literal-space split, empty tokens dropped,
+    * first-occurrence-order dedup); documents with fewer than n tokens
+    * yield an EMPTY array.
+    *
+    * Round 12: delegates to the codegen'd
+    * [[graft.functions.WordShingles]] — element-for-element equal to the
+    * HOF formulation below (same tokenizer, same order-preserving dedup,
+    * same empty-below-n contract; Round12Spec pins the equality on the
+    * corpus), but compiled: higher-order functions are CodegenFallback,
+    * and this is the single hottest expression in the engine (every
+    * decontamination op, the decontam artifact, both stream gates). */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 2, s"n-gram size must be >= 2, got $n")
-    // The token array must be BOUND ONCE per row: referencing the
-    // split+filter expression directly inside the transform lambda would
-    // re-evaluate it per sequence element (the nested-HOF re-evaluation
-    // trap — measured ~6× on p11 at sf0.1: 9.5s → 1.5s). A one-element
-    // `transform` turns it into a lambda variable (a cheap attribute
-    // read), which projection collapsing can never re-inline.
+    graft.functions.WordShingles.wordShingles(text, n, distinct = true)
+  }
+
+  /** The round-7 HOF formulation, kept as the REFERENCE definition
+    * [[wordNgrams]] is spec-pinned against. The one-element-`transform`
+    * binds the token array once per row (the nested-HOF re-evaluation
+    * trap — measured ~6× on p11 at sf0.1); `sequence(1, k)` produces a
+    * DESCENDING `[1, 0]` when k < 1, so the bound is checked before the
+    * range exists. */
+  private[graft] def wordNgramsHof(text: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
     val ws0 = filter(split(text, " "), t => t =!= "")
     element_at(
       transform(array(ws0), ws =>

@@ -84,6 +84,25 @@ class Round12Spec extends SparkSpecBase {
       10000L - (120L * 120 + 60L * 60) * 10000 / (180L * 180), true)))
   }
 
+  test("wordNgrams (codegen'd WordShingles) equals the HOF reference element-for-element") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, ""),                          // empty
+        (900002L, "a b"),                       // below n
+        (900003L, "a  b   c a  b   c a b c"),   // runs of spaces + repeats
+        (900004L, (1 to 13).map(_ => "x").mkString(" "))) // one gram, all-dup tokens
+        .toDF("doc_id", "text"))
+    Seq(2, 3, 13).foreach { n =>
+      val drift = docs.select(col("doc_id"),
+          Sampling.wordNgrams(col("text"), n).as("e"),
+          Sampling.wordNgramsHof(col("text"), n).as("h"))
+        .filter(col("e") =!= col("h"))
+      assert(drift.isEmpty,
+        s"n=$n drift: ${drift.select(col("doc_id")).take(3).toSeq}")
+    }
+  }
+
   // ---- bloom: aggregate build + sharding ---------------------------------
 
   private def gramFrame(n: Int, tag: String) =
@@ -283,6 +302,22 @@ class Round12Spec extends SparkSpecBase {
       assert(got.count(_ == (201L, true)) == 2, s"replay verdict drifted: $got")
       assert(got.contains((202L, false)), s"clean doc flagged: $got")
     } finally q.stop()
+  }
+
+  test("connectedComponents: distributed loop ≡ driver-local union-find (forced past the bound)") {
+    import graft.operators.Dedup
+    // chain (multi-hop transitivity), triangle, pair, plus a star whose
+    // center is the LARGEST id (forces union-toward-smaller relabeling)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+        (10L, 12L), (20L, 21L), (99L, 30L), (99L, 31L), (99L, 32L))
+      .toDF("a_id", "b_id")
+    val local = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, "a_id", "b_id",
+        maxLocalEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"${local.toSeq.sorted} vs ${dist.toSeq.sorted}")
+    assert(local(99L) == 30L && local(4L) == 1L)
   }
 
   // ---- bench accounting --------------------------------------------------
