@@ -224,6 +224,42 @@ object TextAnalysis {
       .withColumn("is_code", col("sym_bp") >= symFloorBp)
   }
 
+  /** The three PII surface patterns (t23) — deliberately SIMPLE regexes
+    * that mean the same thing to Java's engine (Spark) and RE2 (DuckDB):
+    * no backrefs, no lookaround, no \\b (word-boundary semantics differ at
+    * string edges across engines). Shared literals so the engine and the
+    * oracle can never drift. */
+  val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction signals (t23) — the scrub stage every
+    * published web-corpus pipeline runs before release (emails, phone
+    * numbers, IP addresses): per-doc match counts, a `has_pii` route
+    * flag, and the md5 of the REDACTED text (sequential replacement
+    * email → phone → ip with typed placeholder tokens — the order is
+    * part of the contract, since an IP can only match what the phone
+    * pass left behind).
+    *
+    * Fully ROW-LOCAL (the t21/t22 convention): three regexp_count and a
+    * three-deep regexp_replace chain on the scan, zero shuffles, and the
+    * redacted text itself never leaves the row — only its digest does
+    * (what a release audit table stores). */
+  def piiSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        regexp_count(col(textCol), lit(PiiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(col(textCol), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col(textCol), lit(PiiIpRe)).cast("long").as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>"),
+          PiiIpRe, "<IP>")).as("redacted_md5"))
+      .withColumn("has_pii",
+        (col("n_emails") + col("n_phones") + col("n_ips")) > 0)
+      .select(col(idCol), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("has_pii"), col("redacted_md5"))
+
   /** Canonical text normalization for fingerprinting: lowercase, non-alnum →
     * space, collapse runs, trim. */
   def normalized(text: Column): Column =

@@ -252,6 +252,13 @@ private[queries] object PipelineShared {
   private[queries] val ParagraphBanner =
     "this exact same paragraph appears at the top of many crawled pages in the raw dump"
 
+  /** One email + one phone + one IPv4, appended to docs ≡ 5 (mod 11) —
+    * the t23 planted PII payload (the corpus itself is digit-free, so
+    * every match is planted and every other doc must scrub clean). The
+    * oracle interpolates the same constant. */
+  private[queries] val PiiPayload =
+    " contact me at user5@example.com or +1 555-123-4567 from 10.0.0.5"
+
   /** 25 tokens, 14 fully-symbolic, 1 numeric — sym_bp = 5600, num_bp =
     * 400: a C-style token stream far above t22's 1500 bp code floor
     * while every natural doc in the corpus sits at 0. The oracle plants

@@ -88,6 +88,22 @@ private[queries] object TextQueries {
     }),
 
 
+    // t23: PII detection + redaction (the release scrub). The synthetic
+    // corpus is digit-free, so docs = 5 mod 11 get the planted payload
+    // appended (one email, one phone, one IP — the d06/t21/t22 planted-
+    // signal convention; the oracle plants identically) and every other
+    // doc must read clean. Row-local: three regexp_count + the
+    // redaction chain on the scan, no shuffle; only the redacted
+    // text's md5 leaves the row (the release-audit shape).
+    "t23_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 5,
+          concat(col("text"), lit(PiiPayload)))
+          .otherwise(col("text")).as("text"))
+      TA.piiSignals(d, "doc_id", "text")
+    }),
+
+
     // t18: the corpus card — the dataset-documentation table published
     // with every corpus release (Datasheets/Dataset-Cards practice):
     // per (lang, source) stratum, doc and token counts, mean quality
@@ -346,6 +362,30 @@ private[queries] object TextQueries {
                 (n_num * 10000) // n_tokens AS num_bp,
                 (n_sym * 10000) // n_tokens >= 1500 AS is_code
          FROM g""",
+    // t23: identical planted payload; the shared pattern constants are
+    // interpolated so engine and oracle can never drift, and the
+    // redaction chain (email → phone → ip, 'g' flag — Spark replaces
+    // globally by default) is hashed, not shipped.
+    "t23_pii_scrub" ->
+      s"""WITH d AS (SELECT doc_id,
+                            CASE WHEN doc_id % 11 = 5
+                                 THEN text || '${PipelineShared.PiiPayload}'
+                                 ELSE text END AS text
+                     FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PiiEmailRe}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PiiPhoneRe}')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PiiIpRe}')) AS BIGINT) AS n_ips,
+                (len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PiiEmailRe}'))
+                 + len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PiiPhoneRe}'))
+                 + len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PiiIpRe}'))) > 0 AS has_pii,
+                md5(regexp_replace(
+                      regexp_replace(
+                        regexp_replace(text, '${graft.operators.TextAnalysis.PiiEmailRe}', '<EMAIL>', 'g'),
+                        '${graft.operators.TextAnalysis.PiiPhoneRe}', '<PHONE>', 'g'),
+                      '${graft.operators.TextAnalysis.PiiIpRe}', '<IP>', 'g')) AS redacted_md5
+         FROM d""",
+
     // t17: the augmented corpus rows with clf_side_ok pinned at 1 — the
     // balanced planted-vocabulary classifier must put every doc on its
     // class's side of 0.5 (measured margins 0.628 vs 0.403).

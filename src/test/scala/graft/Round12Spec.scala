@@ -320,6 +320,36 @@ class Round12Spec extends SparkSpecBase {
     assert(local(99L) == 30L && local(4L) == 1L)
   }
 
+  test("t23 piiSignals: hand-computed counts, clean docs scrub clean, redaction is total") {
+    import graft.operators.{TextAnalysis => TA}
+    val df = Seq(
+      (1L, "no pii here at all"),
+      (2L, "contact me at user5@example.com or +1 555-123-4567 from 10.0.0.5"),
+      (3L, "two mails a@b.co and c.d@e-f.org one ip 192.168.0.1"),
+      (4L, "digits 1234567 but no pii shapes"))
+      .toDF("doc_id", "text")
+    val got = TA.piiSignals(df, "doc_id", "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("has_pii"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0L, 0L, 0L, false)))
+    assert(got(1) == ((2L, 1L, 1L, 1L, true)))
+    assert(got(2) == ((3L, 2L, 0L, 1L, true)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, false)))
+    // redaction removes every match: re-scanning the redacted text of the
+    // PII docs must count zero (compute the redacted text inline)
+    val redacted = df.select(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), TA.PiiEmailRe, "<EMAIL>"),
+            TA.PiiPhoneRe, "<PHONE>"),
+          TA.PiiIpRe, "<IP>").as("rt"))
+    val residue = TA.piiSignals(redacted.withColumn("doc_id", lit(0L)),
+        "doc_id", "rt")
+      .filter(col("has_pii")).count()
+    assert(residue == 0L, "redacted text still matches a PII pattern")
+  }
+
   // ---- bench accounting --------------------------------------------------
 
   test("formatJson: oracle forms surface as twin_overhead + full-doc breakdown") {
