@@ -28,7 +28,19 @@ class DumpExecutor(
     maxRetries: Int = RetryPolicy.MaxRetries,
     retryDelaySeconds: Long = RetryPolicy.RetryDelaySeconds,
     sleeper: Long => Unit = s => Thread.sleep(s * 1000),
-    today: () => LocalDate = () => LocalDate.now()) {
+    today: () => LocalDate = () => LocalDate.now(),
+    /** Wraps each ATTEMPT (query + write) and supplies the query runner
+      * for it. The default runs `runQuery` with no per-attempt state; the
+      * JDBC deployment passes [[graft.sources.SnapshotJdbcSource
+      * .dumpAttemptScope]], which pins a FRESH exported snapshot per
+      * attempt (the reference opens a fresh transaction per attempt,
+      * `floorist.py:148-152` + the retry loop at `:199-256`) and releases
+      * the anchor after the write — inside the retry classifier's reach,
+      * so pin-time connection errors retry like query-time ones. */
+    attemptScope: DumpExecutor.AttemptScope = null) {
+
+  private val scope: DumpExecutor.AttemptScope =
+    if (attemptScope != null) attemptScope else body => body(runQuery)
 
   private val log = LoggerFactory.getLogger(classOf[DumpExecutor])
 
@@ -63,8 +75,10 @@ class DumpExecutor(
               return false
           }
         }
-        val df = runQuery(row.query)
-        sink.write(df, row.prefix, row.rowsPerFile, date) match {
+        scope { run =>
+          val df = run(row.query)
+          sink.write(df, row.prefix, row.rowsPerFile, date)
+        } match {
           case WriteResult.Written =>
             log.info(s"[Dump #$dumpNo] Written parquet to ${row.prefix}")
           case WriteResult.EmptyMarker =>
@@ -95,4 +109,12 @@ class DumpExecutor(
     }
     false // unreachable
   }
+}
+
+object DumpExecutor {
+  /** Runs one dump attempt: receives the attempt body (query → write →
+    * [[WriteResult]]) and must invoke it exactly once with the query
+    * runner to use for that attempt. Lets a deployment scope per-attempt
+    * resources (a pinned snapshot's anchor connection) around the body. */
+  type AttemptScope = ((String => DataFrame) => WriteResult) => WriteResult
 }

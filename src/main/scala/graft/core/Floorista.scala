@@ -50,8 +50,20 @@ class Floorista(
     // same way reference floorplans query Postgres tables.
     config.tableDir.foreach(dir => graft.sources.Sources.registerAll(spark, dir))
 
+    // Two source modes, reference-faithful in both:
+    //  - JDBC mode (config.jdbc set — the reference's ONLY mode): each
+    //    floorplan query runs verbatim ON Postgres, every attempt inside a
+    //    freshly pinned exported snapshot (A7), via the real Spark JDBC
+    //    scan. No SqlTranslate: the SQL dialect is the server's.
+    //  - Parquet-lake mode: floorplan SQL is translated to Spark SQL and
+    //    runs on the registered views.
     val runQuery: String => DataFrame = sql => spark.sql(SqlTranslate.translate(sql))
-    val executor = executorFactory(sink, runQuery)
+    val executor = config.jdbc match {
+      case Some(j) =>
+        new DumpExecutor(sink, runQuery,
+          attemptScope = graft.sources.SnapshotJdbcSource.dumpAttemptScope(spark, j))
+      case None => executorFactory(sink, runQuery)
+    }
 
     val rows = FloorplanParser.parseFile(config.floorplanFile)
     var dumped = 0

@@ -1,9 +1,9 @@
 package graft.sources
 
-import java.sql.Types
+import java.sql.{Connection, Types}
 
-import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
-import org.apache.spark.sql.types.{DataType, MetadataBuilder, StringType}
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types.{DataType, DecimalType, MetadataBuilder, StringType}
 
 /** Postgres dialect override mapping `uuid` (and other OTHER-typed pg
   * extension types) to Catalyst StringType — the Spark-native analogue of
@@ -11,34 +11,95 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StringType}
   * 27-29,117-139`), which decodes uuid values as strings because the
   * parquet writer can't serialize UUID objects.
   *
-  * Spark's built-in PostgresDialect already strings uuid in recent
-  * versions; this dialect pins the behavior (and extends it to any
-  * OTHER-typed column such as citext/inet) independent of Spark's default,
-  * and is what [[JdbcSource]] relies on when no explicit `customSchema` is
-  * given. Register once per JVM via [[GraftPostgresDialect.register]].
+  * REGISTRATION SHAPE (a live-Postgres find, PgLiveSpec): simply calling
+  * `JdbcDialects.registerDialect` next to Spark's built-in PostgresDialect
+  * leaves TWO dialects matching `jdbc:postgresql` URLs, and
+  * `JdbcDialects.get` then wraps them in an `AggregatedDialect` — which
+  * forwards `getCatalystType`/`getJDBCType`/quoting but NOT `beforeFetch`.
+  * The built-in's `beforeFetch` is what turns `fetchsize` into a real
+  * server-side cursor (pgjdbc only streams with autoCommit off) and what
+  * opens the implicit transaction that [[SnapshotJdbcSource
+  * .joinSnapshotStatement]]'s `SET TRANSACTION SNAPSHOT` imports into —
+  * so a naive registration silently UNPINS every partition (each SET runs
+  * in its own single-statement transaction) and buffers whole results in
+  * memory. [[register]] therefore captures the built-in, unregisters it,
+  * and this dialect DELEGATES every hook it doesn't override, so exactly
+  * one dialect matches and no hook is lost. Asserted against a live
+  * server by PgLiveSpec's pinning test.
   */
 object GraftPostgresDialect extends JdbcDialect {
 
   override def canHandle(url: String): Boolean =
     url.startsWith("jdbc:postgresql")
 
+  /** Spark's built-in PostgresDialect, captured (and unregistered) by
+    * [[register]]; empty only if Spark ever stops shipping one. */
+  @volatile private var builtin: Option[JdbcDialect] = None
+
   override def getCatalystType(sqlType: Int, typeName: String, size: Int,
-                               md: MetadataBuilder): Option[DataType] =
-    (sqlType, typeName.toLowerCase(java.util.Locale.ROOT)) match {
+                               md: MetadataBuilder): Option[DataType] = {
+    val ours = (sqlType, typeName.toLowerCase(java.util.Locale.ROOT)) match {
       case (Types.OTHER, "uuid")   => Some(StringType)
       case (Types.OTHER, "citext") => Some(StringType)
       case (Types.OTHER, "inet")   => Some(StringType)
       case (Types.OTHER, "json")   => Some(StringType)
       case (Types.OTHER, "jsonb")  => Some(StringType)
-      case _                       => None
+      // Unconstrained `numeric` reports precision 0; stock behavior is the
+      // system-default decimal.
+      case (Types.NUMERIC, "numeric") if size == 0 =>
+        Some(DecimalType.SYSTEM_DEFAULT)
+      case _ => None
+    }
+    ours.orElse(builtin.flatMap(_.getCatalystType(sqlType, typeName, size, md)))
+  }
+
+  override def getJDBCType(dt: DataType): Option[JdbcType] =
+    builtin.flatMap(_.getJDBCType(dt))
+
+  override def quoteIdentifier(colName: String): String =
+    builtin.map(_.quoteIdentifier(colName))
+      .getOrElse(super.quoteIdentifier(colName))
+
+  override def getSchemaQuery(table: String): String =
+    builtin.map(_.getSchemaQuery(table)).getOrElse(super.getSchemaQuery(table))
+
+  override def getTableExistsQuery(table: String): String =
+    builtin.map(_.getTableExistsQuery(table))
+      .getOrElse(super.getTableExistsQuery(table))
+
+  override def compileValue(value: Any): Any =
+    builtin.map(_.compileValue(value)).getOrElse(super.compileValue(value))
+
+  override def isSyntaxErrorBestEffort(e: java.sql.SQLException): Boolean =
+    builtin.exists(_.isSyntaxErrorBestEffort(e))
+
+  /** Delegates to the built-in (autoCommit off whenever fetchsize > 0);
+    * mirrors that documented behavior itself if no built-in was captured. */
+  override def beforeFetch(connection: Connection,
+                           properties: Map[String, String]): Unit =
+    builtin match {
+      case Some(b) => b.beforeFetch(connection, properties)
+      case None =>
+        if (properties.getOrElse("fetchsize", "0").toInt > 0) {
+          connection.setAutoCommit(false)
+        }
     }
 
   @volatile private var registered = false
 
-  /** Idempotent registration; custom dialects take precedence over Spark's
-    * built-in PostgresDialect for matching URLs. */
+  /** Idempotent registration that REPLACES (wraps) the built-in Postgres
+    * dialect instead of stacking next to it — see the class scaladoc for
+    * why stacking breaks `beforeFetch`-dependent behavior. */
   def register(): Unit = synchronized {
     if (!registered) {
+      JdbcDialects.get("jdbc:postgresql://replaced/capture") match {
+        case d if (d ne this) && d.getClass.getName
+            .startsWith("org.apache.spark.sql.jdbc.") &&
+            d.getClass.getSimpleName.contains("PostgresDialect") =>
+          builtin = Some(d)
+          JdbcDialects.unregisterDialect(d)
+        case _ => () // NoopDialect (no built-in) or already-aggregated: leave it
+      }
       JdbcDialects.registerDialect(this)
       registered = true
     }

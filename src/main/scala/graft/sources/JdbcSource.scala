@@ -27,7 +27,7 @@ object JdbcSource {
       uuidColumns: Seq[String] = Nil,
       partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
     GraftPostgresDialect.register()
-    readUrl(spark, jdbc.url, "org.postgresql.Driver",
+    readUrl(spark, jdbc.url, JdbcDrivers.resolve(jdbc.url),
       Map("user" -> jdbc.user, "password" -> jdbc.password),
       query, fetchSize, uuidColumns, partitioning)
   }

@@ -57,6 +57,7 @@ object SnapshotJdbcSource {
     * engines pass their own one-row query. */
   def pin(url: String, props: Map[String, String],
           snapshotQuery: String = "SELECT pg_export_snapshot()"): PinnedSnapshot = {
+    JdbcDrivers.ensureManagerReady(url)
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     val conn = DriverManager.getConnection(url, p)
@@ -99,11 +100,27 @@ object SnapshotJdbcSource {
                  uuidColumns: Seq[String] = Nil,
                  partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
     GraftPostgresDialect.register()
-    JdbcSource.readUrl(spark, jdbc.url, "org.postgresql.Driver",
+    JdbcSource.readUrl(spark, jdbc.url, JdbcDrivers.resolve(jdbc.url),
       Map("user" -> jdbc.user, "password" -> jdbc.password),
       query, fetchSize, uuidColumns, partitioning,
       sessionInit = Some(joinSnapshotStatement(snap)))
   }
+
+  /** [[graft.core.DumpExecutor.AttemptScope]] for a Postgres deployment:
+    * each dump ATTEMPT pins a fresh exported snapshot, reads every
+    * partition of the dump query pinned to it, and releases the anchor
+    * after the parquet write — the JDBC-mode wiring
+    * [[graft.core.Floorista]] installs when `config.jdbc` is set. Fresh
+    * snapshot per attempt matches the reference's fresh transaction per
+    * attempt (`floorist.py:148-152`) and means a retry is never stuck
+    * with the snapshot that caused a recovery-conflict abort. */
+  def dumpAttemptScope(spark: SparkSession, jdbc: JdbcConfig,
+                       fetchSize: Int = 1000): graft.core.DumpExecutor.AttemptScope =
+    body =>
+      withPinnedSnapshot(jdbc.url,
+          Map("user" -> jdbc.user, "password" -> jdbc.password)) { snap =>
+        body(sql => readPinned(spark, jdbc, sql, snap, fetchSize))
+      }
 
   /** Pin a snapshot, run the dump body, release the anchor — the
     * resource-safe form every caller should use. */

@@ -1,0 +1,272 @@
+package graft
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core.{DumpExecutor, EngineConfig, FloorplanRow, JdbcConfig, RetryPolicy}
+import graft.sink.{FileContract, PartitionedParquetSink}
+import graft.sources.{JdbcSource, SnapshotJdbcSource}
+import graft.sources.pgwire.PgWireDriver
+
+/** LIVE PostgreSQL integration — the suite the reference runs against its
+  * docker-compose Postgres (`reference tests/test_floorist.py:160-220`),
+  * here against a [[PgTestServer]]-managed local instance reached through
+  * the in-repo pgwire JDBC shim (the offline sandbox has the server but no
+  * pgjdbc jar; see [[graft.sources.JdbcDrivers]]).
+  *
+  * What is now exercised against REAL Postgres semantics instead of Derby
+  * stand-ins: the uuid OID-2950 → string decode through the registered
+  * dialect, `pg_export_snapshot()`/`SET TRANSACTION SNAPSHOT` pinning
+  * across partitioned Spark JDBC reads (including the statement-ordering
+  * fix and the dialect's `beforeFetch` autoCommit handling), a genuine
+  * 40001 serialization failure flowing through [[RetryPolicy]], and the
+  * full Floorista floorplan→parquet dump.
+  *
+  * Every test `cancel`s (not fails) when the host cannot run Postgres, so
+  * the suite is environment-gated exactly like the S3A settings.
+  */
+class PgLiveSpec extends SparkSpecBase with BeforeAndAfterAll {
+
+  private var liveState: Either[String, PgTestServer.Live] = Left("not started")
+
+  private def live: PgTestServer.Live = liveState match {
+    case Right(l)     => l
+    case Left(reason) => cancel(s"live Postgres unavailable: $reason")
+  }
+
+  private def jdbcConfig: JdbcConfig =
+    JdbcConfig(live.host, live.port, live.database, live.user, "")
+
+  private def connect(): Connection = {
+    PgWireDriver.ensureRegistered()
+    val props = new java.util.Properties()
+    props.setProperty("user", live.user)
+    DriverManager.getConnection(live.jdbcUrl, props)
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    liveState = PgTestServer.start()
+    liveState.foreach { _ =>
+      val c = connect()
+      try {
+        val st = c.createStatement()
+        st.execute(
+          """CREATE TABLE hosts (
+            |  id uuid PRIMARY KEY,
+            |  account int4 NOT NULL,
+            |  display_name text,
+            |  cpu_count int2,
+            |  mem_bytes int8,
+            |  ratio float8,
+            |  cost numeric(10,2),
+            |  active bool,
+            |  created date,
+            |  updated timestamptz,
+            |  payload bytea
+            |)""".stripMargin)
+        st.execute(
+          """INSERT INTO hosts
+            |SELECT md5('host-' || i)::uuid, i % 7, 'host_' || i,
+            |       (i % 64)::int2, (i::int8) * 1048576, i / 7.0,
+            |       (i * 1.25)::numeric(10,2), i % 2 = 0,
+            |       DATE '2024-01-01' + (i % 365),
+            |       TIMESTAMPTZ '2024-06-01 12:00:00+00' + (i || ' hours')::interval,
+            |       decode(md5(i::text), 'hex')
+            |FROM generate_series(1, 207) i""".stripMargin)
+        st.execute("INSERT INTO hosts (id, account) VALUES (md5('null-row')::uuid, 3)")
+        st.execute("CREATE TABLE counter (k int PRIMARY KEY, v int NOT NULL)")
+        st.execute("INSERT INTO counter VALUES (1, 100)")
+        st.close()
+      } finally c.close()
+    }
+  }
+
+  override def afterAll(): Unit = {
+    liveState.foreach(PgTestServer.stop)
+    super.afterAll()
+  }
+
+  // --- wire-level ---------------------------------------------------------
+
+  test("live: uuid's type oid is 2950, as the dialect assumes") {
+    val c = connect()
+    try {
+      val rs = c.createStatement()
+        .executeQuery("SELECT oid FROM pg_type WHERE typname = 'uuid'")
+      assert(rs.next() && rs.getInt(1) == 2950)
+    } finally c.close()
+  }
+
+  test("live: typed getters round-trip every dump-relevant type") {
+    val c = connect()
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT id, account, display_name, cpu_count, mem_bytes, ratio, cost, " +
+          "active, created, updated, payload FROM hosts WHERE display_name = 'host_8'")
+      assert(rs.next())
+      assert(rs.getString(1).matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+      assert(rs.getInt(2) == 1) // 8 % 7
+      assert(rs.getString(3) == "host_8")
+      assert(rs.getShort(4) == 8)
+      assert(rs.getLong(5) == 8L * 1048576)
+      assert(math.abs(rs.getDouble(6) - 8 / 7.0) < 1e-12)
+      assert(rs.getBigDecimal(7) == new java.math.BigDecimal("10.00"))
+      assert(rs.getBoolean(8))
+      assert(rs.getDate(9).toLocalDate == java.time.LocalDate.of(2024, 1, 9))
+      assert(rs.getTimestamp(10).toInstant ==
+        java.time.Instant.parse("2024-06-01T20:00:00Z"))
+      assert(rs.getBytes(11).length == 16)
+      assert(!rs.next())
+
+      val nulls = c.createStatement().executeQuery(
+        "SELECT display_name, cost FROM hosts WHERE display_name IS NULL")
+      assert(nulls.next())
+      assert(nulls.getString(1) == null && nulls.wasNull())
+      assert(nulls.getBigDecimal(2) == null && nulls.wasNull())
+    } finally c.close()
+  }
+
+  // --- the real Spark JDBC scan --------------------------------------------
+
+  test("live: JdbcSource.read decodes uuid as STRING via the dialect (OID 2950)") {
+    val df = JdbcSource.read(spark, jdbcConfig,
+      "SELECT id, account, display_name, cost, active, created, updated FROM hosts")
+    val s = df.schema
+    assert(s("id").dataType.typeName == "string")
+    assert(s("cost").dataType.typeName == "decimal(10,2)")
+    assert(s("updated").dataType.typeName == "timestamp")
+    assert(df.count() == 208)
+    val row8 = df.where("display_name = 'host_8'").collect().head
+    assert(row8.getString(0).length == 36)
+    assert(row8.getInt(1) == 1)
+  }
+
+  test("live: partitioned read equals the single-partition read") {
+    val single = JdbcSource.read(spark, jdbcConfig,
+      "SELECT id, account, display_name FROM hosts")
+    val parted = JdbcSource.read(spark, jdbcConfig,
+      "SELECT id, account, display_name FROM hosts",
+      partitioning = Some(("account", 0L, 7L, 4)))
+    assert(parted.rdd.getNumPartitions == 4)
+    assert(parted.count() == 208)
+    assert(single.exceptAll(parted).isEmpty && parted.exceptAll(single).isEmpty)
+  }
+
+  test("live: exported-snapshot pinning isolates concurrent commits " +
+    "across partitioned reads") {
+    val props = Map("user" -> live.user)
+    val sql = "SELECT id, account FROM hosts"
+    val part = Some(("account", 0L, 7L, 3))
+    SnapshotJdbcSource.withPinnedSnapshot(live.jdbcUrl, props) { snap =>
+      assert(snap.snapshotId.nonEmpty)
+      val before = SnapshotJdbcSource
+        .readPinned(spark, jdbcConfig, sql, snap, partitioning = part).count()
+      assert(before == 208)
+
+      // A concurrent writer commits 50 more rows mid-dump.
+      val w = connect()
+      try w.createStatement().execute(
+        """INSERT INTO hosts (id, account, display_name)
+          |SELECT md5('late-' || i)::uuid, i % 7, 'late_' || i
+          |FROM generate_series(1, 50) i""".stripMargin)
+      finally w.close()
+
+      // Unpinned sees them; every pinned partition still sees the snapshot.
+      assert(JdbcSource.read(spark, jdbcConfig, sql).count() == 258)
+      val pinnedAgain = SnapshotJdbcSource
+        .readPinned(spark, jdbcConfig, sql, snap, partitioning = part).count()
+      assert(pinnedAgain == 208,
+        "a partitioned read after a concurrent commit must still see the pinned snapshot")
+    }
+    // Anchor released: the snapshot is gone, the new rows are visible.
+    assert(JdbcSource.read(spark, jdbcConfig, sql).count() == 258)
+  }
+
+  // --- retry classification against a genuine server error ------------------
+
+  test("live: a real 40001 serialization failure classifies as retryable") {
+    val c1 = connect(); val c2 = connect()
+    try {
+      for (c <- Seq(c1, c2)) {
+        c.setAutoCommit(false)
+        c.setTransactionIsolation(Connection.TRANSACTION_REPEATABLE_READ)
+      }
+      // Both take their snapshot, then both update the same row.
+      c1.createStatement().executeQuery("SELECT v FROM counter WHERE k = 1").next()
+      c2.createStatement().executeQuery("SELECT v FROM counter WHERE k = 1").next()
+      c1.createStatement().execute("UPDATE counter SET v = v + 1 WHERE k = 1")
+      c1.commit()
+      val ex = intercept[SQLException] {
+        c2.createStatement().execute("UPDATE counter SET v = v + 10 WHERE k = 1")
+      }
+      assert(ex.getSQLState == "40001", s"expected 40001, got $ex")
+      assert(ex.getMessage.contains("SerializationFailure"),
+        "the psycopg2-style condition-name rendering the classifier matches on")
+      assert(RetryPolicy.isRetryable(ex))
+      assert(RetryPolicy.evaluate(ex, attempt = 0) == RetryPolicy.Retry)
+      // And through Spark's usual wrapping.
+      assert(RetryPolicy.isRetryable(new RuntimeException("job aborted", ex)))
+      c2.rollback()
+    } finally { c1.close(); c2.close() }
+  }
+
+  // --- full pipeline ---------------------------------------------------------
+
+  test("live: Floorista dumps a floorplan from Postgres to chunked parquet") {
+    val out = tmpDir("pglive-dump")
+    val total = JdbcSource.read(spark, jdbcConfig, "SELECT id FROM hosts").count()
+    val fp = new java.io.File(out, "floorplan.yaml")
+    val yaml =
+      s"""- prefix: dumps/hosts
+         |  query: SELECT id, account, display_name, cost FROM hosts
+         |  chunksize: 100
+         |- prefix: dumps/none
+         |  query: SELECT id FROM hosts WHERE account = 99
+         |""".stripMargin
+    java.nio.file.Files.write(fp.toPath, yaml.getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(new java.io.File(out, "bucket").toPath)
+
+    val config = EngineConfig(
+      bucketUrl = s"file://$out/bucket",
+      endpoint = None, region = None, accessKeyId = None, secretAccessKey = None,
+      floorplanFile = fp.getAbsolutePath,
+      jdbc = Some(jdbcConfig),
+      fileContract = FileContract.Exact)
+    assert(new core.Floorista(spark, config).run() == 0)
+
+    val date = java.time.LocalDate.now()
+    val dated = s"year_created=${date.getYear}/month_created=${date.getMonthValue}" +
+      s"/day_created=${date.getDayOfMonth}"
+    val hostsDir = new java.io.File(s"$out/bucket/dumps/hosts/$dated")
+    val parts = hostsDir.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == math.ceil(total / 100.0).toInt,
+      s"Exact contract: ceil($total/100) gzip chunks")
+    val back = spark.read.parquet(hostsDir.getAbsolutePath)
+    assert(back.count() == total)
+    assert(back.schema("id").dataType.typeName == "string")
+
+    val noneDir = new java.io.File(s"$out/bucket/dumps/none/$dated")
+    assert(noneDir.isDirectory, "empty dump leaves the folder marker")
+    assert(noneDir.listFiles().forall(f => !f.getName.startsWith("part-")))
+  }
+
+  test("live: DumpExecutor + pinned-attempt scope writes through a snapshot") {
+    val out = tmpDir("pglive-exec")
+    val sink = new PartitionedParquetSink(spark, s"file://$out", FileContract.Exact)
+    val executor = new DumpExecutor(sink,
+      runQuery = sql => JdbcSource.read(spark, jdbcConfig, sql),
+      attemptScope = SnapshotJdbcSource.dumpAttemptScope(spark, jdbcConfig))
+    val row = FloorplanRow("exec/hosts",
+      "SELECT id, account FROM hosts WHERE account = 2", Some(0))
+    assert(executor.execute(row, dumpNo = 1))
+    val files = new java.io.File(out, "exec/hosts")
+    assert(files.isDirectory)
+    val back = spark.read.parquet(
+      s"$out/exec/hosts/year_created=*/month_created=*/day_created=*")
+    assert(back.count() ==
+      JdbcSource.read(spark, jdbcConfig,
+        "SELECT id FROM hosts WHERE account = 2").count())
+  }
+}
