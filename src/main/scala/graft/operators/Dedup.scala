@@ -133,6 +133,40 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Templated-document dedup (d26): collapse documents that are the SAME
+    * page template instantiated with different volatile values — order
+    * confirmations, per-user dashboards, paginated listings — the near-dup
+    * family that shingle Jaccard often MISSES (a long shared template with
+    * short volatile slots can sit under any Jaccard threshold, yet
+    * contributes zero diversity). Structural key: digit runs → `0`,
+    * whitespace runs collapsed, md5. A doc is `is_templated` when its
+    * template's population reaches `minCluster`; keep = non-templated OR
+    * the cluster's first doc by id.
+    *
+    * Shuffle ledger (the 100 TB shape): ONE exchange — the per-template
+    * aggregate (hash aggregate, map-side partial combine collapses each
+    * partition's copies of a hot template to one row, so a megacluster
+    * costs one row per partition, never a hot window partition). Templated
+    * clusters (count ≥ minCluster) are a tiny frame by construction —
+    * that's what makes them templates — so the verdict joins back by
+    * BROADCAST (the d09 drop-set convention) and the corpus itself never
+    * exchanges. A window over template_hash would be 1 exchange too but
+    * with NO partial aggregation and a skew-hostage partition per
+    * megacluster. */
+  def templateDedup(docs: DataFrame, idCol: String, textCol: String,
+                    minCluster: Int = 3): DataFrame = {
+    val masked = docs.select(col(idCol),
+      md5(regexp_replace(regexp_replace(col(textCol), "[0-9]+", "0"),
+        " +", " ")).as("template_hash"))
+    val templated = masked.groupBy(col("template_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_docs") >= minCluster)
+    masked.join(broadcast(templated), Seq("template_hash"), "left")
+      .select(col(idCol), col("template_hash"),
+        col("keeper_id").isNotNull.as("is_templated"),
+        (col("keeper_id").isNull || col("keeper_id") === col(idCol)).as("keep"))
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs within length-blocked buckets —
     * the oracle-able ground truth for the sketch paths ([[minhashNearDups]]
     * is the 100 TB path). Shingles are built by one native pass, hashed to

@@ -260,6 +260,45 @@ object TextAnalysis {
       .select(col(idCol), col("n_emails"), col("n_phones"), col("n_ips"),
         col("has_pii"), col("redacted_md5"))
 
+  /** Encoding-anomaly patterns (t24) — each a class/alternation of LITERAL
+    * codepoints, so Java regex (Spark) and RE2 (DuckDB) agree exactly:
+    *
+    *  - [[MojibakeRe]]: the classic UTF-8-read-as-Latin-1 digraphs. A
+    *    non-ASCII codepoint U+0080–U+07FF encodes as two UTF-8 bytes
+    *    0xC2–0xDF then 0x80–0xBF; decoded as Latin-1 those bytes become
+    *    the codepoints Â/Ã/â followed by a C1-or-punctuation codepoint —
+    *    `Ã©` for é, `â€™` for the right single quote, `Â ` for NBSP
+    *    (the mojibake catalogue ftfy documents). Three leading chars
+    *    cover the overwhelmingly common Latin-1/Windows-1252 cases.
+    *  - [[ReplacementRe]]: U+FFFD, what lossy decoding leaves behind.
+    *  - [[CtrlRe]]: C0 controls except \t\n\r, plus DEL and the C1 block
+    *    — raw controls in text mean a binary/encoding accident.
+    */
+  val MojibakeRe: String =
+    "\u00c3[\u0080-\u00bf]|\u00e2\u0080[\u0080-\u00bf]|\u00c2[\u00a0-\u00bf]"
+  val ReplacementRe: String = "\ufffd"
+  val CtrlRe: String =
+    "[\u0001-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]"
+
+  /** Encoding-anomaly detection (t24): per-doc counts of mojibake
+    * digraphs, U+FFFD replacement chars and raw control chars, an
+    * `is_suspect` route flag, and the md5 of the text with all anomalies
+    * STRIPPED (the conservative ftfy-unavailable repair: drop, don't
+    * guess). Fully ROW-LOCAL like t21–t23 — three regexp_count and one
+    * regexp_replace on the scan, zero shuffles, only the digest leaves
+    * the row. */
+  def encodingSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        regexp_count(col(textCol), lit(MojibakeRe)).cast("long").as("n_moji"),
+        regexp_count(col(textCol), lit(ReplacementRe)).cast("long").as("n_repl"),
+        regexp_count(col(textCol), lit(CtrlRe)).cast("long").as("n_ctrl"),
+        md5(regexp_replace(col(textCol),
+          s"$MojibakeRe|$ReplacementRe|$CtrlRe", "")).as("clean_md5"))
+      .withColumn("is_suspect",
+        (col("n_moji") + col("n_repl") + col("n_ctrl")) > 0)
+      .select(col(idCol), col("n_moji"), col("n_repl"), col("n_ctrl"),
+        col("is_suspect"), col("clean_md5"))
+
   /** Canonical text normalization for fingerprinting: lowercase, non-alnum →
     * space, collapse runs, trim. */
   def normalized(text: Column): Column =

@@ -38,6 +38,26 @@ private[queries] object DedupQueries {
     }),
 
 
+    // d26: templated-document dedup — the near-dup family Jaccard misses
+    // (same page template, different volatile slots). Docs = 3 mod 9 are
+    // REPLACED by a planted order-confirmation template instantiated
+    // with doc-specific numbers (the oracle plants identically), so the
+    // whole planted population masks to ONE structural hash; the
+    // digit-free natural corpus masks to itself, and any natural exact-
+    // dup cluster that reaches the threshold is (correctly) templated
+    // too. One map-side-combined aggregate + a broadcast verdict join —
+    // the corpus never exchanges (see Dedup.templateDedup's ledger).
+    "d26_template_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 3,
+          concat(lit("order "), col("doc_id").cast("string"),
+            lit(" confirmed for user "), (col("doc_id") * 3).cast("string"),
+            lit(" thank you for shopping")))
+          .otherwise(col("text")).as("text"))
+      Dedup.templateDedup(Dedup.spreadToParallelism(d), "doc_id", "text")
+    }),
+
+
     // ExactSubstr verbatim-run pairs (Lee et al.): docs sharing a
     // >= 10-token verbatim run at ANY offset — the dedup geometry d03's
     // jaccard and d08's fixed chunks both miss. Doc-frequency cap 256
@@ -479,6 +499,29 @@ private[queries] object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // d26: identical planted template; the structural mask (digit runs →
+    // '0', whitespace collapsed) and the >= 3 cluster rule are mirrored
+    // verbatim; DuckDB takes the group-then-left-join form of the same
+    // verdict.
+    "d26_template_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                           CASE WHEN doc_id % 9 = 3
+                                THEN 'order ' || CAST(doc_id AS VARCHAR)
+                                     || ' confirmed for user ' || CAST(doc_id * 3 AS VARCHAR)
+                                     || ' thank you for shopping'
+                                ELSE text END AS text
+                    FROM documents),
+              m AS (SELECT doc_id,
+                           md5(regexp_replace(regexp_replace(text, '[0-9]+', '0', 'g'),
+                                              ' +', ' ', 'g')) AS template_hash
+                    FROM d),
+              g AS (SELECT template_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
+                    FROM m GROUP BY 1 HAVING count(*) >= 3)
+         SELECT m.doc_id, m.template_hash,
+                g.keeper_id IS NOT NULL AS is_templated,
+                (g.keeper_id IS NULL OR g.keeper_id = m.doc_id) AS keep
+         FROM m LEFT JOIN g USING (template_hash)""",
 
     // d25: t02 quality CTE + the md5 host bucket + a per-host window cap
     // (the oracle's window IS the semantics; GroupTopK is the scale

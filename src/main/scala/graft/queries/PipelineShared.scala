@@ -259,6 +259,15 @@ private[queries] object PipelineShared {
   private[queries] val PiiPayload =
     " contact me at user5@example.com or +1 555-123-4567 from 10.0.0.5"
 
+  /** The t24 planted encoding accident, appended to docs ≡ 7 (mod 13):
+    * four classic UTF-8-as-Latin-1 mojibake digraphs (café's é, a left
+    * and a right curly quote, an NBSP), one U+FFFD replacement char and
+    * one raw BEL control — the ASCII corpus contains none of these
+    * codepoints, so every count is planted and every other doc must read
+    * clean. The oracle interpolates the same constant. */
+  private[queries] val MojibakePayload =
+    " caf\u00c3\u00a9 \u00e2\u0080\u0098mis\u00e2\u0080\u0099 nb\u00c2\u00a0sp x\ufffdy bell\u0007end"
+
   /** 25 tokens, 14 fully-symbolic, 1 numeric — sym_bp = 5600, num_bp =
     * 400: a C-style token stream far above t22's 1500 bp code floor
     * while every natural doc in the corpus sits at 0. The oracle plants

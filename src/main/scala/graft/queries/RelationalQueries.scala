@@ -484,6 +484,23 @@ object RelationalQueries {
     // Gap-based sessionization of the event stream (12 h inactivity gap):
     // one shuffle on user_id feeds lag, the running session counter, and
     // the per-session aggregate (see operators.Sessionize).
+    // q55: DISTINCT count over a sliding window — "how many distinct
+    // event types did this user produce in their last 10 events", the
+    // variety/anomaly feature session analytics computes. Spark has no
+    // native windowed COUNT(DISTINCT); the composition is
+    // size(array_distinct(collect_list over ROWS frame)) — per-row state
+    // bounded by the FRAME (≤ 10 elements), never the partition, so
+    // memory is O(frame) at any scale; the one exchange is the window's
+    // hash partition on user_id. Total order (ts, event_id) is unique,
+    // so the frame contents are deterministic.
+    "q55_window_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        size(array_distinct(collect_list(col("event_type")).over(w)))
+          .cast("long").as("distinct_types_10"))
+    }),
+
     "q43_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.sessions(
         t(s, dir, "events").select(col("user_id"), col("event_id"),
@@ -914,6 +931,17 @@ object RelationalQueries {
           AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 1 HOUR
           AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
          GROUP BY l.event_id, l.user_id""",
+    // q55: DuckDB supports COUNT(DISTINCT) over a window natively; the
+    // Spark side composes it from collect_list + array_distinct over the
+    // same ROWS frame and (ts, event_id) total order.
+    "q55_window_distinct" ->
+      """SELECT event_id, user_id,
+                CAST(count(DISTINCT event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS distinct_types_10
+         FROM events""",
+
     "q43_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts, value,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -104,6 +104,23 @@ private[queries] object TextQueries {
     }),
 
 
+    // t24: encoding-anomaly (mojibake) detection — the fix-or-drop
+    // routing decision an ingest pipeline makes before any text op
+    // (ftfy's catalogue: UTF-8-as-Latin-1 digraphs, U+FFFD replacement
+    // chars, raw control bytes). The ASCII corpus contains none of the
+    // anomaly codepoints, so docs = 7 mod 13 get the planted accident
+    // appended (the t23 convention; the oracle plants identically) and
+    // every other doc must read clean. Row-local: three regexp_count +
+    // one strip-chain md5 on the scan, zero shuffles.
+    "t24_mojibake" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 7,
+          concat(col("text"), lit(MojibakePayload)))
+          .otherwise(col("text")).as("text"))
+      TA.encodingSignals(d, "doc_id", "text")
+    }),
+
+
     // t18: the corpus card — the dataset-documentation table published
     // with every corpus release (Datasheets/Dataset-Cards practice):
     // per (lang, source) stratum, doc and token counts, mean quality
@@ -384,6 +401,29 @@ private[queries] object TextQueries {
                         regexp_replace(text, '${graft.operators.TextAnalysis.PiiEmailRe}', '<EMAIL>', 'g'),
                         '${graft.operators.TextAnalysis.PiiPhoneRe}', '<PHONE>', 'g'),
                       '${graft.operators.TextAnalysis.PiiIpRe}', '<IP>', 'g')) AS redacted_md5
+         FROM d""",
+
+    // t24: identical planted accident; the three anomaly patterns are
+    // literal-codepoint classes/alternations interpolated from the shared
+    // constants (RE2 and Java agree exactly on those), and the strip
+    // chain is one alternation with the same leftmost-first semantics in
+    // both engines.
+    "t24_mojibake" ->
+      s"""WITH d AS (SELECT doc_id,
+                            CASE WHEN doc_id % 13 = 7
+                                 THEN text || '${PipelineShared.MojibakePayload}'
+                                 ELSE text END AS text
+                     FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.MojibakeRe}')) AS BIGINT) AS n_moji,
+                CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.ReplacementRe}')) AS BIGINT) AS n_repl,
+                CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.CtrlRe}')) AS BIGINT) AS n_ctrl,
+                (len(regexp_extract_all(text, '${graft.operators.TextAnalysis.MojibakeRe}'))
+                 + len(regexp_extract_all(text, '${graft.operators.TextAnalysis.ReplacementRe}'))
+                 + len(regexp_extract_all(text, '${graft.operators.TextAnalysis.CtrlRe}'))) > 0 AS is_suspect,
+                md5(regexp_replace(text,
+                      '${graft.operators.TextAnalysis.MojibakeRe}|${graft.operators.TextAnalysis.ReplacementRe}|${graft.operators.TextAnalysis.CtrlRe}',
+                      '', 'g')) AS clean_md5
          FROM d""",
 
     // t17: the augmented corpus rows with clf_side_ok pinned at 1 — the

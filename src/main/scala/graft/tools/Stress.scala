@@ -866,6 +866,28 @@ object Stress {
             .shardedBloomContainsAny(pinnedShardedBloom)(col("__gs")).as("hit"))
         .filter(col("hit")).count()
     }
+    // t24: row-local regex counting like char_diversity — pure scan CPU.
+    time("mojibake") {
+      graft.operators.TextAnalysis.encodingSignals(docs, "doc_id", "text")
+        .filter(col("is_suspect")).count()
+    }
+    // d26: one map-side-combined aggregate + a broadcast verdict join; the
+    // replica suffixing perturbs templates, so cluster populations stay
+    // bounded and the curve must track the corpus linearly.
+    time("template_dedup") {
+      graft.operators.Dedup.templateDedup(docs, "doc_id", "text")
+        .filter(!col("keep")).count()
+    }
+    // q55: windowed distinct with a ROWS frame — state is O(frame) per
+    // row; the exchange is the user_id hash partition, linear in events.
+    time("window_distinct") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      events.select(col("event_id"),
+          size(array_distinct(collect_list(col("event_type")).over(w))).as("d"))
+        .agg(sum(col("d"))).collect()(0).getLong(0)
+    }
     time("semantic_dedup") {
       // nCells grows ∝ factor so per-cell population (and so the
       // within-cell quadratic work) stays constant — the SemDeDup scale

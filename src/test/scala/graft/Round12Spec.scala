@@ -377,4 +377,71 @@ class Round12Spec extends SparkSpecBase {
       assert(q(spark, dir).count() > 0, s"$name production plan is empty")
     }
   }
+
+  // ---- round-12 late wave 3: t24 / d26 / q55 ground truth -----------------
+
+  test("t24 encodingSignals: planted payload counts, clean docs, strip md5") {
+    val payload = " caf\u00c3\u00a9 \u00e2\u0080\u0098mis\u00e2\u0080\u0099 " +
+      "nb\u00c2\u00a0sp x\ufffdy bell\u0007end"
+    val df = Seq((1L, "hello world" + payload), (2L, "hello world")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.encodingSignals(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // Planted: 4 mojibake digraphs; 1 replacement char; ctrl = BEL plus the
+    // C1 bytes visible inside the curly-quote digraphs (0x80 x2, 0x98, 0x99).
+    assert(got(0).getLong(1) == 4 && got(0).getLong(2) == 1 && got(0).getLong(3) == 5)
+    assert(got(0).getBoolean(4))
+    // Strip removes whole digraphs first (leftmost-first alternation), so
+    // the C1 bytes inside them never strip separately.
+    val strippedExpected = "hello world caf mis nbsp xy bellend"
+    assert(got(0).getString(5) ==
+      graft.sources.pgwire.PgWire.md5Hex(strippedExpected.getBytes("UTF-8")))
+    // Clean doc: zero counts, not suspect, digest of the untouched text.
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0 && got(1).getLong(3) == 0)
+    assert(!got(1).getBoolean(4))
+    assert(got(1).getString(5) ==
+      graft.sources.pgwire.PgWire.md5Hex("hello world".getBytes("UTF-8")))
+  }
+
+  test("d26 templateDedup: volatile slots collapse, threshold binds, keep-first") {
+    val df = Seq(
+      (10L, "order 12 confirmed today"),
+      (11L, "order 999 confirmed today"),
+      (12L, "order 7 confirmed today"),
+      (20L, "a unique document"),
+      (21L, "spaced   out    text"),
+      (22L, "spaced out text") // same mask as 21 but cluster of 2 < 3
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.templateDedup(df, "doc_id", "text", minCluster = 3)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(byId(10L) == ((true, true)), "cluster keeper survives")
+    assert(byId(11L) == ((true, false)) && byId(12L) == ((true, false)))
+    assert(byId(20L) == ((false, true)))
+    assert(byId(21L) == ((false, true)) && byId(22L) == ((false, true)),
+      "sub-threshold mask collisions stay untouched")
+    // 21 and 22 share a template hash (whitespace collapse) - the mask works.
+    val hashes = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes(21L) == hashes(22L) && hashes(20L) != hashes(21L))
+  }
+
+  test("q55 windowed distinct: frame-bounded variety counts by hand") {
+    val df = Seq(
+      (1L, 100L, "2024-01-01 00:00:01", "view"),
+      (2L, 100L, "2024-01-01 00:00:02", "view"),
+      (3L, 100L, "2024-01-01 00:00:03", "click"),
+      (4L, 100L, "2024-01-01 00:00:04", "buy"),
+      (5L, 200L, "2024-01-01 00:00:05", "view")
+    ).toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 0) // frame of 3 for the hand example
+    val got = df.select(col("event_id"),
+        size(array_distinct(collect_list(col("event_type")).over(w)))
+          .cast("long").as("d"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 1L)),
+      "frame drops event 1 by row 4: distinct(view,click,buy)=3; user 200 isolated")
+  }
 }
+
