@@ -153,11 +153,16 @@ object Dedup {
     * exchanges. A window over template_hash would be 1 exchange too but
     * with NO partial aggregation and a skew-hostage partition per
     * megacluster. */
+  /** The d26 structural key: digit runs → `0`, whitespace runs collapsed,
+    * md5. Scan-side and shared by the batch op and the streaming
+    * admission gate so the two can never disagree on what "the same
+    * template" means. */
+  def templateHash(text: Column): Column =
+    md5(regexp_replace(regexp_replace(text, "[0-9]+", "0"), " +", " "))
+
   def templateDedup(docs: DataFrame, idCol: String, textCol: String,
                     minCluster: Int = 3): DataFrame = {
-    val masked = docs.select(col(idCol),
-      md5(regexp_replace(regexp_replace(col(textCol), "[0-9]+", "0"),
-        " +", " ")).as("template_hash"))
+    val masked = docs.select(col(idCol), templateHash(col(textCol)).as("template_hash"))
     val templated = masked.groupBy(col("template_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
       .filter(col("n_docs") >= minCluster)
@@ -166,6 +171,20 @@ object Dedup {
         col("keeper_id").isNotNull.as("is_templated"),
         (col("keeper_id").isNull || col("keeper_id") === col(idCol)).as("keep"))
   }
+
+  /** The d26 build half for ingest admission: the standing templated-set
+    * artifact (template_hash, n_docs, keeper_id) a stream probes —
+    * cross-document counting is exactly what a stream cannot do
+    * in-flight, so the threshold lives in the artifact (the
+    * [[graft.operators.TextAnalysis.boilerplateLineTable]] scoping).
+    * Small by construction (only clusters ≥ `minCluster` survive). */
+  def buildTemplateIndex(docs: DataFrame, idCol: String, textCol: String,
+                         minCluster: Int = 3): DataFrame =
+    docs.select(col(idCol), templateHash(col(textCol)).as("template_hash"))
+      .groupBy(col("template_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_docs") >= minCluster)
+      .localCheckpoint()
 
   /** Exact n-gram-Jaccard near-dup pairs within length-blocked buckets —
     * the oracle-able ground truth for the sketch paths ([[minhashNearDups]]

@@ -54,7 +54,11 @@ private[queries] object DedupQueries {
             lit(" confirmed for user "), (col("doc_id") * 3).cast("string"),
             lit(" thank you for shopping")))
           .otherwise(col("text")).as("text"))
-      Dedup.templateDedup(Dedup.spreadToParallelism(d), "doc_id", "text")
+      // No spreadToParallelism: the per-row work is one regex + md5
+      // (cheap, unlike the shingle HOFs), and the mask must stay a pure
+      // scan-side projection — spreading would put TWO extra round-robin
+      // exchanges of the full corpus ahead of the aggregate.
+      Dedup.templateDedup(d, "doc_id", "text")
     }),
 
 

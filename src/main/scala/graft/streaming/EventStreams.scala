@@ -240,6 +240,44 @@ object EventStreams {
         graft.operators.Sampling.shardedBloomContainsAny(idx)(col("__gs"))
           .as("bloom_hit"))
 
+  /** Streaming template-admission gate — d26's ingest twin: arriving
+    * documents compute their structural hash scan-side
+    * ([[graft.operators.Dedup.templateHash]], shared with the batch op)
+    * and probe the standing templated-set artifact
+    * ([[graft.operators.Dedup.buildTemplateIndex]]) in a stream-static
+    * BROADCAST left join. Fully STATELESS like the bloom gates — no
+    * watermark, no state store, replays re-derive the verdict — because
+    * cross-document cluster counting lives in the artifact, not the
+    * stream. Output: append-mode (new_id, tsCol, template_hash,
+    * is_templated, admit). */
+  def templateAdmitStream(docs: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, templated: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("new_id"), col(tsCol),
+        graft.operators.Dedup.templateHash(col(textCol)).as("template_hash"))
+      .join(broadcast(templated.select(col("template_hash"))
+        .withColumn("__t", lit(1))), Seq("template_hash"), "left")
+      .select(col("new_id"), col(tsCol), col("template_hash"),
+        col("__t").isNotNull.as("is_templated"),
+        col("__t").isNull.as("admit"))
+
+  /** Streaming encoding-anomaly gate — t24's ingest twin, the simplest
+    * admission shape in the file: three codegen'd regexp counts per
+    * arriving row, fully row-local and stateless (the qualityKeep/bloom
+    * precedent), so it composes with any other gate without adding plan
+    * state. Output: append-mode (new_id, tsCol, n_moji, n_repl, n_ctrl,
+    * admit). */
+  def encodingGateStream(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String): DataFrame = {
+    import graft.operators.TextAnalysis._
+    docs.select(col(idCol).as("new_id"), col(tsCol),
+        regexp_count(col(textCol), lit(MojibakeRe)).cast("long").as("n_moji"),
+        regexp_count(col(textCol), lit(ReplacementRe)).cast("long").as("n_repl"),
+        regexp_count(col(textCol), lit(CtrlRe)).cast("long").as("n_ctrl"))
+      .withColumn("admit",
+        (col("n_moji") + col("n_repl") + col("n_ctrl")) === 0)
+  }
+
   /** Streaming ExactSubstr probe — the d15/d16 family's ingest-time twin
     * ([[graft.operators.Dedup.deltaExactSubstrPairs]]'s topology applied
     * to a stream, mirroring [[deltaDedupStream]]): arriving documents'

@@ -443,5 +443,61 @@ class Round12Spec extends SparkSpecBase {
     assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 1L)),
       "frame drops event 1 by row 4: distinct(view,click,buy)=3; user 200 isolated")
   }
+
+  test("templateAdmitStream: stream-static probe of the templated-set artifact, stateless replay") {
+    import java.sql.Timestamp
+    import graft.streaming.EventStreams
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val corpus = Seq(
+      (1L, "order 12 confirmed today"), (2L, "order 99 confirmed today"),
+      (3L, "order 7 confirmed today"), (4L, "novel prose one"),
+      (5L, "novel prose two")).toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.buildTemplateIndex(corpus, "doc_id", "text")
+    assert(idx.count() == 1, "exactly the planted template clusters")
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.templateAdmitStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", idx)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tmpl_out").start()
+    try {
+      memStream.addData((201L, ts(0), "order 55555 confirmed today"),
+        (202L, ts(1), "completely fresh text"))
+      q.processAllAvailable()
+      memStream.addData((201L, ts(2), "order 55555 confirmed today")) // replay
+      q.processAllAvailable()
+      val got = spark.table("tmpl_out")
+        .select($"new_id", $"admit").as[(Long, Boolean)].collect().toSeq
+      assert(got.count(_ == (201L, false)) == 2, s"template instance must be rejected on every replay: $got")
+      assert(got.contains((202L, true)), s"novel doc must admit: $got")
+    } finally q.stop()
+  }
+
+  test("encodingGateStream: row-local anomaly gate equals the batch verdict") {
+    import java.sql.Timestamp
+    import graft.streaming.EventStreams
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val dirty = "broken caf\u00c3\u00a9 text"
+    val clean = "plain ascii text"
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = EventStreams.encodingGateStream(
+        memStream.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enc_out").start()
+    try {
+      memStream.addData((301L, ts(0), dirty), (302L, ts(1), clean))
+      q.processAllAvailable()
+      val got = spark.table("enc_out")
+        .select($"new_id", $"n_moji", $"admit").as[(Long, Long, Boolean)]
+        .collect().map { case (k, v, a) => k -> ((v, a)) }.toMap
+      assert(got(301L) == ((1L, false)) && got(302L) == ((0L, true)))
+      // stream gate == batch op verdict on the same rows
+      val batch = graft.operators.TextAnalysis.encodingSignals(
+          Seq((301L, dirty), (302L, clean)).toDF("doc_id", "text"), "doc_id", "text")
+        .select($"doc_id", !$"is_suspect").as[(Long, Boolean)].collect().toMap
+      assert(batch(301L) == got(301L)._2 && batch(302L) == got(302L)._2)
+    } finally q.stop()
+  }
 }
 
