@@ -864,7 +864,30 @@ object Sampling {
     * ledger). Docs with no grams are absent, the [[dsirScore]]
     * contract. */
   def dsirScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
-                       model: DsirModel): DataFrame =
+                       model: DsirModel): DataFrame = {
+    import graft.functions.WordShingles.wordShingles
+    // Integer-bp weights carried as doubles: sums of integer-valued
+    // doubles are exact and order-independent, so the row-local sum is
+    // bit-identical to the join form's long aggregate.
+    val w = graft.functions.BucketWeightSum
+      .collectWeights(model.weights, "bucket", "w_bp", model.buckets)
+    docs.select(col(idCol),
+        concat(wordShingles(col(textCol), 1, distinct = false),
+          wordShingles(col(textCol), 2, distinct = false)).as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col(idCol), size(col("__g")).cast("long").as("n_grams"),
+        graft.functions.BucketWeightSum
+          .bucketWeightSum(col("__g"), w).cast("long").as("sum_w_bp"))
+      .withColumn("dsir_w",
+        round(col("sum_w_bp").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
+  /** The explode → broadcast-join → aggregate formulation
+    * [[dsirScoreAgainst]] replaced, kept as the spec-pinned reference
+    * twin (Round12Spec asserts row-for-row equality). */
+  private[graft] def dsirScoreAgainstJoined(docs: DataFrame, idCol: String,
+                                            textCol: String,
+                                            model: DsirModel): DataFrame =
     dsirGrams(docs, textCol, lit(false).as("__t"), model.buckets, Seq(idCol))
       .join(broadcast(model.weights.select(col("bucket"), col("w_bp"))),
         Seq("bucket"))

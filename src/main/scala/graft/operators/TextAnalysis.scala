@@ -731,7 +731,29 @@ object TextAnalysis {
     * Σ tf_b·w_b = (Σ_grams w_bucket)/n_grams. Output: (idCol, n_grams,
     * quality), quality rounded to 4. */
   def scoreQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
-                             clf: QualityClassifier): DataFrame =
+                             clf: QualityClassifier): DataFrame = {
+    import graft.functions.WordShingles.wordShingles
+    val w = graft.functions.BucketWeightSum
+      .collectWeights(clf.weights, "bucket", "w", clf.buckets)
+    docs.select(col(idCol),
+        concat(wordShingles(col(textCol), 1, distinct = false),
+          wordShingles(col(textCol), 2, distinct = false)).as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col(idCol), size(col("__g")).cast("long").as("n_grams"),
+        graft.functions.BucketWeightSum
+          .bucketWeightSum(col("__g"), w).as("__sw"))
+      .select(col(idCol), col("n_grams"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(clf.bias) + col("__sw") / col("n_grams").cast("double")))),
+          4).as("quality"))
+  }
+
+  /** The explode → broadcast-join → aggregate formulation
+    * [[scoreQualityClassifier]] replaced, kept as the spec-pinned
+    * reference twin (Round12Spec asserts row-for-row equality). */
+  private[graft] def scoreQualityClassifierJoined(
+      docs: DataFrame, idCol: String, textCol: String,
+      clf: QualityClassifier): DataFrame =
     graft.operators.Sampling
       .dsirGrams(docs, textCol, lit(false).as("__t"), clf.buckets, Seq(idCol))
       .join(broadcast(clf.weights.select(col("bucket"), col("w"))),

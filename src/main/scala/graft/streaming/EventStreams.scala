@@ -451,73 +451,39 @@ object EventStreams {
     * offline artifact here, like the boilerplate threshold and the gram
     * index caps.
     *
-    * Gram buckets are scan-side (stateless); the probe is a broadcast
-    * stream-static join; the per-doc sum is one windowed aggregate
-    * (watermark-evicted). An (id, gram_idx) watermarked dedup ahead of
-    * the aggregate makes replays score exactly-once instead of
-    * double-counting gram occurrences — positional, because DSIR counts
-    * MULTISET occurrences, so a same-gram repeat at a different position
-    * must survive the dedup (the seedScoreStream argument, shifted from
-    * distinct grams to positions).
+    * Round 12 made this FULLY STATELESS (the bloom-gate shape): with the
+    * dense weight vector bound into the codegen'd
+    * [[graft.functions.BucketWeightSum]] expression, the whole score is
+    * one row-local pass — no explode, no state store, no watermark — so
+    * replays re-derive the identical score instead of needing an
+    * exactly-once dedup, and the gate composes with any other admission
+    * stage without adding plan state.
     *
     * Output: append-mode (idCol, n_grams, sum_w_bp, dsir_w). */
   def dsirScoreStream(docs: DataFrame, idCol: String, textCol: String,
                       tsCol: String,
-                      model: graft.operators.Sampling.DsirModel,
-                      watermarkDelay: String = "10 minutes",
-                      windowDuration: String = "10 minutes"): DataFrame = {
-    import graft.functions.WordShingles.wordShingles
-    docs.withWatermark(tsCol, watermarkDelay)
-      .select(col(idCol), col(tsCol),
-        posexplode(transform(
-          concat(wordShingles(col(textCol), 1, distinct = false),
-            wordShingles(col(textCol), 2, distinct = false)),
-          g => graft.operators.Sampling.hashBucket(g, model.buckets)))
-          .as(Seq("gram_idx", "bucket")))
-      .dropDuplicatesWithinWatermark(idCol, "gram_idx")
-      .join(broadcast(model.weights.select(col("bucket"), col("w_bp"))),
-        Seq("bucket"))
-      .groupBy(window(col(tsCol), windowDuration), col(idCol))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w_bp")).as("sum_w_bp"))
-      .withColumn("dsir_w",
-        round(col("sum_w_bp").cast("double") / col("n_grams").cast("double"), 4))
-      .select(col(idCol), col("n_grams"), col("sum_w_bp"), col("dsir_w"))
-  }
+                      model: graft.operators.Sampling.DsirModel): DataFrame =
+    graft.operators.Sampling
+      .dsirScoreAgainst(docs.select(col(idCol), col(textCol)),
+        idCol, textCol, model)
 
   /** Streaming quality scoring — [[graft.operators.TextAnalysis
     * .scoreQualityClassifier]]'s ingest twin (t17): arriving documents
     * score against the STATIC trained classifier in-flight — the
     * quality-gated admission a GPT-3-style curation pipeline routes on.
-    * Same topology as [[dsirScoreStream]] (the two share their feature
-    * geometry by construction): scan-side gram buckets, broadcast weight
-    * probe, positional (id, gram_idx) watermarked dedup so replays score
-    * exactly-once with multiset repeats intact, one windowed per-doc
-    * aggregate — and the logistic link applied scan-side AFTER the
-    * aggregate, exactly as in batch. Output: append-mode (idCol,
-    * n_grams, quality). */
+    * Same shape as [[dsirScoreStream]] (the two share their feature
+    * geometry by construction), and like it FULLY STATELESS since round
+    * 12: the trained weight vector is bound into the codegen'd
+    * [[graft.functions.BucketWeightSum]] expression, so the whole score
+    * — grams, weight sum, logistic link — is one row-local pass with no
+    * state store and no watermark; replays re-derive the identical
+    * score. Output: append-mode (idCol, n_grams, quality). */
   def qualityScoreStream(docs: DataFrame, idCol: String, textCol: String,
                          tsCol: String,
-                         clf: graft.operators.TextAnalysis.QualityClassifier,
-                         watermarkDelay: String = "10 minutes",
-                         windowDuration: String = "10 minutes"): DataFrame = {
-    import graft.functions.WordShingles.wordShingles
-    docs.withWatermark(tsCol, watermarkDelay)
-      .select(col(idCol), col(tsCol),
-        posexplode(transform(
-          concat(wordShingles(col(textCol), 1, distinct = false),
-            wordShingles(col(textCol), 2, distinct = false)),
-          g => graft.operators.Sampling.hashBucket(g, clf.buckets)))
-          .as(Seq("gram_idx", "bucket")))
-      .dropDuplicatesWithinWatermark(idCol, "gram_idx")
-      .join(broadcast(clf.weights.select(col("bucket"), col("w"))),
-        Seq("bucket"))
-      .groupBy(window(col(tsCol), windowDuration), col(idCol))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("__sw"))
-      .select(col(idCol), col("n_grams"),
-        round(lit(1.0) / (lit(1.0) +
-          exp(-(lit(clf.bias) + col("__sw") / col("n_grams").cast("double")))),
-          4).as("quality"))
-  }
+                         clf: graft.operators.TextAnalysis.QualityClassifier): DataFrame =
+    graft.operators.TextAnalysis
+      .scoreQualityClassifier(docs.select(col(idCol), col(textCol)),
+        idCol, textCol, clf)
 
   /** Streaming boilerplate scrub — [[graft.operators.TextAnalysis
     * .scrubBoilerplateAgainst]]'s ingest twin (t16): arriving documents'

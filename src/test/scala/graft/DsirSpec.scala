@@ -132,17 +132,21 @@ class DsirSpec extends SparkSpecBase {
       s"global sort in the fraction path:\n$plan")
   }
 
-  test("plan ledger: model probe broadcasts; shuffles key only on bucket / doc_id") {
+  test("plan ledger: scoring is one row-local codegen span, ZERO shuffles") {
+    // Round 12: the broadcast-join scoring topology was replaced by the
+    // codegen'd BucketWeightSum expression with the dense weight vector
+    // bound in — the score plan must now contain no join and no exchange
+    // at all (the model BUILD still aggregates, but materializes driver-
+    // side before the scoring query is even constructed).
     val docs = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "documents")
     val out = Sampling.dsirScore(docs, "doc_id", "text",
       col("source") === "src0", buckets = 1024)
     out.queryExecution.toRdd.count()
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"model probe not broadcast:\n$plan")
-    val keyed = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(keyed.subsetOf(Set("bucket", "doc_id")),
-      s"unexpected shuffle keys $keyed:\n$plan")
+    assert(plan.contains("bucket_weight_sum"), s"expression missing:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(plan.contains("*(1)"), s"fell out of codegen:\n$plan")
   }
 }

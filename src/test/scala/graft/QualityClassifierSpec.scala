@@ -73,7 +73,9 @@ class QualityClassifierSpec extends SparkSpecBase {
     assert(e.getMessage.contains("raise sampleMod"))
   }
 
-  test("scoring plan: broadcast weight probe; the only shuffle keys per doc") {
+  test("scoring plan: one row-local codegen span, ZERO shuffles") {
+    // Round 12: broadcast-join scoring → the codegen'd BucketWeightSum
+    // expression; the score plan must contain no join and no exchange.
     val docs = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "documents")
     val clf = TextAnalysis.trainQualityClassifier(
@@ -82,11 +84,10 @@ class QualityClassifierSpec extends SparkSpecBase {
       docs.filter(col("source") =!= "src0"), "doc_id", "text", clf)
     out.queryExecution.toRdd.count()
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
-    val keyed = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(keyed.subsetOf(Set("doc_id")),
-      s"unexpected shuffle keys $keyed:\n$plan")
+    assert(plan.contains("bucket_weight_sum"), s"expression missing:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(plan.contains("*(1)"), s"fell out of codegen:\n$plan")
   }
 
   test("docs with no grams are absent (the dsirScore contract)") {

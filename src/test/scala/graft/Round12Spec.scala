@@ -499,5 +499,50 @@ class Round12Spec extends SparkSpecBase {
       assert(batch(301L) == got(301L)._2 && batch(302L) == got(302L)._2)
     } finally q.stop()
   }
+
+  test("BucketWeightSum: bucket draw is md5-identical to Sampling.hashBucket") {
+    val grams = Seq("alpha", "beta gamma", "x", "", "Ünïcode tok")
+    val buckets = 64
+    // One-hot weight probes: w[b] = b, so the sum of a single-gram array
+    // IS its bucket index.
+    val w = Array.tabulate(buckets)(_.toDouble)
+    val df = grams.toDF("g").select(col("g"),
+      graft.functions.BucketWeightSum.bucketWeightSum(array(col("g")), w).as("viaExpr"),
+      Sampling.hashBucket(col("g"), buckets).cast("double").as("viaSql"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"bucket drift on '${r.getString(0)}'")
+    }
+  }
+
+  test("row-local DSIR scoring is bit-identical to the joined reference") {
+    val d = graft.sources.Sources.table(spark, dir, "documents")
+    val model = Sampling.dsirModelTable(d, "text",
+      isTarget = col("source") === "src0", buckets = 256)
+    val a = Sampling.dsirScoreAgainst(d, "doc_id", "text", model)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = Sampling.dsirScoreAgainstJoined(d, "doc_id", "text", model)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b, "integer-bp weights: the double sum must be exact")
+    assert(a.nonEmpty)
+  }
+
+  test("row-local quality scoring equals the joined reference within FP reorder") {
+    val d = graft.sources.Sources.table(spark, dir, "documents")
+    val clf = graft.operators.TextAnalysis.trainQualityClassifier(
+      d, "doc_id", "text", isSeed = col("source") === "src0", buckets = 256)
+    val a = graft.operators.TextAnalysis
+      .scoreQualityClassifier(d, "doc_id", "text", clf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val b = graft.operators.TextAnalysis
+      .scoreQualityClassifierJoined(d, "doc_id", "text", clf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (id, (n, q)) =>
+      assert(n == b(id)._1, s"gram count drift on $id")
+      // The joined form summed doubles in shuffle order (itself
+      // nondeterministic); after the 4-digit round the two agree.
+      assert(math.abs(q - b(id)._2) < 5e-5, s"quality drift on $id: $q vs ${b(id)._2}")
+    }
+  }
 }
 

@@ -665,8 +665,7 @@ class StreamingSpec extends SparkSpecBase {
       .MemoryStream[(Long, Timestamp, String)](spark, 1)
     val q = EventStreams.dsirScoreStream(
         memStream.toDS().toDF("doc_id", "ts", "text"),
-        "doc_id", "text", "ts", model,
-        watermarkDelay = "1 minute", windowDuration = "5 minutes")
+        "doc_id", "text", "ts", model)
       .writeStream.outputMode("append").format("memory")
       .queryName("dsir_out").start()
     try {
@@ -679,8 +678,11 @@ class StreamingSpec extends SparkSpecBase {
       val got = spark.table("dsir_out")
         .select($"doc_id", $"n_grams", $"sum_w_bp", $"dsir_w")
         .as[(Long, Long, Long, Double)].collect().toSeq
-      assert(got.size == got.map(_._1).toSet.size,
-        s"a replayed doc must land once, not twice: $got")
+      // Stateless gate: a replay RE-DERIVES the identical score (the
+      // bloom-gate convention) instead of deduplicating through state.
+      assert(got.count(_._1 == 201L) == 2, s"replay must re-score: $got")
+      assert(got.filter(_._1 == 201L).toSet.size == 1,
+        s"replayed scores must be identical: $got")
       val batch = Sampling.dsirScoreAgainst(
           arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
           "doc_id", "text", model)
@@ -714,8 +716,7 @@ class StreamingSpec extends SparkSpecBase {
       .MemoryStream[(Long, Timestamp, String)](spark, 1)
     val q = EventStreams.qualityScoreStream(
         memStream.toDS().toDF("doc_id", "ts", "text"),
-        "doc_id", "text", "ts", clf,
-        watermarkDelay = "1 minute", windowDuration = "5 minutes")
+        "doc_id", "text", "ts", clf)
       .writeStream.outputMode("append").format("memory")
       .queryName("qc_out").start()
     try {
@@ -728,8 +729,10 @@ class StreamingSpec extends SparkSpecBase {
       val got = spark.table("qc_out")
         .select($"doc_id", $"n_grams", $"quality")
         .as[(Long, Long, Double)].collect().toSeq
-      assert(got.size == got.map(_._1).toSet.size,
-        s"a replayed doc must score once, not twice: $got")
+      // Stateless gate: the replay re-derives an identical score.
+      assert(got.count(_._1 == 201L) == 2, s"replay must re-score: $got")
+      assert(got.filter(_._1 == 201L).toSet.size == 1,
+        s"replayed scores must be identical: $got")
       val batch = TextAnalysis.scoreQualityClassifier(
           arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
           "doc_id", "text", clf)
