@@ -212,6 +212,47 @@ class PgLiveSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally { c1.close(); c2.close() }
   }
 
+  test("live: md5 and cleartext password authentication round-trip") {
+    // Configure two password-auth'd roles and hba rules AHEAD of the
+    // blanket trust rule (first match wins), then reload.
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      st.execute("SET password_encryption = 'md5'; " +
+        "CREATE ROLE md5user LOGIN PASSWORD 'sekret'")
+      st.execute("RESET password_encryption; " +
+        "CREATE ROLE pwuser LOGIN PASSWORD 'clearpw'") // scram-stored
+      val hba = new java.io.File(live.dataRoot, "data/pg_hba.conf").toPath
+      val rules =
+        "host all md5user 127.0.0.1/32 md5\n" +
+          "host all pwuser 127.0.0.1/32 password\n"
+      java.nio.file.Files.write(hba,
+        (rules + new String(java.nio.file.Files.readAllBytes(hba), "UTF-8"))
+          .getBytes("UTF-8"))
+      assert(st.executeQuery("SELECT pg_reload_conf()").next())
+    } finally c.close()
+
+    def auth(user: String, password: String): Connection = {
+      val props = new java.util.Properties()
+      props.setProperty("user", user)
+      props.setProperty("password", password)
+      DriverManager.getConnection(
+        s"jdbc:postgresql://${live.host}:${live.port}/${live.database}", props)
+    }
+    // md5 challenge–response (auth code 5): the double-md5 construction.
+    val m = auth("md5user", "sekret")
+    try assert(m.createStatement().executeQuery("SELECT 41 + 1").next())
+    finally m.close()
+    // cleartext (auth code 3) against a scram-STORED credential — the
+    // server hashes and compares, the wire carries the plain password.
+    val p = auth("pwuser", "clearpw")
+    try assert(p.createStatement().executeQuery("SELECT 1").next())
+    finally p.close()
+    // Wrong password fails with the auth SQLSTATE, not a hang.
+    val bad = intercept[SQLException] { auth("md5user", "wrong") }
+    assert(bad.getSQLState == "28P01", s"got $bad")
+  }
+
   // --- full pipeline ---------------------------------------------------------
 
   test("live: Floorista dumps a floorplan from Postgres to chunked parquet") {
