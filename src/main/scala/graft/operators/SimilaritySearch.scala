@@ -1339,19 +1339,45 @@ object SimilaritySearch {
       .filter(col("prnk") <= nProbe)
       .select(col("q_id"), col("cell"))
       .join(broadcast(pqLut(pq, q)), Seq("q_id"))
-    // Candidate side: cell assignments joined to code words on the id —
-    // both corpus-sized, id-keyed (AQE plans the equi-join; a production
-    // deployment stores them as ONE bucketed artifact so this join is
-    // build-time, not probe-time); floats never reach the scoring join.
-    val candidates = ivf.assigned
-      .select(col(ivf.idCol).as("n_id"), col("cell"))
-      .join(pq.codes.select(col(pq.idCol).as("n_id"), col("codes")), Seq("n_id"))
-    val scored = probes.join(candidates, Seq("cell"))
+    val scored = probes.join(ivfPqCandidates(ivf, pq), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", graft.functions.PqAdcScore.pqAdcScore(
         col("codes"), col("lut"), pq.k))
     rankTopK(scored, "adc", k)
       .select(col("q_id"), col("n_id"), round(col("adc"), 4).as("adc"), col("rnk"))
+  }
+
+  /** The combined (cell, n_id, codes) candidate artifact — cell
+    * assignments joined to code words on the id ONCE, at build time, and
+    * memoized per index pair (reference identity; stopped-session entries
+    * evicted like every other index cache). The join is corpus-sized on
+    * both sides, which is exactly why it must not run per probe: the
+    * round-12 32× sweep priced the probe-time form at 11.4 s for 10
+    * queries, almost all of it this exchange. A production deployment
+    * persists this frame as the single bucketed serving artifact;
+    * in-session it is one cached join, paid on first probe (or charged to
+    * the build by forcing it there — what the stress harness does). */
+  private val ivfPqCandCache =
+    new java.util.concurrent.ConcurrentHashMap[(IvfIndex, PqIndex), DataFrame]()
+
+  def ivfPqCandidates(ivf: IvfIndex, pq: PqIndex): DataFrame = {
+    val it = ivfPqCandCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    ivfPqCandCache.computeIfAbsent((ivf, pq), { _ =>
+      // localCheckpoint, not cache: BOTH materializes (probes read
+      // computed blocks) AND truncates the lineage. The assignment plan
+      // carries the nCells-struct centroid literal — inside a many-branch
+      // union (the stress corpus) the un-truncated tree costs seconds of
+      // driver-side Catalyst work PER PROBE ACTION (measured ~9 s of the
+      // 32× probe's 9.3 s; the executed join itself was sub-second).
+      ivf.assigned
+        .select(col(ivf.idCol).as("n_id"), col("cell"))
+        .join(pq.codes.select(col(pq.idCol).as("n_id"), col("codes")), Seq("n_id"))
+        .localCheckpoint()
+    })
   }
 
   /** Per-(session, corpus) memoized [[PqIndex]] — same keying and
