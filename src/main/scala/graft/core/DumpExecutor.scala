@@ -40,7 +40,7 @@ class DumpExecutor(
     attemptScope: DumpExecutor.AttemptScope = null) {
 
   private val scope: DumpExecutor.AttemptScope =
-    if (attemptScope != null) attemptScope else body => body(runQuery)
+    if (attemptScope != null) attemptScope else (_, body) => body(runQuery)
 
   private val log = LoggerFactory.getLogger(classOf[DumpExecutor])
 
@@ -75,10 +75,10 @@ class DumpExecutor(
               return false
           }
         }
-        scope { run =>
+        scope(row, { run =>
           val df = run(row.query)
           sink.write(df, row.prefix, row.rowsPerFile, date)
-        } match {
+        }) match {
           case WriteResult.Written =>
             log.info(s"[Dump #$dumpNo] Written parquet to ${row.prefix}")
           case WriteResult.EmptyMarker =>
@@ -112,9 +112,13 @@ class DumpExecutor(
 }
 
 object DumpExecutor {
-  /** Runs one dump attempt: receives the attempt body (query → write →
-    * [[WriteResult]]) and must invoke it exactly once with the query
-    * runner to use for that attempt. Lets a deployment scope per-attempt
-    * resources (a pinned snapshot's anchor connection) around the body. */
-  type AttemptScope = ((String => DataFrame) => WriteResult) => WriteResult
+  /** Runs one dump attempt: receives the dump's [[FloorplanRow]] (so a
+    * deployment can honor per-dump options like the parallel-read
+    * partitioning block) and the attempt body (query → write →
+    * [[WriteResult]]), and must invoke the body exactly once with the
+    * query runner to use for that attempt. Lets a deployment scope
+    * per-attempt resources (a pinned snapshot's anchor connection)
+    * around the body. */
+  type AttemptScope =
+    (FloorplanRow, (String => DataFrame) => WriteResult) => WriteResult
 }

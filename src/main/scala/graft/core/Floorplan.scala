@@ -11,9 +11,24 @@ import scala.jdk.CollectionConverters._
   * `0` means "whole result in one file"
   * (`src/floorist/floorist.py:194`, `README.md:39`).
   *
+  * EXTENSION (a strict superset of the reference format): an optional
+  * `partition_column` + `partition_lower` + `partition_upper` +
+  * `partitions` block asks the JDBC mode to read the dump in N parallel
+  * range-partitioned scans. The reference CANNOT parallelize a dump at
+  * all without losing its one-transaction consistency; here every
+  * partition connection joins the dump attempt's pinned exported
+  * snapshot ([[graft.sources.SnapshotJdbcSource]]), so the parallel dump
+  * keeps the exact same one-snapshot semantics — the engine's headline
+  * advantage over the reference, now reachable from the floorplan.
+  * Parquet-lake mode ignores the block (Spark parallelizes those scans
+  * by file splits already).
+  *
   * @param chunksize None = unset (default 1000 applies); Some(0) = single file.
+  * @param partitioning (column, lowerBound, upperBound, numPartitions)
+  *                     for the parallel JDBC read.
   */
-final case class FloorplanRow(prefix: String, query: String, chunksize: Option[Int]) {
+final case class FloorplanRow(prefix: String, query: String, chunksize: Option[Int],
+                              partitioning: Option[(String, Long, Long, Int)] = None) {
   /** Rows per output file, `None` = one single file (floorist's `0` case). */
   def rowsPerFile: Option[Int] = chunksize match {
     case Some(0) => None
@@ -77,6 +92,29 @@ object FloorplanParser {
         case _: NumberFormatException => throw InvalidFloorplanRow("chunksize")
       }
     }
-    FloorplanRow(prefix, query, chunksize)
+    def longKey(key: String): Long = raw.get(key) match {
+      case Some(v) if v != null =>
+        try v match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long    => l.longValue
+          case other                => other.toString.trim.toLong
+        } catch {
+          case _: NumberFormatException => throw InvalidFloorplanRow(key)
+        }
+      case _ => throw InvalidFloorplanRow(key)
+    }
+    // The parallel-read extension block: all-or-nothing — a column with
+    // no bounds (or bounds with no column) is a spec error for THIS dump,
+    // failing it like any other invalid row while later dumps keep going.
+    val partitioning = raw.get("partition_column").filter(_ != null).map { c =>
+      val n = longKey("partitions").toInt
+      if (n < 1) throw InvalidFloorplanRow("partitions")
+      (c.toString, longKey("partition_lower"), longKey("partition_upper"), n)
+    }
+    if (partitioning.isEmpty &&
+        Seq("partition_lower", "partition_upper", "partitions")
+          .exists(k => raw.get(k).exists(_ != null)))
+      throw InvalidFloorplanRow("partition_column")
+    FloorplanRow(prefix, query, chunksize, partitioning)
   }
 }

@@ -31,13 +31,12 @@ import graft.core.JdbcConfig
   * retries, the strongest reading of A9+A7 together) or outside (fresh
   * snapshot per attempt, the reference's behavior).
   *
-  * Environment note: exported snapshots are PostgreSQL; the sandbox has
-  * no live Postgres (the docker-compose gap the integration suite
-  * documents), so — exactly like the S3A settings — the WIRING is
-  * Derby-tested (the init statement provably runs on the data connection
-  * before the query; the anchor lifecycle runs against a pluggable
-  * snapshot query) and the live behavior is documented against public
-  * PostgreSQL semantics. */
+  * Tested at two levels: the WIRING against embedded Derby (the init
+  * statement provably runs on the data connection before the query; the
+  * anchor lifecycle against a pluggable snapshot query), and since round
+  * 12 the LIVE semantics against a real PostgreSQL 15 through the pgwire
+  * shim — PgLiveSpec pins a snapshot across a 3-partition read while a
+  * concurrent writer commits, and the pinned counts hold. */
 object SnapshotJdbcSource {
 
   /** The anchor transaction holding a snapshot open. `close()` is
@@ -116,10 +115,14 @@ object SnapshotJdbcSource {
     * with the snapshot that caused a recovery-conflict abort. */
   def dumpAttemptScope(spark: SparkSession, jdbc: JdbcConfig,
                        fetchSize: Int = 1000): graft.core.DumpExecutor.AttemptScope =
-    body =>
+    (row, body) =>
       withPinnedSnapshot(jdbc.url,
           Map("user" -> jdbc.user, "password" -> jdbc.password)) { snap =>
-        body(sql => readPinned(spark, jdbc, sql, snap, fetchSize))
+        // The floorplan's parallel-read block rides through here: every
+        // range partition's connection imports the SAME attempt snapshot,
+        // so the parallel dump keeps one-snapshot semantics.
+        body(sql => readPinned(spark, jdbc, sql, snap, fetchSize,
+          partitioning = row.partitioning))
       }
 
   /** Pin a snapshot, run the dump body, release the anchor — the

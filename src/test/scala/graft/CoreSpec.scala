@@ -20,6 +20,26 @@ class FloorplanParserSpec extends AnyFunSuite {
     assert(FloorplanParser.toRow(rows(1)).chunksize.isEmpty)
   }
 
+  test("partition block parses all-or-nothing (the parallel-dump extension)") {
+    val full = FloorplanParser.toRow(Map(
+      "prefix" -> "p", "query" -> "q", "partition_column" -> "account",
+      "partition_lower" -> 0, "partition_upper" -> 7, "partitions" -> 3))
+    assert(full.partitioning.contains(("account", 0L, 7L, 3)))
+    // reference-format rows stay untouched
+    assert(FloorplanParser.toRow(Map("prefix" -> "p", "query" -> "q"))
+      .partitioning.isEmpty)
+    // a column with no bounds fails THIS dump, like any invalid row
+    intercept[InvalidFloorplanRow](FloorplanParser.toRow(Map(
+      "prefix" -> "p", "query" -> "q", "partition_column" -> "account")))
+    // bounds with no column likewise
+    intercept[InvalidFloorplanRow](FloorplanParser.toRow(Map(
+      "prefix" -> "p", "query" -> "q", "partitions" -> 3)))
+    // a non-positive partition count likewise
+    intercept[InvalidFloorplanRow](FloorplanParser.toRow(Map(
+      "prefix" -> "p", "query" -> "q", "partition_column" -> "account",
+      "partition_lower" -> 0, "partition_upper" -> 7, "partitions" -> 0)))
+  }
+
   test("default chunksize is 1000; zero means single file") {
     assert(FloorplanRow("p", "q", None).rowsPerFile.contains(1000))
     assert(FloorplanRow("p", "q", Some(0)).rowsPerFile.isEmpty)

@@ -293,6 +293,49 @@ class PgLiveSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(noneDir.listFiles().forall(f => !f.getName.startsWith("part-")))
   }
 
+  test("live: a floorplan partition block dumps in parallel under one snapshot") {
+    val out = tmpDir("pglive-par")
+    val total = JdbcSource.read(spark, jdbcConfig, "SELECT id FROM hosts").count()
+    val fp = new java.io.File(out, "floorplan.yaml")
+    // The reference-format superset: same dump, three range partitions.
+    val yaml =
+      s"""- prefix: par/hosts
+         |  query: SELECT id, account, display_name FROM hosts
+         |  chunksize: 0
+         |  partition_column: account
+         |  partition_lower: 0
+         |  partition_upper: 7
+         |  partitions: 3
+         |""".stripMargin
+    java.nio.file.Files.write(fp.toPath, yaml.getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(new java.io.File(out, "bucket").toPath)
+
+    // Plumbing check first: the parsed block reaches the pinned read as a
+    // genuinely partitioned scan.
+    val row = core.FloorplanParser.toRow(
+      core.FloorplanParser.parseFile(fp.getAbsolutePath).head)
+    assert(row.partitioning.contains(("account", 0L, 7L, 3)))
+    SnapshotJdbcSource.withPinnedSnapshot(live.jdbcUrl, Map("user" -> live.user)) { snap =>
+      val pinned = SnapshotJdbcSource.readPinned(spark, jdbcConfig, row.query,
+        snap, partitioning = row.partitioning)
+      assert(pinned.rdd.getNumPartitions == 3)
+      assert(pinned.count() == total)
+    }
+
+    // Then the full pipeline through the same floorplan.
+    val config = EngineConfig(
+      bucketUrl = s"file://$out/bucket",
+      endpoint = None, region = None, accessKeyId = None, secretAccessKey = None,
+      floorplanFile = fp.getAbsolutePath,
+      jdbc = Some(jdbcConfig),
+      fileContract = FileContract.Exact)
+    assert(new core.Floorista(spark, config).run() == 0)
+    val back = spark.read.parquet(
+      s"$out/bucket/par/hosts/year_created=*/month_created=*/day_created=*")
+    assert(back.count() == total)
+    assert(back.select("id").distinct().count() == total)
+  }
+
   test("live: DumpExecutor + pinned-attempt scope writes through a snapshot") {
     val out = tmpDir("pglive-exec")
     val sink = new PartitionedParquetSink(spark, s"file://$out", FileContract.Exact)
