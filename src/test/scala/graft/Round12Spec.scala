@@ -544,5 +544,31 @@ class Round12Spec extends SparkSpecBase {
       assert(math.abs(q - b(id)._2) < 5e-5, s"quality drift on $id: $q vs ${b(id)._2}")
     }
   }
+
+  test("ivfPqCandidates: one artifact per index pair, lineage CUT (the 8.10 fix)") {
+    val emb = graft.sources.Sources.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val norm = emb.select(col("vec_id"),
+      SimilaritySearch.l2normalizeCol(col("v")).as("__vn"))
+    val ivf = SimilaritySearch.buildIvfIndex(norm, "vec_id", "__vn",
+      nCells = 8, persist = false)
+    val pq = SimilaritySearch.buildPqIndex(norm, "vec_id", "__vn",
+      m = 8, k = 16, persist = false)
+    val a = SimilaritySearch.ivfPqCandidates(ivf, pq)
+    val b = SimilaritySearch.ivfPqCandidates(ivf, pq)
+    assert(a eq b, "the combined artifact must memoize per index pair")
+    // localCheckpoint truncates the plan: the artifact's lineage is a
+    // materialized scan, NOT the assignment plan with its centroid
+    // literal (whose per-action Catalyst cost was the 32x probe defect).
+    val lineage = a.queryExecution.analyzed.toString
+    assert(lineage.contains("LogicalRDD") || lineage.contains("Scan ExistingRDD"),
+      s"lineage not cut:\n${lineage.take(500)}")
+    assert(!lineage.contains("word_shingles") && lineage.length < 2000,
+      "the artifact drags its build lineage")
+    // And the probe actually serves from it.
+    val q = norm.limit(2).select(col("vec_id").as("q_id"), col("__vn").as("__qn"))
+    assert(SimilaritySearch.probeIvfPq(ivf, pq, q, k = 2).count() > 0)
+  }
 }
 
