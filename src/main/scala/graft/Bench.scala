@@ -86,7 +86,8 @@ object Bench {
                  sfDir: String, budget: Int = LineBudget,
                  warmupBuild: Double = 0.0,
                  warmupArtifacts: Seq[(String, Double)] = Nil,
-                 oracleForms: Seq[(String, Double)] = Nil): (String, String) = {
+                 oracleForms: Seq[(String, Double)] = Nil,
+                 spreads: Seq[(String, (Double, Double))] = Nil): (String, String) = {
     val total = ms(results.map(_._2).sum)
     val bySlowest = results.sortBy(-_._2)
     val waSlowest = warmupArtifacts.sortBy(-_._2)
@@ -140,15 +141,33 @@ object Bench {
 
     def fullLine: String = {
       val base = line(bySlowest, 0, errors.length, waSlowest.length)
-      if (ofSlowest.isEmpty) base
+      val withForms =
+        if (ofSlowest.isEmpty) base
+        else {
+          val entries = ofSlowest
+            .map { case (k, v) => "\"" + esc(k) + "\":" + ms(v) }
+            .mkString("{", ",", "}")
+          // splice oracle_forms just before "queries" so the full document
+          // groups the accounting keys together
+          base.replaceFirst(""","queries":""",
+            s""","oracle_forms":${java.util.regex.Matcher.quoteReplacement(entries)},"queries":""")
+        }
+      // Per-query [min,max] of the 3 timed runs — FULL document only
+      // (the compact line has no budget for it). A median alone cannot
+      // distinguish a host blip from a plan pathology: round 12's
+      // d04_minhash_lsh read 2.65 s on the driver vs 0.44 s here with no
+      // way to tell from the artifact whether one run or all three were
+      // slow. Ordered like `queries` (slowest median first).
+      if (spreads.isEmpty) withForms
       else {
-        val entries = ofSlowest
-          .map { case (k, v) => "\"" + esc(k) + "\":" + ms(v) }
-          .mkString("{", ",", "}")
-        // splice oracle_forms just before "queries" so the full document
-        // groups the accounting keys together
-        base.replaceFirst(""","queries":""",
-          s""","oracle_forms":${java.util.regex.Matcher.quoteReplacement(entries)},"queries":""")
+        val spreadByName = spreads.toMap
+        val entries = bySlowest.flatMap { case (k, _) =>
+          spreadByName.get(k).map { case (lo, hi) =>
+            "\"" + esc(k) + "\":[" + ms(lo) + "," + ms(hi) + "]"
+          }
+        }.mkString("{", ",", "}")
+        withForms.replaceFirst(""","queries":""",
+          s""","spread":${java.util.regex.Matcher.quoteReplacement(entries)},"queries":""")
       }
     }
 
@@ -230,6 +249,7 @@ object Bench {
     // cost by exactly that. The median of three discards one outlier in
     // either direction while keeping total bench wall time well under the
     // harness budget.
+    val spreads = scala.collection.mutable.Buffer[(String, (Double, Double))]()
     val results = names.map { name =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -247,6 +267,7 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
         }
       }
+      spreads += name -> (times.min, times.max)
       name -> times.sorted.apply(times.length / 2)
     }
     // Single-shot timing of the full oracle forms for overridden names —
@@ -254,16 +275,27 @@ object Bench {
     // forms already ran in the warm-up, so this is steady-state too; one
     // shot because they are the slowest plans in the suite and the twin
     // accounting needs magnitude, not medians).
-    val oracleForms = names.filter(prod.contains).map { name =>
+    val oracleForms = names.filter(prod.contains).flatMap { name =>
       val t0 = System.nanoTime()
-      try exhaust(SparkEntry.queries(name)(spark, sfDir))
-      catch { case scala.util.control.NonFatal(_) => }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        exhaust(SparkEntry.queries(name)(spark, sfDir))
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // A broken oracle form must SURFACE, not silently deflate
+          // twin_overhead with an elapsed-to-failure reading: record a
+          // bench error and drop the name from oracle_forms entirely
+          // (matching the timed-run error handling).
+          errors += s"oracle_form:$name"
+          System.err.println(s"[bench] oracle form $name FAILED: $e")
+          None
+      }
     }
     val (compact, full) = formatJson(results, errors.toSeq, sfDir,
       warmupBuild = warmupBuild,
       warmupArtifacts = graft.tools.BuildTimer.perArtifactSeconds,
-      oracleForms = oracleForms)
+      oracleForms = oracleForms,
+      spreads = spreads.toSeq)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))

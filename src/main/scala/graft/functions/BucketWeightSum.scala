@@ -96,10 +96,20 @@ object BucketWeightSum {
     arr
   }
 
+  // One digest per task thread, reset per gram: getInstance("MD5") is a
+  // provider lookup + allocation, and this sits in the scoring half of
+  // every hashed-ngram model's scan — per-ROW construction was measurable
+  // against the (reset + digest)-only cost. Expression evaluation is
+  // single-threaded per task, so a ThreadLocal is safe.
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** One md5 per gram, first four digest bytes as an unsigned 32-bit
     * value, mod the weight-vector length (== Sampling.hashBucket). */
   def compute(arr: ArrayData, w: Array[Double]): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd5.get()
     val n = arr.numElements()
     var sum = 0.0
     var i = 0

@@ -616,14 +616,23 @@ object Dedup {
                           maxLocalEdges: Int = 4000000): DataFrame = {
     val longIds = pairs.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
       pairs.schema(bCol).dataType == org.apache.spark.sql.types.LongType
+    // Checkpoint the pair frame ONCE up front: the size probe, the
+    // local collect, and the distributed fallback must all read the
+    // same rows — an unmaterialized nondeterministic pair plan (e.g. a
+    // sampled or banded join a caller forgot to checkpoint) could
+    // otherwise hand the probe one edge set and the fallback another.
+    val edges = pairs.select(col(aCol), col(bCol)).localCheckpoint()
     if (longIds) {
-      val probe = pairs.select(col(aCol), col(bCol))
-        .limit(maxLocalEdges + 1).collect()
-      if (probe.length <= maxLocalEdges)
-        return localComponents(pairs.sparkSession, probe)
+      // Executor-side bounded count gates the collect, so the
+      // multi-hundred-MB transient Row allocation only ever happens
+      // when the edges WILL be union-found locally — an overflowing
+      // pair set costs one cheap count, not a discarded 4M-row pull.
+      val n = edges.limit(maxLocalEdges + 1).count()
+      if (n <= maxLocalEdges)
+        return localComponents(pairs.sparkSession, edges.collect())
     }
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()

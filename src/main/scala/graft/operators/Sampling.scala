@@ -335,10 +335,18 @@ object Sampling {
     grams.agg(approx_count_distinct(col(gramCol)).as("n")).head.getLong(0)
 
   /** next power of two ≥ 32·n, floor 2¹⁷ (the load ≤ 1/32, k=16 doc-level
-    * sizing story above). */
-  private def autoBloomBits(nItems: Long): Int =
-    math.max(1 << 17,
-      java.lang.Long.highestOneBit(math.max(1L, nItems * 32L - 1L)).toInt << 1)
+    * sizing story above). Arithmetic stays in Long until the final
+    * bound check: the pre-round-13 `.toInt << 1` overflowed Int once
+    * 32·n crossed 2³¹ and silently collapsed the size to the 2¹⁷ floor
+    * — a near-100% FP filter in exactly the regime the caller's 2³⁰
+    * guard exists for. Callers must guard 32·n ≤ 2³⁰ BEFORE calling. */
+  private[graft] def autoBloomBits(nItems: Long): Int = {
+    val target = java.lang.Long.highestOneBit(math.max(1L, nItems * 32L - 1L)) << 1
+    require(target <= (1L << 30),
+      s"auto-sized bloom of $target bits exceeds the 2^30 single-array bound " +
+        s"for ~$nItems grams — shard wider or pass bits explicitly")
+    math.max(1 << 17, target.toInt)
+  }
 
   /** Round-11 build shape, kept as the REFERENCE definition the aggregate
     * build is pinned against (Round12Spec asserts word-for-word equal bit
@@ -376,10 +384,22 @@ object Sampling {
       Seq((mBitsPerShard, k, nItems, nShards))
         .toDF("m_bits", "k", "n_items", "n_shards").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/bloom_meta")
-      shards.zipWithIndex.flatMap { case (bits, s) =>
-        bits.zipWithIndex.map { case (b, w) => (s, w, b) }
-      }.toSeq.toDF("shard", "w", "bits").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/bloom_bits")
+      // One shard per write job, rows produced executor-side from a
+      // broadcast of that shard's long[] — never the pre-round-13
+      // driver-local Seq of nShards × m/64 boxed (shard, w, bits)
+      // tuples, which at the >2^30-bit scale this artifact targets was
+      // 10^8+ transient objects on the driver heap. Driver residency
+      // stays one long[m/64] per shard (the index itself), nothing more.
+      val words = mBitsPerShard / 64
+      shards.zipWithIndex.foreach { case (bits, s) =>
+        val bc = spark.sparkContext.broadcast(bits)
+        val mode = if (s == 0) "overwrite" else "append"
+        spark.range(words.toLong)
+          .map(w => (s, w.toInt, bc.value(w.toInt)))
+          .toDF("shard", "w", "bits").coalesce(1)
+          .write.mode(mode).parquet(s"$dir/bloom_bits")
+        bc.unpersist(blocking = false)
+      }
     }
   }
 
@@ -408,9 +428,19 @@ object Sampling {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
     val nItems = approxDistinct(grams, gramCol)
+    // Mirror of buildBloomIndex's 2^30 guard, applied per shard: the
+    // shard hash draw splits grams ~evenly, so ceil(n/nShards) is the
+    // per-shard population the 32-bits/item target must cover. Without
+    // this, autoBloomBits's bound trips with a message that doesn't
+    // name the fix (shard wider).
+    val perShard = (nItems + nShards - 1) / math.max(1L, nShards.toLong)
+    require(mBitsPerShard > 0 || perShard * 32L <= (1L << 30),
+      s"auto-sized per-shard bloom would exceed 2^30 bits for ~$perShard " +
+        s"grams/shard (~$nItems total over $nShards shards) — increase " +
+        "nShards or pass mBitsPerShard explicitly with a documented FP budget")
     val m =
       if (mBitsPerShard > 0) mBitsPerShard
-      else autoBloomBits(math.max(1L, nItems / nShards))
+      else autoBloomBits(math.max(1L, perShard))
     require(m % 64 == 0, s"mBitsPerShard must be a multiple of 64, got $m")
     val rows = grams
       .select(col(gramCol).as("__g"),

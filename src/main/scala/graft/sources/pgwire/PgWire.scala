@@ -26,12 +26,19 @@ import scala.collection.mutable.ArrayBuffer
   * Postgres in `PgLiveSpec`.
   *
   * Scope is deliberately semantics-validation, not a pgjdbc replacement:
-  *  - Simple Query only (text results, each statement's rows fully
-  *    buffered). Bounded-memory streaming via portals/`Execute` is left to
-  *    pgjdbc, which production deployments put on the classpath —
-  *    [[graft.core.JdbcDrivers]] prefers it whenever present.
-  *  - SCRAM authentication is not implemented (the managed test server
-  *    runs `--auth=trust`); trust, cleartext and md5 are.
+  *  - Simple Query for statements, plus (round 13) the Extended Query
+  *    sub-protocol for SELECT streaming: Parse/Bind/Describe/Execute with
+  *    a row cap against the unnamed portal, so a fetchsize-bounded read
+  *    holds ≤ fetchSize rows in memory per round-trip — the reference's
+  *    server-side-cursor semantic (`stream_results=True`,
+  *    `/root/reference/src/floorist/floorist.py:128`) without pgjdbc.
+  *    Like pgjdbc's cursor mode it requires an open transaction (Sync
+  *    closes only the IMPLICIT transaction, so the suspended portal
+  *    survives between Execute round-trips).
+  *  - Authentication: trust, cleartext, md5, and (round 13)
+  *    SCRAM-SHA-256 (RFC 5802/7677, the PostgreSQL 14+ default) —
+  *    channel-binding variant SCRAM-SHA-256-PLUS is not offered since
+  *    the client does not speak TLS.
   */
 object PgWire {
 
@@ -89,6 +96,44 @@ object PgWire {
                                   salt: Array[Byte]): String = {
     val inner = md5Hex((password + user).getBytes(UTF_8))
     "md5" + md5Hex(inner.getBytes(UTF_8) ++ salt)
+  }
+
+  /** SCRAM-SHA-256 client crypto (RFC 5802 §3, hash = SHA-256 per RFC
+    * 7677), all from JDK primitives: PBKDF2WithHmacSHA256 for Hi(),
+    * HmacSHA256, SHA-256. Usernames ride the startup message (the SCRAM
+    * `n=` field is empty, as PostgreSQL specifies); passwords are used
+    * as UTF-8 — SASLprep normalization is omitted, matching the ASCII
+    * passwords any database config file can actually carry. */
+  private[pgwire] object Scram {
+    import javax.crypto.Mac
+    import javax.crypto.SecretKeyFactory
+    import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+    def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] =
+      SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(new PBEKeySpec(password.toCharArray, salt, iterations, 256))
+        .getEncoded
+
+    def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+      val mac = Mac.getInstance("HmacSHA256")
+      mac.init(new SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(msg.getBytes(UTF_8))
+    }
+
+    def sha256(bytes: Array[Byte]): Array[Byte] =
+      MessageDigest.getInstance("SHA-256").digest(bytes)
+
+    def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      a.zip(b).map { case (x, y) => (x ^ y).toByte }
+
+    /** Parse `k1=v1,k2=v2,…` attribute lists (server-first/final). Values
+      * may themselves contain '=' (base64 padding) — split on the FIRST
+      * '=' only. */
+    def attrs(msg: String): Map[Char, String] =
+      msg.split(',').flatMap { part =>
+        val i = part.indexOf('=')
+        if (i < 1) None else Some(part.charAt(0) -> part.substring(i + 1))
+      }.toMap
   }
 }
 
@@ -177,6 +222,12 @@ final class PgWireSocket(host: String, port: Int, user: String,
     out.write(body)
     out.flush()
 
+    // SCRAM conversation state, live only between auth codes 10 → 12.
+    var scramFirstBare: String = null
+    var scramServerSig: Array[Byte] = null
+    def requiredPassword: String = password.getOrElse(
+      throw new SQLException("server requires a password and none was given", "28P01"))
+
     var ready = false
     while (!ready) {
       val (tag, b) = readMessage()
@@ -185,16 +236,71 @@ final class PgWireSocket(host: String, port: Int, user: String,
           b.getInt match {
             case 0 => () // AuthenticationOk
             case 3 => // cleartext password
-              send('p', cstring(password.getOrElse(
-                throw new SQLException("server requires a password and none was given", "28P01"))))
+              send('p', cstring(requiredPassword))
             case 5 => // md5
               val salt = new Array[Byte](4); b.get(salt)
-              send('p', cstring(PgWire.md5Password(user, password.getOrElse(
-                throw new SQLException("server requires a password and none was given", "28P01")), salt)))
+              send('p', cstring(PgWire.md5Password(user, requiredPassword, salt)))
+            case 10 => // AuthenticationSASL: server's mechanism list
+              val mechs = Iterator.continually(readCString(b))
+                .takeWhile(_.nonEmpty).toSeq
+              if (!mechs.contains("SCRAM-SHA-256"))
+                throw new SQLException(
+                  s"no common SASL mechanism (server offers ${mechs.mkString(", ")}; " +
+                    "graft-pgwire speaks SCRAM-SHA-256 only — no TLS, so no -PLUS)", "28000")
+              val _ = requiredPassword // fail fast before any wire bytes
+              val nonceBytes = new Array[Byte](18)
+              new java.security.SecureRandom().nextBytes(nonceBytes)
+              val clientNonce = java.util.Base64.getEncoder.encodeToString(nonceBytes)
+              // gs2 header "n,," = no channel binding, no authzid; the
+              // username field is empty — PostgreSQL takes it from startup.
+              scramFirstBare = s"n=,r=$clientNonce"
+              val initial = ("n,," + scramFirstBare).getBytes(UTF_8)
+              val lenBuf = ByteBuffer.allocate(4).putInt(initial.length).array()
+              send('p', cstring("SCRAM-SHA-256") ++ lenBuf ++ initial)
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              if (scramFirstBare == null)
+                throw new SQLException("SASLContinue outside a SCRAM exchange", "28000")
+              val serverFirst = new String(
+                b.array(), b.position(), b.remaining(), UTF_8)
+              val a = PgWire.Scram.attrs(serverFirst)
+              val serverNonce = a.getOrElse('r',
+                throw new SQLException("server-first-message missing nonce", "28000"))
+              val clientNonce = scramFirstBare.substring(scramFirstBare.indexOf("r=") + 2)
+              if (!serverNonce.startsWith(clientNonce))
+                throw new SQLException(
+                  "SCRAM server nonce does not extend the client nonce", "28000")
+              val salt = java.util.Base64.getDecoder.decode(a('s'))
+              val iterations = a('i').toInt
+              val salted = PgWire.Scram.hi(requiredPassword, salt, iterations)
+              val clientKey = PgWire.Scram.hmac(salted, "Client Key")
+              val storedKey = PgWire.Scram.sha256(clientKey)
+              // "biws" = base64("n,,") — the echoed gs2 header
+              val withoutProof = s"c=biws,r=$serverNonce"
+              val authMessage = s"$scramFirstBare,$serverFirst,$withoutProof"
+              val proof = PgWire.Scram.xor(clientKey,
+                PgWire.Scram.hmac(storedKey, authMessage))
+              scramServerSig = PgWire.Scram.hmac(
+                PgWire.Scram.hmac(salted, "Server Key"), authMessage)
+              send('p', (withoutProof + ",p=" +
+                java.util.Base64.getEncoder.encodeToString(proof)).getBytes(UTF_8))
+            case 12 => // AuthenticationSASLFinal: v=ServerSignature
+              val serverFinal = new String(
+                b.array(), b.position(), b.remaining(), UTF_8)
+              val v = PgWire.Scram.attrs(serverFinal).getOrElse('v',
+                throw new SQLException("server-final-message missing signature", "28000"))
+              // Verifying the signature authenticates the SERVER: only a
+              // holder of the stored credentials can compute it. A MITM
+              // that proxied our proof cannot forge this.
+              if (scramServerSig == null || !java.security.MessageDigest.isEqual(
+                  java.util.Base64.getDecoder.decode(v), scramServerSig))
+                throw new SQLException(
+                  "SCRAM server signature verification failed — server does " +
+                    "not hold the credentials it authenticated against", "28000")
+              scramFirstBare = null; scramServerSig = null
             case other =>
               throw new SQLException(
                 s"authentication method $other not supported by graft-pgwire " +
-                  "(trust/cleartext/md5 only; use pgjdbc for SCRAM)", "28000")
+                  "(trust/cleartext/md5/SCRAM-SHA-256)", "28000")
           }
         case 'S' => parameters(readCString(b)) = readCString(b)
         case 'K' => () // BackendKeyData — cancel keys unused
@@ -273,6 +379,147 @@ final class PgWireSocket(host: String, port: Int, user: String,
     }
     if (error != null) throw error
     results.result()
+  }
+
+  // ---- extended query: portal streaming ---------------------------------
+
+  /** Completed Execute round-trips across all portals — live-spec
+    * telemetry proving a capped read really paged through the portal
+    * instead of buffering one giant result. */
+  @volatile var executeRoundTrips: Long = 0L
+
+  private def i16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def i32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** A suspended-resumable read over the UNNAMED portal: rows arrive in
+    * `Execute(maxRows = fetchSize)` slices, so at most one slice is ever
+    * in client memory — the wire half of the reference's
+    * `stream_results=True` bounded-memory dump. One live portal per
+    * connection (it IS the unnamed portal; a second `openPortal` would
+    * destroy this one — enforced in [[PgWireSocket.openPortal]]). */
+  final class Portal private[PgWireSocket] (val fields: Array[Field],
+                                            fetchSize: Int) {
+    private[PgWireSocket] var finished = false
+    var commandTag: String = ""
+
+    /** Fetch the next ≤ fetchSize rows; null when the portal is drained.
+      * Each call is one Execute+Sync round-trip — Sync is safe because
+      * the portal lives inside the caller's EXPLICIT transaction. */
+    def nextBatch(): ArrayBuffer[Array[String]] = {
+      if (finished) return null
+      send('E', cstring("") ++ i32(fetchSize)) // Execute the unnamed portal
+      send('S', Array.emptyByteArray)          // Sync
+      executeRoundTrips += 1
+      val rows = new ArrayBuffer[Array[String]](math.min(fetchSize, 1024))
+      var error: PgServerException = null
+      var done = false
+      var suspended = false
+      while (!done) {
+        val (tag, b) = readMessage()
+        tag.toChar match {
+          case 'D' =>
+            val n = b.getShort.toInt
+            rows += Array.tabulate(n) { _ =>
+              val len = b.getInt
+              if (len < 0) null
+              else { val bytes = new Array[Byte](len); b.get(bytes); new String(bytes, UTF_8) }
+            }
+          case 's' => suspended = true // PortalSuspended: more rows remain
+          case 'C' => commandTag = readCString(b); finished = true
+          case 'I' => finished = true // EmptyQueryResponse
+          case 'E' => if (error == null) error = parseError(b)
+          case 'N' | 'S' | 'A' => ()
+          case 'Z' => txnStatus = b.get().toChar; done = true
+          case other =>
+            throw new SQLException(s"unexpected message '$other' in Execute response")
+        }
+      }
+      if (error != null) { finished = true; activePortal = null; throw error }
+      if (finished) activePortal = null
+      if (!suspended && !finished) {
+        // zero-row slice without suspension cannot happen per protocol;
+        // treat defensively as drained rather than spinning
+        finished = true; activePortal = null
+      }
+      rows
+    }
+
+    /** Close an un-drained portal (early abandon): Close('P') + Sync. */
+    def close(): Unit = if (!finished) {
+      finished = true
+      send('C', 'P'.toByte +: cstring(""))
+      send('S', Array.emptyByteArray)
+      var done = false
+      var error: PgServerException = null
+      while (!done) {
+        val (tag, b) = readMessage()
+        tag.toChar match {
+          case '3' => () // CloseComplete
+          case 'E' => if (error == null) error = parseError(b)
+          case 'Z' => txnStatus = b.get().toChar; done = true
+          case _   => ()
+        }
+      }
+      activePortal = null
+      if (error != null) throw error
+    }
+  }
+
+  private var activePortal: Portal = null
+
+  /** Parse + Bind + Describe the unnamed statement/portal for `sql` and
+    * return a [[Portal]] ready for its first `nextBatch()`. Requires an
+    * OPEN transaction (`txnStatus != 'I'`): Sync ends an implicit
+    * transaction and would destroy the suspended portal after every
+    * slice — the same reason pgjdbc's cursor mode requires
+    * `autoCommit=false`. */
+  def openPortal(sql: String, fetchSize: Int): Portal = {
+    if (closed) throw new SQLException("connection is closed", "08003")
+    require(fetchSize > 0, s"fetchSize must be > 0, got $fetchSize")
+    if (txnStatus == 'I')
+      throw new SQLException(
+        "portal streaming requires an open transaction (autoCommit off) — " +
+          "a suspended portal does not survive Sync's implicit-transaction close", "25P01")
+    if (activePortal != null && !activePortal.finished)
+      throw new SQLException(
+        "a portal is already open on this connection; drain or close it first", "55000")
+    send('P', cstring("") ++ cstring(sql) ++ i16(0)) // Parse, no param types
+    send('B', cstring("") ++ cstring("") ++ i16(0) ++ i16(0) ++ i16(0)) // Bind, all text
+    send('D', 'P'.toByte +: cstring(""))             // Describe portal
+    send('S', Array.emptyByteArray)                  // Sync
+    var fields: Array[Field] = Array.empty
+    var error: PgServerException = null
+    var done = false
+    while (!done) {
+      val (tag, b) = readMessage()
+      tag.toChar match {
+        case '1' | '2' => () // ParseComplete / BindComplete
+        case 'T' =>
+          val n = b.getShort.toInt
+          fields = Array.tabulate(n) { _ =>
+            val name = readCString(b)
+            b.getInt; b.getShort
+            val typeOid = b.getInt
+            b.getShort
+            val typmod = b.getInt
+            b.getShort
+            Field(name, typeOid, typmod)
+          }
+        case 'n' => () // NoData (row-less statement)
+        case 'E' => if (error == null) error = parseError(b)
+        case 'N' | 'S' | 'A' => ()
+        case 'Z' => txnStatus = b.get().toChar; done = true
+        case other =>
+          throw new SQLException(s"unexpected message '$other' in Parse/Bind/Describe response")
+      }
+    }
+    if (error != null) throw error
+    val p = new Portal(fields, fetchSize)
+    activePortal = p
+    p
   }
 
   def isClosed: Boolean = closed

@@ -83,9 +83,14 @@ object PgWireJdbc {
     /** Lazy BEGIN (pgjdbc's implicit-transaction behavior). */
     private[PgWireJdbc] def exec(sql: String): Vector[Result] = {
       if (closed) throw new SQLException("connection is closed", "08003")
-      if (!autoCommit && sock.txnStatus == 'I') sock.query("BEGIN")
+      beginIfNeeded()
       sock.query(sql)
     }
+
+    private[PgWireJdbc] def isAutoCommit: Boolean = autoCommit
+    private[PgWireJdbc] def beginIfNeeded(): Unit =
+      if (!autoCommit && sock.txnStatus == 'I') sock.query("BEGIN"): Unit
+    private[PgWireJdbc] def socket: PgWireSocket = sock
 
     protected def call(name: String, args: Array[AnyRef]): AnyRef = name match {
       case "createStatement"  => stmtProxy(this, None)
@@ -146,17 +151,29 @@ object PgWireJdbc {
 
     private def firstResultSet: AnyRef =
       lastResults.find(_.hasFields) match {
-        case Some(r) => proxy[ResultSet](new RsHandler(r))
+        case Some(r) => proxy[ResultSet](new RsHandler(new BufferedCursor(r)))
         case None    => null
       }
 
     protected def call(name: String, args: Array[AnyRef]): AnyRef = name match {
       case "executeQuery" =>
-        lastResults = conn.exec(sqlOf(args))
-        val rs = firstResultSet
-        if (rs == null)
-          throw new SQLException(s"statement produced no result set")
-        rs
+        // pgjdbc's cursor-mode condition verbatim: a positive fetchSize
+        // with autoCommit off streams through a suspended portal
+        // (Execute slices of ≤ fetchSize rows), so Spark's JDBCRDD read
+        // with `fetchsize` set — the reference's `stream_results=True`
+        // path — holds one slice in memory, not the result. Everything
+        // else (schema probes, DDL, autocommit reads) stays Simple Query.
+        if (fetchSize > 0 && !conn.isAutoCommit) {
+          conn.beginIfNeeded()
+          val portal = conn.socket.openPortal(sqlOf(args), fetchSize)
+          proxy[ResultSet](new RsHandler(new PortalCursor(portal)))
+        } else {
+          lastResults = conn.exec(sqlOf(args))
+          val rs = firstResultSet
+          if (rs == null)
+            throw new SQLException(s"statement produced no result set")
+          rs
+        }
       case "execute" =>
         lastResults = conn.exec(sqlOf(args))
         Boolean.box(lastResults.exists(_.hasFields))
