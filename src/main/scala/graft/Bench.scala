@@ -105,7 +105,7 @@ object Bench {
     val ofSlowest = oracleForms.sortBy(-_._2)
 
     def line(qs: Seq[(String, Double)], omitted: Int, errKeep: Int,
-             waKeep: Int): String = {
+             waKeep: Int, extras: String = ""): String = {
       val m = qs.map { case (k, v) => "\"" + esc(k) + "\":" + ms(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       val es = errors.take(errKeep).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
@@ -136,39 +136,32 @@ object Bench {
       val tw =
         if (oracleForms.isEmpty) ""
         else s""","twin_overhead":${ms(twinOverhead)}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_build":${ms(warmupBuild)}$over$tw$wa,"queries":$m$om,"errors":$es$eo,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_build":${ms(warmupBuild)}$over$tw$wa$extras,"queries":$m$om,"errors":$es$eo,"sf":"${esc(sfDir)}"}"""
     }
 
+    // Full-document-only keys, emitted in place (before "queries") rather
+    // than regex-spliced after the fact — the splice silently no-oped if
+    // key order ever changed.
     def fullLine: String = {
-      val base = line(bySlowest, 0, errors.length, waSlowest.length)
-      val withForms =
-        if (ofSlowest.isEmpty) base
-        else {
-          val entries = ofSlowest
-            .map { case (k, v) => "\"" + esc(k) + "\":" + ms(v) }
-            .mkString("{", ",", "}")
-          // splice oracle_forms just before "queries" so the full document
-          // groups the accounting keys together
-          base.replaceFirst(""","queries":""",
-            s""","oracle_forms":${java.util.regex.Matcher.quoteReplacement(entries)},"queries":""")
-        }
+      val forms =
+        if (ofSlowest.isEmpty) ""
+        else ofSlowest.map { case (k, v) => "\"" + esc(k) + "\":" + ms(v) }
+          .mkString(""","oracle_forms":{""", ",", "}")
       // Per-query [min,max] of the 3 timed runs — FULL document only
       // (the compact line has no budget for it). A median alone cannot
       // distinguish a host blip from a plan pathology: round 12's
       // d04_minhash_lsh read 2.65 s on the driver vs 0.44 s here with no
       // way to tell from the artifact whether one run or all three were
       // slow. Ordered like `queries` (slowest median first).
-      if (spreads.isEmpty) withForms
-      else {
-        val spreadByName = spreads.toMap
-        val entries = bySlowest.flatMap { case (k, _) =>
+      val spreadByName = spreads.toMap
+      val spr =
+        if (spreads.isEmpty) ""
+        else bySlowest.flatMap { case (k, _) =>
           spreadByName.get(k).map { case (lo, hi) =>
             "\"" + esc(k) + "\":[" + ms(lo) + "," + ms(hi) + "]"
           }
-        }.mkString("{", ",", "}")
-        withForms.replaceFirst(""","queries":""",
-          s""","spread":${java.util.regex.Matcher.quoteReplacement(entries)},"queries":""")
-      }
+        }.mkString(""","spread":{""", ",", "}")
+      line(bySlowest, 0, errors.length, waSlowest.length, forms + spr)
     }
 
     val full = fullLine

@@ -620,21 +620,30 @@ object Dedup {
     // local collect, and the distributed fallback must all read the
     // same rows — an unmaterialized nondeterministic pair plan (e.g. a
     // sampled or banded join a caller forgot to checkpoint) could
-    // otherwise hand the probe one edge set and the fallback another.
+    // otherwise hand the probe one edge set and the fallback another
+    // (the symmetrize union below reads it TWICE). This is the only
+    // eager materialization of the edge set; everything downstream
+    // (probe, collect, sym) re-reads the checkpoint, never the input.
     val edges = pairs.select(col(aCol), col(bCol)).localCheckpoint()
     if (longIds) {
       // Executor-side bounded count gates the collect, so the
       // multi-hundred-MB transient Row allocation only ever happens
       // when the edges WILL be union-found locally — an overflowing
-      // pair set costs one cheap count, not a discarded 4M-row pull.
+      // pair set costs one cheap checkpoint re-scan, not a discarded
+      // 4M-row pull.
       val n = edges.limit(maxLocalEdges + 1).count()
       if (n <= maxLocalEdges)
         return localComponents(pairs.sparkSession, edges.collect())
     }
+    // Lazy persist, not a second localCheckpoint: sym is derived
+    // deterministically from the already-checkpointed edges, so it needs
+    // reuse across iterations (its lineage depth is constant — no
+    // analysis blowup), not a second eager full-edge-set job. It
+    // materializes into the cache during the labels-init scan below.
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -672,6 +681,7 @@ object Dedup {
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"connectedComponents: not converged after $maxIter iterations; " +
           "returning best-effort labels (raise maxIter for exact components)")
+    sym.unpersist(blocking = false) // labels is checkpointed — no longer needed
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -40,6 +40,16 @@ object PgWireJdbc {
     Proxy.newProxyInstance(getClass.getClassLoader, Array(ct.runtimeClass), h)
       .asInstanceOf[T]
 
+  /** Test-only telemetry access: the wire socket behind a pgwire
+    * connection (e.g. its `executeRoundTrips` counter, which proves a
+    * capped read really paged through a portal). */
+  private[graft] def socketOf(conn: Connection): PgWireSocket =
+    Proxy.getInvocationHandler(conn) match {
+      case h: ConnHandler => h.socket
+      case other => throw new IllegalArgumentException(
+        s"not a graft-pgwire connection: $other")
+    }
+
   private val NoArgs = new Array[AnyRef](0)
 
   private abstract class Handler(kind: String) extends InvocationHandler {
@@ -138,6 +148,41 @@ object PgWireJdbc {
   private def stmtProxy(conn: ConnHandler, preset: Option[String]): AnyRef =
     proxy[java.sql.PreparedStatement](new StmtHandler(conn, preset))
 
+  // ---- Cursor: the unit RsHandler iterates ---------------------------------
+  //
+  // Two result deliveries share one ResultSet implementation: a Simple
+  // Query's fully-buffered Result (one batch) and a suspended portal's
+  // Execute slices (≤ fetchSize rows per batch, the bounded-memory path).
+
+  private sealed trait Cursor {
+    def fields: Array[Field]
+    /** Next batch of rows; null once drained. Batches may be empty. */
+    def nextBatch(): scala.collection.IndexedSeq[Array[String]]
+    /** Release any server-side resource (idempotent). */
+    def close(): Unit
+  }
+
+  /** A Simple Query result: everything already buffered, one batch. */
+  private final class BufferedCursor(result: Result) extends Cursor {
+    private var consumed = false
+    def fields: Array[Field] = result.fields
+    def nextBatch(): scala.collection.IndexedSeq[Array[String]] =
+      if (consumed) null else { consumed = true; result.rows }
+    def close(): Unit = consumed = true
+  }
+
+  /** A suspended-portal read: each batch is one Execute round-trip of
+    * ≤ fetchSize rows. Closing an undrained cursor closes the portal on
+    * the server (Close('P') + Sync) so the connection can open another —
+    * mirroring pgjdbc's cursor cleanup; without it an abandoned read
+    * (Spark task abort, a limit-stopped scan) wedges the connection with
+    * "a portal is already open" (55000) until the transaction ends. */
+  private final class PortalCursor(portal: PgWireSocket#Portal) extends Cursor {
+    def fields: Array[Field] = portal.fields
+    def nextBatch(): scala.collection.IndexedSeq[Array[String]] = portal.nextBatch()
+    def close(): Unit = portal.close()
+  }
+
   // ---- Statement / PreparedStatement --------------------------------------
 
   private final class StmtHandler(conn: ConnHandler, preset: Option[String])
@@ -145,6 +190,7 @@ object PgWireJdbc {
     private var closed = false
     private var fetchSize = 0
     private var lastResults: Vector[Result] = Vector.empty
+    private var openCursor: Cursor = null
 
     private def sqlOf(args: Array[AnyRef]): String =
       preset.getOrElse(args(0).asInstanceOf[String])
@@ -165,8 +211,12 @@ object PgWireJdbc {
         // else (schema probes, DDL, autocommit reads) stays Simple Query.
         if (fetchSize > 0 && !conn.isAutoCommit) {
           conn.beginIfNeeded()
+          if (openCursor != null) { openCursor.close(); openCursor = null }
+          lastResults = Vector.empty // statement accessors must not serve stale results
           val portal = conn.socket.openPortal(sqlOf(args), fetchSize)
-          proxy[ResultSet](new RsHandler(new PortalCursor(portal)))
+          val cursor = new PortalCursor(portal)
+          openCursor = cursor
+          proxy[ResultSet](new RsHandler(cursor))
         } else {
           lastResults = conn.exec(sqlOf(args))
           val rs = firstResultSet
@@ -197,40 +247,57 @@ object PgWireJdbc {
       case "getQueryTimeout" | "getMaxRows" => Int.box(0)
       case "getWarnings"   => null
       case "getConnection" => conn.proxyRef
-      case "close"         => closed = true; null
-      case "isClosed"      => Boolean.box(closed)
-      case other           => unsupported(other)
+      case "close" =>
+        closed = true
+        if (openCursor != null) { openCursor.close(); openCursor = null }
+        null
+      case "isClosed" => Boolean.box(closed)
+      case other      => unsupported(other)
     }
   }
 
   // ---- ResultSet -----------------------------------------------------------
 
-  private final class RsHandler(result: Result) extends Handler("ResultSet") {
-    private var idx = -1
+  private final class RsHandler(cursor: Cursor) extends Handler("ResultSet") {
+    private val fields = cursor.fields
+    private var batch: scala.collection.IndexedSeq[Array[String]] = null
+    private var idx = -1      // position within the current batch
+    private var rowNum = 0    // 1-based absolute row number (getRow)
+    private var onRow = false
     private var lastWasNull = false
     private var closed = false
 
     private def columnIndex(arg: AnyRef): Int = arg match {
       case n: java.lang.Integer => n.intValue
       case label: String =>
-        val i = result.fields.indexWhere(_.name.equalsIgnoreCase(label))
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(label))
         if (i < 0) throw new SQLException(s"no such column '$label'")
         i + 1
       case other => throw new SQLException(s"bad column selector $other")
     }
 
     private def raw(args: Array[AnyRef]): String = {
-      if (idx < 0 || idx >= result.rows.length)
-        throw new SQLException("ResultSet cursor is not on a row")
-      val v = result.rows(idx)(columnIndex(args(0)) - 1)
+      if (!onRow) throw new SQLException("ResultSet cursor is not on a row")
+      val v = batch(idx)(columnIndex(args(0)) - 1)
       lastWasNull = v == null
       v
     }
 
     protected def call(name: String, args: Array[AnyRef]): AnyRef = name match {
       case "next" =>
-        if (idx < result.rows.length) idx += 1
-        Boolean.box(idx < result.rows.length)
+        if (closed) throw new SQLException("ResultSet is closed", "24000")
+        idx += 1
+        onRow = batch != null && idx < batch.length
+        // advance across batch boundaries; a portal may legally hand back
+        // an empty final slice, so loop rather than test once
+        while (!onRow) {
+          batch = cursor.nextBatch()
+          if (batch == null) return Boolean.box(false) // drained, off-row
+          idx = 0
+          onRow = idx < batch.length
+        }
+        rowNum += 1
+        Boolean.box(true)
       case "getString" => raw(args)
       case "getInt"    => val v = raw(args); Int.box(if (v == null) 0 else v.trim.toInt)
       case "getLong"   => val v = raw(args); Long.box(if (v == null) 0L else v.trim.toLong)
@@ -253,7 +320,7 @@ object PgWireJdbc {
         val ci = columnIndex(args(0))
         val v = raw(args)
         if (v == null) null
-        else result.fields(ci - 1).typeOid match {
+        else fields(ci - 1).typeOid match {
           case PgOid.Bool => Boolean.box(v == "t")
           case PgOid.Int2 => Short.box(v.toShort)
           case PgOid.Int4 => Int.box(v.toInt)
@@ -269,15 +336,19 @@ object PgWireJdbc {
       case "wasNull"    => Boolean.box(lastWasNull)
       case "findColumn" => Int.box(columnIndex(args(0)))
       case "getMetaData" =>
-        proxy[ResultSetMetaData](new RsMetaHandler(result.fields))
-      case "close"    => closed = true; null
+        proxy[ResultSetMetaData](new RsMetaHandler(fields))
+      case "close" =>
+        // Closing an undrained portal cursor releases the server-side
+        // portal (Close('P')+Sync) so the connection stays usable.
+        if (!closed) { closed = true; onRow = false; cursor.close() }
+        null
       case "isClosed" => Boolean.box(closed)
       case "getWarnings" => null
       case "clearWarnings" | "setFetchSize" | "setFetchDirection" => null
       case "getType"        => Int.box(ResultSet.TYPE_FORWARD_ONLY)
       case "getConcurrency" => Int.box(ResultSet.CONCUR_READ_ONLY)
       case "getFetchSize"   => Int.box(0)
-      case "getRow"         => Int.box(if (idx < 0) 0 else idx + 1)
+      case "getRow"         => Int.box(rowNum)
       case "getHoldability" => Int.box(ResultSet.CLOSE_CURSORS_AT_COMMIT)
       case other            => unsupported(other)
     }
