@@ -293,6 +293,181 @@ object Multimodal {
     media.join(drops, Seq(idCol), "left_anti")
   }
 
+  // ---- REAL codec paths (round 14): BMP pixels, WAV samples --------------
+  //
+  // The generative pixel/sample rules below are the shared contract with
+  // the DuckDB oracles (the planted-payload convention): the engine goes
+  // text -> pixels -> ENCODE to real container bytes -> DECODE -> features,
+  // the oracle computes the same features from the text-domain rule
+  // directly. They agree iff the codec round-trip (row order, BGR channel
+  // order, 4-byte row padding, chunk walk, LE sample decode) is faithful.
+  // Golden-byte fixtures in CodecSpec additionally pin the layouts to the
+  // PUBLIC spec, so a symmetric encoder+decoder deviation cannot hide.
+
+  /** The m09/m11 pixel rule (i = row-major pixel index, L = text length):
+    * blue = byte(i mod L); green = (byte((2i) mod L) + 7*row + 13*col)
+    * mod 251; red = 31*i mod 251 (text-independent — a channel-order bug
+    * surfaces as a text-independent blue_sum). */
+  def textImage(text: String, width: Int, height: Int): Codecs.Image = {
+    val tb = text.getBytes("UTF-8")
+    require(tb.length >= 1, "textImage needs a non-empty payload")
+    val rgb = new Array[Byte](width * height * 3)
+    var i = 0
+    val n = width * height
+    while (i < n) {
+      val blue = tb(i % tb.length) & 0xFF
+      val green = ((tb((2 * i) % tb.length) & 0xFF) +
+        (i / width) * 7 + (i % width) * 13) % 251
+      val red = (i * 31) % 251
+      rgb(i * 3) = red.toByte
+      rgb(i * 3 + 1) = green.toByte
+      rgb(i * 3 + 2) = blue.toByte
+      i += 1
+    }
+    Codecs.Image(width, height, rgb)
+  }
+
+  /** Render each doc as a REAL 24-bit BMP of [[textImage]] pixels.
+    * `topDown` writes the negative-height encoding — byte-different,
+    * pixel-identical (the m11 planted construction). */
+  def renderBmpTable(documents: DataFrame, width: Int, height: Int,
+                     topDown: Boolean = false,
+                     idOffset: Long = 0L): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          MediaRow(id + idOffset,
+            Codecs.encodeBmp(textImage(text, width, height), topDown),
+            if (topDown) "image/bmp;topdown" else "image/bmp")
+        }
+      }
+  }
+
+  /** m09 output: header metadata + pixel-derived features, all computed
+    * from the DECODED image (never from the generative rule): channel
+    * sums, a position-weighted green sum (row-order errors are sum-
+    * invariant; the weight is not), and the 63-comparison gradient-sign
+    * fingerprint over the first 64 blue values ([[graft.functions
+    * .DHash64]] semantics, mirrored bit-for-bit by the oracle SQL). */
+  final case class ImageMeta(doc_id: Long, width: Long, height: Long,
+                             file_bytes: Long, blue_sum: Long,
+                             green_wsum: Long, fp: Long)
+
+  def decodedImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = Codecs.decodeBmp(r.media)
+        val n = img.width * img.height
+        var blueSum = 0L
+        var greenW = 0L
+        var i = 0
+        while (i < n) {
+          blueSum += img.rgb(i * 3 + 2) & 0xFF
+          greenW += (i + 1).toLong * (img.rgb(i * 3 + 1) & 0xFF)
+          i += 1
+        }
+        var fp = 0L
+        var j = 1
+        while (j < 64 && j < n) {
+          if ((img.rgb((j - 1) * 3 + 2) & 0xFF) > (img.rgb(j * 3 + 2) & 0xFF))
+            fp |= 1L << (j - 1)
+          j += 1
+        }
+        ImageMeta(r.doc_id, img.width.toLong, img.height.toLong,
+          r.media.length.toLong, blueSum, greenW, fp)
+      }
+    }
+  }
+
+  /** Per-image-ROW blue-channel gradient fingerprints from DECODED pixels —
+    * the m11 "frames": one fingerprint per row, so two valid encodings of
+    * the same image (bottom-up vs top-down BMP) produce identical frame
+    * sets and pair up through [[frameOverlap]]. */
+  def decodedRowFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val img = Codecs.decodeBmp(r.media)
+      (0 until img.height).map { row =>
+        var fp = 0L
+        var c = 1
+        while (c < img.width) {
+          val a = img.rgb((row * img.width + c - 1) * 3 + 2) & 0xFF
+          val b = img.rgb((row * img.width + c) * 3 + 2) & 0xFF
+          if (a > b) fp |= 1L << (c - 1)
+          c += 1
+        }
+        (r.doc_id, fp)
+      }
+    }.toDF("doc_id", "row_fp")
+  }
+
+  /** The m10 sample rule: s(i) = (byte(i mod L) − 96)·512 + (i mod 256) —
+    * spaces (32) land deep negative, letters positive, so zero crossings
+    * track word boundaries; the extremes sit exactly inside 16-bit range.
+    * Sample rate varies per doc (8000 + (doc_id mod 5)·1000) so the
+    * decoded `fmt ` parse is data-bearing, not a constant. */
+  def textPcm(docId: Long, text: String, nSamples: Int = 256): Codecs.Pcm = {
+    val tb = text.getBytes("UTF-8")
+    require(tb.length >= 1, "textPcm needs a non-empty payload")
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = (((tb(i % tb.length) & 0xFF) - 96) * 512 + (i % 256)).toShort
+      i += 1
+    }
+    Codecs.Pcm(8000 + (docId % 5).toInt * 1000, 1, samples)
+  }
+
+  /** Render each doc as a REAL RIFF/WAVE PCM-16 payload of [[textPcm]]
+    * samples; even doc_ids carry a JUNK metadata chunk (odd-sized, padded)
+    * between `fmt ` and `data`, so the decoder's chunk walk is exercised
+    * on half the corpus. */
+  def renderWavTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          MediaRow(id, Codecs.encodeWav(textPcm(id, text), junkChunk = id % 2 == 0),
+            "audio/wav")
+        }
+      }
+  }
+
+  /** m10 output: decoded header facts + integer sample features (sum,
+    * word-boundary zero crossings, exact energy Σs²). */
+  final case class AudioMeta(doc_id: Long, sample_rate: Long, n_channels: Long,
+                             n_samples: Long, sum_samples: Long,
+                             zero_cross: Long, energy: Long)
+
+  def decodedAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = Codecs.decodeWav(r.media)
+        var sum = 0L
+        var zc = 0L
+        var energy = 0L
+        var i = 0
+        while (i < pcm.samples.length) {
+          val s = pcm.samples(i).toLong
+          sum += s
+          energy += s * s
+          if (i > 0 && (pcm.samples(i - 1) < 0) != (pcm.samples(i) < 0)) zc += 1
+          i += 1
+        }
+        AudioMeta(r.doc_id, pcm.sampleRate.toLong, pcm.channels.toLong,
+          pcm.samples.length.toLong, sum, zc, energy)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk. STUB chunking stands in for demux; the explode-shaped output
     * (one row per sampled frame) is the real contract. */

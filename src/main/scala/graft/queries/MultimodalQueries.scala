@@ -139,6 +139,53 @@ private[queries] object MultimodalQueries {
         .select(col("doc_id"), md5(col("frame")).as("frame_md5"))
       graft.multimodal.Multimodal.frameOverlap(frames, "doc_id", "frame_md5")
     }),
+
+
+    // ---- REAL codec rows (round 14): the decode stub retired ------------
+    // m09: every doc rendered as a genuine 24-bit BMP (25x16, BGR,
+    // bottom-up, 4-byte row padding), then DECODED back — header dims,
+    // encoder size arithmetic, channel sums, a position-weighted green
+    // sum (sum-invariant to row-order bugs; the weight is not) and the
+    // 63-bit blue-gradient fingerprint all derive from decoded pixels.
+    // The oracle computes the same features from the text-domain pixel
+    // rule, so any codec infidelity (BGR order, padding, bottom-up flip,
+    // LE header parse) hash-mismatches.
+    "m09_bmp_decode" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedImageMeta(M.renderBmpTable(
+        docs(s, dir).filter(length(col("text")) >= 1),
+        width = 25, height = 16)).toDF()
+    }),
+
+
+    // m10: every doc rendered as a genuine RIFF/WAVE PCM-16 payload
+    // (per-doc sample rate in the fmt chunk; even ids carry an odd-sized
+    // JUNK chunk so the decoder's chunk walk + pad byte are load-bearing
+    // on half the corpus), then DECODED — rate/channels/sample-count from
+    // the headers, sum/zero-crossings/exact energy from the samples.
+    "m10_wav_decode" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedAudioMeta(M.renderWavTable(
+        docs(s, dir).filter(length(col("text")) >= 1))).toDF()
+    }),
+
+
+    // m11: perceptual dedup over DECODED pixels — docs < 40 are planted
+    // again as TOP-DOWN BMPs (negative height: byte-different, equally
+    // valid, pixel-identical), all media decoded, per-image-row blue
+    // gradient fingerprints joined through the capped frameOverlap. The
+    // planted variants pair with their originals iff BOTH row orders
+    // decode to the same pixel grid — the decoded-domain analogue of
+    // m05's monotone-remap invariance.
+    "m11_bmp_variant_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val orig = M.renderBmpTable(base, width = 25, height = 16)
+      val variants = M.renderBmpTable(base.filter(col("doc_id") < 40),
+        width = 25, height = 16, topDown = true, idOffset = 400000L)
+      val frames = M.decodedRowFingerprints(orig.unionByName(variants))
+      M.frameOverlap(frames, "doc_id", "row_fp", maxFrameDocs = 16)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -330,5 +377,85 @@ private[queries] object MultimodalQueries {
          SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
                 md5(substr(text, i * 64 + 1, 64)) AS frame_md5
          FROM f WHERE i % 4 = 0""",
+
+    // m09: the text-domain pixel rule computed directly (the engine goes
+    // text -> pixels -> real BMP bytes -> decode -> features; equality IS
+    // the codec-fidelity claim). Pixel i (row-major, 25x16): blue =
+    // ascii(text[i mod L]); green = (ascii(text[2i mod L]) + 7*(i//25) +
+    // 13*(i%25)) mod 251. file_bytes pins the encoder's size arithmetic:
+    // 54 header + 16 rows x 76 (75 pixel bytes padded to 4) = 1270.
+    "m09_bmp_decode" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              px AS (SELECT doc_id,
+                       list_transform(generate_series(0, 399),
+                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue,
+                       list_transform(generate_series(0, 399),
+                         i -> (ascii(substr(text, 1 + ((2 * i) % L), 1))
+                               + (i // 25) * 7 + (i % 25) * 13) % 251) AS green
+                     FROM d)
+         SELECT doc_id, CAST(25 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                CAST(1270 AS BIGINT) AS file_bytes,
+                CAST(list_sum(blue) AS BIGINT) AS blue_sum,
+                CAST(list_sum(list_transform(generate_series(1, 400),
+                  i -> i * green[i])) AS BIGINT) AS green_wsum,
+                CAST(list_sum(list_transform(generate_series(1, 63),
+                  i -> CASE WHEN blue[i] > blue[i + 1]
+                            THEN (CAST(1 AS BIGINT) << (i - 1))
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+         FROM px""",
+
+    // m10: the text-domain sample rule (s(i) = (ascii-96)*512 + i mod 256;
+    // spaces deep negative, letters positive — zero crossings track word
+    // boundaries). sample_rate mirrors the per-doc fmt-chunk value.
+    "m10_wav_decode" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              s AS (SELECT doc_id,
+                      list_transform(generate_series(0, 255),
+                        i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                             + (i % 256)) AS smp
+                    FROM d)
+         SELECT doc_id,
+                CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS n_channels,
+                CAST(256 AS BIGINT) AS n_samples,
+                CAST(list_sum(smp) AS BIGINT) AS sum_samples,
+                CAST(list_sum(list_transform(generate_series(2, 256),
+                  i -> CASE WHEN (smp[i - 1] < 0) <> (smp[i] < 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross,
+                CAST(list_sum(list_transform(smp,
+                  x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
+         FROM s""",
+
+    // m11: per-image-row blue gradient fingerprints from the pixel rule;
+    // the +400000 planted top-down variants carry the SAME fingerprints
+    // (pixel-identical by construction), then m04's capped frameOverlap.
+    "m11_bmp_variant_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              px AS (SELECT doc_id,
+                       list_transform(generate_series(0, 399),
+                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                     FROM d),
+              rw AS (SELECT doc_id, blue,
+                            unnest(generate_series(0, 15)) AS r
+                     FROM px),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 24),
+                             c -> CASE WHEN blue[r * 25 + c] > blue[r * 25 + c + 1]
+                                       THEN (CAST(1 AS BIGINT) << (c - 1))
+                                       ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS row_fp
+                    FROM rw),
+              allh AS (SELECT doc_id, row_fp FROM h
+                       UNION ALL
+                       SELECT doc_id + 400000, row_fp FROM h WHERE doc_id < 40),
+              dd AS (SELECT DISTINCT doc_id, row_fp FROM allh),
+              keep AS (SELECT row_fp FROM dd GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT dd.doc_id, dd.row_fp FROM dd JOIN keep USING (row_fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM k a JOIN k b ON a.row_fp = b.row_fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
   )
 }
