@@ -882,15 +882,45 @@ object Stress {
         .filter(col("hit")).count()
     }
     // t24: row-local regex counting like char_diversity — pure scan CPU.
+    // Planted POSITIVE anomalies ∝ factor (the round-12 wrong-list: rows
+    // were 0 at every factor, so only the no-match scan path was ever
+    // stress-measured): every 97th doc per replica gains the classic
+    // UTF-8-as-Latin-1 digraphs plus a U+FFFD, so the strip-digest
+    // rebuild runs against genuine matches and the row curve must grow
+    // linearly with the corpus.
     time("mojibake") {
-      graft.operators.TextAnalysis.encodingSignals(docs, "doc_id", "text")
+      // Checkpointed: the planted sliver is ~1% of the corpus \u2014 one scan
+      // builds it, the union then costs corpus + sliver, not 2x corpus.
+      val planted = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"),
+            lit(" caf\u00c3\u00a9 na\u00c3\u00afve \ufffd")).as("text"))
+        .localCheckpoint()
+      graft.operators.TextAnalysis.encodingSignals(
+        docs.select(col("doc_id"), col("text")).unionAll(planted),
+        "doc_id", "text")
         .filter(col("is_suspect")).count()
     }
     // d26: one map-side-combined aggregate + a broadcast verdict join; the
-    // replica suffixing perturbs templates, so cluster populations stay
-    // bounded and the curve must track the corpus linearly.
+    // replica suffixing perturbs templates, so organic cluster populations
+    // stay bounded. Planted templated CLUSTERS ∝ factor (same round-12
+    // wrong-list): every 101st doc per replica spawns three copies whose
+    // only differences are digit runs — identical structural hash, so each
+    // seed yields a genuine 3-cluster, the verdict join has real fan-in,
+    // and dropped rows (2 per seed) must scale linearly.
     time("template_dedup") {
-      graft.operators.Dedup.templateDedup(docs, "doc_id", "text")
+      // Seeds checkpointed for the same reason: three copy branches would
+      // otherwise each re-run the full replica transform.
+      val seeds = docs.filter(pmod(col("doc_id"), lit(101L)) === 0L)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val copies = (1 to 3).map { v =>
+        seeds.select((col("doc_id") + lit(6000000L + v * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(" order "), (col("doc_id") * v).cast("string"),
+            lit(" total "), (col("doc_id") + v).cast("string")).as("text"))
+      }.reduce(_ unionAll _)
+      graft.operators.Dedup.templateDedup(
+        docs.select(col("doc_id"), col("text")).unionAll(copies),
+        "doc_id", "text")
         .filter(!col("keep")).count()
     }
     // q55: windowed distinct with a ROWS frame — state is O(frame) per
