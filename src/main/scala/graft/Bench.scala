@@ -214,7 +214,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     quietBoundedWindowWarning()
+    // Optional substring filter (profiling aid — e.g. `runMain graft.Bench
+    // d04` times only d04 under the chosen SPARK_GRAFT_CPUS geometry). The
+    // driver invokes with no args and gets the full suite.
+    val nameFilter = args.headOption
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => nameFilter.forall(n.contains))
     // The timed plan per name: the production override where the oracle
     // form carries an in-query exact twin, the oracle form itself
     // everywhere else (they are the same plan for 135 of 144 names).

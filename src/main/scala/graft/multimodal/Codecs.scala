@@ -87,8 +87,10 @@ object Codecs {
     * `IllegalArgumentException` naming the unsupported feature otherwise —
     * honest scope, never silent garbage. */
   def decodeBmp(bytes: Array[Byte]): Image = {
-    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+    require(bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: missing 'BM' magic")
+    require(bytes.length >= 54,
+      s"truncated BMP: ${bytes.length} bytes is shorter than the 54-byte headers")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val pixelOffset = buf.getInt(10)
     val headerSize = buf.getInt(14)

@@ -278,6 +278,53 @@ object EventStreams {
         (col("n_moji") + col("n_repl") + col("n_ctrl")) === 0)
   }
 
+  /** Streaming media-decode gate — the codec family's ingest twin (the
+    * round-14 real-decoder analogue of [[encodingGateStream]]): every
+    * arriving binary payload is ACTUALLY decoded (container dispatched by
+    * magic bytes — 'BM' → BMP, 'RIFF' → WAV), and payloads that fail to
+    * decode (truncated, wrong magic, unsupported bit depth/compression)
+    * are flagged for drop with the failure reason, before they land in
+    * the lake. Fully stateless and partition-local: the payload never
+    * leaves its scan task, only the metadata row continues — the shape
+    * that holds at any ingest rate.
+    *
+    * Output: append-mode (new_id, tsCol, kind, meta_a, meta_b, admit,
+    * reason) where (meta_a, meta_b) = (width, height) for images and
+    * (sample_rate, n_samples) for audio. */
+  def mediaDecodeGateStream(media: DataFrame, idCol: String, binCol: String,
+                            tsCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(binCol))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, ts, payload) =>
+          def kindOf(b: Array[Byte]): String =
+            if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+            else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
+              b(2) == 'F' && b(3) == 'F') "wav"
+            else "unknown"
+          val kind = kindOf(payload)
+          try kind match {
+            case "bmp" =>
+              val img = graft.multimodal.Codecs.decodeBmp(payload)
+              (id, ts, kind, img.width.toLong, img.height.toLong, true, "")
+            case "wav" =>
+              val pcm = graft.multimodal.Codecs.decodeWav(payload)
+              (id, ts, kind, pcm.sampleRate.toLong, pcm.samples.length.toLong,
+                true, "")
+            case _ =>
+              (id, ts, kind, 0L, 0L, false, "unrecognized container magic")
+          } catch {
+            case e: IllegalArgumentException =>
+              (id, ts, kind, 0L, 0L, false, e.getMessage)
+          }
+        }
+      }
+      .toDF("new_id", tsCol, "kind", "meta_a", "meta_b", "admit", "reason")
+  }
+
   /** Streaming ExactSubstr probe — the d15/d16 family's ingest-time twin
     * ([[graft.operators.Dedup.deltaExactSubstrPairs]]'s topology applied
     * to a stream, mirroring [[deltaDedupStream]]): arriving documents'

@@ -923,6 +923,38 @@ object Stress {
         "doc_id", "text")
         .filter(!col("keep")).count()
     }
+    // m09/m10 (round 14): REAL codec round-trips — render every doc as a
+    // genuine BMP/WAV, decode it back, reduce the features. Map-only by
+    // construction (the payload never leaves its scan task), so the curve
+    // must track the corpus exactly linearly; any bend would mean decode
+    // cost escaping the scan stage.
+    time("bmp_decode") {
+      val M = graft.multimodal.Multimodal
+      M.decodedImageMeta(M.renderBmpTable(
+          docs.filter(length(col("text")) >= 1), width = 25, height = 16))
+        .toDF().agg(sum(col("blue_sum"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    time("wav_decode") {
+      val M = graft.multimodal.Multimodal
+      M.decodedAudioMeta(M.renderWavTable(docs.filter(length(col("text")) >= 1)))
+        .toDF().agg(sum(col("energy"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    // m11: decoded-domain perceptual dedup — per-row fingerprints from
+    // decoded pixels, then the capped frameOverlap. The replica suffix
+    // perturbs pixel rows between replicas, so the pair population stays
+    // per-replica and the band cap bounds any boilerplate row pattern.
+    time("bmp_variant_dedup") {
+      val M = graft.multimodal.Multimodal
+      val base = docs.filter(length(col("text")) >= 1)
+      val orig = M.renderBmpTable(base, width = 25, height = 16)
+      val variants = M.renderBmpTable(
+        base.filter(pmod(col("doc_id"), lit(40L)) === 0L),
+        width = 25, height = 16, topDown = true, idOffset = 5000000L)
+      M.frameOverlap(M.decodedRowFingerprints(orig.unionByName(variants)),
+        "doc_id", "row_fp", maxFrameDocs = 16).count()
+    }
     // q55: windowed distinct with a ROWS frame — state is O(frame) per
     // row; the exchange is the user_id hash partition, linear in events.
     time("window_distinct") {

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.multimodal.{Codecs, Multimodal}
+import graft.streaming.EventStreams
+
+/** Round-14 wave: the streaming media-decode admission gate over the real
+  * codecs — payloads are genuinely decoded in-flight, corrupt ones drop
+  * with a reason before landing. */
+class Round14Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("mediaDecodeGateStream: decodes real containers in-flight, drops corrupt") {
+    val bmp = Codecs.encodeBmp(Multimodal.textImage("a small test payload", 25, 16))
+    val wav = Codecs.encodeWav(Codecs.Pcm(16000, 1, Array[Short](5, -5, 9)),
+      junkChunk = true)
+    val truncated = bmp.take(40) // dies in the header parse
+    val rle = bmp.clone(); rle(30) = 1 // BI_RLE8: unsupported compression
+    val garbage = "GIF89a-not-supported".getBytes("US-ASCII")
+
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Array[Byte])](spark, 1)
+    val q = EventStreams.mediaDecodeGateStream(
+        memStream.toDS().toDF("doc_id", "ts", "media"), "doc_id", "media", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("media_gate_out").start()
+    try {
+      memStream.addData(
+        (1L, ts(0), bmp), (2L, ts(1), wav), (3L, ts(2), truncated),
+        (4L, ts(3), rle), (5L, ts(4), garbage))
+      q.processAllAvailable()
+      val got = spark.table("media_gate_out")
+        .select($"new_id", $"kind", $"meta_a", $"meta_b", $"admit", $"reason")
+        .as[(Long, String, Long, Long, Boolean, String)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(got(1L) == ((1L, "bmp", 25L, 16L, true, "")),
+        s"valid BMP must admit with decoded dims: ${got(1L)}")
+      assert(got(2L) == ((2L, "wav", 16000L, 3L, true, "")),
+        s"valid WAV must admit with decoded rate/samples: ${got(2L)}")
+      assert(!got(3L)._5 && got(3L)._6.contains("truncated"),
+        s"truncated BMP must drop naming the failure: ${got(3L)}")
+      assert(!got(4L)._5 && got(4L)._6.contains("compression"),
+        s"RLE BMP must drop naming the unsupported feature: ${got(4L)}")
+      assert(got(5L)._2 == "unknown" && !got(5L)._5,
+        s"unrecognized magic must drop as unknown: ${got(5L)}")
+    } finally q.stop()
+  }
+
+  test("media gate verdicts equal the batch decode on the same payloads") {
+    val docsDf = Seq((10L, "first body of text"), (11L, "second body of text"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.renderBmpTable(docsDf, 25, 16)
+    val batch = Multimodal.decodedImageMeta(media)
+      .collect().map(m => m.doc_id -> ((m.width, m.height))).toMap
+
+    val rows = media.collect().map(r => (r.doc_id, ts(r.doc_id), r.media)).toSeq
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Array[Byte])](spark, 1)
+    val q = EventStreams.mediaDecodeGateStream(
+        memStream.toDS().toDF("doc_id", "ts", "media"), "doc_id", "media", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("media_gate_eq").start()
+    try {
+      memStream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("media_gate_eq")
+        .select($"new_id", $"meta_a", $"meta_b", $"admit")
+        .as[(Long, Long, Long, Boolean)].collect()
+      assert(got.length == 2 && got.forall(_._4))
+      got.foreach { case (id, w, h, _) =>
+        assert(batch(id) == ((w, h)), s"stream/batch dims drift for $id")
+      }
+    } finally q.stop()
+  }
+}
