@@ -43,6 +43,7 @@ object Codecs {
   // ---- BMP ----------------------------------------------------------------
 
   private def bmpStride(width: Int): Int = ((width * 3) + 3) & ~3
+  private def bmpStride8(width: Int): Int = (width + 3) & ~3
 
   /** Encode as 24-bit `BI_RGB`. `topDown = true` writes the negative-height
     * variant — same pixels, different (equally valid) file bytes. */
@@ -83,9 +84,52 @@ object Codecs {
     buf.array()
   }
 
-  /** Decode 24-bit uncompressed BMP (positive OR negative height). Throws
-    * `IllegalArgumentException` naming the unsupported feature otherwise —
-    * honest scope, never silent garbage. */
+  /** Encode 8-bit indexed (palette) BMP — the other uncompressed variant
+    * real tools emit (grayscale exports, screenshots). `palette` entries
+    * are 0xRRGGBB; `indices` is row-major top-down, one byte per pixel. */
+  def encodeBmpIndexed(width: Int, height: Int, palette: Array[Int],
+                       indices: Array[Byte]): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette must have 1..256 entries, got ${palette.length}")
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != $width x $height")
+    val stride = bmpStride8(width)
+    val dataSize = stride * height
+    val paletteBytes = palette.length * 4
+    val pixelOffset = 54 + paletteBytes
+    val buf = ByteBuffer.allocate(pixelOffset + dataSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(pixelOffset + dataSize)
+    buf.putShort(0).putShort(0)
+    buf.putInt(pixelOffset)
+    buf.putInt(40)
+    buf.putInt(width).putInt(height)
+    buf.putShort(1).putShort(8)
+    buf.putInt(0) // BI_RGB
+    buf.putInt(dataSize)
+    buf.putInt(2835).putInt(2835)
+    buf.putInt(palette.length) // biClrUsed
+    buf.putInt(0)
+    palette.foreach { rgb => // palette quads are B,G,R,reserved
+      buf.put((rgb & 0xFF).toByte).put(((rgb >> 8) & 0xFF).toByte)
+        .put(((rgb >> 16) & 0xFF).toByte).put(0.toByte)
+    }
+    var fileRow = 0
+    while (fileRow < height) {
+      val imgRow = height - 1 - fileRow // bottom-up
+      var c = 0
+      while (c < width) { buf.put(indices(imgRow * width + c)); c += 1 }
+      var pad = stride - width
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      fileRow += 1
+    }
+    buf.array()
+  }
+
+  /** Decode uncompressed BMP — 24-bit direct or 8-bit palette, positive OR
+    * negative height. Throws `IllegalArgumentException` naming the
+    * unsupported feature otherwise — honest scope, never silent garbage. */
   def decodeBmp(bytes: Array[Byte]): Image = {
     require(bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: missing 'BM' magic")
@@ -100,14 +144,29 @@ object Codecs {
     val heightRaw = buf.getInt(22)
     val bpp = buf.getShort(28).toInt
     val compression = buf.getInt(30)
-    require(bpp == 24, s"unsupported BMP bit depth $bpp (24-bit only)")
+    require(bpp == 24 || bpp == 8,
+      s"unsupported BMP bit depth $bpp (24-bit direct or 8-bit palette only)")
     require(compression == 0, s"unsupported BMP compression $compression (BI_RGB only)")
     val topDown = heightRaw < 0
     val height = math.abs(heightRaw)
     require(width > 0 && height > 0, s"degenerate BMP dimensions ${width}x$heightRaw")
-    val stride = bmpStride(width)
+    val stride = if (bpp == 24) bmpStride(width) else bmpStride8(width)
     require(bytes.length >= pixelOffset + stride.toLong * height,
       s"truncated BMP: need ${pixelOffset + stride.toLong * height} bytes, have ${bytes.length}")
+    // 8-bit: the BGRA palette sits right after the info header; biClrUsed
+    // of 0 means the full 256 entries (the spec's default).
+    val palette: Array[Byte] =
+      if (bpp == 8) {
+        val clrUsed = buf.getInt(46)
+        val entries = if (clrUsed == 0) 256 else clrUsed
+        require(entries >= 1 && entries <= 256 &&
+          14 + headerSize + entries * 4 <= pixelOffset,
+          s"palette of $entries entries does not fit before the pixel data " +
+            s"(offset $pixelOffset, header $headerSize)")
+        val p = new Array[Byte](entries * 4)
+        System.arraycopy(bytes, 14 + headerSize, p, 0, entries * 4)
+        p
+      } else null
     val rgb = new Array[Byte](width * height * 3)
     var fileRow = 0
     while (fileRow < height) {
@@ -116,9 +175,18 @@ object Codecs {
       var c = 0
       while (c < width) {
         val p = (imgRow * width + c) * 3
-        rgb(p) = bytes(base + c * 3 + 2) // R
-        rgb(p + 1) = bytes(base + c * 3 + 1) // G
-        rgb(p + 2) = bytes(base + c * 3) // B
+        if (bpp == 24) {
+          rgb(p) = bytes(base + c * 3 + 2) // R
+          rgb(p + 1) = bytes(base + c * 3 + 1) // G
+          rgb(p + 2) = bytes(base + c * 3) // B
+        } else {
+          val idx = bytes(base + c) & 0xFF
+          require(idx * 4 + 3 < palette.length,
+            s"pixel index $idx outside the ${palette.length / 4}-entry palette")
+          rgb(p) = palette(idx * 4 + 2) // R
+          rgb(p + 1) = palette(idx * 4 + 1) // G
+          rgb(p + 2) = palette(idx * 4) // B
+        }
         c += 1
       }
       fileRow += 1

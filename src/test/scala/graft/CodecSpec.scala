@@ -66,8 +66,8 @@ class CodecSpec extends SparkSpecBase {
   test("BMP decode names unsupported features instead of emitting garbage") {
     val img = Codecs.Image(3, 1, new Array[Byte](9))
     val bytes = Codecs.encodeBmp(img)
-    val bad8bpp = bytes.clone(); bad8bpp(28) = 8
-    assert(intercept[IllegalArgumentException](Codecs.decodeBmp(bad8bpp))
+    val bad4bpp = bytes.clone(); bad4bpp(28) = 4
+    assert(intercept[IllegalArgumentException](Codecs.decodeBmp(bad4bpp))
       .getMessage.contains("bit depth"))
     val badRle = bytes.clone(); badRle(30) = 1
     assert(intercept[IllegalArgumentException](Codecs.decodeBmp(badRle))
@@ -76,6 +76,34 @@ class CodecSpec extends SparkSpecBase {
       Codecs.decodeBmp(bytes.take(60))).getMessage.contains("truncated"))
     assert(intercept[IllegalArgumentException](
       Codecs.decodeBmp("PNGish".getBytes)).getMessage.contains("magic"))
+  }
+
+  test("8-bit palette BMP decodes through the palette (BGRA quads, bottom-up)") {
+    // 3x2 indexed image over a 3-color palette; indices row-major top-down.
+    val palette = Array(0xFF0000, 0x00FF00, 0x0000FF) // red, green, blue
+    val indices = Array[Byte](0, 1, 2, 2, 1, 0)
+    val bytes = Codecs.encodeBmpIndexed(3, 2, palette, indices)
+    // Spot-pin the layout: pixelOffset = 54 + 3*4 = 66; stride = 4.
+    assert(bytes.length === 66 + 4 * 2)
+    assert((bytes(10) & 0xFF) === 66, "pixel offset must account for the palette")
+    // Palette quad 0 is B,G,R,0 for red: 00 00 FF 00 at offset 54.
+    assert((bytes(54) & 0xFF, bytes(55) & 0xFF, bytes(56) & 0xFF) === ((0, 0, 255)))
+    val img = Codecs.decodeBmp(bytes)
+    assert(img.width === 3 && img.height === 2)
+    def px(r: Int, c: Int) = {
+      val p = (r * 3 + c) * 3
+      ((img.rgb(p) & 0xFF) << 16) | ((img.rgb(p + 1) & 0xFF) << 8) | (img.rgb(p + 2) & 0xFF)
+    }
+    assert(px(0, 0) === 0xFF0000 && px(0, 1) === 0x00FF00 && px(0, 2) === 0x0000FF)
+    assert(px(1, 0) === 0x0000FF && px(1, 1) === 0x00FF00 && px(1, 2) === 0xFF0000)
+  }
+
+  test("8-bit BMP with an out-of-palette index names the defect") {
+    val bytes = Codecs.encodeBmpIndexed(2, 1, Array(0x101010, 0x202020),
+      Array[Byte](0, 1))
+    val bad = bytes.clone(); bad(bad.length - 3) = 9 // index 9 of a 2-entry palette
+    assert(intercept[IllegalArgumentException](Codecs.decodeBmp(bad))
+      .getMessage.contains("palette"))
   }
 
   // ---- WAV golden bytes -----------------------------------------------------
@@ -113,6 +141,16 @@ class CodecSpec extends SparkSpecBase {
     assert(withJunk.length > Codecs.encodeWav(pcm).length)
     val back = Codecs.decodeWav(withJunk)
     assert(back.sampleRate === 44100 && back.samples.toSeq === pcm.samples.toSeq)
+  }
+
+  test("stereo WAV round-trips with interleaved samples intact") {
+    val interleaved = Array[Short](100, -100, 200, -200, 300, -300) // L,R x3
+    val bytes = Codecs.encodeWav(Codecs.Pcm(48000, 2, interleaved))
+    // block align (offset 32) must be channels * 2 = 4
+    assert((bytes(32) & 0xFF) === 4)
+    val back = Codecs.decodeWav(bytes)
+    assert(back.channels === 2 && back.sampleRate === 48000)
+    assert(back.samples.toSeq === interleaved.toSeq)
   }
 
   test("WAV decode names unsupported features") {

@@ -276,6 +276,30 @@ class PgLiveSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("live: a 200k-row result pages through 200 Execute round-trips") {
+    // The r12 'Done' criterion for bounded-memory streaming: a LARGE
+    // result crosses the wire in fetchSize slices — the PortalCursor holds
+    // exactly one ≤1000-row batch at a time by construction, so ≥200
+    // round-trips on 200k rows IS the bounded-heap property, asserted
+    // from protocol telemetry rather than a flaky heap probe.
+    val c = connect()
+    try {
+      c.setAutoCommit(false)
+      val sock = graft.sources.pgwire.PgWireJdbc.socketOf(c)
+      val before = sock.executeRoundTrips
+      val st = c.createStatement()
+      st.setFetchSize(1000)
+      val rs = st.executeQuery(
+        "SELECT i, md5(i::text) AS h FROM generate_series(1, 200000) i")
+      var n = 0L; var sum = 0L
+      while (rs.next()) { n += 1; sum += rs.getLong(1) }
+      assert(n == 200000L && sum == 200000L * 200001 / 2)
+      val trips = sock.executeRoundTrips - before
+      assert(trips >= 200, s"expected >= 200 round-trips, got $trips")
+      rs.close(); st.close(); c.commit()
+    } finally c.close()
+  }
+
   test("live: an abandoned portal is closed so the connection stays usable") {
     val c = connect()
     try {
