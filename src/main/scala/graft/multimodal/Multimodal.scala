@@ -406,6 +406,43 @@ object Multimodal {
     }.toDF("doc_id", "row_fp")
   }
 
+  /** m12: the CLASSIC two-dimensional difference hash over DECODED
+    * pixels — nearest-neighbor downsample to an 8×8 luminance grid
+    * (gx → column ⌊gx·width/8⌋, gy → row ⌊gy·height/8⌋), luminance =
+    * R+G+B (sum, not mean: integer, and order-equivalent for the
+    * comparisons), bit gy·7+gx set iff lum(gy,gx) > lum(gy,gx+1) —
+    * 7 horizontal comparisons × 8 rows = 56 bits, sign-safe in a
+    * BIGINT on both engines. Unlike m09's 1-D first-64-blue gradient,
+    * this consumes the full decoded 2-D geometry (all three channels,
+    * both axes), so a row-order or channel-order codec bug anywhere in
+    * the image surfaces. */
+  def decodedDHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = Codecs.decodeBmp(r.media)
+        val lum = Array.tabulate(8, 8) { (gy, gx) =>
+          val px = gx * img.width / 8
+          val py = gy * img.height / 8
+          val p = (py * img.width + px) * 3
+          (img.rgb(p) & 0xFF) + (img.rgb(p + 1) & 0xFF) + (img.rgb(p + 2) & 0xFF)
+        }
+        var fp = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 7) {
+            if (lum(gy)(gx) > lum(gy)(gx + 1)) fp |= 1L << (gy * 7 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        (r.doc_id, img.width.toLong, img.height.toLong, fp)
+      }
+    }.toDF("doc_id", "width", "height", "dhash")
+  }
+
   /** The m10 sample rule: s(i) = (byte(i mod L) − 96)·512 + (i mod 256) —
     * spaces (32) land deep negative, letters positive, so zero crossings
     * track word boundaries; the extremes sit exactly inside 16-bit range.

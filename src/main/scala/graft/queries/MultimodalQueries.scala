@@ -170,6 +170,20 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m12: the CLASSIC 2-D difference hash over decoded pixels — 8x8
+    // nearest-neighbor luminance grid (R+G+B sum), 7 horizontal
+    // comparisons x 8 rows = 56 bits. Consumes the full decoded 2-D
+    // geometry and all three channels, so a codec bug ANYWHERE in the
+    // image (row order, channel order, padding, palette) surfaces —
+    // m09's 1-D fingerprint only reads the first 64 blue values.
+    "m12_bmp_dhash" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedDHash(M.renderBmpTable(
+        docs(s, dir).filter(length(col("text")) >= 1),
+        width = 25, height = 16))
+    }),
+
+
     // m11: perceptual dedup over DECODED pixels — docs < 40 are planted
     // again as TOP-DOWN BMPs (negative height: byte-different, equally
     // valid, pixel-identical), all media decoded, per-image-row blue
@@ -427,6 +441,31 @@ private[queries] object MultimodalQueries {
                 CAST(list_sum(list_transform(smp,
                   x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
          FROM s""",
+
+    // m12: the text-domain mirror of the 2-D dHash — grid cell gp maps to
+    // pixel index ((gp//8)*2)*25 + ((gp%8)*25)//8 (nearest-neighbor 8x8
+    // over 25x16); luminance = blue + green + red from the m09 rules.
+    "m12_bmp_dhash" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              g AS (SELECT doc_id, text, L,
+                           list_transform(generate_series(0, 63),
+                             gp -> ((gp // 8) * 2) * 25 + ((gp % 8) * 25) // 8) AS idx
+                    FROM d),
+              lm AS (SELECT doc_id,
+                            list_transform(idx,
+                              i -> ascii(substr(text, 1 + (i % L), 1))
+                                 + (ascii(substr(text, 1 + ((2 * i) % L), 1))
+                                    + (i // 25) * 7 + (i % 25) * 13) % 251
+                                 + ((i * 31) % 251)) AS lv
+                     FROM g)
+         SELECT doc_id, CAST(25 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                CAST(list_sum(list_transform(generate_series(0, 55),
+                  b -> CASE WHEN lv[(b // 7) * 8 + (b % 7) + 1]
+                                 > lv[(b // 7) * 8 + (b % 7) + 2]
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+         FROM lm""",
 
     // m11: per-image-row blue gradient fingerprints from the pixel rule;
     // the +400000 planted top-down variants carry the SAME fingerprints

@@ -205,6 +205,32 @@ class CodecSpec extends SparkSpecBase {
       "exactly the four content windows survive; the four silent ones drop")
   }
 
+  test("2-D dHash: encoding-invariant, pixel-flip-sensitive") {
+    val text = "a body of text with enough variation to light up gradients"
+    val docsDf = Seq((7L, text)).toDF("doc_id", "text")
+    val up = Multimodal.decodedDHash(Multimodal.renderBmpTable(docsDf, 25, 16))
+      .select($"dhash").as[Long].head()
+    val down = Multimodal.decodedDHash(
+        Multimodal.renderBmpTable(docsDf, 25, 16, topDown = true))
+      .select($"dhash").as[Long].head()
+    assert(up === down, "two valid encodings of the same pixels must hash equal")
+    assert(up != 0L, "a varied image must light some gradient bits")
+    // A decoder that silently ignored row order would hand back this image:
+    // the hash must CHANGE, or the 2-D claim is hollow.
+    val img = Multimodal.textImage(text, 25, 16)
+    val flipped = Codecs.Image(25, 16,
+      (0 until 16).reverse.flatMap { r =>
+        img.rgb.slice(r * 25 * 3, (r + 1) * 25 * 3)
+      }.toArray)
+    val spark2 = spark
+    import spark2.implicits._
+    val flippedHash = Multimodal.decodedDHash(
+        Seq(graft.multimodal.Multimodal.MediaRow(7L,
+          Codecs.encodeBmp(flipped), "image/bmp")).toDS())
+      .select($"dhash").as[Long].head()
+    assert(flippedHash != up, "vertical pixel flip must change the 2-D hash")
+  }
+
   test("decoded metadata matches the generative rules on a local frame") {
     val d = Seq((3L, "zero crossings come from spaces between words"))
       .toDF("doc_id", "text")
