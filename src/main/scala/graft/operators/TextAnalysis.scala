@@ -426,17 +426,35 @@ object TextAnalysis {
     val toks = docs.select(
       explode(WordShingles.wordShingles(col(textCol), 1, distinct = false))
         .as("token"))
+    // vocab is a row count of the distinct-token aggregate — the previous
+    // countDistinct over the raw token stream re-exploded the full corpus
+    // into a distinct exchange for a number the uni aggregate already
+    // knows. uni's chain is evaluated twice (vocab scalar + model join) —
+    // both are aggregate-side passes over distinct tokens; deliberately
+    // NOT checkpointed, because an eager materialization here would run a
+    // synchronous job on every plan construction (Bench times the
+    // operator per call, and the artifact convention prices one-time
+    // builds in warmup_build, not per-query).
     val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("n1"))
-    val vocab = toks.agg(countDistinct(col("token")).as("vocab"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
     val docBigrams = docs.select(col(idCol),
       explode(WordShingles.wordShingles(col(textCol), 2, distinct = false))
         .as("bigram"))
     val bi = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
-    docBigrams.join(bi, Seq("bigram"))
+    // Assemble the smoothed probability once per DISTINCT bigram (p_bp is
+    // a function of the bigram alone), joining uni/vocab into the MODEL —
+    // distinct-gram tables, Zipf-small next to the occurrence stream —
+    // instead of into the stream. The occurrence stream then exchanges
+    // exactly twice (the bigram equi-join + the map-side-combined doc
+    // aggregate); the previous shape shuffled it a third time on w1,
+    // which at corpus scale was a full extra pass over every token
+    // occurrence (the 21 s of the 32x stress curve's worst op).
+    val model = bi
       .withColumn("w1", element_at(split(col("bigram"), " "), 1))
       .join(uni.select(col("token").as("w1"), col("n1")), Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("p_bp", expr("CAST(n2 * 10000 DIV (n1 + vocab) AS BIGINT)"))
+      .select(col("bigram"), expr("CAST(n2 * 10000 DIV (n1 + vocab) AS BIGINT)").as("p_bp"))
+    docBigrams.join(model, Seq("bigram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(sum(col("p_bp")).cast("double") / count(lit(1)).cast("double"), 4)
