@@ -476,6 +476,35 @@ object Multimodal {
       }
   }
 
+  /** m13: DECODED-PCM windows as binary frames — decode the WAV, slice
+    * the sample stream into non-overlapping `windowSamples`-sample
+    * windows, re-emit each as its little-endian byte image so the m06
+    * energy gate ([[frameEnergyFilter]]/[[graft.functions.ByteEnergy]])
+    * runs UNCHANGED over genuinely decoded audio. Digital silence
+    * (constant samples → constant bytes) scores exactly 0 and drops;
+    * real samples clear the threshold. Map-only: payload → samples →
+    * windows inside one scan task. */
+  def decodedPcmWindows(media: Dataset[MediaRow],
+                        windowSamples: Int = 64): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val pcm = Codecs.decodeWav(r.media)
+      val n = pcm.samples.length / windowSamples
+      (0 until n).map { w =>
+        val bytes = new Array[Byte](windowSamples * 2)
+        var i = 0
+        while (i < windowSamples) {
+          val s = pcm.samples(w * windowSamples + i)
+          bytes(2 * i) = (s & 0xFF).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        Frame(r.doc_id, w, bytes)
+      }
+    }
+  }
+
   /** m10 output: decoded header facts + integer sample features (sum,
     * word-boundary zero crossings, exact energy Σs²). */
   final case class AudioMeta(doc_id: Long, sample_rate: Long, n_channels: Long,

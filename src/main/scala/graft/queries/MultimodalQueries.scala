@@ -184,6 +184,36 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m13: the m06 energy gate over GENUINELY DECODED audio — every doc's
+    // WAV is decoded, the sample stream sliced into 64-sample windows
+    // re-emitted as little-endian byte frames, and frameEnergyFilter runs
+    // UNCHANGED over them. Planted digital silence (all-zero samples,
+    // ids +500000 for doc_id < 30) scores exactly 0 per window and drops
+    // to live_bp = 0; real sample windows clear the threshold.
+    "m13_wav_energy" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      import s.implicits._
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val media = M.renderWavTable(base)
+      val silent = base.filter(col("doc_id") < 30)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          M.MediaRow(id + 500000L,
+            graft.multimodal.Codecs.encodeWav(
+              graft.multimodal.Codecs.Pcm(8000, 1, new Array[Short](256))),
+            "audio/wav")
+        }
+      val frames = M.decodedPcmWindows(media.unionByName(silent)).toDF()
+      val allCnt = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      val liveCnt = M.frameEnergyFilter(frames, minVariance = 4L)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_live"))
+      allCnt.join(liveCnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_live"), lit(0L)).as("n_live"))
+        .withColumn("live_bp", expr("n_live * 10000 DIV n_frames"))
+    }),
+
+
     // m11: perceptual dedup over DECODED pixels — docs < 40 are planted
     // again as TOP-DOWN BMPs (negative height: byte-different, equally
     // valid, pixel-identical), all media decoded, per-image-row blue
@@ -466,6 +496,41 @@ private[queries] object MultimodalQueries {
                             THEN (CAST(1 AS BIGINT) << b)
                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
          FROM lm""",
+
+    // m13: the m10 sample rule → 64-sample windows → the window's
+    // little-endian BYTE image (DuckDB's & and >> on negative BIGINTs are
+    // two's-complement, matching Java's byte split exactly — verified) →
+    // the m06 integer variance numerator over 128 bytes, threshold
+    // 128²·4. Planted silence contributes four zero-energy windows.
+    "m13_wav_energy" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              s AS (SELECT doc_id, list_transform(generate_series(0, 255),
+                      i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                           + (i % 256)) AS smp
+                    FROM d),
+              w AS (SELECT doc_id, smp, unnest(generate_series(0, 3)) AS wi FROM s),
+              b AS (SELECT doc_id, wi,
+                      list_transform(generate_series(0, 127),
+                        j -> CASE WHEN j % 2 = 0
+                                  THEN smp[wi * 64 + j // 2 + 1] & 255
+                                  ELSE (smp[wi * 64 + j // 2 + 1] >> 8) & 255 END) AS bt
+                    FROM w),
+              e AS (SELECT doc_id, wi,
+                      CAST(128 AS BIGINT)
+                        * CAST(list_sum(list_transform(bt, x -> x * x)) AS BIGINT)
+                      - CAST(list_sum(bt) AS BIGINT)
+                        * CAST(list_sum(bt) AS BIGINT) AS energy
+                    FROM b),
+              alle AS (SELECT doc_id, energy FROM e
+                       UNION ALL
+                       SELECT doc_id + 500000, 0 FROM e WHERE doc_id < 30),
+              allcnt AS (SELECT doc_id, count(*) AS n_frames FROM alle GROUP BY 1),
+              livecnt AS (SELECT doc_id, count(*) AS n_live FROM alle
+                          WHERE energy >= 65536 GROUP BY 1)
+         SELECT a.doc_id, a.n_frames, coalesce(l.n_live, 0) AS n_live,
+                CAST(coalesce(l.n_live, 0) * 10000 // a.n_frames AS BIGINT) AS live_bp
+         FROM allcnt a LEFT JOIN livecnt l USING (doc_id)""",
 
     // m11: per-image-row blue gradient fingerprints from the pixel rule;
     // the +400000 planted top-down variants carry the SAME fingerprints
