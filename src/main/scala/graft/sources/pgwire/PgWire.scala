@@ -167,12 +167,31 @@ final class PgWireSocket(host: String, port: Int, user: String,
 
   private def cstring(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
 
-  /** Typed message: tag byte + int32 length (self-inclusive) + body. */
+  /** Typed message: tag byte + int32 length (self-inclusive) + body. A
+    * write failure means the connection dropped; before surfacing it,
+    * drain the receive side for the server's parting FATAL (a terminated
+    * backend sends 57P01 and THEN closes — those bytes usually sit in the
+    * local buffer) so the caller gets the server's reason, not a raw
+    * broken-pipe. Raw IOExceptions must never escape: the JDBC proxy may
+    * only throw what the interface method declares. */
   private def send(tag: Byte, body: Array[Byte]): Unit = {
-    out.writeByte(tag)
-    out.writeInt(body.length + 4)
-    out.write(body)
-    out.flush()
+    try {
+      out.writeByte(tag)
+      out.writeInt(body.length + 4)
+      out.write(body)
+      out.flush()
+    } catch {
+      case e: java.io.IOException =>
+        closed = true
+        val pending =
+          try {
+            val (t, b) = readMessage()
+            if (t.toChar == 'E') parseError(b) else null
+          } catch { case _: Throwable => null }
+        try socket.close() catch { case _: Throwable => () }
+        if (pending != null) throw pending
+        throw new SQLException("connection to server lost mid-request", "08006", e)
+    }
   }
 
   private def readMessage(): (Byte, ByteBuffer) = {
@@ -183,6 +202,21 @@ final class PgWireSocket(host: String, port: Int, user: String,
     in.readFully(body)
     (tag, ByteBuffer.wrap(body))
   }
+
+  /** Read the next backend message; on a dropped connection surface the
+    * already-captured server error instead of a raw EOF — a FATAL
+    * ErrorResponse (57P01 admin termination, crash recovery) is typically
+    * the LAST thing the server sends before closing the socket, and it is
+    * the message the caller (and the retry classifier) needs. With no
+    * pending error: SQLSTATE 08006 connection_failure. */
+  private def readOrFail(pending: PgServerException): (Byte, ByteBuffer) =
+    try readMessage() catch {
+      case e: java.io.IOException =>
+        closed = true
+        try socket.close() catch { case _: Throwable => () }
+        if (pending != null) throw pending
+        throw new SQLException("connection to server lost mid-response", "08006", e)
+    }
 
   private def readCString(b: ByteBuffer): String = {
     var c = b.get()
@@ -230,7 +264,7 @@ final class PgWireSocket(host: String, port: Int, user: String,
 
     var ready = false
     while (!ready) {
-      val (tag, b) = readMessage()
+      val (tag, b) = readOrFail(null)
       tag.toChar match {
         case 'R' =>
           b.getInt match {
@@ -327,7 +361,7 @@ final class PgWireSocket(host: String, port: Int, user: String,
     var error: PgServerException = null
     var done = false
     while (!done) {
-      val (tag, b) = readMessage()
+      val (tag, b) = readOrFail(error)
       tag.toChar match {
         case 'T' =>
           val n = b.getShort.toInt
@@ -418,7 +452,7 @@ final class PgWireSocket(host: String, port: Int, user: String,
       var done = false
       var suspended = false
       while (!done) {
-        val (tag, b) = readMessage()
+        val (tag, b) = readOrFail(error)
         tag.toChar match {
           case 'D' =>
             val n = b.getShort.toInt
@@ -455,7 +489,7 @@ final class PgWireSocket(host: String, port: Int, user: String,
       var done = false
       var error: PgServerException = null
       while (!done) {
-        val (tag, b) = readMessage()
+        val (tag, b) = readOrFail(error)
         tag.toChar match {
           case '3' => () // CloseComplete
           case 'E' => if (error == null) error = parseError(b)
@@ -494,7 +528,7 @@ final class PgWireSocket(host: String, port: Int, user: String,
     var error: PgServerException = null
     var done = false
     while (!done) {
-      val (tag, b) = readMessage()
+      val (tag, b) = readOrFail(error)
       tag.toChar match {
         case '1' | '2' => () // ParseComplete / BindComplete
         case 'T' =>

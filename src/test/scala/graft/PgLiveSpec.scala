@@ -329,6 +329,39 @@ class PgLiveSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(df.select("h").distinct().count() == 208)
   }
 
+  test("live: a backend killed mid-portal surfaces the FATAL, not a raw EOF") {
+    // The server's last act before closing the socket is a FATAL
+    // ErrorResponse (57P01, "terminating connection due to administrator
+    // command"); the wire client must hand the CALLER that message — a
+    // raw EOFException would lose the one fact the operator needs. And
+    // reference-faithfully, a connection drop is NOT retryable
+    // (floorist.py:31-63 lists no connection substrings).
+    val victim = connect(); val admin = connect()
+    try {
+      victim.setAutoCommit(false)
+      val st = victim.createStatement()
+      st.setFetchSize(10)
+      val rs = st.executeQuery(
+        "SELECT i, pg_backend_pid() AS pid FROM generate_series(1, 10000) i")
+      assert(rs.next())
+      val pid = rs.getInt(2)
+      val term = admin.createStatement()
+        .executeQuery(s"SELECT pg_terminate_backend($pid)")
+      assert(term.next() && term.getBoolean(1))
+      Thread.sleep(300) // let the FATAL land
+      val ex = intercept[SQLException] {
+        var more = true
+        while (more) more = rs.next() // crosses a slice boundary -> Execute
+      }
+      assert(ex.getSQLState == "57P01" || ex.getSQLState == "08006",
+        s"expected the FATAL's 57P01 (or 08006 if the socket died first), got $ex")
+      assert(RetryPolicy.evaluate(ex, attempt = 0) == RetryPolicy.Failure,
+        "connection drops are not retryable in the reference's classifier")
+      assert(victim.isClosed || !victim.isValid(1),
+        "the connection must report itself dead after the drop")
+    } finally { try victim.close() catch { case _: Throwable => () }; admin.close() }
+  }
+
   test("live: SCRAM-SHA-256 authentication round-trips (the PG14+ default)") {
     val c = connect()
     try {
