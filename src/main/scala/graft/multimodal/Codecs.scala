@@ -151,6 +151,11 @@ object Codecs {
     val height = math.abs(heightRaw)
     require(width > 0 && height > 0, s"degenerate BMP dimensions ${width}x$heightRaw")
     val stride = if (bpp == 24) bmpStride(width) else bmpStride8(width)
+    // Lower bound: pixel data cannot start before the headers end (a
+    // below-header offset would silently decode header/palette bytes as
+    // pixels); the 8-bit branch tightens this further to include the palette.
+    require(pixelOffset >= 14 + headerSize,
+      s"BMP pixel offset $pixelOffset points inside the headers (end ${14 + headerSize})")
     require(bytes.length >= pixelOffset + stride.toLong * height,
       s"truncated BMP: need ${pixelOffset + stride.toLong * height} bytes, have ${bytes.length}")
     // 8-bit: the BGRA palette sits right after the info header; biClrUsed
@@ -192,6 +197,268 @@ object Codecs {
       fileRow += 1
     }
     Image(width, height, rgb)
+  }
+
+  // ---- PNG ----------------------------------------------------------------
+
+  /** A decoded PNG: the pixel grid plus the IHDR color type (2 = RGB,
+    * 6 = RGBA) — the color type is decoded evidence of the header parse,
+    * carried out so queries can assert it as data, not metadata. The
+    * alpha channel (color type 6) is dropped after unfiltering: filters
+    * operate on the full 4-byte pixels, so alpha is load-bearing for the
+    * decode even though the engine's pixel domain is RGB. */
+  final case class Png(image: Image, colorType: Int)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def pngCrc(typ: Array[Byte], data: Array[Byte], off: Int,
+                     len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(typ)
+    c.update(data, off, len)
+    c.getValue.toInt
+  }
+
+  /** Paeth predictor (PNG spec §4.5.4, public): the neighbor (left, up,
+    * up-left) closest to left + up − upLeft, ties breaking left, up,
+    * up-left in that order. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode as a REAL compressed PNG — 8-bit truecolor (color type 2) or
+    * truecolor+alpha (6), non-interlaced, scanlines run through the five
+    * public filter types CYCLING BY ROW (row r uses filter r mod 5), so
+    * any image of ≥ 5 rows exercises None/Sub/Up/Average/Paeth in one
+    * file and a decoder missing any filter corrupts real data. The IDAT
+    * stream is deliberately SPLIT into two chunks when it is big enough —
+    * the spec allows any split, and decoders must concatenate. For RGBA
+    * the alpha byte is data-bearing (255 − blue), so filter arithmetic
+    * over the 4th channel cannot be skipped silently. */
+  def encodePng(img: Image, rgba: Boolean = false): Array[Byte] = {
+    val bpp = if (rgba) 4 else 3
+    val raw = new Array[Byte](img.height * img.width * bpp)
+    var i = 0
+    val n = img.width * img.height
+    while (i < n) {
+      raw(i * bpp) = img.rgb(i * 3)
+      raw(i * bpp + 1) = img.rgb(i * 3 + 1)
+      raw(i * bpp + 2) = img.rgb(i * 3 + 2)
+      if (rgba) raw(i * bpp + 3) = (255 - (img.rgb(i * 3 + 2) & 0xFF)).toByte
+      i += 1
+    }
+    val rowBytes = img.width * bpp
+    val filtered = new Array[Byte](img.height * (1 + rowBytes))
+    var r = 0
+    while (r < img.height) {
+      val ft = r % 5
+      val outBase = r * (1 + rowBytes)
+      val inBase = r * rowBytes
+      filtered(outBase) = ft.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(inBase + x) & 0xFF
+        val left = if (x >= bpp) raw(inBase + x - bpp) & 0xFF else 0
+        val up = if (r > 0) raw(inBase - rowBytes + x) & 0xFF else 0
+        val upLeft = if (r > 0 && x >= bpp) raw(inBase - rowBytes + x - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        filtered(outBase + 1 + x) = ((cur - pred) & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(filtered)
+    deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val k = deflater.deflate(tmp)
+      zBuf.write(tmp, 0, k)
+    }
+    deflater.end()
+    val z = zBuf.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream
+    def chunk(typ: String, data: Array[Byte], off: Int, len: Int): Unit = {
+      val t = typ.getBytes("US-ASCII")
+      val hdr = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+        .putInt(len).put(t).array()
+      out.write(hdr)
+      out.write(data, off, len)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(pngCrc(t, data, off, len)).array())
+    }
+    out.write(PngSignature)
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte) // bit depth
+      .put((if (rgba) 6 else 2).toByte) // color type
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    chunk("IHDR", ihdr, 0, 13)
+    if (z.length >= 2) { // split IDAT: concatenation is part of the spec
+      val cut = z.length / 2
+      chunk("IDAT", z, 0, cut)
+      chunk("IDAT", z, cut, z.length - cut)
+    } else chunk("IDAT", z, 0, z.length)
+    chunk("IEND", Array.emptyByteArray, 0, 0)
+    out.toByteArray
+  }
+
+  /** Decode a non-interlaced 8-bit truecolor (±alpha) PNG: signature,
+    * chunk walk with per-chunk CRC-32 VERIFICATION, IHDR validation,
+    * multi-IDAT concatenation, zlib inflate to the exact expected size,
+    * and all five filter reconstructions. Throws
+    * `IllegalArgumentException` naming the unsupported feature (palette,
+    * 16-bit, interlace, grayscale) — honest scope, never silent garbage. */
+  def decodePng(bytes: Array[Byte]): Png = {
+    // Signature first (a wrong container should say so), THEN the length
+    // floor for the smallest complete chunk structure.
+    require(bytes.length >= 8, s"not a PNG: ${bytes.length} bytes is shorter than the signature")
+    var s = 0
+    while (s < 8) {
+      require(bytes(s) == PngSignature(s), "not a PNG: signature mismatch")
+      s += 1
+    }
+    require(bytes.length >= PngSignature.length + 12,
+      s"truncated PNG: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var off = 8
+    var width = -1; var height = -1; var colorType = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream
+    while (!sawIend) {
+      require(off.toLong + 12 <= bytes.length,
+        s"truncated PNG: chunk header at $off runs past ${bytes.length}")
+      val len = buf.getInt(off)
+      // Long arithmetic: a length near Int.MaxValue must not wrap the bound.
+      require(len >= 0 && off.toLong + 12 + len <= bytes.length,
+        s"truncated PNG chunk (length $len at offset $off)")
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val stored = buf.getInt(off + 8 + len)
+      val computed = pngCrc(bytes.slice(off + 4, off + 8), bytes, off + 8, len)
+      require(stored == computed,
+        f"PNG chunk '$typ' CRC mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
+      typ match {
+        case "IHDR" =>
+          require(!sawIhdr, "duplicate IHDR")
+          require(len == 13, s"IHDR length $len != 13")
+          width = buf.getInt(off + 8)
+          height = buf.getInt(off + 12)
+          val bitDepth = bytes(off + 16) & 0xFF
+          colorType = bytes(off + 17) & 0xFF
+          val compression = bytes(off + 18) & 0xFF
+          val filterMethod = bytes(off + 19) & 0xFF
+          val interlace = bytes(off + 20) & 0xFF
+          require(width > 0 && height > 0,
+            s"degenerate PNG dimensions ${width}x$height")
+          require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth (8 only)")
+          require(colorType == 2 || colorType == 6,
+            s"unsupported PNG color type $colorType (truecolor 2/6 only)")
+          require(compression == 0, s"unsupported PNG compression $compression")
+          require(filterMethod == 0, s"unsupported PNG filter method $filterMethod")
+          require(interlace == 0, "unsupported PNG interlace (Adam7)")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "IDAT before IHDR")
+          idat.write(bytes, off + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary (tEXt/pHYs/...): skip, CRC already checked
+      }
+      off += 12 + len
+    }
+    require(sawIhdr, "PNG missing IHDR")
+    val bpp = if (colorType == 6) 4 else 3
+    val rowBytes = width * bpp
+    val expected = height.toLong * (1 + rowBytes)
+    require(expected <= Int.MaxValue, s"PNG too large: $expected filtered bytes")
+    val filtered = new Array[Byte](expected.toInt)
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      var stalled = false
+      while (got < filtered.length && !inflater.finished() && !stalled) {
+        val k = inflater.inflate(filtered, got, filtered.length - got)
+        if (k == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          stalled = true // truncated or preset-dictionary stream
+        got += k
+      }
+      // Probe one byte past the expected size: a stream holding MORE
+      // pixels than IHDR declares is corrupt, not silently croppable.
+      val extra =
+        if (!inflater.finished() && !stalled)
+          inflater.inflate(new Array[Byte](1))
+        else 0
+      require(got == filtered.length && extra == 0,
+        s"PNG pixel stream inflated to ${got + extra}+ bytes, expected ${filtered.length}")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt PNG zlib stream: ${e.getMessage}")
+    } finally inflater.end()
+    // Unfilter in place conceptually: raw rows accumulate so Up/Average/
+    // Paeth read the RECONSTRUCTED prior row, per spec.
+    val raw = new Array[Byte](height * rowBytes)
+    var r = 0
+    while (r < height) {
+      val ft = filtered(r * (1 + rowBytes)) & 0xFF
+      require(ft <= 4, s"invalid PNG filter type $ft on row $r")
+      val inBase = r * (1 + rowBytes) + 1
+      val outBase = r * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val f = filtered(inBase + x) & 0xFF
+        val left = if (x >= bpp) raw(outBase + x - bpp) & 0xFF else 0
+        val up = if (r > 0) raw(outBase - rowBytes + x) & 0xFF else 0
+        val upLeft = if (r > 0 && x >= bpp) raw(outBase - rowBytes + x - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        raw(outBase + x) = ((f + pred) & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val rgb =
+      if (bpp == 3) raw
+      else {
+        val o = new Array[Byte](width * height * 3)
+        var i = 0
+        val n = width * height
+        while (i < n) {
+          o(i * 3) = raw(i * 4); o(i * 3 + 1) = raw(i * 4 + 1)
+          o(i * 3 + 2) = raw(i * 4 + 2)
+          i += 1
+        }
+        o
+      }
+    Png(Image(width, height, rgb), colorType)
+  }
+
+  /** Magic-dispatched image decode: 'BM' → BMP, PNG signature → PNG —
+    * the decoded-domain entry point for cross-codec dedup (the same
+    * pixels arriving as a BMP and as a compressed PNG must land on the
+    * same pixel grid). */
+  def decodeImage(bytes: Array[Byte]): Image = {
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 8 && bytes(0) == PngSignature(0) &&
+      bytes(1) == PngSignature(1)) decodePng(bytes).image
+    else throw new IllegalArgumentException("unrecognized image container magic")
   }
 
   // ---- WAV ----------------------------------------------------------------
@@ -245,7 +512,9 @@ object Codecs {
     while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val id = fourcc(off)
       val size = buf.getInt(off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      // Long arithmetic: a size near Int.MaxValue would overflow the Int
+      // sum, pass the bound check, and walk to a negative offset.
+      require(size >= 0 && off.toLong + 8 + size <= bytes.length,
         s"truncated WAV chunk '$id' (size $size at offset $off)")
       id match {
         case "fmt " =>

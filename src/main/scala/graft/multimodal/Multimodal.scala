@@ -308,9 +308,28 @@ object Multimodal {
     * blue = byte(i mod L); green = (byte((2i) mod L) + 7*row + 13*col)
     * mod 251; red = 31*i mod 251 (text-independent — a channel-order bug
     * surfaces as a text-independent blue_sum). */
+  /** The m09–m14 generative rules index text BYTES on the engine side and
+    * codepoints via `ascii()`/`len()` on the DuckDB-oracle side — those
+    * agree only on printable ASCII, and textPcm's `(b-96)*512 + i` stays
+    * inside 16-bit only for bytes in [32,159]. Guarded here so a future
+    * non-ASCII corpus fails LOUDLY at render instead of hash-mismatching
+    * mysteriously at the oracle gate. */
+  private def requirePrintableAscii(tb: Array[Byte], who: String): Unit = {
+    var i = 0
+    while (i < tb.length) {
+      val b = tb(i) & 0xFF
+      require(b >= 32 && b <= 126,
+        s"$who payload byte $i is 0x${b.toHexString}: the text-domain " +
+          "generative rules (and their DuckDB oracle twins) are defined " +
+          "over printable ASCII only")
+      i += 1
+    }
+  }
+
   def textImage(text: String, width: Int, height: Int): Codecs.Image = {
     val tb = text.getBytes("UTF-8")
     require(tb.length >= 1, "textImage needs a non-empty payload")
+    requirePrintableAscii(tb, "textImage")
     val rgb = new Array[Byte](width * height * 3)
     var i = 0
     val n = width * height
@@ -343,6 +362,55 @@ object Multimodal {
             if (topDown) "image/bmp;topdown" else "image/bmp")
         }
       }
+  }
+
+  /** Render each doc as a REAL compressed PNG of [[textImage]] pixels —
+    * even doc_ids truecolor+alpha (color type 6, alpha = 255 − blue so
+    * the 4th filter channel is data-bearing), odd doc_ids truecolor
+    * (type 2); every image's scanlines cycle all five PNG filter types
+    * (encoder contract, [[Codecs.encodePng]]), and the IDAT stream is
+    * split in two. Same pixel domain as [[renderBmpTable]]: the
+    * cross-codec dedup construction (m15) rests on that. */
+  def renderPngTable(documents: DataFrame, width: Int, height: Int,
+                     idOffset: Long = 0L): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val rgba = id % 2 == 0
+          MediaRow(id + idOffset,
+            Codecs.encodePng(textImage(text, width, height), rgba),
+            if (rgba) "image/png;rgba" else "image/png")
+        }
+      }
+  }
+
+  /** m14 output: decoded-PNG features — dims and color CHANNELS from the
+    * parsed IHDR (3 vs 6 alternates by doc parity, so the header parse is
+    * data-bearing), the full 2-D [[dhash56]] and the blue channel sum
+    * from inflated+unfiltered pixels. Every byte of the image passes
+    * through zlib and one of the five filter reconstructions before any
+    * feature is computed — the oracle recomputes the features from the
+    * text-domain rule, so an inflate or filter bug hash-mismatches. */
+  final case class PngMeta(doc_id: Long, width: Long, height: Long,
+                           channels: Long, blue_sum: Long, dhash: Long)
+
+  def decodedPngMeta(media: Dataset[MediaRow]): Dataset[PngMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val png = Codecs.decodePng(r.media)
+        val img = png.image
+        val n = img.width * img.height
+        var blueSum = 0L
+        var i = 0
+        while (i < n) { blueSum += img.rgb(i * 3 + 2) & 0xFF; i += 1 }
+        PngMeta(r.doc_id, img.width.toLong, img.height.toLong,
+          if (png.colorType == 6) 4L else 3L, blueSum, dhash56(img))
+      }
+    }
   }
 
   /** m09 output: header metadata + pixel-derived features, all computed
@@ -391,7 +459,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
-      val img = Codecs.decodeBmp(r.media)
+      val img = Codecs.decodeImage(r.media)
       (0 until img.height).map { row =>
         var fp = 0L
         var c = 1
@@ -416,29 +484,37 @@ object Multimodal {
     * this consumes the full decoded 2-D geometry (all three channels,
     * both axes), so a row-order or channel-order codec bug anywhere in
     * the image surfaces. */
+  /** The classic 2-D difference hash: nearest-neighbor 8×8 luminance
+    * grid (R+G+B integer sum), 7 horizontal comparisons × 8 rows =
+    * 56 sign-safe bits. Container-neutral — runs on any decoded
+    * [[Codecs.Image]], which is what makes it a CROSS-codec fingerprint. */
+  private def dhash56(img: Codecs.Image): Long = {
+    val lum = Array.tabulate(8, 8) { (gy, gx) =>
+      val px = gx * img.width / 8
+      val py = gy * img.height / 8
+      val p = (py * img.width + px) * 3
+      (img.rgb(p) & 0xFF) + (img.rgb(p + 1) & 0xFF) + (img.rgb(p + 2) & 0xFF)
+    }
+    var fp = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 7) {
+        if (lum(gy)(gx) > lum(gy)(gx + 1)) fp |= 1L << (gy * 7 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    fp
+  }
+
   def decodedDHash(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val img = Codecs.decodeBmp(r.media)
-        val lum = Array.tabulate(8, 8) { (gy, gx) =>
-          val px = gx * img.width / 8
-          val py = gy * img.height / 8
-          val p = (py * img.width + px) * 3
-          (img.rgb(p) & 0xFF) + (img.rgb(p + 1) & 0xFF) + (img.rgb(p + 2) & 0xFF)
-        }
-        var fp = 0L
-        var gy = 0
-        while (gy < 8) {
-          var gx = 0
-          while (gx < 7) {
-            if (lum(gy)(gx) > lum(gy)(gx + 1)) fp |= 1L << (gy * 7 + gx)
-            gx += 1
-          }
-          gy += 1
-        }
-        (r.doc_id, img.width.toLong, img.height.toLong, fp)
+        val img = Codecs.decodeImage(r.media)
+        (r.doc_id, img.width.toLong, img.height.toLong, dhash56(img))
       }
     }.toDF("doc_id", "width", "height", "dhash")
   }
@@ -451,6 +527,7 @@ object Multimodal {
   def textPcm(docId: Long, text: String, nSamples: Int = 256): Codecs.Pcm = {
     val tb = text.getBytes("UTF-8")
     require(tb.length >= 1, "textPcm needs a non-empty payload")
+    requirePrintableAscii(tb, "textPcm")
     val samples = new Array[Short](nSamples)
     var i = 0
     while (i < nSamples) {

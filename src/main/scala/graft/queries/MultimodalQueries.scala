@@ -230,6 +230,39 @@ private[queries] object MultimodalQueries {
       val frames = M.decodedRowFingerprints(orig.unionByName(variants))
       M.frameOverlap(frames, "doc_id", "row_fp", maxFrameDocs = 16)
     }),
+
+
+    // m14 (round 15): every doc rendered as a REAL compressed PNG — zlib
+    // IDAT (split in two chunks), per-chunk CRC-32, scanlines cycling all
+    // five filter types, RGBA for even doc_ids (data-bearing alpha) / RGB
+    // for odd — then DECODED: channels from the parsed IHDR, blue sum and
+    // the full 2-D dHash from inflated+unfiltered pixels. The oracle
+    // recomputes the features from the text-domain pixel rule, so an
+    // inflate, filter-reconstruction, or header-parse bug hash-mismatches.
+    "m14_png_decode" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedPngMeta(M.renderPngTable(
+        docs(s, dir).filter(length(col("text")) >= 1),
+        width = 25, height = 16)).toDF()
+    }),
+
+
+    // m15 (round 15): CROSS-codec dedup over decoded pixels — the corpus
+    // as uncompressed BMPs, docs < 40 planted AGAIN as compressed PNGs
+    // (byte-disjoint containers: different magic, different pixel layout,
+    // zlib in between), all decoded through the magic dispatch to the
+    // same pixel grid, per-image-row fingerprints pairing each PNG with
+    // its BMP original through the capped frameOverlap. The m11 claim
+    // upgraded from "two BMP row orders" to "two unrelated containers".
+    "m15_cross_codec_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val bmps = M.renderBmpTable(base, width = 25, height = 16)
+      val pngs = M.renderPngTable(base.filter(col("doc_id") < 40),
+        width = 25, height = 16, idOffset = 600000L)
+      val frames = M.decodedRowFingerprints(bmps.unionByName(pngs))
+      M.frameOverlap(frames, "doc_id", "row_fp", maxFrameDocs = 16)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -554,6 +587,68 @@ private[queries] object MultimodalQueries {
               allh AS (SELECT doc_id, row_fp FROM h
                        UNION ALL
                        SELECT doc_id + 400000, row_fp FROM h WHERE doc_id < 40),
+              dd AS (SELECT DISTINCT doc_id, row_fp FROM allh),
+              keep AS (SELECT row_fp FROM dd GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT dd.doc_id, dd.row_fp FROM dd JOIN keep USING (row_fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM k a JOIN k b ON a.row_fp = b.row_fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+
+    // m14: the text-domain mirror of the decoded-PNG features — dhash is
+    // the m12 formula (same pixels, different container: the engine goes
+    // text → pixels → filtered scanlines → zlib → real PNG bytes →
+    // inflate → unfilter → features), blue_sum the m09 rule, channels the
+    // doc-parity rule the encoder uses for its RGB/RGBA choice (the
+    // engine reads it back from the decoded IHDR).
+    "m14_png_decode" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              g AS (SELECT doc_id, text, L,
+                           list_transform(generate_series(0, 63),
+                             gp -> ((gp // 8) * 2) * 25 + ((gp % 8) * 25) // 8) AS idx
+                    FROM d),
+              lm AS (SELECT doc_id, text, L,
+                            list_transform(idx,
+                              i -> ascii(substr(text, 1 + (i % L), 1))
+                                 + (ascii(substr(text, 1 + ((2 * i) % L), 1))
+                                    + (i // 25) * 7 + (i % 25) * 13) % 251
+                                 + ((i * 31) % 251)) AS lv
+                     FROM g)
+         SELECT doc_id, CAST(25 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+                CAST(list_sum(list_transform(generate_series(0, 399),
+                  i -> ascii(substr(text, 1 + (i % L), 1)))) AS BIGINT) AS blue_sum,
+                CAST(list_sum(list_transform(generate_series(0, 55),
+                  b -> CASE WHEN lv[(b // 7) * 8 + (b % 7) + 1]
+                                 > lv[(b // 7) * 8 + (b % 7) + 2]
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+         FROM lm""",
+
+    // m15: m11's row-fingerprint construction with the +600000 planted
+    // slice — in the engine those are COMPRESSED PNGs of the same pixels,
+    // so the pairs exist iff BMP-decode and PNG-decode land on the same
+    // pixel grid; the oracle only knows the shared pixel rule.
+    "m15_cross_codec_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              px AS (SELECT doc_id,
+                       list_transform(generate_series(0, 399),
+                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                     FROM d),
+              rw AS (SELECT doc_id, blue,
+                            unnest(generate_series(0, 15)) AS r
+                     FROM px),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 24),
+                             c -> CASE WHEN blue[r * 25 + c] > blue[r * 25 + c + 1]
+                                       THEN (CAST(1 AS BIGINT) << (c - 1))
+                                       ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS row_fp
+                    FROM rw),
+              allh AS (SELECT doc_id, row_fp FROM h
+                       UNION ALL
+                       SELECT doc_id + 600000, row_fp FROM h WHERE doc_id < 40),
               dd AS (SELECT DISTINCT doc_id, row_fp FROM allh),
               keep AS (SELECT row_fp FROM dd GROUP BY 1
                        HAVING count(*) BETWEEN 2 AND 16),

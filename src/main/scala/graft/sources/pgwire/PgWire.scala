@@ -183,11 +183,19 @@ final class PgWireSocket(host: String, port: Int, user: String,
     } catch {
       case e: java.io.IOException =>
         closed = true
-        val pending =
+        // Loop a few messages: the parting bytes may lead with a
+        // NoticeResponse ('N') or other chatter BEFORE the FATAL — a
+        // single-message peek would discard the buffered ErrorResponse
+        // behind it and degrade the caller to the generic 08006.
+        var pending: PgServerException = null
+        var hops = 0
+        while (pending == null && hops < 8) {
           try {
             val (t, b) = readMessage()
-            if (t.toChar == 'E') parseError(b) else null
-          } catch { case _: Throwable => null }
+            if (t.toChar == 'E') pending = parseError(b)
+          } catch { case _: Throwable => hops = 8 }
+          hops += 1
+        }
         try socket.close() catch { case _: Throwable => () }
         if (pending != null) throw pending
         throw new SQLException("connection to server lost mid-request", "08006", e)

@@ -281,7 +281,8 @@ object EventStreams {
   /** Streaming media-decode gate — the codec family's ingest twin (the
     * round-14 real-decoder analogue of [[encodingGateStream]]): every
     * arriving binary payload is ACTUALLY decoded (container dispatched by
-    * magic bytes — 'BM' → BMP, 'RIFF' → WAV), and payloads that fail to
+    * magic bytes — 'BM' → BMP, 0x89'P' → PNG, 'RIFF' → WAV), and payloads
+    * that fail to
     * decode (truncated, wrong magic, unsupported bit depth/compression)
     * are flagged for drop with the failure reason, before they land in
     * the lake. Fully stateless and partition-local: the payload never
@@ -302,13 +303,14 @@ object EventStreams {
         rows.map { case (id, ts, payload) =>
           def kindOf(b: Array[Byte]): String =
             if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+            else if (b.length >= 2 && (b(0) & 0xFF) == 0x89 && b(1) == 'P') "png"
             else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
               b(2) == 'F' && b(3) == 'F') "wav"
             else "unknown"
           val kind = kindOf(payload)
           try kind match {
-            case "bmp" =>
-              val img = graft.multimodal.Codecs.decodeBmp(payload)
+            case "bmp" | "png" =>
+              val img = graft.multimodal.Codecs.decodeImage(payload)
               (id, ts, kind, img.width.toLong, img.height.toLong, true, "")
             case "wav" =>
               val pcm = graft.multimodal.Codecs.decodeWav(payload)
@@ -317,8 +319,13 @@ object EventStreams {
             case _ =>
               (id, ts, kind, 0L, 0L, false, "unrecognized container magic")
           } catch {
-            case e: IllegalArgumentException =>
-              (id, ts, kind, 0L, 0L, false, e.getMessage)
+            // NonFatal, not just IllegalArgumentException: a crafted header
+            // can route a decoder into AIOOBE/NegativeArraySize paths that
+            // escape the require() contract, and one corrupt payload must
+            // drop with a reason — never abort the whole ingest query.
+            case scala.util.control.NonFatal(e) =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+              (id, ts, kind, 0L, 0L, false, msg)
           }
         }
       }

@@ -70,11 +70,19 @@ object Stress {
       }.reduce(_ union _)
     }
 
+    // Every emitted row carries its RUN MODE, because the two modes are
+    // not comparable: a full sweep's readings are taken mid-session (JIT,
+    // shuffle dirs, block manager all hot from ~78 prior ops), while a
+    // filtered run measures a cold-ish JVM with only its own warmup. The
+    // r12→r14 contamination_report confusion traced exactly to comparing a
+    // mid-sweep 8× reading against an isolated 32× one — the artifact is
+    // now self-describing: only same-mode pairs form a scaling curve.
+    val mode = if (opFilter.isDefined) "isolated" else "sweep"
     def time(name: String)(body: => Long): Unit = if (want(name)) {
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""{"op":"$name","factor":$factor,"rows":$rows,"sec":${f"$sec%.2f"}}""")
+      println(s"""{"op":"$name","factor":$factor,"rows":$rows,"sec":${f"$sec%.2f"},"mode":"$mode"}""")
     }
 
     val lineitem = scaled("lineitem", Seq("l_orderkey"), 100000000L)
