@@ -963,6 +963,30 @@ object Stress {
       M.frameOverlap(M.decodedRowFingerprints(orig.unionByName(variants)),
         "doc_id", "row_fp", maxFrameDocs = 16).count()
     }
+    // m14 (round 15): the compressed-codec round-trip — render every doc
+    // as a real zlib'd PNG (filters cycling, RGBA on even ids), decode,
+    // reduce the features. Same map-only shape as bmp_decode, so the
+    // curve must stay linear; deflate+inflate cost rides the scan task.
+    time("png_decode") {
+      val M = graft.multimodal.Multimodal
+      M.decodedPngMeta(M.renderPngTable(
+          docs.filter(length(col("text")) >= 1), width = 25, height = 16))
+        .toDF().agg(sum(col("blue_sum"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    // m15: cross-codec dedup — every 40th doc re-encoded as a compressed
+    // PNG, paired with its BMP original through decoded-domain row
+    // fingerprints (the m11 topology with a zlib stage inside the probe).
+    time("cross_codec_dedup") {
+      val M = graft.multimodal.Multimodal
+      val base = docs.filter(length(col("text")) >= 1)
+      val bmps = M.renderBmpTable(base, width = 25, height = 16)
+      val pngs = M.renderPngTable(
+        base.filter(pmod(col("doc_id"), lit(40L)) === 0L),
+        width = 25, height = 16, idOffset = 5000000L)
+      M.frameOverlap(M.decodedRowFingerprints(bmps.unionByName(pngs)),
+        "doc_id", "row_fp", maxFrameDocs = 16).count()
+    }
     // q55: windowed distinct with a ROWS frame — state is O(frame) per
     // row; the exchange is the user_id hash partition, linear in events.
     time("window_distinct") {
