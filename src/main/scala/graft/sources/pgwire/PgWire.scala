@@ -42,6 +42,31 @@ import scala.collection.mutable.ArrayBuffer
   */
 object PgWire {
 
+  /** Send-failure drain: scan up to `maxHops` parting backend messages
+    * for the buffered ErrorResponse — a terminated backend writes its
+    * FATAL (57P01 etc.) and THEN closes, and those bytes usually sit in
+    * the local receive buffer when a write fails. The parting bytes may
+    * LEAD with a NoticeResponse ('N') or other chatter before the 'E':
+    * a single-message peek would discard the buffered error behind it
+    * and degrade the caller to the generic 08006, so non-'E' tags are
+    * skipped. Returns null when no error is recoverable (read failure
+    * or nothing but chatter). */
+  private[pgwire] def drainPendingError(
+      readMsg: () => (Byte, ByteBuffer),
+      parse: ByteBuffer => PgServerException,
+      maxHops: Int = 8): PgServerException = {
+    var pending: PgServerException = null
+    var hops = 0
+    while (pending == null && hops < maxHops) {
+      try {
+        val (t, b) = readMsg()
+        if (t.toChar == 'E') pending = parse(b)
+      } catch { case _: Throwable => hops = maxHops }
+      hops += 1
+    }
+    pending
+  }
+
   /** One column of a RowDescription ('T') message. */
   final case class Field(name: String, typeOid: Int, typmod: Int)
 
@@ -183,19 +208,7 @@ final class PgWireSocket(host: String, port: Int, user: String,
     } catch {
       case e: java.io.IOException =>
         closed = true
-        // Loop a few messages: the parting bytes may lead with a
-        // NoticeResponse ('N') or other chatter BEFORE the FATAL — a
-        // single-message peek would discard the buffered ErrorResponse
-        // behind it and degrade the caller to the generic 08006.
-        var pending: PgServerException = null
-        var hops = 0
-        while (pending == null && hops < 8) {
-          try {
-            val (t, b) = readMessage()
-            if (t.toChar == 'E') pending = parseError(b)
-          } catch { case _: Throwable => hops = 8 }
-          hops += 1
-        }
+        val pending = PgWire.drainPendingError(() => readMessage(), parseError)
         try socket.close() catch { case _: Throwable => () }
         if (pending != null) throw pending
         throw new SQLException("connection to server lost mid-request", "08006", e)
