@@ -495,7 +495,84 @@ object Codecs {
     buf.array()
   }
 
-  /** Decode RIFF/WAVE PCM 16-bit by walking the chunk list. */
+  // ---- G.711 μ-law (the WAV lossy-audio path) ------------------------------
+  //
+  // ITU-T G.711 μ-law companding, from the published standard's integer
+  // algorithm (the classic segment/mantissa form): 16-bit linear PCM folds
+  // to 8 bits through a sign bit, a 3-bit segment (exponent) and a 4-bit
+  // mantissa, biased by 0x84 and bit-inverted on the wire. Everything is
+  // integer arithmetic, so the DECODED samples are bit-exactly computable
+  // by any engine — which is what lets the m16 oracle recompute the full
+  // lossy round trip (compress → expand) in SQL and hash-compare it.
+
+  private val MuLawBias = 0x84 // 132
+  private val MuLawClip = 32635
+
+  /** Fold one 16-bit linear sample to its 8-bit μ-law code. */
+  def mulawCompress(sample: Short): Byte = {
+    var s = sample.toInt // Int arithmetic: -(-32768) must not wrap
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > MuLawClip) s = MuLawClip
+    s += MuLawBias
+    // Segment = position of the highest set bit above bit 7 (0..7).
+    var exponent = 7
+    var mask = 0x4000
+    while (exponent > 0 && (s & mask) == 0) { exponent -= 1; mask >>= 1 }
+    val mantissa = (s >> (exponent + 3)) & 0x0F
+    (~(sign | (exponent << 4) | mantissa)).toByte
+  }
+
+  /** Expand one 8-bit μ-law code back to 16-bit linear. */
+  def mulawExpand(code: Byte): Short = {
+    val u = (~code) & 0xFF
+    val exponent = (u >> 4) & 7
+    val mantissa = u & 0x0F
+    val t = (((mantissa << 3) + MuLawBias) << exponent) - MuLawBias
+    (if ((u & 0x80) != 0) -t else t).toShort
+  }
+
+  /** Encode μ-law WAV: format tag 7, 8 bits/sample, an 18-byte `fmt `
+    * chunk (cbSize = 0 — the non-PCM layout real encoders write) and the
+    * spec-REQUIRED `fact` chunk carrying the sample count. `junkChunk`
+    * adds the odd-sized metadata chunk between `fact` and `data` like
+    * [[encodeWav]] does, and an odd sample count leaves the data chunk
+    * itself odd-sized (its RIFF pad byte becomes load-bearing). */
+  def encodeWavMulaw(samples: Array[Byte], sampleRate: Int, channels: Int,
+                     junkChunk: Boolean = false): Array[Byte] = {
+    require(channels >= 1, "channels must be >= 1")
+    val dataBytes = samples.length
+    val dataPad = dataBytes & 1
+    val junkPayload = 5
+    val junkBytes = if (junkChunk) 8 + junkPayload + 1 else 0
+    val riffSize = 4 + (8 + 18) + (8 + 4) + junkBytes + (8 + dataBytes + dataPad)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(18)
+    buf.putShort(7) // WAVE_FORMAT_MULAW
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels) // byte rate: 1 byte per sample
+    buf.putShort(channels.toShort) // block align
+    buf.putShort(8) // bits per sample
+    buf.putShort(0) // cbSize: no format extension
+    buf.put("fact".getBytes("US-ASCII")).putInt(4)
+    buf.putInt(samples.length / channels) // samples per channel
+    if (junkChunk) {
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(junkPayload)
+      var i = 0
+      while (i < junkPayload) { buf.put(0x6a.toByte); i += 1 }
+      buf.put(0.toByte)
+    }
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    buf.put(samples)
+    if (dataPad == 1) buf.put(0.toByte)
+    buf.array()
+  }
+
+  /** Decode RIFF/WAVE by walking the chunk list — PCM 16-bit (format 1)
+    * passes samples through; μ-law (format 7, 8-bit) expands each code
+    * to 16-bit linear, so callers always see linear PCM. */
   def decodeWav(bytes: Array[Byte]): Pcm = {
     require(bytes.length >= 12, "not a WAV: too short for a RIFF header")
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
@@ -531,12 +608,21 @@ object Codecs {
       off += 8 + size + (size & 1) // RIFF: odd-sized chunks carry a pad byte
     }
     require(sampleRate > 0 && dataOff >= 0, "WAV missing fmt or data chunk")
-    require(format == 1, s"unsupported WAV format tag $format (PCM only)")
-    require(bits == 16, s"unsupported WAV bit depth $bits (16-bit only)")
-    val n = dataLen / 2
-    val samples = new Array[Short](n)
-    var i = 0
-    while (i < n) { samples(i) = buf.getShort(dataOff + i * 2); i += 1 }
-    Pcm(sampleRate, channels, samples)
+    require(format == 1 || format == 7,
+      s"unsupported WAV format tag $format (PCM 1 or mu-law 7 only)")
+    if (format == 1) {
+      require(bits == 16, s"unsupported PCM WAV bit depth $bits (16-bit only)")
+      val n = dataLen / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = buf.getShort(dataOff + i * 2); i += 1 }
+      Pcm(sampleRate, channels, samples)
+    } else {
+      require(bits == 8, s"unsupported mu-law WAV bit depth $bits (8-bit only)")
+      val samples = new Array[Short](dataLen)
+      var i = 0
+      while (i < dataLen) { samples(i) = mulawExpand(bytes(dataOff + i)); i += 1 }
+      Pcm(sampleRate, channels, samples)
+    }
   }
 }

@@ -553,6 +553,34 @@ object Multimodal {
       }
   }
 
+  /** Render each doc as a REAL G.711 μ-law WAV (format tag 7, 18-byte fmt
+    * chunk + spec-required `fact` chunk) of [[textPcm]] samples folded
+    * through [[Codecs.mulawCompress]] — the LOSSY audio path. Decoding
+    * ([[Codecs.decodeWav]]) expands the 8-bit codes back to 16-bit linear,
+    * so every downstream feature reads quantized samples: the m16 oracle
+    * recomputes the identical compress→expand integer round trip in SQL,
+    * and a companding-table error anywhere hash-mismatches. Even ids add
+    * the odd-sized JUNK chunk (the m10 chunk-walk convention). */
+  def renderMulawWavTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val pcm = textPcm(id, text)
+          val codes = new Array[Byte](pcm.samples.length)
+          var i = 0
+          while (i < codes.length) {
+            codes(i) = Codecs.mulawCompress(pcm.samples(i)); i += 1
+          }
+          MediaRow(id,
+            Codecs.encodeWavMulaw(codes, pcm.sampleRate, pcm.channels,
+              junkChunk = id % 2 == 0),
+            "audio/wav;mulaw")
+        }
+      }
+  }
+
   /** m13: DECODED-PCM windows as binary frames — decode the WAV, slice
     * the sample stream into non-overlapping `windowSamples`-sample
     * windows, re-emit each as its little-endian byte image so the m06

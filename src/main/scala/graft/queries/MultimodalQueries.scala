@@ -263,6 +263,21 @@ private[queries] object MultimodalQueries {
       val frames = M.decodedRowFingerprints(bmps.unionByName(pngs))
       M.frameOverlap(frames, "doc_id", "row_fp", maxFrameDocs = 16)
     }),
+
+
+    // m16 (round 15): the LOSSY audio codec path — every doc's textPcm
+    // samples folded through G.711 μ-law (8-bit codes, format tag 7,
+    // 18-byte fmt + spec-required fact chunk), then DECODED back to
+    // 16-bit linear. All features read the QUANTIZED samples, so the
+    // oracle recomputes the identical integer compress→expand round trip
+    // in SQL: a companding bias/segment/mantissa error anywhere — or a
+    // decoder that shortcuts to the original samples — hash-mismatches
+    // (m10's exact-PCM sums differ from these by construction).
+    "m16_mulaw_decode" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedAudioMeta(M.renderMulawWavTable(
+        docs(s, dir).filter(length(col("text")) >= 1))).toDF()
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -656,5 +671,52 @@ private[queries] object MultimodalQueries {
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
          FROM k a JOIN k b ON a.row_fp = b.row_fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+
+    // m16: the m10 sample rule pushed through the G.711 μ-law integer
+    // round trip (ITU-T G.711's published companding algorithm, pure
+    // integer): magnitude clipped at 32635, biased by 132, segment e =
+    // highest set bit above bit 7, 4-bit mantissa; expansion is
+    // ((m·8+132)<<e)−132 with the sign restored. Every feature reads the
+    // QUANTIZED samples y — agreement with the engine's
+    // bytes→chunk-walk→expand path pins the companding tables bit-exactly.
+    "m16_mulaw_decode" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              s AS (SELECT doc_id,
+                      list_transform(generate_series(0, 255),
+                        i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                             + (i % 256)) AS smp
+                    FROM d),
+              q AS (SELECT doc_id,
+                      list_transform(smp, x -> CASE WHEN x < 0 THEN -1 ELSE 1 END) AS sgn,
+                      list_transform(smp,
+                        x -> least(abs(CAST(x AS BIGINT)), 32635) + 132) AS v
+                    FROM s),
+              e AS (SELECT doc_id, sgn, v,
+                      list_transform(v, t -> CASE WHEN t < 256 THEN 0
+                                                  WHEN t < 512 THEN 1
+                                                  WHEN t < 1024 THEN 2
+                                                  WHEN t < 2048 THEN 3
+                                                  WHEN t < 4096 THEN 4
+                                                  WHEN t < 8192 THEN 5
+                                                  WHEN t < 16384 THEN 6
+                                                  ELSE 7 END) AS seg
+                    FROM q),
+              y AS (SELECT doc_id,
+                      list_transform(generate_series(1, 256),
+                        i -> sgn[i] * ((((((v[i] >> (seg[i] + 3)) & 15) * 8)
+                                         + 132) << seg[i]) - 132)) AS dec
+                    FROM e)
+         SELECT doc_id,
+                CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS n_channels,
+                CAST(256 AS BIGINT) AS n_samples,
+                CAST(list_sum(dec) AS BIGINT) AS sum_samples,
+                CAST(list_sum(list_transform(generate_series(2, 256),
+                  i -> CASE WHEN (dec[i - 1] < 0) <> (dec[i] < 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross,
+                CAST(list_sum(list_transform(dec,
+                  x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
+         FROM y""",
   )
 }

@@ -162,6 +162,83 @@ class CodecSpec extends SparkSpecBase {
       Codecs.decodeWav("OggS....".getBytes)).getMessage.contains("RIFF"))
   }
 
+  // ---- G.711 mu-law ---------------------------------------------------------
+
+  test("mu-law companding golden codes (G.711 published values)") {
+    // Classic G.711 landmarks: positive zero 0xFF, negative zero 0x7F,
+    // positive max 0x80 (decoding to 32124), negative max 0x00.
+    assert((Codecs.mulawCompress(0) & 0xFF) === 0xFF)
+    assert((Codecs.mulawCompress(-1) & 0xFF) === 0x7F)
+    assert((Codecs.mulawCompress(32767) & 0xFF) === 0x80)
+    assert((Codecs.mulawCompress(-32768) & 0xFF) === 0x00)
+    assert(Codecs.mulawExpand(0x80.toByte) === 32124)
+    assert(Codecs.mulawExpand(0x00.toByte) === -32124)
+    assert(Codecs.mulawExpand(0xFF.toByte) === 0)
+    assert(Codecs.mulawExpand(0x7F.toByte) === 0)
+    // Hand-derived mid-range value: 1000 + 132 = 1132 -> segment 3,
+    // mantissa (1132 >> 6) & 15 = 1 -> ~0x31 = 0xCE; expands to
+    // ((1*8 + 132) << 3) - 132 = 988.
+    assert((Codecs.mulawCompress(1000) & 0xFF) === 0xCE)
+    assert(Codecs.mulawExpand(0xCE.toByte) === 988)
+  }
+
+  test("mu-law round trip: sign-preserving, monotone, segment-bounded error") {
+    var prev = Int.MinValue
+    var s = -32768
+    while (s <= 32767) {
+      val y = Codecs.mulawExpand(Codecs.mulawCompress(s.toShort)).toInt
+      assert(y >= prev, s"expand(compress) must be monotone at $s")
+      prev = y
+      if (s == 0) assert(y === 0)
+      if (s > 0) assert(y >= 0) // small magnitudes may quantize to zero
+      if (s < 0) assert(y <= 0)
+      // Segment step bound: error < 1 << (segment + 4) everywhere, and
+      // the clip region tops out at 32635 -> 32124.
+      val mag = math.min(math.abs(s), 32635) + 132
+      var seg = 7
+      while (seg > 0 && (mag & (1 << (seg + 7))) == 0) seg -= 1
+      assert(math.abs(y - (if (math.abs(s) > 32635) (if (s < 0) -32635 else 32635) else s))
+        <= (1 << (seg + 4)), s"quantization error out of segment bound at $s -> $y")
+      s += 1
+    }
+  }
+
+  private val goldenMulawWav: Array[Byte] = Array(
+    'R', 'I', 'F', 'F', 56, 0, 0, 0, 'W', 'A', 'V', 'E',
+    'f', 'm', 't', ' ', 18, 0, 0, 0, // 18-byte fmt: the non-PCM layout
+    7, 0, // WAVE_FORMAT_MULAW
+    1, 0, // mono
+    0x40, 0x1F, 0, 0, // 8000 Hz
+    0x40, 0x1F, 0, 0, // byte rate = 8000 (one byte per sample)
+    1, 0, // block align
+    8, 0, // bits per sample
+    0, 0, // cbSize = 0
+    'f', 'a', 'c', 't', 4, 0, 0, 0, 5, 0, 0, 0, // 5 samples per channel
+    'd', 'a', 't', 'a', 5, 0, 0, 0,
+    0xFF, 0x7F, 0x80, 0x00, 0xCE, // +0, -0, +max, -max, 988
+    0 // RIFF pad: odd-sized data chunk
+  ).map(_.toByte)
+
+  test("golden mu-law WAV bytes decode through format tag 7 to linear PCM") {
+    val pcm = Codecs.decodeWav(goldenMulawWav)
+    assert(pcm.sampleRate === 8000 && pcm.channels === 1)
+    assert(pcm.samples.toSeq === Seq[Short](0, 0, 32124, -32124, 988))
+  }
+
+  test("the mu-law encoder reproduces the golden bytes exactly") {
+    assert(java.util.Arrays.equals(
+      Codecs.encodeWavMulaw(
+        Array(0xFF, 0x7F, 0x80, 0x00, 0xCE).map(_.toByte), 8000, 1),
+      goldenMulawWav))
+  }
+
+  test("mu-law WAV decode rejects a non-8-bit depth, names the defect") {
+    val bad = goldenMulawWav.clone()
+    bad(34) = 16 // bits per sample
+    assert(intercept[IllegalArgumentException](Codecs.decodeWav(bad))
+      .getMessage.contains("bit depth"))
+  }
+
   // ---- decoded-domain pipeline drives ---------------------------------------
 
   test("decoded row fingerprints pair a top-down re-encode with its original") {
