@@ -450,14 +450,369 @@ object Codecs {
     Png(Image(width, height, rgb), colorType)
   }
 
-  /** Magic-dispatched image decode: 'BM' → BMP, PNG signature → PNG —
-    * the decoded-domain entry point for cross-codec dedup (the same
-    * pixels arriving as a BMP and as a compressed PNG must land on the
-    * same pixel grid). */
+  // ---- GIF ------------------------------------------------------------------
+  //
+  // GIF89a from the published specification — the third image container,
+  // carrying the third distinct compression family (LZW with GIF's
+  // LSB-first variable-width code packing; BMP is uncompressed, PNG is
+  // zlib/DEFLATE). Scope: single-frame, global-color-table images, both
+  // row orders the format defines (sequential AND the four-pass Adam-less
+  // interlace). Unsupported features (local color tables, multiple
+  // frames) name themselves — honest scope, never silent garbage.
+
+  /** A decoded GIF: the pixel grid plus header facts carried out as data —
+    * the global-color-table size (decoded evidence of the LSD parse) and
+    * the interlace flag (evidence the four-pass row map actually ran). */
+  final case class Gif(image: Image, paletteSize: Int, interlaced: Boolean)
+
+  /** GIF interlace row order (spec appendix E): pass 1 = rows 0,8,16…,
+    * pass 2 = 4,12…, pass 3 = 2,6…, pass 4 = 1,3,5… — the order pixel
+    * rows appear IN THE FILE. */
+  private def interlaceRows(height: Int): Array[Int] = {
+    val out = new Array[Int](height)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = start
+      while (r < height) { out(k) = r; k += 1; r += step }
+    }
+    out
+  }
+
+  /** GIF-variant LZW encode: codes packed LSB-first, initial width =
+    * minCodeSize+1, clear/EOI codes, table capped at 4096 with an
+    * explicit clear+reset. The code WIDTH is governed by a mirror of the
+    * DECODER's table counter (one entry per emitted data code after the
+    * first, whether or not the encoder stores a dict entry for it) — the
+    * decoder lags the encoder's own dict by one entry, and a flush emit
+    * adds nothing encoder-side, so tracking the encoder's dict counter
+    * desyncs the width exactly at non-adding emits (found by the KwKwK
+    * round-trip test; goldens pin the corrected boundary). */
+  private def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xFF).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Long, Integer]
+    var nextCode = eoi + 1 // the encoder's own dict counter
+    var decNext = eoi + 1 // the decoder's table counter (width authority)
+    var firstSinceClear = true
+    def key(prefix: Int, b: Int): Long = (prefix.toLong << 8) | b
+    // Every data code goes through here: after the first code post-clear,
+    // the decoder will add one table entry on reading it — mirror that.
+    def emitData(code: Int): Unit = {
+      emit(code)
+      if (firstSinceClear) firstSinceClear = false
+      else if (decNext < 4096) {
+        decNext += 1
+        if (decNext == (1 << width) && width < 12) width += 1
+      }
+    }
+    emit(clear)
+    var prefix = -1
+    var i = 0
+    while (i < indices.length) {
+      val b = indices(i) & 0xFF
+      require(b < clear, s"pixel index $b outside the ${clear}-entry palette")
+      if (prefix < 0) prefix = b
+      else {
+        val hit = dict.get(key(prefix, b))
+        if (hit != null) prefix = hit
+        else {
+          emitData(prefix)
+          if (nextCode < 4096) {
+            dict.put(key(prefix, b), nextCode)
+            nextCode += 1
+          } else { // table full: clear and start over (decoder resets too)
+            emit(clear)
+            dict = new java.util.HashMap[Long, Integer]
+            nextCode = eoi + 1
+            decNext = eoi + 1
+            width = minCodeSize + 1
+            firstSinceClear = true
+          }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emitData(prefix)
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decode, incl. the KwKwK case (code == next free
+    * entry) and mid-stream clear codes. Returns exactly `expected`
+    * indices or throws naming the defect. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                        expected: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new Array[Byte](expected)
+    var produced = 0
+    // Dictionary as (prefixCode, lastByte) — strings materialize by
+    // walking the prefix chain; firstByte memoized for the KwKwK append.
+    val prefixOf = new Array[Int](4096)
+    val lastOf = new Array[Byte](4096)
+    val firstOf = new Array[Byte](4096)
+    var c = 0
+    while (c < clear) {
+      prefixOf(c) = -1; lastOf(c) = c.toByte; firstOf(c) = c.toByte; c += 1
+    }
+    var nextFree = eoi + 1
+    var width = minCodeSize + 1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev = -1
+    var done = false
+    def writeString(code: Int): Unit = {
+      // Walk the chain to find length, then fill backwards.
+      var len = 0
+      var k = code
+      while (k >= 0) { len += 1; k = prefixOf(k) }
+      require(produced + len <= expected,
+        s"LZW stream decodes past the declared ${expected}-pixel image")
+      var w = produced + len - 1
+      k = code
+      while (k >= 0) { out(w) = lastOf(k); w -= 1; k = prefixOf(k) }
+      produced += len
+    }
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf |= (data(pos) & 0xFFL) << bitCnt
+        bitCnt += 8
+        pos += 1
+      }
+      require(bitCnt >= width, "truncated GIF LZW stream (no EOI)")
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width
+      bitCnt -= width
+      if (code == clear) {
+        nextFree = eoi + 1
+        width = minCodeSize + 1
+        prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev < 0) {
+        require(code < clear, s"first LZW code $code after clear is not a root")
+        writeString(code)
+        prev = code
+      } else {
+        require(code <= nextFree && code != eoi && code != clear &&
+          (code < nextFree || nextFree < 4096),
+          s"LZW code $code beyond the ${nextFree}-entry table")
+        if (code == nextFree) { // KwKwK: string(prev) + first(string(prev))
+          prefixOf(nextFree) = prev
+          lastOf(nextFree) = firstOf(prev)
+          firstOf(nextFree) = firstOf(prev)
+          nextFree += 1
+          writeString(code)
+        } else {
+          writeString(code)
+          if (nextFree < 4096) {
+            prefixOf(nextFree) = prev
+            lastOf(nextFree) = firstOf(code)
+            firstOf(nextFree) = firstOf(prev)
+            nextFree += 1
+          }
+        }
+        if (nextFree == (1 << width) && width < 12) width += 1
+        prev = code
+      }
+    }
+    require(produced == expected,
+      s"LZW stream decoded $produced pixels, IHDR-equivalent declares $expected")
+    out
+  }
+
+  /** Encode a single-frame GIF89a: logical screen descriptor + global
+    * color table (`palette` entries are 0xRRGGBB, length a power of two
+    * in 2..256), a Graphic Control Extension (so the extension-skip path
+    * in every decoder is load-bearing), one image block (full-screen,
+    * optionally interlaced — the four-pass row order), LZW-compressed
+    * pixel indices in ≤255-byte sub-blocks, trailer. */
+  def encodeGif(width: Int, height: Int, palette: Array[Int],
+                indices: Array[Byte], interlaced: Boolean = false): Array[Byte] = {
+    require(palette.length >= 2 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1,
+      s"GIF global color table must be a power of two in 2..256, got ${palette.length}")
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != $width x $height")
+    val sizeBits = 31 - Integer.numberOfLeadingZeros(palette.length) // log2
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // Logical screen descriptor: LE dims; packed = GCT present, color
+    // resolution 8 bits (111), unsorted, GCT size field (2^(n+1) entries).
+    out.write(width & 0xFF); out.write((width >> 8) & 0xFF)
+    out.write(height & 0xFF); out.write((height >> 8) & 0xFF)
+    out.write(0x80 | (7 << 4) | (sizeBits - 1))
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    palette.foreach { rgb =>
+      out.write((rgb >> 16) & 0xFF); out.write((rgb >> 8) & 0xFF)
+      out.write(rgb & 0xFF)
+    }
+    // Graphic Control Extension: no transparency, zero delay — present so
+    // decoders must walk an extension block before the image.
+    out.write(Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0))
+    // Image descriptor: full-screen frame at (0,0), no local table.
+    out.write(0x2C)
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write(width & 0xFF); out.write((width >> 8) & 0xFF)
+    out.write(height & 0xFF); out.write((height >> 8) & 0xFF)
+    out.write(if (interlaced) 0x40 else 0x00)
+    // Pixel indices in FILE row order (interlace reorders rows).
+    val fileIndices =
+      if (!interlaced) indices
+      else {
+        val o = new Array[Byte](indices.length)
+        val rows = interlaceRows(height)
+        var k = 0
+        while (k < height) {
+          System.arraycopy(indices, rows(k) * width, o, k * width, width)
+          k += 1
+        }
+        o
+      }
+    val minCodeSize = math.max(2, sizeBits)
+    out.write(minCodeSize)
+    val z = lzwEncode(fileIndices, minCodeSize)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      out.write(n)
+      out.write(z, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a single-frame GIF87a/89a: header + logical screen descriptor,
+    * global color table, extension-block walk, image descriptor (both row
+    * orders — sequential and the four-pass interlace), LZW sub-block
+    * concatenation and decode, palette lookup to RGB. Throws
+    * `IllegalArgumentException` naming unsupported features (local color
+    * table, multiple frames, missing GCT). */
+  def decodeGif(bytes: Array[Byte]): Gif = {
+    require(bytes.length >= 6 &&
+      new String(bytes, 0, 3, "US-ASCII") == "GIF",
+      "not a GIF: missing 'GIF' magic")
+    val ver = new String(bytes, 3, 3, "US-ASCII")
+    require(ver == "89a" || ver == "87a", s"unsupported GIF version $ver")
+    require(bytes.length >= 13, s"truncated GIF: ${bytes.length} bytes")
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    val screenW = u16(6)
+    val screenH = u16(8)
+    val packed = bytes(10) & 0xFF
+    require((packed & 0x80) != 0,
+      "unsupported GIF: no global color table (local-table-only files)")
+    val gctEntries = 1 << ((packed & 0x07) + 1)
+    var off = 13
+    require(off.toLong + gctEntries * 3 <= bytes.length,
+      s"truncated GIF: global color table of $gctEntries entries runs past ${bytes.length}")
+    val gctOff = off
+    off += gctEntries * 3
+    // Block walk: extensions (label + sub-blocks) until the image block.
+    var imageAt = -1
+    while (imageAt < 0) {
+      require(off < bytes.length, "truncated GIF: no image block before EOF")
+      (bytes(off) & 0xFF) match {
+        case 0x21 => // extension: introducer, label, sub-blocks, terminator
+          off += 2
+          var blockLen = -1
+          while (blockLen != 0) {
+            require(off < bytes.length, "truncated GIF extension block")
+            blockLen = bytes(off) & 0xFF
+            require(off.toLong + 1 + blockLen <= bytes.length,
+              "truncated GIF extension sub-block")
+            off += 1 + blockLen
+          }
+        case 0x2C => imageAt = off
+        case 0x3B =>
+          throw new IllegalArgumentException("GIF trailer before any image block")
+        case other =>
+          throw new IllegalArgumentException(
+            f"unknown GIF block introducer 0x$other%02x at offset $off")
+      }
+    }
+    off = imageAt + 1
+    require(off + 9 <= bytes.length, "truncated GIF image descriptor")
+    val left = u16(off); val top = u16(off + 2)
+    val w = u16(off + 4); val h = u16(off + 6)
+    val iPacked = bytes(off + 8) & 0xFF
+    off += 9
+    require((iPacked & 0x80) == 0,
+      "unsupported GIF: local color table on the image block")
+    require(left == 0 && top == 0 && w == screenW && h == screenH,
+      s"unsupported GIF: sub-rectangle frame (${w}x$h at $left,$top on ${screenW}x$screenH)")
+    require(w > 0 && h > 0, s"degenerate GIF dimensions ${w}x$h")
+    val interlaced = (iPacked & 0x40) != 0
+    require(off < bytes.length, "truncated GIF: missing LZW minimum code size")
+    val minCodeSize = bytes(off) & 0xFF
+    require(minCodeSize >= 2 && minCodeSize <= 8,
+      s"invalid GIF LZW minimum code size $minCodeSize")
+    off += 1
+    val z = new java.io.ByteArrayOutputStream
+    var blockLen = -1
+    while (blockLen != 0) {
+      require(off < bytes.length, "truncated GIF image data")
+      blockLen = bytes(off) & 0xFF
+      require(off.toLong + 1 + blockLen <= bytes.length,
+        "truncated GIF image data sub-block")
+      z.write(bytes, off + 1, blockLen)
+      off += 1 + blockLen
+    }
+    // Single-frame scope: the next block must be the trailer.
+    require(off < bytes.length && (bytes(off) & 0xFF) == 0x3B,
+      "unsupported GIF: multiple image blocks (animation)")
+    val fileIndices = lzwDecode(z.toByteArray, minCodeSize, w * h)
+    val rowOf: Int => Int =
+      if (!interlaced) identity
+      else { val rows = interlaceRows(h); fileRow => rows(fileRow) }
+    val rgb = new Array[Byte](w * h * 3)
+    var fileRow = 0
+    while (fileRow < h) {
+      val imgRow = rowOf(fileRow)
+      var c = 0
+      while (c < w) {
+        val idx = fileIndices(fileRow * w + c) & 0xFF
+        require(idx < gctEntries,
+          s"pixel index $idx outside the $gctEntries-entry global color table")
+        val p = (imgRow * w + c) * 3
+        rgb(p) = bytes(gctOff + idx * 3)
+        rgb(p + 1) = bytes(gctOff + idx * 3 + 1)
+        rgb(p + 2) = bytes(gctOff + idx * 3 + 2)
+        c += 1
+      }
+      fileRow += 1
+    }
+    Gif(Image(w, h, rgb), gctEntries, interlaced)
+  }
+
+  /** Magic-dispatched image decode: 'BM' → BMP, PNG signature → PNG,
+    * 'GIF8' → GIF — the decoded-domain entry point for cross-codec dedup
+    * (the same pixels arriving in any container must land on the same
+    * pixel grid). */
   def decodeImage(bytes: Array[Byte]): Image = {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 8 && bytes(0) == PngSignature(0) &&
       bytes(1) == PngSignature(1)) decodePng(bytes).image
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') decodeGif(bytes).image
     else throw new IllegalArgumentException("unrecognized image container magic")
   }
 

@@ -386,6 +386,81 @@ object Multimodal {
       }
   }
 
+  /** The m17 GIF palette — a fixed public rule the oracle can mirror:
+    * entry k is (red 255−k, green (2k) mod 251, blue k). Blue = k means
+    * the palette LOOKUP is pinned by every blue-derived feature, and the
+    * GIF's blue channel equals [[textImage]]'s blue channel when the
+    * pixel INDEX rule is index(i) = byte(i mod L) — which is what lets a
+    * GIF pair with the BMP/PNG of the same doc through the row
+    * fingerprints (the cross-codec construction, m18). 128 entries cover
+    * the printable-ASCII index range. */
+  private[graft] val gifPalette: Array[Int] =
+    Array.tabulate(128)(k => ((255 - k) << 16) | (((2 * k) % 251) << 8) | k)
+
+  /** Render each doc as a REAL GIF89a — LZW-compressed (the third
+    * compression family: BMP none, PNG zlib, GIF LZW), 128-entry global
+    * color table per [[gifPalette]], pixel index(i) = text byte(i mod L),
+    * a Graphic Control Extension before the image block (the
+    * extension-walk is load-bearing), and even doc_ids INTERLACED (the
+    * four-pass row order — byte-level row permutation the decoder must
+    * undo, so the interlace path is data-bearing on half the corpus). */
+  def renderGifTable(documents: DataFrame, width: Int, height: Int,
+                     idOffset: Long = 0L): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          require(tb.length >= 1, "renderGifTable needs a non-empty payload")
+          requirePrintableAscii(tb, "renderGifTable")
+          val indices = new Array[Byte](width * height)
+          var i = 0
+          while (i < indices.length) { indices(i) = tb(i % tb.length); i += 1 }
+          val interlaced = id % 2 == 0
+          MediaRow(id + idOffset,
+            Codecs.encodeGif(width, height, gifPalette, indices, interlaced),
+            if (interlaced) "image/gif;interlaced" else "image/gif")
+        }
+      }
+  }
+
+  /** m17 output: decoded-GIF facts — dims and global-color-table size
+    * from the parsed headers, the interlace flag (decoded evidence the
+    * four-pass row map ran — it alternates by doc parity), the blue sum
+    * (pins the palette lookup: palette blue = index), and the m09-style
+    * first-64-blue gradient fingerprint, which is row-ORDER sensitive:
+    * a de-interlace bug permutes rows 1 and 2 out of the first 64 pixels
+    * and hash-mismatches, where blue_sum alone (permutation-invariant)
+    * would not. */
+  final case class GifMeta(doc_id: Long, width: Long, height: Long,
+                           palette_size: Long, interlaced: Long,
+                           blue_sum: Long, fp: Long)
+
+  def decodedGifMeta(media: Dataset[MediaRow]): Dataset[GifMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val gif = Codecs.decodeGif(r.media)
+        val img = gif.image
+        val n = img.width * img.height
+        var blueSum = 0L
+        var i = 0
+        while (i < n) { blueSum += img.rgb(i * 3 + 2) & 0xFF; i += 1 }
+        var fp = 0L
+        var j = 1
+        while (j < 64 && j < n) {
+          if ((img.rgb((j - 1) * 3 + 2) & 0xFF) > (img.rgb(j * 3 + 2) & 0xFF))
+            fp |= 1L << (j - 1)
+          j += 1
+        }
+        GifMeta(r.doc_id, img.width.toLong, img.height.toLong,
+          gif.paletteSize.toLong, if (gif.interlaced) 1L else 0L, blueSum, fp)
+      }
+    }
+  }
+
   /** m14 output: decoded-PNG features — dims and color CHANNELS from the
     * parsed IHDR (3 vs 6 alternates by doc parity, so the header parse is
     * data-bearing), the full 2-D [[dhash56]] and the blue channel sum

@@ -278,6 +278,42 @@ private[queries] object MultimodalQueries {
       M.decodedAudioMeta(M.renderMulawWavTable(
         docs(s, dir).filter(length(col("text")) >= 1))).toDF()
     }),
+
+
+    // m17 (round 15): the third image container — every doc rendered as a
+    // REAL GIF89a (LZW-compressed indices through GIF's LSB-first
+    // variable-width code packing, 128-entry global color table, a
+    // Graphic Control Extension before the image block, even doc_ids
+    // INTERLACED), then DECODED: dims + palette size + interlace flag
+    // from the parsed headers, blue sum and the first-64-blue gradient
+    // fingerprint from LZW-decoded, de-interlaced, palette-looked-up
+    // pixels. The oracle recomputes the features from the text rule, so
+    // an LZW, code-width, interlace, or palette bug hash-mismatches (the
+    // fingerprint spans rows 0-2, which interlacing permutes).
+    "m17_gif_decode" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedGifMeta(M.renderGifTable(
+        docs(s, dir).filter(length(col("text")) >= 1),
+        width = 25, height = 16)).toDF()
+    }),
+
+
+    // m18 (round 15): TRI-codec dedup — the corpus as uncompressed BMPs,
+    // docs < 40 planted AGAIN as LZW-compressed GIFs whose palette maps
+    // index k to blue k (so the GIF's decoded blue channel equals the
+    // BMP's), all decoded through the magic dispatch, per-image-row blue
+    // fingerprints pairing each GIF with its BMP original through the
+    // capped frameOverlap. With m15 (BMP↔PNG) this closes the triangle:
+    // three containers, three compression families, one decoded domain.
+    "m18_tri_codec_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val bmps = M.renderBmpTable(base, width = 25, height = 16)
+      val gifs = M.renderGifTable(base.filter(col("doc_id") < 40),
+        width = 25, height = 16, idOffset = 700000L)
+      val frames = M.decodedRowFingerprints(bmps.unionByName(gifs))
+      M.frameOverlap(frames, "doc_id", "row_fp", maxFrameDocs = 16)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -718,5 +754,60 @@ private[queries] object MultimodalQueries {
                 CAST(list_sum(list_transform(dec,
                   x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
          FROM y""",
+
+    // m17: the text-domain mirror of the decoded-GIF features — the GIF
+    // pixel INDEX rule is index(i) = byte(i mod L) and the palette maps
+    // index k to blue k, so decoded blue(i) = ascii(text[i mod L]) (the
+    // m09 blue rule); the fingerprint is the m09 first-64-blue gradient.
+    // palette_size pins the LSD parse (128-entry table), interlaced the
+    // parity rule the encoder uses for the four-pass row order.
+    "m17_gif_decode" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              px AS (SELECT doc_id,
+                       list_transform(generate_series(0, 399),
+                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                     FROM d)
+         SELECT doc_id, CAST(25 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                CAST(128 AS BIGINT) AS palette_size,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS interlaced,
+                CAST(list_sum(blue) AS BIGINT) AS blue_sum,
+                CAST(list_sum(list_transform(generate_series(1, 63),
+                  i -> CASE WHEN blue[i] > blue[i + 1]
+                            THEN (CAST(1 AS BIGINT) << (i - 1))
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+         FROM px""",
+
+    // m18: m15's row-fingerprint construction with the +700000 planted
+    // slice — in the engine those are LZW-compressed (half interlaced)
+    // GIFs whose palette puts the m09 blue rule back on the blue channel,
+    // so the pairs exist iff BMP-decode and GIF-decode land on the same
+    // blue grid; the oracle only knows the shared pixel rule.
+    "m18_tri_codec_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              px AS (SELECT doc_id,
+                       list_transform(generate_series(0, 399),
+                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                     FROM d),
+              rw AS (SELECT doc_id, blue,
+                            unnest(generate_series(0, 15)) AS r
+                     FROM px),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(generate_series(1, 24),
+                             c -> CASE WHEN blue[r * 25 + c] > blue[r * 25 + c + 1]
+                                       THEN (CAST(1 AS BIGINT) << (c - 1))
+                                       ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS row_fp
+                    FROM rw),
+              allh AS (SELECT doc_id, row_fp FROM h
+                       UNION ALL
+                       SELECT doc_id + 700000, row_fp FROM h WHERE doc_id < 40),
+              dd AS (SELECT DISTINCT doc_id, row_fp FROM allh),
+              keep AS (SELECT row_fp FROM dd GROUP BY 1
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT dd.doc_id, dd.row_fp FROM dd JOIN keep USING (row_fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM k a JOIN k b ON a.row_fp = b.row_fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
   )
 }

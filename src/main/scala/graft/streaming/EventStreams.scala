@@ -281,8 +281,8 @@ object EventStreams {
   /** Streaming media-decode gate — the codec family's ingest twin (the
     * round-14 real-decoder analogue of [[encodingGateStream]]): every
     * arriving binary payload is ACTUALLY decoded (container dispatched by
-    * magic bytes — 'BM' → BMP, 0x89'P' → PNG, 'RIFF' → WAV), and payloads
-    * that fail to
+    * magic bytes — 'BM' → BMP, 0x89'P' → PNG, 'GIF8' → GIF, 'RIFF' →
+    * WAV incl. μ-law), and payloads that fail to
     * decode (truncated, wrong magic, unsupported bit depth/compression)
     * are flagged for drop with the failure reason, before they land in
     * the lake. Fully stateless and partition-local: the payload never
@@ -304,12 +304,14 @@ object EventStreams {
           def kindOf(b: Array[Byte]): String =
             if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
             else if (b.length >= 2 && (b(0) & 0xFF) == 0x89 && b(1) == 'P') "png"
+            else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' &&
+              b(2) == 'F' && b(3) == '8') "gif"
             else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
               b(2) == 'F' && b(3) == 'F') "wav"
             else "unknown"
           val kind = kindOf(payload)
           try kind match {
-            case "bmp" | "png" =>
+            case "bmp" | "png" | "gif" =>
               val img = graft.multimodal.Codecs.decodeImage(payload)
               (id, ts, kind, img.width.toLong, img.height.toLong, true, "")
             case "wav" =>

@@ -19,7 +19,14 @@ class Round14Spec extends SparkSpecBase {
       junkChunk = true)
     val truncated = bmp.take(40) // dies in the header parse
     val rle = bmp.clone(); rle(30) = 1 // BI_RLE8: unsupported compression
-    val garbage = "GIF89a-not-supported".getBytes("US-ASCII")
+    val gif = Codecs.encodeGif(3, 2, Array(0x000000, 0xFF0000),
+      Array[Byte](0, 1, 0, 1, 0, 1), interlaced = true)
+    val mulaw = Codecs.encodeWavMulaw(Array[Byte](0xFF.toByte, 0x80.toByte), 8000, 1)
+    // A GIF header whose LZW stream never arrives: a REAL container now,
+    // so it must drop as kind "gif" with the decoder's reason — not
+    // "unknown" (round-15: GIF dispatch).
+    val gifTrunc = "GIF89a-not-supported".getBytes("US-ASCII")
+    val garbage = "????no-container-here".getBytes("US-ASCII")
 
     val memStream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Timestamp, Array[Byte])](spark, 1)
@@ -30,7 +37,8 @@ class Round14Spec extends SparkSpecBase {
     try {
       memStream.addData(
         (1L, ts(0), bmp), (2L, ts(1), wav), (3L, ts(2), truncated),
-        (4L, ts(3), rle), (5L, ts(4), garbage))
+        (4L, ts(3), rle), (5L, ts(4), gifTrunc), (6L, ts(5), gif),
+        (7L, ts(6), mulaw), (8L, ts(7), garbage))
       q.processAllAvailable()
       val got = spark.table("media_gate_out")
         .select($"new_id", $"kind", $"meta_a", $"meta_b", $"admit", $"reason")
@@ -44,8 +52,14 @@ class Round14Spec extends SparkSpecBase {
         s"truncated BMP must drop naming the failure: ${got(3L)}")
       assert(!got(4L)._5 && got(4L)._6.contains("compression"),
         s"RLE BMP must drop naming the unsupported feature: ${got(4L)}")
-      assert(got(5L)._2 == "unknown" && !got(5L)._5,
-        s"unrecognized magic must drop as unknown: ${got(5L)}")
+      assert(got(5L)._2 == "gif" && !got(5L)._5,
+        s"a GIF header without an image must drop AS a gif: ${got(5L)}")
+      assert(got(6L) == ((6L, "gif", 3L, 2L, true, "")),
+        s"valid interlaced GIF must admit with decoded dims: ${got(6L)}")
+      assert(got(7L) == ((7L, "wav", 8000L, 2L, true, "")),
+        s"valid mu-law WAV must admit with decoded rate/samples: ${got(7L)}")
+      assert(got(8L)._2 == "unknown" && !got(8L)._5,
+        s"unrecognized magic must drop as unknown: ${got(8L)}")
     } finally q.stop()
   }
 
