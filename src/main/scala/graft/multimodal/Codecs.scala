@@ -813,6 +813,8 @@ object Codecs {
       bytes(1) == PngSignature(1)) decodePng(bytes).image
     else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8') decodeGif(bytes).image
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8) decodeJpeg(bytes).image
     else throw new IllegalArgumentException("unrecognized image container magic")
   }
 
@@ -979,5 +981,705 @@ object Codecs {
       while (i < dataLen) { samples(i) = mulawExpand(bytes(dataOff + i)); i += 1 }
       Pcm(sampleRate, channels, samples)
     }
+  }
+
+  // ---- JPEG (baseline DCT, ITU-T T.81) --------------------------------------
+  //
+  // The lossy IMAGE codec, from the published standard alone: baseline
+  // sequential DCT, 8-bit precision, Huffman entropy coding. Scope:
+  // grayscale (1 component) and YCbCr 4:4:4 (3 components, all sampling
+  // factors 1) — progressive (SOF2), 12-bit, arithmetic coding, and
+  // subsampled chroma name themselves on decode instead of mis-decoding.
+  //
+  // EVERYTHING IS INTEGER ARITHMETIC, deterministically: the DCT in both
+  // directions uses a fixed-point cosine table K[u][x] =
+  // round(c(u)·cos((2x+1)uπ/16)·4096) with c(0)=1/√2 (the scale factors of
+  // the spec's Annex A formulas folded in), so the decoded pixels of any
+  // valid stream are bit-exactly reproducible — which is what lets the
+  // m19/m20 DuckDB oracles recompute a real lossy round trip in SQL. The
+  // DC coefficient is quantized through the EXACT S00 = Σ(s−128)/8 form
+  // (integer, no table): for u≥1 the K rows sum to zero exactly, so a
+  // flat block's AC coefficients are exactly 0 and its decoded value has
+  // the closed form 128 + 2·qscale·Sq (verified exhaustively over all
+  // 256 levels × 4 scales in JpegSpec).
+  //
+  // Quantization: the Annex K example tables (the de-facto "quality 50"
+  // tables every encoder ships), scaled by an integer `qscale` and clamped
+  // to [1,255]. Huffman: the Annex K example tables, CARRIED IN THE FILE
+  // (DHT) and rebuilt by the decoder from the file bytes — the decoder
+  // never assumes this encoder's tables.
+  //
+  // Reference scope note: floorist has no media path
+  // (/root/reference/src/floorist/floorist.py is tabular-only); with
+  // G.711 μ-law (lossy audio) this completes the lossy half of the
+  // training-pipeline codec family.
+
+  /** A decoded JPEG: pixels plus header facts carried out as data —
+    * component count from SOF0, restart interval from DRI (0 = none). */
+  final case class JpegImage(image: Image, components: Int, restartInterval: Int)
+
+  /** Zigzag position → natural (row-major) index, T.81 Figure 5. */
+  private[multimodal] val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.1 luminance quantization table (natural row-major order). */
+  private[multimodal] val JpegQuantLum: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K.2 chrominance quantization table (natural row-major order). */
+  private[multimodal] val JpegQuantChr: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Fixed-point DCT basis: K(u)(x) = round(c(u)·cos((2x+1)uπ/16)·4096),
+    * c(0) = 1/√2 — public math, the 64 values pinned as literals so both
+    * DCT directions (and the JpegSpec python-mirrored goldens) share one
+    * table. Rows u ≥ 1 sum to zero EXACTLY (the ± pairing survives the
+    * rounding), which is what makes flat-block AC exactly 0. */
+  private[multimodal] val JpegDctK: Array[Array[Long]] = Array(
+    Array(2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896),
+    Array(4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    Array(3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    Array(3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    Array(2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    Array(2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    Array(1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    Array(799, -2276, 3406, -4017, 4017, -3406, 2276, -799))
+
+  /** Annex K.3 example Huffman specifications: 16 BITS counts + HUFFVAL. */
+  private final class HuffSpec(val bits: Array[Int], val vals: Array[Int]) {
+    require(bits.length == 16 && bits.sum == vals.length,
+      s"Huffman spec inconsistent: ${bits.sum} codes vs ${vals.length} values")
+  }
+
+  private val JpegDcLum = new HuffSpec(
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+  private val JpegDcChr = new HuffSpec(
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+  private val JpegAcLum = new HuffSpec(
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+      0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+      0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+      0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+      0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+      0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+      0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+      0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+      0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+  private val JpegAcChr = new HuffSpec(
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+      0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+      0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+      0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+      0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+      0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+      0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+      0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+      0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+      0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+      0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+      0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+
+  /** Canonical code assignment (T.81 Annex C): codes of ascending length
+    * in HUFFVAL order. Returns (codeLength, code) per symbol value. */
+  private def huffEncodeTable(spec: HuffSpec): Array[(Int, Int)] = {
+    val table = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < spec.bits(len - 1)) {
+        table(spec.vals(k)) = (len, code)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    table
+  }
+
+  /** MSB-first bit writer with T.81 §B.1.1.5 byte stuffing (0xFF → 0xFF 0x00). */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nBits += len
+      while (nBits >= 8) {
+        val b = ((acc >> (nBits - 8)) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00)
+        nBits -= 8
+      }
+    }
+    /** Pad the final partial byte with 1-bits (§B.1.1.5). */
+    def flushAlign(): Unit =
+      if (nBits > 0) put(0x7F, 8 - nBits) // all-ones pad
+  }
+
+  private def scaleQuant(base: Array[Int], qscale: Int): Array[Int] =
+    base.map(q => math.max(1, math.min(255, q * qscale)))
+
+  /** Magnitude category (T.81 §F.1.2.1): number of bits to code `v`. */
+  private def jpegCategory(v: Int): Int = {
+    var cat = 0
+    var m = math.abs(v)
+    while (m != 0) { cat += 1; m >>= 1 }
+    cat
+  }
+
+  /** Forward DCT + quantization of one block, all-integer. `samples` are
+    * level-shifted (s − 128). DC goes through the EXACT S00 = Σs′/8 form;
+    * AC through the K-table numerators (S = num / 2²⁶), both quantized
+    * round-half-up: Sq = ⌊(2S + Q) / 2Q⌋. Output in natural order. */
+  private def fdctQuant(samples: Array[Int], quant: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var dcRaw = 0
+    var i = 0
+    while (i < 64) { dcRaw += samples(i); i += 1 }
+    out(0) = Math.floorDiv(dcRaw + 4 * quant(0), 8 * quant(0))
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (u != 0 || v != 0) {
+          var num = 0L
+          var y = 0
+          while (y < 8) {
+            val ky = JpegDctK(v)(y)
+            var x = 0
+            while (x < 8) {
+              num += samples(y * 8 + x) * JpegDctK(u)(x) * ky
+              x += 1
+            }
+            y += 1
+          }
+          val q = quant(v * 8 + u).toLong
+          out(v * 8 + u) =
+            Math.floorDiv(2 * num + (q << 26), q << 27).toInt
+        }
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** Inverse: dequantized coefficients (natural order) → clamped pixels.
+    * p(x,y) = clamp(128 + ⌊(Σ R·K(u)(x)·K(v)(y) + 2²⁵) / 2²⁶⌋). */
+  private def idctBlock(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0L
+        var v = 0
+        while (v < 8) {
+          val kv = JpegDctK(v)(y)
+          var u = 0
+          while (u < 8) {
+            val r = coef(v * 8 + u)
+            if (r != 0) s += r * JpegDctK(u)(x) * kv
+            u += 1
+          }
+          v += 1
+        }
+        val p = 128 + ((s + (1L << 25)) >> 26).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode baseline JPEG: YCbCr 4:4:4 (3 components) or grayscale.
+    * `qscale` multiplies the Annex K tables (clamped to [1,255]);
+    * `restartInterval` > 0 emits DRI + RSTn markers every that many MCUs.
+    * Images whose dims aren't multiples of 8 are edge-replicated to the
+    * MCU grid (the standard's §A.2.1 convention); the decoder crops back. */
+  def encodeJpeg(img: Image, qscale: Int = 1, restartInterval: Int = 0,
+                 gray: Boolean = false): Array[Byte] = {
+    require(qscale >= 1 && qscale <= 15, s"qscale out of [1,15]: $qscale")
+    require(restartInterval >= 0 && restartInterval <= 0xFFFF,
+      s"restart interval out of [0,65535]: $restartInterval")
+    val w = img.width; val h = img.height
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val nComp = if (gray) 1 else 3
+    // component planes, level-shifted later per block
+    val planes = Array.ofDim[Int](nComp, bw * 8 * bh * 8)
+    var y = 0
+    while (y < bh * 8) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < bw * 8) {
+        val sx = math.min(x, w - 1)
+        val p = (sy * w + sx) * 3
+        val r = img.rgb(p) & 0xFF
+        val g = img.rgb(p + 1) & 0xFF
+        val b = img.rgb(p + 2) & 0xFF
+        val o = y * bw * 8 + x
+        // JFIF fixed-point RGB→YCbCr; the multipliers sum to 256 (Y) and
+        // 0 (Cb/Cr), so R=G=B lands on Y=R, Cb=Cr=128 EXACTLY.
+        planes(0)(o) = (77 * r + 150 * g + 29 * b + 128) >> 8
+        if (!gray) {
+          planes(1)(o) = 128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)
+          planes(2)(o) = 128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val qLum = scaleQuant(JpegQuantLum, qscale)
+    val qChr = scaleQuant(JpegQuantChr, qscale)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8) // SOI
+    // APP0 / JFIF 1.1
+    marker(0xE0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0) // version 1.1, units 0
+    u16(1); u16(1); out.write(0); out.write(0)
+    // DQT (zigzag order on the wire)
+    def dqt(id: Int, tbl: Array[Int]): Unit = {
+      marker(0xDB); u16(2 + 1 + 64); out.write(id)
+      var k = 0
+      while (k < 64) { out.write(tbl(JpegZigzag(k))); k += 1 }
+    }
+    dqt(0, qLum)
+    if (!gray) dqt(1, qChr)
+    // SOF0: baseline, precision 8, all sampling factors 1 (4:4:4)
+    marker(0xC0); u16(8 + 3 * nComp); out.write(8); u16(h); u16(w)
+    out.write(nComp)
+    var c = 0
+    while (c < nComp) {
+      out.write(c + 1) // component id
+      out.write(0x11) // 1×1 sampling
+      out.write(if (c == 0) 0 else 1) // quant table id
+      c += 1
+    }
+    // DHT
+    def dht(cls: Int, id: Int, spec: HuffSpec): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + spec.vals.length)
+      out.write((cls << 4) | id)
+      spec.bits.foreach(out.write)
+      spec.vals.foreach(out.write)
+    }
+    dht(0, 0, JpegDcLum); dht(1, 0, JpegAcLum)
+    if (!gray) { dht(0, 1, JpegDcChr); dht(1, 1, JpegAcChr) }
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
+    // SOS
+    marker(0xDA); u16(6 + 2 * nComp); out.write(nComp)
+    c = 0
+    while (c < nComp) {
+      out.write(c + 1)
+      out.write(if (c == 0) 0x00 else 0x11) // DC/AC table ids
+      c += 1
+    }
+    out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl (baseline fixed)
+    // entropy-coded segment
+    val dcTab = Array(huffEncodeTable(JpegDcLum), huffEncodeTable(JpegDcChr))
+    val acTab = Array(huffEncodeTable(JpegAcLum), huffEncodeTable(JpegAcChr))
+    val writer = new JpegBitWriter(out)
+    val pred = new Array[Int](nComp)
+    val block = new Array[Int](64)
+    var mcu = 0
+    var rstIdx = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          writer.flushAlign()
+          marker(0xD0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        c = 0
+        while (c < nComp) {
+          val plane = planes(c)
+          var i = 0
+          while (i < 64) {
+            block(i) = plane((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) - 128
+            i += 1
+          }
+          val coef = fdctQuant(block, if (c == 0) qLum else qChr)
+          val ti = if (c == 0) 0 else 1
+          // DC: category code + magnitude bits (negatives offset by 2^cat−1)
+          val diff = coef(0) - pred(c)
+          pred(c) = coef(0)
+          val cat = jpegCategory(diff)
+          val (dl, dc) = dcTab(ti)(cat)
+          writer.put(dc, dl)
+          if (cat > 0)
+            writer.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+          // AC: run/size with ZRL and EOB
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val v = coef(JpegZigzag(k))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zl, zc) = acTab(ti)(0xF0); writer.put(zc, zl); run -= 16
+              }
+              val sz = jpegCategory(v)
+              val (al, ac) = acTab(ti)((run << 4) | sz)
+              writer.put(ac, al)
+              writer.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (el, ec) = acTab(ti)(0x00); writer.put(ec, el) }
+          c += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    writer.flushAlign()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Huffman DECODE tables, rebuilt from the file's DHT bytes via the
+    * spec's canonical-code reconstruction (T.81 §F.2.2.3 mincode/maxcode/
+    * valptr walk) — the decoder never assumes this encoder's tables. */
+  private final class HuffDecodeTable(bits: Array[Int], vals: Array[Int]) {
+    require(bits.sum == vals.length && vals.length <= 256,
+      s"DHT inconsistent: ${bits.sum} codes vs ${vals.length} values")
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (bits(len - 1) == 0) maxCode(len) = -1
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment: 0xFF 0x00 is a
+    * stuffed data byte; any other marker inside coefficient data is a
+    * stream error (restarts are consumed EXPLICITLY at MCU boundaries by
+    * [[expectRestart]], never here). */
+  private final class JpegBitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    private def nextByte(): Int = {
+      require(pos < bytes.length, "JPEG entropy stream truncated")
+      val b = bytes(pos) & 0xFF
+      pos += 1
+      if (b == 0xFF) {
+        require(pos < bytes.length, "JPEG entropy stream truncated at 0xFF")
+        val m = bytes(pos) & 0xFF
+        if (m == 0x00) { pos += 1; 0xFF }
+        else throw new IllegalArgumentException(
+          f"unexpected marker 0xFF$m%02X inside entropy data (corrupt or desynced stream)")
+      } else b
+    }
+    def readBit(): Int = {
+      if (nBits == 0) { acc = nextByte(); nBits = 8 }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def decodeHuff(t: HuffDecodeTable): Int = {
+      var code = readBit()
+      var len = 1
+      while (len < 16 && (t.maxCode(len) < 0 || code > t.maxCode(len))) {
+        code = (code << 1) | readBit()
+        len += 1
+      }
+      require(t.maxCode(len) >= 0 && code <= t.maxCode(len),
+        "invalid Huffman code in JPEG entropy stream")
+      t.value(len, code)
+    }
+    /** §F.2.1.3.1 EXTEND: magnitude bits → signed value. */
+    def receiveExtend(cat: Int): Int = {
+      if (cat == 0) 0
+      else {
+        val v = readBits(cat)
+        if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+      }
+    }
+    /** Byte-align and consume the expected RSTm marker. */
+    def expectRestart(m: Int): Unit = {
+      nBits = 0
+      require(pos + 1 < bytes.length, "JPEG truncated at restart marker")
+      val b0 = bytes(pos) & 0xFF; val b1 = bytes(pos + 1) & 0xFF
+      require(b0 == 0xFF && b1 == 0xD0 + m,
+        f"expected RST$m%d (0xFFD${m}%X) at offset $pos, found 0x$b0%02X$b1%02X")
+      pos += 2
+    }
+  }
+
+  /** Decode baseline JPEG (SOF0, 8-bit, Huffman): marker walk, DQT/DHT/
+    * DRI/SOF0/SOS parse, entropy decode with byte-stuffing and restart
+    * markers, dequantize, de-zigzag, integer IDCT, YCbCr→RGB. Scope
+    * REJECTIONS are named: progressive (SOF2) and the other SOF variants,
+    * 12-bit precision or quant tables, arithmetic coding, subsampled
+    * chroma (only 4:4:4 / grayscale decode). Grayscale output replicates
+    * luma into all three channels of the container-neutral [[Image]]. */
+  def decodeJpeg(bytes: Array[Byte]): JpegImage = {
+    require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8, "not a JPEG: SOI marker missing")
+    def u16(off: Int): Int = {
+      require(off + 1 < bytes.length, "JPEG truncated in a marker segment")
+      ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
+    }
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDecodeTable](4)
+    val acTabs = new Array[HuffDecodeTable](4)
+    var width = 0; var height = 0
+    var nComp = 0
+    var restartInterval = 0
+    // per component: id, quant table id, DC table id, AC table id
+    var compQuant: Array[Int] = null
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    var compIds: Array[Int] = null
+    var pos = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(pos + 1 < bytes.length, "JPEG truncated before SOS")
+      require((bytes(pos) & 0xFF) == 0xFF,
+        f"expected a marker at offset $pos, found 0x${bytes(pos) & 0xFF}%02X")
+      val m = bytes(pos + 1) & 0xFF
+      pos += 2
+      m match {
+        case 0xD8 => // stray SOI: invalid
+          throw new IllegalArgumentException("unexpected SOI inside stream")
+        case x if x == 0x01 || (x >= 0xD0 && x <= 0xD7) =>
+          () // standalone markers: no length
+        case 0xDB =>
+          val len = u16(pos); val end = pos + len
+          var p = pos + 2
+          while (p < end) {
+            val pq = (bytes(p) & 0xFF) >> 4
+            val tq = bytes(p) & 0x0F
+            require(pq == 0, s"unsupported 16-bit quant table (Pq=$pq)")
+            require(end - p >= 65, "DQT segment truncated")
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              t(JpegZigzag(k)) = bytes(p + 1 + k) & 0xFF
+              k += 1
+            }
+            quant(tq) = t
+            p += 65
+          }
+          pos = end
+        case 0xC4 =>
+          val len = u16(pos); val end = pos + len
+          var p = pos + 2
+          while (p < end) {
+            val cls = (bytes(p) & 0xFF) >> 4
+            val id = bytes(p) & 0x0F
+            require(cls <= 1 && id <= 3, s"bad DHT class/id $cls/$id")
+            require(end - p >= 17, "DHT segment truncated")
+            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xFF)
+            val n = bits.sum
+            require(end - p >= 17 + n, "DHT segment truncated")
+            val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xFF)
+            val t = new HuffDecodeTable(bits, vals)
+            if (cls == 0) dcTabs(id) = t else acTabs(id) = t
+            p += 17 + n
+          }
+          pos = end
+        case 0xC0 | 0xC1 =>
+          // SOF0 baseline (and SOF1 extended sequential — same structure,
+          // same Huffman baseline decode path for 8-bit)
+          val len = u16(pos)
+          val prec = bytes(pos + 2) & 0xFF
+          require(prec == 8, s"unsupported JPEG precision $prec (8-bit only)")
+          height = u16(pos + 3); width = u16(pos + 5)
+          require(width > 0 && height > 0, "JPEG with zero dimension")
+          nComp = bytes(pos + 7) & 0xFF
+          require(nComp == 1 || nComp == 3,
+            s"unsupported component count $nComp (grayscale or YCbCr only)")
+          compIds = new Array[Int](nComp)
+          compQuant = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compIds(c) = bytes(pos + 8 + 3 * c) & 0xFF
+            val hv = bytes(pos + 9 + 3 * c) & 0xFF
+            require(hv == 0x11,
+              f"unsupported sampling factors 0x$hv%02X (4:4:4 only — " +
+                "subsampled chroma is out of scope, named not mis-decoded)")
+            compQuant(c) = bytes(pos + 10 + 3 * c) & 0x0F
+            c += 1
+          }
+          pos += len
+        case 0xC2 =>
+          throw new IllegalArgumentException(
+            "progressive JPEG (SOF2) is out of scope (baseline only)")
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+          throw new IllegalArgumentException(
+            f"unsupported SOF marker 0xFF$m%02X (baseline sequential only)")
+        case 0xDD =>
+          require(u16(pos) == 4, "bad DRI length")
+          restartInterval = u16(pos + 2)
+          pos += 4
+        case 0xDA =>
+          val len = u16(pos)
+          val ns = bytes(pos + 2) & 0xFF
+          require(ns == nComp, s"SOS component count $ns != SOF $nComp")
+          compDc = new Array[Int](nComp)
+          compAc = new Array[Int](nComp)
+          var c = 0
+          while (c < ns) {
+            val cid = bytes(pos + 3 + 2 * c) & 0xFF
+            require(cid == compIds(c),
+              s"SOS component order $cid differs from SOF (non-interleaved scans unsupported)")
+            compDc(c) = (bytes(pos + 4 + 2 * c) & 0xFF) >> 4
+            compAc(c) = bytes(pos + 4 + 2 * c) & 0x0F
+            c += 1
+          }
+          sosAt = pos + len
+        case 0xD9 =>
+          throw new IllegalArgumentException("EOI before SOS: no image data")
+        case _ =>
+          pos += u16(pos) // APPn / COM / anything with a length: skip
+      }
+    }
+    require(width > 0, "SOS before SOF0")
+    var c = 0
+    while (c < nComp) {
+      require(quant(compQuant(c)) != null, s"missing quant table ${compQuant(c)}")
+      require(dcTabs(compDc(c)) != null, s"missing DC Huffman table ${compDc(c)}")
+      require(acTabs(compAc(c)) != null, s"missing AC Huffman table ${compAc(c)}")
+      c += 1
+    }
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    val planes = Array.ofDim[Int](nComp, bw * 8 * bh * 8)
+    val reader = new JpegBitReader(bytes, sosAt)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    var rstIdx = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          reader.expectRestart(rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        c = 0
+        while (c < nComp) {
+          val q = quant(compQuant(c))
+          java.util.Arrays.fill(coef, 0)
+          val cat = reader.decodeHuff(dcTabs(compDc(c)))
+          require(cat <= 11, s"DC category $cat out of range")
+          pred(c) += reader.receiveExtend(cat)
+          coef(0) = pred(c) * q(0)
+          var k = 1
+          while (k < 64) {
+            val rs = reader.decodeHuff(acTabs(compAc(c)))
+            val run = rs >> 4
+            val sz = rs & 0x0F
+            if (sz == 0) {
+              if (run == 15) k += 16 // ZRL
+              else k = 64 // EOB
+            } else {
+              k += run
+              require(k < 64, "AC run overflows the block")
+              coef(JpegZigzag(k)) = reader.receiveExtend(sz) * q(JpegZigzag(k))
+              k += 1
+            }
+          }
+          val px = idctBlock(coef)
+          val plane = planes(c)
+          var i = 0
+          while (i < 64) {
+            plane((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) = px(i)
+            i += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    // YCbCr→RGB (JFIF fixed point), cropping the MCU grid to the SOF dims
+    val rgb = new Array[Byte](width * height * 3)
+    def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+    var yy = 0
+    while (yy < height) {
+      var xx = 0
+      while (xx < width) {
+        val o = yy * bw * 8 + xx
+        val p = (yy * width + xx) * 3
+        if (nComp == 1) {
+          val g = clamp(planes(0)(o))
+          rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+        } else {
+          val yv = planes(0)(o)
+          val cb = planes(1)(o) - 128
+          val cr = planes(2)(o) - 128
+          rgb(p) = clamp(yv + ((91881 * cr + 32768) >> 16))
+          rgb(p + 1) = clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          rgb(p + 2) = clamp(yv + ((116130 * cb + 32768) >> 16))
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    JpegImage(Image(width, height, rgb), nComp, restartInterval)
   }
 }

@@ -425,6 +425,92 @@ object Multimodal {
       }
   }
 
+  /** The m19/m20 pixel rule: FLAT 8×8 BLOCKS, block b (row-major over an
+    * 8×8 block grid) filled with gray v(b) = byte(b mod L), R = G = B.
+    * Flat blocks are the oracle-exactness construction for a LOSSY DCT
+    * codec: every AC coefficient is exactly 0 (the K rows sum to zero),
+    * so the decoded value has the closed form 2·s·⌊(v−128+s)/2s⌋ + 128
+    * (s = qscale) that DuckDB can recompute in integer SQL — while the
+    * file still exercises the full real container (markers, Annex K
+    * tables, Huffman, zigzag, byte stuffing, restarts, YCbCr). */
+  def blockGrayImage(text: String, blocks: Int = 8): Codecs.Image = {
+    val tb = text.getBytes("UTF-8")
+    require(tb.length >= 1, "blockGrayImage needs a non-empty payload")
+    requirePrintableAscii(tb, "blockGrayImage")
+    val side = blocks * 8
+    val rgb = new Array[Byte](side * side * 3)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val b = (y / 8) * blocks + (x / 8)
+        val v = tb(b % tb.length)
+        val p = (y * side + x) * 3
+        rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(side, side, rgb)
+  }
+
+  /** Render each doc as a REAL baseline JPEG of [[blockGrayImage]] pixels —
+    * full YCbCr 4:4:4 (3 components: the chroma tables, Huffman pair, and
+    * MCU interleave are all load-bearing even though the gray payload
+    * lands chroma on exactly 128), Annex K tables scaled by `qscale`, and
+    * even doc_ids carry DRI=2 with RSTn markers (the restart path is
+    * data-bearing on half the corpus). */
+  def renderJpegTable(documents: DataFrame, qscale: Int = 1,
+                      idOffset: Long = 0L): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val rst = if (id % 2 == 0) 2 else 0
+          MediaRow(id + idOffset,
+            Codecs.encodeJpeg(blockGrayImage(text), qscale = qscale,
+              restartInterval = rst),
+            s"image/jpeg;q$qscale" + (if (rst > 0) ";rst" else ""))
+        }
+      }
+  }
+
+  /** m19 output: decoded-JPEG facts — dims and component count from SOF0,
+    * the restart interval from DRI, the gray sum over DECODED (quantized)
+    * pixels, and the 2-D [[dhash56]]. The decode asserts R=G=B on every
+    * pixel: the chroma planes must come back EXACTLY neutral through
+    * their own quant/Huffman tables, so any chroma-path bug fails loudly
+    * rather than leaking into a gray feature. */
+  final case class JpegMeta(doc_id: Long, width: Long, height: Long,
+                            components: Long, restart_interval: Long,
+                            gray_sum: Long, dhash: Long)
+
+  def decodedJpegMeta(media: Dataset[MediaRow]): Dataset[JpegMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val jpg = Codecs.decodeJpeg(r.media)
+        val img = jpg.image
+        val n = img.width * img.height
+        var graySum = 0L
+        var i = 0
+        while (i < n) {
+          val red = img.rgb(i * 3) & 0xFF
+          require(img.rgb(i * 3 + 1) == img.rgb(i * 3) &&
+            img.rgb(i * 3 + 2) == img.rgb(i * 3),
+            s"doc ${r.doc_id}: chroma came back non-neutral at pixel $i")
+          graySum += red
+          i += 1
+        }
+        JpegMeta(r.doc_id, img.width.toLong, img.height.toLong,
+          jpg.components.toLong, jpg.restartInterval.toLong, graySum,
+          dhash56(img))
+      }
+    }
+  }
+
   /** m17 output: decoded-GIF facts — dims and global-color-table size
     * from the parsed headers, the interlace flag (decoded evidence the
     * four-pass row map ran — it alternates by doc parity), the blue sum

@@ -314,6 +314,67 @@ private[queries] object MultimodalQueries {
       val frames = M.decodedRowFingerprints(bmps.unionByName(gifs))
       M.frameOverlap(frames, "doc_id", "row_fp", maxFrameDocs = 16)
     }),
+
+
+    // m19 (round 15): the LOSSY image codec — every doc rendered as a
+    // REAL baseline JPEG (ITU-T T.81: Annex K tables, Huffman, zigzag,
+    // byte stuffing, YCbCr 4:4:4, even doc_ids carrying DRI=2 restart
+    // markers), then DECODED: dims + component count from SOF0, the
+    // restart interval from DRI, gray sum and the 2-D dHash from
+    // dequantized+IDCT'd pixels. The pixel payload is flat 8×8 blocks
+    // (gray v(b) = byte(b mod L)), which makes every AC coefficient
+    // exactly 0 and the decoded value the closed integer form
+    // 2·⌊(v+1)/2⌋ the oracle recomputes — a Huffman, zigzag, quantizer,
+    // IDCT, or chroma bug anywhere hash-mismatches (and the engine
+    // additionally REQUIRES the decoded chroma exactly neutral).
+    "m19_jpeg_decode" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedJpegMeta(M.renderJpegTable(
+        docs(s, dir).filter(length(col("text")) >= 1))).toDF()
+    }),
+
+
+    // m20 (round 15): LOSSY-variant near-dup — the corpus at quantizer
+    // scale 1, docs < 40 planted AGAIN at scale 2 (byte-different files,
+    // DIFFERENT decoded pixels — a genuinely lossy re-encode, unlike
+    // m11/m15/m18's pixel-identical containers), candidate pairs through
+    // 4 × 14-bit LSH bands over the 56-bit decoded-domain dHash (bucket
+    // fan-out capped, the s-family discipline), verdict = Hamming ≤ 4
+    // over the full hash. Both engines compute both quantized pixel
+    // domains exactly, so the pair set is deterministic even though the
+    // match itself is approximate — the first TOLERANT perceptual match
+    // in the family (m18's exact equality is the degenerate case).
+    "m20_lossy_variant_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val q1 = M.renderJpegTable(base, qscale = 1)
+      val q2 = M.renderJpegTable(base.filter(col("doc_id") < 40),
+        qscale = 2, idOffset = 800000L)
+      val h = M.decodedDHash(q1.unionByName(q2))
+        .select(col("doc_id"), col("dhash"))
+      val bands = h.select(col("doc_id"), col("dhash"),
+          explode(array((0 until 4).map(k => struct(lit(k).as("band"),
+            shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))
+              .as("bucket"))): _*)).as("bk"))
+        .select(col("doc_id"), col("dhash"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      val keep = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n")).filter(col("n").between(2, 16))
+        .select(col("band"), col("bucket"))
+      val k = bands.join(keep, Seq("band", "bucket"))
+      val pairs = k.as("a").join(k.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.dhash").as("ah"), col("b.dhash").as("bh"))
+        .distinct()
+      pairs
+        .withColumn("hamming",
+          expr("bit_count(ah ^ bh)").cast("long"))
+        .filter(col("hamming") <= 4)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -809,5 +870,74 @@ private[queries] object MultimodalQueries {
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
          FROM k a JOIN k b ON a.row_fp = b.row_fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+
+    // m19: the text-domain mirror of the decoded-JPEG features. Flat 8×8
+    // blocks make the lossy round trip the closed integer form
+    // g'(v) = 2·⌊(v+1)/2⌋ (exact-DC quantize, Annex-K Q00=16, fixed-point
+    // IDCT — verified exhaustively in JpegSpec); gray_sum = 64·Σ g'(block)
+    // and the dHash grid lands exactly on block top-lefts (64/8 = 8).
+    // DuckDB's // truncates toward zero, so the numerator is kept
+    // non-negative by construction (v ≥ 32).
+    "m19_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              g AS (SELECT doc_id,
+                      list_transform(generate_series(0, 63),
+                        b -> 2 * ((ascii(substr(text, 1 + (b % L), 1)) + 1) // 2)) AS gv
+                    FROM d)
+         SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+                CAST(3 AS BIGINT) AS components,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+                  AS restart_interval,
+                CAST(64 * list_sum(gv) AS BIGINT) AS gray_sum,
+                CAST(list_sum(list_transform(generate_series(0, 55),
+                  b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                 > gv[(b // 7) * 8 + (b % 7) + 2]
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+         FROM g""",
+
+    // m20: both quantized pixel domains from their closed forms
+    // (scale 1: 2·⌊(v+1)/2⌋; scale 2: 4·⌊(v+2)/4⌋), dHashes from each,
+    // then the SAME banded-LSH candidate generation and Hamming verdict.
+    // The dHash luminance is 3·gray — order-equivalent to gray, so the
+    // comparisons use gv directly.
+    "m20_lossy_variant_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              g AS (SELECT doc_id,
+                      list_transform(generate_series(0, 63),
+                        b -> 2 * ((ascii(substr(text, 1 + (b % L), 1)) + 1) // 2)) AS gv1,
+                      list_transform(generate_series(0, 63),
+                        b -> 4 * ((ascii(substr(text, 1 + (b % L), 1)) + 2) // 4)) AS gv2
+                    FROM d),
+              h1 AS (SELECT doc_id,
+                       CAST(list_sum(list_transform(generate_series(0, 55),
+                         b -> CASE WHEN gv1[(b // 7) * 8 + (b % 7) + 1]
+                                        > gv1[(b // 7) * 8 + (b % 7) + 2]
+                                   THEN (CAST(1 AS BIGINT) << b)
+                                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+                     FROM g),
+              h2 AS (SELECT doc_id + 800000 AS doc_id,
+                       CAST(list_sum(list_transform(generate_series(0, 55),
+                         b -> CASE WHEN gv2[(b // 7) * 8 + (b % 7) + 1]
+                                        > gv2[(b // 7) * 8 + (b % 7) + 2]
+                                   THEN (CAST(1 AS BIGINT) << b)
+                                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+                     FROM g WHERE doc_id < 40),
+              allh AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+              bands AS (SELECT doc_id, dhash, bb AS band,
+                               (dhash >> (14 * bb)) & 16383 AS bucket
+                        FROM allh, (SELECT unnest(generate_series(0, 3)) AS bb)),
+              keep AS (SELECT band, bucket FROM bands GROUP BY 1, 2
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT bands.doc_id, bands.dhash, bands.band, bands.bucket
+                    FROM bands JOIN keep USING (band, bucket)),
+              p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                           a.dhash AS ah, b.dhash AS bh
+                    FROM k a JOIN k b ON a.band = b.band
+                         AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS BIGINT) AS hamming
+         FROM p WHERE bit_count(xor(ah, bh)) <= 4""",
   )
 }

@@ -308,10 +308,12 @@ object EventStreams {
               b(2) == 'F' && b(3) == '8') "gif"
             else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
               b(2) == 'F' && b(3) == 'F') "wav"
+            else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
+              (b(1) & 0xFF) == 0xD8) "jpeg"
             else "unknown"
           val kind = kindOf(payload)
           try kind match {
-            case "bmp" | "png" | "gif" =>
+            case "bmp" | "png" | "gif" | "jpeg" =>
               val img = graft.multimodal.Codecs.decodeImage(payload)
               (id, ts, kind, img.width.toLong, img.height.toLong, true, "")
             case "wav" =>

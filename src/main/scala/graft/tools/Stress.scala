@@ -987,6 +987,40 @@ object Stress {
       M.frameOverlap(M.decodedRowFingerprints(bmps.unionByName(pngs)),
         "doc_id", "row_fp", maxFrameDocs = 16).count()
     }
+    // m16: the lossy audio round-trip — every doc's PCM folded through
+    // G.711 μ-law and expanded back; features read the quantized samples.
+    // Map-only like wav_decode; the companding tables are pure integer
+    // math inside the scan task, so the curve must stay linear.
+    time("mulaw_decode") {
+      val M = graft.multimodal.Multimodal
+      M.decodedAudioMeta(M.renderMulawWavTable(
+          docs.filter(length(col("text")) >= 1)))
+        .toDF().agg(sum(col("energy"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    // m17: the LZW container — render every doc as a real GIF89a (even
+    // ids interlaced), decode through the variable-width code unpack +
+    // de-interlace + palette lookup. Same map-only shape as png_decode.
+    time("gif_decode") {
+      val M = graft.multimodal.Multimodal
+      M.decodedGifMeta(M.renderGifTable(
+          docs.filter(length(col("text")) >= 1), width = 25, height = 16))
+        .toDF().agg(sum(col("blue_sum"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    // m18: tri-codec dedup — every 40th doc re-encoded as an LZW GIF,
+    // paired with its BMP original through decoded-domain fingerprints
+    // (the m15 topology with the GIF stage inside the probe).
+    time("tri_codec_dedup") {
+      val M = graft.multimodal.Multimodal
+      val base = docs.filter(length(col("text")) >= 1)
+      val bmps = M.renderBmpTable(base, width = 25, height = 16)
+      val gifs = M.renderGifTable(
+        base.filter(pmod(col("doc_id"), lit(40L)) === 0L),
+        width = 25, height = 16, idOffset = 5000000L)
+      M.frameOverlap(M.decodedRowFingerprints(bmps.unionByName(gifs)),
+        "doc_id", "row_fp", maxFrameDocs = 16).count()
+    }
     // q55: windowed distinct with a ROWS frame — state is O(frame) per
     // row; the exchange is the user_id hash partition, linear in events.
     time("window_distinct") {

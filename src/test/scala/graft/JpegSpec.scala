@@ -1,0 +1,208 @@
+package graft
+
+import graft.multimodal.{Codecs, Multimodal}
+
+/** The baseline-JPEG codec (round 15): golden BYTE fixtures hand-assembled
+  * from ITU-T T.81 — marker structure, canonical Huffman reconstruction,
+  * EXTEND, zigzag, dequantization, and the fixed-point IDCT are each pinned
+  * by streams this test packs bit-by-bit (with its OWN literal copies of
+  * the zigzag and Annex K tables, so a transcription slip in the codec's
+  * constants fails loudly instead of hiding symmetrically). Then the
+  * closed-form lossy round trip the m19/m20 oracles lean on, exhaustively;
+  * restart markers; byte stuffing; and named scope rejections. */
+class JpegSpec extends SparkSpecBase {
+
+  // Independent literal copies (T.81 Figure 5 / Annex K.1) — NOT the
+  // codec's constants.
+  private val zig = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+  private val qLum = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** A minimal single-block grayscale baseline JPEG: Annex K luminance
+    * DQT, Annex K DC-luminance DHT, a two-entry CUSTOM AC DHT (legal —
+    * tables live in the file: EOB='0', (run 0, size 2)='10'), and the
+    * given hand-packed entropy byte(s). */
+  private def goldenGrayJpeg(entropy: Array[Int]): Array[Byte] = {
+    val b = collection.mutable.ArrayBuffer[Int]()
+    b ++= Seq(0xFF, 0xD8) // SOI
+    b ++= Seq(0xFF, 0xDB, 0, 67, 0x00) // DQT, 8-bit, id 0
+    b ++= (0 until 64).map(k => qLum(zig(k)))
+    b ++= Seq(0xFF, 0xC0, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0) // SOF0 8x8 gray
+    b ++= Seq(0xFF, 0xC4, 0, 31, 0x00) // DHT class 0 id 0: Annex K DC lum
+    b ++= Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    b ++= (0 to 11)
+    b ++= Seq(0xFF, 0xC4, 0, 21, 0x10) // DHT class 1 id 0: custom 2-code AC
+    b ++= Seq(1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    b ++= Seq(0x00, 0x02) // EOB, (run 0, size 2)
+    b ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0) // SOS
+    b ++= entropy
+    b ++= Seq(0xFF, 0xD9) // EOI
+    b.map(_.toByte).toArray
+  }
+
+  test("golden DC-only stream decodes to the hand-computed flat block") {
+    // '101' (DC cat 4) + '1011' (diff 11) + '0' (EOB) = 0xB6 exactly.
+    // Sq=11, R = 11*16 = 176, pixel = 128 + ((176*2896^2 + 2^25) >> 26) = 150.
+    val img = Codecs.decodeJpeg(goldenGrayJpeg(Array(0xB6)))
+    assert(img.components === 1 && img.restartInterval === 0)
+    assert(img.image.width === 8 && img.image.height === 8)
+    assert(img.image.rgb.forall(b => (b & 0xFF) == 150))
+  }
+
+  test("golden AC stream decodes through zigzag + dequant + IDCT exactly") {
+    // '00' (DC cat 0) + '10' ((0,2)) + '10' (+2) + '0' (EOB), padded with
+    // one 1-bit = 0x29. Coefficient lands at zigzag position 1 = natural
+    // (v=0,u=1), dequantized 2*11 = 22. Expected pixels (python-mirrored
+    // integer IDCT, constant down each column):
+    val expect = Array(132, 131, 130, 129, 127, 126, 125, 124)
+    val img = Codecs.decodeJpeg(goldenGrayJpeg(Array(0x29))).image
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((img.rgb((y * 8 + x) * 3) & 0xFF) === expect(x),
+        s"pixel ($y,$x)")
+  }
+
+  test("flat-block lossy round trip matches the closed form, all 256 levels, both scales") {
+    // The m19/m20 oracle arithmetic: qscale 1 -> 2*((v+1)//2) (capped),
+    // qscale 2 -> 4*((v+2)//4), via the exact-DC quantizer and the
+    // fixed-point IDCT. Exercised through BOTH the grayscale and the
+    // YCbCr 4:4:4 paths (R=G=B makes chroma exactly 128 end-to-end).
+    for (v <- 0 until 256) {
+      val flat = Codecs.Image(8, 8, Array.fill(64 * 3)(v.toByte))
+      val g1 = math.min(255, 2 * ((v + 1) / 2))
+      val g2 = math.min(255, 4 * ((v + 2) / 4))
+      for ((scale, want) <- Seq((1, g1), (2, g2)); gray <- Seq(true, false)) {
+        val dec = Codecs.decodeJpeg(Codecs.encodeJpeg(flat, qscale = scale, gray = gray))
+        assert(dec.components === (if (gray) 1 else 3))
+        assert(dec.image.rgb.forall(b => (b & 0xFF) == want),
+          s"v=$v scale=$scale gray=$gray: got ${dec.image.rgb(0) & 0xFF}, want $want")
+      }
+    }
+  }
+
+  test("restart markers: emitted, cycling, predictor-reset, and verified on decode") {
+    val img = Multimodal.textImage("restart interval exercise payload", 32, 32)
+    val withRst = Codecs.encodeJpeg(img, restartInterval = 2)
+    val without = Codecs.encodeJpeg(img)
+    assert(!java.util.Arrays.equals(withRst, without))
+    // RST0..RST7 cycle: 16 MCUs / 2 = 7 restarts
+    val hex = withRst.map(b => f"${b & 0xFF}%02x").mkString
+    assert((0 to 6).forall(m => hex.contains(f"ffd$m%x")))
+    val a = Codecs.decodeJpeg(withRst)
+    val b = Codecs.decodeJpeg(without)
+    assert(a.restartInterval === 2 && b.restartInterval === 0)
+    assert(java.util.Arrays.equals(a.image.rgb, b.image.rgb),
+      "restart segmentation must not change the pixels")
+    // corrupt one RST index: the decoder names the desync
+    val i = { val s = indexOfMarker(withRst, 0xD1); assert(s > 0); s }
+    val bad = withRst.clone(); bad(i) = 0xD5.toByte
+    val e = intercept[IllegalArgumentException](Codecs.decodeJpeg(bad))
+    assert(e.getMessage.contains("RST") || e.getMessage.contains("marker"))
+  }
+
+  private def indexOfMarker(bytes: Array[Byte], m: Int): Int = {
+    var i = 2
+    while (i < bytes.length - 1) {
+      if ((bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == m) return i + 1
+      i += 1
+    }
+    -1
+  }
+
+  test("byte stuffing: 0xFF in entropy data is stuffed and decodes exactly") {
+    // A busy image reliably produces 0xFF bytes in the entropy segment;
+    // assert at least one stuffed pair exists AND the stream decodes.
+    val img = Multimodal.textImage("the quick brown fox jumps over the lazy dog", 64, 64)
+    val enc = Codecs.encodeJpeg(img, qscale = 1)
+    val sos = indexOfMarker(enc, 0xDA)
+    assert(sos > 0)
+    var stuffed = 0
+    var i = sos
+    while (i < enc.length - 1) {
+      if ((enc(i) & 0xFF) == 0xFF && (enc(i + 1) & 0xFF) == 0x00) stuffed += 1
+      i += 1
+    }
+    assert(stuffed > 0, "test image produced no 0xFF entropy bytes — pick a busier payload")
+    val dec = Codecs.decodeJpeg(enc)
+    assert(dec.image.width === 64 && dec.image.height === 64)
+  }
+
+  private def roundTripError(img: Codecs.Image): (Double, Int) = {
+    val dec = Codecs.decodeJpeg(Codecs.encodeJpeg(img)).image
+    var sumAbs = 0L
+    var maxAbs = 0
+    for (i <- img.rgb.indices) {
+      val d = math.abs((img.rgb(i) & 0xFF) - (dec.rgb(i) & 0xFF))
+      sumAbs += d
+      maxAbs = math.max(maxAbs, d)
+    }
+    (sumAbs.toDouble / img.rgb.length, maxAbs)
+  }
+
+  test("lossy color round trip stays within the quantization envelope") {
+    // textImage is ADVERSARIALLY high-frequency (mod-251 sawtooth red and
+    // green) — near-noise for a DCT codec, so the envelope is wide but
+    // bounded; a smooth gradient must come back nearly exact.
+    val (busyMean, busyMax) =
+      roundTripError(Multimodal.textImage("a lossy but bounded reconstruction", 32, 32))
+    assert(busyMean < 25.0, s"busy mean abs error $busyMean")
+    assert(busyMax < 160, s"busy max abs error $busyMax")
+    val smooth = Codecs.Image(32, 32, Array.tabulate(32 * 32 * 3) { p =>
+      val i = p / 3
+      (64 + (i % 32) * 2 + (i / 32)).toByte // gentle diagonal ramp, R=G=B-ish
+    })
+    val (smoothMean, smoothMax) = roundTripError(smooth)
+    assert(smoothMean < 4.0, s"smooth mean abs error $smoothMean")
+    assert(smoothMax < 24, s"smooth max abs error $smoothMax")
+  }
+
+  test("non-multiple-of-8 dims: edge-replicated on encode, cropped on decode") {
+    val img = Multimodal.textImage("odd dimensions exercise the mcu crop", 13, 9)
+    val dec = Codecs.decodeJpeg(Codecs.encodeJpeg(img, gray = true)).image
+    assert(dec.width === 13 && dec.height === 9)
+  }
+
+  test("scope rejections are NAMED, never mis-decoded") {
+    val good = goldenGrayJpeg(Array(0xB6))
+    // progressive: flip SOF0 -> SOF2
+    val prog = good.clone(); prog(indexOfMarker(good, 0xC0)) = 0xC2.toByte
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(prog))
+      .getMessage.contains("progressive"))
+    // 16-bit quant table: Pq=1
+    val deep = good.clone()
+    val dqtAt = indexOfMarker(good, 0xDB)
+    deep(dqtAt + 3) = 0x10.toByte
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(deep))
+      .getMessage.contains("16-bit"))
+    // subsampled chroma: the sampling-factors byte in the SOF component
+    // spec (marker, len16, precision, h16, w16, ncomp, id, THEN h/v)
+    val sub = good.clone()
+    val sofAt = indexOfMarker(good, 0xC0)
+    sub(sofAt + 10) = 0x22.toByte
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(sub))
+      .getMessage.contains("4:4:4"))
+    // truncated entropy stream
+    val cut = good.dropRight(3)
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(cut))
+      .getMessage.toLowerCase.contains("truncat"))
+    // not a JPEG at all
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(Array[Byte](1, 2, 3)))
+      .getMessage.contains("SOI"))
+  }
+
+  test("decodeImage dispatches JPEG by its SOI magic") {
+    val img = Multimodal.textImage("magic dispatch", 16, 16)
+    val viaMagic = Codecs.decodeImage(Codecs.encodeJpeg(img, gray = true))
+    assert(viaMagic.width === 16 && viaMagic.height === 16)
+  }
+}

@@ -27,6 +27,9 @@ class Round14Spec extends SparkSpecBase {
     // "unknown" (round-15: GIF dispatch).
     val gifTrunc = "GIF89a-not-supported".getBytes("US-ASCII")
     val garbage = "????no-container-here".getBytes("US-ASCII")
+    val jpeg = Codecs.encodeJpeg(Multimodal.blockGrayImage("jpeg gate payload"))
+    // SOI then garbage: must drop AS a jpeg with the decoder's reason
+    val jpegTrunc = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00, 0x01)
 
     val memStream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Timestamp, Array[Byte])](spark, 1)
@@ -38,7 +41,8 @@ class Round14Spec extends SparkSpecBase {
       memStream.addData(
         (1L, ts(0), bmp), (2L, ts(1), wav), (3L, ts(2), truncated),
         (4L, ts(3), rle), (5L, ts(4), gifTrunc), (6L, ts(5), gif),
-        (7L, ts(6), mulaw), (8L, ts(7), garbage))
+        (7L, ts(6), mulaw), (8L, ts(7), garbage),
+        (9L, ts(8), jpeg), (10L, ts(9), jpegTrunc))
       q.processAllAvailable()
       val got = spark.table("media_gate_out")
         .select($"new_id", $"kind", $"meta_a", $"meta_b", $"admit", $"reason")
@@ -60,6 +64,10 @@ class Round14Spec extends SparkSpecBase {
         s"valid mu-law WAV must admit with decoded rate/samples: ${got(7L)}")
       assert(got(8L)._2 == "unknown" && !got(8L)._5,
         s"unrecognized magic must drop as unknown: ${got(8L)}")
+      assert(got(9L) == ((9L, "jpeg", 64L, 64L, true, "")),
+        s"valid baseline JPEG must admit with decoded dims: ${got(9L)}")
+      assert(got(10L)._2 == "jpeg" && !got(10L)._5,
+        s"an SOI without a stream must drop AS a jpeg: ${got(10L)}")
     } finally q.stop()
   }
 
