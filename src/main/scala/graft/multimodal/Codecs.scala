@@ -1164,12 +1164,22 @@ object Codecs {
     * level-shifted (s − 128). DC goes through the EXACT S00 = Σs′/8 form;
     * AC through the K-table numerators (S = num / 2²⁶), both quantized
     * round-half-up: Sq = ⌊(2S + Q) / 2Q⌋. Output in natural order. */
-  private def fdctQuant(samples: Array[Int], quant: Array[Int]): Array[Int] = {
+  private[graft] def fdctQuant(samples: Array[Int], quant: Array[Int]): Array[Int] = {
     val out = new Array[Int](64)
     var dcRaw = 0
+    var flat = true
     var i = 0
-    while (i < 64) { dcRaw += samples(i); i += 1 }
+    while (i < 64) {
+      dcRaw += samples(i)
+      if (samples(i) != samples(0)) flat = false
+      i += 1
+    }
     out(0) = Math.floorDiv(dcRaw + 4 * quant(0), 8 * quant(0))
+    // Flat block: every AC numerator is (v−128)·ΣK(u)·ΣK(v) and the K
+    // rows for u ≥ 1 sum to ZERO exactly, so the AC loop would compute
+    // 63 exact zeros — skip it. Identical output by construction
+    // (JpegSpec pins the equivalence on the all-levels round trip).
+    if (flat) return out
     var v = 0
     while (v < 8) {
       var u = 0

@@ -350,8 +350,14 @@ private[queries] object MultimodalQueries {
       val q1 = M.renderJpegTable(base, qscale = 1)
       val q2 = M.renderJpegTable(base.filter(col("doc_id") < 40),
         qscale = 2, idOffset = 800000L)
+      // ONE decode pass: the hash table (doc_id, 8 bytes) is materialized
+      // once and every downstream consumer (bucket census, capped join,
+      // both self-join branches) reads it — otherwise the render+decode
+      // lineage replays per branch (a broadcast side skips exchange
+      // reuse). The justified-checkpoint pattern: tiny artifact, heavy
+      // lineage, ≥3 consumers.
       val h = M.decodedDHash(q1.unionByName(q2))
-        .select(col("doc_id"), col("dhash"))
+        .select(col("doc_id"), col("dhash")).localCheckpoint()
       val bands = h.select(col("doc_id"), col("dhash"),
           explode(array((0 until 4).map(k => struct(lit(k).as("band"),
             shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))

@@ -1021,6 +1021,52 @@ object Stress {
       M.frameOverlap(M.decodedRowFingerprints(bmps.unionByName(gifs)),
         "doc_id", "row_fp", maxFrameDocs = 16).count()
     }
+    // m19: the lossy image round-trip — render every doc as a real
+    // baseline JPEG (Huffman + zigzag + stuffing + restarts on even ids),
+    // decode through the fixed-point IDCT, reduce the features. Map-only
+    // like png_decode: the 64×64 payload and the entropy coding both ride
+    // the scan task, so the curve must stay linear.
+    time("jpeg_decode") {
+      val M = graft.multimodal.Multimodal
+      M.decodedJpegMeta(M.renderJpegTable(docs.filter(length(col("text")) >= 1)))
+        .toDF().agg(sum(col("gray_sum"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    // m20: lossy-variant near-dup — every 40th doc re-encoded at
+    // quantizer scale 2, candidates through 4×14-bit LSH bands over the
+    // decoded dHash (bucket cap 16), Hamming ≤ 4 verdict. The banded
+    // join is the s-family topology; decode cost rides the scan.
+    time("lossy_variant_dedup") {
+      val M = graft.multimodal.Multimodal
+      val base = docs.filter(length(col("text")) >= 1)
+      val q1 = M.renderJpegTable(base)
+      val q2 = M.renderJpegTable(
+        base.filter(pmod(col("doc_id"), lit(40L)) === 0L),
+        qscale = 2, idOffset = 5000000L)
+      // One decode pass (the m20 justified checkpoint): without it the
+      // render+decode lineage replays per self-join branch.
+      val h = M.decodedDHash(q1.unionByName(q2))
+        .select(col("doc_id"), col("dhash")).localCheckpoint()
+      val bands = h.select(col("doc_id"), col("dhash"),
+          explode(array((0 until 4).map(k => struct(lit(k).as("band"),
+            shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))
+              .as("bucket"))): _*)).as("bk"))
+        .select(col("doc_id"), col("dhash"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      val keep = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n")).filter(col("n").between(2, 16))
+        .select(col("band"), col("bucket"))
+      val k = bands.join(keep, Seq("band", "bucket"))
+      k.as("a").join(k.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.dhash").as("ah"), col("b.dhash").as("bh"))
+        .distinct()
+        .filter(expr("bit_count(ah ^ bh)") <= 4)
+        .count()
+    }
     // q55: windowed distinct with a ROWS frame — state is O(frame) per
     // row; the exchange is the user_id hash partition, linear in events.
     time("window_distinct") {

@@ -90,6 +90,40 @@ class JpegSpec extends SparkSpecBase {
     }
   }
 
+  test("flat-block FDCT fast path equals the brute-force K-table computation") {
+    // The encoder skips the AC loop on flat blocks because the K rows for
+    // u >= 1 sum to zero exactly. Pin that equivalence against this
+    // test's OWN brute-force mirror of the quantized FDCT, flat and
+    // non-flat inputs alike.
+    val K = Array(
+      Array(2896L, 2896L, 2896L, 2896L, 2896L, 2896L, 2896L, 2896L),
+      Array(4017L, 3406L, 2276L, 799L, -799L, -2276L, -3406L, -4017L),
+      Array(3784L, 1567L, -1567L, -3784L, -3784L, -1567L, 1567L, 3784L),
+      Array(3406L, -799L, -4017L, -2276L, 2276L, 4017L, 799L, -3406L),
+      Array(2896L, -2896L, -2896L, 2896L, 2896L, -2896L, -2896L, 2896L),
+      Array(2276L, -4017L, 799L, 3406L, -3406L, -799L, 4017L, -2276L),
+      Array(1567L, -3784L, 3784L, -1567L, -1567L, 3784L, -3784L, 1567L),
+      Array(799L, -2276L, 3406L, -4017L, 4017L, -3406L, 2276L, -799L))
+    def brute(s: Array[Int], q: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      out(0) = Math.floorDiv(s.sum + 4 * q(0), 8 * q(0))
+      for (v <- 0 until 8; u <- 0 until 8; if u != 0 || v != 0) {
+        var num = 0L
+        for (y <- 0 until 8; x <- 0 until 8) num += s(y * 8 + x) * K(u)(x) * K(v)(y)
+        val qq = q(v * 8 + u).toLong
+        out(v * 8 + u) = Math.floorDiv(2 * num + (qq << 26), qq << 27).toInt
+      }
+      out
+    }
+    val flat = Array.fill(64)(37)
+    val busy = Array.tabulate(64)(i => ((i * 53) % 251) - 128)
+    for (s <- Seq(flat, busy)) {
+      assert(Codecs.fdctQuant(s, qLum).toSeq === brute(s, qLum).toSeq)
+    }
+    // and the flat block's AC really is all-zero
+    assert(Codecs.fdctQuant(flat, qLum).drop(1).forall(_ == 0))
+  }
+
   test("restart markers: emitted, cycling, predictor-reset, and verified on decode") {
     val img = Multimodal.textImage("restart interval exercise payload", 32, 32)
     val withRst = Codecs.encodeJpeg(img, restartInterval = 2)
