@@ -664,10 +664,26 @@ object Codecs {
       out.write((rgb >> 16) & 0xFF); out.write((rgb >> 8) & 0xFF)
       out.write(rgb & 0xFF)
     }
-    // Graphic Control Extension: no transparency, zero delay — present so
-    // decoders must walk an extension block before the image.
-    out.write(Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0))
-    // Image descriptor: full-screen frame at (0,0), no local table.
+    writeGifFrame(out, width, height, indices, interlaced, delayCs = 0,
+      sizeBits = sizeBits)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** One frame: Graphic Control Extension (delay in centiseconds — present
+    * on every frame so the extension-walk path is load-bearing), image
+    * descriptor (full-screen at (0,0), no local table), LZW data in
+    * ≤255-byte sub-blocks. */
+  private def writeGifFrame(out: java.io.ByteArrayOutputStream, width: Int,
+                            height: Int, indices: Array[Byte],
+                            interlaced: Boolean, delayCs: Int,
+                            sizeBits: Int): Unit = {
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != $width x $height")
+    require(delayCs >= 0 && delayCs <= 0xFFFF, s"delay out of u16: $delayCs")
+    out.write(Array[Byte](0x21, 0xF9.toByte, 4, 0))
+    out.write(delayCs & 0xFF); out.write((delayCs >> 8) & 0xFF)
+    out.write(0); out.write(0)
     out.write(0x2C)
     out.write(Array[Byte](0, 0, 0, 0))
     out.write(width & 0xFF); out.write((width >> 8) & 0xFF)
@@ -697,7 +713,43 @@ object Codecs {
       off += n
     }
     out.write(0) // block terminator
-    out.write(0x3B) // trailer
+  }
+
+  /** Encode a MULTI-frame animated GIF89a: one global color table, a
+    * NETSCAPE2.0 looping application extension (when `loops >= 0` —
+    * 0 = forever, per the public extension layout), then per frame a
+    * Graphic Control Extension carrying its delay and an image block
+    * (each full-screen, each independently interlaceable). */
+  def encodeGifAnimated(width: Int, height: Int, palette: Array[Int],
+                        frames: Seq[(Array[Byte], Boolean, Int)],
+                        loops: Int = -1): Array[Byte] = {
+    require(palette.length >= 2 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1,
+      s"GIF global color table must be a power of two in 2..256, got ${palette.length}")
+    require(frames.nonEmpty, "an animated GIF needs at least one frame")
+    require(loops >= -1 && loops <= 0xFFFF, s"loop count out of range: $loops")
+    val sizeBits = 31 - Integer.numberOfLeadingZeros(palette.length)
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xFF); out.write((width >> 8) & 0xFF)
+    out.write(height & 0xFF); out.write((height >> 8) & 0xFF)
+    out.write(0x80 | (7 << 4) | (sizeBits - 1))
+    out.write(0); out.write(0)
+    palette.foreach { rgb =>
+      out.write((rgb >> 16) & 0xFF); out.write((rgb >> 8) & 0xFF)
+      out.write(rgb & 0xFF)
+    }
+    if (loops >= 0) {
+      out.write(0x21); out.write(0xFF) // application extension
+      out.write(11); out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1) // sub-block: id 1 = loop count
+      out.write(loops & 0xFF); out.write((loops >> 8) & 0xFF)
+      out.write(0) // terminator
+    }
+    frames.foreach { case (indices, interlaced, delayCs) =>
+      writeGifFrame(out, width, height, indices, interlaced, delayCs, sizeBits)
+    }
+    out.write(0x3B)
     out.toByteArray
   }
 
@@ -749,7 +801,24 @@ object Codecs {
             f"unknown GIF block introducer 0x$other%02x at offset $off")
       }
     }
-    off = imageAt + 1
+    val (img, interlaced, endOff) =
+      readGifImage(bytes, imageAt, screenW, screenH, gctOff, gctEntries)
+    // Single-frame scope: the next block must be the trailer (animations
+    // go through decodeGifFrames).
+    require(endOff < bytes.length && (bytes(endOff) & 0xFF) == 0x3B,
+      "unsupported GIF: multiple image blocks (animation) — use decodeGifFrames")
+    Gif(img, gctEntries, interlaced)
+  }
+
+  /** One image block starting at its 0x2C introducer: descriptor checks
+    * (full-canvas, no local table), LZW sub-block concatenation + decode,
+    * interlace row mapping, palette lookup. Returns the pixels, the
+    * interlace flag, and the offset just past the block terminator. */
+  private def readGifImage(bytes: Array[Byte], imageAt: Int, screenW: Int,
+                           screenH: Int, gctOff: Int,
+                           gctEntries: Int): (Image, Boolean, Int) = {
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    var off = imageAt + 1
     require(off + 9 <= bytes.length, "truncated GIF image descriptor")
     val left = u16(off); val top = u16(off + 2)
     val w = u16(off + 4); val h = u16(off + 6)
@@ -776,9 +845,6 @@ object Codecs {
       z.write(bytes, off + 1, blockLen)
       off += 1 + blockLen
     }
-    // Single-frame scope: the next block must be the trailer.
-    require(off < bytes.length && (bytes(off) & 0xFF) == 0x3B,
-      "unsupported GIF: multiple image blocks (animation)")
     val fileIndices = lzwDecode(z.toByteArray, minCodeSize, w * h)
     val rowOf: Int => Int =
       if (!interlaced) identity
@@ -800,7 +866,93 @@ object Codecs {
       }
       fileRow += 1
     }
-    Gif(Image(w, h, rgb), gctEntries, interlaced)
+    (Image(w, h, rgb), interlaced, off)
+  }
+
+  /** One frame of a decoded animation: pixels, its own interlace flag,
+    * and the Graphic Control Extension delay (centiseconds; 0 if the
+    * frame had no GCE). */
+  final case class GifFrame(image: Image, interlaced: Boolean, delayCs: Int)
+
+  /** A decoded multi-frame GIF: frames in file order, palette size, and
+    * the NETSCAPE2.0 loop count (-1 = no looping extension, 0 = forever). */
+  final case class GifAnimation(frames: Vector[GifFrame], paletteSize: Int,
+                                loops: Int)
+
+  /** Decode a MULTI-frame GIF: the full block walk to the trailer —
+    * Graphic Control Extensions attach their delay to the NEXT image
+    * block, the NETSCAPE2.0 application extension carries the loop
+    * count, unknown extensions are skipped by their sub-block structure.
+    * Frame scope matches [[decodeGif]]: full-canvas frames, global color
+    * table only (disposal compositing of sub-rectangle frames is out of
+    * scope and NAMES itself via the frame-geometry require). */
+  def decodeGifFrames(bytes: Array[Byte]): GifAnimation = {
+    require(bytes.length >= 6 &&
+      new String(bytes, 0, 3, "US-ASCII") == "GIF",
+      "not a GIF: missing 'GIF' magic")
+    val ver = new String(bytes, 3, 3, "US-ASCII")
+    require(ver == "89a" || ver == "87a", s"unsupported GIF version $ver")
+    require(bytes.length >= 13, s"truncated GIF: ${bytes.length} bytes")
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    val screenW = u16(6)
+    val screenH = u16(8)
+    val packed = bytes(10) & 0xFF
+    require((packed & 0x80) != 0,
+      "unsupported GIF: no global color table (local-table-only files)")
+    val gctEntries = 1 << ((packed & 0x07) + 1)
+    var off = 13
+    require(off.toLong + gctEntries * 3 <= bytes.length,
+      s"truncated GIF: global color table of $gctEntries entries runs past ${bytes.length}")
+    val gctOff = off
+    off += gctEntries * 3
+    val frames = Vector.newBuilder[GifFrame]
+    var nFrames = 0
+    var pendingDelay = 0
+    var loops = -1
+    var done = false
+    while (!done) {
+      require(off < bytes.length, "truncated GIF: no trailer before EOF")
+      (bytes(off) & 0xFF) match {
+        case 0x21 =>
+          require(off + 1 < bytes.length, "truncated GIF extension")
+          val label = bytes(off + 1) & 0xFF
+          // Capture GCE delay / NETSCAPE loops from the first sub-block,
+          // then skip ALL sub-blocks generically (the walk is the same
+          // for known and unknown labels).
+          if (label == 0xF9 && off + 5 < bytes.length &&
+            (bytes(off + 2) & 0xFF) >= 4)
+            pendingDelay = u16(off + 4)
+          if (label == 0xFF && off + 13 < bytes.length &&
+            (bytes(off + 2) & 0xFF) == 11 &&
+            new String(bytes, off + 3, 11, "US-ASCII") == "NETSCAPE2.0" &&
+            off + 17 < bytes.length && (bytes(off + 14) & 0xFF) == 3 &&
+            (bytes(off + 15) & 0xFF) == 1)
+            loops = u16(off + 16)
+          off += 2
+          var blockLen = -1
+          while (blockLen != 0) {
+            require(off < bytes.length, "truncated GIF extension block")
+            blockLen = bytes(off) & 0xFF
+            require(off.toLong + 1 + blockLen <= bytes.length,
+              "truncated GIF extension sub-block")
+            off += 1 + blockLen
+          }
+        case 0x2C =>
+          val (img, interlaced, endOff) =
+            readGifImage(bytes, off, screenW, screenH, gctOff, gctEntries)
+          frames += GifFrame(img, interlaced, pendingDelay)
+          nFrames += 1
+          pendingDelay = 0
+          off = endOff
+        case 0x3B =>
+          done = true
+        case other =>
+          throw new IllegalArgumentException(
+            f"unknown GIF block introducer 0x$other%02x at offset $off")
+      }
+    }
+    require(nFrames >= 1, "GIF trailer before any image block")
+    GifAnimation(frames.result(), gctEntries, loops)
   }
 
   /** Magic-dispatched image decode: 'BM' → BMP, PNG signature → PNG,

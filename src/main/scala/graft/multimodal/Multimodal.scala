@@ -511,6 +511,178 @@ object Multimodal {
     }
   }
 
+  /** Integer BOX-AVERAGE resize (the training-pipeline downsample): output
+    * pixel (gy,gx) = ⌊Σ tile / tileArea⌋ per channel, tiles exact
+    * (width/height must divide — a silent fractional box would break the
+    * oracle mirror; [[resizeNearest]] handles arbitrary geometry). */
+  def resizeBox(img: Codecs.Image, outW: Int, outH: Int): Codecs.Image = {
+    require(outW >= 1 && outH >= 1, s"degenerate resize target ${outW}x$outH")
+    require(img.width % outW == 0 && img.height % outH == 0,
+      s"box resize needs exact tiling: ${img.width}x${img.height} -> ${outW}x$outH")
+    val tw = img.width / outW
+    val th = img.height / outH
+    val area = tw * th
+    val out = new Array[Byte](outW * outH * 3)
+    var gy = 0
+    while (gy < outH) {
+      var gx = 0
+      while (gx < outW) {
+        var ch = 0
+        while (ch < 3) {
+          var s = 0
+          var r = 0
+          while (r < th) {
+            var c = 0
+            while (c < tw) {
+              s += img.rgb(((gy * th + r) * img.width + gx * tw + c) * 3 + ch) & 0xFF
+              c += 1
+            }
+            r += 1
+          }
+          out((gy * outW + gx) * 3 + ch) = (s / area).toByte
+          ch += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    Codecs.Image(outW, outH, out)
+  }
+
+  /** Nearest-neighbor resize, any geometry: source pixel
+    * (⌊x·w/outW⌋, ⌊y·h/outH⌋) — the [[dhash56]] sampling rule generalized
+    * to arbitrary targets (up- AND downscale). */
+  def resizeNearest(img: Codecs.Image, outW: Int, outH: Int): Codecs.Image = {
+    require(outW >= 1 && outH >= 1, s"degenerate resize target ${outW}x$outH")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        val sp = (sy * img.width + sx) * 3
+        val dp = (y * outW + x) * 3
+        out(dp) = img.rgb(sp); out(dp + 1) = img.rgb(sp + 1)
+        out(dp + 2) = img.rgb(sp + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(outW, outH, out)
+  }
+
+  /** m22 output: RESIZED-domain features from decoded pixels — the box
+    * average (integer, exact-tiling) and the nearest-neighbor sample,
+    * each reduced to a blue sum and the first-N-blue gradient
+    * fingerprint. The oracle recomputes both resizes from the text-domain
+    * pixel rule, so a tile-geometry or rounding bug hash-mismatches. */
+  final case class ResizeMeta(doc_id: Long, box_w: Long, box_h: Long,
+                              box_sum: Long, box_fp: Long,
+                              nn_sum: Long, nn_fp: Long)
+
+  def resizedImageMeta(media: Dataset[MediaRow], boxW: Int, boxH: Int,
+                       nnW: Int, nnH: Int): Dataset[ResizeMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = Codecs.decodeImage(r.media)
+        def blueFeatures(im: Codecs.Image): (Long, Long) = {
+          val n = im.width * im.height
+          var s = 0L
+          var fp = 0L
+          var i = 0
+          while (i < n) {
+            val b = im.rgb(i * 3 + 2) & 0xFF
+            s += b
+            if (i >= 1 && i < 64) {
+              if ((im.rgb((i - 1) * 3 + 2) & 0xFF) > b) fp |= 1L << (i - 1)
+            }
+            i += 1
+          }
+          (s, fp)
+        }
+        val (bs, bfp) = blueFeatures(resizeBox(img, boxW, boxH))
+        val (ns, nfp) = blueFeatures(resizeNearest(img, nnW, nnH))
+        ResizeMeta(r.doc_id, boxW.toLong, boxH.toLong, bs, bfp, ns, nfp)
+      }
+    }
+  }
+
+  /** Render each doc as a REAL multi-frame ANIMATED GIF89a: F = 3 +
+    * (doc_id mod 3) frames, frame f's pixel index rule rotated by 7f
+    * (index(i) = byte((i + 7f) mod L) — every frame is a different
+    * image), per-frame delay 4 + f centiseconds in the Graphic Control
+    * Extension, frame f INTERLACED iff (doc_id + f) is even (both row
+    * orders inside one file), and a NETSCAPE2.0 loop extension carrying
+    * doc_id mod 4. */
+  def renderGifAnimTable(documents: DataFrame, width: Int, height: Int,
+                         idOffset: Long = 0L): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          require(tb.length >= 1, "renderGifAnimTable needs a non-empty payload")
+          requirePrintableAscii(tb, "renderGifAnimTable")
+          val nFrames = 3 + (id % 3).toInt
+          val frames = (0 until nFrames).map { f =>
+            val indices = new Array[Byte](width * height)
+            var i = 0
+            while (i < indices.length) {
+              indices(i) = tb((i + 7 * f) % tb.length)
+              i += 1
+            }
+            (indices, (id + f) % 2 == 0, 4 + f)
+          }
+          MediaRow(id + idOffset,
+            Codecs.encodeGifAnimated(width, height, gifPalette, frames,
+              loops = (id % 4).toInt),
+            s"image/gif;frames=$nFrames")
+        }
+      }
+  }
+
+  /** m21: the FRAME-SAMPLE verb — decode the animation, keep every
+    * `stride`-th frame, emit one row per KEPT frame with its header facts
+    * (frame count, loop count, per-frame delay and interlace flag) and
+    * decoded-pixel features (blue sum + first-64-blue gradient
+    * fingerprint, both sensitive to the per-frame rotation and to a
+    * de-interlace slip on any individual frame). */
+  final case class FrameSample(doc_id: Long, n_frames: Long, loops: Long,
+                               frame_idx: Long, delay_cs: Long,
+                               interlaced: Long, blue_sum: Long, fp: Long)
+
+  def sampleGifFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameSample] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val anim = Codecs.decodeGifFrames(r.media)
+      anim.frames.zipWithIndex.collect {
+        case (fr, idx) if idx % stride == 0 =>
+          val img = fr.image
+          val n = img.width * img.height
+          var blueSum = 0L
+          var fp = 0L
+          var i = 0
+          while (i < n) {
+            val b = img.rgb(i * 3 + 2) & 0xFF
+            blueSum += b
+            if (i >= 1 && i < 64) {
+              if ((img.rgb((i - 1) * 3 + 2) & 0xFF) > b) fp |= 1L << (i - 1)
+            }
+            i += 1
+          }
+          FrameSample(r.doc_id, anim.frames.size.toLong, anim.loops.toLong,
+            idx.toLong, fr.delayCs.toLong, if (fr.interlaced) 1L else 0L,
+            blueSum, fp)
+      }
+    }
+  }
+
   /** m17 output: decoded-GIF facts — dims and global-color-table size
     * from the parsed headers, the interlace flag (decoded evidence the
     * four-pass row map ran — it alternates by doc parity), the blue sum

@@ -381,6 +381,38 @@ private[queries] object MultimodalQueries {
         .filter(col("hamming") <= 4)
         .select(col("a_id"), col("b_id"), col("hamming"))
     }),
+
+
+    // m21 (round 15): the FRAME-SAMPLE verb over a real multi-frame
+    // container — every doc rendered as an ANIMATED GIF89a (3–5 frames,
+    // each frame a DIFFERENT image via a per-frame rotation of the index
+    // rule, per-frame delays in Graphic Control Extensions, interlace
+    // alternating WITHIN one file, a NETSCAPE2.0 loop extension), then
+    // the sampler decodes the animation and keeps every 2nd frame — one
+    // row per kept frame with header facts (frame count, loops, delay,
+    // interlace flag) and decoded-pixel features. A GCE-delay parse bug,
+    // a loop-extension miss, a frame-order slip, or a de-interlace error
+    // on ANY single frame hash-mismatches.
+    "m21_gif_frame_sample" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.sampleGifFrames(M.renderGifAnimTable(
+        docs(s, dir).filter(length(col("text")) >= 1),
+        width = 25, height = 16), stride = 2).toDF()
+    }),
+
+
+    // m22 (round 15): the RESIZE verb over decoded pixels — each doc's
+    // BMP decoded, then (a) integer BOX-AVERAGE downsample 25×16 → 5×4
+    // (exact 5×4 tiles, ⌊Σ/20⌋ per channel) and (b) NEAREST-NEIGHBOR
+    // resample to 8×8; blue sum + gradient fingerprint from EACH resized
+    // grid. The oracle recomputes both geometries from the text rule, so
+    // a tile-boundary, rounding, or index-mapping bug hash-mismatches.
+    "m22_resize" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.resizedImageMeta(M.renderBmpTable(
+        docs(s, dir).filter(length(col("text")) >= 1),
+        width = 25, height = 16), boxW = 5, boxH = 4, nnW = 8, nnH = 8).toDF()
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -945,5 +977,67 @@ private[queries] object MultimodalQueries {
                          AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS BIGINT) AS hamming
          FROM p WHERE bit_count(xor(ah, bh)) <= 4""",
+
+    // m21: the text-domain mirror of the sampled animation frames —
+    // F = 3 + doc_id mod 3 frames, sampled f ∈ {0,2,4} ∩ [0,F); frame f's
+    // blue rule is the m09 rule rotated by 7f; delay/interlace/loops are
+    // the encoder's header rules, read back by the engine from the
+    // DECODED GCE/LSD/NETSCAPE bytes.
+    "m21_gif_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              fr AS (SELECT doc_id, text, L,
+                            unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT))) AS f
+                     FROM d),
+              sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+              px AS (SELECT doc_id, f,
+                       list_transform(generate_series(0, 399),
+                         i -> ascii(substr(text, 1 + ((i + 7 * f) % L), 1))) AS blue
+                     FROM sampled)
+         SELECT doc_id, CAST(3 + doc_id % 3 AS BIGINT) AS n_frames,
+                CAST(doc_id % 4 AS BIGINT) AS loops,
+                CAST(f AS BIGINT) AS frame_idx,
+                CAST(4 + f AS BIGINT) AS delay_cs,
+                CAST(CASE WHEN (doc_id + f) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                  AS interlaced,
+                CAST(list_sum(blue) AS BIGINT) AS blue_sum,
+                CAST(list_sum(list_transform(generate_series(1, 63),
+                  i -> CASE WHEN blue[i] > blue[i + 1]
+                            THEN (CAST(1 AS BIGINT) << (i - 1))
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+         FROM px""",
+
+    // m22: both resize geometries from the text rule — box pixel gp
+    // averages its exact 5×4 tile (⌊Σ/20⌋), nearest-neighbor pixel gp
+    // samples (2·⌊gp/8⌋·25 + ⌊25·(gp mod 8)/8⌋); fingerprints are the
+    // first-N gradient over each resized grid.
+    "m22_resize" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              px AS (SELECT doc_id,
+                       list_transform(generate_series(0, 399),
+                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                     FROM d),
+              bx AS (SELECT doc_id,
+                       list_transform(generate_series(0, 19),
+                         gp -> list_sum(list_transform(generate_series(0, 19),
+                           t -> blue[((gp // 5) * 4 + t // 5) * 25
+                                     + (gp % 5) * 5 + t % 5 + 1])) // 20) AS bv,
+                       list_transform(generate_series(0, 63),
+                         gp -> blue[(2 * (gp // 8)) * 25
+                                    + (25 * (gp % 8)) // 8 + 1]) AS nv
+                     FROM px)
+         SELECT doc_id, CAST(5 AS BIGINT) AS box_w, CAST(4 AS BIGINT) AS box_h,
+                CAST(list_sum(bv) AS BIGINT) AS box_sum,
+                CAST(list_sum(list_transform(generate_series(1, 19),
+                  j -> CASE WHEN bv[j] > bv[j + 1]
+                            THEN (CAST(1 AS BIGINT) << (j - 1))
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS box_fp,
+                CAST(list_sum(nv) AS BIGINT) AS nn_sum,
+                CAST(list_sum(list_transform(generate_series(1, 63),
+                  j -> CASE WHEN nv[j] > nv[j + 1]
+                            THEN (CAST(1 AS BIGINT) << (j - 1))
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS nn_fp
+         FROM bx""",
   )
 }

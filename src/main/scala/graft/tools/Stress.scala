@@ -1021,6 +1021,27 @@ object Stress {
       M.frameOverlap(M.decodedRowFingerprints(bmps.unionByName(gifs)),
         "doc_id", "row_fp", maxFrameDocs = 16).count()
     }
+    // m21: frame-sample over animated GIFs — 3–5 frames per doc, every
+    // 2nd kept; decode + per-frame features ride the scan task (map-only),
+    // output rows ≈ 2·docs.
+    time("gif_frame_sample") {
+      val M = graft.multimodal.Multimodal
+      M.sampleGifFrames(M.renderGifAnimTable(
+          docs.filter(length(col("text")) >= 1), width = 25, height = 16),
+          stride = 2)
+        .toDF().agg(sum(col("blue_sum"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    // m22: the resize verb — decode + box-average + nearest-neighbor per
+    // doc, all inside the scan task (map-only).
+    time("resize") {
+      val M = graft.multimodal.Multimodal
+      M.resizedImageMeta(M.renderBmpTable(
+          docs.filter(length(col("text")) >= 1), width = 25, height = 16),
+          boxW = 5, boxH = 4, nnW = 8, nnH = 8)
+        .toDF().agg(sum(col("box_sum"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
     // m19: the lossy image round-trip — render every doc as a real
     // baseline JPEG (Huffman + zigzag + stuffing + restarts on even ids),
     // decode through the fixed-point IDCT, reduce the features. Map-only

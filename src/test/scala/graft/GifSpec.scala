@@ -132,6 +132,56 @@ class GifSpec extends SparkSpecBase {
       Codecs.decodeGif("BMP???".getBytes)).getMessage.contains("magic"))
   }
 
+  test("animated GIF: frames, per-frame delays/interlace, NETSCAPE loops round-trip") {
+    val pal = Array.tabulate(4)(k => (k << 16) | (k << 8) | k)
+    val f0 = Array[Byte](0, 1, 2, 3, 0, 1) // 3x2
+    val f1 = Array[Byte](3, 2, 1, 0, 3, 2)
+    val f2 = Array[Byte](1, 1, 2, 2, 3, 3)
+    val bytes = Codecs.encodeGifAnimated(3, 2, pal,
+      Seq((f0, false, 5), (f1, true, 10), (f2, false, 0)), loops = 7)
+    // The NETSCAPE2.0 application extension sits right after the 12-byte
+    // GCT (13 + 12 = offset 25): 0x21 0xFF 11 "NETSCAPE2.0" 3 1 <loops LE> 0.
+    assert((bytes(25) & 0xFF) === 0x21 && (bytes(26) & 0xFF) === 0xFF)
+    assert(new String(bytes, 28, 11, "US-ASCII") === "NETSCAPE2.0")
+    assert((bytes(41) & 0xFF) === 7 && (bytes(42) & 0xFF) === 0)
+    val anim = Codecs.decodeGifFrames(bytes)
+    assert(anim.frames.size === 3 && anim.loops === 7 && anim.paletteSize === 4)
+    assert(anim.frames.map(_.delayCs) === Vector(5, 10, 0))
+    assert(anim.frames.map(_.interlaced) === Vector(false, true, false))
+    // frame pixels: palette entry k is gray k on all channels
+    def blues(i: Int) = anim.frames(i).image.rgb.grouped(3).map(_(2) & 0xFF).toSeq
+    assert(blues(0) === f0.map(_.toInt).toSeq)
+    assert(blues(1) === f1.map(_.toInt).toSeq)
+    assert(blues(2) === f2.map(_.toInt).toSeq)
+    // single-frame decode still rejects animations BY NAME
+    assert(intercept[IllegalArgumentException](Codecs.decodeGif(bytes))
+      .getMessage.contains("multiple image blocks"))
+    // and decodeGifFrames agrees with decodeGif on a single-frame file
+    val single = Codecs.decodeGifFrames(goldenGif)
+    assert(single.frames.size === 1 && single.loops === -1)
+  }
+
+  test("sampleGifFrames keeps every stride-th frame with decoded facts") {
+    val docsDf = Seq((4L, "animated frame sampling over a rotating rule"))
+      .toDF("doc_id", "text")
+    // doc 4: F = 3 + 4%3 = 4 frames, sampled {0, 2}; delays 4+f;
+    // interlaced iff (4+f) even.
+    val rows = Multimodal.sampleGifFrames(
+      Multimodal.renderGifAnimTable(docsDf, 25, 16), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.length === 2)
+    assert(rows.map(_.frame_idx).toSeq === Seq(0L, 2L))
+    assert(rows.forall(r => r.n_frames == 4L && r.loops == 0L))
+    assert(rows.map(_.delay_cs).toSeq === Seq(4L, 6L))
+    assert(rows.map(_.interlaced).toSeq === Seq(1L, 1L))
+    // frame 2's blue rule is the frame-0 rule rotated by 14 bytes
+    val text = "animated frame sampling over a rotating rule"
+    def blueSum(rot: Int) = (0 until 400)
+      .map(i => text((i + rot) % text.length).toInt).sum
+    assert(rows(0).blue_sum === blueSum(0))
+    assert(rows(1).blue_sum === blueSum(14))
+  }
+
   test("decodeImage dispatches GIF by magic; tri-codec pixels agree on blue") {
     val docsDf = Seq(
       (2L, "a document long enough to fill several pixel rows with text"),
