@@ -956,15 +956,17 @@ object Codecs {
   }
 
   /** Magic-dispatched image decode: 'BM' → BMP, PNG signature → PNG,
-    * 'GIF8' → GIF — the decoded-domain entry point for cross-codec dedup
-    * (the same pixels arriving in any container must land on the same
-    * pixel grid). */
+    * 'GIF8' → GIF (an animation decodes to its FIRST frame — the
+    * single-image entry point must not reject a valid container), JPEG
+    * SOI → baseline JPEG — the decoded-domain entry point for
+    * cross-codec dedup (the same pixels arriving in any container must
+    * land on the same pixel grid). */
   def decodeImage(bytes: Array[Byte]): Image = {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 8 && bytes(0) == PngSignature(0) &&
       bytes(1) == PngSignature(1)) decodePng(bytes).image
     else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
-      bytes(2) == 'F' && bytes(3) == '8') decodeGif(bytes).image
+      bytes(2) == 'F' && bytes(3) == '8') decodeGifFrames(bytes).frames.head.image
     else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8) decodeJpeg(bytes).image
     else throw new IllegalArgumentException("unrecognized image container magic")

@@ -486,6 +486,27 @@ object Multimodal {
                             components: Long, restart_interval: Long,
                             gray_sum: Long, dhash: Long)
 
+  /** Per-(session, cacheKey) memoized scale-1 JPEG meta — the
+    * build-once/consume-many pattern of the gram/MinHash/IVF indexes:
+    * m19 reads the full meta, m20 reads (doc_id, dhash) for its scale-1
+    * side, so the corpus renders+decodes ONCE per session+dir instead of
+    * once per consumer. Materialized via localCheckpoint (tiny rows:
+    * 7 longs/doc); the render cost lands in the `warmup_artifacts`
+    * ledger, not in any single query's timing. */
+  private val jpegMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), Dataset[JpegMeta]]()
+
+  def memoizedJpegMeta(documents: DataFrame, cacheKey: String): Dataset[JpegMeta] = {
+    val it = jpegMetaCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    jpegMetaCache.computeIfAbsent((documents.sparkSession, cacheKey),
+      _ => graft.tools.BuildTimer.time("jpeg_meta")(
+        decodedJpegMeta(renderJpegTable(documents)).localCheckpoint()))
+  }
+
   def decodedJpegMeta(media: Dataset[MediaRow]): Dataset[JpegMeta] = {
     val spark = media.sparkSession
     import spark.implicits._

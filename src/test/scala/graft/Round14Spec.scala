@@ -42,7 +42,11 @@ class Round14Spec extends SparkSpecBase {
         (1L, ts(0), bmp), (2L, ts(1), wav), (3L, ts(2), truncated),
         (4L, ts(3), rle), (5L, ts(4), gifTrunc), (6L, ts(5), gif),
         (7L, ts(6), mulaw), (8L, ts(7), garbage),
-        (9L, ts(8), jpeg), (10L, ts(9), jpegTrunc))
+        (9L, ts(8), jpeg), (10L, ts(9), jpegTrunc),
+        (11L, ts(10), Codecs.encodeGifAnimated(3, 2,
+          Array(0x000000, 0xFF0000),
+          Seq((Array[Byte](0, 1, 0, 1, 0, 1), false, 5),
+            (Array[Byte](1, 0, 1, 0, 1, 0), true, 5)), loops = 0)))
       q.processAllAvailable()
       val got = spark.table("media_gate_out")
         .select($"new_id", $"kind", $"meta_a", $"meta_b", $"admit", $"reason")
@@ -68,6 +72,8 @@ class Round14Spec extends SparkSpecBase {
         s"valid baseline JPEG must admit with decoded dims: ${got(9L)}")
       assert(got(10L)._2 == "jpeg" && !got(10L)._5,
         s"an SOI without a stream must drop AS a jpeg: ${got(10L)}")
+      assert(got(11L) == ((11L, "gif", 3L, 2L, true, "")),
+        s"an ANIMATED GIF must admit (first frame's dims): ${got(11L)}")
     } finally q.stop()
   }
 
