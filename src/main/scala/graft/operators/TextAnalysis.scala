@@ -56,6 +56,126 @@ object TextAnalysis {
     docs.select(explode(words(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
+  // ---- BPE (byte-pair encoding: learn merges, apply as a tokenizer) -------
+  //
+  // The real learn-then-apply tokenizer stage of a training-data pipeline
+  // (the sentencepiece/HuggingFace shape): train greedy merge rules on the
+  // word-frequency table, then tokenize every document with them.
+  //
+  // REPRESENTATION IS THE CORRECTNESS TRICK: a word's symbol sequence is a
+  // comma-TERMINATED string ("hello" → "h,e,l,l,o,"), so one merge rule
+  // (a,b)→ab is ONE literal string replace of "a,b," with "ab," —
+  // adjacent occurrences share no characters (unlike a space-SEPARATED
+  // form, where the shared delimiter makes leftmost replace skip every
+  // other occurrence of a consecutive chain), so a single non-overlapping
+  // left-to-right replace pass IS the standard greedy BPE application of
+  // that rule, and merging (a,b) can never create a new (a,b) adjacency.
+  // Both engines (Java String/UTF8String replace, DuckDB replace) share
+  // those replace semantics, which is what makes the trained tokenizer
+  // fully oracle-verifiable — training included.
+  //
+  // Scale shape: the fit reads only the top-`topWords` word-count rows
+  // (distributed hash aggregate + TakeOrdered, then a BOUNDED collect —
+  // the quality-classifier/DSIR fit pattern); application is scan-side
+  // codegen (regexp word extraction + a literal replace chain), zero
+  // shuffles, zero UDFs.
+
+  /** One learned merge: `pair` = "a,b" (comma form), `merged` = "ab". */
+  final case class BpeMerge(step: Int, pair: String, merged: String, count: Long)
+
+  /** Train `merges` greedy BPE rules over the `topWords` most frequent
+    * lowercase letter-run words (count desc, word asc tie-break; pair
+    * argmax tie-break count desc, pair asc — both mirrored by the
+    * oracle). */
+  def bpeTrain(docs: DataFrame, textCol: String, topWords: Int,
+               merges: Int): Seq[BpeMerge] = {
+    val top = docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words = top.map { case (w, c) => (w.map(ch => s"$ch,").mkString, c) }
+    val out = Seq.newBuilder[BpeMerge]
+    var step = 1
+    var dry = false
+    while (step <= merges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words) {
+        val toks = w.split(",")
+        var j = 0
+        while (j < toks.length - 1) {
+          val key = toks(j) + "," + toks(j + 1)
+          counts.update(key, counts.getOrElse(key, 0L) + c)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) {
+        // No adjacent pairs left (empty or degenerate corpus): stop
+        // early with the rules learned so far — the real-trainer
+        // convention, and what keeps a zero-doc partition runnable.
+        dry = true
+      } else {
+        val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+        val merged = pair.replace(",", "")
+        words = words.map { case (w, c) =>
+          (w.replace(pair + ",", merged + ","), c)
+        }
+        out += BpeMerge(step, pair, merged, cnt)
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Per-(session, cacheKey) memoized [[bpeTrain]] — t25 reports the
+    * rules, t26 tokenizes with them; the fit runs once per session+dir. */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), Seq[BpeMerge]]()
+
+  def memoizedBpeMerges(docs: DataFrame, textCol: String, topWords: Int,
+                        merges: Int, cacheKey: String): Seq[BpeMerge] = {
+    val it = bpeCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    bpeCache.computeIfAbsent((docs.sparkSession, cacheKey),
+      _ => graft.tools.BuildTimer.time("bpe_merges")(
+        bpeTrain(docs, textCol, topWords, merges)))
+  }
+
+  /** Tokenize every document with learned merges: words → comma form →
+    * the literal replace chain (one codegen'd expression, scan-side) →
+    * token counts (= commas). Output: (idCol, n_words, n_tokens,
+    * ratio_bp) where ratio_bp = 10000·n_tokens / n_chars (10000 = one
+    * token per character, smaller = better compression; 0 for empty). */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[BpeMerge]): DataFrame = {
+    merges.foreach { m =>
+      require(m.pair.matches("[a-z]+,[a-z]+") && m.merged.matches("[a-z]+"),
+        s"unsafe merge literal: ${m.pair}")
+    }
+    // spaced("hello") = "h,e,l,l,o,"; each rule is one literal replace;
+    // tokens = commas left after the chain. All one codegen'd projection.
+    val spaced = "regexp_replace(w, '(.)', '$1,')"
+    val chain = merges.foldLeft(spaced) { (acc, m) =>
+      s"replace($acc, '${m.pair},', '${m.merged},')"
+    }
+    docs.selectExpr(
+      idCol,
+      s"regexp_extract_all(lower($textCol), '[a-z]+', 0) AS ws",
+      s"cast(aggregate(transform(regexp_extract_all(lower($textCol), '[a-z]+', 0), w -> length(w)), 0, (a, x) -> a + x) as bigint) AS n_chars")
+      .selectExpr(
+        idCol,
+        "cast(size(ws) as bigint) AS n_words",
+        "n_chars",
+        s"cast(aggregate(transform(ws, w -> length($chain) - length(replace($chain, ',', ''))), 0, (a, x) -> a + x) as bigint) AS n_tokens")
+      .selectExpr(
+        idCol, "n_words", "n_tokens",
+        "cast(if(n_chars = 0, 0, cast(n_tokens * 10000 as bigint) div n_chars) as bigint) AS ratio_bp")
+  }
+
   /** The corpus top-`k` word n-grams: (ngram, n, rank) with the same
     * deterministic tie-break as [[vocabTopK]] (count desc, ngram asc).
     * Shingling runs scan-side in the codegen'd

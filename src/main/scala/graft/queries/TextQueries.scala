@@ -330,7 +330,65 @@ private[queries] object TextQueries {
     "t12_bigram_topk" -> ((s, dir) =>
       TA.ngramTopK(docs(s, dir), "text", n = 2, k = 50)
         .select(col("ngram").as("bigram"), col("n"))),
+
+
+    // t25 (round 15): REAL BPE training — 8 greedy merge rules learned
+    // from the top-100 word-count table (the bounded-fit pattern), each
+    // step's pair/merged/count driver-visible. The comma-terminated
+    // symbol form makes one literal replace per rule EXACT greedy BPE
+    // (see TextAnalysis.bpeTrain), which is what lets DuckDB re-train
+    // the same rules through 8 unrolled SQL stages and hash-match.
+    "t25_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      TA.memoizedBpeMerges(docs(s, dir), "text", topWords = 100,
+          merges = 8, cacheKey = dir)
+        .map(m => (m.step.toLong, m.pair, m.merged, m.count))
+        .toDF("step", "pair", "merged", "n")
+    }),
+
+
+    // t26: the learned tokenizer APPLIED to every document — scan-side
+    // codegen'd (regexp word extraction + the literal replace chain),
+    // zero shuffles; per doc the word count, post-merge token count, and
+    // tokens-per-10k-chars. The oracle re-trains AND re-applies in SQL,
+    // so a drift anywhere in the learn-then-apply path hash-mismatches.
+    "t26_bpe_apply" -> ((s, dir) => {
+      val ms = TA.memoizedBpeMerges(docs(s, dir), "text", topWords = 100,
+        merges = 8, cacheKey = dir)
+      TA.bpeApply(docs(s, dir), "doc_id", "text", ms)
+    }),
   )
+
+  /** The 8 unrolled BPE training stages (t25/t26 oracle prelude): word
+    * counts → top-100 → comma form, then per stage the weighted pair
+    * census, the (count desc, pair asc) argmax, and the one-replace
+    * application — the SQL mirror of [[graft.operators.TextAnalysis
+    * .bpeTrain]]. */
+  private def bpeTrainCtes: String = {
+    // Every stage CTE is MATERIALIZED: DuckDB inlines CTEs referenced
+    // more than once, and each w_i is read by both p_{i+1} and w_{i+1}
+    // (plus scalar subqueries on m_i), so an inlined chain re-evaluates
+    // the corpus word census exponentially in the stage count.
+    val stages = (1 to 8).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT pr, sum(c) AS n FROM (
+                  SELECT c, unnest(list_transform(generate_series(1, len(tk) - 2),
+                    j -> tk[j] || ',' || tk[j + 1])) AS pr
+                  FROM (SELECT string_split(w, ',') AS tk, c FROM w${i - 1})
+                  WHERE len(tk) >= 3) GROUP BY pr),
+          m$i AS MATERIALIZED (SELECT pr, n FROM p$i ORDER BY n DESC, pr ASC LIMIT 1),
+          w$i AS MATERIALIZED (SELECT replace(w, (SELECT pr || ',' FROM m$i),
+                         (SELECT replace(pr, ',', '') || ',' FROM m$i)) AS w, c
+                  FROM w${i - 1})"""
+    }.mkString(",\n")
+    s"""wcnt AS MATERIALIZED (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents)
+          GROUP BY w ORDER BY c DESC, w ASC LIMIT 100),
+        w0 AS MATERIALIZED (
+          SELECT regexp_replace(w, '(.)', '\\1,', 'g') AS w, c FROM wcnt),
+        $stages"""
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -722,5 +780,43 @@ private[queries] object TextQueries {
               c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
               r AS (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank FROM c)
          SELECT bigram, n FROM r WHERE rank <= 50""",
+
+    // t25: re-train the 8 merges in SQL (the unrolled stages of
+    // bpeTrainCtes) and emit the rule table.
+    "t25_bpe_train" ->
+      s"""WITH $bpeTrainCtes
+         ${(1 to 8).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, pr AS pair, replace(pr, ',', '') AS merged, CAST(n AS BIGINT) AS n FROM m$i")
+        .mkString("\n         UNION ALL ")}""",
+
+    // t26: re-train AND re-apply — every doc's words through the same
+    // comma form and the 8-replace chain (the one-row rules CTE is cross
+    // joined so the lambda can reference the learned literals).
+    "t26_bpe_apply" ->
+      s"""WITH $bpeTrainCtes,
+              rules AS MATERIALIZED (SELECT
+                ${(1 to 8).map(i =>
+        s"(SELECT pr || ',' FROM m$i) AS pat$i, (SELECT replace(pr, ',', '') || ',' FROM m$i) AS rep$i")
+        .mkString(",\n                ")}),
+              dw AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z]+') AS ws
+                     FROM documents)
+         SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(coalesce(list_sum(list_transform(ws,
+                  w -> len(${(1 to 8).foldLeft("regexp_replace(w, '(.)', '\\1,', 'g')")(
+        (acc, i) => s"replace($acc, pat$i, rep$i)")})
+                     - len(replace(${(1 to 8).foldLeft("regexp_replace(w, '(.)', '\\1,', 'g')")(
+        (acc, i) => s"replace($acc, pat$i, rep$i)")}, ',', '')))), 0) AS BIGINT) AS n_tokens,
+                CAST(CASE WHEN coalesce(list_sum(list_transform(ws, w -> len(w))), 0) = 0
+                          THEN 0
+                          ELSE coalesce(list_sum(list_transform(ws,
+                            w -> len(${(1 to 8).foldLeft("regexp_replace(w, '(.)', '\\1,', 'g')")(
+        (acc, i) => s"replace($acc, pat$i, rep$i)")})
+                               - len(replace(${(1 to 8).foldLeft("regexp_replace(w, '(.)', '\\1,', 'g')")(
+        (acc, i) => s"replace($acc, pat$i, rep$i)")}, ',', '')))), 0) * 10000
+                               // list_sum(list_transform(ws, w -> len(w)))
+                     END AS BIGINT) AS ratio_bp
+         FROM dw, rules""",
   )
 }

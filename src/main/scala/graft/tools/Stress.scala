@@ -1021,6 +1021,18 @@ object Stress {
       M.frameOverlap(M.decodedRowFingerprints(bmps.unionByName(gifs)),
         "doc_id", "row_fp", maxFrameDocs = 16).count()
     }
+    // t25/t26: BPE learn-then-apply — the fit reads a top-100 word table
+    // (bounded collect); application is one codegen'd projection (regexp
+    // word split + 8 literal replaces), zero shuffles beyond the word
+    // census. Train re-runs per factor here (the census scales with the
+    // corpus; in queries it's memoized per session+dir).
+    time("bpe_apply") {
+      val TA = graft.operators.TextAnalysis
+      val ms = TA.bpeTrain(docs, "text", topWords = 100, merges = 8)
+      TA.bpeApply(docs, "doc_id", "text", ms)
+        .agg(sum(col("n_tokens"))).collect()
+      docs.count()
+    }
     // m21: frame-sample over animated GIFs — 3–5 frames per doc, every
     // 2nd kept; decode + per-frame features ride the scan task (map-only),
     // output rows ≈ 2·docs.
