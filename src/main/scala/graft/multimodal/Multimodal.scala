@@ -970,6 +970,56 @@ object Multimodal {
                              n_samples: Long, sum_samples: Long,
                              zero_cross: Long, energy: Long)
 
+  /** m23 output: the audio RESAMPLE verb — integer box decimation by
+    * `factor` over DECODED samples (y(j) = ⌊Σ block / factor⌋, floor
+    * division so negative samples round the same way on both engines),
+    * with the decimated rate read back out, plus sum, sign-change count,
+    * and the first-64 gradient fingerprint of the RESAMPLED signal. The
+    * oracle recomputes the decimation from the textPcm rule, so a block
+    * boundary, rounding, or rate bug hash-mismatches. */
+  final case class ResampleMeta(doc_id: Long, out_rate: Long, n_out: Long,
+                                s_sum: Long, zc: Long, fp: Long)
+
+  def resampledAudioMeta(media: Dataset[MediaRow],
+                         factor: Int): Dataset[ResampleMeta] = {
+    require(factor >= 1, s"decimation factor must be >= 1: $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = Codecs.decodeWav(r.media)
+        require(pcm.samples.length % factor == 0,
+          s"doc ${r.doc_id}: ${pcm.samples.length} samples not divisible by $factor")
+        require(pcm.sampleRate % factor == 0,
+          s"doc ${r.doc_id}: rate ${pcm.sampleRate} not divisible by $factor")
+        val n = pcm.samples.length / factor
+        val y = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          var s = 0L
+          var t = 0
+          while (t < factor) { s += pcm.samples(j * factor + t); t += 1 }
+          y(j) = Math.floorDiv(s, factor.toLong)
+          j += 1
+        }
+        var sum = 0L
+        var zc = 0L
+        var fp = 0L
+        var i = 0
+        while (i < n) {
+          sum += y(i)
+          if (i >= 1) {
+            if ((y(i - 1) < 0) != (y(i) < 0)) zc += 1
+            if (i < 64 && y(i - 1) > y(i)) fp |= 1L << (i - 1)
+          }
+          i += 1
+        }
+        ResampleMeta(r.doc_id, (pcm.sampleRate / factor).toLong, n.toLong,
+          sum, zc, fp)
+      }
+    }
+  }
+
   def decodedAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
     val spark = media.sparkSession
     import spark.implicits._

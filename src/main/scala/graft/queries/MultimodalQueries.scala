@@ -413,6 +413,20 @@ private[queries] object MultimodalQueries {
         docs(s, dir).filter(length(col("text")) >= 1),
         width = 25, height = 16), boxW = 5, boxH = 4, nnW = 8, nnH = 8).toDF()
     }),
+
+
+    // m23 (round 15): the audio RESAMPLE verb — every doc's real WAV
+    // decoded (even doc_ids through the JUNK chunk walk), then integer
+    // box decimation ×4 (256 → 64 samples, 8–12 kHz → 2–3 kHz, the
+    // decoded fmt rate divided back out); features read the RESAMPLED
+    // signal: sum, sign changes, gradient fingerprint. Floor division
+    // on negative sums is the cross-engine convention (Math.floorDiv ↔
+    // floor(x/4.0)).
+    "m23_audio_resample" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.resampledAudioMeta(M.renderWavTable(
+        docs(s, dir).filter(length(col("text")) >= 1)), factor = 4).toDF()
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1039,5 +1053,33 @@ private[queries] object MultimodalQueries {
                             THEN (CAST(1 AS BIGINT) << (j - 1))
                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS nn_fp
          FROM bx""",
+
+    // m23: the decimation from the textPcm rule — y(j) = floor(block
+    // mean) with FLOOR (not truncating) division on negative sums; the
+    // decoded fmt rate divided by the factor.
+    "m23_audio_resample" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              s AS (SELECT doc_id, list_transform(generate_series(0, 255),
+                      i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                           + (i % 256)) AS smp
+                    FROM d),
+              y AS (SELECT doc_id, list_transform(generate_series(0, 63),
+                      j -> CAST(floor((smp[4 * j + 1] + smp[4 * j + 2]
+                                       + smp[4 * j + 3] + smp[4 * j + 4])
+                                      / 4.0) AS BIGINT)) AS y
+                    FROM s)
+         SELECT doc_id,
+                CAST((8000 + (doc_id % 5) * 1000) / 4 AS BIGINT) AS out_rate,
+                CAST(64 AS BIGINT) AS n_out,
+                CAST(list_sum(y) AS BIGINT) AS s_sum,
+                CAST(list_sum(list_transform(generate_series(2, 64),
+                  j -> CASE WHEN (y[j - 1] < 0) <> (y[j] < 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS zc,
+                CAST(list_sum(list_transform(generate_series(2, 64),
+                  j -> CASE WHEN y[j - 1] > y[j]
+                            THEN (CAST(1 AS BIGINT) << (j - 2))
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+         FROM y""",
   )
 }

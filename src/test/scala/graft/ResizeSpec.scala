@@ -51,6 +51,28 @@ class ResizeSpec extends SparkSpecBase {
       .getMessage.contains("exact tiling"))
   }
 
+  test("audio box decimation floors negative block sums and divides the rate") {
+    val text = "resample verb hand check"
+    val docsDf = Seq((7L, text)).toDF("doc_id", "text")
+    val row = Multimodal.resampledAudioMeta(
+      Multimodal.renderWavTable(docsDf), factor = 4).collect()(0)
+    def s(i: Int) = (text(i % text.length).toInt - 96) * 512 + (i % 256)
+    val y = (0 until 64).map(j => Math.floorDiv(
+      (0 until 4).map(t => s(4 * j + t).toLong).sum, 4L))
+    assert(row.out_rate === (8000 + (7 % 5) * 1000) / 4)
+    assert(row.n_out === 64L)
+    assert(row.s_sum === y.sum)
+    // spaces land deep negative: the signal genuinely crosses zero and
+    // at least one block sum is negative, so the floor convention is
+    // load-bearing in this fixture, not incidental.
+    assert(y.exists(_ < 0) && y.exists(_ >= 0), "fixture must cross zero")
+    val zc = (1 until 64).count(j => (y(j - 1) < 0) != (y(j) < 0))
+    assert(row.zc === zc.toLong && zc > 0)
+    val fp = (1 until 64).foldLeft(0L)((a, j) =>
+      if (y(j - 1) > y(j)) a | (1L << (j - 1)) else a)
+    assert(row.fp === fp)
+  }
+
   test("resizedImageMeta matches a by-hand computation on one doc") {
     val text = "resize pipeline hand check payload"
     val docsDf = Seq((6L, text)).toDF("doc_id", "text")
