@@ -1042,6 +1042,41 @@ object Codecs {
     (if ((u & 0x80) != 0) -t else t).toShort
   }
 
+  // ---- G.711 A-law (the OTHER companding law of the same standard) --------
+  //
+  // A-law per the ITU-T G.711 segment table: the 16-bit sample drops to a
+  // 13-bit magnitude (arithmetic >> 3), segments end at 0x1F/0x3F/0x7F/
+  // 0xFF/0x1FF/0x3FF/0x7FF/0xFFF (seg 7 covers the full 13-bit range, so
+  // no clip branch is reachable for 16-bit input), segments 0 and 1 both
+  // take mantissa bits >> 1, and the wire byte XORs the alternating mask
+  // (0xD5 for non-negative, 0x55 for negative — silence encodes to the
+  // published 0xD5 and expands to +8). Same integer-exact property as
+  // μ-law: the m24 oracle recomputes compress → expand in SQL.
+
+  /** Fold one 16-bit linear sample to its 8-bit A-law code. */
+  def alawCompress(sample: Short): Byte = {
+    val x13 = sample.toInt >> 3 // arithmetic shift: floor, sign-preserving
+    val (mask, m) = if (x13 >= 0) (0xD5, x13) else (0x55, -x13 - 1)
+    val seg =
+      if (m <= 0x1F) 0 else if (m <= 0x3F) 1 else if (m <= 0x7F) 2
+      else if (m <= 0xFF) 3 else if (m <= 0x1FF) 4 else if (m <= 0x3FF) 5
+      else if (m <= 0x7FF) 6 else 7
+    val mant = (m >> (if (seg < 2) 1 else seg)) & 0x0F
+    (((seg << 4) | mant) ^ mask).toByte
+  }
+
+  /** Expand one 8-bit A-law code back to 16-bit linear. */
+  def alawExpand(code: Byte): Short = {
+    val a = (code ^ 0x55) & 0xFF
+    val seg = (a >> 4) & 7
+    val base = (a & 0x0F) << 4
+    val t =
+      if (seg == 0) base + 8
+      else if (seg == 1) base + 0x108
+      else (base + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
   /** Encode μ-law WAV: format tag 7, 8 bits/sample, an 18-byte `fmt `
     * chunk (cbSize = 0 — the non-PCM layout real encoders write) and the
     * spec-REQUIRED `fact` chunk carrying the sample count. `junkChunk`
@@ -1049,7 +1084,18 @@ object Codecs {
     * [[encodeWav]] does, and an odd sample count leaves the data chunk
     * itself odd-sized (its RIFF pad byte becomes load-bearing). */
   def encodeWavMulaw(samples: Array[Byte], sampleRate: Int, channels: Int,
-                     junkChunk: Boolean = false): Array[Byte] = {
+                     junkChunk: Boolean = false): Array[Byte] =
+    encodeWavG711(7, samples, sampleRate, channels, junkChunk)
+
+  /** Encode A-law WAV: format tag 6 (WAVE_FORMAT_ALAW), same 18-byte
+    * `fmt ` + `fact` layout as the μ-law writer. */
+  def encodeWavAlaw(samples: Array[Byte], sampleRate: Int, channels: Int,
+                    junkChunk: Boolean = false): Array[Byte] =
+    encodeWavG711(6, samples, sampleRate, channels, junkChunk)
+
+  private def encodeWavG711(formatTag: Int, samples: Array[Byte],
+                            sampleRate: Int, channels: Int,
+                            junkChunk: Boolean): Array[Byte] = {
     require(channels >= 1, "channels must be >= 1")
     val dataBytes = samples.length
     val dataPad = dataBytes & 1
@@ -1060,7 +1106,7 @@ object Codecs {
     buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
       .put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")).putInt(18)
-    buf.putShort(7) // WAVE_FORMAT_MULAW
+    buf.putShort(formatTag.toShort) // 7 = WAVE_FORMAT_MULAW, 6 = WAVE_FORMAT_ALAW
     buf.putShort(channels.toShort)
     buf.putInt(sampleRate)
     buf.putInt(sampleRate * channels) // byte rate: 1 byte per sample
@@ -1082,8 +1128,9 @@ object Codecs {
   }
 
   /** Decode RIFF/WAVE by walking the chunk list — PCM 16-bit (format 1)
-    * passes samples through; μ-law (format 7, 8-bit) expands each code
-    * to 16-bit linear, so callers always see linear PCM. */
+    * passes samples through; μ-law (format 7) and A-law (format 6, both
+    * 8-bit) expand each code to 16-bit linear, so callers always see
+    * linear PCM. */
   def decodeWav(bytes: Array[Byte]): Pcm = {
     require(bytes.length >= 12, "not a WAV: too short for a RIFF header")
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
@@ -1119,8 +1166,8 @@ object Codecs {
       off += 8 + size + (size & 1) // RIFF: odd-sized chunks carry a pad byte
     }
     require(sampleRate > 0 && dataOff >= 0, "WAV missing fmt or data chunk")
-    require(format == 1 || format == 7,
-      s"unsupported WAV format tag $format (PCM 1 or mu-law 7 only)")
+    require(format == 1 || format == 6 || format == 7,
+      s"unsupported WAV format tag $format (PCM 1, A-law 6, or mu-law 7 only)")
     if (format == 1) {
       require(bits == 16, s"unsupported PCM WAV bit depth $bits (16-bit only)")
       val n = dataLen / 2
@@ -1129,10 +1176,11 @@ object Codecs {
       while (i < n) { samples(i) = buf.getShort(dataOff + i * 2); i += 1 }
       Pcm(sampleRate, channels, samples)
     } else {
-      require(bits == 8, s"unsupported mu-law WAV bit depth $bits (8-bit only)")
+      require(bits == 8, s"unsupported G.711 WAV bit depth $bits (8-bit only)")
+      val expand: Byte => Short = if (format == 7) mulawExpand else alawExpand
       val samples = new Array[Short](dataLen)
       var i = 0
-      while (i < dataLen) { samples(i) = mulawExpand(bytes(dataOff + i)); i += 1 }
+      while (i < dataLen) { samples(i) = expand(bytes(dataOff + i)); i += 1 }
       Pcm(sampleRate, channels, samples)
     }
   }

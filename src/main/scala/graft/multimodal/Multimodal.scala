@@ -935,6 +935,30 @@ object Multimodal {
       }
   }
 
+  /** Render each doc's [[textPcm]] samples as a REAL A-law WAV (format
+    * tag 6 — the G.711 companding law telephony actually deploys outside
+    * North America): compress to 8-bit codes, 18-byte fmt + fact chunk,
+    * JUNK on even ids. The m24 features read the QUANTIZED samples. */
+  def renderAlawWavTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val pcm = textPcm(id, text)
+          val codes = new Array[Byte](pcm.samples.length)
+          var i = 0
+          while (i < codes.length) {
+            codes(i) = Codecs.alawCompress(pcm.samples(i)); i += 1
+          }
+          MediaRow(id,
+            Codecs.encodeWavAlaw(codes, pcm.sampleRate, pcm.channels,
+              junkChunk = id % 2 == 0),
+            "audio/wav;alaw")
+        }
+      }
+  }
+
   /** m13: DECODED-PCM windows as binary frames — decode the WAV, slice
     * the sample stream into non-overlapping `windowSamples`-sample
     * windows, re-emit each as its little-endian byte image so the m06

@@ -427,6 +427,21 @@ private[queries] object MultimodalQueries {
       M.resampledAudioMeta(M.renderWavTable(
         docs(s, dir).filter(length(col("text")) >= 1)), factor = 4).toDF()
     }),
+
+
+    // m24 (round 15): G.711's OTHER companding law — every doc's textPcm
+    // folded through A-law (format tag 6: 13-bit magnitude, the
+    // 0x1F/0x3F/…/0xFFF segment table, segments 0 AND 1 sharing the >>1
+    // mantissa rule, the alternating 0xD5/0x55 mask), decoded back, and
+    // featured on the QUANTIZED samples. The oracle recomputes the
+    // integer compress→expand round trip; A-law quantizes DIFFERENTLY
+    // from μ-law (e.g. silence → +8, not 0), so m24's sums differ from
+    // both m10's exact and m16's μ-law sums by construction.
+    "m24_alaw_decode" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedAudioMeta(M.renderAlawWavTable(
+        docs(s, dir).filter(length(col("text")) >= 1))).toDF()
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1080,6 +1095,59 @@ private[queries] object MultimodalQueries {
                   j -> CASE WHEN y[j - 1] > y[j]
                             THEN (CAST(1 AS BIGINT) << (j - 2))
                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+         FROM y""",
+
+    // m24: the A-law integer round trip — 13-bit magnitude (arithmetic
+    // >> 3, two's-complement in both engines — verified), negative
+    // magnitudes as -x13-1, the G.711 segment table, segments 0/1 both
+    // taking mantissa >> 1, expand per the published 8/0x108 bases.
+    "m24_alaw_decode" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              s AS (SELECT doc_id,
+                      list_transform(generate_series(0, 255),
+                        i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                             + (i % 256)) AS smp
+                    FROM d),
+              q AS (SELECT doc_id,
+                      list_transform(smp, x -> CAST(x AS BIGINT) >> 3) AS x13
+                    FROM s),
+              e AS (SELECT doc_id,
+                      list_transform(x13,
+                        t -> CASE WHEN t >= 0 THEN t ELSE -t - 1 END) AS m,
+                      list_transform(x13,
+                        t -> CASE WHEN t >= 0 THEN 1 ELSE -1 END) AS sgn
+                    FROM q),
+              g AS (SELECT doc_id, m, sgn,
+                      list_transform(m, t -> CASE WHEN t <= 31 THEN 0
+                                                  WHEN t <= 63 THEN 1
+                                                  WHEN t <= 127 THEN 2
+                                                  WHEN t <= 255 THEN 3
+                                                  WHEN t <= 511 THEN 4
+                                                  WHEN t <= 1023 THEN 5
+                                                  WHEN t <= 2047 THEN 6
+                                                  ELSE 7 END) AS seg
+                    FROM e),
+              y AS (SELECT doc_id,
+                      list_transform(generate_series(1, 256),
+                        i -> sgn[i] * (CASE
+                          WHEN seg[i] = 0
+                            THEN (((m[i] >> 1) & 15) << 4) + 8
+                          WHEN seg[i] = 1
+                            THEN (((m[i] >> 1) & 15) << 4) + 264
+                          ELSE ((((m[i] >> seg[i]) & 15) << 4) + 264)
+                               << (seg[i] - 1) END)) AS dec
+                    FROM g)
+         SELECT doc_id,
+                CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS n_channels,
+                CAST(256 AS BIGINT) AS n_samples,
+                CAST(list_sum(dec) AS BIGINT) AS sum_samples,
+                CAST(list_sum(list_transform(generate_series(2, 256),
+                  i -> CASE WHEN (dec[i - 1] < 0) <> (dec[i] < 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross,
+                CAST(list_sum(list_transform(dec,
+                  x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
          FROM y""",
   )
 }

@@ -239,6 +239,87 @@ class CodecSpec extends SparkSpecBase {
       .getMessage.contains("bit depth"))
   }
 
+  // ---- G.711 A-law ----------------------------------------------------------
+
+  test("A-law companding golden codes (G.711 published values)") {
+    // Landmarks: silence 0xD5 (expanding to +8 — A-law has no true
+    // zero), negative zero 0x55 (-8), positive max 0xAA (32256),
+    // negative max 0x2A (-32256).
+    assert((Codecs.alawCompress(0) & 0xFF) === 0xD5)
+    assert((Codecs.alawCompress(-1) & 0xFF) === 0x55)
+    assert((Codecs.alawCompress(32767) & 0xFF) === 0xAA)
+    assert((Codecs.alawCompress(-32768) & 0xFF) === 0x2A)
+    assert(Codecs.alawExpand(0xD5.toByte) === 8)
+    assert(Codecs.alawExpand(0x55.toByte) === -8)
+    assert(Codecs.alawExpand(0xAA.toByte) === 32256)
+    assert(Codecs.alawExpand(0x2A.toByte) === -32256)
+    // Hand-derived mid-range: 1000 >> 3 = 125 -> segment 2, mantissa
+    // (125 >> 2) & 15 = 15 -> 0x2F ^ 0xD5 = 0xFA; expands to
+    // ((15 << 4) + 0x108) << 1 = 1008.
+    assert((Codecs.alawCompress(1000) & 0xFF) === 0xFA)
+    assert(Codecs.alawExpand(0xFA.toByte) === 1008)
+  }
+
+  test("A-law round trip: sign-preserving, monotone, segment-bounded error") {
+    var prev = Int.MinValue
+    var s = -32768
+    while (s <= 32767) {
+      val y = Codecs.alawExpand(Codecs.alawCompress(s.toShort)).toInt
+      assert(y >= prev, s"expand(compress) must be monotone at $s")
+      prev = y
+      // A-law has no zero code: signs are strict.
+      if (s >= 0) assert(y > 0, s"positive input must expand positive at $s")
+      if (s < 0) assert(y < 0, s"negative input must expand negative at $s")
+      val x13 = s >> 3
+      val m = if (x13 >= 0) x13 else -x13 - 1
+      val seg =
+        if (m <= 0x1F) 0 else if (m <= 0x3F) 1 else if (m <= 0x7F) 2
+        else if (m <= 0xFF) 3 else if (m <= 0x1FF) 4 else if (m <= 0x3FF) 5
+        else if (m <= 0x7FF) 6 else 7
+      assert(math.abs(y - s) <= (1 << (seg + 2)) + 16,
+        s"quantization error out of segment bound at $s -> $y (seg $seg)")
+      s += 1
+    }
+  }
+
+  private val goldenAlawWav: Array[Byte] = Array(
+    'R', 'I', 'F', 'F', 56, 0, 0, 0, 'W', 'A', 'V', 'E',
+    'f', 'm', 't', ' ', 18, 0, 0, 0,
+    6, 0, // WAVE_FORMAT_ALAW
+    1, 0,
+    0x40, 0x1F, 0, 0, // 8000 Hz
+    0x40, 0x1F, 0, 0,
+    1, 0,
+    8, 0,
+    0, 0,
+    'f', 'a', 'c', 't', 4, 0, 0, 0, 5, 0, 0, 0,
+    'd', 'a', 't', 'a', 5, 0, 0, 0,
+    0xD5, 0x55, 0xAA, 0x2A, 0xFA, // +8, -8, +max, -max, 1008
+    0
+  ).map(_.toByte)
+
+  test("golden A-law WAV bytes decode through format tag 6 to linear PCM") {
+    val pcm = Codecs.decodeWav(goldenAlawWav)
+    assert(pcm.sampleRate === 8000 && pcm.channels === 1)
+    assert(pcm.samples.toSeq === Seq[Short](8, -8, 32256, -32256, 1008))
+  }
+
+  test("the A-law encoder reproduces the golden bytes exactly") {
+    assert(java.util.Arrays.equals(
+      Codecs.encodeWavAlaw(
+        Array(0xD5, 0x55, 0xAA, 0x2A, 0xFA).map(_.toByte), 8000, 1),
+      goldenAlawWav))
+  }
+
+  test("the two companding laws quantize the same signal DIFFERENTLY") {
+    // Same PCM through both laws must not collapse to identical decoded
+    // streams (the m16-vs-m24 oracle distinction rests on this).
+    val pcm = Multimodal.textPcm(3L, "companding laws differ")
+    val mu = pcm.samples.map(s => Codecs.mulawExpand(Codecs.mulawCompress(s)))
+    val al = pcm.samples.map(s => Codecs.alawExpand(Codecs.alawCompress(s)))
+    assert(mu.toSeq !== al.toSeq)
+  }
+
   // ---- decoded-domain pipeline drives ---------------------------------------
 
   test("decoded row fingerprints pair a top-down re-encode with its original") {
