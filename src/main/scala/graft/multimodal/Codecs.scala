@@ -1692,6 +1692,13 @@ object Codecs {
       require(off + 1 < bytes.length, "JPEG truncated in a marker segment")
       ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
     }
+    // Segment length includes its own two bytes; anything smaller would
+    // stall or rewind the marker walk on crafted input.
+    def segLen(off: Int): Int = {
+      val len = u16(off)
+      require(len >= 2, s"JPEG marker segment with invalid length $len")
+      len
+    }
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[HuffDecodeTable](4)
     val acTabs = new Array[HuffDecodeTable](4)
@@ -1717,12 +1724,14 @@ object Codecs {
         case x if x == 0x01 || (x >= 0xD0 && x <= 0xD7) =>
           () // standalone markers: no length
         case 0xDB =>
-          val len = u16(pos); val end = pos + len
+          val len = segLen(pos); val end = pos + len
+          require(end <= bytes.length, "DQT segment runs past end of file")
           var p = pos + 2
           while (p < end) {
             val pq = (bytes(p) & 0xFF) >> 4
             val tq = bytes(p) & 0x0F
             require(pq == 0, s"unsupported 16-bit quant table (Pq=$pq)")
+            require(tq <= 3, s"quant table id $tq out of range")
             require(end - p >= 65, "DQT segment truncated")
             val t = new Array[Int](64)
             var k = 0
@@ -1735,7 +1744,8 @@ object Codecs {
           }
           pos = end
         case 0xC4 =>
-          val len = u16(pos); val end = pos + len
+          val len = segLen(pos); val end = pos + len
+          require(end <= bytes.length, "DHT segment runs past end of file")
           var p = pos + 2
           while (p < end) {
             val cls = (bytes(p) & 0xFF) >> 4
@@ -1754,7 +1764,9 @@ object Codecs {
         case 0xC0 | 0xC1 =>
           // SOF0 baseline (and SOF1 extended sequential — same structure,
           // same Huffman baseline decode path for 8-bit)
-          val len = u16(pos)
+          val len = segLen(pos)
+          require(pos + len <= bytes.length && len >= 9,
+            "SOF segment runs past end of file")
           val prec = bytes(pos + 2) & 0xFF
           require(prec == 8, s"unsupported JPEG precision $prec (8-bit only)")
           height = u16(pos + 3); width = u16(pos + 5)
@@ -1762,6 +1774,7 @@ object Codecs {
           nComp = bytes(pos + 7) & 0xFF
           require(nComp == 1 || nComp == 3,
             s"unsupported component count $nComp (grayscale or YCbCr only)")
+          require(len >= 8 + 3 * nComp, "SOF too short for its components")
           compIds = new Array[Int](nComp)
           compQuant = new Array[Int](nComp)
           var c = 0
@@ -1772,6 +1785,7 @@ object Codecs {
               f"unsupported sampling factors 0x$hv%02X (4:4:4 only — " +
                 "subsampled chroma is out of scope, named not mis-decoded)")
             compQuant(c) = bytes(pos + 10 + 3 * c) & 0x0F
+            require(compQuant(c) <= 3, s"quant table id ${compQuant(c)} out of range")
             c += 1
           }
           pos += len
@@ -1786,9 +1800,12 @@ object Codecs {
           restartInterval = u16(pos + 2)
           pos += 4
         case 0xDA =>
-          val len = u16(pos)
+          val len = segLen(pos)
+          require(pos + len <= bytes.length && len >= 3,
+            "SOS segment runs past end of file")
           val ns = bytes(pos + 2) & 0xFF
-          require(ns == nComp, s"SOS component count $ns != SOF $nComp")
+          require(ns == nComp && ns >= 1, s"SOS component count $ns != SOF $nComp")
+          require(len >= 6 + 2 * ns, "SOS too short for its components")
           compDc = new Array[Int](nComp)
           compAc = new Array[Int](nComp)
           var c = 0
@@ -1798,13 +1815,15 @@ object Codecs {
               s"SOS component order $cid differs from SOF (non-interleaved scans unsupported)")
             compDc(c) = (bytes(pos + 4 + 2 * c) & 0xFF) >> 4
             compAc(c) = bytes(pos + 4 + 2 * c) & 0x0F
+            require(compDc(c) <= 3 && compAc(c) <= 3,
+              s"Huffman table id out of range (${compDc(c)}/${compAc(c)})")
             c += 1
           }
           sosAt = pos + len
         case 0xD9 =>
           throw new IllegalArgumentException("EOI before SOS: no image data")
         case _ =>
-          pos += u16(pos) // APPn / COM / anything with a length: skip
+          pos += segLen(pos) // APPn / COM / anything with a length: skip
       }
     }
     require(width > 0, "SOS before SOF0")
