@@ -201,12 +201,13 @@ object Codecs {
 
   // ---- PNG ----------------------------------------------------------------
 
-  /** A decoded PNG: the pixel grid plus the IHDR color type (2 = RGB,
-    * 6 = RGBA) — the color type is decoded evidence of the header parse,
-    * carried out so queries can assert it as data, not metadata. The
-    * alpha channel (color type 6) is dropped after unfiltering: filters
-    * operate on the full 4-byte pixels, so alpha is load-bearing for the
-    * decode even though the engine's pixel domain is RGB. */
+  /** A decoded PNG: the pixel grid plus the IHDR color type (0 = gray,
+    * 2 = RGB, 3 = palette, 6 = RGBA) — the color type is decoded evidence
+    * of the header parse, carried out so queries can assert it as data,
+    * not metadata. The alpha channel (color type 6) is dropped after
+    * unfiltering: filters operate on the full 4-byte pixels, so alpha is
+    * load-bearing for the decode even though the engine's pixel domain
+    * is RGB; gray and palette files expand to the same RGB grid. */
   final case class Png(image: Image, colorType: Int)
 
   private val PngSignature: Array[Byte] =
@@ -251,10 +252,56 @@ object Codecs {
       if (rgba) raw(i * bpp + 3) = (255 - (img.rgb(i * 3 + 2) & 0xFF)).toByte
       i += 1
     }
-    val rowBytes = img.width * bpp
-    val filtered = new Array[Byte](img.height * (1 + rowBytes))
+    buildPng(img.width, img.height, raw, bpp, if (rgba) 6 else 2, null)
+  }
+
+  /** Encode an 8-bit GRAYSCALE PNG (color type 0, 1 byte/pixel): the
+    * image must already be gray (R=G=B asserted, not silently averaged).
+    * Same row-cycling filter discipline as [[encodePng]] — for bpp=1 the
+    * `left` neighbor is the previous BYTE, so Sub/Average/Paeth exercise
+    * the 1-byte-pixel arithmetic a truecolor file never touches. */
+  def encodePngGray(img: Image): Array[Byte] = {
+    val n = img.width * img.height
+    val raw = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      require(img.rgb(i * 3 + 1) == img.rgb(i * 3) &&
+        img.rgb(i * 3 + 2) == img.rgb(i * 3),
+        s"encodePngGray needs a gray image: pixel $i is not R=G=B")
+      raw(i) = img.rgb(i * 3)
+      i += 1
+    }
+    buildPng(img.width, img.height, raw, 1, 0, null)
+  }
+
+  /** Encode an 8-bit PALETTE PNG (color type 3): a PLTE chunk of up to
+    * 256 0xRRGGBB entries plus 1-byte palette indices per pixel — the
+    * dominant real-web PNG form. Indices are validated against the
+    * palette size here; the decoder re-validates against the FILE's PLTE. */
+  def encodePngPalette(width: Int, height: Int, palette: Array[Int],
+                       indices: Array[Byte]): Array[Byte] = {
+    require(palette.length >= 1 && palette.length <= 256,
+      s"PNG palette must have 1..256 entries, got ${palette.length}")
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != $width x $height")
+    var i = 0
+    while (i < indices.length) {
+      require((indices(i) & 0xFF) < palette.length,
+        s"palette index ${indices(i) & 0xFF} out of range at pixel $i")
+      i += 1
+    }
+    buildPng(width, height, indices, 1, 3, palette)
+  }
+
+  /** Shared PNG assembly: cycle the five filters by row over `raw`
+    * (`bpp` bytes/pixel), deflate, emit signature + IHDR (+ PLTE for
+    * color type 3) + split IDAT + IEND with per-chunk CRCs. */
+  private def buildPng(width: Int, height: Int, raw: Array[Byte], bpp: Int,
+                       colorType: Int, palette: Array[Int]): Array[Byte] = {
+    val rowBytes = width * bpp
+    val filtered = new Array[Byte](height * (1 + rowBytes))
     var r = 0
-    while (r < img.height) {
+    while (r < height) {
       val ft = r % 5
       val outBase = r * (1 + rowBytes)
       val inBase = r * rowBytes
@@ -301,12 +348,23 @@ object Codecs {
     }
     out.write(PngSignature)
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
-      .putInt(img.width).putInt(img.height)
+      .putInt(width).putInt(height)
       .put(8.toByte) // bit depth
-      .put((if (rgba) 6 else 2).toByte) // color type
+      .put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
       .array()
     chunk("IHDR", ihdr, 0, 13)
+    if (colorType == 3) {
+      val plte = new Array[Byte](palette.length * 3)
+      var k = 0
+      while (k < palette.length) {
+        plte(k * 3) = ((palette(k) >> 16) & 0xFF).toByte
+        plte(k * 3 + 1) = ((palette(k) >> 8) & 0xFF).toByte
+        plte(k * 3 + 2) = (palette(k) & 0xFF).toByte
+        k += 1
+      }
+      chunk("PLTE", plte, 0, plte.length)
+    }
     if (z.length >= 2) { // split IDAT: concatenation is part of the spec
       val cut = z.length / 2
       chunk("IDAT", z, 0, cut)
@@ -316,12 +374,15 @@ object Codecs {
     out.toByteArray
   }
 
-  /** Decode a non-interlaced 8-bit truecolor (±alpha) PNG: signature,
+  /** Decode a non-interlaced 8-bit PNG — truecolor (2), truecolor+alpha
+    * (6), GRAYSCALE (0) and PALETTE (3, via the PLTE chunk): signature,
     * chunk walk with per-chunk CRC-32 VERIFICATION, IHDR validation,
     * multi-IDAT concatenation, zlib inflate to the exact expected size,
-    * and all five filter reconstructions. Throws
-    * `IllegalArgumentException` naming the unsupported feature (palette,
-    * 16-bit, interlace, grayscale) — honest scope, never silent garbage. */
+    * all five filter reconstructions (over the color type's own
+    * bytes-per-pixel stride), then gray replication / palette lookup to
+    * the container-neutral RGB grid. Throws `IllegalArgumentException`
+    * naming the unsupported feature (16-bit, interlace, gray+alpha) —
+    * honest scope, never silent garbage. */
   def decodePng(bytes: Array[Byte]): Png = {
     // Signature first (a wrong container should say so), THEN the length
     // floor for the smallest complete chunk structure.
@@ -337,6 +398,7 @@ object Codecs {
     var off = 8
     var width = -1; var height = -1; var colorType = -1
     var sawIhdr = false; var sawIend = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream
     while (!sawIend) {
       require(off.toLong + 12 <= bytes.length,
@@ -363,15 +425,29 @@ object Codecs {
           val interlace = bytes(off + 20) & 0xFF
           require(width > 0 && height > 0,
             s"degenerate PNG dimensions ${width}x$height")
+          // IHDR dims are s32: a crafted header can declare up to
+          // 2³¹−1 per axis — cap before any size arithmetic (width*bpp
+          // alone would wrap Int) or allocation, per the fuzz contract
+          require(width.toLong * height <= MaxDecodePixels,
+            s"PNG dimensions ${width}x$height exceed the $MaxDecodePixels-pixel decode cap")
           require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth (8 only)")
-          require(colorType == 2 || colorType == 6,
-            s"unsupported PNG color type $colorType (truecolor 2/6 only)")
+          require(colorType == 0 || colorType == 2 || colorType == 3 ||
+            colorType == 6,
+            s"unsupported PNG color type $colorType (gray 0 / truecolor 2 / palette 3 / RGBA 6)")
           require(compression == 0, s"unsupported PNG compression $compression")
           require(filterMethod == 0, s"unsupported PNG filter method $filterMethod")
           require(interlace == 0, "unsupported PNG interlace (Adam7)")
           sawIhdr = true
+        case "PLTE" =>
+          require(sawIhdr, "PLTE before IHDR")
+          require(plte == null, "duplicate PLTE")
+          require(idat.size == 0, "PLTE after IDAT")
+          require(len > 0 && len % 3 == 0 && len / 3 <= 256,
+            s"PLTE length $len is not 3x(1..256) entries")
+          plte = bytes.slice(off + 8, off + 8 + len)
         case "IDAT" =>
           require(sawIhdr, "IDAT before IHDR")
+          require(colorType != 3 || plte != null, "palette PNG missing PLTE")
           idat.write(bytes, off + 8, len)
         case "IEND" => sawIend = true
         case _ => () // ancillary (tEXt/pHYs/...): skip, CRC already checked
@@ -379,7 +455,11 @@ object Codecs {
       off += 12 + len
     }
     require(sawIhdr, "PNG missing IHDR")
-    val bpp = if (colorType == 6) 4 else 3
+    val bpp = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case _ => 4
+    }
     val rowBytes = width * bpp
     val expected = height.toLong * (1 + rowBytes)
     require(expected <= Int.MaxValue, s"PNG too large: $expected filtered bytes")
@@ -434,19 +514,40 @@ object Codecs {
       }
       r += 1
     }
-    val rgb =
-      if (bpp == 3) raw
-      else {
-        val o = new Array[Byte](width * height * 3)
+    val n = width * height
+    val rgb = colorType match {
+      case 2 => raw
+      case 6 =>
+        val o = new Array[Byte](n * 3)
         var i = 0
-        val n = width * height
         while (i < n) {
           o(i * 3) = raw(i * 4); o(i * 3 + 1) = raw(i * 4 + 1)
           o(i * 3 + 2) = raw(i * 4 + 2)
           i += 1
         }
         o
-      }
+      case 0 => // grayscale: replicate into the RGB grid
+        val o = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) {
+          o(i * 3) = raw(i); o(i * 3 + 1) = raw(i); o(i * 3 + 2) = raw(i)
+          i += 1
+        }
+        o
+      case _ => // palette: FILE-carried PLTE lookup, indices re-validated
+        val entries = plte.length / 3
+        val o = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) {
+          val idx = raw(i) & 0xFF
+          require(idx < entries,
+            s"palette index $idx outside the $entries-entry PLTE")
+          o(i * 3) = plte(idx * 3); o(i * 3 + 1) = plte(idx * 3 + 1)
+          o(i * 3 + 2) = plte(idx * 3 + 2)
+          i += 1
+        }
+        o
+    }
     Png(Image(width, height, rgb), colorType)
   }
 
@@ -645,6 +746,8 @@ object Codecs {
     * pixel indices in ≤255-byte sub-blocks, trailer. */
   def encodeGif(width: Int, height: Int, palette: Array[Int],
                 indices: Array[Byte], interlaced: Boolean = false): Array[Byte] = {
+    require(width >= 1 && width <= 0xFFFF && height >= 1 && height <= 0xFFFF,
+      s"GIF dimensions ${width}x$height out of the format's [1,65535] range")
     require(palette.length >= 2 && palette.length <= 256 &&
       Integer.bitCount(palette.length) == 1,
       s"GIF global color table must be a power of two in 2..256, got ${palette.length}")
@@ -723,6 +826,8 @@ object Codecs {
   def encodeGifAnimated(width: Int, height: Int, palette: Array[Int],
                         frames: Seq[(Array[Byte], Boolean, Int)],
                         loops: Int = -1): Array[Byte] = {
+    require(width >= 1 && width <= 0xFFFF && height >= 1 && height <= 0xFFFF,
+      s"GIF dimensions ${width}x$height out of the format's [1,65535] range")
     require(palette.length >= 2 && palette.length <= 256 &&
       Integer.bitCount(palette.length) == 1,
       s"GIF global color table must be a power of two in 2..256, got ${palette.length}")
@@ -829,6 +934,10 @@ object Codecs {
     require(left == 0 && top == 0 && w == screenW && h == screenH,
       s"unsupported GIF: sub-rectangle frame (${w}x$h at $left,$top on ${screenW}x$screenH)")
     require(w > 0 && h > 0, s"degenerate GIF dimensions ${w}x$h")
+    // w·h drives the LZW expected-pixel count and the rgb allocation:
+    // 65535×65535 wraps Int — cap before any allocation (fuzz contract)
+    require(w.toLong * h <= MaxDecodePixels,
+      s"GIF dimensions ${w}x$h exceed the $MaxDecodePixels-pixel decode cap")
     val interlaced = (iPacked & 0x40) != 0
     require(off < bytes.length, "truncated GIF: missing LZW minimum code size")
     val minCodeSize = bytes(off) & 0xFF
@@ -1217,8 +1326,10 @@ object Codecs {
   // training-pipeline codec family.
 
   /** A decoded JPEG: pixels plus header facts carried out as data —
-    * component count from SOF0, restart interval from DRI (0 = none). */
-  final case class JpegImage(image: Image, components: Int, restartInterval: Int)
+    * component count and luma sampling factors from SOF0 (1/1 = 4:4:4,
+    * 2/2 = 4:2:0, 2/1 = 4:2:2), restart interval from DRI (0 = none). */
+  final case class JpegImage(image: Image, components: Int, restartInterval: Int,
+                             lumaH: Int = 1, lumaV: Int = 1)
 
   /** Zigzag position → natural (row-major) index, T.81 Figure 5. */
   private[multimodal] val JpegZigzag: Array[Int] = Array(
@@ -1438,32 +1549,49 @@ object Codecs {
     out
   }
 
-  /** Encode baseline JPEG: YCbCr 4:4:4 (3 components) or grayscale.
-    * `qscale` multiplies the Annex K tables (clamped to [1,255]);
+  /** Encode baseline JPEG: YCbCr (3 components) or grayscale. `qscale`
+    * multiplies the Annex K tables (clamped to [1,255]);
     * `restartInterval` > 0 emits DRI + RSTn markers every that many MCUs.
-    * Images whose dims aren't multiples of 8 are edge-replicated to the
-    * MCU grid (the standard's §A.2.1 convention); the decoder crops back. */
+    * `lumaH`/`lumaV` are the luma sampling factors with chroma fixed at
+    * 1×1 — (1,1) = 4:4:4 (byte-identical to the pre-subsampling encoder),
+    * (2,1) = 4:2:2, (1,2) = 4:4:0, (2,2) = 4:2:0, the forms real camera/
+    * web encoders emit. Chroma is box-averaged (round half up) over each
+    * lumaH×lumaV group — exact on flat regions, which keeps the oracle
+    * closed form. Images whose dims aren't multiples of the MCU are
+    * edge-replicated to the MCU grid (§A.2.1); the decoder crops back. */
   def encodeJpeg(img: Image, qscale: Int = 1, restartInterval: Int = 0,
-                 gray: Boolean = false): Array[Byte] = {
+                 gray: Boolean = false, lumaH: Int = 1, lumaV: Int = 1): Array[Byte] = {
     require(qscale >= 1 && qscale <= 15, s"qscale out of [1,15]: $qscale")
     require(restartInterval >= 0 && restartInterval <= 0xFFFF,
       s"restart interval out of [0,65535]: $restartInterval")
+    require(lumaH >= 1 && lumaH <= 2 && lumaV >= 1 && lumaV <= 2,
+      s"luma sampling factors out of [1,2]: ${lumaH}x$lumaV")
+    require(!gray || (lumaH == 1 && lumaV == 1),
+      "grayscale has a single component — subsampling does not apply")
     val w = img.width; val h = img.height
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    // u16 SOF fields: dims past 65535 would silently truncate on the wire
+    require(w >= 1 && w <= 0xFFFF && h >= 1 && h <= 0xFFFF,
+      s"JPEG dimensions ${w}x$h out of the format's [1,65535] range")
+    require(w.toLong * h <= MaxDecodePixels,
+      s"JPEG dimensions ${w}x$h exceed the $MaxDecodePixels-pixel cap")
+    val mcusX = (w + 8 * lumaH - 1) / (8 * lumaH)
+    val mcusY = (h + 8 * lumaV - 1) / (8 * lumaV)
+    val pwY = mcusX * lumaH * 8; val phY = mcusY * lumaV * 8
+    val pwC = mcusX * 8; val phC = mcusY * 8
     val nComp = if (gray) 1 else 3
-    // component planes, level-shifted later per block
-    val planes = Array.ofDim[Int](nComp, bw * 8 * bh * 8)
+    // full-res planes on the MCU-padded luma grid, level-shifted later
+    val planes = Array.ofDim[Int](nComp, pwY * phY)
     var y = 0
-    while (y < bh * 8) {
+    while (y < phY) {
       val sy = math.min(y, h - 1)
       var x = 0
-      while (x < bw * 8) {
+      while (x < pwY) {
         val sx = math.min(x, w - 1)
         val p = (sy * w + sx) * 3
         val r = img.rgb(p) & 0xFF
         val g = img.rgb(p + 1) & 0xFF
         val b = img.rgb(p + 2) & 0xFF
-        val o = y * bw * 8 + x
+        val o = y * pwY + x
         // JFIF fixed-point RGB→YCbCr; the multipliers sum to 256 (Y) and
         // 0 (Cb/Cr), so R=G=B lands on Y=R, Cb=Cr=128 EXACTLY.
         planes(0)(o) = (77 * r + 150 * g + 29 * b + 128) >> 8
@@ -1475,6 +1603,38 @@ object Codecs {
       }
       y += 1
     }
+    // chroma downsample: box average over each lumaH×lumaV group, round
+    // half up (identity at 1×1, so 4:4:4 output is byte-stable)
+    val chroma: Array[Array[Int]] =
+      if (gray) null
+      else if (lumaH == 1 && lumaV == 1) Array(planes(1), planes(2))
+      else {
+        val area = lumaH * lumaV
+        Array.tabulate(2) { ci =>
+          val src = planes(ci + 1)
+          val dst = new Array[Int](pwC * phC)
+          var cy = 0
+          while (cy < phC) {
+            var cx = 0
+            while (cx < pwC) {
+              var s = 0
+              var dy = 0
+              while (dy < lumaV) {
+                var dx = 0
+                while (dx < lumaH) {
+                  s += src((cy * lumaV + dy) * pwY + cx * lumaH + dx)
+                  dx += 1
+                }
+                dy += 1
+              }
+              dst(cy * pwC + cx) = (s + area / 2) / area
+              cx += 1
+            }
+            cy += 1
+          }
+          dst
+        }
+      }
     val qLum = scaleQuant(JpegQuantLum, qscale)
     val qChr = scaleQuant(JpegQuantChr, qscale)
     val out = new java.io.ByteArrayOutputStream(1024)
@@ -1494,13 +1654,14 @@ object Codecs {
     }
     dqt(0, qLum)
     if (!gray) dqt(1, qChr)
-    // SOF0: baseline, precision 8, all sampling factors 1 (4:4:4)
+    // SOF0: baseline, precision 8; luma carries the sampling factors,
+    // chroma is 1×1 (4:4:4 when luma is 1×1 too)
     marker(0xC0); u16(8 + 3 * nComp); out.write(8); u16(h); u16(w)
     out.write(nComp)
     var c = 0
     while (c < nComp) {
       out.write(c + 1) // component id
-      out.write(0x11) // 1×1 sampling
+      out.write(if (c == 0) (lumaH << 4) | lumaV else 0x11)
       out.write(if (c == 0) 0 else 1) // quant table id
       c += 1
     }
@@ -1529,61 +1690,77 @@ object Codecs {
     val writer = new JpegBitWriter(out)
     val pred = new Array[Int](nComp)
     val block = new Array[Int](64)
+    // one encoded block: load from (plane, planeW, baseY, baseX), fdct,
+    // huffman-code — shared by the luma and chroma unit loops below
+    def encodeBlock(plane: Array[Int], planeW: Int, baseY: Int, baseX: Int,
+                    c: Int): Unit = {
+      var i = 0
+      while (i < 64) {
+        block(i) = plane((baseY + i / 8) * planeW + baseX + i % 8) - 128
+        i += 1
+      }
+      val coef = fdctQuant(block, if (c == 0) qLum else qChr)
+      val ti = if (c == 0) 0 else 1
+      // DC: category code + magnitude bits (negatives offset by 2^cat−1)
+      val diff = coef(0) - pred(c)
+      pred(c) = coef(0)
+      val cat = jpegCategory(diff)
+      val (dl, dc) = dcTab(ti)(cat)
+      writer.put(dc, dl)
+      if (cat > 0)
+        writer.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      // AC: run/size with ZRL and EOB
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val v = coef(JpegZigzag(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (zl, zc) = acTab(ti)(0xF0); writer.put(zc, zl); run -= 16
+          }
+          val sz = jpegCategory(v)
+          val (al, ac) = acTab(ti)((run << 4) | sz)
+          writer.put(ac, al)
+          writer.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (el, ec) = acTab(ti)(0x00); writer.put(ec, el) }
+    }
+    // interleaved MCU walk (§A.2.3): per MCU, lumaV×lumaH luma units in
+    // raster order, then one Cb and one Cr unit (1×1 chroma)
     var mcu = 0
     var rstIdx = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           writer.flushAlign()
           marker(0xD0 + rstIdx)
           rstIdx = (rstIdx + 1) % 8
           java.util.Arrays.fill(pred, 0)
         }
-        c = 0
-        while (c < nComp) {
-          val plane = planes(c)
-          var i = 0
-          while (i < 64) {
-            block(i) = plane((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) - 128
-            i += 1
+        var vb = 0
+        while (vb < lumaV) {
+          var hb = 0
+          while (hb < lumaH) {
+            encodeBlock(planes(0), pwY,
+              (my * lumaV + vb) * 8, (mx * lumaH + hb) * 8, 0)
+            hb += 1
           }
-          val coef = fdctQuant(block, if (c == 0) qLum else qChr)
-          val ti = if (c == 0) 0 else 1
-          // DC: category code + magnitude bits (negatives offset by 2^cat−1)
-          val diff = coef(0) - pred(c)
-          pred(c) = coef(0)
-          val cat = jpegCategory(diff)
-          val (dl, dc) = dcTab(ti)(cat)
-          writer.put(dc, dl)
-          if (cat > 0)
-            writer.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
-          // AC: run/size with ZRL and EOB
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            val v = coef(JpegZigzag(k))
-            if (v == 0) run += 1
-            else {
-              while (run >= 16) {
-                val (zl, zc) = acTab(ti)(0xF0); writer.put(zc, zl); run -= 16
-              }
-              val sz = jpegCategory(v)
-              val (al, ac) = acTab(ti)((run << 4) | sz)
-              writer.put(ac, al)
-              writer.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (el, ec) = acTab(ti)(0x00); writer.put(ec, el) }
-          c += 1
+          vb += 1
+        }
+        if (!gray) {
+          encodeBlock(chroma(0), pwC, my * 8, mx * 8, 1)
+          encodeBlock(chroma(1), pwC, my * 8, mx * 8, 2)
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     writer.flushAlign()
     marker(0xD9) // EOI
@@ -1678,13 +1855,28 @@ object Codecs {
     }
   }
 
+  /** Hard pixel cap for JPEG/GIF decode allocations: a crafted header
+    * can declare up to 65535×65535 (≈4.3 G pixels), which overflows the
+    * Int plane/rgb allocation arithmetic (2³² → 0 or negative) and, just
+    * under the wrap, permits multi-GB attacker-controlled allocations in
+    * the streaming media-gate path. 2²⁶ pixels (67 MP — beyond any gated
+    * corpus image) keeps every derived allocation comfortably inside Int
+    * and bounded; over-cap files fail loudly per the fuzz contract. */
+  private[multimodal] val MaxDecodePixels: Long = 1L << 26
+
   /** Decode baseline JPEG (SOF0, 8-bit, Huffman): marker walk, DQT/DHT/
     * DRI/SOF0/SOS parse, entropy decode with byte-stuffing and restart
-    * markers, dequantize, de-zigzag, integer IDCT, YCbCr→RGB. Scope
-    * REJECTIONS are named: progressive (SOF2) and the other SOF variants,
-    * 12-bit precision or quant tables, arithmetic coding, subsampled
-    * chroma (only 4:4:4 / grayscale decode). Grayscale output replicates
-    * luma into all three channels of the container-neutral [[Image]]. */
+    * markers, dequantize, de-zigzag, integer IDCT, per-component
+    * sample-replication upsampling (T.81 leaves the reconstruction
+    * filter to the decoder; integer replication keeps flat regions
+    * bit-exact, which is what keeps the oracle closed form), YCbCr→RGB.
+    * The MCU walk is the general interleaved Hmax/Vmax form of §A.2.3 —
+    * 4:4:4, 4:2:2, 4:4:0 and 4:2:0 chroma subsampling all decode (any
+    * factor mix with ≤10 data units per MCU, the spec's own bound).
+    * Scope REJECTIONS are named: progressive (SOF2) and the other SOF
+    * variants, 12-bit precision or quant tables, arithmetic coding.
+    * Grayscale output replicates luma into all three channels of the
+    * container-neutral [[Image]]. */
   def decodeJpeg(bytes: Array[Byte]): JpegImage = {
     require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8, "not a JPEG: SOI marker missing")
@@ -1705,11 +1897,13 @@ object Codecs {
     var width = 0; var height = 0
     var nComp = 0
     var restartInterval = 0
-    // per component: id, quant table id, DC table id, AC table id
+    // per component: id, quant table id, DC table id, AC table id, H/V
     var compQuant: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var compIds: Array[Int] = null
+    var sampH: Array[Int] = null
+    var sampV: Array[Int] = null
     var pos = 2
     var sosAt = -1
     while (sosAt < 0) {
@@ -1771,22 +1965,37 @@ object Codecs {
           require(prec == 8, s"unsupported JPEG precision $prec (8-bit only)")
           height = u16(pos + 3); width = u16(pos + 5)
           require(width > 0 && height > 0, "JPEG with zero dimension")
+          require(width.toLong * height <= MaxDecodePixels,
+            s"JPEG dimensions ${width}x$height exceed the $MaxDecodePixels-pixel decode cap")
           nComp = bytes(pos + 7) & 0xFF
           require(nComp == 1 || nComp == 3,
             s"unsupported component count $nComp (grayscale or YCbCr only)")
           require(len >= 8 + 3 * nComp, "SOF too short for its components")
           compIds = new Array[Int](nComp)
           compQuant = new Array[Int](nComp)
+          sampH = new Array[Int](nComp)
+          sampV = new Array[Int](nComp)
           var c = 0
+          var unitsPerMcu = 0
           while (c < nComp) {
             compIds(c) = bytes(pos + 8 + 3 * c) & 0xFF
             val hv = bytes(pos + 9 + 3 * c) & 0xFF
-            require(hv == 0x11,
-              f"unsupported sampling factors 0x$hv%02X (4:4:4 only — " +
-                "subsampled chroma is out of scope, named not mis-decoded)")
+            sampH(c) = hv >> 4; sampV(c) = hv & 0x0F
+            require(sampH(c) >= 1 && sampH(c) <= 4 &&
+              sampV(c) >= 1 && sampV(c) <= 4,
+              f"sampling factors 0x$hv%02X out of the spec's [1,4] range")
+            unitsPerMcu += sampH(c) * sampV(c)
             compQuant(c) = bytes(pos + 10 + 3 * c) & 0x0F
             require(compQuant(c) <= 3, s"quant table id ${compQuant(c)} out of range")
             c += 1
+          }
+          // §B.2.3: at most 10 data units per interleaved MCU
+          require(nComp == 1 || unitsPerMcu <= 10,
+            s"$unitsPerMcu data units per MCU exceeds the spec's limit of 10")
+          if (nComp == 1) {
+            // single-component scans are non-interleaved (§A.2.2): the
+            // MCU is one data unit and the declared factors are inert
+            sampH(0) = 1; sampV(0) = 1
           }
           pos += len
         case 0xC2 =>
@@ -1834,17 +2043,26 @@ object Codecs {
       require(acTabs(compAc(c)) != null, s"missing AC Huffman table ${compAc(c)}")
       c += 1
     }
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
-    val planes = Array.ofDim[Int](nComp, bw * 8 * bh * 8)
+    // General interleaved MCU geometry (§A.2.3): the MCU spans
+    // 8·Hmax × 8·Vmax image pixels; component c contributes Vc×Hc data
+    // units per MCU into its own MCU-padded plane. 4:4:4 degenerates to
+    // the one-block-per-component walk.
+    val hMax = sampH.max; val vMax = sampV.max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // padded plane dims per component (≤ dim+32, safe under the pixel cap)
+    val pw = Array.tabulate(nComp)(c => mcusX * sampH(c) * 8)
+    val ph = Array.tabulate(nComp)(c => mcusY * sampV(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Int](pw(c) * ph(c)))
     val reader = new JpegBitReader(bytes, sosAt)
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     var mcu = 0
     var rstIdx = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           reader.expectRestart(rstIdx)
           rstIdx = (rstIdx + 1) % 8
@@ -1853,56 +2071,73 @@ object Codecs {
         c = 0
         while (c < nComp) {
           val q = quant(compQuant(c))
-          java.util.Arrays.fill(coef, 0)
-          val cat = reader.decodeHuff(dcTabs(compDc(c)))
-          require(cat <= 11, s"DC category $cat out of range")
-          pred(c) += reader.receiveExtend(cat)
-          coef(0) = pred(c) * q(0)
-          var k = 1
-          while (k < 64) {
-            val rs = reader.decodeHuff(acTabs(compAc(c)))
-            val run = rs >> 4
-            val sz = rs & 0x0F
-            if (sz == 0) {
-              if (run == 15) k += 16 // ZRL
-              else k = 64 // EOB
-            } else {
-              k += run
-              require(k < 64, "AC run overflows the block")
-              coef(JpegZigzag(k)) = reader.receiveExtend(sz) * q(JpegZigzag(k))
-              k += 1
+          var vb = 0
+          while (vb < sampV(c)) {
+            var hb = 0
+            while (hb < sampH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val cat = reader.decodeHuff(dcTabs(compDc(c)))
+              require(cat <= 11, s"DC category $cat out of range")
+              pred(c) += reader.receiveExtend(cat)
+              coef(0) = pred(c) * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = reader.decodeHuff(acTabs(compAc(c)))
+                val run = rs >> 4
+                val sz = rs & 0x0F
+                if (sz == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else k = 64 // EOB
+                } else {
+                  k += run
+                  require(k < 64, "AC run overflows the block")
+                  coef(JpegZigzag(k)) = reader.receiveExtend(sz) * q(JpegZigzag(k))
+                  k += 1
+                }
+              }
+              val px = idctBlock(coef)
+              val plane = planes(c)
+              val baseY = (my * sampV(c) + vb) * 8
+              val baseX = (mx * sampH(c) + hb) * 8
+              var i = 0
+              while (i < 64) {
+                plane((baseY + i / 8) * pw(c) + baseX + i % 8) = px(i)
+                i += 1
+              }
+              hb += 1
             }
-          }
-          val px = idctBlock(coef)
-          val plane = planes(c)
-          var i = 0
-          while (i < 64) {
-            plane((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) = px(i)
-            i += 1
+            vb += 1
           }
           c += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    // YCbCr→RGB (JFIF fixed point), cropping the MCU grid to the SOF dims
+    // Upsample (integer sample replication: source sample x·Hc/Hmax,
+    // y·Vc/Vmax — exact on flat regions) + YCbCr→RGB (JFIF fixed point),
+    // cropping the MCU grid to the SOF dims.
     val rgb = new Array[Byte](width * height * 3)
     def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+    val pwY = pw(0)
+    val pwCb = if (nComp == 3) pw(1) else 0
+    val pwCr = if (nComp == 3) pw(2) else 0
     var yy = 0
     while (yy < height) {
       var xx = 0
       while (xx < width) {
-        val o = yy * bw * 8 + xx
         val p = (yy * width + xx) * 3
         if (nComp == 1) {
-          val g = clamp(planes(0)(o))
+          val g = clamp(planes(0)(yy * pwY + xx))
           rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
         } else {
-          val yv = planes(0)(o)
-          val cb = planes(1)(o) - 128
-          val cr = planes(2)(o) - 128
+          val yv = planes(0)(
+            (yy * sampV(0) / vMax) * pwY + xx * sampH(0) / hMax)
+          val cb = planes(1)(
+            (yy * sampV(1) / vMax) * pwCb + xx * sampH(1) / hMax) - 128
+          val cr = planes(2)(
+            (yy * sampV(2) / vMax) * pwCr + xx * sampH(2) / hMax) - 128
           rgb(p) = clamp(yv + ((91881 * cr + 32768) >> 16))
           rgb(p + 1) = clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16))
           rgb(p + 2) = clamp(yv + ((116130 * cb + 32768) >> 16))
@@ -1911,6 +2146,7 @@ object Codecs {
       }
       yy += 1
     }
-    JpegImage(Image(width, height, rgb), nComp, restartInterval)
+    JpegImage(Image(width, height, rgb), nComp, restartInterval,
+      sampH(0), sampV(0))
   }
 }

@@ -386,6 +386,58 @@ object Multimodal {
       }
   }
 
+  /** Render each doc as a REAL PNG across ALL FOUR supported color types
+    * by doc_id mod 4 — 0: truecolor+alpha (6), 1: truecolor (2),
+    * 2: PALETTE (3, [[gifPalette]] PLTE with index(i) = byte(i mod L)),
+    * 3: GRAYSCALE (0, v(i) = byte(i mod L)) — the real-web admission mix
+    * (m14's corpus). All four share the SAME blue-channel rule
+    * (byte(i mod L): truecolor blue, palette entry blue = its index,
+    * gray value), so blue_sum is one oracle formula while dhash exercises
+    * each type's own decode path (PLTE lookup / gray replication). */
+  def renderPngTableMixed(documents: DataFrame, width: Int,
+                          height: Int): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          (id % 4) match {
+            case 0 => MediaRow(id,
+              Codecs.encodePng(textImage(text, width, height), rgba = true),
+              "image/png;rgba")
+            case 1 => MediaRow(id,
+              Codecs.encodePng(textImage(text, width, height)),
+              "image/png")
+            case 2 =>
+              val tb = text.getBytes("UTF-8")
+              require(tb.length >= 1, "renderPngTableMixed needs a non-empty payload")
+              requirePrintableAscii(tb, "renderPngTableMixed")
+              val indices = new Array[Byte](width * height)
+              var i = 0
+              while (i < indices.length) { indices(i) = tb(i % tb.length); i += 1 }
+              MediaRow(id,
+                Codecs.encodePngPalette(width, height, gifPalette, indices),
+                "image/png;palette")
+            case _ =>
+              val tb = text.getBytes("UTF-8")
+              require(tb.length >= 1, "renderPngTableMixed needs a non-empty payload")
+              requirePrintableAscii(tb, "renderPngTableMixed")
+              val rgb = new Array[Byte](width * height * 3)
+              var i = 0
+              val n = width * height
+              while (i < n) {
+                val v = tb(i % tb.length)
+                rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+                i += 1
+              }
+              MediaRow(id,
+                Codecs.encodePngGray(Codecs.Image(width, height, rgb)),
+                "image/png;gray")
+          }
+        }
+      }
+  }
+
   /** The m17 GIF palette — a fixed public rule the oracle can mirror:
     * entry k is (red 255−k, green (2k) mod 251, blue k). Blue = k means
     * the palette LOOKUP is pinned by every blue-derived feature, and the
@@ -461,7 +513,8 @@ object Multimodal {
     * even doc_ids carry DRI=2 with RSTn markers (the restart path is
     * data-bearing on half the corpus). */
   def renderJpegTable(documents: DataFrame, qscale: Int = 1,
-                      idOffset: Long = 0L): Dataset[MediaRow] = {
+                      idOffset: Long = 0L, lumaH: Int = 1,
+                      lumaV: Int = 1): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -470,10 +523,29 @@ object Multimodal {
           val rst = if (id % 2 == 0) 2 else 0
           MediaRow(id + idOffset,
             Codecs.encodeJpeg(blockGrayImage(text), qscale = qscale,
-              restartInterval = rst),
-            s"image/jpeg;q$qscale" + (if (rst > 0) ";rst" else ""))
+              restartInterval = rst, lumaH = lumaH, lumaV = lumaV),
+            s"image/jpeg;q$qscale;s$lumaH$lumaV" + (if (rst > 0) ";rst" else ""))
         }
       }
+  }
+
+  /** (doc_id, dhash) from decoded JPEGs, ASSERTING the SOF sampling
+    * factors — the m25 gate: a decoder that silently fell back to 4:4:4
+    * (or an encoder that never wrote the subsampled SOF) fails loudly
+    * instead of producing a vacuous pair match. */
+  def decodedSampledDHash(media: Dataset[MediaRow], wantH: Int,
+                          wantV: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val jpg = Codecs.decodeJpeg(r.media)
+        require(jpg.lumaH == wantH && jpg.lumaV == wantV,
+          s"doc ${r.doc_id}: expected ${wantH}x$wantV luma sampling, " +
+            s"decoded ${jpg.lumaH}x${jpg.lumaV}")
+        (r.doc_id, dhash56(jpg.image))
+      }
+    }.toDF("doc_id", "dhash")
   }
 
   /** m19 output: decoded-JPEG facts — dims and component count from SOF0,
@@ -740,15 +812,19 @@ object Multimodal {
     }
   }
 
-  /** m14 output: decoded-PNG features — dims and color CHANNELS from the
-    * parsed IHDR (3 vs 6 alternates by doc parity, so the header parse is
-    * data-bearing), the full 2-D [[dhash56]] and the blue channel sum
+  /** m14 output: decoded-PNG features — the IHDR color type and its
+    * channel count from the parsed header (all four supported types
+    * cycle by doc_id mod 4 in the m14 corpus, so the header parse, the
+    * PLTE lookup, and the gray replication are each data-bearing on a
+    * quarter of it), the full 2-D [[dhash56]] and the blue channel sum
     * from inflated+unfiltered pixels. Every byte of the image passes
     * through zlib and one of the five filter reconstructions before any
     * feature is computed — the oracle recomputes the features from the
-    * text-domain rule, so an inflate or filter bug hash-mismatches. */
+    * text-domain rule, so an inflate, filter, or palette bug
+    * hash-mismatches. */
   final case class PngMeta(doc_id: Long, width: Long, height: Long,
-                           channels: Long, blue_sum: Long, dhash: Long)
+                           color_type: Long, channels: Long,
+                           blue_sum: Long, dhash: Long)
 
   def decodedPngMeta(media: Dataset[MediaRow]): Dataset[PngMeta] = {
     val spark = media.sparkSession
@@ -761,8 +837,13 @@ object Multimodal {
         var blueSum = 0L
         var i = 0
         while (i < n) { blueSum += img.rgb(i * 3 + 2) & 0xFF; i += 1 }
+        val channels = png.colorType match {
+          case 6 => 4L
+          case 2 => 3L
+          case _ => 1L // gray (0) and palette (3): one byte per pixel
+        }
         PngMeta(r.doc_id, img.width.toLong, img.height.toLong,
-          if (png.colorType == 6) 4L else 3L, blueSum, dhash56(img))
+          png.colorType.toLong, channels, blueSum, dhash56(img))
       }
     }
   }

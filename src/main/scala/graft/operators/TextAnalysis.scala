@@ -62,17 +62,20 @@ object TextAnalysis {
   // (the sentencepiece/HuggingFace shape): train greedy merge rules on the
   // word-frequency table, then tokenize every document with them.
   //
-  // REPRESENTATION IS THE CORRECTNESS TRICK: a word's symbol sequence is a
-  // comma-TERMINATED string ("hello" → "h,e,l,l,o,"), so one merge rule
-  // (a,b)→ab is ONE literal string replace of "a,b," with "ab," —
-  // adjacent occurrences share no characters (unlike a space-SEPARATED
-  // form, where the shared delimiter makes leftmost replace skip every
-  // other occurrence of a consecutive chain), so a single non-overlapping
-  // left-to-right replace pass IS the standard greedy BPE application of
-  // that rule, and merging (a,b) can never create a new (a,b) adjacency.
-  // Both engines (Java String/UTF8String replace, DuckDB replace) share
-  // those replace semantics, which is what makes the trained tokenizer
-  // fully oracle-verifiable — training included.
+  // REPRESENTATION IS THE CORRECTNESS TRICK: each symbol is wrapped in
+  // its OWN delimiter pair ("hello" → ",h.,e.,l.,l.,o."), so one merge
+  // rule (a,b)→ab is ONE literal string replace of ",a.,b." with ",ab.".
+  // Both anchors matter: the leading "," means a token merely ENDING in
+  // `a` can never false-match (",th.,e." does not contain ",h.,e."), and
+  // because every token carries its own lead/trail delimiter, adjacent
+  // matches share no characters — a single non-overlapping left-to-right
+  // replace pass consumes exactly two complete token units per match and
+  // IS the standard greedy leftmost application of that rule (",a.,b.,a.,b."
+  // merges BOTH occurrences; ",a.,a.,a." merges only the leftmost of an
+  // odd identical run — exactly the greedy pairing). Both engines (Java
+  // String/UTF8String replace, DuckDB replace) share those replace
+  // semantics, which is what makes the trained tokenizer fully
+  // oracle-verifiable — training included.
   //
   // Scale shape: the fit reads only the top-`topWords` word-count rows
   // (distributed hash aggregate + TakeOrdered, then a BOUNDED collect —
@@ -95,14 +98,14 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(topWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var words = top.map { case (w, c) => (w.map(ch => s"$ch,").mkString, c) }
+    var words = top.map { case (w, c) => (w.map(ch => s",$ch.").mkString, c) }
     val out = Seq.newBuilder[BpeMerge]
     var step = 1
     var dry = false
     while (step <= merges && !dry) {
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       for ((w, c) <- words) {
-        val toks = w.split(",")
+        val toks = w.split("[.,]+").filter(_.nonEmpty)
         var j = 0
         while (j < toks.length - 1) {
           val key = toks(j) + "," + toks(j + 1)
@@ -119,7 +122,7 @@ object TextAnalysis {
         val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
         val merged = pair.replace(",", "")
         words = words.map { case (w, c) =>
-          (w.replace(pair + ",", merged + ","), c)
+          (w.replace("," + pair.replace(",", ".,") + ".", "," + merged + "."), c)
         }
         out += BpeMerge(step, pair, merged, cnt)
         step += 1
@@ -156,11 +159,12 @@ object TextAnalysis {
       require(m.pair.matches("[a-z]+,[a-z]+") && m.merged.matches("[a-z]+"),
         s"unsafe merge literal: ${m.pair}")
     }
-    // spaced("hello") = "h,e,l,l,o,"; each rule is one literal replace;
-    // tokens = commas left after the chain. All one codegen'd projection.
-    val spaced = "regexp_replace(w, '(.)', '$1,')"
+    // spaced("hello") = ",h.,e.,l.,l.,o."; each rule is one literal
+    // replace of ",a.,b." with ",ab."; tokens = commas left after the
+    // chain (one leading comma per token). All one codegen'd projection.
+    val spaced = "regexp_replace(w, '(.)', ',$1.')"
     val chain = merges.foldLeft(spaced) { (acc, m) =>
-      s"replace($acc, '${m.pair},', '${m.merged},')"
+      s"replace($acc, ',${m.pair.replace(",", ".,")}.', ',${m.merged}.')"
     }
     docs.selectExpr(
       idCol,

@@ -232,16 +232,19 @@ private[queries] object MultimodalQueries {
     }),
 
 
-    // m14 (round 15): every doc rendered as a REAL compressed PNG — zlib
-    // IDAT (split in two chunks), per-chunk CRC-32, scanlines cycling all
-    // five filter types, RGBA for even doc_ids (data-bearing alpha) / RGB
-    // for odd — then DECODED: channels from the parsed IHDR, blue sum and
-    // the full 2-D dHash from inflated+unfiltered pixels. The oracle
-    // recomputes the features from the text-domain pixel rule, so an
-    // inflate, filter-reconstruction, or header-parse bug hash-mismatches.
+    // m14 (round 15, widened round 16): every doc rendered as a REAL
+    // compressed PNG — zlib IDAT (split in two chunks), per-chunk CRC-32,
+    // scanlines cycling all five filter types — across ALL FOUR supported
+    // color types by doc_id mod 4 (RGBA 6 / RGB 2 / PALETTE 3 via a PLTE
+    // chunk / GRAYSCALE 0: the real-web admission mix) — then DECODED:
+    // color type + channels from the parsed IHDR, blue sum and the full
+    // 2-D dHash from inflated+unfiltered (and palette-looked-up /
+    // gray-replicated) pixels. The oracle recomputes the features from
+    // the per-class text-domain pixel rules, so an inflate, filter,
+    // PLTE-lookup, or header-parse bug hash-mismatches.
     "m14_png_decode" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
-      M.decodedPngMeta(M.renderPngTable(
+      M.decodedPngMeta(M.renderPngTableMixed(
         docs(s, dir).filter(length(col("text")) >= 1),
         width = 25, height = 16)).toDF()
     }),
@@ -358,28 +361,31 @@ private[queries] object MultimodalQueries {
         .select(col("doc_id"), col("dhash"))
         .unionByName(M.decodedDHash(q2).select(col("doc_id"), col("dhash")))
         .localCheckpoint()
-      val bands = h.select(col("doc_id"), col("dhash"),
-          explode(array((0 until 4).map(k => struct(lit(k).as("band"),
-            shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))
-              .as("bucket"))): _*)).as("bk"))
-        .select(col("doc_id"), col("dhash"),
-          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      val keep = bands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("n")).filter(col("n").between(2, 16))
-        .select(col("band"), col("bucket"))
-      val k = bands.join(keep, Seq("band", "bucket"))
-      val pairs = k.as("a").join(k.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.dhash").as("ah"), col("b.dhash").as("bh"))
-        .distinct()
-      pairs
-        .withColumn("hamming",
-          expr("bit_count(ah ^ bh)").cast("long"))
-        .filter(col("hamming") <= 4)
-        .select(col("a_id"), col("b_id"), col("hamming"))
+      dhashBandPairs(h)
+    }),
+
+
+    // m25 (round 16): CHROMA-SUBSAMPLED variant dedup — docs < 40
+    // re-encoded as REAL 4:2:0 JPEGs (2×2 luma sampling factors in the
+    // SOF, the 6-unit interleaved MCU walk, chroma planes at quarter
+    // resolution: the dominant camera/web JPEG form) and paired with
+    // their 4:4:4 originals through the decoded-domain dHash + the m20
+    // LSH band machinery. The flat-block payload makes the chroma
+    // box-average exact, so a CORRECT subsampled decode reproduces the
+    // 4:4:4 pixels bit-for-bit (JpegSpec pins that closed form) and the
+    // planted pairs land at Hamming 0 — while the engine additionally
+    // REQUIRES the decoded SOF factors to be 2×2, so a silent 4:4:4
+    // fallback anywhere fails loudly instead of matching vacuously.
+    "m25_subsampled_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val q420 = M.renderJpegTable(base.filter(col("doc_id") < 40),
+        qscale = 1, idOffset = 900000L, lumaH = 2, lumaV = 2)
+      val h = M.memoizedJpegMeta(base, dir).toDF()
+        .select(col("doc_id"), col("dhash"))
+        .unionByName(M.decodedSampledDHash(q420, 2, 2))
+        .localCheckpoint()
+      dhashBandPairs(h)
     }),
 
 
@@ -443,6 +449,36 @@ private[queries] object MultimodalQueries {
         docs(s, dir).filter(length(col("text")) >= 1))).toDF()
     }),
   )
+
+  /** The m20/m25 banded-LSH pair machinery over a (doc_id, dhash) table:
+    * 4 × 14-bit bands, bucket fan-out capped at 16 (the s-family
+    * discipline), verdict = Hamming ≤ 4 over the full 56-bit hash. The
+    * input is a localCheckpointed tiny table, so the bucket census and
+    * both self-join branches never replay decode lineage. */
+  private def dhashBandPairs(h: DataFrame): DataFrame = {
+    val bands = h.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(k => struct(lit(k).as("band"),
+          shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))
+            .as("bucket"))): _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val keep = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n").between(2, 16))
+      .select(col("band"), col("bucket"))
+    val k = bands.join(keep, Seq("band", "bucket"))
+    val pairs = k.as("a").join(k.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.dhash").as("ah"), col("b.dhash").as("bh"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        expr("bit_count(ah ^ bh)").cast("long"))
+      .filter(col("hamming") <= 4)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     // BYTE-vs-CHAR coupling: the engine (Multimodal.sampleFrames) slices
@@ -774,12 +810,12 @@ private[queries] object MultimodalQueries {
          FROM k a JOIN k b ON a.row_fp = b.row_fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
 
-    // m14: the text-domain mirror of the decoded-PNG features — dhash is
-    // the m12 formula (same pixels, different container: the engine goes
-    // text → pixels → filtered scanlines → zlib → real PNG bytes →
-    // inflate → unfilter → features), blue_sum the m09 rule, channels the
-    // doc-parity rule the encoder uses for its RGB/RGBA choice (the
-    // engine reads it back from the decoded IHDR).
+    // m14: the text-domain mirror of the decoded-PNG features across the
+    // four color-type classes (doc_id mod 4). The blue rule is SHARED
+    // (byte(i mod L): truecolor blue, palette blue = index, gray value),
+    // so blue_sum is one formula; the dHash luminance is per class —
+    // truecolor r+g+b (the m12 formula), palette (255−k)+(2k mod 251)+k
+    // = 255+(2k mod 251) from the pinned gifPalette rule, gray 3·v.
     "m14_png_decode" ->
       """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
                     WHERE len(text) >= 1),
@@ -789,13 +825,21 @@ private[queries] object MultimodalQueries {
                     FROM d),
               lm AS (SELECT doc_id, text, L,
                             list_transform(idx,
-                              i -> ascii(substr(text, 1 + (i % L), 1))
-                                 + (ascii(substr(text, 1 + ((2 * i) % L), 1))
-                                    + (i // 25) * 7 + (i % 25) * 13) % 251
-                                 + ((i * 31) % 251)) AS lv
+                              i -> CASE doc_id % 4
+                                   WHEN 2 THEN 255 +
+                                     (2 * ascii(substr(text, 1 + (i % L), 1))) % 251
+                                   WHEN 3 THEN 3 * ascii(substr(text, 1 + (i % L), 1))
+                                   ELSE ascii(substr(text, 1 + (i % L), 1))
+                                      + (ascii(substr(text, 1 + ((2 * i) % L), 1))
+                                         + (i // 25) * 7 + (i % 25) * 13) % 251
+                                      + ((i * 31) % 251)
+                                   END) AS lv
                      FROM g)
          SELECT doc_id, CAST(25 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
-                CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+                CAST(CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 3 ELSE 0 END AS BIGINT) AS color_type,
+                CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3
+                     ELSE 1 END AS BIGINT) AS channels,
                 CAST(list_sum(list_transform(generate_series(0, 399),
                   i -> ascii(substr(text, 1 + (i % L), 1)))) AS BIGINT) AS blue_sum,
                 CAST(list_sum(list_transform(generate_series(0, 55),
@@ -992,6 +1036,42 @@ private[queries] object MultimodalQueries {
                                    THEN (CAST(1 AS BIGINT) << b)
                                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
                      FROM g WHERE doc_id < 40),
+              allh AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+              bands AS (SELECT doc_id, dhash, bb AS band,
+                               (dhash >> (14 * bb)) & 16383 AS bucket
+                        FROM allh, (SELECT unnest(generate_series(0, 3)) AS bb)),
+              keep AS (SELECT band, bucket FROM bands GROUP BY 1, 2
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT bands.doc_id, bands.dhash, bands.band, bands.bucket
+                    FROM bands JOIN keep USING (band, bucket)),
+              p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                           a.dhash AS ah, b.dhash AS bh
+                    FROM k a JOIN k b ON a.band = b.band
+                         AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS BIGINT) AS hamming
+         FROM p WHERE bit_count(xor(ah, bh)) <= 4""",
+
+    // m25: the 4:2:0 variants decode to the SAME closed-form pixels as
+    // their 4:4:4 originals (flat blocks: chroma box-average exact,
+    // replication upsample exact — JpegSpec pins it), so the planted
+    // side reuses the scale-1 gv formula at offset 900000 and the
+    // planted pairs read Hamming 0; the band machinery is m20's.
+    "m25_subsampled_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              g AS (SELECT doc_id,
+                      list_transform(generate_series(0, 63),
+                        b -> 2 * ((ascii(substr(text, 1 + (b % L), 1)) + 1) // 2)) AS gv1
+                    FROM d),
+              h1 AS (SELECT doc_id,
+                       CAST(list_sum(list_transform(generate_series(0, 55),
+                         b -> CASE WHEN gv1[(b // 7) * 8 + (b % 7) + 1]
+                                        > gv1[(b // 7) * 8 + (b % 7) + 2]
+                                   THEN (CAST(1 AS BIGINT) << b)
+                                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+                     FROM g),
+              h2 AS (SELECT doc_id + 900000 AS doc_id, dhash
+                     FROM h1 WHERE doc_id < 40),
               allh AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
               bands AS (SELECT doc_id, dhash, bb AS band,
                                (dhash >> (14 * bb)) & 16383 AS bucket

@@ -334,7 +334,7 @@ private[queries] object TextQueries {
 
     // t25 (round 15): REAL BPE training — 8 greedy merge rules learned
     // from the top-100 word-count table (the bounded-fit pattern), each
-    // step's pair/merged/count driver-visible. The comma-terminated
+    // step's pair/merged/count driver-visible. The ",a.,b." dual-anchored
     // symbol form makes one literal replace per rule EXACT greedy BPE
     // (see TextAnalysis.bpeTrain), which is what lets DuckDB re-train
     // the same rules through 8 unrolled SQL stages and hash-match.
@@ -360,7 +360,7 @@ private[queries] object TextQueries {
   )
 
   /** The 8 unrolled BPE training stages (t25/t26 oracle prelude): word
-    * counts → top-100 → comma form, then per stage the weighted pair
+    * counts → top-100 → the ",a.,b." dual-anchored form, then per stage the weighted pair
     * census, the (count desc, pair asc) argmax, and the one-replace
     * application — the SQL mirror of [[graft.operators.TextAnalysis
     * .bpeTrain]]. */
@@ -369,15 +369,22 @@ private[queries] object TextQueries {
     // more than once, and each w_i is read by both p_{i+1} and w_{i+1}
     // (plus scalar subqueries on m_i), so an inlined chain re-evaluates
     // the corpus word census exponentially in the stage count.
+    // ",a.,b." pattern / ",ab." replacement (each symbol wrapped in its
+    // own ",." delimiter pair — see TextAnalysis.bpeTrain). The coalesce
+    // to the impossible literal ',0.' (tokens are [a-z], '0' never
+    // occurs) makes every stage a no-op when training dries up early
+    // (m_i empty → scalar subquery NULL → replace(w, NULL, …) would
+    // otherwise NULL the whole chain), mirroring the engine's early stop.
     val stages = (1 to 8).map { i =>
       s"""p$i AS MATERIALIZED (SELECT pr, sum(c) AS n FROM (
-                  SELECT c, unnest(list_transform(generate_series(1, len(tk) - 2),
+                  SELECT c, unnest(list_transform(generate_series(1, len(tk) - 1),
                     j -> tk[j] || ',' || tk[j + 1])) AS pr
-                  FROM (SELECT string_split(w, ',') AS tk, c FROM w${i - 1})
-                  WHERE len(tk) >= 3) GROUP BY pr),
+                  FROM (SELECT regexp_extract_all(w, '[a-z]+') AS tk, c FROM w${i - 1})
+                  WHERE len(tk) >= 2) GROUP BY pr),
           m$i AS MATERIALIZED (SELECT pr, n FROM p$i ORDER BY n DESC, pr ASC LIMIT 1),
-          w$i AS MATERIALIZED (SELECT replace(w, (SELECT pr || ',' FROM m$i),
-                         (SELECT replace(pr, ',', '') || ',' FROM m$i)) AS w, c
+          w$i AS MATERIALIZED (SELECT replace(w,
+                         coalesce((SELECT ',' || replace(pr, ',', '.,') || '.' FROM m$i), ',0.'),
+                         coalesce((SELECT ',' || replace(pr, ',', '') || '.' FROM m$i), ',0.')) AS w, c
                   FROM w${i - 1})"""
     }.mkString(",\n")
     s"""wcnt AS MATERIALIZED (
@@ -386,7 +393,7 @@ private[queries] object TextQueries {
                 FROM documents)
           GROUP BY w ORDER BY c DESC, w ASC LIMIT 100),
         w0 AS MATERIALIZED (
-          SELECT regexp_replace(w, '(.)', '\\1,', 'g') AS w, c FROM wcnt),
+          SELECT regexp_replace(w, '(.)', ',\\1.', 'g') AS w, c FROM wcnt),
         $stages"""
   }
 
@@ -790,13 +797,13 @@ private[queries] object TextQueries {
         .mkString("\n         UNION ALL ")}""",
 
     // t26: re-train AND re-apply — every doc's words through the same
-    // comma form and the 8-replace chain (the one-row rules CTE is cross
+    // dual-anchored form and the 8-replace chain (the one-row rules CTE is cross
     // joined so the lambda can reference the learned literals).
     "t26_bpe_apply" ->
       s"""WITH $bpeTrainCtes,
               rules AS MATERIALIZED (SELECT
                 ${(1 to 8).map(i =>
-        s"(SELECT pr || ',' FROM m$i) AS pat$i, (SELECT replace(pr, ',', '') || ',' FROM m$i) AS rep$i")
+        s"coalesce((SELECT ',' || replace(pr, ',', '.,') || '.' FROM m$i), ',0.') AS pat$i, coalesce((SELECT ',' || replace(pr, ',', '') || '.' FROM m$i), ',0.') AS rep$i")
         .mkString(",\n                ")}),
               dw AS (SELECT doc_id,
                             regexp_extract_all(lower(text), '[a-z]+') AS ws
@@ -804,16 +811,16 @@ private[queries] object TextQueries {
          SELECT doc_id,
                 CAST(len(ws) AS BIGINT) AS n_words,
                 CAST(coalesce(list_sum(list_transform(ws,
-                  w -> len(${(1 to 8).foldLeft("regexp_replace(w, '(.)', '\\1,', 'g')")(
+                  w -> len(${(1 to 8).foldLeft("regexp_replace(w, '(.)', ',\\1.', 'g')")(
         (acc, i) => s"replace($acc, pat$i, rep$i)")})
-                     - len(replace(${(1 to 8).foldLeft("regexp_replace(w, '(.)', '\\1,', 'g')")(
+                     - len(replace(${(1 to 8).foldLeft("regexp_replace(w, '(.)', ',\\1.', 'g')")(
         (acc, i) => s"replace($acc, pat$i, rep$i)")}, ',', '')))), 0) AS BIGINT) AS n_tokens,
                 CAST(CASE WHEN coalesce(list_sum(list_transform(ws, w -> len(w))), 0) = 0
                           THEN 0
                           ELSE coalesce(list_sum(list_transform(ws,
-                            w -> len(${(1 to 8).foldLeft("regexp_replace(w, '(.)', '\\1,', 'g')")(
+                            w -> len(${(1 to 8).foldLeft("regexp_replace(w, '(.)', ',\\1.', 'g')")(
         (acc, i) => s"replace($acc, pat$i, rep$i)")})
-                               - len(replace(${(1 to 8).foldLeft("regexp_replace(w, '(.)', '\\1,', 'g')")(
+                               - len(replace(${(1 to 8).foldLeft("regexp_replace(w, '(.)', ',\\1.', 'g')")(
         (acc, i) => s"replace($acc, pat$i, rep$i)")}, ',', '')))), 0) * 10000
                                // list_sum(list_transform(ws, w -> len(w)))
                      END AS BIGINT) AS ratio_bp

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
 
 /** BPE learn-then-apply (round 15): hand-trained merges on a tiny corpus,
-  * the comma-terminated representation's correctness on consecutive
+  * the dual-anchored ",tok." representation's correctness on consecutive
   * chains (where a space-separated form fails), deterministic
   * tie-breaks, and the applied token counts. */
 class BpeSpec extends SparkSpecBase {
@@ -22,9 +22,9 @@ class BpeSpec extends SparkSpecBase {
       (1, "a,a", "aa", 6L), (2, "a,b", "ab", 5L), (3, "aa,ab", "aaab", 3L)))
   }
 
-  test("consecutive chains merge correctly (the comma-form guarantee)") {
+  test("consecutive chains merge correctly (the dual-anchor guarantee)") {
     // "ababab": after rule (a,b)->ab ALL THREE occurrences must merge in
-    // one pass — a space-separated form's shared delimiter would skip
+    // one pass — a single-delimiter form's shared delimiter would skip
     // every other one.
     val docsDf = Seq((1L, "ababab ababab xz")).toDF("doc_id", "text")
     val ms = TextAnalysis.bpeTrain(docsDf, "text", 100, 1)
@@ -35,6 +35,23 @@ class BpeSpec extends SparkSpecBase {
     assert(applied.getAs[Long]("n_tokens") === 8L)
     // 14 chars, 8 tokens -> 5714 bp
     assert(applied.getAs[Long]("ratio_bp") === 8L * 10000L / 14L)
+  }
+
+  test("a rule never fires across a token boundary (prefix-crossing guard)") {
+    // the×2, th×4, he×3 — step1 pairs: (t,h) 6 > (h,e) 5 -> merge (t,h);
+    // "the" -> [th, e]. step2: (h,e) 3 > (th,e) 2 -> merge (h,e) — which
+    // must NOT touch [th, e] even though the flat string ends ...h,e...
+    // (a single-delimiter comma form falsely yields [the] here). step3:
+    // (th,e) 2 still present -> merge.
+    val docsDf = Seq((1L, "the the th th th th he he he")).toDF("doc_id", "text")
+    val ms = TextAnalysis.bpeTrain(docsDf, "text", topWords = 100, merges = 3)
+    assert(ms.map(m => (m.step, m.pair, m.merged, m.count)) === Seq(
+      (1, "t,h", "th", 6L), (2, "h,e", "he", 3L), (3, "th,e", "the", 2L)))
+    // apply only rules 1-2 to "the": must stay [th, e] = 2 tokens
+    val applied = TextAnalysis.bpeApply(
+      Seq((1L, "the")).toDF("doc_id", "text"), "doc_id", "text", ms.take(2))
+      .collect()(0)
+    assert(applied.getAs[Long]("n_tokens") === 2L)
   }
 
   test("argmax tie-break is (count desc, pair asc) — deterministic") {

@@ -206,6 +206,95 @@ class JpegSpec extends SparkSpecBase {
     assert(dec.width === 13 && dec.height === 9)
   }
 
+  test("golden 4:2:0 MCU: 6-unit interleave, block placement, upsampling") {
+    // Hand-packed 16×16 YCbCr 4:2:0 stream: ONE MCU of 6 data units in
+    // §A.2.3 order (Y00 Y01 Y10 Y11 Cb Cr), every block flat, all
+    // components on quant id 0 (Annex K lum) / DC id 0 (Annex K lum) /
+    // the 2-code custom AC table (EOB='0'). Luma DCs quantize to
+    // 1,3,5,7 (diffs 1,2,2,2 → '010'+'1', then '011'+'10' ×3), chroma
+    // is neutral (cat 0 = '00'); each unit ends with EOB '0':
+    //   01010 011100 011100 011100 000 000 + '111' pad
+    //   = 0x53 0x8E 0x38 0x07
+    // Decoded quadrants (DC·16 through the fixed-point IDCT): 130 top-
+    // left, 134 top-right, 138 bottom-left, 142 bottom-right — WHERE a
+    // block lands proves the raster unit order; R=G=B proves the 2×2
+    // chroma upsample stayed neutral.
+    val b = collection.mutable.ArrayBuffer[Int]()
+    b ++= Seq(0xFF, 0xD8) // SOI
+    b ++= Seq(0xFF, 0xDB, 0, 67, 0x00) // DQT id 0
+    b ++= (0 until 64).map(k => qLum(zig(k)))
+    b ++= Seq(0xFF, 0xC0, 0, 17, 8, 0, 16, 0, 16, 3, // SOF0 16×16, 3 comp
+      1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0) // luma 2×2, chroma 1×1
+    b ++= Seq(0xFF, 0xC4, 0, 31, 0x00) // DHT class 0 id 0: Annex K DC lum
+    b ++= Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    b ++= (0 to 11)
+    b ++= Seq(0xFF, 0xC4, 0, 21, 0x10) // DHT class 1 id 0: 2-code AC
+    b ++= Seq(1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    b ++= Seq(0x00, 0x02)
+    b ++= Seq(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0) // SOS
+    b ++= Seq(0x53, 0x8E, 0x38, 0x07)
+    b ++= Seq(0xFF, 0xD9) // EOI
+    val dec = Codecs.decodeJpeg(b.map(_.toByte).toArray)
+    assert(dec.components === 3 && dec.lumaH === 2 && dec.lumaV === 2)
+    assert(dec.image.width === 16 && dec.image.height === 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = (if (y < 8) 130 else 138) + (if (x < 8) 0 else 4)
+      val p = (y * 16 + x) * 3
+      assert((dec.image.rgb(p) & 0xFF) === want, s"pixel ($y,$x)")
+      assert(dec.image.rgb(p + 1) === dec.image.rgb(p) &&
+        dec.image.rgb(p + 2) === dec.image.rgb(p), s"chroma at ($y,$x)")
+    }
+  }
+
+  test("subsampled re-encode of flat blocks decodes pixel-identical to 4:4:4") {
+    // blockGrayImage is flat per 8×8 block with neutral chroma, so the
+    // chroma box-average is exact and every decoded pixel matches the
+    // 4:4:4 encode bit-for-bit — the closed form m25 builds on. The
+    // files themselves must differ (different SOF + MCU structure).
+    val img = Multimodal.blockGrayImage("subsample closed form", blocks = 4)
+    val ref = Codecs.decodeJpeg(Codecs.encodeJpeg(img))
+    for ((lh, lv) <- Seq((2, 2), (2, 1), (1, 2))) {
+      val enc = Codecs.encodeJpeg(img, lumaH = lh, lumaV = lv)
+      assert(!java.util.Arrays.equals(enc, Codecs.encodeJpeg(img)))
+      val dec = Codecs.decodeJpeg(enc)
+      assert(dec.lumaH === lh && dec.lumaV === lv && dec.components === 3)
+      assert(java.util.Arrays.equals(dec.image.rgb, ref.image.rgb),
+        s"${lh}x$lv decoded pixels diverged from 4:4:4")
+    }
+    // 4:4:4 via explicit factors is byte-identical to the default form
+    assert(java.util.Arrays.equals(
+      Codecs.encodeJpeg(img, lumaH = 1, lumaV = 1), Codecs.encodeJpeg(img)))
+    // restart markers segment the 4:2:0 MCU walk too (per-MCU counting,
+    // 2×2-grid RSTn placement) without changing the pixels
+    val rst = Codecs.decodeJpeg(
+      Codecs.encodeJpeg(img, restartInterval = 2, lumaH = 2, lumaV = 2))
+    assert(rst.restartInterval === 2 && rst.lumaH === 2)
+    assert(java.util.Arrays.equals(rst.image.rgb, ref.image.rgb))
+  }
+
+  test("4:2:0 color round trip: flat color exact, busy color bounded") {
+    // flat non-gray color: chroma is flat non-neutral, box-average is
+    // identity on it, every block DC-only — 4:2:0 must equal 4:4:4
+    val flat = Codecs.Image(16, 16, Array.tabulate(16 * 16 * 3)(p =>
+      (p % 3 match { case 0 => 200; case 1 => 90; case _ => 40 }).toByte))
+    assert(java.util.Arrays.equals(
+      Codecs.decodeJpeg(Codecs.encodeJpeg(flat, lumaH = 2, lumaV = 2)).image.rgb,
+      Codecs.decodeJpeg(Codecs.encodeJpeg(flat)).image.rgb))
+    // busy color: chroma detail is genuinely lost — bounded, not exact
+    val busy = Multimodal.textImage("chroma subsampling drops detail", 32, 32)
+    val dec = Codecs.decodeJpeg(
+      Codecs.encodeJpeg(busy, lumaH = 2, lumaV = 2)).image
+    var sumAbs = 0L
+    for (i <- busy.rgb.indices)
+      sumAbs += math.abs((busy.rgb(i) & 0xFF) - (dec.rgb(i) & 0xFF))
+    val mean = sumAbs.toDouble / busy.rgb.length
+    assert(mean < 40.0, s"4:2:0 busy mean abs error $mean")
+    // dims that are not MCU multiples (20×12 vs 16-px 4:2:0 MCUs) crop back
+    val odd = Multimodal.textImage("odd against the 16px mcu grid", 20, 12)
+    val oddDec = Codecs.decodeJpeg(Codecs.encodeJpeg(odd, lumaH = 2, lumaV = 2)).image
+    assert(oddDec.width === 20 && oddDec.height === 12)
+  }
+
   test("scope rejections are NAMED, never mis-decoded") {
     val good = goldenGrayJpeg(Array(0xB6))
     // progressive: flip SOF0 -> SOF2
@@ -218,13 +307,33 @@ class JpegSpec extends SparkSpecBase {
     deep(dqtAt + 3) = 0x10.toByte
     assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(deep))
       .getMessage.contains("16-bit"))
-    // subsampled chroma: the sampling-factors byte in the SOF component
-    // spec (marker, len16, precision, h16, w16, ncomp, id, THEN h/v)
+    // single-component scans are non-interleaved (§A.2.2): declared
+    // sampling factors are inert, so a 2×2-factor grayscale must decode
+    // to the SAME pixels as the 1×1 original, not reject
     val sub = good.clone()
     val sofAt = indexOfMarker(good, 0xC0)
     sub(sofAt + 10) = 0x22.toByte
-    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(sub))
-      .getMessage.contains("4:4:4"))
+    assert(Codecs.decodeJpeg(sub).image.rgb.toSeq ===
+      Codecs.decodeJpeg(good).image.rgb.toSeq)
+    // out-of-range sampling factor (H=5): named rejection
+    val h5 = good.clone(); h5(sofAt + 10) = 0x51.toByte
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(h5))
+      .getMessage.contains("[1,4]"))
+    // 3-component SOF whose factors sum past the spec's 10-units-per-MCU
+    // bound (§B.2.3): 4×4 luma + 1×1 + 1×1 = 18 units
+    val tooMany = collection.mutable.ArrayBuffer[Int]()
+    tooMany ++= Seq(0xFF, 0xD8, 0xFF, 0xC0, 0, 17, 8, 0, 8, 0, 8, 3,
+      1, 0x44, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(intercept[IllegalArgumentException](
+      Codecs.decodeJpeg(tooMany.map(_.toByte).toArray))
+      .getMessage.contains("data units per MCU"))
+    // dimension-overflow guard: 65535×65535 would wrap the plane
+    // allocation arithmetic — must reject on the pixel cap, not allocate
+    val huge = good.clone()
+    huge(sofAt + 4) = 0xFF.toByte; huge(sofAt + 5) = 0xFF.toByte
+    huge(sofAt + 6) = 0xFF.toByte; huge(sofAt + 7) = 0xFF.toByte
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(huge))
+      .getMessage.contains("decode cap"))
     // truncated entropy stream
     val cut = good.dropRight(3)
     assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(cut))
