@@ -1186,6 +1186,88 @@ object Codecs {
     (if ((a & 0x80) != 0) t else -t).toShort
   }
 
+  /** Encode 8-bit PCM WAV (format tag 1, bits 8 — the low-fi legacy form
+    * real corpora still carry): samples are UNSIGNED bytes centered at
+    * 128 per the RIFF convention (16-bit PCM is signed, 8-bit is not).
+    * The 16-byte PCM `fmt ` layout of [[encodeWav]]; `junkChunk` as
+    * there. Decoding widens to 16-bit linear via (u − 128) · 256, so the
+    * quantization is the exact closed form (s ≫ 8) ≪ 8 when codes come
+    * from [[pcm8Compress]]. */
+  def encodeWavPcm8(codes: Array[Byte], sampleRate: Int, channels: Int,
+                    junkChunk: Boolean = false): Array[Byte] = {
+    require(channels >= 1, "channels must be >= 1")
+    val dataBytes = codes.length
+    val dataPad = dataBytes & 1
+    val junkPayload = 5
+    val junkBytes = if (junkChunk) 8 + junkPayload + 1 else 0
+    val riffSize = 4 + (8 + 16) + junkBytes + (8 + dataBytes + dataPad)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels) // byte rate: 1 byte per sample
+    buf.putShort(channels.toShort) // block align
+    buf.putShort(8) // bits per sample
+    if (junkChunk) {
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(junkPayload)
+      var i = 0
+      while (i < junkPayload) { buf.put(0x6a.toByte); i += 1 }
+      buf.put(0.toByte)
+    }
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    buf.put(codes)
+    if (dataPad == 1) buf.put(0.toByte)
+    buf.array()
+  }
+
+  /** Quantize one 16-bit sample to its unsigned 8-bit PCM code: the top
+    * byte, rebased to unsigned — (s ≫ 8) + 128 (arithmetic shift =
+    * floor, so the decode closed form is exactly (s ≫ 8) ≪ 8). */
+  def pcm8Compress(sample: Short): Byte = ((sample >> 8) + 128).toByte
+
+  /** Encode IEEE-float WAV (format tag 3, 32 bits/sample — the studio/
+    * DAW interchange form): each 16-bit sample is written as the EXACT
+    * dyadic float s / 32768 (a 16-bit integer over a power of two is
+    * exactly representable in binary32, and the decoder's ·32768 is a
+    * power-of-two rescale — both exact, so this round trip is lossless
+    * and the oracle needs no float arithmetic at all). 18-byte `fmt `
+    * (cbSize 0) + the spec-required `fact` chunk, like the G.711 pair. */
+  def encodeWavFloat(pcm: Pcm, junkChunk: Boolean = false): Array[Byte] = {
+    require(pcm.channels >= 1, "channels must be >= 1")
+    val dataBytes = pcm.samples.length * 4
+    val junkPayload = 5
+    val junkBytes = if (junkChunk) 8 + junkPayload + 1 else 0
+    val riffSize = 4 + (8 + 18) + (8 + 4) + junkBytes + (8 + dataBytes)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(18)
+    buf.putShort(3) // WAVE_FORMAT_IEEE_FLOAT
+    buf.putShort(pcm.channels.toShort)
+    buf.putInt(pcm.sampleRate)
+    buf.putInt(pcm.sampleRate * pcm.channels * 4) // byte rate
+    buf.putShort((pcm.channels * 4).toShort) // block align
+    buf.putShort(32) // bits per sample
+    buf.putShort(0) // cbSize
+    buf.put("fact".getBytes("US-ASCII")).putInt(4)
+    buf.putInt(pcm.samples.length / pcm.channels)
+    if (junkChunk) {
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(junkPayload)
+      var i = 0
+      while (i < junkPayload) { buf.put(0x6a.toByte); i += 1 }
+      buf.put(0.toByte)
+    }
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < pcm.samples.length) {
+      buf.putFloat(pcm.samples(i) / 32768.0f); i += 1
+    }
+    buf.array()
+  }
+
   /** Encode μ-law WAV: format tag 7, 8 bits/sample, an 18-byte `fmt `
     * chunk (cbSize = 0 — the non-PCM layout real encoders write) and the
     * spec-REQUIRED `fact` chunk carrying the sample count. `junkChunk`
@@ -1236,10 +1318,12 @@ object Codecs {
     buf.array()
   }
 
-  /** Decode RIFF/WAVE by walking the chunk list — PCM 16-bit (format 1)
-    * passes samples through; μ-law (format 7) and A-law (format 6, both
-    * 8-bit) expand each code to 16-bit linear, so callers always see
-    * linear PCM. */
+  /** Decode RIFF/WAVE by walking the chunk list — PCM 16-bit passes
+    * samples through; PCM 8-bit (unsigned, centered 128) widens via
+    * (u − 128) · 256; IEEE float 32 (format 3) rescales by 32768 with
+    * round-half-up and saturation; μ-law (format 7) and A-law (format 6,
+    * both 8-bit) expand each code through its companding table. Callers
+    * always see 16-bit linear PCM. */
   def decodeWav(bytes: Array[Byte]): Pcm = {
     require(bytes.length >= 12, "not a WAV: too short for a RIFF header")
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
@@ -1275,14 +1359,37 @@ object Codecs {
       off += 8 + size + (size & 1) // RIFF: odd-sized chunks carry a pad byte
     }
     require(sampleRate > 0 && dataOff >= 0, "WAV missing fmt or data chunk")
-    require(format == 1 || format == 6 || format == 7,
-      s"unsupported WAV format tag $format (PCM 1, A-law 6, or mu-law 7 only)")
-    if (format == 1) {
-      require(bits == 16, s"unsupported PCM WAV bit depth $bits (16-bit only)")
+    require(format == 1 || format == 3 || format == 6 || format == 7,
+      s"unsupported WAV format tag $format (PCM 1, float 3, A-law 6, or mu-law 7 only)")
+    if (format == 1 && bits == 16) {
       val n = dataLen / 2
       val samples = new Array[Short](n)
       var i = 0
       while (i < n) { samples(i) = buf.getShort(dataOff + i * 2); i += 1 }
+      Pcm(sampleRate, channels, samples)
+    } else if (format == 1) {
+      require(bits == 8, s"unsupported PCM WAV bit depth $bits (8 or 16 only)")
+      // unsigned 8-bit, centered at 128: widen to 16-bit linear
+      val samples = new Array[Short](dataLen)
+      var i = 0
+      while (i < dataLen) {
+        samples(i) = (((bytes(dataOff + i) & 0xFF) - 128) << 8).toShort
+        i += 1
+      }
+      Pcm(sampleRate, channels, samples)
+    } else if (format == 3) {
+      require(bits == 32, s"unsupported float WAV bit depth $bits (32 only)")
+      val n = dataLen / 4
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        // round half up, saturate; NaN lands on 0 via Math.round —
+        // crafted non-finite floats must not escape the 16-bit range
+        val v = Math.round(buf.getFloat(dataOff + i * 4) * 32768.0f)
+        samples(i) =
+          (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+        i += 1
+      }
       Pcm(sampleRate, channels, samples)
     } else {
       require(bits == 8, s"unsupported G.711 WAV bit depth $bits (8-bit only)")

@@ -438,6 +438,61 @@ object Multimodal {
       }
   }
 
+  /** The m27 ADMISSION-MIX corpus: each doc lands in one of eight
+    * container classes by doc_id mod 8 — five that a correct gate ADMITS
+    * (BMP, palette PNG, GIF, 4:2:0 JPEG, float WAV: one per decode
+    * family, including the round-16 forms) and three it must REJECT with
+    * a DETERMINISTIC reason (a PNG truncated at byte 20 — inside the
+    * constant corpus-wide prefix, so the chunk-bound message is one
+    * string; a 4:2:0 JPEG whose SOF0 marker is flipped to SOF2
+    * progressive; an unrecognized 'MP4 ' magic). Deterministic reasons
+    * are what make the gate REPORT (per-class admit/reject/reason
+    * counts) oracle-checkable instead of merely plausible. */
+  def renderAdmissionMixTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          def gifIndices(w: Int, h: Int): Array[Byte] = {
+            val tb = text.getBytes("UTF-8")
+            Array.tabulate(w * h)(i => tb(i % tb.length))
+          }
+          (id % 8) match {
+            case 0 => MediaRow(id, Codecs.encodeBmp(textImage(text, 25, 16)),
+              "image/bmp")
+            case 1 => MediaRow(id, Codecs.encodePngPalette(25, 16, gifPalette,
+              gifIndices(25, 16)), "image/png;palette")
+            case 2 => MediaRow(id, Codecs.encodeGif(25, 16, gifPalette,
+              gifIndices(25, 16)), "image/gif")
+            case 3 => MediaRow(id, Codecs.encodeJpeg(blockGrayImage(text),
+              lumaH = 2, lumaV = 2), "image/jpeg;s22")
+            case 4 => MediaRow(id, Codecs.encodeWavFloat(textPcm(id, text)),
+              "audio/wav;float32")
+            case 5 => // signature + IHDR header + 8 data bytes: the cut
+              // lands inside the corpus-constant 25x16 prefix, so the
+              // decoder's bound message is one deterministic string
+              MediaRow(id, Codecs.encodePng(textImage(text, 25, 16)).take(20),
+                "image/png;truncated")
+            case 6 =>
+              val b = Codecs.encodeJpeg(blockGrayImage(text), lumaH = 2, lumaV = 2)
+              // flip the SOF0 marker (0xFF 0xC0) to SOF2 progressive
+              var i = 2
+              var at = -1
+              while (at < 0 && i < b.length - 1) {
+                if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC0) at = i + 1
+                i += 1
+              }
+              require(at > 0, "encoder emitted no SOF0 marker?")
+              b(at) = 0xC2.toByte
+              MediaRow(id, b, "image/jpeg;progressive")
+            case _ => MediaRow(id,
+              ("MP4 " + text).getBytes("US-ASCII"), "video/mp4;unsupported")
+          }
+        }
+      }
+  }
+
   /** The m17 GIF palette — a fixed public rule the oracle can mirror:
     * entry k is (red 255−k, green (2k) mod 251, blue k). Blue = k means
     * the palette LOOKUP is pinned by every blue-derived feature, and the
@@ -1012,6 +1067,40 @@ object Multimodal {
             Codecs.encodeWavMulaw(codes, pcm.sampleRate, pcm.channels,
               junkChunk = id % 2 == 0),
             "audio/wav;mulaw")
+        }
+      }
+  }
+
+  /** Render each doc's [[textPcm]] samples through the two round-16 WAV
+    * format tags by doc parity — even: IEEE FLOAT 32 (tag 3; the dyadic
+    * s/32768 encoding makes the round trip LOSSLESS, so decoded features
+    * equal m10's exact rule), odd: 8-bit PCM (tag 1 bits 8; top-byte
+    * quantization, decoded samples the closed form (s ≫ 8) ≪ 8 =
+    * 512·(byte − 96) under the textPcm rule). JUNK chunks on ids
+    * divisible by 3, decorrelated from the format choice so both formats
+    * exercise the chunk walk. */
+  def renderWavVariantsTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val pcm = textPcm(id, text)
+          val junk = id % 3 == 0
+          if (id % 2 == 0)
+            MediaRow(id, Codecs.encodeWavFloat(pcm, junkChunk = junk),
+              "audio/wav;float32")
+          else {
+            val codes = new Array[Byte](pcm.samples.length)
+            var i = 0
+            while (i < codes.length) {
+              codes(i) = Codecs.pcm8Compress(pcm.samples(i)); i += 1
+            }
+            MediaRow(id,
+              Codecs.encodeWavPcm8(codes, pcm.sampleRate, pcm.channels,
+                junkChunk = junk),
+              "audio/wav;pcm8")
+          }
         }
       }
   }

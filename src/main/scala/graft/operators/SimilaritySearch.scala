@@ -335,6 +335,50 @@ object SimilaritySearch {
       assigned, idCol, vecCol)
   }
 
+  /** Append a batch to an IVF index with FROZEN centroids — the ingest
+    * verb every dedup-side index artifact already has (`Dedup`'s
+    * gram/MinHash/LineSet/LshVec appendices): the new vectors go through
+    * the SAME one-pass codegen argmin assignment the build used, against
+    * the EXISTING centroid table, and the assignment tables union.
+    * Append cost tracks the batch — the base corpus is never rescanned
+    * and no k-means runs.
+    *
+    * Drift bound: frozen centroids mean cell populations skew as the
+    * ingest distribution drifts from the fitted sample — probe recall
+    * degrades gradually (vectors still land in their nearest EXISTING
+    * cell; nothing is lost, cells just stop being balanced), it never
+    * corrupts. Re-fit at compact: [[compactIvfIndex]] rebuilds from the
+    * retained vectors when the operator decides drift has accumulated. */
+  def appendIvfIndex(index: IvfIndex, batch: DataFrame,
+                     persist: Boolean = true): IvfIndex = {
+    require(index.centroids.nonEmpty,
+      "cannot append to an empty IVF index — build one from the batch " +
+        "(an empty build has no centroids to freeze)")
+    val vecs = batch.select(col(index.idCol), col(index.vecCol))
+    // cells are contiguous 0..n-1 by construction; sort so a LOADED
+    // index (parquet row order is arbitrary) assigns identically
+    val centers = index.centroids.sortBy(_._1).map(_._2.map(_.toDouble))
+    val assignedNew0 =
+      if (centers.length == 1)
+        vecs.select(col(index.idCol), col(index.vecCol), lit(0).as("cell"))
+      else assignByArgmin(vecs, index.idCol, index.vecCol, centers)
+    // cache ONLY the batch frame and union lazily (the Dedup index-append
+    // convention): a checkpoint of the union would rewrite the whole
+    // corpus per batch, turning O(batch) ingest into O(corpus)
+    val assignedNew = if (persist) assignedNew0.cache() else assignedNew0
+    index.copy(assigned = index.assigned.unionByName(assignedNew))
+  }
+
+  /** Re-fit at compact: rebuild the coarse quantizer from the index's own
+    * retained vectors (the assignment table carries them), restoring the
+    * balanced-cell property append drift erodes. One bounded-sample fit +
+    * one assignment pass — the build cost, paid when the operator says so
+    * rather than on every ingest batch. */
+  def compactIvfIndex(index: IvfIndex, nCells: Int = 16,
+                      sampleMod: Int = 1): IvfIndex =
+    buildIvfIndex(index.assigned.drop("cell"), index.idCol, index.vecCol,
+      nCells = nCells, sampleMod = sampleMod)
+
   /** Single-level nearest-centroid assignment as ONE codegen scan pass —
     * the hier build's argmin machinery without the coarse level: the
     * centroid table rides as a literal array of (cell, ‖c‖², c) structs
@@ -1234,6 +1278,35 @@ object SimilaritySearch {
         .as("codes"))
     val codes = if (persist) encoded.cache() else encoded
     PqIndex(codebooks, codes, m, kEff, subDim, idCol)
+  }
+
+  /** Append a batch to a PQ index with FROZEN codebooks: normalize and
+    * encode the new vectors through the SAME single codegen'd
+    * [[graft.functions.PqEncode]] pass the build used (no k-means — the
+    * m per-subspace fits are the expensive part, and they don't run),
+    * then union the code tables. Append cost tracks the batch.
+    *
+    * Drift bound: frozen codebooks quantize drifted vectors against the
+    * fitted sample's geometry, so per-subspace quantization error grows
+    * with distribution drift — ADC scores degrade gradually toward the
+    * error of the worst cell, never corrupt (every vector still encodes
+    * to its nearest EXISTING code per subspace). Re-fit at compact:
+    * codes don't retain the original vectors, so a compact is a
+    * [[buildPqIndex]] over the corpus — by design, the ingest path never
+    * carries the full-precision vectors twice. */
+  def appendPqIndex(index: PqIndex, batch: DataFrame, vecCol: String,
+                    persist: Boolean = true): PqIndex = {
+    require(index.codebooks.nonEmpty,
+      "cannot append to an empty PQ index — build one from the batch " +
+        "(an empty build has no codebooks to freeze)")
+    val normalized = batch.select(col(index.idCol),
+      l2normalizeCol(col(vecCol)).as("__vn"))
+    val encodedNew0 = normalized.select(col(index.idCol),
+      graft.functions.PqEncode.pqEncode(col("__vn"), index.codebooks,
+        index.subDim).as("codes"))
+    // batch-only cache + lazy union (the Dedup index-append convention)
+    val encodedNew = if (persist) encodedNew0.cache() else encodedNew0
+    index.copy(codes = index.codes.unionByName(encodedNew))
   }
 
   /** Per-query ADC lookup tables against a [[PqIndex]]: one row per query

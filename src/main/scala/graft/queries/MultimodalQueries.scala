@@ -283,6 +283,50 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m26 (round 16): the remaining common WAV format tags — even docs
+    // as IEEE FLOAT 32 (tag 3: each sample the exact dyadic s/32768, so
+    // decode-rescale is LOSSLESS and the features equal the m10 rule),
+    // odd docs as 8-BIT PCM (tag 1, bits 8: unsigned top-byte codes,
+    // decoded samples the closed form 512·(byte − 96) — the i mod 256
+    // dither quantizes away, so m26's odd sums differ from m10/m16/m24
+    // by construction and a bit-depth or signedness bug hash-mismatches).
+    // JUNK chunks ride ids divisible by 3, decorrelated from the format
+    // parity so both new fmt layouts exercise the chunk walk.
+    "m26_wav_variants" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedAudioMeta(M.renderWavVariantsTable(
+        docs(s, dir).filter(length(col("text")) >= 1))).toDF()
+    }),
+
+
+    // m27 (round 16): the corpus-level ADMISSION REPORT — the deployment
+    // answer to "what fraction of a mixed media corpus does the gate
+    // admit, and why does the rest drop?". The mix plants one class per
+    // decode family (incl. the round-16 forms: palette PNG, 4:2:0 JPEG,
+    // float WAV) plus three rejection classes with DETERMINISTIC reasons
+    // (fixed-prefix truncation, SOF2 progressive flip, unknown magic);
+    // every payload is GENUINELY decoded by the same gate the streaming
+    // ingest runs (EventStreams.mediaDecodeGateStream — batch and stream
+    // share the transform), then one hash aggregate per (kind, admit,
+    // reason) with integer-bp corpus shares. Decode is map-only
+    // scan-side; the aggregate output is 8 rows.
+    "m27_admission_report" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val media = M.renderAdmissionMixTable(base).toDF()
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      val gated = graft.streaming.EventStreams
+        .mediaDecodeGateStream(media, "doc_id", "media", "ts")
+      val g = gated.groupBy(col("kind"), col("admit"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = g.agg(sum(col("n_docs")).as("__tot"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("share_bp",
+          expr("CAST(n_docs * 10000 DIV __tot AS BIGINT)"))
+        .drop("__tot")
+    }),
+
+
     // m17 (round 15): the third image container — every doc rendered as a
     // REAL GIF89a (LZW-compressed indices through GIF's LSB-first
     // variable-width code packing, 128-entry global color table, a
@@ -719,6 +763,58 @@ private[queries] object MultimodalQueries {
                 CAST(list_sum(list_transform(smp,
                   x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
          FROM s""",
+
+    // m26: the m10 audio features over the two new format tags — even
+    // docs (float 32) decode LOSSLESSLY to the exact textPcm rule; odd
+    // docs (8-bit PCM) decode to the top-byte closed form 512·(ascii−96)
+    // (the + i mod 256 dither lives entirely in the discarded low byte).
+    "m26_wav_variants" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              s AS (SELECT doc_id,
+                      CASE WHEN doc_id % 2 = 0 THEN
+                        list_transform(generate_series(0, 255),
+                          i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                               + (i % 256))
+                      ELSE
+                        list_transform(generate_series(0, 255),
+                          i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512)
+                      END AS smp
+                    FROM d)
+         SELECT doc_id,
+                CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS n_channels,
+                CAST(256 AS BIGINT) AS n_samples,
+                CAST(list_sum(smp) AS BIGINT) AS sum_samples,
+                CAST(list_sum(list_transform(generate_series(2, 256),
+                  i -> CASE WHEN (smp[i - 1] < 0) <> (smp[i] < 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross,
+                CAST(list_sum(list_transform(smp,
+                  x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
+         FROM s""",
+
+    // m27: the admission outcomes are pure doc_id-mod-8 arithmetic — the
+    // engine must actually decode every payload to land on them, but the
+    // oracle knows which classes a CORRECT gate admits and the exact
+    // reason strings of the three planted rejection classes.
+    "m27_admission_report" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE len(text) >= 1),
+              c AS (SELECT CASE doc_id % 8
+                      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+                      WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'png'
+                      WHEN 6 THEN 'jpeg' ELSE 'unknown' END AS kind,
+                      doc_id % 8 < 5 AS admit,
+                      CASE doc_id % 8
+                      WHEN 5 THEN 'truncated PNG chunk (length 13 at offset 8)'
+                      WHEN 6 THEN 'progressive JPEG (SOF2) is out of scope (baseline only)'
+                      WHEN 7 THEN 'unrecognized container magic'
+                      ELSE '' END AS reason
+                    FROM d),
+              g AS (SELECT kind, admit, reason, count(*) AS n FROM c GROUP BY 1, 2, 3),
+              t AS (SELECT sum(n) AS tot FROM g)
+         SELECT kind, admit, reason, CAST(n AS BIGINT) AS n_docs,
+                CAST(n * 10000 // tot AS BIGINT) AS share_bp
+         FROM g, t""",
 
     // m12: the text-domain mirror of the 2-D dHash — grid cell gp maps to
     // pixel index ((gp//8)*2)*25 + ((gp%8)*25)//8 (nearest-neighbor 8x8

@@ -328,7 +328,10 @@ object EventStreams {
             // escape the require() contract, and one corrupt payload must
             // drop with a reason — never abort the whole ingest query.
             case scala.util.control.NonFatal(e) =>
+              // strip Scala's require() preamble: reasons are operator-
+              // facing report data, not stack-trace text
               val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                .stripPrefix("requirement failed: ")
               (id, ts, kind, 0L, 0L, false, msg)
           }
         }

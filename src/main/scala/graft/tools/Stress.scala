@@ -427,6 +427,38 @@ object Stress {
     time("vec_probe") {
       Dedup.deltaEmbeddingNearDups(vecDelta, vecIdx, threshold = 0.9).count()
     }
+
+    // Round 16: the similarity-side index appends. The batch (vecDelta)
+    // is FIXED-size while the indexed corpus grows with factor — a
+    // flat-in-factor append reading is the evidence that ingest cost
+    // tracks the batch (frozen centroids/codebooks, no refit, no base
+    // rescan); linear growth would flag a corpus rescan in the append.
+    var ivfIdxA: SimilaritySearch.IvfIndex = null
+    def ensureIvfIdxA(): Long = {
+      if (ivfIdxA == null)
+        ivfIdxA = SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding",
+          nCells = 16)
+      ivfIdxA.assigned.count()
+    }
+    time("ivf_index_build") { ensureIvfIdxA() }
+    if (want("ivf_append")) ensureIvfIdxA()
+    time("ivf_append") {
+      SimilaritySearch.appendIvfIndex(ivfIdxA, vecDelta)
+        .assigned.filter(col("vec_id") >= 900000000L).count()
+    }
+    var pqIdxA: SimilaritySearch.PqIndex = null
+    def ensurePqIdxA(): Long = {
+      if (pqIdxA == null)
+        pqIdxA = SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding",
+          m = 8, k = 64)
+      pqIdxA.codes.count()
+    }
+    time("pq_index_build") { ensurePqIdxA() }
+    if (want("pq_append")) ensurePqIdxA()
+    time("pq_append") {
+      SimilaritySearch.appendPqIndex(pqIdxA, vecDelta, "embedding")
+        .codes.filter(col("vec_id") >= 900000000L).count()
+    }
     // Skew join, salted vs plain — the measurement behind q46. Hot key 0
     // owns 20% of events; broadcast and AQE's skew-split are disabled for
     // BOTH cases (the regime the salt exists for: a dim side past the

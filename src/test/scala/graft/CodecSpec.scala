@@ -154,12 +154,104 @@ class CodecSpec extends SparkSpecBase {
   }
 
   test("WAV decode names unsupported features") {
-    val f32 = Codecs.encodeWav(Codecs.Pcm(8000, 1, Array[Short](1)))
-    f32(20) = 3 // IEEE float format tag
-    assert(intercept[IllegalArgumentException](Codecs.decodeWav(f32))
+    val adpcm = Codecs.encodeWav(Codecs.Pcm(8000, 1, Array[Short](1)))
+    adpcm(20) = 2 // MS ADPCM format tag: out of scope
+    assert(intercept[IllegalArgumentException](Codecs.decodeWav(adpcm))
       .getMessage.contains("format tag"))
+    // float tag with a 16-bit depth is a malformed hybrid, not decodable
+    val f16 = Codecs.encodeWav(Codecs.Pcm(8000, 1, Array[Short](1)))
+    f16(20) = 3
+    assert(intercept[IllegalArgumentException](Codecs.decodeWav(f16))
+      .getMessage.contains("bit depth"))
     assert(intercept[IllegalArgumentException](
       Codecs.decodeWav("OggS....".getBytes)).getMessage.contains("RIFF"))
+  }
+
+  // ---- WAV format-3 (IEEE float) and 8-bit PCM golden bytes -----------------
+
+  // 18-byte fmt (tag 3, cbSize 0) + fact + data; samples +1 and −2 as the
+  // exact dyadics 2⁻¹⁵ (0x38000000) and −2⁻¹⁴ (0xB8800000), LE on the wire.
+  private val goldenFloatWav: Array[Byte] = Array[Int](
+    'R', 'I', 'F', 'F', 58, 0, 0, 0, 'W', 'A', 'V', 'E',
+    'f', 'm', 't', ' ', 18, 0, 0, 0,
+    3, 0, // IEEE float
+    1, 0, // mono
+    0x40, 0x1F, 0, 0, // 8000 Hz
+    0x00, 0x7D, 0, 0, // byte rate 32000
+    4, 0, // block align
+    32, 0, // bits
+    0, 0, // cbSize
+    'f', 'a', 'c', 't', 4, 0, 0, 0, 2, 0, 0, 0,
+    'd', 'a', 't', 'a', 8, 0, 0, 0,
+    0, 0, 0, 0x38, // +1/32768 = 2^-15
+    0, 0, 0x80, 0xB8 // -2/32768 = -2^-14
+  ).map(_.toByte)
+
+  // 16-byte PCM fmt with bits=8; codes 0x00 and 0xFF widen to the
+  // unsigned-centered extremes −32768 and +32512.
+  private val goldenPcm8Wav: Array[Byte] = Array[Int](
+    'R', 'I', 'F', 'F', 38, 0, 0, 0, 'W', 'A', 'V', 'E',
+    'f', 'm', 't', ' ', 16, 0, 0, 0,
+    1, 0, // PCM
+    1, 0, // mono
+    0x40, 0x1F, 0, 0, // 8000 Hz
+    0x40, 0x1F, 0, 0, // byte rate 8000 (1 byte/sample)
+    1, 0, // block align
+    8, 0, // bits
+    'd', 'a', 't', 'a', 2, 0, 0, 0,
+    0x00, 0xFF
+  ).map(_.toByte)
+
+  test("golden float WAV bytes decode through format tag 3 to linear PCM") {
+    val pcm = Codecs.decodeWav(goldenFloatWav)
+    assert(pcm.sampleRate === 8000 && pcm.channels === 1)
+    assert(pcm.samples.toSeq === Seq[Short](1, -2))
+  }
+
+  test("the float WAV encoder reproduces the golden bytes exactly") {
+    assert(java.util.Arrays.equals(
+      Codecs.encodeWavFloat(Codecs.Pcm(8000, 1, Array[Short](1, -2))),
+      goldenFloatWav))
+  }
+
+  test("golden 8-bit PCM WAV bytes decode to the unsigned-centered samples") {
+    val pcm = Codecs.decodeWav(goldenPcm8Wav)
+    assert(pcm.sampleRate === 8000 && pcm.channels === 1)
+    assert(pcm.samples.toSeq === Seq[Short](-32768, 32512))
+  }
+
+  test("the 8-bit PCM encoder reproduces the golden bytes exactly") {
+    assert(java.util.Arrays.equals(
+      Codecs.encodeWavPcm8(Array[Byte](0x00, 0xFF.toByte), 8000, 1),
+      goldenPcm8Wav))
+  }
+
+  test("float WAV round trip is LOSSLESS over all 65536 sample values") {
+    // s/32768 is an exact dyadic and ·32768 an exact power-of-two
+    // rescale — the whole point of the encoding convention.
+    val all = Array.tabulate[Short](65536)(i => (i - 32768).toShort)
+    val back = Codecs.decodeWav(Codecs.encodeWavFloat(Codecs.Pcm(8000, 1, all)))
+    assert(back.samples.toSeq === all.toSeq)
+  }
+
+  test("8-bit PCM quantization is the exact top-byte closed form, all values") {
+    var s = -32768
+    while (s <= 32767) {
+      val code = Codecs.pcm8Compress(s.toShort)
+      val widened = (((code & 0xFF) - 128) << 8).toShort
+      assert(widened === ((s >> 8) << 8).toShort, s"sample $s")
+      s += 1
+    }
+  }
+
+  test("crafted non-finite floats saturate instead of wrapping") {
+    val f = Codecs.encodeWavFloat(Codecs.Pcm(8000, 1, Array[Short](0, 0, 0)))
+    val dataAt = f.length - 12
+    val buf = java.nio.ByteBuffer.wrap(f).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putFloat(dataAt, Float.PositiveInfinity)
+    buf.putFloat(dataAt + 4, Float.NegativeInfinity)
+    buf.putFloat(dataAt + 8, Float.NaN)
+    assert(Codecs.decodeWav(f).samples.toSeq === Seq[Short](32767, -32768, 0))
   }
 
   // ---- G.711 mu-law ---------------------------------------------------------
