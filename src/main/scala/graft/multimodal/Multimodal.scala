@@ -314,28 +314,29 @@ object Multimodal {
     * inside 16-bit only for bytes in [32,159]. Guarded here so a future
     * non-ASCII corpus fails LOUDLY at render instead of hash-mismatching
     * mysteriously at the oracle gate. */
-  private def requirePrintableAscii(tb: Array[Byte], who: String): Unit = {
-    var i = 0
-    while (i < tb.length) {
-      val b = tb(i) & 0xFF
-      require(b >= 32 && b <= 126,
-        s"$who payload byte $i is 0x${b.toHexString}: the text-domain " +
-          "generative rules (and their DuckDB oracle twins) are defined " +
-          "over printable ASCII only")
-      i += 1
-    }
+  /** The CODEPOINT-domain text convention (round 16, replacing the hard
+    * printable-ASCII requires): every media pixel/sample rule reads
+    * Unicode codepoints folded into the printable band —
+    * cpFold(c) = 32 + floorMod(c − 32, 95) — the IDENTITY on printable
+    * ASCII (so every committed oracle value is unchanged on the driver
+    * corpus) and a total function on any corpus (a non-ASCII document
+    * renders instead of aborting the dump). The SQL mirror both engines
+    * compute: 32 + ((ascii(ch) − 32) % 95 + 95) % 95 — DuckDB's ascii()
+    * is the codepoint and its substr/len are codepoint-indexed, matching
+    * Java's codePoints() walk (surrogate pairs count once on both). */
+  private[graft] def textCps(text: String, who: String): Array[Int] = {
+    require(text.nonEmpty, s"$who needs a non-empty payload")
+    text.codePoints.toArray.map(c => 32 + Math.floorMod(c - 32, 95))
   }
 
   def textImage(text: String, width: Int, height: Int): Codecs.Image = {
-    val tb = text.getBytes("UTF-8")
-    require(tb.length >= 1, "textImage needs a non-empty payload")
-    requirePrintableAscii(tb, "textImage")
+    val tb = textCps(text, "textImage")
     val rgb = new Array[Byte](width * height * 3)
     var i = 0
     val n = width * height
     while (i < n) {
-      val blue = tb(i % tb.length) & 0xFF
-      val green = ((tb((2 * i) % tb.length) & 0xFF) +
+      val blue = tb(i % tb.length)
+      val green = (tb((2 * i) % tb.length) +
         (i / width) * 7 + (i % width) * 13) % 251
       val red = (i * 31) % 251
       rgb(i * 3) = red.toByte
@@ -409,24 +410,20 @@ object Multimodal {
               Codecs.encodePng(textImage(text, width, height)),
               "image/png")
             case 2 =>
-              val tb = text.getBytes("UTF-8")
-              require(tb.length >= 1, "renderPngTableMixed needs a non-empty payload")
-              requirePrintableAscii(tb, "renderPngTableMixed")
+              val tb = textCps(text, "renderPngTableMixed")
               val indices = new Array[Byte](width * height)
               var i = 0
-              while (i < indices.length) { indices(i) = tb(i % tb.length); i += 1 }
+              while (i < indices.length) { indices(i) = tb(i % tb.length).toByte; i += 1 }
               MediaRow(id,
                 Codecs.encodePngPalette(width, height, gifPalette, indices),
                 "image/png;palette")
             case _ =>
-              val tb = text.getBytes("UTF-8")
-              require(tb.length >= 1, "renderPngTableMixed needs a non-empty payload")
-              requirePrintableAscii(tb, "renderPngTableMixed")
+              val tb = textCps(text, "renderPngTableMixed")
               val rgb = new Array[Byte](width * height * 3)
               var i = 0
               val n = width * height
               while (i < n) {
-                val v = tb(i % tb.length)
+                val v = tb(i % tb.length).toByte
                 rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
                 i += 1
               }
@@ -455,8 +452,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           def gifIndices(w: Int, h: Int): Array[Byte] = {
-            val tb = text.getBytes("UTF-8")
-            Array.tabulate(w * h)(i => tb(i % tb.length))
+            val tb = textCps(text, "renderAdmissionMixTable")
+            Array.tabulate(w * h)(i => tb(i % tb.length).toByte)
           }
           (id % 8) match {
             case 0 => MediaRow(id, Codecs.encodeBmp(textImage(text, 25, 16)),
@@ -518,12 +515,10 @@ object Multimodal {
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val tb = text.getBytes("UTF-8")
-          require(tb.length >= 1, "renderGifTable needs a non-empty payload")
-          requirePrintableAscii(tb, "renderGifTable")
+          val tb = textCps(text, "renderGifTable")
           val indices = new Array[Byte](width * height)
           var i = 0
-          while (i < indices.length) { indices(i) = tb(i % tb.length); i += 1 }
+          while (i < indices.length) { indices(i) = tb(i % tb.length).toByte; i += 1 }
           val interlaced = id % 2 == 0
           MediaRow(id + idOffset,
             Codecs.encodeGif(width, height, gifPalette, indices, interlaced),
@@ -541,9 +536,7 @@ object Multimodal {
     * file still exercises the full real container (markers, Annex K
     * tables, Huffman, zigzag, byte stuffing, restarts, YCbCr). */
   def blockGrayImage(text: String, blocks: Int = 8): Codecs.Image = {
-    val tb = text.getBytes("UTF-8")
-    require(tb.length >= 1, "blockGrayImage needs a non-empty payload")
-    requirePrintableAscii(tb, "blockGrayImage")
+    val tb = textCps(text, "blockGrayImage")
     val side = blocks * 8
     val rgb = new Array[Byte](side * side * 3)
     var y = 0
@@ -551,7 +544,7 @@ object Multimodal {
       var x = 0
       while (x < side) {
         val b = (y / 8) * blocks + (x / 8)
-        val v = tb(b % tb.length)
+        val v = tb(b % tb.length).toByte
         val p = (y * side + x) * 3
         rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
         x += 1
@@ -772,15 +765,13 @@ object Multimodal {
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val tb = text.getBytes("UTF-8")
-          require(tb.length >= 1, "renderGifAnimTable needs a non-empty payload")
-          requirePrintableAscii(tb, "renderGifAnimTable")
+          val tb = textCps(text, "renderGifAnimTable")
           val nFrames = 3 + (id % 3).toInt
           val frames = (0 until nFrames).map { f =>
             val indices = new Array[Byte](width * height)
             var i = 0
             while (i < indices.length) {
-              indices(i) = tb((i + 7 * f) % tb.length)
+              indices(i) = tb((i + 7 * f) % tb.length).toByte
               i += 1
             }
             (indices, (id + f) % 2 == 0, 4 + f)
@@ -1015,13 +1006,11 @@ object Multimodal {
     * Sample rate varies per doc (8000 + (doc_id mod 5)·1000) so the
     * decoded `fmt ` parse is data-bearing, not a constant. */
   def textPcm(docId: Long, text: String, nSamples: Int = 256): Codecs.Pcm = {
-    val tb = text.getBytes("UTF-8")
-    require(tb.length >= 1, "textPcm needs a non-empty payload")
-    requirePrintableAscii(tb, "textPcm")
+    val tb = textCps(text, "textPcm")
     val samples = new Array[Short](nSamples)
     var i = 0
     while (i < nSamples) {
-      samples(i) = (((tb(i % tb.length) & 0xFF) - 96) * 512 + (i % 256)).toShort
+      samples(i) = ((tb(i % tb.length) - 96) * 512 + (i % 256)).toShort
       i += 1
     }
     Codecs.Pcm(8000 + (docId % 5).toInt * 1000, 1, samples)

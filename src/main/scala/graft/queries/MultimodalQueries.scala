@@ -725,9 +725,9 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               px AS (SELECT doc_id,
                        list_transform(generate_series(0, 399),
-                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue,
+                         i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)) AS blue,
                        list_transform(generate_series(0, 399),
-                         i -> (ascii(substr(text, 1 + ((2 * i) % L), 1))
+                         i -> ((32 + ((ascii(substr(text, 1 + ((2 * i) % L), 1)) - 32) % 95 + 95) % 95)
                                + (i // 25) * 7 + (i % 25) * 13) % 251) AS green
                      FROM d)
          SELECT doc_id, CAST(25 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
@@ -749,7 +749,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               s AS (SELECT doc_id,
                       list_transform(generate_series(0, 255),
-                        i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                        i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512
                              + (i % 256)) AS smp
                     FROM d)
          SELECT doc_id,
@@ -774,11 +774,11 @@ private[queries] object MultimodalQueries {
               s AS (SELECT doc_id,
                       CASE WHEN doc_id % 2 = 0 THEN
                         list_transform(generate_series(0, 255),
-                          i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                          i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512
                                + (i % 256))
                       ELSE
                         list_transform(generate_series(0, 255),
-                          i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512)
+                          i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512)
                       END AS smp
                     FROM d)
          SELECT doc_id,
@@ -828,8 +828,8 @@ private[queries] object MultimodalQueries {
                     FROM d),
               lm AS (SELECT doc_id,
                             list_transform(idx,
-                              i -> ascii(substr(text, 1 + (i % L), 1))
-                                 + (ascii(substr(text, 1 + ((2 * i) % L), 1))
+                              i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)
+                                 + ((32 + ((ascii(substr(text, 1 + ((2 * i) % L), 1)) - 32) % 95 + 95) % 95)
                                     + (i // 25) * 7 + (i % 25) * 13) % 251
                                  + ((i * 31) % 251)) AS lv
                      FROM g)
@@ -850,7 +850,7 @@ private[queries] object MultimodalQueries {
       """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
                     WHERE len(text) >= 1),
               s AS (SELECT doc_id, list_transform(generate_series(0, 255),
-                      i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                      i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512
                            + (i % 256)) AS smp
                     FROM d),
               w AS (SELECT doc_id, smp, unnest(generate_series(0, 3)) AS wi FROM s),
@@ -884,7 +884,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               px AS (SELECT doc_id,
                        list_transform(generate_series(0, 399),
-                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                         i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)) AS blue
                      FROM d),
               rw AS (SELECT doc_id, blue,
                             unnest(generate_series(0, 15)) AS r
@@ -923,10 +923,10 @@ private[queries] object MultimodalQueries {
                             list_transform(idx,
                               i -> CASE doc_id % 4
                                    WHEN 2 THEN 255 +
-                                     (2 * ascii(substr(text, 1 + (i % L), 1))) % 251
-                                   WHEN 3 THEN 3 * ascii(substr(text, 1 + (i % L), 1))
-                                   ELSE ascii(substr(text, 1 + (i % L), 1))
-                                      + (ascii(substr(text, 1 + ((2 * i) % L), 1))
+                                     (2 * (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)) % 251
+                                   WHEN 3 THEN 3 * (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)
+                                   ELSE (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)
+                                      + ((32 + ((ascii(substr(text, 1 + ((2 * i) % L), 1)) - 32) % 95 + 95) % 95)
                                          + (i // 25) * 7 + (i % 25) * 13) % 251
                                       + ((i * 31) % 251)
                                    END) AS lv
@@ -937,7 +937,7 @@ private[queries] object MultimodalQueries {
                 CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3
                      ELSE 1 END AS BIGINT) AS channels,
                 CAST(list_sum(list_transform(generate_series(0, 399),
-                  i -> ascii(substr(text, 1 + (i % L), 1)))) AS BIGINT) AS blue_sum,
+                  i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95))) AS BIGINT) AS blue_sum,
                 CAST(list_sum(list_transform(generate_series(0, 55),
                   b -> CASE WHEN lv[(b // 7) * 8 + (b % 7) + 1]
                                  > lv[(b // 7) * 8 + (b % 7) + 2]
@@ -954,7 +954,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               px AS (SELECT doc_id,
                        list_transform(generate_series(0, 399),
-                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                         i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)) AS blue
                      FROM d),
               rw AS (SELECT doc_id, blue,
                             unnest(generate_series(0, 15)) AS r
@@ -988,7 +988,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               s AS (SELECT doc_id,
                       list_transform(generate_series(0, 255),
-                        i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                        i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512
                              + (i % 256)) AS smp
                     FROM d),
               q AS (SELECT doc_id,
@@ -1034,7 +1034,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               px AS (SELECT doc_id,
                        list_transform(generate_series(0, 399),
-                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                         i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)) AS blue
                      FROM d)
          SELECT doc_id, CAST(25 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
                 CAST(128 AS BIGINT) AS palette_size,
@@ -1056,7 +1056,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               px AS (SELECT doc_id,
                        list_transform(generate_series(0, 399),
-                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                         i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)) AS blue
                      FROM d),
               rw AS (SELECT doc_id, blue,
                             unnest(generate_series(0, 15)) AS r
@@ -1090,7 +1090,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               g AS (SELECT doc_id,
                       list_transform(generate_series(0, 63),
-                        b -> 2 * ((ascii(substr(text, 1 + (b % L), 1)) + 1) // 2)) AS gv
+                        b -> 2 * (((32 + ((ascii(substr(text, 1 + (b % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv
                     FROM d)
          SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
                 CAST(3 AS BIGINT) AS components,
@@ -1114,9 +1114,9 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               g AS (SELECT doc_id,
                       list_transform(generate_series(0, 63),
-                        b -> 2 * ((ascii(substr(text, 1 + (b % L), 1)) + 1) // 2)) AS gv1,
+                        b -> 2 * (((32 + ((ascii(substr(text, 1 + (b % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv1,
                       list_transform(generate_series(0, 63),
-                        b -> 4 * ((ascii(substr(text, 1 + (b % L), 1)) + 2) // 4)) AS gv2
+                        b -> 4 * (((32 + ((ascii(substr(text, 1 + (b % L), 1)) - 32) % 95 + 95) % 95) + 2) // 4)) AS gv2
                     FROM d),
               h1 AS (SELECT doc_id,
                        CAST(list_sum(list_transform(generate_series(0, 55),
@@ -1157,7 +1157,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               g AS (SELECT doc_id,
                       list_transform(generate_series(0, 63),
-                        b -> 2 * ((ascii(substr(text, 1 + (b % L), 1)) + 1) // 2)) AS gv1
+                        b -> 2 * (((32 + ((ascii(substr(text, 1 + (b % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv1
                     FROM d),
               h1 AS (SELECT doc_id,
                        CAST(list_sum(list_transform(generate_series(0, 55),
@@ -1197,7 +1197,7 @@ private[queries] object MultimodalQueries {
               sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
               px AS (SELECT doc_id, f,
                        list_transform(generate_series(0, 399),
-                         i -> ascii(substr(text, 1 + ((i + 7 * f) % L), 1))) AS blue
+                         i -> (32 + ((ascii(substr(text, 1 + ((i + 7 * f) % L), 1)) - 32) % 95 + 95) % 95)) AS blue
                      FROM sampled)
          SELECT doc_id, CAST(3 + doc_id % 3 AS BIGINT) AS n_frames,
                 CAST(doc_id % 4 AS BIGINT) AS loops,
@@ -1221,7 +1221,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               px AS (SELECT doc_id,
                        list_transform(generate_series(0, 399),
-                         i -> ascii(substr(text, 1 + (i % L), 1))) AS blue
+                         i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95)) AS blue
                      FROM d),
               bx AS (SELECT doc_id,
                        list_transform(generate_series(0, 19),
@@ -1252,7 +1252,7 @@ private[queries] object MultimodalQueries {
       """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
                     WHERE len(text) >= 1),
               s AS (SELECT doc_id, list_transform(generate_series(0, 255),
-                      i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                      i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512
                            + (i % 256)) AS smp
                     FROM d),
               y AS (SELECT doc_id, list_transform(generate_series(0, 63),
@@ -1282,7 +1282,7 @@ private[queries] object MultimodalQueries {
                     WHERE len(text) >= 1),
               s AS (SELECT doc_id,
                       list_transform(generate_series(0, 255),
-                        i -> (ascii(substr(text, 1 + (i % L), 1)) - 96) * 512
+                        i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512
                              + (i % 256)) AS smp
                     FROM d),
               q AS (SELECT doc_id,

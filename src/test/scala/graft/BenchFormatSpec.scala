@@ -95,14 +95,31 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(compact.indexOf(""""wa_omitted":""") >= 0)
   }
 
-  test("spread rides the full document only, ordered like queries") {
+  test("compact line carries spread + oracle_forms (driver-visible, truncated)") {
+    // 20 queries so the 1600-char budget forces truncation: the compact
+    // line must still CARRY both keys (slowest-first) with explicit
+    // omitted counts, because the driver records only a bounded stdout
+    // tail — full-document-only keys are invisible to it.
+    val results = (1 to 20).map(i => (f"q$i%02d_long_query_name", i * 0.1))
+    val spreads = results.map { case (n, v) => n -> (v * 0.8, v * 1.3) }
+    val forms = results.take(6).map { case (n, v) => n -> (v * 2) }
+    val (compact, _) = Bench.formatJson(results, Nil, "/sf",
+      spreads = spreads, oracleForms = forms)
+    assert(compact.length <= Bench.LineBudget)
+    assert(compact.contains(""""spread":{"""), "compact must carry spread")
+    assert(compact.contains(""""oracle_forms":{"""), "compact must carry oracle_forms")
+    // slowest query's spread survives the truncation
+    assert(compact.contains(""""q20_long_query_name":["""))
+  }
+
+  test("spread is complete in the full document, ordered like queries") {
     val results = Seq("slow" -> 2.0, "fast" -> 0.5)
     val spreads = Seq("fast" -> (0.4, 0.9), "slow" -> (1.8, 2.6))
     val (compact, full) = Bench.formatJson(results, Nil, "/sf", spreads = spreads)
     parseable(compact); parseable(full)
     assert(full.contains(""""spread":{"slow":[1.8,2.6],"fast":[0.4,0.9]}"""))
-    assert(!compact.contains(""""spread":""") || compact == full,
-      "spread is full-document telemetry; the compact line has no budget for it")
+    assert(!full.contains(""""spread_omitted""""),
+      "the full document never truncates spread")
     // spread sits before queries so the accounting keys group together
     assert(full.indexOf(""""spread":""") < full.indexOf(""""queries":"""))
   }

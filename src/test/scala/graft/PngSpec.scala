@@ -323,12 +323,45 @@ class PngSpec extends SparkSpecBase {
     assert(metas(2L).dhash === bmpHash(2L) && metas(3L).dhash === bmpHash(3L))
   }
 
-  test("textImage/textPcm reject non-printable-ASCII payloads loudly") {
+  test("codepoint-domain render: non-ASCII text folds, ASCII is identity") {
+    // The round-16 convention replacing the hard printable-ASCII reject:
+    // codepoints fold into 32..126 via 32 + floorMod(cp − 32, 95), the
+    // identity on printable ASCII and total on any corpus. 'é' is U+00E9
+    // (233): 32 + (233 − 32) % 95 = 32 + 11 = 43. A tab (9) folds to
+    // 32 + floorMod(−23, 95) = 32 + 72 = 104.
+    val ascii = Multimodal.textImage("cafe", 25, 16)
+    val folded = Multimodal.textImage("café", 25, 16)
+    // pixel 3's blue channel reads codepoint 4 of the payload
+    assert((folded.rgb(3 * 3 + 2) & 0xFF) === 43)
+    // the ASCII prefix renders identically under both regimes
+    assert((0 until 3).forall(i => folded.rgb(i * 3 + 2) === ascii.rgb(i * 3 + 2)))
+    val pcm = Multimodal.textPcm(1L, "tab\there")
+    // sample 3 reads the tab -> folded 104 -> (104 − 96)·512 + 3
+    assert(pcm.samples(3) === ((104 - 96) * 512 + 3).toShort)
+    // surrogate-pair codepoints count ONCE (matching DuckDB's len/substr):
+    // "a😀b" is 3 codepoints — a, U+1F600, b
+    val emoji = Multimodal.textImage("a😀b", 25, 16)
+    // U+1F600 = 128512: 32 + (128512 − 32) % 95 = 32 + (128480 % 95)
+    val want = 32 + ((128512 - 32) % 95)
+    assert((emoji.rgb(1 * 3 + 2) & 0xFF) === want)
+    assert((emoji.rgb(2 * 3 + 2) & 0xFF) === 'b'.toInt)
+    // still non-empty-only
     assert(intercept[IllegalArgumentException](
-      Multimodal.textImage("café", 25, 16))
-      .getMessage.contains("printable ASCII"))
-    assert(intercept[IllegalArgumentException](
-      Multimodal.textPcm(1L, "tab\there"))
-      .getMessage.contains("printable ASCII"))
+      Multimodal.textImage("", 2, 2)).getMessage.contains("non-empty"))
+  }
+
+  test("a non-ASCII corpus renders and decodes through the real containers") {
+    import spark.implicits._
+    val docs = Seq((0L, "naïve café ☕ résumé"), (1L, "日本語のテキスト"),
+      (2L, "mixed ascii and 😀")).toDF("doc_id", "text")
+    // every render family must produce decodable files, not throw
+    val png = Multimodal.renderPngTableMixed(docs, 25, 16).collect()
+    png.foreach(r => Codecs.decodePng(r.media))
+    val gif = Multimodal.renderGifTable(docs, 25, 16).collect()
+    gif.foreach(r => Codecs.decodeGif(r.media))
+    val jpg = Multimodal.renderJpegTable(docs).collect()
+    jpg.foreach(r => Codecs.decodeJpeg(r.media))
+    val wav = Multimodal.renderWavTable(docs).collect()
+    wav.foreach(r => Codecs.decodeWav(r.media))
   }
 }
