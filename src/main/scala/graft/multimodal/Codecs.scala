@@ -1433,10 +1433,12 @@ object Codecs {
   // training-pipeline codec family.
 
   /** A decoded JPEG: pixels plus header facts carried out as data —
-    * component count and luma sampling factors from SOF0 (1/1 = 4:4:4,
-    * 2/2 = 4:2:0, 2/1 = 4:2:2), restart interval from DRI (0 = none). */
+    * component count and luma sampling factors from the SOF (1/1 = 4:4:4,
+    * 2/2 = 4:2:0, 2/1 = 4:2:2), restart interval from DRI (0 = none),
+    * and whether the SOF was progressive (SOF2) or sequential. */
   final case class JpegImage(image: Image, components: Int, restartInterval: Int,
-                             lumaH: Int = 1, lumaV: Int = 1)
+                             lumaH: Int = 1, lumaV: Int = 1,
+                             progressive: Boolean = false)
 
   /** Zigzag position → natural (row-major) index, T.81 Figure 5. */
   private[multimodal] val JpegZigzag: Array[Int] = Array(
@@ -1874,6 +1876,244 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Encode PROGRESSIVE JPEG (SOF2) by SPECTRAL SELECTION: scan 1 is the
+    * interleaved DC scan of every component (Ss=Se=0, Ah=Al=0), then one
+    * full-band AC scan (Ss=1, Se=63) per component in SOF order,
+    * non-interleaved over the component's OWN block raster (§A.2.2 —
+    * NOT the MCU-padded grid; trailing pad blocks keep AC 0 and crop
+    * away). Per-block AC coding inside a band-complete first scan is
+    * exactly the baseline entropy coder (EOB = an EOB run of 1), so the
+    * pixels decode bit-identically to [[encodeJpeg]] at the same
+    * qscale/factors — the m28 oracle property. Same planes, Annex K
+    * tables, quantizers, and luma-subsampling support as the sequential
+    * encoder; no restart markers. */
+  def encodeJpegProgressive(img: Image, qscale: Int = 1, gray: Boolean = false,
+                            lumaH: Int = 1, lumaV: Int = 1): Array[Byte] = {
+    require(qscale >= 1 && qscale <= 15, s"qscale out of [1,15]: $qscale")
+    require(lumaH >= 1 && lumaH <= 2 && lumaV >= 1 && lumaV <= 2,
+      s"luma sampling factors out of [1,2]: ${lumaH}x$lumaV")
+    require(!gray || (lumaH == 1 && lumaV == 1),
+      "grayscale has a single component — subsampling does not apply")
+    val w = img.width; val h = img.height
+    require(w >= 1 && w <= 0xFFFF && h >= 1 && h <= 0xFFFF,
+      s"JPEG dimensions ${w}x$h out of the format's [1,65535] range")
+    require(w.toLong * h <= MaxDecodePixels,
+      s"JPEG dimensions ${w}x$h exceed the $MaxDecodePixels-pixel cap")
+    val mcusX = (w + 8 * lumaH - 1) / (8 * lumaH)
+    val mcusY = (h + 8 * lumaV - 1) / (8 * lumaV)
+    val pwY = mcusX * lumaH * 8; val phY = mcusY * lumaV * 8
+    val pwC = mcusX * 8; val phC = mcusY * 8
+    val nComp = if (gray) 1 else 3
+    // full-res planes on the MCU-padded luma grid (the encodeJpeg front
+    // half — shared arithmetic so the two encoders' pixels agree exactly)
+    val planes = Array.ofDim[Int](nComp, pwY * phY)
+    var y = 0
+    while (y < phY) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < pwY) {
+        val sx = math.min(x, w - 1)
+        val p = (sy * w + sx) * 3
+        val r = img.rgb(p) & 0xFF
+        val g = img.rgb(p + 1) & 0xFF
+        val b = img.rgb(p + 2) & 0xFF
+        val o = y * pwY + x
+        planes(0)(o) = (77 * r + 150 * g + 29 * b + 128) >> 8
+        if (!gray) {
+          planes(1)(o) = 128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)
+          planes(2)(o) = 128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val chroma: Array[Array[Int]] =
+      if (gray) null
+      else if (lumaH == 1 && lumaV == 1) Array(planes(1), planes(2))
+      else {
+        val area = lumaH * lumaV
+        Array.tabulate(2) { ci =>
+          val src = planes(ci + 1)
+          val dst = new Array[Int](pwC * phC)
+          var cy = 0
+          while (cy < phC) {
+            var cx = 0
+            while (cx < pwC) {
+              var s = 0
+              var dy = 0
+              while (dy < lumaV) {
+                var dx = 0
+                while (dx < lumaH) {
+                  s += src((cy * lumaV + dy) * pwY + cx * lumaH + dx)
+                  dx += 1
+                }
+                dy += 1
+              }
+              dst(cy * pwC + cx) = (s + area / 2) / area
+              cx += 1
+            }
+            cy += 1
+          }
+          dst
+        }
+      }
+    val qLum = scaleQuant(JpegQuantLum, qscale)
+    val qChr = scaleQuant(JpegQuantChr, qscale)
+    // precompute quantized coefficient blocks per component over the
+    // MCU-padded grids (the DC scan walks every padded block)
+    val bwC = Array.tabulate(nComp)(c => if (c == 0) mcusX * lumaH else mcusX)
+    val bhC = Array.tabulate(nComp)(c => if (c == 0) mcusY * lumaV else mcusY)
+    val coefs = Array.tabulate(nComp) { c =>
+      val plane = if (c == 0) planes(0) else chroma(c - 1)
+      val pw = bwC(c) * 8
+      val q = if (c == 0) qLum else qChr
+      val arr = new Array[Int](bwC(c) * bhC(c) * 64)
+      val block = new Array[Int](64)
+      var by = 0
+      while (by < bhC(c)) {
+        var bx = 0
+        while (bx < bwC(c)) {
+          var i = 0
+          while (i < 64) {
+            block(i) = plane((by * 8 + i / 8) * pw + bx * 8 + i % 8) - 128
+            i += 1
+          }
+          System.arraycopy(fdctQuant(block, q), 0, arr, (by * bwC(c) + bx) * 64, 64)
+          bx += 1
+        }
+        by += 1
+      }
+      arr
+    }
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8)
+    marker(0xE0); u16(16) // APP0 / JFIF 1.1
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    u16(1); u16(1); out.write(0); out.write(0)
+    def dqt(id: Int, tbl: Array[Int]): Unit = {
+      marker(0xDB); u16(2 + 1 + 64); out.write(id)
+      var k = 0
+      while (k < 64) { out.write(tbl(JpegZigzag(k))); k += 1 }
+    }
+    dqt(0, qLum)
+    if (!gray) dqt(1, qChr)
+    // SOF2: progressive, precision 8; same component spec as encodeJpeg
+    marker(0xC2); u16(8 + 3 * nComp); out.write(8); u16(h); u16(w)
+    out.write(nComp)
+    var c = 0
+    while (c < nComp) {
+      out.write(c + 1)
+      out.write(if (c == 0) (lumaH << 4) | lumaV else 0x11)
+      out.write(if (c == 0) 0 else 1)
+      c += 1
+    }
+    def dht(cls: Int, id: Int, spec: HuffSpec): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + spec.vals.length)
+      out.write((cls << 4) | id)
+      spec.bits.foreach(out.write)
+      spec.vals.foreach(out.write)
+    }
+    dht(0, 0, JpegDcLum); dht(1, 0, JpegAcLum)
+    if (!gray) { dht(0, 1, JpegDcChr); dht(1, 1, JpegAcChr) }
+    val dcTab = Array(huffEncodeTable(JpegDcLum), huffEncodeTable(JpegDcChr))
+    val acTab = Array(huffEncodeTable(JpegAcLum), huffEncodeTable(JpegAcChr))
+    // ---- scan 1: interleaved DC (Ss=0, Se=0, AhAl=0) ----
+    marker(0xDA); u16(6 + 2 * nComp); out.write(nComp)
+    c = 0
+    while (c < nComp) {
+      out.write(c + 1)
+      out.write(if (c == 0) 0x00 else 0x10) // DC table id (AC id inert)
+      c += 1
+    }
+    out.write(0); out.write(0); out.write(0) // Ss=0 Se=0 AhAl
+    locally {
+      val writer = new JpegBitWriter(out)
+      val pred = new Array[Int](nComp)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          c = 0
+          while (c < nComp) {
+            val fH = if (c == 0) lumaH else 1
+            val fV = if (c == 0) lumaV else 1
+            val ti = if (c == 0) 0 else 1
+            var vb = 0
+            while (vb < fV) {
+              var hb = 0
+              while (hb < fH) {
+                val dc = coefs(c)(((my * fV + vb) * bwC(c) + mx * fH + hb) * 64)
+                val diff = dc - pred(c)
+                pred(c) = dc
+                val cat = jpegCategory(diff)
+                val (dl, dcc) = dcTab(ti)(cat)
+                writer.put(dcc, dl)
+                if (cat > 0)
+                  writer.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+                hb += 1
+              }
+              vb += 1
+            }
+            c += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      writer.flushAlign()
+    }
+    // ---- scans 2..: one full-band AC scan per component,
+    // non-interleaved over ceil(compDim/8) blocks ----
+    c = 0
+    while (c < nComp) {
+      val fH = if (c == 0) lumaH else 1
+      val fV = if (c == 0) lumaV else 1
+      val hMaxE = lumaH; val vMaxE = lumaV
+      val nbwE = ((w * fH + hMaxE - 1) / hMaxE + 7) / 8
+      val nbhE = ((h * fV + vMaxE - 1) / vMaxE + 7) / 8
+      val ti = if (c == 0) 0 else 1
+      marker(0xDA); u16(8); out.write(1)
+      out.write(c + 1)
+      out.write(if (c == 0) 0x00 else 0x11) // AC table id (DC id inert)
+      out.write(1); out.write(63); out.write(0) // Ss=1 Se=63 AhAl=0
+      val writer = new JpegBitWriter(out)
+      var by = 0
+      while (by < nbhE) {
+        var bx = 0
+        while (bx < nbwE) {
+          val off = (by * bwC(c) + bx) * 64
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val v = coefs(c)(off + JpegZigzag(k))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zl, zc) = acTab(ti)(0xF0); writer.put(zc, zl); run -= 16
+              }
+              val sz = jpegCategory(v)
+              val (al2, ac2) = acTab(ti)((run << 4) | sz)
+              writer.put(ac2, al2)
+              writer.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (el, ec) = acTab(ti)(0x00); writer.put(ec, el) }
+          bx += 1
+        }
+        by += 1
+      }
+      writer.flushAlign()
+      c += 1
+    }
+    marker(0xD9)
+    out.toByteArray
+  }
+
   /** Huffman DECODE tables, rebuilt from the file's DHT bytes via the
     * spec's canonical-code reconstruction (T.81 §F.2.2.3 mincode/maxcode/
     * valptr walk) — the decoder never assumes this encoder's tables. */
@@ -1971,19 +2211,33 @@ object Codecs {
     * and bounded; over-cap files fail loudly per the fuzz contract. */
   private[multimodal] val MaxDecodePixels: Long = 1L << 26
 
-  /** Decode baseline JPEG (SOF0, 8-bit, Huffman): marker walk, DQT/DHT/
-    * DRI/SOF0/SOS parse, entropy decode with byte-stuffing and restart
-    * markers, dequantize, de-zigzag, integer IDCT, per-component
-    * sample-replication upsampling (T.81 leaves the reconstruction
-    * filter to the decoder; integer replication keeps flat regions
-    * bit-exact, which is what keeps the oracle closed form), YCbCr→RGB.
-    * The MCU walk is the general interleaved Hmax/Vmax form of §A.2.3 —
-    * 4:4:4, 4:2:2, 4:4:0 and 4:2:0 chroma subsampling all decode (any
-    * factor mix with ≤10 data units per MCU, the spec's own bound).
-    * Scope REJECTIONS are named: progressive (SOF2) and the other SOF
-    * variants, 12-bit precision or quant tables, arithmetic coding.
-    * Grayscale output replicates luma into all three channels of the
-    * container-neutral [[Image]]. */
+  /** Decode JPEG — baseline sequential (SOF0/SOF1) AND progressive
+    * (SOF2), 8-bit precision, Huffman coding: marker walk, multi-scan
+    * entropy decode (byte stuffing, restart markers) into per-component
+    * QUANTIZED coefficient stores, then one dequantize + integer-IDCT
+    * pass, per-component sample-replication upsampling (T.81 leaves the
+    * reconstruction filter to the decoder; integer replication keeps
+    * flat regions bit-exact, which is what keeps the oracle closed
+    * form), YCbCr→RGB.
+    *
+    * Progressive support is the full §G.1 Huffman form: DC and AC
+    * spectral selection, successive approximation (first + refinement
+    * scans, Ah = Al + 1 progressions), EOB runs (EOBn), and the
+    * refinement correction-bit pass of §G.1.2.3 — tables may be redefined
+    * between scans (DHT/DRI mid-stream), AC scans are single-component
+    * over the component's OWN ceil(dim/8) block raster, DC scans
+    * interleave over the §A.2.3 Hmax/Vmax MCU geometry (so subsampled
+    * progressive files decode too). A progression truncated after any
+    * whole scan is accepted (the uncoded coefficients stay 0 — the
+    * partial-render property progressive encoding exists for).
+    *
+    * Baseline semantics are the degenerate single-scan case of the same
+    * machinery: Ss=0..Se=63 with Ah=Al=0 decodes DC and AC in one block
+    * pass, and the stored-then-dequantized arithmetic is integer-
+    * identical to dequantizing inline (the m19 closed form is untouched).
+    * Scope REJECTIONS stay named: lossless/hierarchical SOF variants,
+    * 12-bit precision or quant tables, arithmetic coding. Grayscale
+    * output replicates luma into all three channels. */
   def decodeJpeg(bytes: Array[Byte]): JpegImage = {
     require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8, "not a JPEG: SOI marker missing")
@@ -2004,17 +2258,224 @@ object Codecs {
     var width = 0; var height = 0
     var nComp = 0
     var restartInterval = 0
-    // per component: id, quant table id, DC table id, AC table id, H/V
+    var progressive = false
+    // per component: id, quant table id, H/V sampling factors
     var compQuant: Array[Int] = null
-    var compDc: Array[Int] = null
-    var compAc: Array[Int] = null
     var compIds: Array[Int] = null
     var sampH: Array[Int] = null
     var sampV: Array[Int] = null
+    // geometry + quantized-coefficient stores, allocated at SOF
+    var hMax = 1; var vMax = 1; var mcusX = 0; var mcusY = 0
+    var bw: Array[Int] = null // per-comp MCU-padded block columns
+    var bh: Array[Int] = null
+    var nbw: Array[Int] = null // per-comp non-interleaved block columns
+    var nbh: Array[Int] = null
+    var stores: Array[Array[Int]] = null
+    // scan-sequence sanity: AC/refinement scans need the DC-first scan
+    val dcFirstDone = new Array[Boolean](4)
+
+    /** One scan from its SOS length field: parse the scan header, decode
+      * every data unit into the coefficient stores, return the offset of
+      * the next marker. Covers baseline (full-spectrum interleaved) and
+      * every progressive scan kind through one block decoder. */
+    def decodeScan(sosPos: Int): Int = {
+      val len = segLen(sosPos)
+      require(sosPos + len <= bytes.length && len >= 3,
+        "SOS segment runs past end of file")
+      require(width > 0, "SOS before SOF")
+      val ns = bytes(sosPos + 2) & 0xFF
+      require(ns >= 1 && ns <= nComp, s"SOS component count $ns out of range")
+      require(len >= 6 + 2 * ns, "SOS too short for its components")
+      val scanComps = new Array[Int](ns)
+      val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+      var c = 0
+      var lastIdx = -1
+      while (c < ns) {
+        val cid = bytes(sosPos + 3 + 2 * c) & 0xFF
+        val idx = compIds.indexOf(cid)
+        require(idx >= 0, s"SOS names component id $cid absent from SOF")
+        require(idx > lastIdx, "SOS components out of SOF order")
+        lastIdx = idx
+        scanComps(c) = idx
+        scanDc(c) = (bytes(sosPos + 4 + 2 * c) & 0xFF) >> 4
+        scanAc(c) = bytes(sosPos + 4 + 2 * c) & 0x0F
+        require(scanDc(c) <= 3 && scanAc(c) <= 3,
+          s"Huffman table id out of range (${scanDc(c)}/${scanAc(c)})")
+        c += 1
+      }
+      val ss = bytes(sosPos + 3 + 2 * ns) & 0xFF
+      val se = bytes(sosPos + 4 + 2 * ns) & 0xFF
+      val ahal = bytes(sosPos + 5 + 2 * ns) & 0xFF
+      val ah = ahal >> 4; val al = ahal & 0x0F
+      if (!progressive) {
+        require(ns == nComp, s"baseline SOS component count $ns != SOF $nComp")
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          s"baseline scan must cover the full spectrum (Ss=$ss Se=$se Ah=$ah Al=$al)")
+      } else {
+        require(al <= 13 && (ah == 0 || ah == al + 1),
+          s"successive approximation Ah=$ah Al=$al outside the spec's progression")
+        if (ss == 0)
+          require(se == 0, "progressive scan with Ss=0 must be DC-only (Se=0)")
+        else {
+          require(se >= ss && se <= 63, s"spectral band $ss..$se invalid")
+          require(ns == 1, "progressive AC scans are single-component")
+        }
+        c = 0
+        while (c < ns) {
+          if (ss == 0 && ah == 0) dcFirstDone(scanComps(c)) = true
+          else require(dcFirstDone(scanComps(c)),
+            "progressive scan sequence: DC-first scan missing for a component")
+          c += 1
+        }
+      }
+      // table presence for exactly what THIS scan reads (DC refinement
+      // reads raw bits, no table; AC scans read the AC table)
+      c = 0
+      while (c < ns) {
+        if (ss == 0 && ah == 0)
+          require(dcTabs(scanDc(c)) != null, s"missing DC Huffman table ${scanDc(c)}")
+        if (se >= 1)
+          require(acTabs(scanAc(c)) != null, s"missing AC Huffman table ${scanAc(c)}")
+        c += 1
+      }
+      val reader = new JpegBitReader(bytes, sosPos + len)
+      val pred = new Array[Int](ns)
+      var eobrun = 0
+      val interleaved = ns > 1
+
+      // sc = scan-local component index
+      def decodeBlock(sc: Int, store: Array[Int], off: Int): Unit = {
+        if (ss == 0) {
+          if (ah == 0) {
+            val cat = reader.decodeHuff(dcTabs(scanDc(sc)))
+            require(cat <= 11, s"DC category $cat out of range")
+            pred(sc) += reader.receiveExtend(cat)
+            store(off) = pred(sc) << al
+          } else if (reader.readBit() == 1) store(off) |= (1 << al)
+        }
+        if (se >= 1) {
+          if (ah == 0) {
+            // first AC pass (baseline AC is the al=0, EOBRUN=1 case)
+            if (eobrun > 0) { eobrun -= 1; return }
+            var k = math.max(1, ss)
+            var inBand = true
+            while (inBand && k <= se) {
+              val rs = reader.decodeHuff(acTabs(scanAc(sc)))
+              val r = rs >> 4; val sz = rs & 0x0F
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else { eobrun = (1 << r) - 1 + reader.readBits(r); inBand = false }
+              } else {
+                k += r
+                require(k <= se, "AC run overflows the spectral band")
+                store(off + JpegZigzag(k)) = reader.receiveExtend(sz) << al
+                k += 1
+              }
+            }
+          } else {
+            // AC refinement: the §G.1.2.3 correction-bit pass — every
+            // already-nonzero coefficient in the walked span reads one
+            // correction bit; newly-born coefficients carry magnitude 1
+            val p1 = 1 << al
+            var k = math.max(1, ss)
+            if (eobrun == 0) {
+              var inBand = true
+              while (inBand && k <= se) {
+                val rs = reader.decodeHuff(acTabs(scanAc(sc)))
+                var r = rs >> 4; val sz = rs & 0x0F
+                var insert = 0
+                if (sz == 0) {
+                  if (r < 15) { eobrun = (1 << r) + reader.readBits(r); inBand = false }
+                  // r == 15: ZRL — pass 16 zero-HISTORY coefficients
+                } else {
+                  require(sz == 1, s"refinement AC magnitude $sz != 1")
+                  insert = if (reader.readBit() == 1) p1 else -p1
+                }
+                if (inBand) {
+                  var advancing = true
+                  while (advancing && k <= se) {
+                    val zi = off + JpegZigzag(k)
+                    val v = store(zi)
+                    if (v != 0) {
+                      if (reader.readBit() == 1 && (v & p1) == 0)
+                        store(zi) = if (v >= 0) v + p1 else v - p1
+                    } else if (r == 0) {
+                      if (insert != 0) store(zi) = insert
+                      advancing = false
+                    } else r -= 1
+                    k += 1
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // inside an EOB run: correction bits only, to the band end
+              while (k <= se) {
+                val zi = off + JpegZigzag(k)
+                val v = store(zi)
+                if (v != 0 && reader.readBit() == 1 && (v & p1) == 0)
+                  store(zi) = if (v >= 0) v + p1 else v - p1
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+        }
+      }
+
+      val units =
+        if (interleaved) mcusX * mcusY
+        else { val ci = scanComps(0); nbw(ci) * nbh(ci) }
+      var unit = 0
+      var rstIdx = 0
+      while (unit < units) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          reader.expectRestart(rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        if (interleaved) {
+          val my = unit / mcusX; val mx = unit % mcusX
+          var sc = 0
+          while (sc < ns) {
+            val ci = scanComps(sc)
+            var vb = 0
+            while (vb < sampV(ci)) {
+              var hb = 0
+              while (hb < sampH(ci)) {
+                val bIdx = (my * sampV(ci) + vb) * bw(ci) + mx * sampH(ci) + hb
+                decodeBlock(sc, stores(ci), bIdx * 64)
+                hb += 1
+              }
+              vb += 1
+            }
+            sc += 1
+          }
+        } else {
+          val ci = scanComps(0)
+          val by = unit / nbw(ci); val bx = unit % nbw(ci)
+          decodeBlock(0, stores(ci), (by * bw(ci) + bx) * 64)
+        }
+        unit += 1
+      }
+      // advance to the next marker: entropy data ends where a
+      // non-stuffing 0xFF begins (skipping any byte-align padding)
+      var p = reader.pos
+      while (p + 1 < bytes.length &&
+        !((bytes(p) & 0xFF) == 0xFF && (bytes(p + 1) & 0xFF) != 0x00)) p += 1
+      require(p + 1 < bytes.length, "JPEG truncated after scan data")
+      p
+    }
+
+    // ---- marker walk: headers, then one scan (baseline) or scans up to
+    // EOI (progressive) ----
     var pos = 2
-    var sosAt = -1
-    while (sosAt < 0) {
-      require(pos + 1 < bytes.length, "JPEG truncated before SOS")
+    var seenScan = false
+    var done = false
+    while (!done) {
+      require(pos + 1 < bytes.length,
+        if (seenScan) "JPEG truncated before EOI" else "JPEG truncated before SOS")
       require((bytes(pos) & 0xFF) == 0xFF,
         f"expected a marker at offset $pos, found 0x${bytes(pos) & 0xFF}%02X")
       val m = bytes(pos + 1) & 0xFF
@@ -2062,9 +2523,11 @@ object Codecs {
             p += 17 + n
           }
           pos = end
-        case 0xC0 | 0xC1 =>
-          // SOF0 baseline (and SOF1 extended sequential — same structure,
-          // same Huffman baseline decode path for 8-bit)
+        case 0xC0 | 0xC1 | 0xC2 =>
+          // SOF0 baseline / SOF1 extended sequential (same 8-bit Huffman
+          // decode path) / SOF2 progressive
+          require(width == 0, "duplicate SOF")
+          progressive = m == 0xC2
           val len = segLen(pos)
           require(pos + len <= bytes.length && len >= 9,
             "SOF segment runs past end of file")
@@ -2104,132 +2567,78 @@ object Codecs {
             // MCU is one data unit and the declared factors are inert
             sampH(0) = 1; sampV(0) = 1
           }
+          hMax = sampH.max; vMax = sampV.max
+          mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+          bw = Array.tabulate(nComp)(ci => mcusX * sampH(ci))
+          bh = Array.tabulate(nComp)(ci => mcusY * sampV(ci))
+          // non-interleaved block raster: the component's OWN dims
+          // (ceil(dim·fac/max / 8)), NOT the MCU-padded grid (§A.2.2)
+          nbw = Array.tabulate(nComp)(ci =>
+            ((width * sampH(ci) + hMax - 1) / hMax + 7) / 8)
+          nbh = Array.tabulate(nComp)(ci =>
+            ((height * sampV(ci) + vMax - 1) / vMax + 7) / 8)
+          stores = Array.tabulate(nComp)(ci => new Array[Int](bw(ci) * bh(ci) * 64))
           pos += len
-        case 0xC2 =>
-          throw new IllegalArgumentException(
-            "progressive JPEG (SOF2) is out of scope (baseline only)")
         case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
           throw new IllegalArgumentException(
-            f"unsupported SOF marker 0xFF$m%02X (baseline sequential only)")
+            f"unsupported SOF marker 0xFF$m%02X (sequential/progressive Huffman only)")
         case 0xDD =>
           require(u16(pos) == 4, "bad DRI length")
           restartInterval = u16(pos + 2)
           pos += 4
         case 0xDA =>
-          val len = segLen(pos)
-          require(pos + len <= bytes.length && len >= 3,
-            "SOS segment runs past end of file")
-          val ns = bytes(pos + 2) & 0xFF
-          require(ns == nComp && ns >= 1, s"SOS component count $ns != SOF $nComp")
-          require(len >= 6 + 2 * ns, "SOS too short for its components")
-          compDc = new Array[Int](nComp)
-          compAc = new Array[Int](nComp)
-          var c = 0
-          while (c < ns) {
-            val cid = bytes(pos + 3 + 2 * c) & 0xFF
-            require(cid == compIds(c),
-              s"SOS component order $cid differs from SOF (non-interleaved scans unsupported)")
-            compDc(c) = (bytes(pos + 4 + 2 * c) & 0xFF) >> 4
-            compAc(c) = bytes(pos + 4 + 2 * c) & 0x0F
-            require(compDc(c) <= 3 && compAc(c) <= 3,
-              s"Huffman table id out of range (${compDc(c)}/${compAc(c)})")
-            c += 1
-          }
-          sosAt = pos + len
+          pos = decodeScan(pos)
+          seenScan = true
+          if (!progressive) done = true // baseline: exactly one scan
         case 0xD9 =>
-          throw new IllegalArgumentException("EOI before SOS: no image data")
+          require(seenScan, "EOI before any scan data")
+          done = true
         case _ =>
           pos += segLen(pos) // APPn / COM / anything with a length: skip
       }
     }
-    require(width > 0, "SOS before SOF0")
+    // ---- dequantize + IDCT every stored block into the pixel planes ----
     var c = 0
     while (c < nComp) {
       require(quant(compQuant(c)) != null, s"missing quant table ${compQuant(c)}")
-      require(dcTabs(compDc(c)) != null, s"missing DC Huffman table ${compDc(c)}")
-      require(acTabs(compAc(c)) != null, s"missing AC Huffman table ${compAc(c)}")
       c += 1
     }
-    // General interleaved MCU geometry (§A.2.3): the MCU spans
-    // 8·Hmax × 8·Vmax image pixels; component c contributes Vc×Hc data
-    // units per MCU into its own MCU-padded plane. 4:4:4 degenerates to
-    // the one-block-per-component walk.
-    val hMax = sampH.max; val vMax = sampV.max
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    // padded plane dims per component (≤ dim+32, safe under the pixel cap)
-    val pw = Array.tabulate(nComp)(c => mcusX * sampH(c) * 8)
-    val ph = Array.tabulate(nComp)(c => mcusY * sampV(c) * 8)
-    val planes = Array.tabulate(nComp)(c => new Array[Int](pw(c) * ph(c)))
-    val reader = new JpegBitReader(bytes, sosAt)
-    val pred = new Array[Int](nComp)
+    val planes = Array.tabulate(nComp)(ci => new Array[Int](bw(ci) * 8 * bh(ci) * 8))
     val coef = new Array[Int](64)
-    var mcu = 0
-    var rstIdx = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          reader.expectRestart(rstIdx)
-          rstIdx = (rstIdx + 1) % 8
-          java.util.Arrays.fill(pred, 0)
-        }
-        c = 0
-        while (c < nComp) {
-          val q = quant(compQuant(c))
-          var vb = 0
-          while (vb < sampV(c)) {
-            var hb = 0
-            while (hb < sampH(c)) {
-              java.util.Arrays.fill(coef, 0)
-              val cat = reader.decodeHuff(dcTabs(compDc(c)))
-              require(cat <= 11, s"DC category $cat out of range")
-              pred(c) += reader.receiveExtend(cat)
-              coef(0) = pred(c) * q(0)
-              var k = 1
-              while (k < 64) {
-                val rs = reader.decodeHuff(acTabs(compAc(c)))
-                val run = rs >> 4
-                val sz = rs & 0x0F
-                if (sz == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else k = 64 // EOB
-                } else {
-                  k += run
-                  require(k < 64, "AC run overflows the block")
-                  coef(JpegZigzag(k)) = reader.receiveExtend(sz) * q(JpegZigzag(k))
-                  k += 1
-                }
-              }
-              val px = idctBlock(coef)
-              val plane = planes(c)
-              val baseY = (my * sampV(c) + vb) * 8
-              val baseX = (mx * sampH(c) + hb) * 8
-              var i = 0
-              while (i < 64) {
-                plane((baseY + i / 8) * pw(c) + baseX + i % 8) = px(i)
-                i += 1
-              }
-              hb += 1
-            }
-            vb += 1
+    c = 0
+    while (c < nComp) {
+      val q = quant(compQuant(c))
+      val store = stores(c)
+      val plane = planes(c)
+      val pw = bw(c) * 8
+      var by = 0
+      while (by < bh(c)) {
+        var bx = 0
+        while (bx < bw(c)) {
+          val off = (by * bw(c) + bx) * 64
+          var i = 0
+          while (i < 64) { coef(i) = store(off + i) * q(i); i += 1 }
+          val px = idctBlock(coef)
+          var j = 0
+          while (j < 64) {
+            plane((by * 8 + j / 8) * pw + bx * 8 + j % 8) = px(j)
+            j += 1
           }
-          c += 1
+          bx += 1
         }
-        mcu += 1
-        mx += 1
+        by += 1
       }
-      my += 1
+      c += 1
     }
     // Upsample (integer sample replication: source sample x·Hc/Hmax,
     // y·Vc/Vmax — exact on flat regions) + YCbCr→RGB (JFIF fixed point),
     // cropping the MCU grid to the SOF dims.
     val rgb = new Array[Byte](width * height * 3)
     def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-    val pwY = pw(0)
-    val pwCb = if (nComp == 3) pw(1) else 0
-    val pwCr = if (nComp == 3) pw(2) else 0
+    val pwY = bw(0) * 8
+    val pwCb = if (nComp == 3) bw(1) * 8 else 0
+    val pwCr = if (nComp == 3) bw(2) * 8 else 0
     var yy = 0
     while (yy < height) {
       var xx = 0
@@ -2254,6 +2663,6 @@ object Codecs {
       yy += 1
     }
     JpegImage(Image(width, height, rgb), nComp, restartInterval,
-      sampH(0), sampV(0))
+      sampH(0), sampV(0), progressive)
   }
 }

@@ -435,16 +435,17 @@ object Multimodal {
       }
   }
 
-  /** The m27 ADMISSION-MIX corpus: each doc lands in one of eight
-    * container classes by doc_id mod 8 — five that a correct gate ADMITS
-    * (BMP, palette PNG, GIF, 4:2:0 JPEG, float WAV: one per decode
-    * family, including the round-16 forms) and three it must REJECT with
-    * a DETERMINISTIC reason (a PNG truncated at byte 20 — inside the
-    * constant corpus-wide prefix, so the chunk-bound message is one
-    * string; a 4:2:0 JPEG whose SOF0 marker is flipped to SOF2
-    * progressive; an unrecognized 'MP4 ' magic). Deterministic reasons
-    * are what make the gate REPORT (per-class admit/reject/reason
-    * counts) oracle-checkable instead of merely plausible. */
+  /** The m27 ADMISSION-MIX corpus: each doc lands in one of nine
+    * container classes by doc_id mod 9 — six that a correct gate ADMITS
+    * (BMP, palette PNG, GIF, 4:2:0 JPEG, float WAV, and a PROGRESSIVE
+    * 4:2:0 JPEG: one per decode family, including every round-16 form)
+    * and three it must REJECT with a DETERMINISTIC reason (a PNG
+    * truncated at byte 20 — inside the constant corpus-wide prefix, so
+    * the chunk-bound message is one string; a JPEG whose SOF precision
+    * byte is flipped to 12-bit; an unrecognized 'MP4 ' magic).
+    * Deterministic reasons are what make the gate REPORT (per-class
+    * admit/reject/reason counts) oracle-checkable instead of merely
+    * plausible. */
   def renderAdmissionMixTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -455,7 +456,7 @@ object Multimodal {
             val tb = textCps(text, "renderAdmissionMixTable")
             Array.tabulate(w * h)(i => tb(i % tb.length).toByte)
           }
-          (id % 8) match {
+          (id % 9) match {
             case 0 => MediaRow(id, Codecs.encodeBmp(textImage(text, 25, 16)),
               "image/bmp")
             case 1 => MediaRow(id, Codecs.encodePngPalette(25, 16, gifPalette,
@@ -466,14 +467,17 @@ object Multimodal {
               lumaH = 2, lumaV = 2), "image/jpeg;s22")
             case 4 => MediaRow(id, Codecs.encodeWavFloat(textPcm(id, text)),
               "audio/wav;float32")
-            case 5 => // signature + IHDR header + 8 data bytes: the cut
+            case 5 => MediaRow(id, Codecs.encodeJpegProgressive(
+              blockGrayImage(text), lumaH = 2, lumaV = 2),
+              "image/jpeg;progressive;s22")
+            case 6 => // signature + IHDR header + 8 data bytes: the cut
               // lands inside the corpus-constant 25x16 prefix, so the
               // decoder's bound message is one deterministic string
               MediaRow(id, Codecs.encodePng(textImage(text, 25, 16)).take(20),
                 "image/png;truncated")
-            case 6 =>
+            case 7 =>
               val b = Codecs.encodeJpeg(blockGrayImage(text), lumaH = 2, lumaV = 2)
-              // flip the SOF0 marker (0xFF 0xC0) to SOF2 progressive
+              // flip the SOF precision byte (8 → 12): a named rejection
               var i = 2
               var at = -1
               while (at < 0 && i < b.length - 1) {
@@ -481,8 +485,8 @@ object Multimodal {
                 i += 1
               }
               require(at > 0, "encoder emitted no SOF0 marker?")
-              b(at) = 0xC2.toByte
-              MediaRow(id, b, "image/jpeg;progressive")
+              b(at + 3) = 12.toByte // marker, len16, THEN precision
+              MediaRow(id, b, "image/jpeg;12bit")
             case _ => MediaRow(id,
               ("MP4 " + text).getBytes("US-ASCII"), "video/mp4;unsupported")
           }
@@ -594,6 +598,65 @@ object Multimodal {
         (r.doc_id, dhash56(jpg.image))
       }
     }.toDF("doc_id", "dhash")
+  }
+
+  /** Render each doc as a PROGRESSIVE (SOF2) JPEG of [[blockGrayImage]]
+    * pixels — spectral-selection scans (one interleaved DC scan + one AC
+    * scan per component), even doc_ids 4:2:0-subsampled (the form real
+    * web encoders emit: progressive AND chroma-subsampled), odd 4:4:4.
+    * The flat-block payload decodes to EXACTLY the m19 closed-form
+    * pixels (same quantizers, multi-scan coefficient assembly), which is
+    * what lets the m28 oracle recompute a progressive decode in SQL. */
+  def renderProgressiveJpegTable(documents: DataFrame,
+                                 qscale: Int = 1): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val f = if (id % 2 == 0) 2 else 1
+          MediaRow(id,
+            Codecs.encodeJpegProgressive(blockGrayImage(text),
+              qscale = qscale, lumaH = f, lumaV = f),
+            s"image/jpeg;progressive;s$f$f")
+        }
+      }
+  }
+
+  /** m28 output: decoded-PROGRESSIVE-JPEG facts — the SOF2 flag and luma
+    * sampling factor are REQUIRED (a silent sequential fallback fails
+    * loudly), chroma must come back exactly neutral, and gray_sum/dhash
+    * read the multi-scan-assembled pixels. */
+  final case class ProgressiveJpegMeta(doc_id: Long, width: Long, height: Long,
+                                       components: Long, luma_h: Long,
+                                       gray_sum: Long, dhash: Long)
+
+  def decodedProgressiveMeta(media: Dataset[MediaRow]): Dataset[ProgressiveJpegMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val jpg = Codecs.decodeJpeg(r.media)
+        require(jpg.progressive,
+          s"doc ${r.doc_id}: expected a progressive (SOF2) stream")
+        require(jpg.lumaH == jpg.lumaV &&
+          jpg.lumaH == (if (r.doc_id % 2 == 0) 2 else 1),
+          s"doc ${r.doc_id}: unexpected sampling ${jpg.lumaH}x${jpg.lumaV}")
+        val img = jpg.image
+        val n = img.width * img.height
+        var graySum = 0L
+        var i = 0
+        while (i < n) {
+          require(img.rgb(i * 3 + 1) == img.rgb(i * 3) &&
+            img.rgb(i * 3 + 2) == img.rgb(i * 3),
+            s"doc ${r.doc_id}: chroma came back non-neutral at pixel $i")
+          graySum += img.rgb(i * 3) & 0xFF
+          i += 1
+        }
+        ProgressiveJpegMeta(r.doc_id, img.width.toLong, img.height.toLong,
+          jpg.components.toLong, jpg.lumaH.toLong, graySum, dhash56(img))
+      }
+    }
   }
 
   /** m19 output: decoded-JPEG facts — dims and component count from SOF0,

@@ -302,9 +302,10 @@ private[queries] object MultimodalQueries {
     // m27 (round 16): the corpus-level ADMISSION REPORT — the deployment
     // answer to "what fraction of a mixed media corpus does the gate
     // admit, and why does the rest drop?". The mix plants one class per
-    // decode family (incl. the round-16 forms: palette PNG, 4:2:0 JPEG,
-    // float WAV) plus three rejection classes with DETERMINISTIC reasons
-    // (fixed-prefix truncation, SOF2 progressive flip, unknown magic);
+    // decode family (incl. every round-16 form: palette PNG, 4:2:0 JPEG,
+    // float WAV, PROGRESSIVE 4:2:0 JPEG) plus three rejection classes
+    // with DETERMINISTIC reasons (fixed-prefix truncation, a 12-bit
+    // precision flip, unknown magic);
     // every payload is GENUINELY decoded by the same gate the streaming
     // ingest runs (EventStreams.mediaDecodeGateStream — batch and stream
     // share the transform), then one hash aggregate per (kind, admit,
@@ -324,6 +325,24 @@ private[queries] object MultimodalQueries {
         .withColumn("share_bp",
           expr("CAST(n_docs * 10000 DIV __tot AS BIGINT)"))
         .drop("__tot")
+    }),
+
+
+    // m28 (round 16): PROGRESSIVE JPEG (SOF2) — every doc re-encoded
+    // through spectral-selection scans (one interleaved DC scan, then
+    // one AC scan per component, §G.1), even doc_ids ALSO
+    // 4:2:0-subsampled (the combination real web encoders emit), then
+    // DECODED through the multi-scan coefficient-store path: the SOF2
+    // flag and sampling factors are engine-REQUIRED, chroma must come
+    // back exactly neutral, gray_sum/dhash read the assembled pixels.
+    // Flat blocks make a progressive decode land on the SAME closed-form
+    // pixels as the sequential m19 encode, so the oracle recomputes the
+    // whole thing in SQL — a scan-sequencing, EOB-run, band, or
+    // coefficient-assembly bug anywhere hash-mismatches.
+    "m28_progressive_decode" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedProgressiveMeta(M.renderProgressiveJpegTable(
+        docs(s, dir).filter(length(col("text")) >= 1))).toDF()
     }),
 
 
@@ -793,21 +812,23 @@ private[queries] object MultimodalQueries {
                   x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
          FROM s""",
 
-    // m27: the admission outcomes are pure doc_id-mod-8 arithmetic — the
+    // m27: the admission outcomes are pure doc_id-mod-9 arithmetic — the
     // engine must actually decode every payload to land on them, but the
-    // oracle knows which classes a CORRECT gate admits and the exact
-    // reason strings of the three planted rejection classes.
+    // oracle knows which classes a CORRECT gate admits (including the
+    // progressive 4:2:0 class) and the exact reason strings of the three
+    // planted rejection classes.
     "m27_admission_report" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE len(text) >= 1),
-              c AS (SELECT CASE doc_id % 8
+              c AS (SELECT CASE doc_id % 9
                       WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-                      WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'png'
-                      WHEN 6 THEN 'jpeg' ELSE 'unknown' END AS kind,
-                      doc_id % 8 < 5 AS admit,
-                      CASE doc_id % 8
-                      WHEN 5 THEN 'truncated PNG chunk (length 13 at offset 8)'
-                      WHEN 6 THEN 'progressive JPEG (SOF2) is out of scope (baseline only)'
-                      WHEN 7 THEN 'unrecognized container magic'
+                      WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'jpeg'
+                      WHEN 6 THEN 'png' WHEN 7 THEN 'jpeg'
+                      ELSE 'unknown' END AS kind,
+                      doc_id % 9 < 6 AS admit,
+                      CASE doc_id % 9
+                      WHEN 6 THEN 'truncated PNG chunk (length 13 at offset 8)'
+                      WHEN 7 THEN 'unsupported JPEG precision 12 (8-bit only)'
+                      WHEN 8 THEN 'unrecognized container magic'
                       ELSE '' END AS reason
                     FROM d),
               g AS (SELECT kind, admit, reason, count(*) AS n FROM c GROUP BY 1, 2, 3),
@@ -815,6 +836,28 @@ private[queries] object MultimodalQueries {
          SELECT kind, admit, reason, CAST(n AS BIGINT) AS n_docs,
                 CAST(n * 10000 // tot AS BIGINT) AS share_bp
          FROM g, t""",
+
+    // m28: the m19 closed form — a CORRECT progressive decode assembles
+    // the same quantized coefficients the sequential scan carries, so
+    // the pixels (and gray_sum/dhash) are identical; luma_h mirrors the
+    // parity rule the render uses.
+    "m28_progressive_decode" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              g AS (SELECT doc_id,
+                      list_transform(generate_series(0, 63),
+                        b -> 2 * (((32 + ((ascii(substr(text, 1 + (b % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv
+                    FROM d)
+         SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+                CAST(3 AS BIGINT) AS components,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS luma_h,
+                CAST(64 * list_sum(gv) AS BIGINT) AS gray_sum,
+                CAST(list_sum(list_transform(generate_series(0, 55),
+                  b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                 > gv[(b // 7) * 8 + (b % 7) + 2]
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+         FROM g""",
 
     // m12: the text-domain mirror of the 2-D dHash — grid cell gp maps to
     // pixel index ((gp//8)*2)*25 + ((gp%8)*25)//8 (nearest-neighbor 8x8

@@ -295,6 +295,162 @@ class JpegSpec extends SparkSpecBase {
     assert(oddDec.width === 20 && oddDec.height === 12)
   }
 
+  // ---- progressive (SOF2) goldens ------------------------------------------
+
+  /** A 4-code custom AC DHT legal for both golden families: EOB0 = '0',
+    * (0,2) = '10', (0,1) = '110', EOB-run r=1 = '1110'. */
+  private val progAcDht: Seq[Int] =
+    Seq(0xFF, 0xC4, 0, 23, 0x10,
+      1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x00, 0x02, 0x01, 0x10)
+
+  private val annexKDcDht: Seq[Int] =
+    Seq(0xFF, 0xC4, 0, 31, 0x00,
+      0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0) ++ (0 to 11)
+
+  private def dqtK: Seq[Int] =
+    Seq(0xFF, 0xDB, 0, 67, 0x00) ++ (0 until 64).map(k => qLum(zig(k)))
+
+  test("golden successive-approximation progression decodes exactly") {
+    // 8×8 gray, four scans: DC first at Al=1 (5 = 11>>1: '100'+'101'),
+    // DC refine (bit 1), AC first at Al=1 (zigzag-1 = 2>>1 = 1:
+    // '110'+'1', EOB '0'), AC refine (newly-born zigzag-2 = +1:
+    // '110'+sign'1'+correction'0' for the zigzag-1 history, EOB '0').
+    // Final coefficients: DC 11, zig1 = 2, zig2 = 1 — the baseline
+    // reference stream below codes the same values in one scan, so the
+    // two files MUST decode to identical pixels.
+    val prog = collection.mutable.ArrayBuffer[Int]()
+    prog ++= Seq(0xFF, 0xD8)
+    prog ++= dqtK
+    prog ++= Seq(0xFF, 0xC2, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0) // SOF2 8×8
+    prog ++= annexKDcDht
+    prog ++= progAcDht
+    prog ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 0, 0x01) // DC first Al=1
+    prog ++= Seq(0x97) // '100'+'101' + pad
+    prog ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 0, 0x10) // DC refine
+    prog ++= Seq(0xFF, 0x00) // bit '1' + all-ones pad = 0xFF, stuffed
+    prog ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x01) // AC first Al=1
+    prog ++= Seq(0xD7) // '110'+'1' then EOB '0' + pad
+    prog ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x10) // AC refine
+    prog ++= Seq(0xD3) // '110'+'1'+corr'0' then EOB '0' + pad
+    prog ++= Seq(0xFF, 0xD9)
+    val base = collection.mutable.ArrayBuffer[Int]()
+    base ++= Seq(0xFF, 0xD8)
+    base ++= dqtK
+    base ++= Seq(0xFF, 0xC0, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0)
+    base ++= annexKDcDht
+    base ++= progAcDht
+    base ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0)
+    base ++= Seq(0xB7, 0x5A) // '101'+'1011' | '10'+'10' | '110'+'1' | EOB
+    base ++= Seq(0xFF, 0xD9)
+    val dp = Codecs.decodeJpeg(prog.map(_.toByte).toArray)
+    val db = Codecs.decodeJpeg(base.map(_.toByte).toArray)
+    assert(dp.progressive && !db.progressive)
+    assert(dp.image.rgb.toSeq === db.image.rgb.toSeq,
+      "successive approximation must land on the sequential pixels")
+  }
+
+  test("golden EOB-run spans blocks in a progressive AC scan") {
+    // 16×8 gray, two blocks, both flat DC=11; AC scan codes zigzag-1=+2
+    // in block 1 then an EOB-RUN of 2 ('1110' + extension '0') ending
+    // BOTH blocks — the baseline file codes per-block EOBs instead.
+    val prog = collection.mutable.ArrayBuffer[Int]()
+    prog ++= Seq(0xFF, 0xD8)
+    prog ++= dqtK
+    prog ++= Seq(0xFF, 0xC2, 0, 11, 8, 0, 8, 0, 16, 1, 1, 0x11, 0) // 16×8
+    prog ++= annexKDcDht
+    prog ++= progAcDht
+    prog ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 0, 0x00) // DC, Al=0
+    prog ++= Seq(0xB6, 0x7F) // '101'+'1011' then diff-0 '00' + pad
+    prog ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x00) // AC
+    prog ++= Seq(0xAE, 0x7F) // '10'+'10' then EOBRUN2 '1110'+'0' + pad
+    prog ++= Seq(0xFF, 0xD9)
+    val base = collection.mutable.ArrayBuffer[Int]()
+    base ++= Seq(0xFF, 0xD8)
+    base ++= dqtK
+    base ++= Seq(0xFF, 0xC0, 0, 11, 8, 0, 8, 0, 16, 1, 1, 0x11, 0)
+    base ++= annexKDcDht
+    base ++= progAcDht
+    base ++= Seq(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0)
+    base ++= Seq(0xB7, 0x41)
+    base ++= Seq(0xFF, 0xD9)
+    val dp = Codecs.decodeJpeg(prog.map(_.toByte).toArray)
+    val db = Codecs.decodeJpeg(base.map(_.toByte).toArray)
+    assert(dp.image.width === 16 && dp.progressive)
+    assert(dp.image.rgb.toSeq === db.image.rgb.toSeq)
+  }
+
+  test("progressive encoder: spectral selection decodes bit-identical to baseline") {
+    // the full matrix: gray/color × 4:4:4/4:2:0/4:2:2 × qscales × odd dims
+    val img = Multimodal.blockGrayImage("progressive spectral payload")
+    val busy = Multimodal.textImage("progressive busy color payload", 25, 16)
+    val odd = Multimodal.textImage("odd dims payload", 20, 12)
+    for ((label, b, p) <- Seq(
+      ("flat gray 4:4:4", Codecs.encodeJpeg(img),
+        Codecs.encodeJpegProgressive(img)),
+      ("flat gray 1-comp q2", Codecs.encodeJpeg(img, qscale = 2, gray = true),
+        Codecs.encodeJpegProgressive(img, qscale = 2, gray = true)),
+      ("busy color 4:4:4", Codecs.encodeJpeg(busy),
+        Codecs.encodeJpegProgressive(busy)),
+      ("busy color 4:2:0", Codecs.encodeJpeg(busy, lumaH = 2, lumaV = 2),
+        Codecs.encodeJpegProgressive(busy, lumaH = 2, lumaV = 2)),
+      ("busy color 4:2:2", Codecs.encodeJpeg(busy, lumaH = 2, lumaV = 1),
+        Codecs.encodeJpegProgressive(busy, lumaH = 2, lumaV = 1)),
+      ("odd dims 4:2:0", Codecs.encodeJpeg(odd, lumaH = 2, lumaV = 2),
+        Codecs.encodeJpegProgressive(odd, lumaH = 2, lumaV = 2)))) {
+      val db = Codecs.decodeJpeg(b); val dp = Codecs.decodeJpeg(p)
+      assert(dp.progressive && !db.progressive, label)
+      assert(java.util.Arrays.equals(dp.image.rgb, db.image.rgb), label)
+    }
+  }
+
+  test("truncated progression decodes the scans it has (partial render)") {
+    // drop the final AC scan: DC-only progressive renders the flat
+    // block means (AC 0), which for a flat-block payload IS the full
+    // image — the partial-render property progressive exists for
+    val img = Multimodal.blockGrayImage("partial render payload")
+    val full = Codecs.encodeJpegProgressive(img, gray = true)
+    // find the second SOS (the AC scan) and cut the file there + EOI
+    var sos2 = -1; var seen = 0; var i = 2
+    while (sos2 < 0 && i < full.length - 1) {
+      if ((full(i) & 0xFF) == 0xFF && (full(i + 1) & 0xFF) == 0xDA) {
+        seen += 1
+        if (seen == 2) sos2 = i
+      }
+      i += 1
+    }
+    assert(sos2 > 0)
+    val cut = full.take(sos2) ++ Array(0xFF.toByte, 0xD9.toByte)
+    val dp = Codecs.decodeJpeg(cut)
+    assert(java.util.Arrays.equals(dp.image.rgb,
+      Codecs.decodeJpeg(full).image.rgb),
+      "a flat-block payload is fully determined by its DC scan")
+  }
+
+  test("progressive scan-sequence violations are NAMED") {
+    val img = Multimodal.blockGrayImage("sequence guard payload")
+    val good = Codecs.encodeJpegProgressive(img, gray = true)
+    // SOF2 with a BASELINE-structured scan (Ss=0, Se=63): invalid
+    val hybrid = Codecs.encodeJpeg(img, gray = true)
+    hybrid(indexOfMarker(hybrid, 0xC0)) = 0xC2.toByte
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(hybrid))
+      .getMessage.contains("DC-only"))
+    // an AC scan whose component never had its DC-first scan: cut the
+    // DC scan out (splice from SOF end to the second SOS)
+    var sos1 = indexOfMarker(good, 0xDA) - 1
+    var sos2 = -1; var seen = 0; var i = 2
+    while (sos2 < 0 && i < good.length - 1) {
+      if ((good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xDA) {
+        seen += 1
+        if (seen == 2) sos2 = i
+      }
+      i += 1
+    }
+    val noDc = good.take(sos1) ++ good.drop(sos2)
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpeg(noDc))
+      .getMessage.contains("DC-first scan missing"))
+  }
+
   test("scope rejections are NAMED, never mis-decoded") {
     val good = goldenGrayJpeg(Array(0xB6))
     // progressive: flip SOF0 -> SOF2
