@@ -202,13 +202,26 @@ object Codecs {
   // ---- PNG ----------------------------------------------------------------
 
   /** A decoded PNG: the pixel grid plus the IHDR color type (0 = gray,
-    * 2 = RGB, 3 = palette, 6 = RGBA) — the color type is decoded evidence
-    * of the header parse, carried out so queries can assert it as data,
-    * not metadata. The alpha channel (color type 6) is dropped after
-    * unfiltering: filters operate on the full 4-byte pixels, so alpha is
-    * load-bearing for the decode even though the engine's pixel domain
-    * is RGB; gray and palette files expand to the same RGB grid. */
-  final case class Png(image: Image, colorType: Int)
+    * 2 = RGB, 3 = palette, 6 = RGBA) and interlace flag — both decoded
+    * evidence of the header parse, carried out so queries can assert
+    * them as data, not metadata. The alpha channel (color type 6) is
+    * dropped after unfiltering: filters operate on the full 4-byte
+    * pixels, so alpha is load-bearing for the decode even though the
+    * engine's pixel domain is RGB; gray and palette files expand to the
+    * same RGB grid. */
+  final case class Png(image: Image, colorType: Int,
+                       interlaced: Boolean = false)
+
+  /** Adam7 pass geometry (PNG spec §8.2): per pass the origin and the
+    * stride; a pass's sub-image is ceil((dim − origin) / stride) wide/
+    * tall and owns its OWN filtered scanlines (filters never cross a
+    * pass boundary). */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def adam7Dim(dim: Int, origin: Int, stride: Int): Int =
+    if (dim <= origin) 0 else (dim - origin + stride - 1) / stride
 
   private val PngSignature: Array[Byte] =
     Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
@@ -240,7 +253,8 @@ object Codecs {
     * the spec allows any split, and decoders must concatenate. For RGBA
     * the alpha byte is data-bearing (255 − blue), so filter arithmetic
     * over the 4th channel cannot be skipped silently. */
-  def encodePng(img: Image, rgba: Boolean = false): Array[Byte] = {
+  def encodePng(img: Image, rgba: Boolean = false,
+                interlaced: Boolean = false): Array[Byte] = {
     val bpp = if (rgba) 4 else 3
     val raw = new Array[Byte](img.height * img.width * bpp)
     var i = 0
@@ -252,7 +266,8 @@ object Codecs {
       if (rgba) raw(i * bpp + 3) = (255 - (img.rgb(i * 3 + 2) & 0xFF)).toByte
       i += 1
     }
-    buildPng(img.width, img.height, raw, bpp, if (rgba) 6 else 2, null)
+    buildPng(img.width, img.height, raw, bpp, if (rgba) 6 else 2, null,
+      interlaced)
   }
 
   /** Encode an 8-bit GRAYSCALE PNG (color type 0, 1 byte/pixel): the
@@ -260,7 +275,7 @@ object Codecs {
     * Same row-cycling filter discipline as [[encodePng]] — for bpp=1 the
     * `left` neighbor is the previous BYTE, so Sub/Average/Paeth exercise
     * the 1-byte-pixel arithmetic a truecolor file never touches. */
-  def encodePngGray(img: Image): Array[Byte] = {
+  def encodePngGray(img: Image, interlaced: Boolean = false): Array[Byte] = {
     val n = img.width * img.height
     val raw = new Array[Byte](n)
     var i = 0
@@ -271,7 +286,7 @@ object Codecs {
       raw(i) = img.rgb(i * 3)
       i += 1
     }
-    buildPng(img.width, img.height, raw, 1, 0, null)
+    buildPng(img.width, img.height, raw, 1, 0, null, interlaced)
   }
 
   /** Encode an 8-bit PALETTE PNG (color type 3): a PLTE chunk of up to
@@ -279,7 +294,8 @@ object Codecs {
     * dominant real-web PNG form. Indices are validated against the
     * palette size here; the decoder re-validates against the FILE's PLTE. */
   def encodePngPalette(width: Int, height: Int, palette: Array[Int],
-                       indices: Array[Byte]): Array[Byte] = {
+                       indices: Array[Byte],
+                       interlaced: Boolean = false): Array[Byte] = {
     require(palette.length >= 1 && palette.length <= 256,
       s"PNG palette must have 1..256 entries, got ${palette.length}")
     require(indices.length == width * height,
@@ -290,14 +306,15 @@ object Codecs {
         s"palette index ${indices(i) & 0xFF} out of range at pixel $i")
       i += 1
     }
-    buildPng(width, height, indices, 1, 3, palette)
+    buildPng(width, height, indices, 1, 3, palette, interlaced)
   }
 
-  /** Shared PNG assembly: cycle the five filters by row over `raw`
-    * (`bpp` bytes/pixel), deflate, emit signature + IHDR (+ PLTE for
-    * color type 3) + split IDAT + IEND with per-chunk CRCs. */
-  private def buildPng(width: Int, height: Int, raw: Array[Byte], bpp: Int,
-                       colorType: Int, palette: Array[Int]): Array[Byte] = {
+  /** Row-cycling filter pass over one (sub-)image: row r uses filter
+    * r mod 5, neighbors at the `bpp` pixel stride — shared by the
+    * sequential path (the whole image) and each Adam7 pass (filters
+    * never cross a pass boundary). */
+  private def filterRows(raw: Array[Byte], width: Int, height: Int,
+                         bpp: Int): Array[Byte] = {
     val rowBytes = width * bpp
     val filtered = new Array[Byte](height * (1 + rowBytes))
     var r = 0
@@ -324,6 +341,45 @@ object Codecs {
       }
       r += 1
     }
+    filtered
+  }
+
+  /** Shared PNG assembly: filter `raw` (`bpp` bytes/pixel) — the whole
+    * image sequentially, or per Adam7 pass when `interlaced` — deflate,
+    * emit signature + IHDR (+ PLTE for color type 3) + split IDAT + IEND
+    * with per-chunk CRCs. */
+  private def buildPng(width: Int, height: Int, raw: Array[Byte], bpp: Int,
+                       colorType: Int, palette: Array[Int],
+                       interlaced: Boolean = false): Array[Byte] = {
+    val rowBytes = width * bpp
+    val filtered: Array[Byte] =
+      if (!interlaced) filterRows(raw, width, height, bpp)
+      else {
+        val out = new java.io.ByteArrayOutputStream
+        Adam7.foreach { case (x0, y0, dx, dy) =>
+          val wp = adam7Dim(width, x0, dx)
+          val hp = adam7Dim(height, y0, dy)
+          if (wp > 0 && hp > 0) {
+            val sub = new Array[Byte](wp * hp * bpp)
+            var r = 0
+            while (r < hp) {
+              var c = 0
+              while (c < wp) {
+                var b = 0
+                while (b < bpp) {
+                  sub((r * wp + c) * bpp + b) =
+                    raw(((y0 + r * dy) * width + (x0 + c * dx)) * bpp + b)
+                  b += 1
+                }
+                c += 1
+              }
+              r += 1
+            }
+            out.write(filterRows(sub, wp, hp, bpp))
+          }
+        }
+        out.toByteArray
+      }
     val deflater = new java.util.zip.Deflater
     deflater.setInput(filtered)
     deflater.finish()
@@ -351,7 +407,8 @@ object Codecs {
       .putInt(width).putInt(height)
       .put(8.toByte) // bit depth
       .put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .put(0.toByte).put(0.toByte) // compression/filter
+      .put((if (interlaced) 1 else 0).toByte) // interlace: 0 or Adam7
       .array()
     chunk("IHDR", ihdr, 0, 13)
     if (colorType == 3) {
@@ -374,15 +431,17 @@ object Codecs {
     out.toByteArray
   }
 
-  /** Decode a non-interlaced 8-bit PNG — truecolor (2), truecolor+alpha
-    * (6), GRAYSCALE (0) and PALETTE (3, via the PLTE chunk): signature,
-    * chunk walk with per-chunk CRC-32 VERIFICATION, IHDR validation,
-    * multi-IDAT concatenation, zlib inflate to the exact expected size,
-    * all five filter reconstructions (over the color type's own
-    * bytes-per-pixel stride), then gray replication / palette lookup to
-    * the container-neutral RGB grid. Throws `IllegalArgumentException`
-    * naming the unsupported feature (16-bit, interlace, gray+alpha) —
-    * honest scope, never silent garbage. */
+  /** Decode an 8-bit PNG — truecolor (2), truecolor+alpha (6),
+    * GRAYSCALE (0) and PALETTE (3, via the PLTE chunk), sequential AND
+    * Adam7-INTERLACED: signature, chunk walk with per-chunk CRC-32
+    * VERIFICATION, IHDR validation, multi-IDAT concatenation, zlib
+    * inflate to the exact expected size (per-pass sum under Adam7), all
+    * five filter reconstructions (over the color type's own
+    * bytes-per-pixel stride, never crossing a pass boundary), per-pass
+    * scatter at the §8.2 strides, then gray replication / palette
+    * lookup to the container-neutral RGB grid. Throws
+    * `IllegalArgumentException` naming the unsupported feature (16-bit,
+    * gray+alpha) — honest scope, never silent garbage. */
   def decodePng(bytes: Array[Byte]): Png = {
     // Signature first (a wrong container should say so), THEN the length
     // floor for the smallest complete chunk structure.
@@ -397,6 +456,7 @@ object Codecs {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     var off = 8
     var width = -1; var height = -1; var colorType = -1
+    var interlaced = false
     var sawIhdr = false; var sawIend = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream
@@ -436,7 +496,9 @@ object Codecs {
             s"unsupported PNG color type $colorType (gray 0 / truecolor 2 / palette 3 / RGBA 6)")
           require(compression == 0, s"unsupported PNG compression $compression")
           require(filterMethod == 0, s"unsupported PNG filter method $filterMethod")
-          require(interlace == 0, "unsupported PNG interlace (Adam7)")
+          require(interlace == 0 || interlace == 1,
+            s"invalid PNG interlace method $interlace")
+          interlaced = interlace == 1
           sawIhdr = true
         case "PLTE" =>
           require(sawIhdr, "PLTE before IHDR")
@@ -461,7 +523,16 @@ object Codecs {
       case _ => 4
     }
     val rowBytes = width * bpp
-    val expected = height.toLong * (1 + rowBytes)
+    // Adam7 pass geometry: each non-empty pass carries its OWN filtered
+    // scanlines, so the expected stream size is the per-pass sum
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1, width, height))
+      else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+        (x0, y0, dx, dy, adam7Dim(width, x0, dx), adam7Dim(height, y0, dy))
+      }.filter(p => p._5 > 0 && p._6 > 0)
+    val expected = passes.map { case (_, _, _, _, wp, hp) =>
+      hp.toLong * (1 + wp.toLong * bpp)
+    }.sum
     require(expected <= Int.MaxValue, s"PNG too large: $expected filtered bytes")
     val filtered = new Array[Byte](expected.toInt)
     val inflater = new java.util.zip.Inflater
@@ -487,32 +558,57 @@ object Codecs {
       case e: java.util.zip.DataFormatException =>
         throw new IllegalArgumentException(s"corrupt PNG zlib stream: ${e.getMessage}")
     } finally inflater.end()
-    // Unfilter in place conceptually: raw rows accumulate so Up/Average/
-    // Paeth read the RECONSTRUCTED prior row, per spec.
+    // Unfilter per (sub-)image: raw rows accumulate so Up/Average/Paeth
+    // read the RECONSTRUCTED prior row of the SAME pass, per spec; an
+    // Adam7 pass then scatters into the full grid at its stride.
     val raw = new Array[Byte](height * rowBytes)
-    var r = 0
-    while (r < height) {
-      val ft = filtered(r * (1 + rowBytes)) & 0xFF
-      require(ft <= 4, s"invalid PNG filter type $ft on row $r")
-      val inBase = r * (1 + rowBytes) + 1
-      val outBase = r * rowBytes
-      var x = 0
-      while (x < rowBytes) {
-        val f = filtered(inBase + x) & 0xFF
-        val left = if (x >= bpp) raw(outBase + x - bpp) & 0xFF else 0
-        val up = if (r > 0) raw(outBase - rowBytes + x) & 0xFF else 0
-        val upLeft = if (r > 0 && x >= bpp) raw(outBase - rowBytes + x - bpp) & 0xFF else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, upLeft)
+    var passOff = 0
+    passes.foreach { case (x0, y0, dx, dy, wp, hp) =>
+      val prb = wp * bpp
+      val sub = new Array[Byte](hp * prb)
+      var r = 0
+      while (r < hp) {
+        val ft = filtered(passOff + r * (1 + prb)) & 0xFF
+        require(ft <= 4, s"invalid PNG filter type $ft on row $r")
+        val inBase = passOff + r * (1 + prb) + 1
+        val outBase = r * prb
+        var x = 0
+        while (x < prb) {
+          val f = filtered(inBase + x) & 0xFF
+          val left = if (x >= bpp) sub(outBase + x - bpp) & 0xFF else 0
+          val up = if (r > 0) sub(outBase - prb + x) & 0xFF else 0
+          val upLeft = if (r > 0 && x >= bpp) sub(outBase - prb + x - bpp) & 0xFF else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, upLeft)
+          }
+          sub(outBase + x) = ((f + pred) & 0xFF).toByte
+          x += 1
         }
-        raw(outBase + x) = ((f + pred) & 0xFF).toByte
-        x += 1
+        r += 1
       }
-      r += 1
+      passOff += hp * (1 + prb)
+      if (!interlaced)
+        System.arraycopy(sub, 0, raw, 0, sub.length)
+      else {
+        var rr = 0
+        while (rr < hp) {
+          var cc = 0
+          while (cc < wp) {
+            var b = 0
+            while (b < bpp) {
+              raw(((y0 + rr * dy) * width + (x0 + cc * dx)) * bpp + b) =
+                sub((rr * wp + cc) * bpp + b)
+              b += 1
+            }
+            cc += 1
+          }
+          rr += 1
+        }
+      }
     }
     val n = width * height
     val rgb = colorType match {
@@ -548,7 +644,7 @@ object Codecs {
         }
         o
     }
-    Png(Image(width, height, rgb), colorType)
+    Png(Image(width, height, rgb), colorType, interlaced)
   }
 
   // ---- GIF ------------------------------------------------------------------

@@ -389,6 +389,7 @@ object Multimodal {
 
   /** Render each doc as a REAL PNG across ALL FOUR supported color types
     * by doc_id mod 4 — 0: truecolor+alpha (6), 1: truecolor (2),
+    * ADAM7-INTERLACED (the per-pass filter + scatter path),
     * 2: PALETTE (3, [[gifPalette]] PLTE with index(i) = byte(i mod L)),
     * 3: GRAYSCALE (0, v(i) = byte(i mod L)) — the real-web admission mix
     * (m14's corpus). All four share the SAME blue-channel rule
@@ -407,8 +408,9 @@ object Multimodal {
               Codecs.encodePng(textImage(text, width, height), rgba = true),
               "image/png;rgba")
             case 1 => MediaRow(id,
-              Codecs.encodePng(textImage(text, width, height)),
-              "image/png")
+              Codecs.encodePng(textImage(text, width, height),
+                interlaced = true),
+              "image/png;adam7")
             case 2 =>
               val tb = textCps(text, "renderPngTableMixed")
               val indices = new Array[Byte](width * height)
@@ -933,7 +935,7 @@ object Multimodal {
     * hash-mismatches. */
   final case class PngMeta(doc_id: Long, width: Long, height: Long,
                            color_type: Long, channels: Long,
-                           blue_sum: Long, dhash: Long)
+                           interlaced: Long, blue_sum: Long, dhash: Long)
 
   def decodedPngMeta(media: Dataset[MediaRow]): Dataset[PngMeta] = {
     val spark = media.sparkSession
@@ -952,7 +954,8 @@ object Multimodal {
           case _ => 1L // gray (0) and palette (3): one byte per pixel
         }
         PngMeta(r.doc_id, img.width.toLong, img.height.toLong,
-          png.colorType.toLong, channels, blueSum, dhash56(img))
+          png.colorType.toLong, channels,
+          if (png.interlaced) 1L else 0L, blueSum, dhash56(img))
       }
     }
   }

@@ -979,6 +979,7 @@ private[queries] object MultimodalQueries {
                      WHEN 2 THEN 3 ELSE 0 END AS BIGINT) AS color_type,
                 CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3
                      ELSE 1 END AS BIGINT) AS channels,
+                CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS interlaced,
                 CAST(list_sum(list_transform(generate_series(0, 399),
                   i -> (32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95))) AS BIGINT) AS blue_sum,
                 CAST(list_sum(list_transform(generate_series(0, 55),

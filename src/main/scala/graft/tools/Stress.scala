@@ -1101,6 +1101,30 @@ object Stress {
     // quantizer scale 2, candidates through 4×14-bit LSH bands over the
     // decoded dHash (bucket cap 16), Hamming ≤ 4 verdict. The banded
     // join is the s-family topology; decode cost rides the scan.
+    // m28: PROGRESSIVE JPEG render+decode — the round-16 multi-scan
+    // coefficient-store path (even ids also 4:2:0). Map-only like
+    // jpeg_decode: encode precomputes per-block coefficients, decode
+    // walks one DC + per-component AC scans.
+    time("progressive_decode") {
+      val M = graft.multimodal.Multimodal
+      M.decodedProgressiveMeta(M.renderProgressiveJpegTable(
+          docs.filter(length(col("text")) >= 1)))
+        .toDF().agg(sum(col("gray_sum"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    // m27: the 9-class admission mix through the real gate transform —
+    // every payload genuinely decoded scan-side, one 8-row aggregate.
+    time("admission_report") {
+      val M = graft.multimodal.Multimodal
+      val media = M.renderAdmissionMixTable(
+          docs.filter(length(col("text")) >= 1)).toDF()
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      graft.streaming.EventStreams
+        .mediaDecodeGateStream(media, "doc_id", "media", "ts")
+        .groupBy(col("kind"), col("admit"), col("reason"))
+        .agg(count(lit(1)).as("n_docs")).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
     time("lossy_variant_dedup") {
       val M = graft.multimodal.Multimodal
       val base = docs.filter(length(col("text")) >= 1)

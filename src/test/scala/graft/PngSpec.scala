@@ -195,6 +195,66 @@ class PngSpec extends SparkSpecBase {
       .getMessage.contains("out of range"))
   }
 
+  test("golden Adam7 stream (4×4 gray): pass geometry and scatter order") {
+    // w=h=4 leaves five non-empty passes — 1:(0,0); 4:(2,0); 5:(0,2),
+    // (2,2); 6:(1,0),(3,0),(1,2),(3,2); 7: rows 1 and 3 — each pass its
+    // own None-filtered scanlines. Pixel value = y·16 + x, so a single
+    // misplaced pass or swapped scatter stride is visible.
+    def v(y: Int, x: Int): Int = y * 16 + x
+    val stream = Array[Int](
+      0, v(0, 0), // pass 1
+      0, v(0, 2), // pass 4
+      0, v(2, 0), v(2, 2), // pass 5
+      0, v(0, 1), v(0, 3), // pass 6 row 0
+      0, v(2, 1), v(2, 3), // pass 6 row 1
+      0, v(1, 0), v(1, 1), v(1, 2), v(1, 3), // pass 7 row 0
+      0, v(3, 0), v(3, 1), v(3, 2), v(3, 3) // pass 7 row 1
+    ).map(_.toByte)
+    val ihdrA = {
+      val b = ihdr(4, 4, 0)
+      b(12) = 1 // interlace: Adam7
+      b
+    }
+    val file = assemble(chunk("IHDR", ihdrA),
+      chunk("IDAT", deflate(stream)), chunk("IEND", Array.empty))
+    val dec = Codecs.decodePng(file)
+    assert(dec.interlaced && dec.colorType === 0)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((dec.image.rgb((y * 4 + x) * 3) & 0xFF) === v(y, x), s"($y,$x)")
+  }
+
+  test("Adam7 round trip per color type: pixel-identical, byte-different") {
+    // 16×16 so pass 7 has 8 rows — the row-cycling filters wrap inside
+    // one pass, and filters must never cross a pass boundary
+    val img = Multimodal.textImage("adam7 interlace payload here", 16, 16)
+    for ((label, seq, adam) <- Seq[(String, Array[Byte], Array[Byte])](
+      ("rgb", Codecs.encodePng(img), Codecs.encodePng(img, interlaced = true)),
+      ("rgba", Codecs.encodePng(img, rgba = true),
+        Codecs.encodePng(img, rgba = true, interlaced = true)))) {
+      assert(!java.util.Arrays.equals(seq, adam), label)
+      val ds = Codecs.decodePng(seq); val da = Codecs.decodePng(adam)
+      assert(da.interlaced && !ds.interlaced, label)
+      assert(java.util.Arrays.equals(da.image.rgb, ds.image.rgb), label)
+    }
+    // gray + palette variants through their own encoders
+    val grayImg = {
+      val tb = "gray adam7".getBytes("US-ASCII")
+      Codecs.Image(16, 16, Array.tabulate(16 * 16 * 3)(p => tb((p / 3) % tb.length)))
+    }
+    val dg = Codecs.decodePng(Codecs.encodePngGray(grayImg, interlaced = true))
+    assert(dg.interlaced && dg.image.rgb.toSeq ===
+      Codecs.decodePng(Codecs.encodePngGray(grayImg)).image.rgb.toSeq)
+    val idx = Array.tabulate(16 * 16)(i => (i % 100).toByte)
+    val pal = Array.tabulate(100)(k => k << 8 | (255 - k))
+    val dp = Codecs.decodePng(Codecs.encodePngPalette(16, 16, pal, idx, interlaced = true))
+    assert(dp.interlaced && dp.image.rgb.toSeq ===
+      Codecs.decodePng(Codecs.encodePngPalette(16, 16, pal, idx)).image.rgb.toSeq)
+    // tiny image where several passes are EMPTY (1×1: only pass 1)
+    val one = Codecs.Image(1, 1, Array[Byte](5, 5, 5))
+    val d1 = Codecs.decodePng(Codecs.encodePngGray(one, interlaced = true))
+    assert(d1.image.rgb.toSeq === Seq[Byte](5, 5, 5))
+  }
+
   test("per-chunk CRC is verified, not decorative") {
     val png = Codecs.encodePng(Codecs.Image(2, 6, goldenRaw.clone()))
     val bad = png.clone()
@@ -217,8 +277,9 @@ class PngSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Codecs.decodePng(png(ihdr(2, 6, 2, bitDepth = 16))))
       .getMessage.contains("bit depth"))
+    // Adam7 (1) is supported since round 16; method 2 is not a thing
     assert(intercept[IllegalArgumentException](
-      Codecs.decodePng(png(ihdr(2, 6, 2, interlace = 1))))
+      Codecs.decodePng(png(ihdr(2, 6, 2, interlace = 2))))
       .getMessage.contains("interlace"))
     assert(intercept[IllegalArgumentException](
       Codecs.decodePng("not a png at all".getBytes))
