@@ -31,6 +31,32 @@ private[queries] object SimilarityQueries {
         isQuery = col("vec_id") < 10, k = 5)),
 
 
+    // s16 (round 16): the INDEX-APPEND lifecycle, driver-visible — the
+    // IVF index is built on 90% of the corpus, the vec_id % 10 = 7 batch
+    // is APPENDED through the frozen centroids (no refit, base never
+    // rescanned), and the batch then probes with nProbe = nCells (full
+    // cell coverage), which makes the approximate probe EXACTLY the
+    // brute-force cosine top-3 over base ∪ batch — so the oracle is the
+    // s01 exact form, not a recall band. The queries themselves live in
+    // the APPENDED assignments: a dropped or mis-assigned batch loses
+    // query rows (row-count mismatch), and batch-batch neighbours flow
+    // only through the appended side.
+    "s16_index_append_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val batch = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      val idx = SimilaritySearch.memoizedIvfIndex(base, "vec_id", "embedding",
+        nCells = 16, cacheKey = dir + "#s16base")
+      // empty corpus: nothing to append TO (the refusal is an API guard
+      // for real ingest, not a query-path behavior) — probe the empty
+      // index directly, which yields the oracle's 0 rows
+      val app = if (idx.centroids.isEmpty) idx
+                else SimilaritySearch.appendIvfIndex(idx, batch)
+      SimilaritySearch.probeIvf(app, pmod(col("vec_id"), lit(10)) === 7,
+        k = 3, nProbe = 16)
+    }),
+
+
     "s02_cosine_threshold" -> ((s, dir) =>
       SimilaritySearch.thresholdPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.4)),
@@ -402,6 +428,22 @@ private[queries] object SimilarityQueries {
          FROM d JOIN n na ON d.a_id = na.doc_id
                 JOIN n nb ON d.b_id = nb.doc_id
          WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) >= 0.9""",
+
+    // s16: with nProbe = nCells the append-probe is exact, so the oracle
+    // is the brute-force top-3 over the WHOLE corpus for the appended
+    // queries — frozen-centroid assignment is invisible to a CORRECT
+    // probe, which is precisely the append contract.
+    "s16_index_append_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 7),
+              scored AS (SELECT q_id, e.vec_id AS n_id,
+                                list_inner_product(qv, e.v)
+                                / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+                         FROM q JOIN e ON e.vec_id <> q_id),
+              ranked AS (SELECT q_id, n_id, cos,
+                                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+                         FROM scored)
+         SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 3""",
 
     "s01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
