@@ -245,7 +245,8 @@ object SimilaritySearch {
       centroids: Array[(Int, Array[Float])],
       assigned: DataFrame,
       idCol: String,
-      vecCol: String) {
+      vecCol: String,
+      appendsSinceCompaction: Int = 0) {
     def unpersist(): Unit = { assigned.unpersist(); () }
 
     /** Persist the index as parquet (assignments + centroids). */
@@ -366,18 +367,42 @@ object SimilaritySearch {
     // convention): a checkpoint of the union would rewrite the whole
     // corpus per batch, turning O(batch) ingest into O(corpus)
     val assignedNew = if (persist) assignedNew0.cache() else assignedNew0
-    index.copy(assigned = index.assigned.unionByName(assignedNew))
+    index.copy(assigned = index.assigned.unionByName(assignedNew),
+      appendsSinceCompaction = index.appendsSinceCompaction + 1)
+  }
+
+  /** The automated ingest-fold lifecycle (the MinHashIndex
+    * `appendAndMaybeCompact` contract applied to the IVF artifact):
+    * append the batch, then every `compactEvery` appends re-fit via
+    * [[compactIvfIndex]] — so a long-lived ingest topology's union
+    * lineage stays BOUNDED at `compactEvery` no matter how many batches
+    * it absorbs, and accumulated centroid drift resets on the same
+    * cadence. Per-batch cost stays batch-sized; the re-fit is paid once
+    * per window. */
+  def appendIvfAndMaybeCompact(index: IvfIndex, batch: DataFrame,
+                               nCells: Int = 16, compactEvery: Int = 16,
+                               persist: Boolean = true): IvfIndex = {
+    require(compactEvery > 0, "compactEvery must be positive")
+    val appended = appendIvfIndex(index, batch, persist)
+    if (appended.appendsSinceCompaction >= compactEvery)
+      compactIvfIndex(appended, nCells)
+    else appended
   }
 
   /** Re-fit at compact: rebuild the coarse quantizer from the index's own
     * retained vectors (the assignment table carries them), restoring the
-    * balanced-cell property append drift erodes. One bounded-sample fit +
-    * one assignment pass — the build cost, paid when the operator says so
-    * rather than on every ingest batch. */
+    * balanced-cell property append drift erodes, and MATERIALIZE the
+    * result (localCheckpoint) so the accumulated append-union lineage
+    * flattens to a single scan — the once-per-window corpus rewrite the
+    * amortized lifecycle pays (the MinHashIndex.compact save+reload
+    * analogue, in memory). One bounded-sample fit + one assignment pass,
+    * paid when the operator says so rather than on every ingest batch. */
   def compactIvfIndex(index: IvfIndex, nCells: Int = 16,
-                      sampleMod: Int = 1): IvfIndex =
-    buildIvfIndex(index.assigned.drop("cell"), index.idCol, index.vecCol,
-      nCells = nCells, sampleMod = sampleMod)
+                      sampleMod: Int = 1): IvfIndex = {
+    val rebuilt = buildIvfIndex(index.assigned.drop("cell"), index.idCol,
+      index.vecCol, nCells = nCells, sampleMod = sampleMod, persist = false)
+    rebuilt.copy(assigned = rebuilt.assigned.localCheckpoint())
+  }
 
   /** Single-level nearest-centroid assignment as ONE codegen scan pass —
     * the hier build's argmin machinery without the coarse level: the

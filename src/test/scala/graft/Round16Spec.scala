@@ -117,6 +117,40 @@ class Round16Spec extends SparkSpecBase {
     assert(batchCodes(loaded) === batchCodes(pq))
   }
 
+  test("appendIvfAndMaybeCompact bounds the union lineage at the window") {
+    val idx = SimilaritySearch.buildIvfIndex(baseDf, "vec_id", "embedding",
+      nCells = 4)
+    def unionDepth(i: SimilaritySearch.IvfIndex): Int =
+      i.assigned.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.size
+    // three appends under a window of 3: the third one compacts — the
+    // counter resets, the lineage flattens, and nothing is lost
+    var cur = idx
+    for (k <- 1 to 2) {
+      cur = SimilaritySearch.appendIvfAndMaybeCompact(cur,
+        batchDf.withColumn("vec_id", col("vec_id") + lit(k * 1000L)),
+        nCells = 4, compactEvery = 3)
+      assert(cur.appendsSinceCompaction === k)
+      assert(unionDepth(cur) > 0)
+    }
+    cur = SimilaritySearch.appendIvfAndMaybeCompact(cur,
+      batchDf.withColumn("vec_id", col("vec_id") + lit(3000L)),
+      nCells = 4, compactEvery = 3)
+    assert(cur.appendsSinceCompaction === 0, "compaction resets the counter")
+    assert(unionDepth(cur) === 0, "compaction flattens the union lineage")
+    assert(cur.assigned.count() === 70) // 40 base + 3 × 10 batches
+    // the re-fit index still answers: a 1100-batch query's rank-1 is a
+    // COLLINEAR match (its base vector, which twinVec scales, or one of
+    // its identical copies in the other batches — cos 1.0 either way;
+    // which one wins is a float-ulp tie, so assert the set)
+    val top1 = top1Map(SimilaritySearch.probeIvf(cur,
+      col("vec_id").between(1100, 1109), k = 1, nProbe = 4))
+    for (i <- 0 until 10)
+      assert(Set(i.toLong, 2100L + i, 3100L + i).contains(top1(1100L + i)),
+        s"rank-1 of ${1100 + i} was ${top1(1100L + i)}")
+  }
+
   test("appending to an EMPTY index refuses loudly — build, don't freeze nothing") {
     val emptyIvf = SimilaritySearch.buildIvfIndex(
       baseDf.filter(lit(false)), "vec_id", "embedding", nCells = 4)
