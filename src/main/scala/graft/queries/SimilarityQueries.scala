@@ -31,6 +31,41 @@ private[queries] object SimilarityQueries {
         isQuery = col("vec_id") < 10, k = 5)),
 
 
+    // s17 (round 16): the IVF-PQ APPEND path, driver-visible — both index
+    // halves build on the corpus, then IDENTICAL copies of vec_id < 10
+    // (at +200000) append through the FROZEN centroids and codebooks
+    // (appendIvfIndex + appendPqIndex: one assignment pass, one PqEncode
+    // pass, no k-means anywhere), and the appended twins probe the
+    // combined artifact. An identical vector encodes to its original's
+    // codes and lands in its original's cell, so each twin's ADC top-3
+    // MUST contain the original — the s10 pinned-flag convention, with
+    // the append (not the build) carrying the query side: a dropped,
+    // mis-assigned, or re-fit batch breaks the row count or the flag.
+    "s17_pq_append_probe" -> ((s, dir) => {
+      val normalized = emb(s, dir).select(col("vec_id"),
+        SimilaritySearch.l2normalizeCol(col("embedding")).as("__vn"))
+      val ivf = SimilaritySearch.memoizedIvfIndex(normalized, "vec_id",
+        "__vn", nCells = 16, cacheKey = dir + "#s17cells")
+      val pq = SimilaritySearch.memoizedPqIndex(normalized, "vec_id",
+        "__vn", m = 8, k = 64, cacheKey = dir + "#s17pq")
+      val batch = normalized.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("__vn"))
+      // empty corpus: nothing to append to — probe the empty artifacts
+      val ivfA = if (ivf.centroids.isEmpty) ivf
+                 else SimilaritySearch.appendIvfIndex(ivf, batch)
+      val pqA = if (pq.codebooks.isEmpty) pq
+                else SimilaritySearch.appendPqIndex(pq, batch, "__vn")
+      SimilaritySearch.probeIvfPq(ivfA, pqA,
+          batch.select(col("vec_id").as("q_id"), col("__vn").as("__qn")),
+          k = 3, nProbe = 8)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") - 200000L, lit(1L))
+          .otherwise(lit(0L))).as("orig_in_top3"))
+        .select((col("q_id") - 200000L).as("orig_id"), col("q_id"),
+          col("orig_in_top3"))
+    }),
+
+
     // s16 (round 16): the INDEX-APPEND lifecycle, driver-visible — the
     // IVF index is built on 90% of the corpus, the vec_id % 10 = 7 batch
     // is APPENDED through the frozen centroids (no refit, base never
@@ -394,6 +429,15 @@ private[queries] object SimilarityQueries {
       """SELECT CAST(vec_id AS BIGINT) AS q_id,
                 CAST(vec_id + 100000 AS BIGINT) AS twin_id,
                 CAST(1 AS BIGINT) AS twin_in_top3
+         FROM embeddings WHERE vec_id < 10""",
+
+    // s17: an appended identical twin retrieves its original through the
+    // frozen-codebook ADC — pinned, like s10, because the twin shares
+    // its original's codes and cell by construction.
+    "s17_pq_append_probe" ->
+      """SELECT CAST(vec_id AS BIGINT) AS orig_id,
+                CAST(vec_id + 200000 AS BIGINT) AS q_id,
+                CAST(1 AS BIGINT) AS orig_in_top3
          FROM embeddings WHERE vec_id < 10""",
 
     // s05: at threshold 0.95 the corpus has no natural pairs (max
