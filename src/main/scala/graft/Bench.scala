@@ -52,7 +52,8 @@ object Bench {
     * (9.9 s → 23.8 s driver-side) — an undifferentiated, unbounded
     * "excluded cost" is exactly where slow build code would hide, so the
     * bench flags any run that exceeds this (`warmup_over_budget`) and
-    * BenchFormatSpec fails on a committed BENCH_FULL.json over budget.
+    * BenchFormatSpec fails on the newest COMMITTED bench triple over
+    * budget (BENCH_FULL.json itself is gitignored scratch output).
     * Raising this number is allowed but must be a reviewed, committed
     * decision — that is the whole point. */
   val WarmupBudgetSeconds: Double = 30.0

@@ -2460,7 +2460,15 @@ object Codecs {
               val r = rs >> 4; val sz = rs & 0x0F
               if (sz == 0) {
                 if (r == 15) k += 16 // ZRL
-                else { eobrun = (1 << r) - 1 + reader.readBits(r); inBand = false }
+                else {
+                  // T.81 defines EOBn (r > 0, size 0) for progressive
+                  // scans ONLY — in a baseline scan the code is a plain
+                  // EOB (r == 0) or nothing: reject rather than silently
+                  // skipping 2^r−1 blocks of a corrupt/crafted stream
+                  require(progressive || r == 0,
+                    s"EOB$r run code in a baseline scan (EOBn is progressive-only)")
+                  eobrun = (1 << r) - 1 + reader.readBits(r); inBand = false
+                }
               } else {
                 k += r
                 require(k <= se, "AC run overflows the spectral band")

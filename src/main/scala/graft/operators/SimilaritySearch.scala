@@ -246,8 +246,18 @@ object SimilaritySearch {
       assigned: DataFrame,
       idCol: String,
       vecCol: String,
-      appendsSinceCompaction: Int = 0) {
-    def unpersist(): Unit = { assigned.unpersist(); () }
+      appendsSinceCompaction: Int = 0,
+      cachedLeaves: Seq[DataFrame] = Nil) {
+    /** Unpersist every cached relation this index pinned — the base
+      * assignment AND each per-batch append leaf (the GramIndex
+      * `cachedFrames` discipline): after appends `assigned` is a lazy
+      * union, and `union.unpersist()` cannot reach the cached CHILDREN,
+      * so without the leaf list a long-lived ingest topology would pin
+      * one stale cached frame per batch in the CacheManager forever. */
+    def unpersist(): Unit = {
+      cachedLeaves.foreach(_.unpersist())
+      assigned.unpersist(); ()
+    }
 
     /** Persist the index as parquet (assignments + centroids). */
     def save(dir: String): Unit = {
@@ -333,7 +343,8 @@ object SimilaritySearch {
     // per call in the CacheManager with nothing ever unpersisting it.
     val assigned = if (persist) assignedPlan.cache() else assignedPlan
     IvfIndex(centers.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat)) },
-      assigned, idCol, vecCol)
+      assigned, idCol, vecCol,
+      cachedLeaves = if (persist) Seq(assigned) else Nil)
   }
 
   /** Append a batch to an IVF index with FROZEN centroids — the ingest
@@ -368,7 +379,9 @@ object SimilaritySearch {
     // corpus per batch, turning O(batch) ingest into O(corpus)
     val assignedNew = if (persist) assignedNew0.cache() else assignedNew0
     index.copy(assigned = index.assigned.unionByName(assignedNew),
-      appendsSinceCompaction = index.appendsSinceCompaction + 1)
+      appendsSinceCompaction = index.appendsSinceCompaction + 1,
+      cachedLeaves = index.cachedLeaves ++
+        (if (persist) Seq(assignedNew) else Nil))
   }
 
   /** The automated ingest-fold lifecycle (the MinHashIndex
@@ -380,7 +393,7 @@ object SimilaritySearch {
     * cadence. Per-batch cost stays batch-sized; the re-fit is paid once
     * per window. */
   def appendIvfAndMaybeCompact(index: IvfIndex, batch: DataFrame,
-                               nCells: Int = 16, compactEvery: Int = 16,
+                               nCells: Int = 0, compactEvery: Int = 16,
                                persist: Boolean = true): IvfIndex = {
     require(compactEvery > 0, "compactEvery must be positive")
     val appended = appendIvfIndex(index, batch, persist)
@@ -396,12 +409,30 @@ object SimilaritySearch {
     * flattens to a single scan — the once-per-window corpus rewrite the
     * amortized lifecycle pays (the MinHashIndex.compact save+reload
     * analogue, in memory). One bounded-sample fit + one assignment pass,
-    * paid when the operator says so rather than on every ingest batch. */
-  def compactIvfIndex(index: IvfIndex, nCells: Int = 16,
+    * paid when the operator says so rather than on every ingest batch.
+    *
+    * `nCells <= 0` (the default) re-fits at the index's OWN cell count —
+    * an index built at a non-default geometry keeps it through automatic
+    * compaction instead of silently snapping to a constant (which would
+    * also break any probe whose nProbe-covers-all-cells exactness
+    * assumption was sized to the build).
+    *
+    * The superseded lineage's cached relations (base assignment + every
+    * per-batch append leaf) are unpersisted AFTER the rebuilt assignment
+    * materializes — the MinHashIndex.compact save→unpersist→reload
+    * discipline; without it each compaction window would leave
+    * ~compactEvery stale cached frames pinned in the CacheManager. */
+  def compactIvfIndex(index: IvfIndex, nCells: Int = 0,
                       sampleMod: Int = 1): IvfIndex = {
+    val effCells =
+      if (nCells > 0) nCells else math.max(1, index.centroids.length)
     val rebuilt = buildIvfIndex(index.assigned.drop("cell"), index.idCol,
-      index.vecCol, nCells = nCells, sampleMod = sampleMod, persist = false)
-    rebuilt.copy(assigned = rebuilt.assigned.localCheckpoint())
+      index.vecCol, nCells = effCells, sampleMod = sampleMod, persist = false)
+    // localCheckpoint is EAGER: the old lineage is fully read before the
+    // unpersist below can pull cached blocks out from under it
+    val out = rebuilt.copy(assigned = rebuilt.assigned.localCheckpoint())
+    index.unpersist()
+    out
   }
 
   /** Single-level nearest-centroid assignment as ONE codegen scan pass —
@@ -1194,8 +1225,16 @@ object SimilaritySearch {
   final case class PqIndex(
       codebooks: Array[Array[Array[Double]]], // [sub][code][subDim]
       codes: DataFrame,                       // (idCol, codes array<int>)
-      m: Int, k: Int, subDim: Int, idCol: String) {
-    def unpersist(): Unit = { codes.unpersist(); () }
+      m: Int, k: Int, subDim: Int, idCol: String,
+      appendsSinceCompaction: Int = 0,
+      cachedLeaves: Seq[DataFrame] = Nil) {
+    /** Unpersist the base code table AND every per-batch append leaf —
+      * see [[IvfIndex.unpersist]]: after appends `codes` is a lazy union
+      * whose own unpersist cannot reach the cached children. */
+    def unpersist(): Unit = {
+      cachedLeaves.foreach(_.unpersist())
+      codes.unpersist(); ()
+    }
 
     /** Persist the index as parquet (codes + codebooks + the (m, k,
       * subDim) meta the probe must reuse — explicit rather than derived
@@ -1302,7 +1341,8 @@ object SimilaritySearch {
       graft.functions.PqEncode.pqEncode(col("__vn"), codebooks, subDim)
         .as("codes"))
     val codes = if (persist) encoded.cache() else encoded
-    PqIndex(codebooks, codes, m, kEff, subDim, idCol)
+    PqIndex(codebooks, codes, m, kEff, subDim, idCol,
+      cachedLeaves = if (persist) Seq(codes) else Nil)
   }
 
   /** Append a batch to a PQ index with FROZEN codebooks: normalize and
@@ -1318,7 +1358,8 @@ object SimilaritySearch {
     * to its nearest EXISTING code per subspace). Re-fit at compact:
     * codes don't retain the original vectors, so a compact is a
     * [[buildPqIndex]] over the corpus — by design, the ingest path never
-    * carries the full-precision vectors twice. */
+    * carries the full-precision vectors twice ([[compactPqIndex]] takes
+    * the corpus frame from the caller for exactly this reason). */
   def appendPqIndex(index: PqIndex, batch: DataFrame, vecCol: String,
                     persist: Boolean = true): PqIndex = {
     require(index.codebooks.nonEmpty,
@@ -1331,7 +1372,54 @@ object SimilaritySearch {
         index.subDim).as("codes"))
     // batch-only cache + lazy union (the Dedup index-append convention)
     val encodedNew = if (persist) encodedNew0.cache() else encodedNew0
-    index.copy(codes = index.codes.unionByName(encodedNew))
+    index.copy(codes = index.codes.unionByName(encodedNew),
+      appendsSinceCompaction = index.appendsSinceCompaction + 1,
+      cachedLeaves = index.cachedLeaves ++
+        (if (persist) Seq(encodedNew) else Nil))
+  }
+
+  /** Re-fit at compact, PQ side — [[compactIvfIndex]]'s analogue with one
+    * deliberate signature difference: codes do NOT retain the source
+    * vectors (the whole point of product quantization is never carrying
+    * the full-precision floats twice), so the caller hands the corpus
+    * frame — the lake's landed vectors, INCLUDING every appended batch —
+    * and the compact is a fresh [[buildPqIndex]] over it at the index's
+    * own (m, k) geometry (`m`/`k` <= 0 default to the fitted values), its
+    * code table materialized (localCheckpoint) so the append-union
+    * lineage flattens, and the superseded lineage's cached relations
+    * unpersisted afterwards. Codebook drift accumulated under frozen
+    * appends resets here: the re-fit sees the ingest distribution. */
+  def compactPqIndex(index: PqIndex, corpus: DataFrame, vecCol: String,
+                     m: Int = 0, k: Int = 0, sampleMod: Int = 1): PqIndex = {
+    val effM = if (m > 0) m else index.m
+    val effK = if (k > 0) k else index.k
+    val rebuilt = buildPqIndex(corpus, index.idCol, vecCol,
+      m = effM, k = effK, sampleMod = sampleMod, persist = false)
+    // localCheckpoint is EAGER: materialize before unpersisting the old
+    // lineage (the compactIvfIndex ordering)
+    val out = rebuilt.copy(codes = rebuilt.codes.localCheckpoint())
+    index.unpersist()
+    out
+  }
+
+  /** The automated ingest-fold lifecycle for the PQ artifact — the
+    * [[appendIvfAndMaybeCompact]] contract with the corpus frame supplied
+    * lazily: append the batch through the frozen codebooks, then every
+    * `compactEvery` appends call [[compactPqIndex]] over `corpus()` —
+    * which the caller must resolve to the landed vectors INCLUDING the
+    * just-appended batch (in a foreachBatch ingest topology, the lake
+    * read AFTER the batch's write commits). Union lineage stays bounded
+    * at `compactEvery`; per-batch cost stays batch-sized; the re-fit is
+    * paid once per window. */
+  def appendPqAndMaybeCompact(index: PqIndex, batch: DataFrame,
+                              vecCol: String, corpus: () => DataFrame,
+                              compactEvery: Int = 16,
+                              persist: Boolean = true): PqIndex = {
+    require(compactEvery > 0, "compactEvery must be positive")
+    val appended = appendPqIndex(index, batch, vecCol, persist)
+    if (appended.appendsSinceCompaction >= compactEvery)
+      compactPqIndex(appended, corpus(), vecCol)
+    else appended
   }
 
   /** Per-query ADC lookup tables against a [[PqIndex]]: one row per query
