@@ -97,6 +97,101 @@ private[queries] object SimilarityQueries {
         threshold = 0.4)),
 
 
+    // s18 (round 17): the s16 lifecycle with the append side ARRIVING AS
+    // A STREAM — the similarity family's ingest-topology row, closing the
+    // one asymmetry the round-16 verdict named (dedup indexes ingest per
+    // microbatch; the vector index only probed). The %10 = 7 batch lands
+    // in a temp dir as MULTIPLE parquet files and a file-source stream
+    // (maxFilesPerTrigger = 1, AvailableNow) folds them through
+    // ivfAppendStream: per microbatch one frozen-centroid assignment
+    // pass, batchId-guarded exactly-once application. compactEvery is
+    // set past the batch count ON PURPOSE: compaction would unpersist
+    // the memoized s16base artifact other queries share (the in-stream
+    // compact path is Round17Spec/StreamingSpec territory, on an owned
+    // index). The probe at nProbe = nCells is exact, so the oracle is
+    // s16's brute-force form — a dropped, duplicated (replayed), or
+    // mis-assigned microbatch breaks row counts or values.
+    "s18_stream_index_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val idx = SimilaritySearch.memoizedIvfIndex(base, "vec_id", "embedding",
+        nCells = 16, cacheKey = dir + "#s16base")
+      if (idx.centroids.isEmpty)
+        // empty corpus: nothing to stream INTO (the append guard is an
+        // API contract, not a query-path behavior) — probe the empty
+        // index, which yields the oracle's 0 rows
+        SimilaritySearch.probeIvf(idx, pmod(col("vec_id"), lit(10)) === 7,
+          k = 3, nProbe = 16)
+      else {
+        val batch = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+          .select(col("vec_id"), col("embedding"))
+        val tmp = java.nio.file.Files.createTempDirectory("s18_ingest").toString
+        batch.repartition(4).write.parquet(tmp + "/in")
+        val ingest = new graft.streaming.EventStreams.IvfIngest(idx)
+        val src = s.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp + "/in")
+        val q = graft.streaming.EventStreams
+          .ivfAppendStream(src, ingest, nCells = 16, compactEvery = 1000)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", tmp + "/ck")
+          .start()
+        q.awaitTermination()
+        SimilaritySearch.probeIvf(ingest.index,
+          pmod(col("vec_id"), lit(10)) === 7, k = 3, nProbe = 16)
+      }
+    }),
+
+
+    // s19 (round 17): s17's pinned-twin claim with the PQ APPEND side
+    // arriving as a stream — identical copies of vec_id < 10 (at
+    // +300000) encode through the FROZEN codebooks per microbatch
+    // (pqAppendStream; the corpus thunk is deliberately un-invoked:
+    // compactEvery past the batch count keeps the shared memoized
+    // artifacts intact, and the in-stream compact path is spec
+    // territory). The IVF half appends batch-side exactly as s17 — the
+    // streamed surface under test is the PQ encode fold. An identical
+    // twin gets identical codes and cell, so its ADC top-3 MUST contain
+    // its original: a dropped or double-applied microbatch breaks the
+    // row count or the flag.
+    "s19_stream_pq_append" -> ((s, dir) => {
+      val normalized = emb(s, dir).select(col("vec_id"),
+        SimilaritySearch.l2normalizeCol(col("embedding")).as("__vn"))
+      val ivf = SimilaritySearch.memoizedIvfIndex(normalized, "vec_id",
+        "__vn", nCells = 16, cacheKey = dir + "#s17cells")
+      val pq = SimilaritySearch.memoizedPqIndex(normalized, "vec_id",
+        "__vn", m = 8, k = 64, cacheKey = dir + "#s17pq")
+      val batch = normalized.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 300000L).as("vec_id"), col("__vn"))
+      val (ivfA, pqA) =
+        if (ivf.centroids.isEmpty || pq.codebooks.isEmpty) (ivf, pq)
+        else {
+          val tmp = java.nio.file.Files.createTempDirectory("s19_ingest").toString
+          batch.repartition(2).write.parquet(tmp + "/in")
+          val ingest = new graft.streaming.EventStreams.PqIngest(pq)
+          val src = s.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(tmp + "/in")
+          val q = graft.streaming.EventStreams
+            .pqAppendStream(src, "__vn", ingest,
+              corpus = () => sys.error(
+                "s19 must never compact: the corpus thunk is spec-only"),
+              compactEvery = 1000)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", tmp + "/ck")
+            .start()
+          q.awaitTermination()
+          (SimilaritySearch.appendIvfIndex(ivf, batch), ingest.index)
+        }
+      SimilaritySearch.probeIvfPq(ivfA, pqA,
+          batch.select(col("vec_id").as("q_id"), col("__vn").as("__qn")),
+          k = 3, nProbe = 8)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") - 300000L, lit(1L))
+          .otherwise(lit(0L))).as("orig_in_top3"))
+        .select((col("q_id") - 300000L).as("orig_id"), col("q_id"),
+          col("orig_in_top3"))
+    }),
+
+
     // LSH ANN with a DRIVER-VISIBLE recall band (round-11 conversion of
     // the former no_oracle row): the query runs the full LSH plan AND the
     // exact brute-force twin, emits the exact top-3 list per query (rank-
@@ -472,6 +567,31 @@ private[queries] object SimilarityQueries {
          FROM d JOIN n na ON d.a_id = na.doc_id
                 JOIN n nb ON d.b_id = nb.doc_id
          WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) >= 0.9""",
+
+    // s19: the s17 pinned-twin claim through the STREAMING PQ append fold
+    // (offset +300000 — identical codes and cell by construction, so a
+    // correct per-microbatch, exactly-once application pins the flag).
+    "s19_stream_pq_append" ->
+      """SELECT CAST(vec_id AS BIGINT) AS orig_id,
+                CAST(vec_id + 300000 AS BIGINT) AS q_id,
+                CAST(1 AS BIGINT) AS orig_in_top3
+         FROM embeddings WHERE vec_id < 10""",
+
+    // s18: the streamed append folds the SAME rows the s16 batch append
+    // does, and the nProbe = nCells probe is exact — so the oracle is
+    // s16's brute-force form verbatim: stream-vs-batch equality made
+    // driver-visible.
+    "s18_stream_index_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 7),
+              scored AS (SELECT q_id, e.vec_id AS n_id,
+                                list_inner_product(qv, e.v)
+                                / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+                         FROM q JOIN e ON e.vec_id <> q_id),
+              ranked AS (SELECT q_id, n_id, cos,
+                                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+                         FROM scored)
+         SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 3""",
 
     // s16: with nProbe = nCells the append-probe is exact, so the oracle
     // is the brute-force top-3 over the WHOLE corpus for the appended

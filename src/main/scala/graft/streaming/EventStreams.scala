@@ -502,6 +502,113 @@ object EventStreams {
             (i + 1).cast("int").as("rnk"))).as("topk"))
   }
 
+  /** Mutable ingest handle for [[ivfAppendStream]] — the foreachBatch
+    * fold's state: the CURRENT index (swapped per applied batch) and the
+    * last APPLIED batchId. foreachBatch is at-least-once: a crash between
+    * the fold and the checkpoint commit re-runs the batch with the SAME
+    * batchId, and an in-memory index that appended it twice would carry
+    * duplicate assignment rows forever — the batchId guard is the
+    * idempotentPairSink discipline applied to an in-memory artifact.
+    * Volatile because foreachBatch callbacks run on the stream's
+    * microbatch thread while probes read from the caller's. */
+  final class IvfIngest(
+      @volatile var index: graft.operators.SimilaritySearch.IvfIndex) {
+    @volatile var lastBatchId: Long = -1L
+    @volatile var batchesApplied: Long = 0L
+  }
+
+  /** [[IvfIngest]]'s PQ twin for [[pqAppendStream]]. */
+  final class PqIngest(
+      @volatile var index: graft.operators.SimilaritySearch.PqIndex) {
+    @volatile var lastBatchId: Long = -1L
+    @volatile var batchesApplied: Long = 0L
+  }
+
+  /** Streaming ANN index APPEND — the ingest topology that completes the
+    * similarity family's lifecycle symmetry: every dedup index already
+    * ingests per microbatch ([[deltaDedupStreamRefreshing]] +
+    * `MinHashIndex.appendAndMaybeCompact`), and the vector side had only
+    * the probe ([[ivfProbeStream]]). Arriving vectors ASSIGN through the
+    * FROZEN centroids ([[graft.operators.SimilaritySearch.appendIvfIndex]]
+    * — one codegen argmin pass, no k-means on ingest), the union lineage
+    * stays bounded at `compactEvery` via
+    * [[graft.operators.SimilaritySearch.appendIvfAndMaybeCompact]], and a
+    * REPLAYED microbatch (same batchId) is skipped — exactly-once index
+    * application over an at-least-once callback.
+    *
+    * Each batch is `localCheckpoint`ed before the append: O(batch)
+    * materialization that (a) decouples the index's lineage from the
+    * streaming source's offsets — the artifact outlives the query — and
+    * (b) makes the appended leaf a one-scan relation, so the per-batch
+    * persist flag adds nothing and the append runs persist = false (no
+    * CacheManager entries to leak; compaction still flattens).
+    *
+    * Input: streaming (idCol, vecCol) rows, already projected. The caller
+    * starts the returned writer (trigger/checkpoint there) and probes
+    * `ingest.index` between or after batches — a swapped index takes
+    * effect at the next probe, no stream restart. */
+  def ivfAppendStream(vecs: DataFrame, ingest: IvfIngest,
+                      nCells: Int = 0, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: java.lang.Long) =>
+        applyIvfBatch(ingest, batch.toDF(), batchId.longValue(),
+          nCells, compactEvery)
+    }
+
+  /** The [[ivfAppendStream]] fold body, visible so the replay guard is a
+    * unit-testable contract: a batchId at or below the last APPLIED one
+    * is a foreachBatch replay and must not re-append. */
+  private[graft] def applyIvfBatch(ingest: IvfIngest, batch: DataFrame,
+                                   batchId: Long, nCells: Int,
+                                   compactEvery: Int): Unit = {
+    if (batchId > ingest.lastBatchId) {
+      val b = batch.localCheckpoint()
+      if (!b.isEmpty)
+        ingest.index = graft.operators.SimilaritySearch
+          .appendIvfAndMaybeCompact(ingest.index, b, nCells,
+            compactEvery, persist = false)
+      ingest.batchesApplied += 1
+      ingest.lastBatchId = batchId
+    }
+  }
+
+  /** [[ivfAppendStream]]'s PQ twin: arriving vectors ENCODE through the
+    * FROZEN codebooks ([[graft.operators.SimilaritySearch.appendPqIndex]]
+    * — one codegen PqEncode pass, no k-means), with the
+    * [[graft.operators.SimilaritySearch.appendPqAndMaybeCompact]] cadence
+    * bounding lineage and codebook drift. `corpus` resolves to the LAKE's
+    * landed full-precision vectors at compact time (codes never retain
+    * them) — in a real topology, the landed table read after this batch's
+    * write commits; it is only invoked once per `compactEvery` batches.
+    * Same batchId replay guard as [[ivfAppendStream]]. */
+  def pqAppendStream(vecs: DataFrame, vecCol: String, ingest: PqIngest,
+                     corpus: () => DataFrame, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: java.lang.Long) =>
+        applyPqBatch(ingest, batch.toDF(), batchId.longValue(), vecCol,
+          corpus, compactEvery)
+    }
+
+  /** The [[pqAppendStream]] fold body — see [[applyIvfBatch]]. */
+  private[graft] def applyPqBatch(ingest: PqIngest, batch: DataFrame,
+                                  batchId: Long, vecCol: String,
+                                  corpus: () => DataFrame,
+                                  compactEvery: Int): Unit = {
+    if (batchId > ingest.lastBatchId) {
+      val b = batch.localCheckpoint()
+      if (!b.isEmpty)
+        ingest.index = graft.operators.SimilaritySearch
+          .appendPqAndMaybeCompact(ingest.index, b, vecCol, corpus,
+            compactEvery, persist = false)
+      ingest.batchesApplied += 1
+      ingest.lastBatchId = batchId
+    }
+  }
+
   /** Streaming DSIR importance scoring — [[graft.operators.Sampling
     * .dsirScoreAgainst]]'s ingest twin (p17): arriving documents score
     * against the STATIC dense `buckets`-row weight table

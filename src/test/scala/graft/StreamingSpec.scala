@@ -897,4 +897,139 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.find(_._1 == 203L).get === ((203L, 1L, 1L, "")))
     } finally q.stop()
   }
+
+  // ---- round 17: streaming ANN index APPEND (the ingest-lifecycle
+  // symmetry: dedup indexes already ingest per microbatch; the vector
+  // index only probed) ----
+
+  // Round16Spec's planted construction: 4 well-separated clusters, each
+  // batch vector a collinear twin of one base vector.
+  private def r17BaseVec(i: Int): Seq[Float] = {
+    val c = i % 4
+    Seq.tabulate(8)(j =>
+      if (j == 2 * c) 10f
+      else if (j == 2 * c + 1) (i / 4).toFloat
+      else 0f)
+  }
+  private def r17BaseDf = (0 until 40).map(i => (i.toLong, r17BaseVec(i)))
+    .toDF("vec_id", "embedding")
+  private def r17BatchRows(off: Long): Seq[(Long, Seq[Float])] =
+    (0 until 10).map(i => (off + i, r17BaseVec(i).map(_ * 1.02f)))
+
+  private def probeRows(idx: graft.operators.SimilaritySearch.IvfIndex,
+                        lo: Long): Set[(Long, Long, Double, Long)] = {
+    import graft.operators.SimilaritySearch
+    SimilaritySearch.probeIvf(idx, col("vec_id") >= lo, k = 3,
+        nProbe = idx.centroids.length)
+      .select($"q_id", $"n_id", $"cos", $"rnk".cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+  }
+
+  test("streaming IVF append == batch append (probe equality), compaction in-flight") {
+    import graft.operators.SimilaritySearch
+    val base = r17BaseDf
+    // an OWNED index (not memoized): the in-stream compaction at batch 2
+    // unpersists its superseded lineage, which must never hit a shared one
+    val ingest = new EventStreams.IvfIngest(
+      SimilaritySearch.buildIvfIndex(base, "vec_id", "embedding", nCells = 4))
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark, 1)
+    val q = EventStreams.ivfAppendStream(
+        memStream.toDS().toDF("vec_id", "embedding"), ingest,
+        compactEvery = 2)
+      .option("checkpointLocation", tmpDir("ivf-append-ck")).start()
+    try {
+      memStream.addData(r17BatchRows(1000L))
+      q.processAllAvailable()
+      assert(ingest.index.appendsSinceCompaction === 1)
+      memStream.addData(r17BatchRows(2000L))
+      q.processAllAvailable()
+      // window of 2: the second microbatch compacted — counter reset,
+      // lineage flat, geometry retained (nCells defaulted to the index's own)
+      assert(ingest.index.appendsSinceCompaction === 0)
+      assert(ingest.index.centroids.length === 4)
+      assert(ingest.index.assigned.count() === 60)
+    } finally q.stop()
+    // stream == batch: the full-coverage probe over the streamed index
+    // equals the same probe over a one-shot batch build of base ∪ batches
+    val batchIdx = SimilaritySearch.buildIvfIndex(
+      base.unionByName(r17BatchRows(1000L).toDF("vec_id", "embedding"))
+        .unionByName(r17BatchRows(2000L).toDF("vec_id", "embedding")),
+      "vec_id", "embedding", nCells = 4, persist = false)
+    assert(probeRows(ingest.index, 1000L) === probeRows(batchIdx, 1000L),
+      "streamed append must answer exactly like the batch build")
+  }
+
+  test("IVF append replay guard: a re-delivered batchId is not re-applied") {
+    import graft.operators.SimilaritySearch
+    val ingest = new EventStreams.IvfIngest(
+      SimilaritySearch.buildIvfIndex(r17BaseDf, "vec_id", "embedding",
+        nCells = 4))
+    val b = r17BatchRows(1000L).toDF("vec_id", "embedding")
+    EventStreams.applyIvfBatch(ingest, b, 0L, nCells = 0, compactEvery = 100)
+    assert(ingest.index.assigned.count() === 50)
+    // foreachBatch replay: same batchId after a crash-before-commit
+    EventStreams.applyIvfBatch(ingest, b, 0L, nCells = 0, compactEvery = 100)
+    assert(ingest.batchesApplied === 1L, "replayed batchId must be skipped")
+    assert(ingest.index.assigned.count() === 50,
+      "a replayed microbatch must not duplicate assignment rows")
+    EventStreams.applyIvfBatch(ingest,
+      r17BatchRows(2000L).toDF("vec_id", "embedding"), 1L,
+      nCells = 0, compactEvery = 100)
+    assert(ingest.index.assigned.count() === 60)
+  }
+
+  test("streaming PQ append == batch append; compaction re-fits from the corpus thunk") {
+    import graft.operators.SimilaritySearch
+    val base = r17BaseDf
+    val frozen = SimilaritySearch.buildPqIndex(base, "vec_id", "embedding",
+      m = 4, k = 16, persist = false)
+    val ingest = new EventStreams.PqIngest(frozen)
+    val lake = base
+      .unionByName(r17BatchRows(1000L).toDF("vec_id", "embedding"))
+      .unionByName(r17BatchRows(2000L).toDF("vec_id", "embedding"))
+    var corpusReads = 0
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark, 1)
+    val q = EventStreams.pqAppendStream(
+        memStream.toDS().toDF("vec_id", "embedding"), "embedding", ingest,
+        corpus = () => { corpusReads += 1; lake }, compactEvery = 2)
+      .option("checkpointLocation", tmpDir("pq-append-ck")).start()
+    try {
+      memStream.addData(r17BatchRows(1000L))
+      q.processAllAvailable()
+      assert(ingest.index.codebooks eq frozen.codebooks,
+        "the first append must encode through the FROZEN codebooks")
+      memStream.addData(r17BatchRows(2000L))
+      q.processAllAvailable()
+      assert(corpusReads === 1, "compaction resolves the corpus exactly once")
+      assert(ingest.index.appendsSinceCompaction === 0)
+      assert(ingest.index.codes.count() === 60)
+    } finally q.stop()
+    // drift reset made equality: post-compact the streamed index IS a
+    // fresh build over the lake (deterministic k-means, same sample)
+    val fresh = SimilaritySearch.buildPqIndex(lake, "vec_id", "embedding",
+      m = 4, k = 16, persist = false)
+    val got = ingest.index.codes.as[(Long, Seq[Int])].collect().toMap
+    val want = fresh.codes.as[(Long, Seq[Int])].collect().toMap
+    assert(got === want, "streamed compact != fresh batch build")
+  }
+
+  test("PQ append replay guard: a re-delivered batchId is not re-applied") {
+    import graft.operators.SimilaritySearch
+    val ingest = new EventStreams.PqIngest(
+      SimilaritySearch.buildPqIndex(r17BaseDf, "vec_id", "embedding",
+        m = 4, k = 16, persist = false))
+    val b = r17BatchRows(1000L).toDF("vec_id", "embedding")
+    def noCorpus(): org.apache.spark.sql.DataFrame =
+      sys.error("replay test must never compact")
+    EventStreams.applyPqBatch(ingest, b, 0L, "embedding",
+      noCorpus _, compactEvery = 100)
+    assert(ingest.index.codes.count() === 50)
+    EventStreams.applyPqBatch(ingest, b, 0L, "embedding",
+      noCorpus _, compactEvery = 100)
+    assert(ingest.batchesApplied === 1L, "replayed batchId must be skipped")
+    assert(ingest.index.codes.count() === 50,
+      "a replayed microbatch must not duplicate code rows")
+  }
 }
