@@ -1534,7 +1534,106 @@ object Codecs {
     * and whether the SOF was progressive (SOF2) or sequential. */
   final case class JpegImage(image: Image, components: Int, restartInterval: Int,
                              lumaH: Int = 1, lumaV: Int = 1,
-                             progressive: Boolean = false)
+                             progressive: Boolean = false,
+                             orientation: Int = 1)
+
+  /** EXIF orientation (tag 274) transform, stored → display, per the
+    * public EXIF 2.x §4.6.4 value table: 1 identity, 2 mirror-horizontal,
+    * 3 rotate-180, 4 mirror-vertical, 5 transpose, 6 rotate-90-CW,
+    * 7 transverse, 8 rotate-90-CCW. Values 5–8 swap the output dims.
+    * This is what normalizes the 8 orientation variants of one photo to
+    * the SAME pixel array — the decoded-domain dedup path uses it so
+    * rotated re-encodes pair with their originals. */
+  def applyOrientation(img: Image, orientation: Int): Image = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation $orientation outside the spec's [1,8] range")
+    if (orientation == 1) return img
+    val w = img.width; val h = img.height
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var sx = 0; var sy = 0
+        (orientation: @annotation.switch) match {
+          case 2 => sx = w - 1 - x; sy = y
+          case 3 => sx = w - 1 - x; sy = h - 1 - y
+          case 4 => sx = x; sy = h - 1 - y
+          case 5 => sx = y; sy = x
+          case 6 => sx = y; sy = h - 1 - x
+          case 7 => sx = w - 1 - y; sy = h - 1 - x
+          case 8 => sx = w - 1 - y; sy = x
+        }
+        val sp = (sy * w + sx) * 3
+        val dp = (y * ow + x) * 3
+        out(dp) = img.rgb(sp); out(dp + 1) = img.rgb(sp + 1)
+        out(dp + 2) = img.rgb(sp + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(ow, oh, out)
+  }
+
+  /** The orientation whose [[applyOrientation]] undoes `orientation`'s:
+    * 6/8 (the quarter-turns) invert each other, everything else is an
+    * involution. An encoder planting a variant that must NORMALIZE back
+    * to a reference image pre-transforms by the inverse. */
+  def inverseOrientation(orientation: Int): Int = orientation match {
+    case 6 => 8
+    case 8 => 6
+    case o =>
+      require(o >= 1 && o <= 8,
+        s"EXIF orientation $o outside the spec's [1,8] range")
+      o
+  }
+
+  /** Parse the EXIF APP1 TIFF walk for the orientation tag — bounds and
+    * structure checked with named rejections (a segment that CLAIMS to be
+    * Exif must parse; unknown tags are skipped as opaque). Returns 1 when
+    * IFD0 carries no orientation entry, per the spec's default. */
+  private def parseExifOrientation(bytes: Array[Byte], tiff0: Int,
+                                   end: Int): Int = {
+    require(end - tiff0 >= 8, "EXIF TIFF header truncated")
+    val le = (bytes(tiff0) & 0xFF, bytes(tiff0 + 1) & 0xFF) match {
+      case (0x49, 0x49) => true  // "II" little-endian
+      case (0x4D, 0x4D) => false // "MM" big-endian
+      case (a, b) => throw new IllegalArgumentException(
+        f"EXIF TIFF byte-order mark 0x$a%02X$b%02X is neither II nor MM")
+    }
+    def eu16(off: Int): Int =
+      if (le) (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      else ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
+    def eu32(off: Int): Long =
+      if (le) (eu16(off) & 0xFFFFL) | ((eu16(off + 2) & 0xFFFFL) << 16)
+      else ((eu16(off) & 0xFFFFL) << 16) | (eu16(off + 2) & 0xFFFFL)
+    require(eu16(tiff0 + 2) == 42,
+      s"EXIF TIFF magic ${eu16(tiff0 + 2)} != 42")
+    val ifdOff = eu32(tiff0 + 4)
+    require(ifdOff >= 8 && tiff0 + ifdOff + 2 <= end,
+      s"EXIF IFD0 offset $ifdOff outside the APP1 segment")
+    val ifd0 = tiff0 + ifdOff.toInt
+    val n = eu16(ifd0)
+    require(ifd0 + 2 + 12 * n + 4 <= end,
+      s"EXIF IFD0 with $n entries runs past the APP1 segment")
+    var i = 0
+    while (i < n) {
+      val e = ifd0 + 2 + 12 * i
+      if (eu16(e) == 0x0112) { // Orientation
+        require(eu16(e + 2) == 3 && eu32(e + 4) == 1L,
+          "EXIF orientation must be a single SHORT")
+        val v = eu16(e + 8) // SHORT value packed at the field's start
+        require(v >= 1 && v <= 8,
+          s"EXIF orientation $v outside the spec's [1,8] range")
+        return v
+      }
+      i += 1
+    }
+    1
+  }
 
   /** Zigzag position → natural (row-major) index, T.81 Figure 5. */
   private[multimodal] val JpegZigzag: Array[Int] = Array(
@@ -1765,10 +1864,13 @@ object Codecs {
     * closed form. Images whose dims aren't multiples of the MCU are
     * edge-replicated to the MCU grid (§A.2.1); the decoder crops back. */
   def encodeJpeg(img: Image, qscale: Int = 1, restartInterval: Int = 0,
-                 gray: Boolean = false, lumaH: Int = 1, lumaV: Int = 1): Array[Byte] = {
+                 gray: Boolean = false, lumaH: Int = 1, lumaV: Int = 1,
+                 orientation: Int = 1): Array[Byte] = {
     require(qscale >= 1 && qscale <= 15, s"qscale out of [1,15]: $qscale")
     require(restartInterval >= 0 && restartInterval <= 0xFFFF,
       s"restart interval out of [0,65535]: $restartInterval")
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation $orientation outside the spec's [1,8] range")
     require(lumaH >= 1 && lumaH <= 2 && lumaV >= 1 && lumaV <= 2,
       s"luma sampling factors out of [1,2]: ${lumaH}x$lumaV")
     require(!gray || (lumaH == 1 && lumaV == 1),
@@ -1851,6 +1953,19 @@ object Codecs {
     out.write("JFIF".getBytes("US-ASCII")); out.write(0)
     out.write(1); out.write(1); out.write(0) // version 1.1, units 0
     u16(1); u16(1); out.write(0); out.write(0)
+    if (orientation != 1) {
+      // APP1 / Exif: minimal little-endian TIFF — header (8) + IFD0 with
+      // the single Orientation entry (2 + 12) + next-IFD offset 0 (4)
+      marker(0xE1); u16(2 + 6 + 26)
+      out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      le16(0x4949)        // "II"
+      le16(42); le16(8); le16(0) // magic, IFD0 at offset 8
+      le16(1)             // one entry
+      le16(0x0112); le16(3); le16(1); le16(0) // tag, SHORT, count 1
+      le16(orientation); le16(0) // value, left-justified in its 4 bytes
+      le16(0); le16(0)    // no next IFD
+    }
     // DQT (zigzag order on the wire)
     def dqt(id: Int, tbl: Array[Int]): Unit = {
       marker(0xDB); u16(2 + 1 + 64); out.write(id)
@@ -2355,6 +2470,7 @@ object Codecs {
     var nComp = 0
     var restartInterval = 0
     var progressive = false
+    var orientation = 1
     // per component: id, quant table id, H/V sampling factors
     var compQuant: Array[Int] = null
     var compIds: Array[Int] = null
@@ -2698,6 +2814,17 @@ object Codecs {
         case 0xD9 =>
           require(seenScan, "EOI before any scan data")
           done = true
+        case 0xE1 =>
+          // APP1: an "Exif\0\0" payload is walked for the orientation
+          // tag (a segment claiming Exif must parse — named rejections);
+          // any other APP1 (XMP, …) is opaque metadata, skipped
+          val len = segLen(pos); val end = pos + len
+          require(end <= bytes.length, "APP1 segment runs past end of file")
+          if (len >= 2 + 6 && bytes(pos + 2) == 'E' && bytes(pos + 3) == 'x' &&
+              bytes(pos + 4) == 'i' && bytes(pos + 5) == 'f' &&
+              bytes(pos + 6) == 0 && bytes(pos + 7) == 0)
+            orientation = parseExifOrientation(bytes, pos + 8, end)
+          pos = end
         case _ =>
           pos += segLen(pos) // APPn / COM / anything with a length: skip
       }
@@ -2767,6 +2894,6 @@ object Codecs {
       yy += 1
     }
     JpegImage(Image(width, height, rgb), nComp, restartInterval,
-      sampH(0), sampV(0), progressive)
+      sampH(0), sampV(0), progressive, orientation)
   }
 }

@@ -602,6 +602,57 @@ object Multimodal {
     }.toDF("doc_id", "dhash")
   }
 
+  /** Render each doc as a rotated/flipped EXIF-tagged JPEG variant: the
+    * stored pixels are [[blockGrayImage]] PRE-TRANSFORMED by the INVERSE
+    * of the doc's orientation o = 2 + (doc_id mod 7) — every non-identity
+    * EXIF value across the corpus — and the file carries o in an APP1
+    * Exif segment. A correct decode + orientation NORMALIZATION therefore
+    * restores exactly the original's pixels: the stored image is square
+    * with flat 8×8 blocks, so every transform maps flat blocks to flat
+    * block-aligned blocks and the lossy round trip commutes with the
+    * rotation (the m19 closed form survives untouched). */
+  def renderOrientedJpegTable(documents: DataFrame,
+                              idOffset: Long): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val o = 2 + (id % 7).toInt
+          val stored = Codecs.applyOrientation(blockGrayImage(text),
+            Codecs.inverseOrientation(o))
+          MediaRow(id + idOffset,
+            Codecs.encodeJpeg(stored, orientation = o),
+            s"image/jpeg;exif-o$o")
+        }
+      }
+  }
+
+  final case class OrientedDHash(doc_id: Long, orientation: Long, dhash: Long)
+
+  /** (doc_id, orientation, dhash) from decoded JPEGs with the EXIF
+    * orientation APPLIED before hashing — the normalization that makes
+    * the 8 orientation variants of one photo dedup together. The decode
+    * REQUIRES the tag to match the render rule (o = 2 + (doc_id − offset)
+    * mod 7): a decoder that silently dropped the APP1 walk would read
+    * orientation 1 and fail here instead of producing a vacuous match. */
+  def decodedOrientedDHash(media: Dataset[MediaRow],
+                           idOffset: Long): Dataset[OrientedDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val jpg = Codecs.decodeJpeg(r.media)
+        val want = 2 + ((r.doc_id - idOffset) % 7).toInt
+        require(jpg.orientation == want,
+          s"doc ${r.doc_id}: expected EXIF orientation $want, " +
+            s"decoded ${jpg.orientation}")
+        val normalized = Codecs.applyOrientation(jpg.image, jpg.orientation)
+        OrientedDHash(r.doc_id, jpg.orientation.toLong, dhash56(normalized))
+      }
+    }
+  }
+
   /** Render each doc as a PROGRESSIVE (SOF2) JPEG of [[blockGrayImage]]
     * pixels — spectral-selection scans (one interleaved DC scan + one AC
     * scan per component), even doc_ids 4:2:0-subsampled (the form real

@@ -400,6 +400,36 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m29 (round 17): EXIF ORIENTATION normalization — every doc planted
+    // again as a rotated/flipped re-encode (stored pixels pre-transformed
+    // by the inverse of o = 2 + doc_id mod 7, the tag carried in a real
+    // APP1 Exif TIFF), then paired with its original through the
+    // orientation-NORMALIZED decoded-domain dHash. The flat-block square
+    // payload makes the lossy round trip commute with the transform, so a
+    // correct APP1 walk + §4.6.4 transform reproduces the original's
+    // pixels EXACTLY and the oracle pins paired = 1 per doc; the decode
+    // additionally REQUIRES the tag value, so a decoder that skipped the
+    // EXIF walk (orientation 1) fails loudly rather than matching
+    // vacuously. Pinned per-variant (no cross-corpus dhash join): natural
+    // duplicate docs share hashes, so the claim is anchored to each
+    // variant's OWN original.
+    "m29_exif_orientation_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val vh = M.decodedOrientedDHash(
+          M.renderOrientedJpegTable(base, idOffset = 1000000L),
+          idOffset = 1000000L).toDF()
+        .select((col("doc_id") - 1000000L).as("orig_id"),
+          col("doc_id").as("var_id"), col("orientation"),
+          col("dhash").as("var_dhash"))
+      val bh = M.memoizedJpegMeta(base, dir).toDF()
+        .select(col("doc_id").as("orig_id"), col("dhash").as("base_dhash"))
+      vh.join(bh, Seq("orig_id"))
+        .select(col("orig_id"), col("var_id"), col("orientation"),
+          (col("var_dhash") === col("base_dhash")).cast("long").as("paired"))
+    }),
+
+
     // m20 (round 15): LOSSY-variant near-dup — the corpus at quantizer
     // scale 1, docs < 40 planted AGAIN at scale 2 (byte-different files,
     // DIFFERENT decoded pixels — a genuinely lossy re-encode, unlike
@@ -1147,6 +1177,17 @@ private[queries] object MultimodalQueries {
                             THEN (CAST(1 AS BIGINT) << b)
                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
          FROM g""",
+
+    // m29: the planted-orientation construction verbatim — one row per
+    // doc, orientation from the render rule, paired pinned at 1 (the
+    // normalized variant reproduces its original's pixels exactly, so
+    // the dHashes are equal by construction).
+    "m29_exif_orientation_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS orig_id,
+                CAST(doc_id + 1000000 AS BIGINT) AS var_id,
+                CAST(2 + doc_id % 7 AS BIGINT) AS orientation,
+                CAST(1 AS BIGINT) AS paired
+         FROM documents WHERE len(text) >= 1""",
 
     // m20: both quantized pixel domains from their closed forms
     // (scale 1: 2·⌊(v+1)/2⌋; scale 2: 4·⌊(v+2)/4⌋), dHashes from each,

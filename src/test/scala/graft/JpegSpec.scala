@@ -504,4 +504,105 @@ class JpegSpec extends SparkSpecBase {
     val viaMagic = Codecs.decodeImage(Codecs.encodeJpeg(img, gray = true))
     assert(viaMagic.width === 16 && viaMagic.height === 16)
   }
+
+  // ---- round 17: EXIF APP1 orientation ----
+
+  test("golden APP1 Exif segment: exact bytes on the wire, tag read back") {
+    val img = Multimodal.blockGrayImage("exif golden")
+    val b = Codecs.encodeJpeg(img, orientation = 6)
+    // SOI(2) + APP0(2+16) = offset 20 for APP1
+    val app1 = b.slice(20, 20 + 2 + 34)
+    val want = Array[Int](
+      0xFF, 0xE1, 0x00, 0x22,                    // marker, length 34
+      'E', 'x', 'i', 'f', 0, 0,                  // identifier
+      0x49, 0x49, 42, 0, 8, 0, 0, 0,             // II, 42, IFD0 at 8
+      1, 0,                                      // one entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0,              // tag 274, SHORT, count 1
+      6, 0, 0, 0,                                // value 6, left-justified
+      0, 0, 0, 0)                                // no next IFD
+      .map(_.toByte)
+    assert(app1.toSeq === want.toSeq, "APP1 byte layout drifted")
+    assert(Codecs.decodeJpeg(b).orientation === 6)
+    // orientation 1 writes NO APP1 (byte-stable with pre-round-17 output)
+    assert((Codecs.encodeJpeg(img)(21) & 0xFF) !== 0xE1)
+    assert(Codecs.decodeJpeg(Codecs.encodeJpeg(img)).orientation === 1)
+  }
+
+  test("big-endian (MM) EXIF parses identically") {
+    val img = Multimodal.blockGrayImage("exif mm")
+    val b = Codecs.encodeJpeg(img, orientation = 7)
+    // rewrite the little-endian TIFF body as its big-endian equivalent
+    val t = 20 + 2 + 2 + 6 // APP1 marker+len+Exif\0\0 → TIFF origin at 30
+    def put(off: Int, v: Seq[Int]): Unit =
+      v.zipWithIndex.foreach { case (x, i) => b(t + off + i) = x.toByte }
+    put(0, Seq(0x4D, 0x4D, 0, 42, 0, 0, 0, 8)) // MM, 42, IFD0 at 8
+    put(8, Seq(0, 1))                          // one entry
+    put(10, Seq(0x01, 0x12, 0, 3, 0, 0, 0, 1)) // tag, SHORT, count 1
+    put(18, Seq(0, 7, 0, 0))                   // value 7
+    put(22, Seq(0, 0, 0, 0))
+    assert(Codecs.decodeJpeg(b).orientation === 7)
+  }
+
+  test("all 8 orientations: inverse round trip and decode-normalize equality") {
+    // an asymmetric image: every pixel distinct, so any transform slip
+    // (axis swap, off-by-one mirror) changes pixels
+    val base = Multimodal.blockGrayImage("asymmetric orientation payload!")
+    val decodedBase = Codecs.decodeJpeg(Codecs.encodeJpeg(base)).image
+    for (o <- 1 to 8) {
+      val inv = Codecs.inverseOrientation(o)
+      val stored = Codecs.applyOrientation(base, inv)
+      // pure-transform inverse property
+      val back = Codecs.applyOrientation(stored, o)
+      assert(back.width === base.width && back.height === base.height)
+      assert(java.util.Arrays.equals(back.rgb, base.rgb),
+        s"applyOrientation($o) does not invert applyOrientation($inv)")
+      // the m29 construction at unit level: encode the pre-transformed
+      // pixels with the tag, decode, normalize — EXACTLY the base decode
+      // (flat blocks: the lossy round trip commutes with the transform)
+      val jpg = Codecs.decodeJpeg(Codecs.encodeJpeg(stored, orientation = o))
+      assert(jpg.orientation === o)
+      val normalized = Codecs.applyOrientation(jpg.image, jpg.orientation)
+      assert(java.util.Arrays.equals(normalized.rgb, decodedBase.rgb),
+        s"orientation $o: normalized decode != base decode")
+    }
+  }
+
+  test("orientation transforms on a NON-square image swap dims correctly") {
+    val img = Multimodal.textImage("wide not square", 25, 16)
+    for (o <- 5 to 8) {
+      val t = Codecs.applyOrientation(img, o)
+      assert(t.width === 16 && t.height === 25, s"orientation $o dims")
+      assert(java.util.Arrays.equals(
+        Codecs.applyOrientation(t, Codecs.inverseOrientation(o)).rgb, img.rgb),
+        s"orientation $o non-square inverse")
+    }
+    for (o <- 2 to 4)
+      assert(Codecs.applyOrientation(img, o).width === 25)
+  }
+
+  test("malformed EXIF is rejected by NAME, never silently garbled") {
+    val img = Multimodal.blockGrayImage("exif malformed")
+    val good = Codecs.encodeJpeg(img, orientation = 3)
+    val t = 30 // TIFF origin (see the MM test)
+    def mutated(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    def msgOf(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Codecs.decodeJpeg(b)).getMessage
+    assert(msgOf(mutated(b => b(t) = 'X')).contains("byte-order"))
+    assert(msgOf(mutated(b => b(t + 2) = 43)).contains("magic"))
+    // IFD0 offset pointing past the segment
+    assert(msgOf(mutated(b => b(t + 4) = 0x7F)).contains("IFD0 offset"))
+    // entry count larger than the segment can hold
+    assert(msgOf(mutated(b => b(t + 8) = 0x40)).contains("runs past"))
+    // orientation value 9
+    assert(msgOf(mutated(b => b(t + 18) = 9)).contains("[1,8]"))
+    // orientation typed LONG instead of SHORT
+    assert(msgOf(mutated(b => b(t + 12) = 4)).contains("single SHORT"))
+    // a non-Exif APP1 (XMP-style) is OPAQUE: garbage inside is skipped
+    val xmp = mutated { b =>
+      b(24) = 'X'; b(25) = 'M'; b(26) = 'P'; b(27) = 0; b(28) = 0x7F.toByte
+    }
+    assert(Codecs.decodeJpeg(xmp).orientation === 1)
+  }
 }
