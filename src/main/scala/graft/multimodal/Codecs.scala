@@ -1497,6 +1497,192 @@ object Codecs {
     }
   }
 
+  // ---- AVI (MJPEG-in-AVI, Microsoft AVI RIFF form) --------------------------
+  //
+  // The VIDEO container, from the public AVI RIFF specification (the
+  // 'hdrl'/'movi' LIST layout, MainAVIHeader/AVIStreamHeader/
+  // BITMAPINFOHEADER field tables, and the idx1 index are all documented
+  // in Microsoft's multimedia file-format reference): Motion-JPEG — each
+  // '00dc' chunk one complete baseline JPEG — is the simplest real video
+  // coding this library can decode END TO END, reusing [[decodeJpeg]] per
+  // frame. Scope: one 'vids'/'MJPG' stream; anything else names itself.
+  // The RIFF chunk walk mirrors [[decodeWav]]'s (same container family).
+
+  /** Per-file frame-count ceiling: an avih/dwTotalFrames from a crafted
+    * header must not pre-commit unbounded decode work. 4096 frames at the
+    * pixel cap is far past any admission-gate payload. */
+  val MaxAviFrames: Int = 4096
+
+  /** A decoded AVI: stream geometry and timing from the headers, plus the
+    * still-compressed JPEG frame payloads in stream order (the consumer
+    * picks which frames to [[decodeJpeg]] — frame SAMPLING must not pay
+    * full decode for frames it skips). */
+  final case class AviVideo(width: Int, height: Int, usPerFrame: Int,
+                            frames: Vector[Array[Byte]])
+
+  /** Encode frames (each a complete baseline JPEG) as an MJPEG AVI:
+    * RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh, strf } },
+    * LIST movi { '00dc'… }, idx1 }. */
+  def encodeAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+                usPerFrame: Int = 40000): Array[Byte] = {
+    require(frames.nonEmpty && frames.size <= MaxAviFrames,
+      s"AVI frame count ${frames.size} outside [1,$MaxAviFrames]")
+    require(usPerFrame > 0, s"AVI frame duration $usPerFrame must be positive")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def u32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val maxFrame = frames.map(_.length).max
+    val moviData = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val idx1Data = 16 * frames.size
+    val hdrlData = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idx1Data)
+    cc("RIFF"); u32(riffData); cc("AVI ")
+    cc("LIST"); u32(hdrlData); cc("hdrl")
+    // MainAVIHeader
+    cc("avih"); u32(56)
+    u32(usPerFrame); u32(0); u32(0); u32(0x10 /* AVIF_HASINDEX */)
+    u32(frames.size); u32(0); u32(1 /* streams */); u32(maxFrame)
+    u32(width); u32(height); u32(0); u32(0); u32(0); u32(0)
+    cc("LIST"); u32(4 + (8 + 56) + (8 + 40)); cc("strl")
+    // AVIStreamHeader
+    cc("strh"); u32(56)
+    cc("vids"); cc("MJPG"); u32(0); u16(0); u16(0); u32(0)
+    u32(usPerFrame /* scale */); u32(1000000 /* rate */)
+    u32(0); u32(frames.size); u32(maxFrame); u32(0); u32(0)
+    u16(0); u16(0); u16(width); u16(height) // rcFrame
+    // BITMAPINFOHEADER
+    cc("strf"); u32(40)
+    u32(40); u32(width); u32(height); u16(1); u16(24); cc("MJPG")
+    u32(width * height * 3); u32(0); u32(0); u32(0); u32(0)
+    cc("LIST"); u32(moviData); cc("movi")
+    // idx1 offsets measure from the 'movi' fourcc (the common convention)
+    val offsets = new Array[Int](frames.size)
+    var moviOff = 4
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = moviOff
+      cc("00dc"); u32(f.length); out.write(f, 0, f.length)
+      if ((f.length & 1) == 1) out.write(0)
+      moviOff += 8 + f.length + (f.length & 1)
+    }
+    cc("idx1"); u32(idx1Data)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      cc("00dc"); u32(0x10); u32(offsets(i)); u32(f.length)
+    }
+    out.toByteArray
+  }
+
+  /** Decode an MJPEG AVI's headers and frame payloads — the container
+    * walk only; frames stay compressed (see [[AviVideo]]). Malformed or
+    * out-of-scope input is rejected by NAME. */
+  def decodeAviFrames(bytes: Array[Byte]): AviVideo = {
+    require(bytes.length >= 12, "not an AVI: too short for a RIFF header")
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      s"not an AVI: RIFF/'AVI ' magic missing (${fourcc(0)}/${fourcc(8)})")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var usPerFrame = -1; var totalFrames = -1; var streams = -1
+    var width = -1; var height = -1
+    var sawVids = false; var sawMjpgBitmap = false
+    val frames = Vector.newBuilder[Array[Byte]]
+    var nFrames = 0
+
+    // one RIFF chunk run [at, end): returns each chunk to `visit`, with
+    // the WAV walk's overflow-safe bound check and odd-size padding
+    def walk(at: Int, end: Int)(visit: (String, Int, Int) => Unit): Unit = {
+      var off = at
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val size = buf.getInt(off + 4)
+        require(size >= 0 && off.toLong + 8 + size <= end,
+          s"truncated AVI chunk '$id' (size $size at offset $off)")
+        visit(id, off + 8, size)
+        off += 8 + size + (size & 1)
+      }
+    }
+
+    def walkHdrl(at: Int, end: Int): Unit = walk(at, end) { (id, data, size) =>
+      id match {
+        case "avih" =>
+          require(size >= 56, s"avih chunk too small ($size)")
+          usPerFrame = buf.getInt(data)
+          totalFrames = buf.getInt(data + 16)
+          streams = buf.getInt(data + 24)
+          width = buf.getInt(data + 32)
+          height = buf.getInt(data + 36)
+        case "LIST" if size >= 4 && fourcc(data) == "strl" =>
+          walk(data + 4, data + size) { (sid, sdata, ssize) =>
+            sid match {
+              case "strh" =>
+                require(ssize >= 56, s"strh chunk too small ($ssize)")
+                val fccType = fourcc(sdata)
+                require(fccType == "vids",
+                  s"unsupported AVI stream type '$fccType' (MJPEG video only)")
+                val handler = fourcc(sdata + 4)
+                require(handler == "MJPG",
+                  s"unsupported AVI video handler '$handler' (MJPG only)")
+                sawVids = true
+              case "strf" =>
+                require(ssize >= 40, s"strf chunk too small ($ssize)")
+                val compression = fourcc(sdata + 16)
+                require(compression == "MJPG",
+                  s"unsupported AVI bitmap compression '$compression' (MJPG only)")
+                sawMjpgBitmap = true
+              case _ => () // strn/indx/…: opaque stream metadata
+            }
+          }
+        case _ => () // odml extension lists etc.: skip
+      }
+    }
+
+    val riffEnd = {
+      val size = buf.getInt(4)
+      require(size >= 4 && 8L + size <= bytes.length,
+        s"truncated AVI RIFF payload (size $size)")
+      8 + size
+    }
+    walk(12, riffEnd) { (id, data, size) =>
+      id match {
+        case "LIST" =>
+          require(size >= 4, s"AVI LIST chunk too small ($size)")
+          fourcc(data) match {
+            case "hdrl" => walkHdrl(data + 4, data + size)
+            case "movi" =>
+              require(sawVids && sawMjpgBitmap,
+                "AVI movi data before the hdrl stream headers")
+              walk(data + 4, data + size) { (cid, cdata, csize) =>
+                require(cid == "00dc",
+                  s"unsupported movi chunk '$cid' (single-stream MJPEG only)")
+                nFrames += 1
+                require(nFrames <= MaxAviFrames,
+                  s"AVI frame count exceeds the $MaxAviFrames-frame cap")
+                frames += java.util.Arrays.copyOfRange(bytes, cdata, cdata + csize)
+              }
+            case _ => () // INFO etc.: opaque
+          }
+        case "idx1" | "JUNK" => () // the index is derivable from the walk
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported top-level AVI chunk '$other'")
+      }
+    }
+    require(usPerFrame > 0 && width > 0 && height > 0,
+      "AVI missing or degenerate avih header")
+    require(streams == 1,
+      s"unsupported AVI stream count $streams (single MJPEG stream only)")
+    require(totalFrames >= 0 && totalFrames <= MaxAviFrames,
+      s"AVI header frame count $totalFrames outside [0,$MaxAviFrames]")
+    require(width.toLong * height <= MaxDecodePixels,
+      s"AVI dimensions ${width}x$height exceed the $MaxDecodePixels-pixel decode cap")
+    val fs = frames.result()
+    require(fs.size == totalFrames,
+      s"AVI carries ${fs.size} frames but the header declares $totalFrames")
+    AviVideo(width, height, usPerFrame, fs)
+  }
+
   // ---- JPEG (baseline DCT, ITU-T T.81) --------------------------------------
   //
   // The lossy IMAGE codec, from the published standard alone: baseline

@@ -437,17 +437,17 @@ object Multimodal {
       }
   }
 
-  /** The m27 ADMISSION-MIX corpus: each doc lands in one of nine
-    * container classes by doc_id mod 9 — six that a correct gate ADMITS
-    * (BMP, palette PNG, GIF, 4:2:0 JPEG, float WAV, and a PROGRESSIVE
-    * 4:2:0 JPEG: one per decode family, including every round-16 form)
-    * and three it must REJECT with a DETERMINISTIC reason (a PNG
-    * truncated at byte 20 — inside the constant corpus-wide prefix, so
-    * the chunk-bound message is one string; a JPEG whose SOF precision
-    * byte is flipped to 12-bit; an unrecognized 'MP4 ' magic).
-    * Deterministic reasons are what make the gate REPORT (per-class
-    * admit/reject/reason counts) oracle-checkable instead of merely
-    * plausible. */
+  /** The m27 ADMISSION-MIX corpus: each doc lands in one of TEN container
+    * classes by doc_id mod 10 — seven that a correct gate ADMITS (BMP,
+    * palette PNG, GIF, 4:2:0 JPEG, float WAV, a PROGRESSIVE 4:2:0 JPEG,
+    * and — round 17 — a two-frame MJPEG AVI: one per decode family,
+    * images + audio + video) and three it must REJECT with a
+    * DETERMINISTIC reason (a PNG truncated at byte 20 — inside the
+    * constant corpus-wide prefix, so the chunk-bound message is one
+    * string; a JPEG whose SOF precision byte is flipped to 12-bit; an
+    * unrecognized 'MP4 ' magic). Deterministic reasons are what make the
+    * gate REPORT (per-class admit/reject/reason counts) oracle-checkable
+    * instead of merely plausible. */
   def renderAdmissionMixTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -458,7 +458,7 @@ object Multimodal {
             val tb = textCps(text, "renderAdmissionMixTable")
             Array.tabulate(w * h)(i => tb(i % tb.length).toByte)
           }
-          (id % 9) match {
+          (id % 10) match {
             case 0 => MediaRow(id, Codecs.encodeBmp(textImage(text, 25, 16)),
               "image/bmp")
             case 1 => MediaRow(id, Codecs.encodePngPalette(25, 16, gifPalette,
@@ -489,8 +489,13 @@ object Multimodal {
               require(at > 0, "encoder emitted no SOF0 marker?")
               b(at + 3) = 12.toByte // marker, len16, THEN precision
               MediaRow(id, b, "image/jpeg;12bit")
-            case _ => MediaRow(id,
+            case 8 => MediaRow(id,
               ("MP4 " + text).getBytes("US-ASCII"), "video/mp4;unsupported")
+            case _ => MediaRow(id, // 9: two-frame MJPEG AVI, the video class
+              Codecs.encodeAvi(Seq(
+                Codecs.encodeJpeg(blockGrayImage(text)),
+                Codecs.encodeJpeg(blockGrayImage(text, shift = 7))), 64, 64),
+              "video/avi;mjpeg")
           }
         }
       }
@@ -533,6 +538,71 @@ object Multimodal {
       }
   }
 
+  /** Render each doc as a REAL MJPEG AVI — F = 2 + (doc_id mod 3) frames,
+    * frame f a complete baseline JPEG of [[blockGrayImage]] with the
+    * block-value rule ROTATED by 7f (the m21 animated-GIF convention, so
+    * every frame is a different image and a frame-order slip changes
+    * hashes), 25 fps (40 000 µs/frame) in the avih/strh headers. The
+    * container is the full public AVI RIFF form: hdrl with
+    * MainAVIHeader + vids/MJPG stream headers, the movi '00dc' list,
+    * and an idx1 index. */
+  def renderAviTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val nFrames = 2 + (id % 3).toInt
+          val frames = (0 until nFrames).map(f =>
+            Codecs.encodeJpeg(blockGrayImage(text, shift = 7 * f)))
+          MediaRow(id, Codecs.encodeAvi(frames, 64, 64, usPerFrame = 40000),
+            s"video/avi;mjpeg;f$nFrames")
+        }
+      }
+  }
+
+  /** m30 output: one row per SAMPLED frame (every `stride`-th), with the
+    * container facts (header frame count, frame duration) and the
+    * decoded-pixel features of the m19 convention — neutral chroma
+    * REQUIRED, gray_sum/dhash over the decoded frame. Skipped frames are
+    * never JPEG-decoded (the [[AviVideo]] frames stay compressed until
+    * sampled — frame sampling must not pay full decode for frames it
+    * drops). */
+  final case class AviFrameMeta(doc_id: Long, n_frames: Long,
+                                us_per_frame: Long, frame_idx: Long,
+                                gray_sum: Long, dhash: Long)
+
+  def decodedAviFrameMeta(media: Dataset[MediaRow],
+                          stride: Int): Dataset[AviFrameMeta] = {
+    require(stride >= 1, s"frame stride $stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val avi = Codecs.decodeAviFrames(r.media)
+        (0 until avi.frames.size by stride).map { f =>
+          val jpg = Codecs.decodeJpeg(avi.frames(f))
+          val img = jpg.image
+          require(img.width == avi.width && img.height == avi.height,
+            s"doc ${r.doc_id} frame $f: ${img.width}x${img.height} JPEG " +
+              s"inside a ${avi.width}x${avi.height} AVI")
+          val n = img.width * img.height
+          var graySum = 0L
+          var i = 0
+          while (i < n) {
+            require(img.rgb(i * 3 + 1) == img.rgb(i * 3) &&
+              img.rgb(i * 3 + 2) == img.rgb(i * 3),
+              s"doc ${r.doc_id} frame $f: chroma came back non-neutral")
+            graySum += img.rgb(i * 3) & 0xFF
+            i += 1
+          }
+          AviFrameMeta(r.doc_id, avi.frames.size.toLong,
+            avi.usPerFrame.toLong, f.toLong, graySum, dhash56(img))
+        }
+      }
+    }
+  }
+
   /** The m19/m20 pixel rule: FLAT 8×8 BLOCKS, block b (row-major over an
     * 8×8 block grid) filled with gray v(b) = byte(b mod L), R = G = B.
     * Flat blocks are the oracle-exactness construction for a LOSSY DCT
@@ -541,7 +611,8 @@ object Multimodal {
     * (s = qscale) that DuckDB can recompute in integer SQL — while the
     * file still exercises the full real container (markers, Annex K
     * tables, Huffman, zigzag, byte stuffing, restarts, YCbCr). */
-  def blockGrayImage(text: String, blocks: Int = 8): Codecs.Image = {
+  def blockGrayImage(text: String, blocks: Int = 8,
+                     shift: Int = 0): Codecs.Image = {
     val tb = textCps(text, "blockGrayImage")
     val side = blocks * 8
     val rgb = new Array[Byte](side * side * 3)
@@ -550,7 +621,7 @@ object Multimodal {
       var x = 0
       while (x < side) {
         val b = (y / 8) * blocks + (x / 8)
-        val v = tb(b % tb.length).toByte
+        val v = tb((b + shift) % tb.length).toByte
         val p = (y * side + x) * 3
         rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
         x += 1

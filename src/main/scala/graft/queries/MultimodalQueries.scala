@@ -302,15 +302,17 @@ private[queries] object MultimodalQueries {
     // m27 (round 16): the corpus-level ADMISSION REPORT — the deployment
     // answer to "what fraction of a mixed media corpus does the gate
     // admit, and why does the rest drop?". The mix plants one class per
-    // decode family (incl. every round-16 form: palette PNG, 4:2:0 JPEG,
-    // float WAV, PROGRESSIVE 4:2:0 JPEG) plus three rejection classes
-    // with DETERMINISTIC reasons (fixed-prefix truncation, a 12-bit
-    // precision flip, unknown magic);
+    // decode family (incl. every round-16 form — palette PNG, 4:2:0 JPEG,
+    // float WAV, PROGRESSIVE 4:2:0 JPEG — and round 17's MJPEG AVI, so
+    // the gate covers images + audio + video) plus three rejection
+    // classes with DETERMINISTIC reasons (fixed-prefix truncation, a
+    // 12-bit precision flip, unknown magic);
     // every payload is GENUINELY decoded by the same gate the streaming
     // ingest runs (EventStreams.mediaDecodeGateStream — batch and stream
-    // share the transform), then one hash aggregate per (kind, admit,
-    // reason) with integer-bp corpus shares. Decode is map-only
-    // scan-side; the aggregate output is 8 rows.
+    // share the transform; the AVI class decodes every frame), then one
+    // hash aggregate per (kind, admit, reason) with integer-bp corpus
+    // shares. Decode is map-only scan-side; the aggregate output is 9
+    // rows.
     "m27_admission_report" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
       val base = docs(s, dir).filter(length(col("text")) >= 1)
@@ -339,6 +341,25 @@ private[queries] object MultimodalQueries {
     // pixels as the sequential m19 encode, so the oracle recomputes the
     // whole thing in SQL — a scan-sequencing, EOB-run, band, or
     // coefficient-assembly bug anywhere hash-mismatches.
+    // m30 (round 17): VIDEO — every doc rendered as a REAL MJPEG AVI
+    // (full RIFF form: MainAVIHeader, vids/MJPG stream headers, the movi
+    // '00dc' list, idx1; F = 2 + doc_id mod 3 frames, each frame a
+    // different image via the m21 rotate-by-7f rule), then the frame
+    // SAMPLER keeps every 2nd frame — one row per kept frame with the
+    // container facts (header frame count, 40 000 µs/frame) and decoded
+    // JPEG pixel features. The flat-block payload keeps the m19 closed
+    // form per frame, so the oracle recomputes the whole walk in SQL: a
+    // chunk-walk slip, header misparse, frame-order slip, or a decode
+    // error on ANY sampled frame hash-mismatches. Skipped frames never
+    // JPEG-decode — sampling cost is per KEPT frame, the shape that
+    // matters when video dominates a 100 TB corpus.
+    "m30_avi_frame_sample" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedAviFrameMeta(M.renderAviTable(
+        docs(s, dir).filter(length(col("text")) >= 1)), stride = 2).toDF()
+    }),
+
+
     "m28_progressive_decode" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
       M.decodedProgressiveMeta(M.renderProgressiveJpegTable(
@@ -842,20 +863,21 @@ private[queries] object MultimodalQueries {
                   x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
          FROM s""",
 
-    // m27: the admission outcomes are pure doc_id-mod-9 arithmetic — the
-    // engine must actually decode every payload to land on them, but the
-    // oracle knows which classes a CORRECT gate admits (including the
-    // progressive 4:2:0 class) and the exact reason strings of the three
-    // planted rejection classes.
+    // m27: the admission outcomes are pure doc_id-mod-10 arithmetic — the
+    // engine must actually decode every payload (every AVI frame
+    // included) to land on them, but the oracle knows which classes a
+    // CORRECT gate admits (progressive 4:2:0 and the round-17 MJPEG AVI
+    // included) and the exact reason strings of the three planted
+    // rejection classes.
     "m27_admission_report" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE len(text) >= 1),
-              c AS (SELECT CASE doc_id % 9
+              c AS (SELECT CASE doc_id % 10
                       WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
                       WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'jpeg'
-                      WHEN 6 THEN 'png' WHEN 7 THEN 'jpeg'
+                      WHEN 6 THEN 'png' WHEN 7 THEN 'jpeg' WHEN 9 THEN 'avi'
                       ELSE 'unknown' END AS kind,
-                      doc_id % 9 < 6 AS admit,
-                      CASE doc_id % 9
+                      doc_id % 10 < 6 OR doc_id % 10 = 9 AS admit,
+                      CASE doc_id % 10
                       WHEN 6 THEN 'truncated PNG chunk (length 13 at offset 8)'
                       WHEN 7 THEN 'unsupported JPEG precision 12 (8-bit only)'
                       WHEN 8 THEN 'unrecognized container magic'
@@ -866,6 +888,31 @@ private[queries] object MultimodalQueries {
          SELECT kind, admit, reason, CAST(n AS BIGINT) AS n_docs,
                 CAST(n * 10000 // tot AS BIGINT) AS share_bp
          FROM g, t""",
+
+    // m30: per-doc frames F = 2 + doc_id mod 3, sampled f ∈ {0, 2} ∩
+    // [0, F); frame f's block values follow the m19 closed form with the
+    // value index rotated by 7f; header facts are the encoder's rules.
+    "m30_avi_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              fr AS (SELECT doc_id, text, L,
+                            unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT))) AS f
+                     FROM d),
+              sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+              g AS (SELECT doc_id, f,
+                      list_transform(generate_series(0, 63),
+                        b -> 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv
+                    FROM sf)
+         SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+                CAST(40000 AS BIGINT) AS us_per_frame,
+                CAST(f AS BIGINT) AS frame_idx,
+                CAST(64 * list_sum(gv) AS BIGINT) AS gray_sum,
+                CAST(list_sum(list_transform(generate_series(0, 55),
+                  b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                 > gv[(b // 7) * 8 + (b % 7) + 2]
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+         FROM g""",
 
     // m28: the m19 closed form — a CORRECT progressive decode assembles
     // the same quantized coefficients the sequential scan carries, so

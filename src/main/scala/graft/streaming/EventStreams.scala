@@ -281,8 +281,9 @@ object EventStreams {
   /** Streaming media-decode gate — the codec family's ingest twin (the
     * round-14 real-decoder analogue of [[encodingGateStream]]): every
     * arriving binary payload is ACTUALLY decoded (container dispatched by
-    * magic bytes — 'BM' → BMP, 0x89'P' → PNG, 'GIF8' → GIF, 'RIFF' →
-    * WAV incl. μ-law), and payloads that fail to
+    * magic bytes — 'BM' → BMP, 0x89'P' → PNG, 'GIF8' → GIF, 'RIFF' by its
+    * form type → WAV incl. μ-law or MJPEG AVI with every frame decoded),
+    * and payloads that fail to
     * decode (truncated, wrong magic, unsupported bit depth/compression)
     * are flagged for drop with the failure reason, before they land in
     * the lake. Fully stateless and partition-local: the payload never
@@ -306,8 +307,16 @@ object EventStreams {
             else if (b.length >= 2 && (b(0) & 0xFF) == 0x89 && b(1) == 'P') "png"
             else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' &&
               b(2) == 'F' && b(3) == '8') "gif"
-            else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
-              b(2) == 'F' && b(3) == 'F') "wav"
+            else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+              b(2) == 'F' && b(3) == 'F') {
+              // RIFF is a container FAMILY: the form type at offset 8
+              // says which member (WAVE audio, 'AVI ' video, anything
+              // else is out of scope and drops with the magic reason)
+              val form = new String(b, 8, 4, "US-ASCII")
+              if (form == "WAVE") "wav"
+              else if (form == "AVI ") "avi"
+              else "unknown"
+            }
             else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
               (b(1) & 0xFF) == 0xD8) "jpeg"
             else "unknown"
@@ -320,6 +329,13 @@ object EventStreams {
               val pcm = graft.multimodal.Codecs.decodeWav(payload)
               (id, ts, kind, pcm.sampleRate.toLong, pcm.samples.length.toLong,
                 true, "")
+            case "avi" =>
+              // genuinely decode: the container walk AND every frame —
+              // an AVI whose Nth frame is a corrupt JPEG must drop here,
+              // not after it landed in the lake
+              val avi = graft.multimodal.Codecs.decodeAviFrames(payload)
+              avi.frames.foreach(f => graft.multimodal.Codecs.decodeJpeg(f))
+              (id, ts, kind, avi.width.toLong, avi.height.toLong, true, "")
             case _ =>
               (id, ts, kind, 0L, 0L, false, "unrecognized container magic")
           } catch {
