@@ -55,8 +55,20 @@ object Bench {
     * BenchFormatSpec fails on the newest COMMITTED bench triple over
     * budget (BENCH_FULL.json itself is gitignored scratch output).
     * Raising this number is allowed but must be a reviewed, committed
-    * decision — that is the whole point. */
-  val WarmupBudgetSeconds: Double = 30.0
+    * decision — that is the whole point.
+    *
+    * Round-17 review: raised 30 → 45. The r16 driver run flagged at
+    * 39.6 s with the pq bucket at 15.0 s — the documented
+    * load-average-4 host window (the same artifacts build in 2.5–2.8 s
+    * on a quiet host; quiet-triple warmup totals 22–26 s, stable across
+    * r14–r16 with no new artifacts added since). 30 s left ~4 s of
+    * quiet headroom, so every noisy driver round would re-flag on host
+    * weather rather than code. 45 s absorbs the measured ~1.7× noise
+    * inflation while a REAL quiet-host warmup regression (~25 s → 45 s
+    * is ~2×) still trips the committed-triple gate, which this repo's
+    * bench discipline takes under load < 2 (see the committed triples'
+    * load annotations). */
+  val WarmupBudgetSeconds: Double = 45.0
 
   private def ms(v: Double): String = {
     val r = math.round(v * 1000) / 1000.0
