@@ -459,6 +459,30 @@ object Stress {
       SimilaritySearch.appendPqIndex(pqIdxA, vecDelta, "embedding")
         .codes.filter(col("vec_id") >= 900000000L).count()
     }
+    // Round 17: the append-vs-compact asymmetry, measured. Appends are
+    // O(batch) — flat in factor above. Compact is the ONCE-PER-WINDOW
+    // corpus rewrite (re-fit + re-materialize), so its reading GROWS
+    // with factor BY DESIGN; the pair of curves is the amortized
+    // lifecycle's evidence. cachedLeaves stripped on the throwaway copy
+    // so the compact's lineage release can't unpersist the shared
+    // harness index out from under later ops.
+    if (want("ivf_compact")) ensureIvfIdxA()
+    time("ivf_compact") {
+      val app = SimilaritySearch.appendIvfIndex(
+        ivfIdxA.copy(cachedLeaves = Nil), vecDelta, persist = false)
+      SimilaritySearch.compactIvfIndex(app).assigned.count()
+    }
+    if (want("pq_compact")) ensurePqIdxA()
+    time("pq_compact") {
+      val app = SimilaritySearch.appendPqIndex(
+        pqIdxA.copy(cachedLeaves = Nil), vecDelta, "embedding",
+        persist = false)
+      // the corpus frame, as the compact contract demands: the lake's
+      // landed vectors including the appended batch
+      SimilaritySearch.compactPqIndex(app,
+        emb.select(col("vec_id"), col("embedding")).unionByName(vecDelta),
+        "embedding").codes.count()
+    }
     // Skew join, salted vs plain — the measurement behind q46. Hot key 0
     // owns 20% of events; broadcast and AQE's skew-split are disabled for
     // BOTH cases (the regime the salt exists for: a dim side past the
@@ -1112,8 +1136,35 @@ object Stress {
         .toDF().agg(sum(col("gray_sum"))).collect()
       docs.filter(length(col("text")) >= 1).count()
     }
-    // m27: the 9-class admission mix through the real gate transform —
-    // every payload genuinely decoded scan-side, one 8-row aggregate.
+    // m29: EXIF-oriented variant render + orientation-NORMALIZED decode —
+    // map-only both sides (one encode + one decode + one 64×64 transform
+    // per doc), the m19/m28 cost shape.
+    time("exif_orient_decode") {
+      val M = graft.multimodal.Multimodal
+      val base = docs.filter(length(col("text")) >= 1)
+      // sum the SMALL column: dhash is 56-bit and a corpus sum overflows
+      // a long under ANSI; the typed mapPartitions computes every field
+      // regardless (no pruning into the JVM function), so the decode +
+      // transform + dhash cost is identical
+      M.decodedOrientedDHash(
+          M.renderOrientedJpegTable(base, idOffset = 20000000L),
+          idOffset = 20000000L)
+        .toDF().agg(sum(col("orientation"))).collect()
+      base.count()
+    }
+    // m30: MJPEG-AVI render + stride-2 frame sampling — ~3 JPEG encodes
+    // and ~1.7 frame decodes per doc (skipped frames never decode);
+    // map-only, partition-parallel, the heaviest codec op per row.
+    time("avi_frame_sample") {
+      val M = graft.multimodal.Multimodal
+      M.decodedAviFrameMeta(M.renderAviTable(
+          docs.filter(length(col("text")) >= 1)), stride = 2)
+        .toDF().agg(sum(col("gray_sum"))).collect()
+      docs.filter(length(col("text")) >= 1).count()
+    }
+    // m27: the 10-class admission mix through the real gate transform —
+    // every payload genuinely decoded scan-side (incl. every AVI frame),
+    // one 9-row aggregate.
     time("admission_report") {
       val M = graft.multimodal.Multimodal
       val media = M.renderAdmissionMixTable(
