@@ -360,6 +360,31 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m31 (round 17): VIDEO-level dedup — the d01 exact-dedup shape keyed
+    // on a SAMPLED-SEQUENCE fingerprint: each video's stride-2 frames
+    // (the m30 sampler — skipped frames never decode, the only honest
+    // cost shape when video dominates a 100 TB corpus) hash to the
+    // ordered csv of their decoded-domain dHashes, grouped with the
+    // header frame count. Videos agreeing on (n_frames, fingerprint)
+    // collapse to the lowest-id keeper — the production video-dedup
+    // recipe (sampled-frame fingerprints, never full-stream compare),
+    // and at scale a plain hash aggregate on a tiny derived key. The
+    // oracle recomputes every sampled frame's closed-form dHash and the
+    // same grouping, so a frame-order slip, a sampler drift, or a
+    // container misparse changes fingerprints and hash-mismatches.
+    "m31_video_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      M.decodedAviFrameMeta(M.renderAviTable(
+          docs(s, dir).filter(length(col("text")) >= 1)), stride = 2).toDF()
+        .groupBy(col("doc_id"), col("n_frames"))
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
+          f => f.getField("dhash").cast("string"))).as("fp"))
+        .groupBy(col("n_frames"), col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
+    }),
+
+
     "m28_progressive_decode" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
       M.decodedProgressiveMeta(M.renderProgressiveJpegTable(
@@ -913,6 +938,33 @@ private[queries] object MultimodalQueries {
                             THEN (CAST(1 AS BIGINT) << b)
                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
          FROM g""",
+
+    // m31: the m30 closed form per sampled frame, aggregated to the
+    // ordered fingerprint csv, then the d01 grouping.
+    "m31_video_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              fr AS (SELECT doc_id, text, L,
+                            unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT))) AS f
+                     FROM d),
+              sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+              g AS (SELECT doc_id, f,
+                      list_transform(generate_series(0, 63),
+                        b -> 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv
+                    FROM sf),
+              h AS (SELECT doc_id, f,
+                      CAST(list_sum(list_transform(generate_series(0, 55),
+                        b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                       > gv[(b // 7) * 8 + (b % 7) + 2]
+                                  THEN (CAST(1 AS BIGINT) << b)
+                                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+                    FROM g),
+              v AS (SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+                           string_agg(CAST(dhash AS VARCHAR), ',' ORDER BY f) AS fp
+                    FROM h GROUP BY doc_id)
+         SELECT n_frames, fp, min(doc_id) AS keeper,
+                CAST(count(*) AS BIGINT) AS dup_count
+         FROM v GROUP BY 1, 2""",
 
     // m28: the m19 closed form — a CORRECT progressive decode assembles
     // the same quantized coefficients the sequential scan carries, so

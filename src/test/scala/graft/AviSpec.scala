@@ -122,6 +122,27 @@ class AviSpec extends SparkSpecBase {
     assert(msgOf(good.take(10)).contains("too short"))
   }
 
+  test("video dedup: same text + same frame count collapse, different shift does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs 0 and 3 share text AND doc_id%3 (same frame count) — dups;
+    // doc 6 shares the text but NOT the %3 class in frames... 6%3=0 too,
+    // so 0/3/6 all collapse; doc 1 is distinct content
+    val docs = Seq((0L, "same video text"), (3L, "same video text"),
+      (6L, "same video text"), (1L, "other content")).toDF("doc_id", "text")
+    val fp = Multimodal.decodedAviFrameMeta(
+        Multimodal.renderAviTable(docs), stride = 2).toDF()
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
+        f => f.getField("dhash").cast("string"))).as("fp"))
+      .groupBy(col("n_frames"), col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(fp === Set((0L, 3L), (1L, 1L)),
+      s"expected {0 keeps 3 copies, 1 alone}: $fp")
+  }
+
   test("the admission gate admits MJPEG AVIs and drops a corrupt frame by reason") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
