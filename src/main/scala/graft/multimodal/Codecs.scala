@@ -1173,7 +1173,16 @@ object Codecs {
     else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8') decodeGifFrames(bytes).frames.head.image
     else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
-      (bytes(1) & 0xFF) == 0xD8) decodeJpeg(bytes).image
+      (bytes(1) & 0xFF) == 0xD8) {
+      // dispatch semantics are "pixels AS DISPLAYED": the EXIF
+      // orientation is applied here (identity for untagged files), so
+      // every generic consumer — perceptual dHash, cross-codec dedup,
+      // resize, the admission gate — sees the same image a viewer would,
+      // and rotated re-encodes dedup against their originals ambiently
+      // rather than only through the m29-specific path
+      val jpg = decodeJpeg(bytes)
+      applyOrientation(jpg.image, jpg.orientation)
+    }
     else throw new IllegalArgumentException("unrecognized image container magic")
   }
 

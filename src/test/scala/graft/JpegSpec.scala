@@ -580,6 +580,27 @@ class JpegSpec extends SparkSpecBase {
       assert(Codecs.applyOrientation(img, o).width === 25)
   }
 
+  test("decodeImage returns the DISPLAY image: orientation applied at dispatch") {
+    // a NON-square flat-block image (24×16, 3×2 blocks of 8): flat blocks
+    // make the lossy round trip commute with the rotation, non-square
+    // dims make a missed dim-swap loud
+    val rgb = new Array[Byte](24 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val v = (40 + 20 * ((y / 8) * 3 + x / 8)).toByte
+      val p = (y * 24 + x) * 3
+      rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+    }
+    val base = Codecs.Image(24, 16, rgb)
+    val stored = Codecs.applyOrientation(base, Codecs.inverseOrientation(6))
+    val viaDispatch = Codecs.decodeImage(Codecs.encodeJpeg(stored, orientation = 6))
+    // dims un-swap back to the display geometry…
+    assert(viaDispatch.width === 24 && viaDispatch.height === 16)
+    // …and the pixels equal the plain decode of the UNROTATED encode
+    val plain = Codecs.decodeImage(Codecs.encodeJpeg(base))
+    assert(java.util.Arrays.equals(viaDispatch.rgb, plain.rgb),
+      "dispatch must normalize orientation so generic consumers see display pixels")
+  }
+
   test("malformed EXIF is rejected by NAME, never silently garbled") {
     val img = Multimodal.blockGrayImage("exif malformed")
     val good = Codecs.encodeJpeg(img, orientation = 3)
