@@ -572,6 +572,30 @@ object Multimodal {
                                 us_per_frame: Long, frame_idx: Long,
                                 gray_sum: Long, dhash: Long)
 
+  /** Per-(session, cacheKey) memoized stride-2 AVI frame meta — the
+    * [[memoizedJpegMeta]] pattern: m30 reads the sampled-frame rows
+    * verbatim, m31 aggregates the same rows into video fingerprints, so
+    * the corpus renders + samples ONCE per session+dir (tiny rows: 6
+    * longs per kept frame; materialized via localCheckpoint, cost in the
+    * `warmup_artifacts` ledger) instead of once per consumer. The
+    * artifact build itself keeps the sampler's laziness — skipped frames
+    * never JPEG-decode. */
+  private val aviMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), Dataset[AviFrameMeta]]()
+
+  def memoizedAviFrameMeta(documents: DataFrame,
+                           cacheKey: String): Dataset[AviFrameMeta] = {
+    val it = aviMetaCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    aviMetaCache.computeIfAbsent((documents.sparkSession, cacheKey),
+      _ => graft.tools.BuildTimer.time("avi_meta")(
+        decodedAviFrameMeta(renderAviTable(documents), stride = 2)
+          .localCheckpoint()))
+  }
+
   def decodedAviFrameMeta(media: Dataset[MediaRow],
                           stride: Int): Dataset[AviFrameMeta] = {
     require(stride >= 1, s"frame stride $stride must be positive")

@@ -355,8 +355,11 @@ private[queries] object MultimodalQueries {
     // matters when video dominates a 100 TB corpus.
     "m30_avi_frame_sample" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
-      M.decodedAviFrameMeta(M.renderAviTable(
-        docs(s, dir).filter(length(col("text")) >= 1)), stride = 2).toDF()
+      // the stride-2 frame meta is a memoized per-(session, dir) artifact
+      // (the jpeg_meta pattern): m30 reads it verbatim, m31 aggregates
+      // the SAME rows — render + sample once, consume many
+      M.memoizedAviFrameMeta(
+        docs(s, dir).filter(length(col("text")) >= 1), dir).toDF()
     }),
 
 
@@ -374,8 +377,8 @@ private[queries] object MultimodalQueries {
     // container misparse changes fingerprints and hash-mismatches.
     "m31_video_dedup" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
-      M.decodedAviFrameMeta(M.renderAviTable(
-          docs(s, dir).filter(length(col("text")) >= 1)), stride = 2).toDF()
+      M.memoizedAviFrameMeta(
+          docs(s, dir).filter(length(col("text")) >= 1), dir).toDF()
         .groupBy(col("doc_id"), col("n_frames"))
         .agg(concat_ws(",", transform(
           array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
