@@ -1512,9 +1512,11 @@ object Codecs {
   // 'hdrl'/'movi' LIST layout, MainAVIHeader/AVIStreamHeader/
   // BITMAPINFOHEADER field tables, and the idx1 index are all documented
   // in Microsoft's multimedia file-format reference): Motion-JPEG — each
-  // '00dc' chunk one complete baseline JPEG — is the simplest real video
-  // coding this library can decode END TO END, reusing [[decodeJpeg]] per
-  // frame. Scope: one 'vids'/'MJPG' stream; anything else names itself.
+  // '00dc' chunk one complete baseline JPEG, reusing [[decodeJpeg]] per
+  // frame — plus the other frame encoding real corpora carry,
+  // uncompressed BI_RGB '00db' bitmaps (bottom-up BGR, the BMP pixel
+  // convention). Scope: one 'vids' stream, MJPG or DIB; anything else
+  // names itself.
   // The RIFF chunk walk mirrors [[decodeWav]]'s (same container family).
 
   /** Per-file frame-count ceiling: an avih/dwTotalFrames from a crafted
@@ -1522,18 +1524,84 @@ object Codecs {
     * pixel cap is far past any admission-gate payload. */
   val MaxAviFrames: Int = 4096
 
-  /** A decoded AVI: stream geometry and timing from the headers, plus the
-    * still-compressed JPEG frame payloads in stream order (the consumer
-    * picks which frames to [[decodeJpeg]] — frame SAMPLING must not pay
-    * full decode for frames it skips). */
+  /** A decoded AVI: stream geometry and timing from the headers, the
+    * frame CODEC ("MJPG" — each frame a complete baseline JPEG — or
+    * "DIB" — uncompressed bottom-up BGR bitmaps), and the still-encoded
+    * frame payloads in stream order (the consumer picks which frames to
+    * decode via [[decodeAviFrame]] — frame SAMPLING must not pay full
+    * decode for frames it skips). */
   final case class AviVideo(width: Int, height: Int, usPerFrame: Int,
-                            frames: Vector[Array[Byte]])
+                            codec: String, frames: Vector[Array[Byte]])
+
+  /** Decode one frame payload of `avi` to pixels: JPEG decode for MJPG,
+    * the BMP row convention (bottom-up rows, BGR, 4-byte stride padding)
+    * for DIB. */
+  def decodeAviFrame(avi: AviVideo, payload: Array[Byte]): Image =
+    if (avi.codec == "MJPG") {
+      val jpg = decodeJpeg(payload)
+      applyOrientation(jpg.image, jpg.orientation)
+    } else {
+      val w = avi.width; val h = avi.height
+      val stride = bmpStride(w)
+      require(payload.length == stride * h,
+        s"DIB frame carries ${payload.length} bytes, expected ${stride * h}")
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val src = (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          rgb(p) = payload(src + x * 3 + 2)     // R from BGR
+          rgb(p + 1) = payload(src + x * 3 + 1)
+          rgb(p + 2) = payload(src + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      Image(w, h, rgb)
+    }
 
   /** Encode frames (each a complete baseline JPEG) as an MJPEG AVI:
     * RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh, strf } },
     * LIST movi { '00dc'… }, idx1 }. */
   def encodeAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
-                usPerFrame: Int = 40000): Array[Byte] = {
+                usPerFrame: Int = 40000): Array[Byte] =
+    encodeAviStream(frames, width, height, usPerFrame, mjpeg = true)
+
+  /** Encode images as an UNCOMPRESSED (BI_RGB) AVI — the other frame
+    * encoding real AVI corpora carry: '00db' chunks of bottom-up BGR
+    * rows with 4-byte stride padding (the BMP pixel-array convention),
+    * biCompression 0, handler 'DIB '. */
+  def encodeAviDib(images: Seq[Image], usPerFrame: Int = 40000): Array[Byte] = {
+    require(images.nonEmpty, "AVI needs at least one frame")
+    val w = images.head.width; val h = images.head.height
+    require(images.forall(i => i.width == w && i.height == h),
+      "all AVI frames must share one geometry")
+    val stride = bmpStride(w)
+    val payloads = images.map { img =>
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val dst = (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          out(dst + x * 3) = img.rgb(p + 2)     // B
+          out(dst + x * 3 + 1) = img.rgb(p + 1) // G
+          out(dst + x * 3 + 2) = img.rgb(p)     // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    encodeAviStream(payloads, w, h, usPerFrame, mjpeg = false)
+  }
+
+  private def encodeAviStream(frames: Seq[Array[Byte]], width: Int,
+                              height: Int, usPerFrame: Int,
+                              mjpeg: Boolean): Array[Byte] = {
     require(frames.nonEmpty && frames.size <= MaxAviFrames,
       s"AVI frame count ${frames.size} outside [1,$MaxAviFrames]")
     require(usPerFrame > 0, s"AVI frame duration $usPerFrame must be positive")
@@ -1556,16 +1624,18 @@ object Codecs {
     u32(usPerFrame); u32(0); u32(0); u32(0x10 /* AVIF_HASINDEX */)
     u32(frames.size); u32(0); u32(1 /* streams */); u32(maxFrame)
     u32(width); u32(height); u32(0); u32(0); u32(0); u32(0)
+    val chunkId = if (mjpeg) "00dc" else "00db"
     cc("LIST"); u32(4 + (8 + 56) + (8 + 40)); cc("strl")
     // AVIStreamHeader
     cc("strh"); u32(56)
-    cc("vids"); cc("MJPG"); u32(0); u16(0); u16(0); u32(0)
+    cc("vids"); cc(if (mjpeg) "MJPG" else "DIB "); u32(0); u16(0); u16(0); u32(0)
     u32(usPerFrame /* scale */); u32(1000000 /* rate */)
     u32(0); u32(frames.size); u32(maxFrame); u32(0); u32(0)
     u16(0); u16(0); u16(width); u16(height) // rcFrame
     // BITMAPINFOHEADER
     cc("strf"); u32(40)
-    u32(40); u32(width); u32(height); u16(1); u16(24); cc("MJPG")
+    u32(40); u32(width); u32(height); u16(1); u16(24)
+    if (mjpeg) cc("MJPG") else u32(0) // biCompression: fourcc or BI_RGB
     u32(width * height * 3); u32(0); u32(0); u32(0); u32(0)
     cc("LIST"); u32(moviData); cc("movi")
     // idx1 offsets measure from the 'movi' fourcc (the common convention)
@@ -1573,13 +1643,13 @@ object Codecs {
     var moviOff = 4
     frames.zipWithIndex.foreach { case (f, i) =>
       offsets(i) = moviOff
-      cc("00dc"); u32(f.length); out.write(f, 0, f.length)
+      cc(chunkId); u32(f.length); out.write(f, 0, f.length)
       if ((f.length & 1) == 1) out.write(0)
       moviOff += 8 + f.length + (f.length & 1)
     }
     cc("idx1"); u32(idx1Data)
     frames.zipWithIndex.foreach { case (f, i) =>
-      cc("00dc"); u32(0x10); u32(offsets(i)); u32(f.length)
+      cc(chunkId); u32(0x10); u32(offsets(i)); u32(f.length)
     }
     out.toByteArray
   }
@@ -1595,7 +1665,8 @@ object Codecs {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var usPerFrame = -1; var totalFrames = -1; var streams = -1
     var width = -1; var height = -1
-    var sawVids = false; var sawMjpgBitmap = false
+    var handler: String = null // strh fccHandler: MJPG or DIB
+    var codec: String = null   // strf biCompression: MJPG or DIB (BI_RGB)
     val frames = Vector.newBuilder[Array[Byte]]
     var nFrames = 0
 
@@ -1629,17 +1700,25 @@ object Codecs {
                 require(ssize >= 56, s"strh chunk too small ($ssize)")
                 val fccType = fourcc(sdata)
                 require(fccType == "vids",
-                  s"unsupported AVI stream type '$fccType' (MJPEG video only)")
-                val handler = fourcc(sdata + 4)
-                require(handler == "MJPG",
-                  s"unsupported AVI video handler '$handler' (MJPG only)")
-                sawVids = true
+                  s"unsupported AVI stream type '$fccType' (video only)")
+                val h = fourcc(sdata + 4)
+                require(h == "MJPG" || h == "DIB ",
+                  s"unsupported AVI video handler '$h' (MJPG or DIB only)")
+                handler = h.trim
               case "strf" =>
                 require(ssize >= 40, s"strf chunk too small ($ssize)")
-                val compression = fourcc(sdata + 16)
-                require(compression == "MJPG",
-                  s"unsupported AVI bitmap compression '$compression' (MJPG only)")
-                sawMjpgBitmap = true
+                val compression = buf.getInt(sdata + 16)
+                codec =
+                  if (compression == 0) "DIB" // BI_RGB
+                  else if (fourcc(sdata + 16) == "MJPG") "MJPG"
+                  else throw new IllegalArgumentException(
+                    s"unsupported AVI bitmap compression '${fourcc(sdata + 16)}' " +
+                      "(MJPG or BI_RGB only)")
+                if (codec == "DIB") {
+                  val bits = buf.getShort(sdata + 14).toInt
+                  require(bits == 24,
+                    s"unsupported DIB AVI bit depth $bits (24-bit only)")
+                }
               case _ => () // strn/indx/…: opaque stream metadata
             }
           }
@@ -1660,11 +1739,16 @@ object Codecs {
           fourcc(data) match {
             case "hdrl" => walkHdrl(data + 4, data + size)
             case "movi" =>
-              require(sawVids && sawMjpgBitmap,
+              require(handler != null && codec != null,
                 "AVI movi data before the hdrl stream headers")
+              require(handler == codec,
+                s"AVI stream handler '$handler' disagrees with bitmap " +
+                  s"compression '$codec'")
+              val wantChunk = if (codec == "MJPG") "00dc" else "00db"
               walk(data + 4, data + size) { (cid, cdata, csize) =>
-                require(cid == "00dc",
-                  s"unsupported movi chunk '$cid' (single-stream MJPEG only)")
+                require(cid == wantChunk,
+                  s"unsupported movi chunk '$cid' (single $codec stream " +
+                    s"carries '$wantChunk')")
                 nFrames += 1
                 require(nFrames <= MaxAviFrames,
                   s"AVI frame count exceeds the $MaxAviFrames-frame cap")
@@ -1681,7 +1765,7 @@ object Codecs {
     require(usPerFrame > 0 && width > 0 && height > 0,
       "AVI missing or degenerate avih header")
     require(streams == 1,
-      s"unsupported AVI stream count $streams (single MJPEG stream only)")
+      s"unsupported AVI stream count $streams (single video stream only)")
     require(totalFrames >= 0 && totalFrames <= MaxAviFrames,
       s"AVI header frame count $totalFrames outside [0,$MaxAviFrames]")
     require(width.toLong * height <= MaxDecodePixels,
@@ -1689,7 +1773,7 @@ object Codecs {
     val fs = frames.result()
     require(fs.size == totalFrames,
       s"AVI carries ${fs.size} frames but the header declares $totalFrames")
-    AviVideo(width, height, usPerFrame, fs)
+    AviVideo(width, height, usPerFrame, codec, fs)
   }
 
   // ---- JPEG (baseline DCT, ITU-T T.81) --------------------------------------

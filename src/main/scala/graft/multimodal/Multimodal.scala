@@ -553,10 +553,19 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val nFrames = 2 + (id % 3).toInt
-          val frames = (0 until nFrames).map(f =>
-            Codecs.encodeJpeg(blockGrayImage(text, shift = 7 * f)))
-          MediaRow(id, Codecs.encodeAvi(frames, 64, 64, usPerFrame = 40000),
-            s"video/avi;mjpeg;f$nFrames")
+          val imgs = (0 until nFrames).map(f =>
+            blockGrayImage(text, shift = 7 * f))
+          // BOTH real frame encodings by parity: even docs MJPEG
+          // (lossy — the m19 quantized closed form per frame), odd docs
+          // uncompressed BI_RGB '00db' bitmaps (lossless — raw values)
+          if (id % 2 == 0)
+            MediaRow(id,
+              Codecs.encodeAvi(imgs.map(Codecs.encodeJpeg(_)), 64, 64,
+                usPerFrame = 40000),
+              s"video/avi;mjpeg;f$nFrames")
+          else
+            MediaRow(id, Codecs.encodeAviDib(imgs, usPerFrame = 40000),
+              s"video/avi;dib;f$nFrames")
         }
       }
   }
@@ -604,11 +613,14 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val avi = Codecs.decodeAviFrames(r.media)
+        // the render's parity rule, REQUIRED back: a decoder that
+        // silently fell back to one codec would fail here, not match
+        require(avi.codec == (if (r.doc_id % 2 == 0) "MJPG" else "DIB"),
+          s"doc ${r.doc_id}: unexpected AVI frame codec ${avi.codec}")
         (0 until avi.frames.size by stride).map { f =>
-          val jpg = Codecs.decodeJpeg(avi.frames(f))
-          val img = jpg.image
+          val img = Codecs.decodeAviFrame(avi, avi.frames(f))
           require(img.width == avi.width && img.height == avi.height,
-            s"doc ${r.doc_id} frame $f: ${img.width}x${img.height} JPEG " +
+            s"doc ${r.doc_id} frame $f: ${img.width}x${img.height} frame " +
               s"inside a ${avi.width}x${avi.height} AVI")
           val n = img.width * img.height
           var graySum = 0L

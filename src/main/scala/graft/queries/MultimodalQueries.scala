@@ -918,8 +918,10 @@ private[queries] object MultimodalQueries {
          FROM g, t""",
 
     // m30: per-doc frames F = 2 + doc_id mod 3, sampled f ∈ {0, 2} ∩
-    // [0, F); frame f's block values follow the m19 closed form with the
-    // value index rotated by 7f; header facts are the encoder's rules.
+    // [0, F); frame f's block values follow the value index rotated by
+    // 7f — through the m19 QUANTIZED closed form for even docs (MJPEG
+    // frames, lossy) and RAW for odd docs (uncompressed '00db' DIB
+    // frames, lossless); header facts are the encoder's rules.
     "m30_avi_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
                     WHERE len(text) >= 1),
@@ -929,7 +931,9 @@ private[queries] object MultimodalQueries {
               sf AS (SELECT * FROM fr WHERE f % 2 = 0),
               g AS (SELECT doc_id, f,
                       list_transform(generate_series(0, 63),
-                        b -> 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv
+                        b -> CASE WHEN doc_id % 2 = 0
+                               THEN 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)
+                               ELSE 32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95 END) AS gv
                     FROM sf)
          SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
                 CAST(40000 AS BIGINT) AS us_per_frame,
@@ -953,7 +957,9 @@ private[queries] object MultimodalQueries {
               sf AS (SELECT * FROM fr WHERE f % 2 = 0),
               g AS (SELECT doc_id, f,
                       list_transform(generate_series(0, 63),
-                        b -> 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv
+                        b -> CASE WHEN doc_id % 2 = 0
+                               THEN 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)
+                               ELSE 32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95 END) AS gv
                     FROM sf),
               h AS (SELECT doc_id, f,
                       CAST(list_sum(list_transform(generate_series(0, 55),

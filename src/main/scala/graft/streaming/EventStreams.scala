@@ -330,11 +330,12 @@ object EventStreams {
               (id, ts, kind, pcm.sampleRate.toLong, pcm.samples.length.toLong,
                 true, "")
             case "avi" =>
-              // genuinely decode: the container walk AND every frame —
-              // an AVI whose Nth frame is a corrupt JPEG must drop here,
-              // not after it landed in the lake
+              // genuinely decode: the container walk AND every frame
+              // (MJPEG or raw DIB) — an AVI whose Nth frame is corrupt
+              // must drop here, not after it landed in the lake
               val avi = graft.multimodal.Codecs.decodeAviFrames(payload)
-              avi.frames.foreach(f => graft.multimodal.Codecs.decodeJpeg(f))
+              avi.frames.foreach(f =>
+                graft.multimodal.Codecs.decodeAviFrame(avi, f))
               (id, ts, kind, avi.width.toLong, avi.height.toLong, true, "")
             case _ =>
               (id, ts, kind, 0L, 0L, false, "unrecognized container magic")

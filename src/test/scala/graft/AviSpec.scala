@@ -83,16 +83,25 @@ class AviSpec extends SparkSpecBase {
     // F = 2 + id%3 → doc 0: frames {0}, doc 1: {0,2}, doc 2: {0,2}
     assert(got === Set((0L, 0L, 2L), (1L, 0L, 3L), (1L, 2L, 3L),
       (2L, 0L, 4L), (2L, 2L, 4L)))
-    // sampled frame f's pixels follow the shift-by-7f block rule exactly
+    // sampled frame f's pixels follow the shift-by-7f block rule exactly:
+    // doc 1 is ODD → a DIB AVI, whose raw frames round-trip LOSSLESSLY,
+    // so the expectation is the source image itself (no JPEG quantization)
     val meta = Multimodal.decodedAviFrameMeta(
         Multimodal.renderAviTable(docs.filter($"doc_id" === 1L)), stride = 2)
       .collect().sortBy(_.frame_idx)
     val want = Seq(0, 2).map { f =>
-      val img = Codecs.decodeJpeg(
-        Codecs.encodeJpeg(Multimodal.blockGrayImage("gamma delta", shift = 7 * f))).image
+      val img = Multimodal.blockGrayImage("gamma delta", shift = 7 * f)
       (0 until img.width * img.height).map(i => (img.rgb(i * 3) & 0xFF).toLong).sum
     }
     assert(meta.map(_.gray_sum).toSeq === want)
+    // and doc 0 (EVEN → MJPEG) carries the quantized round trip
+    val meta0 = Multimodal.decodedAviFrameMeta(
+        Multimodal.renderAviTable(docs.filter($"doc_id" === 0L)), stride = 2)
+      .collect()
+    val img0 = Codecs.decodeJpeg(
+      Codecs.encodeJpeg(Multimodal.blockGrayImage("alpha beta"))).image
+    assert(meta0.map(_.gray_sum).toSeq === Seq(
+      (0 until img0.width * img0.height).map(i => (img0.rgb(i * 3) & 0xFF).toLong).sum))
   }
 
   test("malformed/out-of-scope AVIs are rejected by NAME") {
@@ -122,12 +131,13 @@ class AviSpec extends SparkSpecBase {
     assert(msgOf(good.take(10)).contains("too short"))
   }
 
-  test("video dedup: same text + same frame count collapse, different shift does not") {
+  test("video dedup: same text + frame count + codec collapse, others do not") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // docs 0 and 3 share text AND doc_id%3 (same frame count) — dups;
-    // doc 6 shares the text but NOT the %3 class in frames... 6%3=0 too,
-    // so 0/3/6 all collapse; doc 1 is distinct content
+    // docs 0 and 6 share text, frame count (both %3 = 0) AND the parity
+    // codec (even → MJPEG) — dups; doc 3 shares text and frame count but
+    // renders as a DIB AVI (odd) whose RAW pixels differ from the
+    // quantized MJPEG ones; doc 1 is distinct content
     val docs = Seq((0L, "same video text"), (3L, "same video text"),
       (6L, "same video text"), (1L, "other content")).toDF("doc_id", "text")
     val fp = Multimodal.decodedAviFrameMeta(
@@ -139,8 +149,46 @@ class AviSpec extends SparkSpecBase {
       .groupBy(col("n_frames"), col("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
       .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
-    assert(fp === Set((0L, 3L), (1L, 1L)),
-      s"expected {0 keeps 3 copies, 1 alone}: $fp")
+    assert(fp === Set((0L, 2L), (3L, 1L), (1L, 1L)),
+      s"expected {0 keeps 2 MJPEG copies, 3 (DIB) alone, 1 alone}: $fp")
+  }
+
+  test("DIB AVI: golden chunk form, LOSSLESS round trip, codec mismatches named") {
+    val img = Multimodal.textImage("raw dib frames", 25, 16)
+    val img2 = Multimodal.textImage("second raw frame", 25, 16)
+    val b = Codecs.encodeAviDib(Seq(img, img2), usPerFrame = 50000)
+    // header facts: handler 'DIB ', biCompression 0 (BI_RGB), '00db' movi
+    assert(cc(b, 112) === "DIB ", "strh fccHandler")
+    assert(le32(b, 172 + 16) === 0, "biCompression must be BI_RGB")
+    assert(cc(b, 224) === "00db", "movi chunk id")
+    // payload row 0 of the chunk is the BOTTOM image row, BGR, padded:
+    // 25*3 = 75 → stride 76
+    val stride = 76
+    assert(le32(b, 228) === stride * 16, "frame payload size")
+    val chunk0 = 232
+    assert((b(chunk0 + 15 * stride) & 0xFF) === (img.rgb(2) & 0xFF),
+      "first payload byte of the TOP row must be the blue channel")
+    val avi = Codecs.decodeAviFrames(b)
+    assert(avi.codec === "DIB" && avi.usPerFrame === 50000)
+    // raw frames are LOSSLESS: decoded pixels equal the source exactly
+    assert(java.util.Arrays.equals(
+      Codecs.decodeAviFrame(avi, avi.frames(0)).rgb, img.rgb))
+    assert(java.util.Arrays.equals(
+      Codecs.decodeAviFrame(avi, avi.frames(1)).rgb, img2.rgb))
+    // handler/compression disagreement is NAMED: claim MJPG in strh
+    val bad = b.clone()
+    bad(112) = 'M'; bad(113) = 'J'; bad(114) = 'P'; bad(115) = 'G'
+    assert(intercept[IllegalArgumentException](Codecs.decodeAviFrames(bad))
+      .getMessage.contains("disagrees"))
+    // a '00dc' chunk inside a DIB stream is NAMED
+    val bad2 = b.clone(); bad2(227) = 'c'
+    assert(intercept[IllegalArgumentException](Codecs.decodeAviFrames(bad2))
+      .getMessage.contains("movi chunk"))
+    // a truncated DIB frame payload fails the exact-size require
+    val shortFrame = java.util.Arrays.copyOf(avi.frames(0), stride * 16 - 4)
+    assert(intercept[IllegalArgumentException](
+      Codecs.decodeAviFrame(avi, shortFrame))
+      .getMessage.contains("DIB frame"))
   }
 
   test("the admission gate admits MJPEG AVIs and drops a corrupt frame by reason") {
