@@ -1264,7 +1264,8 @@ object Multimodal {
     * recomputes the identical compress→expand integer round trip in SQL,
     * and a companding-table error anywhere hash-mismatches. Even ids add
     * the odd-sized JUNK chunk (the m10 chunk-walk convention). */
-  def renderMulawWavTable(documents: DataFrame): Dataset[MediaRow] = {
+  def renderMulawWavTable(documents: DataFrame,
+                          idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -1276,12 +1277,51 @@ object Multimodal {
           while (i < codes.length) {
             codes(i) = Codecs.mulawCompress(pcm.samples(i)); i += 1
           }
-          MediaRow(id,
+          MediaRow(id + idOffset,
             Codecs.encodeWavMulaw(codes, pcm.sampleRate, pcm.channels,
               junkChunk = id % 2 == 0),
             "audio/wav;mulaw")
         }
       }
+  }
+
+  /** (doc_id, fp, energies) from decoded WAVs of ANY supported format —
+    * the CROSS-CODEC audio fingerprint (m32): exact integer energies
+    * Σs² per `windowSamples`-sample window, and a gradient-sign
+    * fingerprint (bit w set iff e(w) > e(w+1) — the [[dhash56]] idea in
+    * one dimension). Companding (μ-law/A-law) perturbs each window's
+    * energy by a few percent but rarely flips an adjacent-window
+    * ORDERING, so re-encodes of the same source land in the same
+    * fingerprint bucket and verify by bounded energy deviation — while
+    * every quantity stays exact integer arithmetic both engines (and
+    * the m16-style SQL companding mirror) can recompute bit-for-bit. */
+  def decodedAudioFingerprints(media: Dataset[MediaRow],
+                               windowSamples: Int = 16): DataFrame = {
+    require(windowSamples >= 1, "windowSamples must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = Codecs.decodeWav(r.media)
+        val n = pcm.samples.length / windowSamples
+        val e = Array.tabulate(n) { w =>
+          var s = 0L
+          var i = 0
+          while (i < windowSamples) {
+            val x = pcm.samples(w * windowSamples + i).toLong
+            s += x * x; i += 1
+          }
+          s
+        }
+        var fp = 0L
+        var w = 0
+        while (w < n - 1) {
+          if (e(w) > e(w + 1)) fp |= 1L << w
+          w += 1
+        }
+        (r.doc_id, fp, e.toSeq)
+      }
+    }.toDF("doc_id", "fp", "energies")
   }
 
   /** Render each doc's [[textPcm]] samples through the two round-16 WAV

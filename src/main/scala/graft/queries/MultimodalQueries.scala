@@ -283,6 +283,40 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m32 (round 17): CROSS-CODEC AUDIO variant dedup — the m20 tolerant
+    // perceptual match brought to the audio family (images had
+    // m11/m15/m18/m20/m25/m29, video m31, audio nothing): docs < 40
+    // planted again as μ-LAW re-encodes (byte-different files, DIFFERENT
+    // decoded samples — genuinely lossy companding), candidates through
+    // the window-energy GRADIENT fingerprint (15 adjacent-window
+    // orderings over 16-sample windows — the dhash idea in 1-D, computed
+    // on DECODED samples so it is codec-blind), bucket fan-out capped
+    // (2..16, the m20 discipline), verdict = max per-window energy
+    // deviation ≤ 700 bp. Every quantity is exact integer arithmetic
+    // DuckDB recomputes through the m16 companding chain, so the pair
+    // set is deterministic even though the match itself is tolerant.
+    "m32_audio_variant_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val media = M.renderWavTable(base).unionByName(
+        M.renderMulawWavTable(base.filter(col("doc_id") < 40),
+          idOffset = 600000L))
+      // decode once, join twice: the (doc_id, fp, 16 longs) table is tiny
+      val h = M.decodedAudioFingerprints(media).localCheckpoint()
+      val keep = h.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n").between(2, 16)).select(col("fp"))
+      val k = h.join(keep, Seq("fp"))
+      k.as("a").join(k.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.fp").as("fp"),
+          expr("array_max(zip_with(a.energies, b.energies, " +
+            "(x, y) -> abs(x - y) * 10000L DIV greatest(x, y, 1L)))")
+            .as("max_dev_bp"))
+        .filter(col("max_dev_bp") <= 700)
+    }),
+
+
     // m26 (round 16): the remaining common WAV format tags — even docs
     // as IEEE FLOAT 32 (tag 3: each sample the exact dyadic s/32768, so
     // decode-rescale is LOSSLESS and the features equal the m10 rule),
@@ -1165,6 +1199,63 @@ private[queries] object MultimodalQueries {
     // ((m·8+132)<<e)−132 with the sign restored. Every feature reads the
     // QUANTIZED samples y — agreement with the engine's
     // bytes→chunk-walk→expand path pins the companding tables bit-exactly.
+    // m32: both decoded-sample populations from their closed forms (raw
+    // m10 rule for PCM16; the m16 compress→expand chain for the planted
+    // μ-law side), 16-sample window energies, the 15-bit gradient
+    // fingerprint, the 2..16 bucket cap, and the 700 bp deviation
+    // verdict — all integer, all recomputed verbatim.
+    "m32_audio_variant_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              sp AS (SELECT doc_id,
+                       list_transform(generate_series(0, 255),
+                         i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512
+                              + (i % 256)) AS smp
+                     FROM d),
+              q AS (SELECT doc_id,
+                      list_transform(smp, x -> CASE WHEN x < 0 THEN -1 ELSE 1 END) AS sgn,
+                      list_transform(smp,
+                        x -> least(abs(CAST(x AS BIGINT)), 32635) + 132) AS v
+                    FROM sp WHERE doc_id < 40),
+              e0 AS (SELECT doc_id, sgn, v,
+                       list_transform(v, t -> CASE WHEN t < 256 THEN 0
+                                                   WHEN t < 512 THEN 1
+                                                   WHEN t < 1024 THEN 2
+                                                   WHEN t < 2048 THEN 3
+                                                   WHEN t < 4096 THEN 4
+                                                   WHEN t < 8192 THEN 5
+                                                   WHEN t < 16384 THEN 6
+                                                   ELSE 7 END) AS seg
+                     FROM q),
+              mu AS (SELECT doc_id + 600000 AS doc_id,
+                       list_transform(generate_series(1, 256),
+                         i -> sgn[i] * ((((((v[i] >> (seg[i] + 3)) & 15) * 8)
+                                          + 132) << seg[i]) - 132)) AS smp
+                     FROM e0),
+              au AS (SELECT doc_id, smp FROM sp
+                     UNION ALL SELECT doc_id, smp FROM mu),
+              en AS (SELECT doc_id,
+                       list_transform(generate_series(0, 15),
+                         w -> CAST(list_sum(list_transform(generate_series(1, 16),
+                                j -> CAST(smp[16 * w + j] AS BIGINT) * smp[16 * w + j])) AS BIGINT)) AS e
+                     FROM au),
+              fpv AS (SELECT doc_id, e,
+                        CAST(list_sum(list_transform(generate_series(0, 14),
+                          w -> CASE WHEN e[w + 1] > e[w + 2]
+                                    THEN (CAST(1 AS BIGINT) << w)
+                                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                      FROM en),
+              keep AS (SELECT fp FROM fpv GROUP BY fp
+                       HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT fpv.* FROM fpv JOIN keep USING (fp)),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fp,
+                           CAST(list_max(list_transform(generate_series(1, 16),
+                             w -> (abs(a.e[w] - b.e[w]) * 10000)
+                                  // greatest(a.e[w], b.e[w], 1))) AS BIGINT) AS max_dev_bp
+                    FROM k a JOIN k b
+                      ON a.fp = b.fp AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, fp, max_dev_bp FROM p WHERE max_dev_bp <= 700""",
+
     "m16_mulaw_decode" ->
       """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
                     WHERE len(text) >= 1),

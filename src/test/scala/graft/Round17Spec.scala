@@ -130,6 +130,38 @@ class Round17Spec extends SparkSpecBase {
       s"compaction changed the quantizer geometry: ${cur.centroids.length} cells")
   }
 
+  test("m32 audio fingerprint: planted mu-law recall >= 0.8, deviations bounded") {
+    import graft.multimodal.Multimodal
+    val base = graft.sources.Sources.table(spark, "/root/testdata/sf0.001",
+      "documents").filter(length(col("text")) >= 1)
+    val media = Multimodal.renderWavTable(base).unionByName(
+      Multimodal.renderMulawWavTable(base.filter(col("doc_id") < 40),
+        idOffset = 600000L))
+    val h = Multimodal.decodedAudioFingerprints(media).localCheckpoint()
+    val keep = h.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, 16)).select(col("fp"))
+    val k = h.join(keep, Seq("fp"))
+    val pairs = k.as("a").join(k.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("array_max(zip_with(a.energies, b.energies, " +
+          "(x, y) -> abs(x - y) * 10000L DIV greatest(x, y, 1L)))")
+          .as("max_dev_bp"))
+      .filter(col("max_dev_bp") <= 700)
+      .select(col("a_id"), col("b_id"), col("max_dev_bp"))
+      .as[(Long, Long, Long)].collect()
+    val planted = pairs.filter(p => p._2 >= 600000L && p._1 == p._2 - 600000L)
+    assert(planted.length >= 32, // 0.8 × 40: the DedupSpec-style floor
+      s"planted mu-law recall ${planted.length}/40 below 0.8")
+    // companding error is bounded: a genuine re-encode never reads as an
+    // exact copy (dev > 0) nor drifts anywhere near the 700 bp gate
+    assert(planted.forall(p => p._3 > 0 && p._3 < 500),
+      s"planted deviations outside (0, 500) bp: ${planted.map(_._3).toSeq}")
+    // natural exact-text duplicate pairs sit at deviation 0
+    assert(pairs.exists(p => p._2 < 600000L && p._3 == 0L),
+      "expected at least one natural exact-dup pair at deviation 0")
+  }
+
   test("baseline scans reject EOBn codes (progressive-only per T.81)") {
     // Hand-built minimal baseline JPEG: 1 component, 8x8, custom DHT
     // whose AC table contains ONLY the EOB1 symbol (0x10) — Annex K
