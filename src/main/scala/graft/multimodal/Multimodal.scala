@@ -1295,6 +1295,31 @@ object Multimodal {
     * fingerprint bucket and verify by bounded energy deviation — while
     * every quantity stays exact integer arithmetic both engines (and
     * the m16-style SQL companding mirror) can recompute bit-for-bit. */
+  /** The m32/m33 fingerprint kernel on decoded samples: exact integer
+    * window energies + the adjacent-ordering gradient bits — shared by
+    * the batch fingerprint table and the streaming ingest probe so the
+    * two sides cannot drift. */
+  private[graft] def audioFingerprintOf(samples: Array[Short],
+                                        windowSamples: Int): (Long, Array[Long]) = {
+    val n = samples.length / windowSamples
+    val e = Array.tabulate(n) { w =>
+      var s = 0L
+      var i = 0
+      while (i < windowSamples) {
+        val x = samples(w * windowSamples + i).toLong
+        s += x * x; i += 1
+      }
+      s
+    }
+    var fp = 0L
+    var w = 0
+    while (w < n - 1) {
+      if (e(w) > e(w + 1)) fp |= 1L << w
+      w += 1
+    }
+    (fp, e)
+  }
+
   def decodedAudioFingerprints(media: Dataset[MediaRow],
                                windowSamples: Int = 16): DataFrame = {
     require(windowSamples >= 1, "windowSamples must be positive")
@@ -1302,27 +1327,27 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val pcm = Codecs.decodeWav(r.media)
-        val n = pcm.samples.length / windowSamples
-        val e = Array.tabulate(n) { w =>
-          var s = 0L
-          var i = 0
-          while (i < windowSamples) {
-            val x = pcm.samples(w * windowSamples + i).toLong
-            s += x * x; i += 1
-          }
-          s
-        }
-        var fp = 0L
-        var w = 0
-        while (w < n - 1) {
-          if (e(w) > e(w + 1)) fp |= 1L << w
-          w += 1
-        }
+        val (fp, e) = audioFingerprintOf(
+          Codecs.decodeWav(r.media).samples, windowSamples)
         (r.doc_id, fp, e.toSeq)
       }
     }.toDF("doc_id", "fp", "energies")
   }
+
+  /** The delta-vs-corpus audio probe (m33, the d13/d21 ingest shape for
+    * the audio family): arriving fingerprints equi-join the STANDING
+    * corpus fingerprint table on fp — the join is bounded by the delta,
+    * never corpus² — and survivors verify by the m32 integer deviation
+    * bound. Output: (new_id, old_id, max_dev_bp), one row per flagged
+    * (arrival, corpus match). */
+  def audioFpProbe(deltaFp: DataFrame, corpusFp: DataFrame,
+                   maxDevBp: Long): DataFrame =
+    deltaFp.as("a").join(corpusFp.as("b"), col("a.fp") === col("b.fp"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"),
+        expr("array_max(zip_with(a.energies, b.energies, " +
+          "(x, y) -> abs(x - y) * 10000L DIV greatest(x, y, 1L)))")
+          .as("max_dev_bp"))
+      .filter(col("max_dev_bp") <= maxDevBp)
 
   /** Render each doc's [[textPcm]] samples through the two round-16 WAV
     * format tags by doc parity — even: IEEE FLOAT 32 (tag 3; the dyadic

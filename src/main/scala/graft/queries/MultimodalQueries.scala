@@ -295,6 +295,30 @@ private[queries] object MultimodalQueries {
     // deviation ≤ 700 bp. Every quantity is exact integer arithmetic
     // DuckDB recomputes through the m16 companding chain, so the pair
     // set is deterministic even though the match itself is tolerant.
+    // m33 (round 17): INGEST-time audio-dup flagging — the d13/d21
+    // delta-vs-corpus shape for the audio family (and the batch twin of
+    // EventStreams.audioProbeStream, proven stream==batch in
+    // StreamingSpec): the corpus (%10 ≠ 7 docs as PCM16) stands as a
+    // fingerprint table; arrivals are μ-LAW RE-ENCODES of corpus docs
+    // < 40 (+700000 — a re-encoded upload of content the lake already
+    // holds, the case ingest dedup exists for) probed by fp equi-join —
+    // bounded by the delta, never corpus² — and verified by the m32
+    // deviation bound. An arrival flags its OWN source (and any
+    // exact-text twin of it) deterministically; both engines recompute
+    // every integer.
+    "m33_ingest_audio_flag" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val corpus = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val corpusFp = M.decodedAudioFingerprints(
+        M.renderWavTable(corpus)).localCheckpoint()
+      val deltaFp = M.decodedAudioFingerprints(
+        M.renderMulawWavTable(corpus.filter(col("doc_id") < 40),
+          idOffset = 700000L))
+      M.audioFpProbe(deltaFp, corpusFp, maxDevBp = 700L)
+    }),
+
+
     "m32_audio_variant_dedup" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
       val base = docs(s, dir).filter(length(col("text")) >= 1)
@@ -1199,6 +1223,63 @@ private[queries] object MultimodalQueries {
     // ((m·8+132)<<e)−132 with the sign restored. Every feature reads the
     // QUANTIZED samples y — agreement with the engine's
     // bytes→chunk-walk→expand path pins the companding tables bit-exactly.
+    // m33: the m32 arithmetic on the delta-vs-corpus split — corpus fp
+    // table from the raw rule over %10 ≠ 7 docs, arrivals through the
+    // m16 companding chain for corpus docs < 40, fp equi-join + the
+    // 700 bp verdict.
+    "m33_ingest_audio_flag" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1 AND doc_id % 10 <> 7),
+              sp AS (SELECT doc_id,
+                       list_transform(generate_series(0, 255),
+                         i -> ((32 + ((ascii(substr(text, 1 + (i % L), 1)) - 32) % 95 + 95) % 95) - 96) * 512
+                              + (i % 256)) AS smp
+                     FROM d),
+              q AS (SELECT doc_id,
+                      list_transform(smp, x -> CASE WHEN x < 0 THEN -1 ELSE 1 END) AS sgn,
+                      list_transform(smp,
+                        x -> least(abs(CAST(x AS BIGINT)), 32635) + 132) AS v
+                    FROM sp WHERE doc_id < 40),
+              e0 AS (SELECT doc_id, sgn, v,
+                       list_transform(v, t -> CASE WHEN t < 256 THEN 0
+                                                   WHEN t < 512 THEN 1
+                                                   WHEN t < 1024 THEN 2
+                                                   WHEN t < 2048 THEN 3
+                                                   WHEN t < 4096 THEN 4
+                                                   WHEN t < 8192 THEN 5
+                                                   WHEN t < 16384 THEN 6
+                                                   ELSE 7 END) AS seg
+                     FROM q),
+              mu AS (SELECT doc_id + 700000 AS doc_id,
+                       list_transform(generate_series(1, 256),
+                         i -> sgn[i] * ((((((v[i] >> (seg[i] + 3)) & 15) * 8)
+                                          + 132) << seg[i]) - 132)) AS smp
+                     FROM e0),
+              en AS (SELECT doc_id, TRUE AS is_delta,
+                       list_transform(generate_series(0, 15),
+                         w -> CAST(list_sum(list_transform(generate_series(1, 16),
+                                j -> CAST(smp[16 * w + j] AS BIGINT) * smp[16 * w + j])) AS BIGINT)) AS e
+                     FROM mu
+                     UNION ALL
+                     SELECT doc_id, FALSE,
+                       list_transform(generate_series(0, 15),
+                         w -> CAST(list_sum(list_transform(generate_series(1, 16),
+                                j -> CAST(smp[16 * w + j] AS BIGINT) * smp[16 * w + j])) AS BIGINT))
+                     FROM sp),
+              fpv AS (SELECT doc_id, is_delta, e,
+                        CAST(list_sum(list_transform(generate_series(0, 14),
+                          w -> CASE WHEN e[w + 1] > e[w + 2]
+                                    THEN (CAST(1 AS BIGINT) << w)
+                                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                      FROM en),
+              p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                           CAST(list_max(list_transform(generate_series(1, 16),
+                             w -> (abs(a.e[w] - b.e[w]) * 10000)
+                                  // greatest(a.e[w], b.e[w], 1))) AS BIGINT) AS max_dev_bp
+                    FROM fpv a JOIN fpv b
+                      ON a.fp = b.fp AND a.is_delta AND NOT b.is_delta)
+         SELECT new_id, old_id, max_dev_bp FROM p WHERE max_dev_bp <= 700""",
+
     // m32: both decoded-sample populations from their closed forms (raw
     // m10 rule for PCM16; the m16 compress→expand chain for the planted
     // μ-law side), 16-sample window energies, the 15-bit gradient

@@ -626,6 +626,50 @@ object EventStreams {
     }
   }
 
+  /** Streaming audio-dup admission — the m33 probe as an ingest topology
+    * (the [[deltaDedupStream]] shape for the AUDIO family, completing the
+    * ingest symmetry: text probes the gram/MinHash indexes, vectors the
+    * IVF index, media the decode gate — audio had no dup story
+    * in-flight): arriving WAV payloads decode and fingerprint SCAN-SIDE
+    * (stateless — the [[graft.multimodal.Multimodal.audioFingerprintOf]]
+    * kernel the batch table uses, so the two sides cannot drift), probe
+    * the STANDING corpus fingerprint table by fp equi-join, verify by
+    * the m32 integer deviation bound, and the one stateful op is the
+    * watermarked (new_id, old_id) pair dedup so a REPLAYED payload does
+    * not re-flag.
+    *
+    * Input: streaming (idCol, tsCol, binCol WAV bytes). `corpusFp`:
+    * the static (doc_id, fp, energies) table
+    * ([[graft.multimodal.Multimodal.decodedAudioFingerprints]]).
+    * Output: append-mode (new_id, old_id, max_dev_bp, tsCol). */
+  def audioProbeStream(media: DataFrame, idCol: String, binCol: String,
+                       tsCol: String, corpusFp: DataFrame,
+                       maxDevBp: Long = 700L, windowSamples: Int = 16,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val deltaFp = media.select(col(idCol).cast("long"),
+        col(tsCol).cast("timestamp"), col(binCol))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, ts, payload) =>
+          val (fp, e) = graft.multimodal.Multimodal.audioFingerprintOf(
+            graft.multimodal.Codecs.decodeWav(payload).samples, windowSamples)
+          (id, ts, fp, e.toSeq)
+        }
+      }.toDF("new_id", tsCol, "fp", "energies")
+    deltaFp.as("a")
+      .join(corpusFp.select(col("doc_id").as("old_id"), col("fp"),
+        col("energies").as("__ce")), Seq("fp"))
+      .withColumn("max_dev_bp",
+        expr("array_max(zip_with(a.energies, __ce, " +
+          "(x, y) -> abs(x - y) * 10000L DIV greatest(x, y, 1L)))"))
+      .filter(col("max_dev_bp") <= maxDevBp)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+      .select(col("new_id"), col("old_id"), col("max_dev_bp"), col(tsCol))
+  }
+
   /** Streaming DSIR importance scoring — [[graft.operators.Sampling
     * .dsirScoreAgainst]]'s ingest twin (p17): arriving documents score
     * against the STATIC dense `buckets`-row weight table

@@ -1015,6 +1015,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want, "streamed compact != fresh batch build")
   }
 
+  test("streaming audio probe flags re-encoded arrivals, matches batch, suppresses replays") {
+    import java.sql.Timestamp
+    import graft.multimodal.{Codecs, Multimodal}
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    // standing corpus: three PCM16 WAVs
+    val corpusDocs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "totally different words"), (3L, "third corpus body"))
+      .toDF("doc_id", "text")
+    val corpusFp = Multimodal.decodedAudioFingerprints(
+      Multimodal.renderWavTable(corpusDocs)).localCheckpoint()
+    // arrivals: a mu-law RE-ENCODE of doc 1 (must flag against 1), an
+    // unrelated fresh signal (must not flag)
+    def mulawOf(id: Long, text: String): Array[Byte] = {
+      val pcm = Multimodal.textPcm(id, text)
+      Codecs.encodeWavMulaw(pcm.samples.map(Codecs.mulawCompress),
+        pcm.sampleRate, pcm.channels)
+    }
+    val dup = mulawOf(1L, "alpha beta gamma delta")
+    val fresh = Codecs.encodeWav(Codecs.Pcm(8000, 1,
+      Array.tabulate[Short](256)(i => ((i % 16) * 2000 - 15000).toShort)))
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Array[Byte])](spark, 1)
+    val q = EventStreams.audioProbeStream(
+        memStream.toDS().toDF("doc_id", "ts", "media"), "doc_id", "media",
+        "ts", corpusFp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("audio_probe_out").start()
+    try {
+      memStream.addData((101L, ts(0), dup), (102L, ts(1), fresh))
+      q.processAllAvailable()
+      memStream.addData((101L, ts(2), dup)) // replayed arrival
+      q.processAllAvailable()
+      val got = spark.table("audio_probe_out")
+        .select($"new_id", $"old_id", $"max_dev_bp")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"replay re-flagged a pair: $got")
+      assert(got.map(p => (p._1, p._2)).toSet === Set((101L, 1L)),
+        s"expected exactly the re-encode flagged against its source: $got")
+      // and the stream's verdict equals the batch probe's
+      val batch = Multimodal.audioFpProbe(
+          Multimodal.decodedAudioFingerprints(
+            Seq(Multimodal.MediaRow(101L, dup, "audio/wav;mulaw"),
+              Multimodal.MediaRow(102L, fresh, "audio/wav")).toDS()),
+          corpusFp, maxDevBp = 700L)
+        .select($"new_id", $"old_id", $"max_dev_bp")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.toSet === batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("PQ append replay guard: a re-delivered batchId is not re-applied") {
     import graft.operators.SimilaritySearch
     val ingest = new EventStreams.PqIngest(
