@@ -1636,7 +1636,13 @@ object Codecs {
     cc("strf"); u32(40)
     u32(40); u32(width); u32(height); u16(1); u16(24)
     if (mjpeg) cc("MJPG") else u32(0) // biCompression: fourcc or BI_RGB
-    u32(width * height * 3); u32(0); u32(0); u32(0); u32(0)
+    // biSizeImage: for BI_RGB the actual '00db' payload size — rows carry
+    // the BMP 4-byte stride padding, so width*height*3 would be wrong
+    // whenever 3*width is not a multiple of 4 (our decoder ignores the
+    // field; external consumers may not). MJPEG frames vary per chunk;
+    // the max frame size matches dwSuggestedBufferSize above.
+    u32(if (mjpeg) maxFrame else bmpStride(width) * height)
+    u32(0); u32(0); u32(0); u32(0)
     cc("LIST"); u32(moviData); cc("movi")
     // idx1 offsets measure from the 'movi' fourcc (the common convention)
     val offsets = new Array[Int](frames.size)

@@ -1313,7 +1313,15 @@ object Multimodal {
     }
     var fp = 0L
     var w = 0
-    while (w < n - 1) {
+    // the fingerprint is one Long, so only the first 64 adjacent-window
+    // orderings can carry a bit — cap the loop there instead of letting
+    // `1L << w` wrap mod 64 and silently alias window 64+k onto window k
+    // (repo corpora run 16 windows, but audioProbeStream is a generic
+    // ingest API over arbitrary WAVs). Windows past the cap still
+    // contribute to the ENERGIES vector, so the deviation verify covers
+    // the whole file even when the bucket key saturates.
+    val gradBits = math.min(n - 1, 64)
+    while (w < gradBits) {
       if (e(w) > e(w + 1)) fp |= 1L << w
       w += 1
     }

@@ -248,15 +248,20 @@ object SimilaritySearch {
       vecCol: String,
       appendsSinceCompaction: Int = 0,
       cachedLeaves: Seq[DataFrame] = Nil) {
-    /** Unpersist every cached relation this index pinned — the base
-      * assignment AND each per-batch append leaf (the GramIndex
-      * `cachedFrames` discipline): after appends `assigned` is a lazy
-      * union, and `union.unpersist()` cannot reach the cached CHILDREN,
-      * so without the leaf list a long-lived ingest topology would pin
-      * one stale cached frame per batch in the CacheManager forever. */
+    /** Unpersist every cached relation this index OWNS — `cachedLeaves`
+      * is the ownership list (the GramIndex `cachedFrames` discipline):
+      * the build seeds it with the base assignment's cached frame, each
+      * append adds its batch frame, and after appends `assigned` is a
+      * lazy union whose own unpersist cannot reach the cached CHILDREN —
+      * without the leaf list a long-lived ingest topology would pin one
+      * stale cached frame per batch in the CacheManager forever.
+      * Releasing ONLY the owned list (never `assigned` blindly) is what
+      * lets [[memoizedIvfIndex]] hand out leaf-stripped copies: an
+      * append chain rooted at the shared artifact owns just its own
+      * batches, so its compaction cadence can never unpersist the cached
+      * base other queries depend on. */
     def unpersist(): Unit = {
-      cachedLeaves.foreach(_.unpersist())
-      assigned.unpersist(); ()
+      cachedLeaves.foreach(_.unpersist()); ()
     }
 
     /** Persist the index as parquet (assignments + centroids). */
@@ -801,7 +806,14 @@ object SimilaritySearch {
     * Keys hold the session itself (identity semantics — an identity HASH
     * could be reused after GC and hand a new session a dead index);
     * entries for stopped sessions are evicted on access (their cached
-    * blocks died with the context). */
+    * blocks died with the context).
+    *
+    * Callers receive a LEAF-STRIPPED copy (`cachedLeaves = Nil`): the
+    * cache map's own entry keeps the ownership list (so
+    * [[invalidateIndexCaches]] can release the blocks), while a caller
+    * that folds appends onto the shared artifact owns only the leaves
+    * its own batches created — its compact/unpersist cadence cannot
+    * pull the shared base cache out from under sibling queries. */
   def memoizedIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
                        nCells: Int, cacheKey: String): IvfIndex = {
     val it = indexCache.entrySet().iterator()
@@ -812,6 +824,7 @@ object SimilaritySearch {
     indexCache.computeIfAbsent(
       (emb.sparkSession, cacheKey, nCells),
       _ => graft.tools.BuildTimer.time("ivf_flat")(buildIvfIndex(emb, idCol, vecCol, nCells)))
+      .copy(cachedLeaves = Nil)
   }
 
   /** Memoized [[buildIvfIndexHier]] — the [[memoizedIvfIndex]] contract
@@ -829,6 +842,7 @@ object SimilaritySearch {
       (emb.sparkSession, cacheKey + "#hier", nCells),
       _ => graft.tools.BuildTimer.time("ivf_hier")(
         buildIvfIndexHier(emb, idCol, vecCol, nCells)))
+      .copy(cachedLeaves = Nil)
   }
 
   /** Convenience wrapper = [[memoizedIvfIndex]] + [[probeIvf]].
@@ -1228,12 +1242,13 @@ object SimilaritySearch {
       m: Int, k: Int, subDim: Int, idCol: String,
       appendsSinceCompaction: Int = 0,
       cachedLeaves: Seq[DataFrame] = Nil) {
-    /** Unpersist the base code table AND every per-batch append leaf —
-      * see [[IvfIndex.unpersist]]: after appends `codes` is a lazy union
-      * whose own unpersist cannot reach the cached children. */
+    /** Unpersist every cached relation this index OWNS — see
+      * [[IvfIndex.unpersist]]: `cachedLeaves` is the ownership list
+      * (build-seeded base + per-batch append leaves; a union's own
+      * unpersist cannot reach cached children, and a leaf-stripped
+      * memoized copy must not be able to release the shared base). */
     def unpersist(): Unit = {
-      cachedLeaves.foreach(_.unpersist())
-      codes.unpersist(); ()
+      cachedLeaves.foreach(_.unpersist()); ()
     }
 
     /** Persist the index as parquet (codes + codebooks + the (m, k,
@@ -1583,6 +1598,7 @@ object SimilaritySearch {
       (emb.sparkSession, cacheKey, m, k),
       _ => graft.tools.BuildTimer.time("pq")(
         buildPqIndex(emb, idCol, vecCol, m, k)))
+      .copy(cachedLeaves = Nil) // the memoizedIvfIndex ownership contract
   }
 
   /** Shared per-query ranking tail: top-k by (score desc, n_id) through

@@ -334,8 +334,17 @@ object EventStreams {
               // (MJPEG or raw DIB) — an AVI whose Nth frame is corrupt
               // must drop here, not after it landed in the lake
               val avi = graft.multimodal.Codecs.decodeAviFrames(payload)
-              avi.frames.foreach(f =>
-                graft.multimodal.Codecs.decodeAviFrame(avi, f))
+              avi.frames.zipWithIndex.foreach { case (f, i) =>
+                val img = graft.multimodal.Codecs.decodeAviFrame(avi, f)
+                // the decoded-frame/header geometry agreement
+                // decodedAviFrameMeta requires, enforced at admission:
+                // a mixed-geometry AVI (MJPEG frames are self-describing,
+                // so a frame CAN disagree with avih/strf) must not land
+                // with header dims that do not describe its frames
+                require(img.width == avi.width && img.height == avi.height,
+                  s"frame $i: ${img.width}x${img.height} frame inside a " +
+                    s"${avi.width}x${avi.height} AVI")
+              }
               (id, ts, kind, avi.width.toLong, avi.height.toLong, true, "")
             case _ =>
               (id, ts, kind, 0L, 0L, false, "unrecognized container magic")

@@ -58,7 +58,9 @@ class Round6Spec extends SparkSpecBase {
 
     assert(!(Dedup.memoizedMinHashIndex(docs, "doc_id", "sh", key + "#mhidx") eq mh1),
       "MinHash index survived corpus-level invalidation")
-    assert(!(SimilaritySearch.memoizedIvfIndex(emb, "vec_id", "v", 2, key + "#aug") eq ivf1),
+    // identity lives on the shared `assigned` frame — the memoized getter
+    // hands out leaf-stripped copies (r18 ownership contract)
+    assert(!(SimilaritySearch.memoizedIvfIndex(emb, "vec_id", "v", 2, key + "#aug").assigned eq ivf1.assigned),
       "IVF index survived corpus-level invalidation")
     assert(!(SimilaritySearch.memoizedMipsIndex(emb, "v", key) eq mips1),
       "MIPS index survived corpus-level invalidation")

@@ -123,8 +123,11 @@ class Round7Spec extends SparkSpecBase {
     val ivfCorp = SimilaritySearch.memoizedIvfIndex(emb, "vec_id", "v", 2, "r7i://corp")
     val ivfSib = SimilaritySearch.memoizedIvfIndex(emb, "vec_id", "v", 2, "r7i://corpus")
     SimilaritySearch.invalidateIndexCaches(spark, "r7i://corp")
-    assert(!(SimilaritySearch.memoizedIvfIndex(emb, "vec_id", "v", 2, "r7i://corp") eq ivfCorp))
-    assert(SimilaritySearch.memoizedIvfIndex(emb, "vec_id", "v", 2, "r7i://corpus") eq ivfSib)
+    // the memoized getter hands out leaf-stripped COPIES (r18 ownership
+    // contract), so instance identity lives on the shared `assigned`
+    // frame, not the case-class wrapper
+    assert(!(SimilaritySearch.memoizedIvfIndex(emb, "vec_id", "v", 2, "r7i://corp").assigned eq ivfCorp.assigned))
+    assert(SimilaritySearch.memoizedIvfIndex(emb, "vec_id", "v", 2, "r7i://corpus").assigned eq ivfSib.assigned)
     SimilaritySearch.invalidateIndexCaches(spark, "r7i://corp")
     SimilaritySearch.invalidateIndexCaches(spark, "r7i://corpus")
   }
