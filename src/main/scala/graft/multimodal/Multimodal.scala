@@ -570,6 +570,32 @@ object Multimodal {
       }
   }
 
+  /** m34 plant: each doc RE-ENCODED as an MJPEG AVI of the SAME frames
+    * the [[renderAviTable]] convention renders (F = 2 + srcId mod 3,
+    * frame f = [[blockGrayImage]] rotated by 7f) — the cross-codec
+    * lossy re-upload of a video the lake already holds as uncompressed
+    * DIB. Frame count and content follow the SOURCE id; only the row id
+    * is offset. Callers plant ODD source docs (the DIB half of the
+    * corpus) with an ODD `idOffset` so the variant id's parity matches
+    * [[decodedAviFrameMeta]]'s codec-parity rule (even → MJPG). */
+  def renderAviMjpegVariantTable(documents: DataFrame,
+                                 idOffset: Long): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val nFrames = 2 + (id % 3).toInt
+          val imgs = (0 until nFrames).map(f =>
+            blockGrayImage(text, shift = 7 * f))
+          MediaRow(id + idOffset,
+            Codecs.encodeAvi(imgs.map(Codecs.encodeJpeg(_)), 64, 64,
+              usPerFrame = 40000),
+            s"video/avi;mjpeg;f$nFrames")
+        }
+      }
+  }
+
   /** m30 output: one row per SAMPLED frame (every `stride`-th), with the
     * container facts (header frame count, frame duration) and the
     * decoded-pixel features of the m19 convention — neutral chroma

