@@ -801,7 +801,30 @@ object Dedup {
   final case class MinHashIndex(idCol: String, bands: DataFrame,
                                 signatures: DataFrame,
                                 cachedFrames: Seq[DataFrame] = Nil,
-                                appendsSinceCompaction: Int = 0) {
+                                appendsSinceCompaction: Int = 0,
+                                tombstones: Option[DataFrame] = None) {
+    /** Band/signature tables with tombstoned ids filtered OUT — the view
+      * every probe reads ([[deltaNearDupsIndexed]]). Deletion lists are
+      * takedown-sized by contract, so the anti-join broadcasts and is a
+      * map-side filter over the index scan. */
+    def liveBands: DataFrame = antiTombstoned(bands)
+    def liveSignatures: DataFrame = antiTombstoned(signatures)
+    private def antiTombstoned(df: DataFrame): DataFrame = tombstones match {
+      case None => df
+      case Some(t) =>
+        df.join(broadcast(t.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+    }
+
+    /** Tombstone `ids` (any frame carrying `idCol`): O(|ids|) — probes
+      * exclude the docs immediately; [[save]]/[[compact]] drop their
+      * rows physically (tombstone-at-probe, drop-at-compact: the
+      * takedown verb — opt-outs, decontamination-after-the-fact —
+      * between full rebuilds). Unknown ids are harmless. */
+    def delete(ids: DataFrame): MinHashIndex = {
+      val t = ids.select(col(idCol))
+      copy(tombstones = Some(tombstones.fold(t)(_.unionByName(t))))
+    }
     /** Releases every cached block this index transitively owns: the top
       * frames AND the cached constituents accumulated by [[append]] —
       * unpersisting a union frame alone matches nothing in the
@@ -827,8 +850,11 @@ object Dedup {
       * the batch's files — the standing corpus index is never rewritten,
       * so the append cost tracks the batch, not the corpus. */
     def save(dir: String, mode: String = "overwrite"): Unit = {
-      bands.write.mode(mode).parquet(s"$dir/bands")
-      signatures.write.mode(mode).parquet(s"$dir/signatures")
+      // the LIVE view: a saved artifact has deletions applied physically
+      // (append-mode ingest batches carry no tombstones, so the filter
+      // is a no-op there)
+      liveBands.write.mode(mode).parquet(s"$dir/bands")
+      liveSignatures.write.mode(mode).parquet(s"$dir/signatures")
     }
 
     /** Fold an admitted ingest batch into the in-memory index: the
@@ -859,7 +885,8 @@ object Dedup {
         signatures.unionByName(bSig),
         cachedFrames = cachedFrames ++ Seq(bands, signatures) ++
           (if (persist) Seq(bSig, bBandsP) else Nil),
-        appendsSinceCompaction = appendsSinceCompaction + 1)
+        appendsSinceCompaction = appendsSinceCompaction + 1,
+        tombstones = tombstones)
     }
 
     /** Number of Union nodes in the band frame's analyzed plan — the
@@ -1011,7 +1038,8 @@ object Dedup {
   final case class GramIndex(idCol: String, grams: DataFrame,
                              k: Int, maxGramDocs: Int,
                              cachedFrames: Seq[DataFrame] = Nil,
-                             appendsSinceCompaction: Int = 0) {
+                             appendsSinceCompaction: Int = 0,
+                             tombstones: Option[DataFrame] = None) {
     /** Releases every cached block this index transitively owns (the
       * [[MinHashIndex.unpersist]] over-approximation contract). */
     def unpersist(): Unit = {
@@ -1020,13 +1048,32 @@ object Dedup {
       ()
     }
 
+    /** The gram table with tombstoned ids filtered OUT — the view every
+      * probe reads ([[MinHashIndex.liveBands]] contract: broadcast
+      * anti-join, map-side filter). */
+    def liveGrams: DataFrame = tombstones match {
+      case None => grams
+      case Some(t) =>
+        grams.join(broadcast(t.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+    }
+
+    /** Tombstone `ids` — the [[MinHashIndex.delete]] contract:
+      * O(|ids|), probes exclude immediately, [[save]]/[[compact]] drop
+      * physically. */
+    def delete(ids: DataFrame): GramIndex = {
+      val t = ids.select(col(idCol))
+      copy(tombstones = Some(tombstones.fold(t)(_.unionByName(t))))
+    }
+
     /** Persist grams + the (k, maxGramDocs) parameters the probe must
       * reuse (a probe gramming at a different k would silently never
       * match). `mode = "append"` is the offline ingest-fold cycle: only
       * the batch's files are added, the standing index is not rewritten
-      * (meta is idempotent — re-written each append with the same row). */
+      * (meta is idempotent — re-written each append with the same row).
+      * Writes the LIVE view — deletions land physically. */
     def save(dir: String, mode: String = "overwrite"): Unit = {
-      grams.write.mode(mode).parquet(s"$dir/grams")
+      liveGrams.write.mode(mode).parquet(s"$dir/grams")
       val spark = grams.sparkSession
       import spark.implicits._
       Seq((k, maxGramDocs)).toDF("k", "max_gram_docs").coalesce(1)
@@ -1044,7 +1091,8 @@ object Dedup {
       GramIndex(idCol, grams.unionByName(b), k, maxGramDocs,
         cachedFrames = cachedFrames ++ Seq(grams) ++
           (if (persist) Seq(b) else Nil),
-        appendsSinceCompaction = appendsSinceCompaction + 1)
+        appendsSinceCompaction = appendsSinceCompaction + 1,
+        tombstones = tombstones)
     }
 
     /** Flatten the append lineage AND restore the global doc-frequency
@@ -1055,7 +1103,9 @@ object Dedup {
       * [[MinHashIndex.compact]] caveat; alternate generation dirs). */
     def compact(dir: String, persist: Boolean = true): GramIndex = {
       val spark = grams.sparkSession
-      capGramDf(grams, maxGramDocs).write.mode("overwrite").parquet(s"$dir/grams")
+      // LIVE view into the re-cap: tombstoned docs drop physically AND
+      // stop occupying doc-frequency cap slots from here on
+      capGramDf(liveGrams, maxGramDocs).write.mode("overwrite").parquet(s"$dir/grams")
       import spark.implicits._
       Seq((k, maxGramDocs)).toDF("k", "max_gram_docs").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/meta")
@@ -1150,7 +1200,7 @@ object Dedup {
       hashedDocGrams(delta, index.idCol, textCol, index.k)
         .withColumnRenamed(index.idCol, "new_id"),
       index.maxGramDocs)
-    b.join(index.grams.select(col(index.idCol).as("old_id"), col("gram")),
+    b.join(index.liveGrams.select(col(index.idCol).as("old_id"), col("gram")),
         Seq("gram"))
       .groupBy(col("new_id"), col("old_id"))
       .agg(count(lit(1)).as("n_shared_runs"))
@@ -1178,7 +1228,7 @@ object Dedup {
                             textCol: String): DataFrame = {
     val inst = positionalGramInstances(delta, index.idCol, textCol, index.k)
     val cut = inst
-      .join(index.grams.select(col("gram").as("g")), Seq("g"), "left_semi")
+      .join(index.liveGrams.select(col("gram").as("g")), Seq("g"), "left_semi")
       .select(col(index.idCol), col("pos"))
     mergeCutSpans(cut, index.idCol, index.k)
   }
@@ -1245,14 +1295,14 @@ object Dedup {
       .select(col(idCol), explode(bandKeys(col("sig"))).as("bk"))
       .select(col(idCol).as("new_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val candidates = dBands
-      .join(index.bands.select(col(index.idCol).as("old_id"), col("band"), col("bh")),
+      .join(index.liveBands.select(col(index.idCol).as("old_id"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select(col("new_id"), col("old_id"))
       .distinct()
     val est = signatureEstJaccard(col("a_sig"), col("b_sig"))
     candidates
       .join(dSig.select(col(idCol).as("new_id"), col("sig").as("a_sig")), Seq("new_id"))
-      .join(index.signatures.select(col(index.idCol).as("old_id"), col("sig").as("b_sig")),
+      .join(index.liveSignatures.select(col(index.idCol).as("old_id"), col("sig").as("b_sig")),
         Seq("old_id"))
       .withColumn("est_jaccard", round(est, 4))
       .filter(col("est_jaccard") >= threshold)

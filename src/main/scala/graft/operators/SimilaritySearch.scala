@@ -247,7 +247,30 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       appendsSinceCompaction: Int = 0,
-      cachedLeaves: Seq[DataFrame] = Nil) {
+      cachedLeaves: Seq[DataFrame] = Nil,
+      tombstones: Option[DataFrame] = None) {
+    /** The assignment table with tombstoned ids filtered OUT — the view
+      * every probe/dedup consumer reads. Deletion lists are takedown-
+      * sized by contract (opt-outs, decontamination-after-the-fact), so
+      * the anti-join broadcasts the tombstone side and costs one
+      * map-side filter over the corpus scan — never a shuffle. */
+    def liveAssigned: DataFrame = tombstones match {
+      case None => assigned
+      case Some(t) =>
+        assigned.join(broadcast(t.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+    }
+
+    /** Tombstone `ids` (any frame carrying `idCol`): O(|ids|) — the
+      * corpus is NOT touched; every subsequent probe excludes the ids at
+      * scan time and the next [[compactIvfIndex]] drops their rows
+      * physically (tombstone-at-probe, drop-at-compact — the takedown
+      * verb a real training-data pipeline needs between full rebuilds).
+      * Unknown ids are harmless (the anti-join just matches nothing). */
+    def delete(ids: DataFrame): IvfIndex = {
+      val t = ids.select(col(idCol))
+      copy(tombstones = Some(tombstones.fold(t)(_.unionByName(t))))
+    }
     /** Unpersist every cached relation this index OWNS — `cachedLeaves`
       * is the ownership list (the GramIndex `cachedFrames` discipline):
       * the build seeds it with the base assignment's cached frame, each
@@ -264,11 +287,13 @@ object SimilaritySearch {
       cachedLeaves.foreach(_.unpersist()); ()
     }
 
-    /** Persist the index as parquet (assignments + centroids). */
+    /** Persist the index as parquet (assignments + centroids). Writes the
+      * LIVE view: a saved artifact has deletions applied physically, so
+      * the load side never needs a tombstone file. */
     def save(dir: String): Unit = {
       val spark = assigned.sparkSession
       import spark.implicits._
-      assigned.write.mode("overwrite").parquet(s"$dir/assignments")
+      liveAssigned.write.mode("overwrite").parquet(s"$dir/assignments")
       centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
         .toDF("cell", "cvec").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -431,7 +456,9 @@ object SimilaritySearch {
                       sampleMod: Int = 1): IvfIndex = {
     val effCells =
       if (nCells > 0) nCells else math.max(1, index.centroids.length)
-    val rebuilt = buildIvfIndex(index.assigned.drop("cell"), index.idCol,
+    // the LIVE view: tombstoned rows are dropped physically here — the
+    // rebuilt index starts with an empty tombstone set (drop-at-compact)
+    val rebuilt = buildIvfIndex(index.liveAssigned.drop("cell"), index.idCol,
       index.vecCol, nCells = effCells, sampleMod = sampleMod, persist = false)
     // localCheckpoint is EAGER: the old lineage is fully read before the
     // unpersist below can pull cached blocks out from under it
@@ -776,7 +803,8 @@ object SimilaritySearch {
     val spark = index.assigned.sparkSession
     val centDf = spark.createDataFrame(
       index.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }).toDF("cell", "cvec")
-    val q = index.assigned.filter(isQuery)
+    val live = index.liveAssigned
+    val q = live.filter(isQuery)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centDf))
@@ -785,7 +813,7 @@ object SimilaritySearch {
       .filter(col("prnk") <= nProbe)
       .select(col("q_id"), col("qv"), col("cell"))
 
-    val c = index.assigned.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("cell"))
+    val c = live.select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("cell"))
     val scored = probes.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosineSim(col("qv"), col("nv")))
@@ -890,8 +918,9 @@ object SimilaritySearch {
   def semanticDedup(index: IvfIndex, threshold: Double): DataFrame = {
     val idc = index.idCol
     val vc = index.vecCol
-    val a = index.assigned.select(col("cell"), col(idc).as("a_id"), col(vc).as("av"))
-    val b = index.assigned.select(col("cell"), col(idc).as("b_id"), col(vc).as("bv"))
+    val live = index.liveAssigned
+    val a = live.select(col("cell"), col(idc).as("a_id"), col(vc).as("av"))
+    val b = live.select(col("cell"), col(idc).as("b_id"), col(vc).as("bv"))
     val raw = a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", cosineSim(col("av"), col("bv")))
@@ -900,7 +929,7 @@ object SimilaritySearch {
       .agg(min(col("a_id")).as("keeper"))
       .localCheckpoint()
     val drops = compressKeepers(raw, idc)
-    index.assigned.select(col(idc), col("cell"))
+    live.select(col(idc), col("cell"))
       .join(drops, Seq(idc), "left")
       .select(col(idc), col("cell"),
         col("keeper").isNull.as("keep"), col("keeper"))
@@ -1241,7 +1270,8 @@ object SimilaritySearch {
       codes: DataFrame,                       // (idCol, codes array<int>)
       m: Int, k: Int, subDim: Int, idCol: String,
       appendsSinceCompaction: Int = 0,
-      cachedLeaves: Seq[DataFrame] = Nil) {
+      cachedLeaves: Seq[DataFrame] = Nil,
+      tombstones: Option[DataFrame] = None) {
     /** Unpersist every cached relation this index OWNS — see
       * [[IvfIndex.unpersist]]: `cachedLeaves` is the ownership list
       * (build-seeded base + per-batch append leaves; a union's own
@@ -1251,13 +1281,31 @@ object SimilaritySearch {
       cachedLeaves.foreach(_.unpersist()); ()
     }
 
+    /** The code table with tombstoned ids filtered OUT — the
+      * [[IvfIndex.liveAssigned]] contract for the PQ half: broadcast
+      * anti-join, map-side filter, never a shuffle. */
+    def liveCodes: DataFrame = tombstones match {
+      case None => codes
+      case Some(t) =>
+        codes.join(broadcast(t.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+    }
+
+    /** Tombstone `ids` — see [[IvfIndex.delete]]: O(|ids|), probes
+      * exclude immediately, [[compactPqIndex]] drops physically. */
+    def delete(ids: DataFrame): PqIndex = {
+      val t = ids.select(col(idCol))
+      copy(tombstones = Some(tombstones.fold(t)(_.unionByName(t))))
+    }
+
     /** Persist the index as parquet (codes + codebooks + the (m, k,
       * subDim) meta the probe must reuse — explicit rather than derived
-      * from the codebook rows, so an empty-corpus index round-trips). */
+      * from the codebook rows, so an empty-corpus index round-trips).
+      * Writes the LIVE code table — deletions land physically on save. */
     def save(dir: String): Unit = {
       val spark = codes.sparkSession
       import spark.implicits._
-      codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
+      liveCodes.write.mode("overwrite").parquet(s"$dir/pq_codes")
       codebooks.zipWithIndex.flatMap { case (cb, sub) =>
         cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
       }.toSeq.toDF("sub", "code", "cvec").coalesce(1)
@@ -1408,7 +1456,15 @@ object SimilaritySearch {
                      m: Int = 0, k: Int = 0, sampleMod: Int = 1): PqIndex = {
     val effM = if (m > 0) m else index.m
     val effK = if (k > 0) k else index.k
-    val rebuilt = buildPqIndex(corpus, index.idCol, vecCol,
+    // tombstones apply to the caller-supplied corpus too: a takedown
+    // must not resurrect through the re-fit (drop-at-compact)
+    val liveCorpus = index.tombstones match {
+      case None => corpus
+      case Some(t) =>
+        corpus.join(broadcast(t.select(col(index.idCol)).distinct()),
+          Seq(index.idCol), "left_anti")
+    }
+    val rebuilt = buildPqIndex(liveCorpus, index.idCol, vecCol,
       m = effM, k = effK, sampleMod = sampleMod, persist = false)
     // localCheckpoint is EAGER: materialize before unpersisting the old
     // lineage (the compactIvfIndex ordering)
@@ -1471,7 +1527,7 @@ object SimilaritySearch {
     val q = queries.select(col(idCol).as("q_id"),
       l2normalizeCol(col(vecCol)).as("__qn"))
     val luts = pqLut(index, q)
-    val scored = index.codes
+    val scored = index.liveCodes
       .select(col(index.idCol).as("n_id"), col("codes"))
       .crossJoin(broadcast(luts))
       .filter(col("q_id") =!= col("n_id"))
@@ -1559,7 +1615,7 @@ object SimilaritySearch {
     * in-session it is one cached join, paid on first probe (or charged to
     * the build by forcing it there — what the stress harness does). */
   private val ivfPqCandCache =
-    new java.util.concurrent.ConcurrentHashMap[(IvfIndex, PqIndex), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, DataFrame), DataFrame]()
 
   def ivfPqCandidates(ivf: IvfIndex, pq: PqIndex): DataFrame = {
     val it = ivfPqCandCache.entrySet().iterator()
@@ -1567,7 +1623,12 @@ object SimilaritySearch {
       val e = it.next()
       if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
     }
-    ivfPqCandCache.computeIfAbsent((ivf, pq), { _ =>
+    // Keyed on the UNDERLYING frames, not the index objects: a `delete`
+    // copies the case class but shares `assigned`/`codes`, so a takedown
+    // keeps hitting the materialized artifact; tombstones filter ON TOP
+    // of it below (the artifact is rebuilt only when the corpus is —
+    // at append/compact, which replace the frames).
+    val base = ivfPqCandCache.computeIfAbsent((ivf.assigned, pq.codes), { _ =>
       // localCheckpoint, not cache: BOTH materializes (probes read
       // computed blocks) AND truncates the lineage. The assignment plan
       // carries the nCells-struct centroid literal — inside a many-branch
@@ -1579,6 +1640,11 @@ object SimilaritySearch {
         .join(pq.codes.select(col(pq.idCol).as("n_id"), col("codes")), Seq("n_id"))
         .localCheckpoint()
     })
+    val tombs = (ivf.tombstones.toSeq ++ pq.tombstones.toSeq)
+      .map(t => t.select(t.columns.head).toDF("n_id"))
+    if (tombs.isEmpty) base
+    else base.join(broadcast(tombs.reduce(_.unionByName(_)).distinct()),
+      Seq("n_id"), "left_anti")
   }
 
   /** Per-(session, corpus) memoized [[PqIndex]] — same keying and

@@ -97,6 +97,30 @@ private[queries] object SimilarityQueries {
         threshold = 0.4)),
 
 
+    // s20 (round 18): the INDEX-DELETE lifecycle, driver-visible — the
+    // takedown verb (opt-outs, decontamination-after-the-fact) the
+    // build/append/compact lifecycle was missing. The s16base memoized
+    // artifact (corpus minus %10 = 7) is probed AFTER vec_id % 10 = 3 is
+    // tombstoned through `delete`: O(|ids|), the shared artifact is
+    // untouched (delete returns a copy; liveAssigned wraps the cached
+    // frame with a broadcast anti-join — map-side filter, no shuffle,
+    // no rebuild). nProbe = nCells makes the probe EXACT, so the oracle
+    // is the s01 brute-force form over corpus-minus-deleted: a deleted
+    // doc resurfacing as a neighbor OR being allowed to query
+    // hash-mismatches, and rank renumbering proves exclusion happens
+    // BEFORE scoring, not by post-filtering rows.
+    "s20_index_delete_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val idx = SimilaritySearch.memoizedIvfIndex(base, "vec_id", "embedding",
+        nCells = 16, cacheKey = dir + "#s16base")
+      val deleted = idx.delete(
+        e.filter(pmod(col("vec_id"), lit(10)) === 3).select(col("vec_id")))
+      SimilaritySearch.probeIvf(deleted, pmod(col("vec_id"), lit(10)) === 5,
+        k = 3, nProbe = 16)
+    }),
+
+
     // s18 (round 17): the s16 lifecycle with the append side ARRIVING AS
     // A STREAM — the similarity family's ingest-topology row, closing the
     // one asymmetry the round-16 verdict named (dedup indexes ingest per
@@ -600,6 +624,23 @@ private[queries] object SimilarityQueries {
     "s16_index_append_probe" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 7),
+              scored AS (SELECT q_id, e.vec_id AS n_id,
+                                list_inner_product(qv, e.v)
+                                / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+                         FROM q JOIN e ON e.vec_id <> q_id),
+              ranked AS (SELECT q_id, n_id, cos,
+                                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+                         FROM scored)
+         SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 3""",
+
+    // s20: the s01 exact form over corpus-minus-(never-indexed ∪ deleted)
+    // — %10 = 7 never entered the index, %10 = 3 was tombstoned; the
+    // probe at full cell coverage is exact, so ranks renumber around the
+    // deleted docs.
+    "s20_index_delete_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                    WHERE vec_id % 10 NOT IN (7, 3)),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 5),
               scored AS (SELECT q_id, e.vec_id AS n_id,
                                 list_inner_product(qv, e.v)
                                 / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
