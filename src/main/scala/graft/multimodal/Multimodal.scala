@@ -665,6 +665,61 @@ object Multimodal {
     }
   }
 
+  /** The shared per-payload VIDEO fingerprint kernel — m31's sampled-
+    * sequence rule as one scan-side call: decode the AVI container, dHash
+    * every `stride`-th frame (skipped frames never decode — the m30
+    * sampler's laziness), return (header frame count, ordered csv of the
+    * sampled frames' 56-bit dHashes). Codec-agnostic (MJPEG and DIB both
+    * land on decoded pixels) and corpus-convention-free — no parity rule,
+    * so a generic ingest API can run it on arbitrary arrivals. Used by
+    * BOTH [[decodedVideoFingerprints]] (the m35 batch probe) and
+    * [[graft.streaming.EventStreams.videoProbeStream]] (the ingest twin),
+    * so the two sides cannot drift. */
+  def videoFingerprintOf(payload: Array[Byte], stride: Int = 2): (Long, String) = {
+    require(stride >= 1, s"frame stride $stride must be positive")
+    val avi = Codecs.decodeAviFrames(payload)
+    val hs = (0 until avi.frames.size by stride)
+      .map(f => dhash56(Codecs.decodeAviFrame(avi, avi.frames(f))))
+    (avi.frames.size.toLong, hs.mkString(","))
+  }
+
+  /** m35 batch side: one (doc_id, n_frames, fp) row per video through
+    * [[videoFingerprintOf]]. */
+  def decodedVideoFingerprints(media: Dataset[MediaRow],
+                               stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (n, fp) = videoFingerprintOf(r.media, stride)
+        (r.doc_id, n, fp)
+      }
+    }.toDF("doc_id", "n_frames", "fp")
+  }
+
+  /** The [[graft.multimodal.Multimodal.AviFrameMeta]] rows aggregated to
+    * the m31 video fingerprint — (doc_id, n_frames, fp): the ordered csv
+    * of the sampled frames' dHashes. m35's corpus side reads this off the
+    * SAME memoized `avi_meta` artifact m30/m31 consume (render + sample
+    * once); the kernel-computed delta side matches it string-for-string
+    * (both are oracle-pinned to the closed form). */
+  def aviMetaFingerprints(meta: DataFrame): DataFrame =
+    meta.groupBy(col("doc_id"), col("n_frames"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
+        f => f.getField("dhash").cast("string"))).as("fp"))
+
+  /** m35 probe: arriving videos' fingerprints equi-join the standing
+    * corpus table on (n_frames, fp) — exact sampled-sequence identity,
+    * the m31 dedup semantics as a delta-vs-corpus admission check.
+    * Bounded by the delta, never corpus². Output: (new_id, old_id,
+    * n_frames). */
+  def videoFpProbe(deltaFp: DataFrame, corpusFp: DataFrame): DataFrame =
+    deltaFp.select(col("doc_id").as("new_id"), col("n_frames"), col("fp"))
+      .join(corpusFp.select(col("doc_id").as("old_id"), col("n_frames"),
+        col("fp")), Seq("n_frames", "fp"))
+      .select(col("new_id"), col("old_id"), col("n_frames"))
+
   /** The m19/m20 pixel rule: FLAT 8×8 BLOCKS, block b (row-major over an
     * 8×8 block grid) filled with gray v(b) = byte(b mod L), R = G = B.
     * Flat blocks are the oracle-exactness construction for a LOSSY DCT

@@ -319,6 +319,37 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m35 (round 18): INGEST-time VIDEO-dup flagging — the m33 shape for
+    // the video family, closing the last per-modality ingest asymmetry
+    // (and the batch twin of EventStreams.videoProbeStream, proven
+    // stream==batch in StreamingSpec): the whole corpus stands as the
+    // (doc_id, n_frames, fp) sampled-sequence fingerprint table —
+    // aggregated off the SAME memoized avi_meta artifact m30/m31 read;
+    // arrivals are RE-UPLOADS of the %10 = 7 docs' videos (re-rendered
+    // identically, re-id'd +500000 — content the lake already holds, the
+    // case ingest dedup exists for), fingerprinted scan-side through the
+    // videoFingerprintOf kernel (skipped frames never decode) and probed
+    // by (n_frames, fp) equi-join — bounded by the delta, never corpus².
+    // Each arrival flags its own source (and any exact-fp twin of it);
+    // the oracle recomputes every sampled frame's closed-form dHash on
+    // both sides, so a kernel/aggregate drift, sampler slip, or join
+    // geometry bug hash-mismatches.
+    "m35_ingest_video_flag" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      import s.implicits._
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val corpusFp = M.aviMetaFingerprints(
+        M.memoizedAviFrameMeta(base, dir).toDF())
+      // render from the ORIGINAL ids (identical frames), re-id after —
+      // the +500000 offset is even, so the re-upload keeps the render's
+      // codec parity and decodes identically
+      val delta = M.renderAviTable(
+          base.filter(pmod(col("doc_id"), lit(10)) === 7))
+        .map(r => r.copy(doc_id = r.doc_id + 500000L))
+      M.videoFpProbe(M.decodedVideoFingerprints(delta, stride = 2), corpusFp)
+    }),
+
+
     "m32_audio_variant_dedup" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
       val base = docs(s, dir).filter(length(col("text")) >= 1)
@@ -1165,6 +1196,36 @@ private[queries] object MultimodalQueries {
                     GROUP BY 1, 2, 3)
          SELECT a_id, b_id, n_frames, CAST(mh AS BIGINT) AS max_frame_hamming
          FROM v WHERE mh <= 4""",
+
+    // m35: the m31 closed-form fingerprint on both sides — the corpus
+    // table for every doc, the delta a re-render of the %10 = 7 docs
+    // (identical pixels, +500000 id), joined on (n_frames, fp).
+    "m35_ingest_video_flag" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              fr AS (SELECT doc_id, text, L,
+                            unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT))) AS f
+                     FROM d),
+              sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+              g AS (SELECT doc_id, f,
+                      list_transform(generate_series(0, 63),
+                        b -> CASE WHEN doc_id % 2 = 0
+                               THEN 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)
+                               ELSE 32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95 END) AS gv
+                    FROM sf),
+              h AS (SELECT doc_id, f,
+                      CAST(list_sum(list_transform(generate_series(0, 55),
+                        b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                       > gv[(b // 7) * 8 + (b % 7) + 2]
+                                  THEN (CAST(1 AS BIGINT) << b)
+                                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+                    FROM g),
+              v AS (SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+                           string_agg(CAST(dhash AS VARCHAR), ',' ORDER BY f) AS fp
+                    FROM h GROUP BY doc_id)
+         SELECT dl.doc_id + 500000 AS new_id, c.doc_id AS old_id, c.n_frames
+         FROM v dl JOIN v c ON dl.fp = c.fp AND dl.n_frames = c.n_frames
+         WHERE dl.doc_id % 10 = 7""",
 
     // m28: the m19 closed form — a CORRECT progressive decode assembles
     // the same quantized coefficients the sequential scan carries, so

@@ -28,6 +28,58 @@ private[queries] object SamplingQueries {
         "doc_id", "quality_bp", k = 100)),
 
 
+    // p24 (round 18): the unified ADMISSION PIPELINE — the engine's
+    // per-modality ingest gates composed behind ONE chaining discipline
+    // (graft.streaming.AdmissionPipeline): arrivals (the %10 = 7 delta)
+    // run quality → blocklist → corpus-exact-dup IN SEQUENCE — a doc
+    // dropped at stage i is never evaluated (or charged) at stage i+1 —
+    // and the driver-visible output is the m27 report generalized to the
+    // live path: one row per (stage, admitted, reason) disposition class
+    // with integer-bp shares of the arriving population. Stages are
+    // STATELESS by contract (row-local columns or id-keyed verdict
+    // joins; the dup probe is a stream-static fingerprint join), so the
+    // same composition runs on a streaming frame with the watermark
+    // applied ONCE by the caller (StreamingSpec proves composed-on-
+    // stream == sequential batch). The oracle replays the identical
+    // sequential chain: t08's quality arithmetic, the t20 blocklist
+    // over the quality survivors only, the t04 normalized-md5 corpus
+    // probe over the blocklist survivors only — a stage-order slip,
+    // double-charge, or share arithmetic bug hash-mismatches.
+    "p24_admission_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.AdmissionPipeline
+      import graft.streaming.AdmissionPipeline.Stage
+      val all = docs(s, dir)
+      val delta = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(col("doc_id"), col("text"))
+      val corpusFps = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(TA.fingerprint(col("text")).as("__cfp")).distinct()
+      val stages = Seq(
+        Stage.verdict("quality", "doc_id") { df =>
+          TA.qualityFilter(df, "doc_id", "text")
+            .select(col("doc_id"), col("keep").as("admit"),
+              col("reasons").as("reason"))
+        },
+        Stage.verdict("blocklist", "doc_id") { df =>
+          TA.blocklistFilter(df, "doc_id", "text",
+              Seq("slow", "merge").toDF("word"))
+            .select(col("doc_id"), col("keep").as("admit"),
+              when(col("keep"), lit("")).otherwise(concat(
+                lit("blocklisted tokens: "), col("n_flagged"))).as("reason"))
+        },
+        Stage.verdict("exact_dup", "doc_id") { df =>
+          df.select(col("doc_id"), TA.fingerprint(col("text")).as("__fp"))
+            .join(corpusFps.withColumn("__hit", lit(1)),
+              col("__fp") === col("__cfp"), "left")
+            .select(col("doc_id"), col("__hit").isNull.as("admit"),
+              when(col("__hit").isNull, lit(""))
+                .otherwise(lit("exact duplicate already in corpus"))
+                .as("reason"))
+        })
+      AdmissionPipeline.report(AdmissionPipeline.run(delta, stages))
+    }),
+
+
     // p21: Bloom-filter decontamination — p11's leak class when the
     // reference gram set is too big to broadcast as a table: the eval
     // side compresses to a fixed 128 KB bit array (memoized per dir,
@@ -392,6 +444,62 @@ private[queries] object SamplingQueries {
     "p21_bloom_decontam" -> BloomDecontamSql,
 
     "p23_sharded_bloom_decontam" -> BloomDecontamSql,
+
+    // p24: the sequential chain replayed stage by stage — t08's quality
+    // arithmetic over the delta, the t20 blocklist over quality
+    // SURVIVORS only, the t04 normalized-md5 corpus probe over blocklist
+    // survivors only, then the m27 share arithmetic over the
+    // disposition.
+    "p24_admission_pipeline" ->
+      """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+              cfp AS (SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+                      FROM documents WHERE doc_id % 10 <> 7),
+              t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM delta),
+              c AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens,
+                           CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+                           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+                    FROM t),
+              r AS (SELECT doc_id, text,
+                           list_concat(
+                             list_concat(
+                               CASE WHEN n_tokens < 20 THEN ['too_short'] ELSE []::VARCHAR[] END,
+                               CASE WHEN n_tokens > 2000 THEN ['too_long'] ELSE []::VARCHAR[] END),
+                             list_concat(
+                               CASE WHEN sum_len * 100 < n_tokens * 300
+                                      OR sum_len * 100 > n_tokens * 1000
+                                    THEN ['odd_token_len'] ELSE []::VARCHAR[] END,
+                               CASE WHEN n_stop * 10000 < n_tokens * 100
+                                    THEN ['low_stopword'] ELSE []::VARCHAR[] END)) AS reasons
+                    FROM c),
+              q AS (SELECT doc_id, text,
+                           coalesce(array_to_string(reasons, ','), '') AS reason,
+                           len(reasons) = 0 AS keep FROM r),
+              drop1 AS (SELECT 'quality' AS stage, reason FROM q WHERE NOT keep),
+              s1 AS (SELECT doc_id, text FROM q WHERE keep),
+              b AS (SELECT doc_id, text,
+                           len(list_filter(string_split(text, ' '), w -> w IN ('slow', 'merge'))) AS n_flagged
+                    FROM s1),
+              drop2 AS (SELECT 'blocklist' AS stage,
+                               'blocklisted tokens: ' || n_flagged AS reason
+                        FROM b WHERE n_flagged > 0),
+              s2 AS (SELECT doc_id, text FROM b WHERE n_flagged = 0),
+              d2 AS (SELECT doc_id,
+                            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+                     FROM s2),
+              drop3 AS (SELECT 'exact_dup' AS stage,
+                               'exact duplicate already in corpus' AS reason
+                        FROM d2 WHERE fp IN (SELECT fp FROM cfp)),
+              s3 AS (SELECT doc_id FROM d2 WHERE fp NOT IN (SELECT fp FROM cfp)),
+              disp AS (SELECT stage, FALSE AS admitted, reason FROM drop1
+                       UNION ALL SELECT stage, FALSE, reason FROM drop2
+                       UNION ALL SELECT stage, FALSE, reason FROM drop3
+                       UNION ALL SELECT '', TRUE, '' FROM s3),
+              g AS (SELECT stage, admitted, reason, count(*) AS n
+                    FROM disp GROUP BY 1, 2, 3),
+              tt AS (SELECT sum(n) AS tot FROM g)
+         SELECT stage, admitted, reason, CAST(n AS BIGINT) AS n_docs,
+                CAST(n * 10000 // tot AS BIGINT) AS share_bp
+         FROM g, tt""",
 
     // p20: the t02 quality CTE + the A-ES key replayed bit-for-bit (u
     // from the same md5 window, ln(u)/w ordering; key gaps dwarf libm

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composable ingest admission — the engine's ~27 per-modality gate twins
+  * (quality, langid, blocklist, decode gate, bloom decontamination,
+  * fingerprint/index probes of standing tables, token budget) unified
+  * behind ONE chaining discipline instead of ad-hoc per-deployment
+  * wiring. A real curation deployment runs arrivals through a SEQUENCE
+  * of gates; what it needs from the harness is (a) sequential semantics
+  * — a document dropped at stage i is never evaluated (or charged) at
+  * stage i+1, (b) per-stage drop accounting (the m27 admission report
+  * generalized to the live path), and (c) a single state discipline:
+  * stages themselves add NO state store, so the composition runs
+  * identically on a batch frame and a streaming one, and any
+  * watermark/pair-dedup exactly-once machinery is applied ONCE by the
+  * caller on the composed output — never per stage (the one-watermark
+  * rule; per-stage state multiplies store sizes and makes replay
+  * semantics path-dependent).
+  *
+  * Scale shape: [[Stage.rowLocal]] stages are pure `withColumn`s — they
+  * fuse into the surviving scan with zero extra exchanges.
+  * [[Stage.verdict]] stages stitch an id-keyed verdict frame back with
+  * one equi-join — the shape of the gate family's existing operators
+  * (e.g. [[graft.operators.TextAnalysis.blocklistFilter]]'s
+  * explode+aggregate); the join keys on the id the stage already
+  * aggregated by, so no NEW shuffle geometry is introduced. Probes of
+  * standing artifacts (fingerprint tables, bloom bits, indexes) are
+  * stream-static joins/filters and remain stateless. */
+object AdmissionPipeline {
+
+  /** One admission stage: `decide` takes the current survivors (ALL
+    * input columns) and returns them with `admit` (boolean) + `reason`
+    * (string, "" on admit) appended. Build with [[Stage.rowLocal]] /
+    * [[Stage.verdict]] unless a custom shape is needed. */
+  final case class Stage(name: String, decide: DataFrame => DataFrame)
+
+  object Stage {
+    /** A row-local gate: admit/reason are pure column expressions over
+      * the surviving rows — no join, no shuffle, fuses into the scan
+      * (the dsirScoreStream/qualityScoreStream discipline). */
+    def rowLocal(name: String, admit: Column, reason: Column): Stage =
+      Stage(name, df => df.withColumn("admit", admit)
+        .withColumn("reason", reason))
+
+    /** An id-keyed verdict gate: `f` maps the survivors to one
+      * (idCol, admit, reason) row each (the shape of the existing gate
+      * operators); the combinator stitches the verdict back with one
+      * equi-join on `idCol`. BATCH-side glue: on a streaming frame the
+      * stitch-back would be a stream-stream self-join (not append-safe)
+      * — and the gates that need this shape (explode+aggregate like
+      * [[graft.operators.TextAnalysis.blocklistFilter]]) are not
+      * append-stream-safe to begin with. Stream topologies use
+      * [[rowLocal]] stages or a bare [[Stage]] whose decide performs a
+      * stream-STATIC join against a standing artifact. */
+    def verdict(name: String, idCol: String)(f: DataFrame => DataFrame): Stage =
+      Stage(name, df => df.join(
+        f(df).select(col(idCol), col("admit"), col("reason")), Seq(idCol)))
+  }
+
+  /** Chain `stages` over `input` with sequential semantics: stage i+1
+    * sees only stage i's admits (verdict columns stripped between
+    * stages). Returns ONE row per input row — the original columns plus
+    * (admitted, stage, reason), where stage/reason name the FIRST
+    * dropping stage ("" on full admission). Composes on batch and
+    * streaming frames alike (stages are stateless by contract). */
+  def run(input: DataFrame, stages: Seq[Stage]): DataFrame = {
+    require(stages.nonEmpty, "admission pipeline needs at least one stage")
+    require(stages.map(_.name).distinct.size == stages.size,
+      s"stage names must be unique: ${stages.map(_.name).mkString(", ")}")
+    val inCols = input.columns.toSeq
+    require(!inCols.contains("admit") && !inCols.contains("reason") &&
+      !inCols.contains("admitted") && !inCols.contains("stage"),
+      "input must not already carry admit/reason/admitted/stage columns")
+    var survivors = input
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    stages.foreach { st =>
+      val decided = st.decide(survivors)
+      require(decided.columns.contains("admit") &&
+        decided.columns.contains("reason"),
+        s"stage ${st.name} must emit admit + reason columns")
+      parts += decided.filter(!col("admit"))
+        .select(inCols.map(col) ++ Seq(lit(false).as("admitted"),
+          lit(st.name).as("stage"), col("reason")): _*)
+      survivors = decided.filter(col("admit")).select(inCols.map(col): _*)
+    }
+    parts += survivors.select(inCols.map(col) ++ Seq(
+      lit(true).as("admitted"), lit("").as("stage"), lit("").as("reason")): _*)
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** The m27 admission report over [[run]]'s disposition: one row per
+    * (stage, admitted, reason) class with integer-bp shares of the input
+    * population. Batch-side reporting (one hash aggregate over the
+    * disposition; on a stream, report over the landed disposition
+    * table). */
+  def report(disposition: DataFrame): DataFrame = {
+    val g = disposition.groupBy(col("stage"), col("admitted"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = g.agg(sum(col("n_docs")).as("__tot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("share_bp",
+        expr("CAST(n_docs * 10000 DIV __tot AS BIGINT)"))
+      .drop("__tot")
+  }
+}

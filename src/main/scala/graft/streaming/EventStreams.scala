@@ -679,6 +679,47 @@ object EventStreams {
       .select(col("new_id"), col("old_id"), col("max_dev_bp"), col(tsCol))
   }
 
+  /** Streaming video-dup admission — [[audioProbeStream]]'s VIDEO twin
+    * (the m35 probe as an ingest topology, closing the last per-modality
+    * ingest asymmetry: text, vectors, media-decode, and audio all had
+    * in-flight dup stories; video-level dedup (m31) only ran batch-side):
+    * arriving AVI payloads sample + fingerprint SCAN-SIDE through the
+    * SAME [[graft.multimodal.Multimodal.videoFingerprintOf]] kernel the
+    * batch probe uses (stateless; skipped frames never decode), probe the
+    * STANDING corpus fingerprint table by (n_frames, fp) equi-join —
+    * bounded by the delta, never corpus² — and the one stateful op is the
+    * watermarked (new_id, old_id) pair dedup so a REPLAYED payload does
+    * not re-flag.
+    *
+    * Input: streaming (idCol, tsCol, binCol AVI bytes). `corpusFp`: the
+    * static (doc_id, n_frames, fp) table ([[graft.multimodal.Multimodal
+    * .aviMetaFingerprints]] over the memoized `avi_meta` artifact, or
+    * [[graft.multimodal.Multimodal.decodedVideoFingerprints]]).
+    * Output: append-mode (new_id, old_id, n_frames, tsCol). */
+  def videoProbeStream(media: DataFrame, idCol: String, binCol: String,
+                       tsCol: String, corpusFp: DataFrame,
+                       stride: Int = 2,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val deltaFp = media.select(col(idCol).cast("long"),
+        col(tsCol).cast("timestamp"), col(binCol))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, ts, payload) =>
+          val (n, fp) = graft.multimodal.Multimodal
+            .videoFingerprintOf(payload, stride)
+          (id, ts, n, fp)
+        }
+      }.toDF("new_id", tsCol, "n_frames", "fp")
+    deltaFp
+      .join(corpusFp.select(col("doc_id").as("old_id"), col("n_frames"),
+        col("fp")), Seq("n_frames", "fp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+      .select(col("new_id"), col("old_id"), col("n_frames"), col(tsCol))
+  }
+
   /** Streaming DSIR importance scoring — [[graft.operators.Sampling
     * .dsirScoreAgainst]]'s ingest twin (p17): arriving documents score
     * against the STATIC dense `buckets`-row weight table

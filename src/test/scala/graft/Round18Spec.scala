@@ -104,6 +104,186 @@ class Round18Spec extends SparkSpecBase {
     assert(got(2L)._3.contains("16x16 frame inside a 64x64 AVI"))
   }
 
+  // ---- round 18 part 2: the index DELETE/tombstone lifecycle ------------
+  // (tombstone-at-probe + drop-at-compact for IVF / PQ / MinHash / Gram —
+  // the takedown verb; LineSetIndex stores doc-less distinct line hashes,
+  // so per-doc deletion is structurally out of its scope)
+
+  test("IVF delete: tombstoned ids vanish from probes, drop at compact and save") {
+    val idx = SimilaritySearch.buildIvfIndex(baseDf, "vec_id", "embedding",
+      nCells = 4)
+    try {
+      val gone = Set(1L, 2L, 13L)
+      val del = idx.delete(gone.toSeq.toDF("vec_id"))
+      // full cell coverage → the probe is exact: it must equal the exact
+      // probe over an index BUILT without the deleted ids
+      val got = SimilaritySearch.probeIvf(del, col("vec_id") < 6,
+          k = 3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(got.nonEmpty)
+      assert(got.forall { case (q, n, _, _) => !gone(q) && !gone(n) },
+        "a tombstoned id surfaced as a query or neighbor")
+      val rebuilt = SimilaritySearch.buildIvfIndex(
+        baseDf.filter(!col("vec_id").isin(gone.toSeq: _*)),
+        "vec_id", "embedding", nCells = 4, persist = false)
+      val want = SimilaritySearch.probeIvf(rebuilt, col("vec_id") < 6,
+          k = 3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(got.toSet === want.toSet,
+        "tombstone-filtered probe must equal the probe of a physically-rebuilt index")
+      // drop-at-compact: rows gone physically, tombstone set cleared
+      val compacted = SimilaritySearch.compactIvfIndex(del)
+      assert(compacted.tombstones.isEmpty)
+      assert(compacted.assigned.count() === 40L - gone.size)
+      // save writes the LIVE view — a loaded artifact never resurrects
+      val dir = tmpDir("r18-ivf-del")
+      val del2 = SimilaritySearch.buildIvfIndex(baseDf, "vec_id", "embedding",
+        nCells = 4, persist = false).delete(Seq(7L).toDF("vec_id"))
+      del2.save(dir)
+      val loaded = SimilaritySearch.loadIvfIndex(spark, dir, "vec_id", "embedding")
+      assert(loaded.assigned.filter(col("vec_id") === 7L).count() === 0L)
+      assert(loaded.assigned.count() === 39L)
+    } finally idx.unpersist()
+  }
+
+  test("PQ delete: tombstones filter the ADC scan, the IVF-PQ candidate " +
+    "artifact, and the compact re-fit corpus") {
+    val norm = baseDf.select(col("vec_id"),
+      SimilaritySearch.l2normalizeCol(col("embedding")).as("__vn"))
+    val ivf = SimilaritySearch.buildIvfIndex(norm, "vec_id", "__vn",
+      nCells = 4, persist = false)
+    val pq = SimilaritySearch.buildPqIndex(norm, "vec_id", "__vn",
+      m = 4, k = 16, persist = false)
+    val gone = Set(0L, 4L) // same-cell twins of queries 8/12 (vec() % 4)
+    val delPq = pq.delete(gone.toSeq.toDF("vec_id"))
+    // brute ADC scan: deleted ids must not score
+    val adc = SimilaritySearch.pqTopK(delPq, baseDf.filter(col("vec_id") >= 8),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(adc.nonEmpty && adc.forall { case (_, n) => !gone(n) })
+    // the combined candidate artifact honors tombstones from EITHER half
+    val qs = norm.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("q_id"), col("__vn").as("__qn"))
+    val viaPq = SimilaritySearch.probeIvfPq(ivf, delPq, qs, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaPq.nonEmpty && viaPq.forall { case (_, n) => !gone(n) })
+    val viaIvf = SimilaritySearch.probeIvfPq(
+        ivf.delete(gone.toSeq.toDF("vec_id")), pq, qs, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaIvf.nonEmpty && viaIvf.forall { case (_, n) => !gone(n) })
+    // drop-at-compact: the re-fit never sees the tombstoned rows even
+    // though the caller's corpus frame still carries them
+    val compacted = SimilaritySearch.compactPqIndex(delPq, norm, "__vn")
+    assert(compacted.tombstones.isEmpty)
+    assert(compacted.codes.count() === 38L)
+    assert(compacted.codes.filter(col("vec_id").isin(gone.toSeq: _*))
+      .count() === 0L)
+  }
+
+  test("MinHash delete: the tombstoned twin stops pairing; compact and " +
+    "append preserve the tombstone discipline") {
+    def sh(seed: String): Seq[String] = (1 to 24).map(i => s"${seed}_tok$i")
+    val corpus = Seq((1L, sh("a")), (2L, sh("b"))).toDF("doc_id", "sh")
+    val probe = Seq((101L, sh("a")), (102L, sh("b"))).toDF("doc_id", "sh")
+    val idx = graft.operators.Dedup.buildMinHashIndex(corpus, "doc_id", "sh")
+    try {
+      def pairs(i: graft.operators.Dedup.MinHashIndex): Set[(Long, Long)] =
+        graft.operators.Dedup.deltaNearDupsIndexed(probe, i, "doc_id", "sh",
+          threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(idx) === Set((101L, 1L), (102L, 2L)))
+      val del = idx.delete(Seq(1L).toDF("doc_id"))
+      assert(pairs(del) === Set((102L, 2L)),
+        "the deleted doc's twin must no longer retrieve it")
+      // append carries the tombstone forward (an ingest fold between a
+      // takedown and the next compact must not resurrect)
+      val appended = del.append(Seq((3L, sh("c"))).toDF("doc_id", "sh"), "sh")
+      assert(pairs(appended) === Set((102L, 2L)))
+      // compact drops physically and clears the set
+      val dir = tmpDir("r18-mh-del")
+      val compacted = appended.compact(dir)
+      assert(compacted.tombstones.isEmpty)
+      assert(compacted.signatures.count() === 2L) // docs 2 and 3
+      assert(compacted.signatures.filter(col("doc_id") === 1L).count() === 0L)
+      assert(pairs(compacted) === Set((102L, 2L)))
+      compacted.unpersist()
+    } finally idx.unpersist()
+  }
+
+  test("Gram delete: a tombstoned corpus doc stops flagging quoters; " +
+    "compact drops its gram rows") {
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$run ${(1 to 5).map(i => s"p$i").mkString(" ")}"),
+      (2L, (1 to 15).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val delta = Seq((101L, s"intro $run")).toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.buildGramIndex(corpus, "doc_id", "text",
+      k = 10, maxGramDocs = 4)
+    try {
+      def pairs(i: graft.operators.Dedup.GramIndex): Set[(Long, Long)] =
+        graft.operators.Dedup.deltaExactSubstrPairs(delta, i, "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(idx) === Set((101L, 1L)))
+      val del = idx.delete(Seq(1L).toDF("doc_id"))
+      assert(pairs(del) === Set.empty[(Long, Long)],
+        "a takedown must stop the doc flagging arriving quoters")
+      val dir = tmpDir("r18-gram-del")
+      val compacted = del.compact(dir)
+      assert(compacted.tombstones.isEmpty)
+      assert(compacted.grams.filter(col("doc_id") === 1L).count() === 0L)
+      assert(pairs(compacted) === Set.empty[(Long, Long)])
+      compacted.unpersist()
+    } finally idx.unpersist()
+  }
+
+  // ---- round 18 part 3: the composable admission pipeline ---------------
+
+  test("AdmissionPipeline: composed == hand-sequenced stages; a doc failing " +
+    "two gates is charged to the FIRST only") {
+    import graft.streaming.AdmissionPipeline
+    import graft.streaming.AdmissionPipeline.Stage
+    val in = Seq(2L, 3L, 12L, 13L).toDF("doc_id")
+    val stages = Seq(
+      Stage.rowLocal("even", pmod(col("doc_id"), lit(2)) === 0,
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(""))
+          .otherwise(lit("odd id"))),
+      Stage.verdict("small", "doc_id") { df =>
+        df.select(col("doc_id"), (col("doc_id") < 10).as("admit"),
+          when(col("doc_id") < 10, lit("")).otherwise(lit("too big"))
+            .as("reason"))
+      })
+    val disp = AdmissionPipeline.run(in, stages)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getString(2), r.getString(3))).toSet
+    // 13 fails BOTH gates but sequential semantics charge it to "even"
+    // only — it never reaches (or pays for) the second stage
+    assert(disp === Set(
+      (2L, true, "", ""),
+      (3L, false, "even", "odd id"),
+      (12L, false, "small", "too big"),
+      (13L, false, "even", "odd id")))
+    // hand-sequenced equivalent: filter → filter, drops collected manually
+    val evenOk = in.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val handAdmitted = evenOk.filter(col("doc_id") < 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(disp.filter(_._2).map(_._1) === handAdmitted)
+    // the report carries the m27 share arithmetic (4 docs → 2500 bp each)
+    val rep = AdmissionPipeline.report(AdmissionPipeline.run(in, stages))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(rep === Set(
+      ("", true, "", 1L, 2500L),
+      ("even", false, "odd id", 2L, 5000L),
+      ("small", false, "too big", 1L, 2500L)))
+    // contract guards: duplicate names and verdict-less stages refuse
+    assertThrows[IllegalArgumentException] {
+      AdmissionPipeline.run(in, stages :+ stages.head)
+    }
+    assertThrows[IllegalArgumentException] {
+      AdmissionPipeline.run(in,
+        Seq(Stage("bad", df => df.withColumn("admit", lit(true)))))
+    }
+  }
+
   test("DIB AVI header's biSizeImage carries the stride-padded payload size") {
     def le32(b: Array[Byte], at: Int): Int =
       (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |

@@ -1065,6 +1065,112 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming video probe flags re-uploaded arrivals, matches batch, suppresses replays") {
+    import java.sql.Timestamp
+    import graft.multimodal.{Codecs, Multimodal}
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    // standing corpus: three AVIs (doc 1/3 DIB, doc 2 MJPEG by parity)
+    val corpusDocs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "totally different words"), (3L, "third corpus body"))
+      .toDF("doc_id", "text")
+    val corpusFp = Multimodal.decodedVideoFingerprints(
+      Multimodal.renderAviTable(corpusDocs)).localCheckpoint()
+    // the kernel and the avi_meta-aggregate corpus paths must agree
+    // string-for-string (m35 reads the memoized artifact; the stream
+    // fingerprints scan-side)
+    val viaMeta = Multimodal.aviMetaFingerprints(
+      Multimodal.decodedAviFrameMeta(
+        Multimodal.renderAviTable(corpusDocs), stride = 2).toDF())
+    assert(corpusFp.collect().map(_.toSeq).toSet ===
+      viaMeta.collect().map(_.toSeq).toSet,
+      "videoFingerprintOf must equal the AviFrameMeta aggregate")
+    // arrivals: a RE-UPLOAD of doc 1's video (identical render — must
+    // flag against 1) and a fresh unrelated video (must not flag)
+    val dup = Multimodal.renderAviTable(
+        Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+      .collect().head.media
+    val fresh = Codecs.encodeAvi((0 until 2).map(f =>
+        Codecs.encodeJpeg(Multimodal.blockGrayImage("totally new content",
+          shift = 3 * f + 1))), 64, 64, usPerFrame = 40000)
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Array[Byte])](spark, 1)
+    val q = EventStreams.videoProbeStream(
+        memStream.toDS().toDF("doc_id", "ts", "media"), "doc_id", "media",
+        "ts", corpusFp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("video_probe_out").start()
+    try {
+      memStream.addData((101L, ts(0), dup), (102L, ts(1), fresh))
+      q.processAllAvailable()
+      memStream.addData((101L, ts(2), dup)) // replayed arrival
+      q.processAllAvailable()
+      val got = spark.table("video_probe_out")
+        .select($"new_id", $"old_id", $"n_frames")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"replay re-flagged a pair: $got")
+      assert(got.map(p => (p._1, p._2)).toSet === Set((101L, 1L)),
+        s"expected exactly the re-upload flagged against its source: $got")
+      // and the stream's verdict equals the batch probe's (m35's shape)
+      val batch = Multimodal.videoFpProbe(
+          Multimodal.decodedVideoFingerprints(
+            Seq(Multimodal.MediaRow(101L, dup, "video/avi"),
+              Multimodal.MediaRow(102L, fresh, "video/avi")).toDS()),
+          corpusFp)
+        .select($"new_id", $"old_id", $"n_frames")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.toSet === batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("AdmissionPipeline on a stream: stateless stages compose, disposition matches batch") {
+    import java.sql.Timestamp
+    import graft.streaming.AdmissionPipeline
+    import graft.streaming.AdmissionPipeline.Stage
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    // a standing fingerprint artifact — the corpus-dup stage probes it
+    // with a stream-STATIC join (the stream-safe verdict shape)
+    val corpusFp = Seq("known corpus body").toDF("text")
+      .select(graft.operators.TextAnalysis.fingerprint($"text").as("__cfp"))
+      .withColumn("__hit", lit(1)).localCheckpoint()
+    val stages = Seq(
+      Stage.rowLocal("min_len", length(col("text")) >= 10,
+        when(length(col("text")) >= 10, lit("")).otherwise(lit("too short"))),
+      Stage("corpus_dup", df => df
+        .withColumn("__fp",
+          graft.operators.TextAnalysis.fingerprint(col("text")))
+        .join(broadcast(corpusFp), col("__fp") === col("__cfp"), "left")
+        .withColumn("admit", col("__hit").isNull)
+        .withColumn("reason", when(col("__hit").isNull, lit(""))
+          .otherwise(lit("exact duplicate already in corpus")))
+        .drop("__fp", "__cfp", "__hit")))
+    val rows = Seq(
+      (1L, ts(0), "a genuinely novel arriving document"),
+      (2L, ts(1), "short"),
+      (3L, ts(2), "known corpus body"))
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)](spark, 1)
+    val q = AdmissionPipeline.run(
+        memStream.toDS().toDF("doc_id", "ts", "text"), stages)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("adm_pipe_out").start()
+    try {
+      memStream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("adm_pipe_out")
+        .select($"doc_id", $"admitted", $"stage", $"reason")
+        .as[(Long, Boolean, String, String)].collect().toSet
+      // composed-on-stream == the same composition on the batch frame
+      val want = AdmissionPipeline.run(rows.toDF("doc_id", "ts", "text"), stages)
+        .select($"doc_id", $"admitted", $"stage", $"reason")
+        .as[(Long, Boolean, String, String)].collect().toSet
+      assert(got === want, s"stream $got vs batch $want")
+      assert(got === Set(
+        (1L, true, "", ""),
+        (2L, false, "min_len", "too short"),
+        (3L, false, "corpus_dup", "exact duplicate already in corpus")))
+    } finally q.stop()
+  }
+
   test("PQ append replay guard: a re-delivered batchId is not re-applied") {
     import graft.operators.SimilaritySearch
     val ingest = new EventStreams.PqIngest(
