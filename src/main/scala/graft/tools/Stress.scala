@@ -1217,6 +1217,136 @@ object Stress {
           size(array_distinct(collect_list(col("event_type")).over(w))).as("d"))
         .agg(sum(col("d"))).collect()(0).getLong(0)
     }
+    // Round 18: s20's delete-at-probe — a 0.1%-of-corpus tombstone set
+    // against FIXED queries. The deletion is a broadcast anti-join folded
+    // into the probe's corpus scan, so this curve must TRACK the plain
+    // probe's (linear corpus scan), not add to it — growth beyond that
+    // would flag the anti-join shuffling or the tombstone set collapsing
+    // the map-side filter.
+    if (want("ivf_delete_probe")) ensureIvfIdxA()
+    time("ivf_delete_probe") {
+      val del = ivfIdxA.copy(cachedLeaves = Nil)
+        .delete(emb.filter(pmod(col("vec_id"), lit(1000)) === 3)
+          .select(col("vec_id")))
+      SimilaritySearch.probeIvf(del, col("vec_id") < 10, k = 3,
+        nProbe = 4).count()
+    }
+    // m34: cross-codec video variant dedup — corpus + MJPEG re-encodes of
+    // 20-per-replica DIB videos through the per-frame band census and the
+    // full-sequence max-Hamming verdict. Codec CPU rides the scan
+    // (map-only, the avi_frame_sample shape); the band machinery joins a
+    // tiny (doc, frame, dhash) table with capped buckets.
+    time("video_variant_dedup") {
+      val M = graft.multimodal.Multimodal
+      val base = docs.filter(length(col("text")) >= 1)
+      val variants = M.renderAviMjpegVariantTable(
+        base.filter(pmod(col("doc_id"), lit(10000000L)) < 40 &&
+          pmod(col("doc_id"), lit(2)) === 1),
+        idOffset = 700000001L)
+      val h = M.decodedAviFrameMeta(M.renderAviTable(base), stride = 2)
+        .toDF().select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("dhash"))
+        .unionByName(M.decodedAviFrameMeta(variants, stride = 2).toDF()
+          .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+            col("dhash")))
+        .localCheckpoint()
+      val bands = h.select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          explode(array((0 until 4).map(k => struct(lit(k).as("band"),
+            shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))
+              .as("bucket"))): _*)).as("bk"))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      val keep = bands.groupBy(col("frame_idx"), col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n")).filter(col("n").between(2, 16))
+        .select(col("frame_idx"), col("band"), col("bucket"))
+      val k = bands.join(keep, Seq("frame_idx", "band", "bucket"))
+      val cand = k.as("a").join(k.as("b"),
+          col("a.frame_idx") === col("b.frame_idx") &&
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.n_frames") === col("b.n_frames"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.n_frames").as("n_frames"))
+        .distinct()
+      val fa = h.select(col("doc_id").as("a_id"), col("frame_idx"),
+        col("dhash").as("ah"))
+      val fb = h.select(col("doc_id").as("b_id"), col("frame_idx"),
+        col("dhash").as("bh"))
+      cand.join(fa, Seq("a_id")).join(fb, Seq("b_id", "frame_idx"))
+        .groupBy(col("a_id"), col("b_id"), col("n_frames"))
+        .agg(max(expr("bit_count(ah ^ bh)")).cast("long").as("mh"))
+        .filter(col("mh") <= 4)
+        .count()
+    }
+    // m35: ingest video-dup probe — the corpus fingerprint artifact
+    // builds UNTIMED (its cost is avi_frame_sample's curve); the timed
+    // op is a FIXED delta (replica-0 re-uploads) rendered + kernel-
+    // fingerprinted and equi-joined against the GROWING corpus table.
+    // Flat-in-factor is the probe-tracks-the-batch evidence.
+    var videoCorpusFp: DataFrame = null
+    def ensureVideoCorpusFp(): Long = {
+      val M = graft.multimodal.Multimodal
+      if (videoCorpusFp == null)
+        videoCorpusFp = M.aviMetaFingerprints(
+          M.decodedAviFrameMeta(M.renderAviTable(
+            docs.filter(length(col("text")) >= 1)), stride = 2).toDF())
+          .localCheckpoint()
+      videoCorpusFp.count()
+    }
+    if (want("video_fp_probe")) ensureVideoCorpusFp()
+    time("video_fp_probe") {
+      val M = graft.multimodal.Multimodal
+      ensureVideoCorpusFp()
+      val spark2 = spark
+      import spark2.implicits._
+      val delta = M.renderAviTable(
+          docs.filter(length(col("text")) >= 1 &&
+            col("doc_id") < 10000000L &&
+            pmod(col("doc_id"), lit(10)) === 7))
+        .map(r => r.copy(doc_id = r.doc_id + 800000000L))
+      M.videoFpProbe(M.decodedVideoFingerprints(delta, stride = 2),
+        videoCorpusFp).count()
+    }
+    // p24: the composed admission chain (quality → blocklist →
+    // corpus-exact-dup) over the %10 = 7 delta, report aggregate on top.
+    // Both populations grow with factor; every stage is scan-side or an
+    // id/fingerprint equi-join, so the curve must stay linear.
+    time("admission_pipeline") {
+      import graft.streaming.AdmissionPipeline
+      import graft.streaming.AdmissionPipeline.Stage
+      val TA = graft.operators.TextAnalysis
+      val spark2 = spark
+      import spark2.implicits._
+      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(col("doc_id"), col("text"))
+      val corpusFps = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(TA.fingerprint(col("text")).as("__cfp")).distinct()
+      val stages = Seq(
+        Stage.verdict("quality", "doc_id") { df =>
+          TA.qualityFilter(df, "doc_id", "text")
+            .select(col("doc_id"), col("keep").as("admit"),
+              col("reasons").as("reason"))
+        },
+        Stage.verdict("blocklist", "doc_id") { df =>
+          TA.blocklistFilter(df, "doc_id", "text",
+              Seq("slow", "merge").toDF("word"))
+            .select(col("doc_id"), col("keep").as("admit"),
+              when(col("keep"), lit("")).otherwise(concat(
+                lit("blocklisted tokens: "), col("n_flagged"))).as("reason"))
+        },
+        Stage.verdict("exact_dup", "doc_id") { df =>
+          df.select(col("doc_id"), TA.fingerprint(col("text")).as("__fp"))
+            .join(corpusFps.withColumn("__hit", lit(1)),
+              col("__fp") === col("__cfp"), "left")
+            .select(col("doc_id"), col("__hit").isNull.as("admit"),
+              when(col("__hit").isNull, lit(""))
+                .otherwise(lit("exact duplicate already in corpus"))
+                .as("reason"))
+        })
+      AdmissionPipeline.report(AdmissionPipeline.run(delta, stages))
+        .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    }
     time("semantic_dedup") {
       // nCells grows ∝ factor so per-cell population (and so the
       // within-cell quadratic work) stays constant — the SemDeDup scale
