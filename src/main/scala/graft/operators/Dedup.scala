@@ -1322,19 +1322,41 @@ object Dedup {
   final case class LshVecIndex(idCol: String, vecCol: String,
                                buckets: DataFrame, vectors: DataFrame,
                                bits: Int, tables: Int,
-                               cachedFrames: Seq[DataFrame] = Nil) {
+                               cachedFrames: Seq[DataFrame] = Nil,
+                               tombstones: Option[DataFrame] = None) {
     def unpersist(): Unit = {
       buckets.unpersist(); vectors.unpersist()
       cachedFrames.foreach(_.unpersist())
       ()
     }
 
+    /** Bucket/vector tables with tombstoned ids filtered OUT — the
+      * [[MinHashIndex.liveBands]] contract (broadcast anti-join,
+      * map-side filter) for the vector-delta family's probes. */
+    def liveBuckets: DataFrame = antiTombstoned(buckets)
+    def liveVectors: DataFrame = antiTombstoned(vectors)
+    private def antiTombstoned(df: DataFrame): DataFrame = tombstones match {
+      case None => df
+      case Some(t) =>
+        df.join(broadcast(t.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+    }
+
+    /** Tombstone `ids` — the [[MinHashIndex.delete]] contract:
+      * O(|ids|), probes (batch [[deltaEmbeddingNearDups]] and the
+      * streaming twin) exclude immediately, [[save]] drops physically. */
+    def delete(ids: DataFrame): LshVecIndex = {
+      val t = ids.select(col(idCol))
+      copy(tombstones = Some(tombstones.fold(t)(_.unionByName(t))))
+    }
+
     /** Persist buckets + vectors + the (bits, tables) density the probe
       * must reuse. `mode = "append"` folds an admitted batch's files in
-      * without rewriting the standing index (meta idempotent). */
+      * without rewriting the standing index (meta idempotent). Writes
+      * the LIVE view — deletions land physically. */
     def save(dir: String, mode: String = "overwrite"): Unit = {
-      buckets.write.mode(mode).parquet(s"$dir/buckets")
-      vectors.write.mode(mode).parquet(s"$dir/vectors")
+      liveBuckets.write.mode(mode).parquet(s"$dir/buckets")
+      liveVectors.write.mode(mode).parquet(s"$dir/vectors")
       val spark = buckets.sparkSession
       import spark.implicits._
       Seq((bits, tables)).toDF("bits", "tables").coalesce(1)
@@ -1351,7 +1373,8 @@ object Dedup {
       LshVecIndex(idCol, vecCol, buckets.unionByName(bB),
         vectors.unionByName(bV), bits, tables,
         cachedFrames = cachedFrames ++ Seq(buckets, vectors) ++
-          (if (persist) Seq(bB, bV) else Nil))
+          (if (persist) Seq(bB, bV) else Nil),
+        tombstones = tombstones)
     }
   }
 
@@ -1438,14 +1461,14 @@ object Dedup {
         index.bits, index.tables)
       .select(col(index.idCol).as("new_id"), col("t"), col("bucket"))
     val candidates = dKeyed
-      .join(index.buckets.select(col(index.idCol).as("old_id"),
+      .join(index.liveBuckets.select(col(index.idCol).as("old_id"),
         col("t"), col("bucket")), Seq("t", "bucket"))
       .select(col("new_id"), col("old_id"))
       .distinct()
     candidates
       .join(delta.select(col(index.idCol).as("new_id"),
         col(index.vecCol).as("av")), Seq("new_id"))
-      .join(index.vectors.select(col(index.idCol).as("old_id"),
+      .join(index.liveVectors.select(col(index.idCol).as("old_id"),
         col(index.vecCol).as("bv")), Seq("old_id"))
       .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
         col("av"), col("bv")))

@@ -64,7 +64,15 @@ object AdmissionPipeline {
     * stages). Returns ONE row per input row — the original columns plus
     * (admitted, stage, reason), where stage/reason name the FIRST
     * dropping stage ("" on full admission). Composes on batch and
-    * streaming frames alike (stages are stateless by contract). */
+    * streaming frames alike (stages are stateless by contract).
+    *
+    * Plan shape: the disposition is a union of per-stage drop branches
+    * plus the final survivors; every branch shares the stage-prefix
+    * subplan, which Spark reuses at exchange boundaries
+    * (ReusedExchange). At lake scale, if the INPUT SCAN dominates and
+    * no exchange separates it from the verdicts, materialize the input
+    * (localCheckpoint, or land the per-stage disposition) rather than
+    * paying the scan once per branch. */
   def run(input: DataFrame, stages: Seq[Stage]): DataFrame = {
     require(stages.nonEmpty, "admission pipeline needs at least one stage")
     require(stages.map(_.name).distinct.size == stages.size,

@@ -868,9 +868,9 @@ object EventStreams {
         posexplode(graft.functions.LshTableBuckets.lshTableBuckets(
           col(vecCol), index.tables, index.bits)).as(Seq("t", "bucket")))
     keyed
-      .join(index.buckets.select(col(index.idCol).as("old_id"),
+      .join(index.liveBuckets.select(col(index.idCol).as("old_id"),
         col("t"), col("bucket")), Seq("t", "bucket"))
-      .join(index.vectors.select(col(index.idCol).as("old_id"),
+      .join(index.liveVectors.select(col(index.idCol).as("old_id"),
         col(index.vecCol).as("bv")), Seq("old_id"))
       .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
         col("av"), col("bv")))

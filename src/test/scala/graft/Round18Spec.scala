@@ -235,6 +235,38 @@ class Round18Spec extends SparkSpecBase {
     } finally idx.unpersist()
   }
 
+  test("LshVec delete: tombstoned vectors stop pairing; save drops " +
+    "physically and a loaded artifact never resurrects") {
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.operators.Dedup.buildLshVecIndex(corpus, "vec_id",
+      "embedding", bits = 6, tables = 8)
+    try {
+      val delta = Seq((101L, vec(0))).toDF("vec_id", "embedding")
+      def pairs(i: graft.operators.Dedup.LshVecIndex): Set[(Long, Long)] =
+        graft.operators.Dedup.deltaEmbeddingNearDups(delta, i, 0.95)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = pairs(idx)
+      assert(before.contains((101L, 0L)) && before.contains((101L, 4L)),
+        s"the arriving twin must pair with its near-identical sources: $before")
+      val del = idx.delete(Seq(0L, 4L).toDF("vec_id"))
+      assert(pairs(del) === before.filterNot(p => p._2 == 0L || p._2 == 4L),
+        "delete must remove exactly the tombstoned olds from the verdicts")
+      // save writes the live view; the loaded artifact stays clean
+      val dir = tmpDir("r18-lshvec-del")
+      del.save(dir)
+      val loaded = graft.operators.Dedup.loadLshVecIndex(spark, dir,
+        "vec_id", "embedding")
+      assert(loaded.vectors.filter(col("vec_id").isin(0L, 4L)).count() === 0L)
+      assert(pairs(loaded) === before.filterNot(p => p._2 == 0L || p._2 == 4L))
+      // append carries the tombstone set forward
+      val appended = del.append(
+        Seq((200L, vec(7))).toDF("vec_id", "embedding"))
+      assert(pairs(appended) === before.filterNot(p => p._2 == 0L || p._2 == 4L))
+      appended.unpersist()
+    } finally idx.unpersist()
+  }
+
   // ---- round 18 part 3: the composable admission pipeline ---------------
 
   test("AdmissionPipeline: composed == hand-sequenced stages; a doc failing " +
