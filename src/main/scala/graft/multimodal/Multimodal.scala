@@ -720,6 +720,62 @@ object Multimodal {
         col("fp")), Seq("n_frames", "fp"))
       .select(col("new_id"), col("old_id"), col("n_frames"))
 
+  /** Per-frame LSH band keys over an (doc_id, n_frames, frame_idx,
+    * dhash) sampled-frame table — the m34 recipe (4 × 14-bit bands),
+    * with hot buckets CAPPED at `bucketCap` members per (frame_idx,
+    * band, bucket): flat/boilerplate frames shared by more than
+    * `bucketCap` videos stop generating candidates (the GramIndex
+    * doc-frequency discipline applied to frames). The capped table is
+    * the standing PROBE artifact of [[videoBandProbe]] and
+    * [[graft.streaming.EventStreams.videoBandProbeStream]]. */
+  def aviBandTable(meta: DataFrame, bucketCap: Int = 16): DataFrame = {
+    val bands = meta.select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        explode(array((0 until 4).map(k => struct(lit(k).as("band"),
+          shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))
+            .as("bucket"))): _*)).as("bk"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val keep = bands.groupBy(col("frame_idx"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= bucketCap)
+      .select(col("frame_idx"), col("band"), col("bucket"))
+    bands.join(keep, Seq("frame_idx", "band", "bucket"))
+  }
+
+  /** m36: delta-vs-corpus TOLERANT video probe — the m34 cross-codec
+    * discipline in the d13/m33 ingest shape: arriving videos' SAMPLED
+    * frames band-probe the standing corpus frame table (one clean band
+    * on ANY shared frame nominates; both sides' hot buckets capped at
+    * `bucketCap`, so fan-out is bounded by the DELTA plus its
+    * collisions, never corpus²), and candidates verify over the full
+    * sampled-sequence join: header frame counts equal AND max per-frame
+    * Hamming ≤ `maxHamming`. This is what catches a LOSSY re-upload
+    * (an MJPEG re-encode of a video the lake holds as DIB) that the
+    * exact [[videoFpProbe]] is blind to. Inputs are (doc_id, n_frames,
+    * frame_idx, dhash) frame tables (delta via [[decodedAviFrameMeta]],
+    * corpus via the memoized artifact). Output: (new_id, old_id,
+    * n_frames, max_frame_hamming). */
+  def videoBandProbe(deltaMeta: DataFrame, corpusMeta: DataFrame,
+                     maxHamming: Int = 4, bucketCap: Int = 16): DataFrame = {
+    val cB = aviBandTable(corpusMeta, bucketCap)
+      .select(col("doc_id").as("old_id"), col("n_frames"),
+        col("frame_idx"), col("band"), col("bucket"))
+    val dB = aviBandTable(deltaMeta, bucketCap)
+      .select(col("doc_id").as("new_id"), col("n_frames"),
+        col("frame_idx"), col("band"), col("bucket"))
+    val cand = dB.join(cB, Seq("n_frames", "frame_idx", "band", "bucket"))
+      .select(col("new_id"), col("old_id"), col("n_frames"))
+      .distinct()
+    val fa = deltaMeta.select(col("doc_id").as("new_id"), col("frame_idx"),
+      col("dhash").as("ah"))
+    val fb = corpusMeta.select(col("doc_id").as("old_id"), col("frame_idx"),
+      col("dhash").as("bh"))
+    cand.join(fa, Seq("new_id")).join(fb, Seq("old_id", "frame_idx"))
+      .groupBy(col("new_id"), col("old_id"), col("n_frames"))
+      .agg(max(expr("bit_count(ah ^ bh)")).cast("long")
+        .as("max_frame_hamming"))
+      .filter(col("max_frame_hamming") <= maxHamming)
+  }
+
   /** The m19/m20 pixel rule: FLAT 8×8 BLOCKS, block b (row-major over an
     * 8×8 block grid) filled with gray v(b) = byte(b mod L), R = G = B.
     * Flat blocks are the oracle-exactness construction for a LOSSY DCT

@@ -104,6 +104,30 @@ private[queries] object DedupQueries {
     }),
 
 
+    // d27 (round 18): the TAKEDOWN verb on the text side, driver-visible
+    // (s20 proved it for vectors) — d17's probe after corpus docs with
+    // doc_id % 4 = 1 are tombstoned out of the SAME memoized gram-index
+    // artifact d17/d19/d21 share: `delete` returns a copy, the shared
+    // artifact is untouched (the cachedLeaves ownership story), and the
+    // probe excludes the deleted docs with a broadcast anti-join —
+    // map-side, no rebuild. Tombstone-at-probe semantics EXACTLY: the
+    // build-time doc-frequency cap was computed over the full corpus
+    // (re-zeroing happens only at compact), so the oracle filters the
+    // capped index AFTER the cap CTE, not before — an engine that
+    // re-capped at probe time would hash-mismatch.
+    "d27_delta_substr_takedown" -> ((s, dir) => {
+      val all = Dedup.spreadToParallelism(docs(s, dir))
+      val delta = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val idx = Dedup.memoizedGramIndex(corpus, "doc_id", "text",
+        k = 10, maxGramDocs = 256, cacheKey = dir + "#gidx")
+      val takedown = idx.delete(
+        corpus.filter(pmod(col("doc_id"), lit(4)) === 1)
+          .select(col("doc_id")))
+      Dedup.deltaExactSubstrPairs(delta, takedown, "text")
+    }),
+
+
     // Span-level delta ExactSubstr APPLY (d17's cleaning counterpart,
     // sharing its memoized corpus gram index): arriving docs (% 10 = 7)
     // land with every run that verbatim-quotes >= 10 consecutive corpus
@@ -749,6 +773,30 @@ private[queries] object DedupQueries {
          SELECT b.doc_id AS new_id, i.doc_id AS old_id,
                 CAST(count(*) AS BIGINT) AS n_shared_runs
          FROM bat b JOIN idx i USING (gram)
+         GROUP BY 1, 2""",
+
+    // d27: d17's chain with the tombstone filter applied to the capped
+    // index AT PROBE — after keepc (the cap was computed over the full
+    // corpus at build; re-zeroing is compact's job, not the probe's).
+    "d27_delta_substr_takedown" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                    FROM documents),
+              g AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(
+                             generate_series(1, len(ws) - 9),
+                             i -> list_aggregate(ws[i:i+9], 'string_agg', ' ')))) AS gram
+                    FROM w WHERE len(ws) >= 10),
+              gc AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7),
+              gd AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 = 7),
+              keepc AS (SELECT gram FROM gc GROUP BY gram HAVING count(*) <= 256),
+              keepd AS (SELECT gram FROM gd GROUP BY gram HAVING count(*) <= 256),
+              idx AS (SELECT gc.doc_id, gc.gram FROM gc JOIN keepc USING (gram)),
+              live AS (SELECT doc_id, gram FROM idx WHERE doc_id % 4 <> 1),
+              bat AS (SELECT gd.doc_id, gd.gram FROM gd JOIN keepd USING (gram))
+         SELECT b.doc_id AS new_id, i.doc_id AS old_id,
+                CAST(count(*) AS BIGINT) AS n_shared_runs
+         FROM bat b JOIN live i USING (gram)
          GROUP BY 1, 2""",
 
     // d21: d19's CTE chain (stage 1, corpus precedence) feeding d16's

@@ -350,6 +350,38 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m36 (round 18): ingest-time TOLERANT video-dup flagging — m34's
+    // cross-codec discipline in the m33/m35 delta-vs-corpus shape (and
+    // the batch twin of EventStreams.videoBandProbeStream, proven
+    // stream==batch in StreamingSpec). m35's exact-fp probe is blind to
+    // a LOSSY re-upload (an MJPEG re-encode of a DIB video — different
+    // decoded pixels), the dominant real-corpus video-dup class;
+    // arrivals here are exactly that plant (odd docs < 40 re-encoded
+    // MJPEG at +1100001), their SAMPLED frames band-probe the standing
+    // corpus frame artifact (4 × 14-bit bands per frame, hot buckets
+    // capped ≤ 16 on BOTH sides — fan-out bounded by the delta plus
+    // collisions, never corpus²), and candidates verify over the full
+    // sampled-sequence join: n_frames equal, max per-frame Hamming ≤ 4.
+    // The oracle recomputes both quantized pixel domains and the capped
+    // band probe exactly, so the tolerant pair set is deterministic.
+    "m36_ingest_video_variant_flag" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val corpusMeta = M.memoizedAviFrameMeta(base, dir).toDF()
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("dhash"))
+      val deltaMeta = M.decodedAviFrameMeta(
+          M.renderAviMjpegVariantTable(
+            base.filter(col("doc_id") < 40 &&
+              pmod(col("doc_id"), lit(2)) === 1),
+            idOffset = 1100001L), stride = 2).toDF()
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("dhash"))
+        .localCheckpoint()
+      M.videoBandProbe(deltaMeta, corpusMeta)
+    }),
+
+
     "m32_audio_variant_dedup" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
       val base = docs(s, dir).filter(length(col("text")) >= 1)
@@ -1226,6 +1258,66 @@ private[queries] object MultimodalQueries {
          SELECT dl.doc_id + 500000 AS new_id, c.doc_id AS old_id, c.n_frames
          FROM v dl JOIN v c ON dl.fp = c.fp AND dl.n_frames = c.n_frames
          WHERE dl.doc_id % 10 = 7""",
+
+    // m36: both quantized pixel domains closed-form (corpus by parity,
+    // delta MJPEG-quantized), per-frame band keys with each side's hot
+    // buckets capped ≤ 16 INDEPENDENTLY, the cross join on (n_frames,
+    // frame_idx, band, bucket), then the full-sequence max-Hamming ≤ 4
+    // verdict.
+    "m36_ingest_video_variant_flag" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              au AS (SELECT src, src AS doc_id, src % 2 = 0 AS q, 'c' AS side, text, L
+                     FROM (SELECT doc_id AS src, text, L FROM d)
+                     UNION ALL
+                     SELECT src, src + 1100001 AS doc_id, TRUE AS q, 'd' AS side, text, L
+                     FROM (SELECT doc_id AS src, text, L FROM d
+                           WHERE doc_id < 40 AND doc_id % 2 = 1)),
+              fr AS (SELECT doc_id, src, q, side, text, L,
+                            unnest(generate_series(0, CAST(1 + src % 3 AS BIGINT))) AS f
+                     FROM au),
+              sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+              g AS (SELECT doc_id, side, f, CAST(2 + src % 3 AS BIGINT) AS n_frames,
+                      list_transform(generate_series(0, 63),
+                        b -> CASE WHEN q
+                               THEN 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)
+                               ELSE 32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95 END) AS gv
+                    FROM sf),
+              h AS (SELECT doc_id, side, n_frames, f AS frame_idx,
+                      CAST(list_sum(list_transform(generate_series(0, 55),
+                        b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                       > gv[(b // 7) * 8 + (b % 7) + 2]
+                                  THEN (CAST(1 AS BIGINT) << b)
+                                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+                    FROM g),
+              cb0 AS (SELECT doc_id, n_frames, frame_idx, bb AS band,
+                             (dhash >> (14 * bb)) & 16383 AS bucket
+                      FROM h, (SELECT unnest(generate_series(0, 3)) AS bb)
+                      WHERE side = 'c'),
+              db0 AS (SELECT doc_id, n_frames, frame_idx, bb AS band,
+                             (dhash >> (14 * bb)) & 16383 AS bucket
+                      FROM h, (SELECT unnest(generate_series(0, 3)) AS bb)
+                      WHERE side = 'd'),
+              keepc AS (SELECT frame_idx, band, bucket FROM cb0
+                        GROUP BY 1, 2, 3 HAVING count(*) <= 16),
+              keepd AS (SELECT frame_idx, band, bucket FROM db0
+                        GROUP BY 1, 2, 3 HAVING count(*) <= 16),
+              cb AS (SELECT cb0.* FROM cb0 JOIN keepc USING (frame_idx, band, bucket)),
+              db AS (SELECT db0.* FROM db0 JOIN keepd USING (frame_idx, band, bucket)),
+              cand AS (SELECT DISTINCT db.doc_id AS new_id,
+                              cb.doc_id AS old_id, db.n_frames AS n_frames
+                       FROM db JOIN cb ON db.n_frames = cb.n_frames
+                            AND db.frame_idx = cb.frame_idx
+                            AND db.band = cb.band AND db.bucket = cb.bucket),
+              v AS (SELECT cand.new_id, cand.old_id, cand.n_frames,
+                           max(bit_count(xor(fa.dhash, fb.dhash))) AS mh
+                    FROM cand
+                    JOIN h fa ON fa.doc_id = cand.new_id AND fa.side = 'd'
+                    JOIN h fb ON fb.doc_id = cand.old_id AND fb.side = 'c'
+                         AND fb.frame_idx = fa.frame_idx
+                    GROUP BY 1, 2, 3)
+         SELECT new_id, old_id, n_frames, CAST(mh AS BIGINT) AS max_frame_hamming
+         FROM v WHERE mh <= 4""",
 
     // m28: the m19 closed form — a CORRECT progressive decode assembles
     // the same quantized coefficients the sequential scan carries, so

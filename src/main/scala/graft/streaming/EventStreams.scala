@@ -720,6 +720,82 @@ object EventStreams {
       .select(col("new_id"), col("old_id"), col("n_frames"), col(tsCol))
   }
 
+  /** Streaming TOLERANT video-dup admission — [[videoProbeStream]]'s
+    * lossy-re-encode-aware sibling (the m36 probe as an ingest
+    * topology): the exact-fp probe is blind to an MJPEG re-upload of a
+    * video the lake holds as DIB (different decoded pixels), which is
+    * the dominant real-corpus video-dup class. Arriving AVIs sample +
+    * dHash scan-side through the SAME [[graft.multimodal.Multimodal
+    * .videoFingerprintOf]] kernel, each sampled frame band-probes the
+    * STANDING capped corpus band table ([[graft.multimodal.Multimodal
+    * .aviBandTable]] — one clean band on ANY shared frame nominates;
+    * hot buckets capped index-side, so fan-out is bounded by the delta
+    * plus its collisions), and the verdict is ROW-LOCAL on the joined
+    * pair: header frame counts equal (a join key) and max per-frame
+    * Hamming ≤ `maxHamming` over the two sampled sequences (zip of the
+    * arriving hash array with the corpus row's — no streaming
+    * aggregate anywhere). The one stateful op is the watermarked
+    * (new_id, old_id) dedup, which collapses multi-band/multi-frame
+    * nominations AND suppresses replays. The batch-side delta bucket
+    * cap is a batch-mode refinement the stream cannot apply (a
+    * within-batch census is a streaming aggregate); the structural
+    * bound is the INDEX-side cap, the deltaExactSubstrPairs argument.
+    *
+    * Input: streaming (idCol, tsCol, binCol AVI bytes). `corpusMeta`:
+    * the static (doc_id, n_frames, frame_idx, dhash) frame table (the
+    * memoized `avi_meta` artifact). Output: append-mode (new_id,
+    * old_id, n_frames, max_frame_hamming, tsCol). */
+  def videoBandProbeStream(media: DataFrame, idCol: String, binCol: String,
+                           tsCol: String, corpusMeta: DataFrame,
+                           stride: Int = 2, maxHamming: Int = 4,
+                           bucketCap: Int = 16,
+                           watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val M = graft.multimodal.Multimodal
+    val cB = M.aviBandTable(corpusMeta, bucketCap)
+      .select(col("doc_id").as("old_id"), col("n_frames"),
+        col("frame_idx"), col("band"), col("bucket"))
+    val cSeq = corpusMeta.groupBy(col("doc_id").as("old_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
+        f => f.getField("dhash")).as("__bh"))
+    val delta = media.select(col(idCol).cast("long"),
+        col(tsCol).cast("timestamp"), col(binCol))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, ts, payload) =>
+          val (n, fp) = graft.multimodal.Multimodal
+            .videoFingerprintOf(payload, stride)
+          val hs = if (fp.isEmpty) Seq.empty[Long]
+                   else fp.split(",").toSeq.map(_.toLong)
+          (id, ts, n, hs)
+        }
+      }.toDF("new_id", tsCol, "n_frames", "__ah")
+    val frames = delta.select(col("new_id"), col(tsCol), col("n_frames"),
+        col("__ah"), posexplode(col("__ah")).as(Seq("__pos", "dhash")))
+      .withColumn("frame_idx", (col("__pos") * stride).cast("long"))
+      .select(col("new_id"), col(tsCol), col("n_frames"), col("__ah"),
+        col("frame_idx"),
+        explode(array((0 until 4).map(k => struct(lit(k).as("band"),
+          shiftright(col("dhash"), 14 * k).bitwiseAND(lit(16383L))
+            .as("bucket"))): _*)).as("bk"))
+      .select(col("new_id"), col(tsCol), col("n_frames"), col("__ah"),
+        col("frame_idx"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+    frames
+      .join(cB, Seq("n_frames", "frame_idx", "band", "bucket"))
+      .join(cSeq, Seq("old_id"))
+      .withColumn("max_frame_hamming",
+        expr("aggregate(zip_with(__ah, __bh, (x, y) -> bit_count(x ^ y)), " +
+          "0L, (a, x) -> greatest(a, CAST(x AS BIGINT)))"))
+      .filter(col("max_frame_hamming") <= maxHamming)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+      .select(col("new_id"), col("old_id"), col("n_frames"),
+        col("max_frame_hamming"), col(tsCol))
+  }
+
   /** Streaming DSIR importance scoring — [[graft.operators.Sampling
     * .dsirScoreAgainst]]'s ingest twin (p17): arriving documents score
     * against the STATIC dense `buckets`-row weight table

@@ -1308,6 +1308,39 @@ object Stress {
       M.videoFpProbe(M.decodedVideoFingerprints(delta, stride = 2),
         videoCorpusFp).count()
     }
+    // m36: the TOLERANT video probe — a FIXED delta of lossy MJPEG
+    // re-uploads band-probing the growing corpus frame artifact (built
+    // untimed; its curve is avi_frame_sample's). The capped band join +
+    // sequence verdict must stay flat-ish like video_fp_probe: growth
+    // beyond the corpus-side band-table scan would flag uncapped
+    // fan-out.
+    var videoCorpusMeta: DataFrame = null
+    def ensureVideoCorpusMeta(): Long = {
+      val M = graft.multimodal.Multimodal
+      if (videoCorpusMeta == null)
+        videoCorpusMeta = M.decodedAviFrameMeta(M.renderAviTable(
+            docs.filter(length(col("text")) >= 1)), stride = 2).toDF()
+          .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+            col("dhash"))
+          .localCheckpoint()
+      videoCorpusMeta.count()
+    }
+    if (want("video_band_probe")) ensureVideoCorpusMeta()
+    time("video_band_probe") {
+      val M = graft.multimodal.Multimodal
+      ensureVideoCorpusMeta()
+      val deltaMeta = M.decodedAviFrameMeta(
+          M.renderAviMjpegVariantTable(
+            docs.filter(length(col("text")) >= 1 &&
+              col("doc_id") < 10000000L &&
+              pmod(col("doc_id"), lit(2)) === 1 &&
+              pmod(col("doc_id"), lit(10)) === 7),
+            idOffset = 850000001L), stride = 2).toDF()
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("dhash"))
+        .localCheckpoint()
+      M.videoBandProbe(deltaMeta, videoCorpusMeta).count()
+    }
     // p24: the composed admission chain (quality → blocklist →
     // corpus-exact-dup) over the %10 = 7 delta, report aggregate on top.
     // Both populations grow with factor; every stage is scan-side or an

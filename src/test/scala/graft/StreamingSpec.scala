@@ -1171,6 +1171,70 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming tolerant video probe flags LOSSY re-encodes the exact " +
+    "probe misses, matches batch, suppresses replays") {
+    import java.sql.Timestamp
+    import graft.multimodal.{Codecs, Multimodal}
+    def ts(minute: Long) = new Timestamp(1700000000000L + minute * 60000L)
+    // doc 1's text carries a "ba" adjacency: v('b')=98 > v('a')=97 raw
+    // (DIB), but MJPEG quantization rounds both to 98 — a REAL dHash
+    // flip, so the plant is provably invisible to the exact fingerprint
+    // while staying within the tolerant bound
+    val corpusDocs = Seq((1L, "alpha beta gamma delta ba"),
+      (2L, "totally different words"), (3L, "third corpus body"))
+      .toDF("doc_id", "text")
+    val corpusMeta = Multimodal.decodedAviFrameMeta(
+        Multimodal.renderAviTable(corpusDocs), stride = 2).toDF()
+      .select($"doc_id", $"n_frames", $"frame_idx", $"dhash")
+      .localCheckpoint()
+    // an MJPEG re-encode of doc 1's DIB frames: decoded pixels genuinely
+    // move (JPEG quantization), so the EXACT fingerprint cannot pair it
+    val imgs = (0 until 3).map(f =>
+      Multimodal.blockGrayImage("alpha beta gamma delta ba", shift = 7 * f))
+    val lossy = Codecs.encodeAvi(imgs.map(Codecs.encodeJpeg(_)), 64, 64,
+      usPerFrame = 40000)
+    val (nL, fpLossy) = Multimodal.videoFingerprintOf(lossy, 2)
+    val exactFps = Multimodal.aviMetaFingerprints(corpusMeta)
+      .select($"fp").as[String].collect().toSet
+    assert(nL === 3L && !exactFps.contains(fpLossy),
+      "the plant must be invisible to the exact sequence fingerprint")
+    val fresh = Codecs.encodeAvi(Seq(Codecs.encodeJpeg(
+      Multimodal.blockGrayImage("unrelated fresh content", shift = 5))),
+      64, 64, usPerFrame = 40000)
+    val memStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Array[Byte])](spark, 1)
+    val q = EventStreams.videoBandProbeStream(
+        memStream.toDS().toDF("doc_id", "ts", "media"), "doc_id", "media",
+        "ts", corpusMeta)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("video_band_probe_out").start()
+    try {
+      memStream.addData((100L, ts(0), lossy), (102L, ts(1), fresh))
+      q.processAllAvailable()
+      memStream.addData((100L, ts(2), lossy)) // replayed arrival
+      q.processAllAvailable()
+      val got = spark.table("video_band_probe_out")
+        .select($"new_id", $"old_id", $"n_frames", $"max_frame_hamming")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"replay re-flagged a pair: $got")
+      assert(got.map(p => (p._1, p._2)).toSet === Set((100L, 1L)),
+        s"expected exactly the lossy re-encode flagged against its source: $got")
+      assert(got.forall(p => p._4 > 0L && p._4 <= 4L),
+        s"the pair must show REAL but bounded per-frame deviation: $got")
+      // and the stream's verdict equals the m36 batch probe's (even ids
+      // so the corpus-render parity rule lets the batch side decode)
+      val deltaMeta = Multimodal.decodedAviFrameMeta(
+          Seq(Multimodal.MediaRow(100L, lossy, "video/avi;mjpeg"),
+            Multimodal.MediaRow(102L, fresh, "video/avi;mjpeg")).toDS(),
+          stride = 2).toDF()
+        .select($"doc_id", $"n_frames", $"frame_idx", $"dhash")
+      val batch = Multimodal.videoBandProbe(deltaMeta, corpusMeta)
+        .select($"new_id", $"old_id", $"n_frames", $"max_frame_hamming")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.toSet === batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("PQ append replay guard: a re-delivered batchId is not re-applied") {
     import graft.operators.SimilaritySearch
     val ingest = new EventStreams.PqIngest(
