@@ -382,6 +382,78 @@ private[queries] object MultimodalQueries {
     }),
 
 
+    // m37 (round 18): the MEDIA admission pipeline — p24's composable
+    // chain over BINARY payloads, the cross-modality capstone: the m27
+    // ten-class mix runs decode-gate → audio-dup → video-dup through
+    // AdmissionPipeline with sequential semantics and the m27 report on
+    // top. Stage 1 is the SAME gate transform the streaming ingest runs
+    // (every payload genuinely decoded, AVI frames included; the three
+    // planted rejection classes drop by their deterministic reasons).
+    // Stage 2 probes admitted AUDIO against the standing corpus
+    // fingerprint table: the float-WAV class decodes LOSSLESSLY to the
+    // same samples as the corpus PCM16 render (the m26-pinned
+    // equality), so a CORRECT engine flags every one as a re-upload —
+    // the oracle pins the class dropped, the m29 convention. Stage 3
+    // probes admitted VIDEO against the m31 fingerprint table: the
+    // 2-frame MJPEG mix AVI matches corpus videos with n_frames = 2 and
+    // an equal sampled fp — a parity-dependent, text-dependent set both
+    // engines recompute exactly (quantized arrival vs parity-domain
+    // corpus), so SOME class-9 docs drop and some admit. Stages are
+    // stateless; each probe is bounded by its modality's slice of the
+    // batch, never corpus².
+    "m37_media_admission_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.AdmissionPipeline
+      import graft.streaming.AdmissionPipeline.Stage
+      val M = graft.multimodal.Multimodal
+      val base = docs(s, dir).filter(length(col("text")) >= 1)
+      val media = M.renderAdmissionMixTable(base).toDF()
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      val audioCorpusFp = M.decodedAudioFingerprints(
+        M.renderWavTable(base)).localCheckpoint()
+      val videoCorpusFp = M.aviMetaFingerprints(
+        M.memoizedAviFrameMeta(base, dir).toDF())
+      val stages = Seq(
+        Stage.verdict("decode", "doc_id") { df =>
+          graft.streaming.EventStreams
+            .mediaDecodeGateStream(df, "doc_id", "media", "ts")
+            .select(col("new_id").as("doc_id"), col("admit"), col("reason"))
+        },
+        Stage.verdict("audio_dup", "doc_id") { df =>
+          val flagged = M.audioFpProbe(
+              M.decodedAudioFingerprints(
+                df.filter(col("format").startsWith("audio/"))
+                  .select(col("doc_id"), col("media"), col("format"))
+                  .as[M.MediaRow]),
+              audioCorpusFp, maxDevBp = 700L)
+            .select(col("new_id").as("doc_id")).distinct()
+            .withColumn("__dup", lit(1))
+          df.select(col("doc_id")).join(flagged, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("__dup").isNull.as("admit"),
+              when(col("__dup").isNull, lit(""))
+                .otherwise(lit("duplicate audio content already in corpus"))
+                .as("reason"))
+        },
+        Stage.verdict("video_dup", "doc_id") { df =>
+          val flagged = M.videoFpProbe(
+              M.decodedVideoFingerprints(
+                df.filter(col("format").startsWith("video/avi"))
+                  .select(col("doc_id"), col("media"), col("format"))
+                  .as[M.MediaRow], stride = 2),
+              videoCorpusFp)
+            .select(col("new_id").as("doc_id")).distinct()
+            .withColumn("__dup", lit(1))
+          df.select(col("doc_id")).join(flagged, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("__dup").isNull.as("admit"),
+              when(col("__dup").isNull, lit(""))
+                .otherwise(lit("duplicate video content already in corpus"))
+                .as("reason"))
+        })
+      AdmissionPipeline.report(AdmissionPipeline.run(media, stages))
+    }),
+
+
     "m32_audio_variant_dedup" -> ((s, dir) => {
       val M = graft.multimodal.Multimodal
       val base = docs(s, dir).filter(length(col("text")) >= 1)
@@ -1318,6 +1390,74 @@ private[queries] object MultimodalQueries {
                     GROUP BY 1, 2, 3)
          SELECT new_id, old_id, n_frames, CAST(mh AS BIGINT) AS max_frame_hamming
          FROM v WHERE mh <= 4""",
+
+    // m37: the sequential media chain replayed — the m27 class/reason
+    // table for the decode stage; the audio stage PINNED dropped for
+    // every float-WAV class (the m26 lossless-decode equality: its
+    // fingerprint equals its own corpus PCM16 entry at deviation 0);
+    // the video stage from the m31 closed forms — a class-9 arrival
+    // (2-frame MJPEG, quantized frame-0 dHash) drops iff SOME corpus
+    // video with n_frames = 2 carries an equal sampled fp; then the m27
+    // share arithmetic.
+    "m37_media_admission_pipeline" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 1),
+              fr AS (SELECT doc_id, text, L,
+                            unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT))) AS f
+                     FROM d),
+              sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+              g AS (SELECT doc_id, f,
+                      list_transform(generate_series(0, 63),
+                        b -> CASE WHEN doc_id % 2 = 0
+                               THEN 2 * (((32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)
+                               ELSE 32 + ((ascii(substr(text, 1 + ((b + 7 * f) % L), 1)) - 32) % 95 + 95) % 95 END) AS gv
+                    FROM sf),
+              h AS (SELECT doc_id, f,
+                      CAST(list_sum(list_transform(generate_series(0, 55),
+                        b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                       > gv[(b // 7) * 8 + (b % 7) + 2]
+                                  THEN (CAST(1 AS BIGINT) << b)
+                                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+                    FROM g),
+              vcorp AS (SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+                               string_agg(CAST(dhash AS VARCHAR), ',' ORDER BY f) AS fp
+                        FROM h GROUP BY doc_id),
+              ga AS (SELECT doc_id,
+                       list_transform(generate_series(0, 63),
+                         b -> 2 * (((32 + ((ascii(substr(text, 1 + (b % L), 1)) - 32) % 95 + 95) % 95) + 1) // 2)) AS gv
+                     FROM d WHERE doc_id % 10 = 9),
+              varr AS (SELECT doc_id,
+                         CAST(CAST(list_sum(list_transform(generate_series(0, 55),
+                           b -> CASE WHEN gv[(b // 7) * 8 + (b % 7) + 1]
+                                          > gv[(b // 7) * 8 + (b % 7) + 2]
+                                     THEN (CAST(1 AS BIGINT) << b)
+                                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS VARCHAR) AS afp
+                       FROM ga),
+              vdup AS (SELECT DISTINCT varr.doc_id FROM varr
+                       JOIN vcorp ON vcorp.n_frames = 2 AND vcorp.fp = varr.afp),
+              disp AS (SELECT doc_id,
+                         CASE WHEN doc_id % 10 IN (6, 7, 8) THEN 'decode'
+                              WHEN doc_id % 10 = 4 THEN 'audio_dup'
+                              WHEN doc_id % 10 = 9 AND
+                                   doc_id IN (SELECT doc_id FROM vdup)
+                                THEN 'video_dup'
+                              ELSE '' END AS stage,
+                         CASE WHEN doc_id % 10 = 6 THEN 'truncated PNG chunk (length 13 at offset 8)'
+                              WHEN doc_id % 10 = 7 THEN 'unsupported JPEG precision 12 (8-bit only)'
+                              WHEN doc_id % 10 = 8 THEN 'unrecognized container magic'
+                              WHEN doc_id % 10 = 4 THEN 'duplicate audio content already in corpus'
+                              WHEN doc_id % 10 = 9 AND
+                                   doc_id IN (SELECT doc_id FROM vdup)
+                                THEN 'duplicate video content already in corpus'
+                              ELSE '' END AS reason
+                       FROM d),
+              g2 AS (SELECT stage, stage = '' AS admitted, reason,
+                            count(*) AS n
+                     FROM disp GROUP BY 1, 2, 3),
+              t AS (SELECT sum(n) AS tot FROM g2)
+         SELECT stage, admitted, reason, CAST(n AS BIGINT) AS n_docs,
+                CAST(n * 10000 // tot AS BIGINT) AS share_bp
+         FROM g2, t""",
 
     // m28: the m19 closed form — a CORRECT progressive decode assembles
     // the same quantized coefficients the sequential scan carries, so
