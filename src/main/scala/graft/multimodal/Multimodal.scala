@@ -21,6 +21,26 @@ object Multimodal {
   /** A media row: opaque payload + metadata. */
   final case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
 
+  /** The (doc_id, text) projection every render table reads, spread to
+    * cluster parallelism on batch frames. At bench SFs the documents
+    * table is ONE compact parquet split, so without this every render's
+    * codec CPU — the engine's hottest per-row work (JPEG DCT/Huffman,
+    * PNG deflate, AVI mux) — and the decode stage fused behind it
+    * serialized on a single core (measured: m29 ran its whole
+    * encode+decode pass on 1 of 32 cores). One round-robin exchange of
+    * the tiny (id, text) rows buys the full cluster for the map stage —
+    * and matches the 100 TB shape, where a corpus scan arrives as
+    * thousands of splits; [[graft.operators.Dedup.spreadToParallelism]]
+    * is the d03 scan-layout lesson and is a no-op once the source
+    * already carries parallelism. Streaming frames pass through
+    * (micro-batches inherit the source's partitioning, and the helper
+    * cannot read a streaming frame's partition count anyway). */
+  private def renderInput(documents: DataFrame): DataFrame = {
+    val proj = documents.select(col("doc_id"), col("text"))
+    if (proj.isStreaming) proj
+    else graft.operators.Dedup.spreadToParallelism(proj)
+  }
+
   /** Extracted features: fixed-width embedding + decoded dimensions. */
   final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                                  n_bytes: Long, features: Array[Float])
@@ -33,7 +53,7 @@ object Multimodal {
   def asMediaTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents
+    renderInput(documents)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
         lit("stub/raw").as("format"))
       .as[MediaRow]
@@ -355,7 +375,7 @@ object Multimodal {
                      idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           MediaRow(id + idOffset,
@@ -376,7 +396,7 @@ object Multimodal {
                      idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val rgba = id % 2 == 0
@@ -400,7 +420,7 @@ object Multimodal {
                           height: Int): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           (id % 4) match {
@@ -451,7 +471,7 @@ object Multimodal {
   def renderAdmissionMixTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           def gifIndices(w: Int, h: Int): Array[Byte] = {
@@ -523,7 +543,7 @@ object Multimodal {
                      idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val tb = textCps(text, "renderGifTable")
@@ -549,7 +569,7 @@ object Multimodal {
   def renderAviTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val nFrames = 2 + (id % 3).toInt
@@ -582,7 +602,7 @@ object Multimodal {
                                  idOffset: Long): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val nFrames = 2 + (id % 3).toInt
@@ -815,7 +835,7 @@ object Multimodal {
                       lumaV: Int = 1): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val rst = if (id % 2 == 0) 2 else 0
@@ -859,7 +879,7 @@ object Multimodal {
                               idOffset: Long): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val o = 2 + (id % 7).toInt
@@ -908,7 +928,7 @@ object Multimodal {
                                  qscale: Int = 1): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val f = if (id % 2 == 0) 2 else 1
@@ -1122,7 +1142,7 @@ object Multimodal {
                          idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val tb = textCps(text, "renderGifAnimTable")
@@ -1384,7 +1404,7 @@ object Multimodal {
   def renderWavTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           MediaRow(id, Codecs.encodeWav(textPcm(id, text), junkChunk = id % 2 == 0),
@@ -1405,7 +1425,7 @@ object Multimodal {
                           idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val pcm = textPcm(id, text)
@@ -1479,6 +1499,32 @@ object Multimodal {
     }.toDF("doc_id", "fp", "energies")
   }
 
+  /** Per-(session, cacheKey) memoized corpus PCM16-WAV fingerprint table
+    * (doc_id, fp, energies) — the [[memoizedAviFrameMeta]] pattern for
+    * the audio family. The STANDING corpus fingerprint table is exactly
+    * the artifact a real ingest deployment keeps beside the lake (m33's
+    * whole premise); round 18 measured m33 AND m37 each re-rendering and
+    * re-decoding the corpus WAVs on every execution to rebuild it.
+    * Tiny rows (2 longs + 16 energies per doc), materialized via
+    * localCheckpoint, cost priced in `warmup_artifacts` as `wav_fp`.
+    * Consumers slice it per doc_id (fingerprints are per-doc pure, so a
+    * filtered read equals a filtered build). */
+  private val wavFpCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  def memoizedWavFingerprints(documents: DataFrame,
+                              cacheKey: String): DataFrame = {
+    val it = wavFpCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    wavFpCache.computeIfAbsent((documents.sparkSession, cacheKey),
+      _ => graft.tools.BuildTimer.time("wav_fp")(
+        decodedAudioFingerprints(renderWavTable(documents))
+          .localCheckpoint()))
+  }
+
   /** The delta-vs-corpus audio probe (m33, the d13/d21 ingest shape for
     * the audio family): arriving fingerprints equi-join the STANDING
     * corpus fingerprint table on fp — the join is bounded by the delta,
@@ -1505,7 +1551,7 @@ object Multimodal {
   def renderWavVariantsTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val pcm = textPcm(id, text)
@@ -1535,7 +1581,7 @@ object Multimodal {
   def renderAlawWavTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    renderInput(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val pcm = textPcm(id, text)

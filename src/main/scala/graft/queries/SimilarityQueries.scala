@@ -93,7 +93,10 @@ private[queries] object SimilarityQueries {
 
 
     "s02_cosine_threshold" -> ((s, dir) =>
-      SimilaritySearch.thresholdPairs(emb(s, dir), "vec_id", "embedding",
+      // spread: the all-pairs nested-loop join streams the LEFT side —
+      // on the compact 1-split scan every cosine ran on one core
+      SimilaritySearch.thresholdPairs(
+        Dedup.spreadToParallelism(emb(s, dir)), "vec_id", "embedding",
         threshold = 0.4)),
 
 

@@ -67,12 +67,20 @@ object AdmissionPipeline {
     * streaming frames alike (stages are stateless by contract).
     *
     * Plan shape: the disposition is a union of per-stage drop branches
-    * plus the final survivors; every branch shares the stage-prefix
-    * subplan, which Spark reuses at exchange boundaries
-    * (ReusedExchange). At lake scale, if the INPUT SCAN dominates and
-    * no exchange separates it from the verdicts, materialize the input
-    * (localCheckpoint, or land the per-stage disposition) rather than
-    * paying the scan once per branch. */
+    * plus the final survivors. On a BATCH frame each stage's decided
+    * frame is localCheckpoint-materialized before it fans out: a
+    * decided frame feeds BOTH its drop branch and the next stage's
+    * survivors, and a [[Stage.verdict]] stage additionally reads its
+    * survivors twice (join left side + the verdict subplan), so without
+    * the checkpoint the stage-1 work is re-evaluated once per
+    * DOWNSTREAM BRANCH — ~2^k copies of an expensive gate decode by
+    * stage k (measured on m37's three-stage media chain: 5.9 s median /
+    * 19.3 s worst vs 1.9 s for the single-pass m27 gate). The
+    * checkpoint bounds every stage to exactly one evaluation — the same
+    * thing landing the per-stage disposition table does in a real
+    * deployment. Streaming frames cannot checkpoint mid-plan; there the
+    * branch-union shape stands, which is fine because stream-legal
+    * stages are rowLocal/stream-static (cheap, fused into the scan). */
   def run(input: DataFrame, stages: Seq[Stage]): DataFrame = {
     require(stages.nonEmpty, "admission pipeline needs at least one stage")
     require(stages.map(_.name).distinct.size == stages.size,
@@ -84,10 +92,12 @@ object AdmissionPipeline {
     var survivors = input
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     stages.foreach { st =>
-      val decided = st.decide(survivors)
-      require(decided.columns.contains("admit") &&
-        decided.columns.contains("reason"),
+      val decidedPlan = st.decide(survivors)
+      require(decidedPlan.columns.contains("admit") &&
+        decidedPlan.columns.contains("reason"),
         s"stage ${st.name} must emit admit + reason columns")
+      val decided =
+        if (decidedPlan.isStreaming) decidedPlan else decidedPlan.localCheckpoint()
       parts += decided.filter(!col("admit"))
         .select(inCols.map(col) ++ Seq(lit(false).as("admitted"),
           lit(st.name).as("stage"), col("reason")): _*)
