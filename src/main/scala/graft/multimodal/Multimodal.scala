@@ -30,16 +30,39 @@ object Multimodal {
     * encode+decode pass on 1 of 32 cores). One round-robin exchange of
     * the tiny (id, text) rows buys the full cluster for the map stage —
     * and matches the 100 TB shape, where a corpus scan arrives as
-    * thousands of splits; [[graft.operators.Dedup.spreadToParallelism]]
-    * is the d03 scan-layout lesson and is a no-op once the source
-    * already carries parallelism. Streaming frames pass through
-    * (micro-batches inherit the source's partitioning, and the helper
-    * cannot read a streaming frame's partition count anyway). */
+    * thousands of splits.
+    *
+    * UNCONDITIONAL round-robin repartition, not
+    * [[graft.operators.Dedup.spreadToParallelism]]: the conditional
+    * helper inspects `df.rdd.getNumPartitions` + the prepared physical
+    * plan — two Catalyst planning passes per construction, and the
+    * bench constructs each query plan once per timed run (multi-render
+    * queries pay it twice per run). A plain repartition needs no plan
+    * inspection and is equivalent here: every caller of THIS helper is
+    * a heavy-codec render whose input is a corpus projection.
+    * The render tables are the corpus SYNTHESIZER (production ingests
+    * real media bytes; these functions fabricate them from the text
+    * corpus for the oracle), so the one extra exchange of tiny (id,
+    * text) rows is scaffold cost, bounded and paid where the codec CPU
+    * it parallelizes dominates it. Streaming frames pass through
+    * (micro-batches inherit the source's partitioning). */
   private def renderInput(documents: DataFrame): DataFrame = {
     val proj = documents.select(col("doc_id"), col("text"))
     if (proj.isStreaming) proj
-    else graft.operators.Dedup.spreadToParallelism(proj)
+    else proj.repartition(proj.sparkSession.sparkContext.defaultParallelism)
   }
+
+  /** The same projection UNSPREAD — for the cheap renders (BMP memcpy,
+    * WAV sample synthesis, the UTF-8 stub) whose per-row cost is far
+    * below the exchange + extra-stage overhead the spread adds: the
+    * full-suite A/B at sf0.1/local[32] measured the spread REGRESSING
+    * every cheap-render query (m06 0.18 → 1.04 s, m13 0.24 → 1.01 s,
+    * m04 0.33 → 1.22 s — the added stages cost more than the trivial
+    * per-row work they parallelize) while the JPEG/AVI/GIF/PNG families
+    * won 3–10× (m29 5.17 → 0.43 s, m28 3.88 → 0.42 s). Parallelism is
+    * paid for only where codec CPU dominates it. */
+  private def renderInputPlain(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"))
 
   /** Extracted features: fixed-width embedding + decoded dimensions. */
   final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
@@ -53,7 +76,7 @@ object Multimodal {
   def asMediaTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents)
+    renderInputPlain(documents)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
         lit("stub/raw").as("format"))
       .as[MediaRow]
@@ -375,7 +398,7 @@ object Multimodal {
                      idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    renderInputPlain(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           MediaRow(id + idOffset,
@@ -1404,7 +1427,7 @@ object Multimodal {
   def renderWavTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    renderInputPlain(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           MediaRow(id, Codecs.encodeWav(textPcm(id, text), junkChunk = id % 2 == 0),
@@ -1425,7 +1448,7 @@ object Multimodal {
                           idOffset: Long = 0L): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    renderInputPlain(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val pcm = textPcm(id, text)
@@ -1551,7 +1574,7 @@ object Multimodal {
   def renderWavVariantsTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    renderInputPlain(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val pcm = textPcm(id, text)
@@ -1581,7 +1604,7 @@ object Multimodal {
   def renderAlawWavTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    renderInputPlain(documents).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val pcm = textPcm(id, text)
