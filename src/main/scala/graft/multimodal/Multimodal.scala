@@ -416,10 +416,11 @@ object Multimodal {
     * split in two. Same pixel domain as [[renderBmpTable]]: the
     * cross-codec dedup construction (m15) rests on that. */
   def renderPngTable(documents: DataFrame, width: Int, height: Int,
-                     idOffset: Long = 0L): Dataset[MediaRow] = {
+                     idOffset: Long = 0L,
+                     spread: Boolean = true): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    (if (spread) renderInput(documents) else renderInputPlain(documents)).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val rgba = id % 2 == 0
@@ -563,10 +564,11 @@ object Multimodal {
     * four-pass row order — byte-level row permutation the decoder must
     * undo, so the interlace path is data-bearing on half the corpus). */
   def renderGifTable(documents: DataFrame, width: Int, height: Int,
-                     idOffset: Long = 0L): Dataset[MediaRow] = {
+                     idOffset: Long = 0L,
+                     spread: Boolean = true): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    (if (spread) renderInput(documents) else renderInputPlain(documents)).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val tb = textCps(text, "renderGifTable")
@@ -589,10 +591,11 @@ object Multimodal {
     * container is the full public AVI RIFF form: hdrl with
     * MainAVIHeader + vids/MJPG stream headers, the movi '00dc' list,
     * and an idx1 index. */
-  def renderAviTable(documents: DataFrame): Dataset[MediaRow] = {
+  def renderAviTable(documents: DataFrame,
+                     spread: Boolean = true): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    (if (spread) renderInput(documents) else renderInputPlain(documents)).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val nFrames = 2 + (id % 3).toInt
@@ -622,10 +625,11 @@ object Multimodal {
     * corpus) with an ODD `idOffset` so the variant id's parity matches
     * [[decodedAviFrameMeta]]'s codec-parity rule (even → MJPG). */
   def renderAviMjpegVariantTable(documents: DataFrame,
-                                 idOffset: Long): Dataset[MediaRow] = {
+                                 idOffset: Long,
+                                 spread: Boolean = true): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    (if (spread) renderInput(documents) else renderInputPlain(documents)).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val nFrames = 2 + (id % 3).toInt
@@ -855,10 +859,11 @@ object Multimodal {
     * data-bearing on half the corpus). */
   def renderJpegTable(documents: DataFrame, qscale: Int = 1,
                       idOffset: Long = 0L, lumaH: Int = 1,
-                      lumaV: Int = 1): Dataset[MediaRow] = {
+                      lumaV: Int = 1,
+                      spread: Boolean = true): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    renderInput(documents).as[(Long, String)]
+    (if (spread) renderInput(documents) else renderInputPlain(documents)).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val rst = if (id % 2 == 0) 2 else 0

@@ -262,7 +262,7 @@ private[queries] object MultimodalQueries {
       val base = docs(s, dir).filter(length(col("text")) >= 1)
       val bmps = M.renderBmpTable(base, width = 25, height = 16)
       val pngs = M.renderPngTable(base.filter(col("doc_id") < 40),
-        width = 25, height = 16, idOffset = 600000L)
+        width = 25, height = 16, idOffset = 600000L, spread = false)
       val frames = M.decodedRowFingerprints(bmps.unionByName(pngs))
       M.frameOverlap(frames, "doc_id", "row_fp", maxFrameDocs = 16)
     }),
@@ -347,8 +347,10 @@ private[queries] object MultimodalQueries {
       // render from the ORIGINAL ids (identical frames), re-id after —
       // the +500000 offset is even, so the re-upload keeps the render's
       // codec parity and decodes identically
+      // spread = false: the arriving delta is a bounded slice — the
+      // exchange + extra stages cost more than the slice's codec CPU
       val delta = M.renderAviTable(
-          base.filter(pmod(col("doc_id"), lit(10)) === 7))
+          base.filter(pmod(col("doc_id"), lit(10)) === 7), spread = false)
         .map(r => r.copy(doc_id = r.doc_id + 500000L))
       M.videoFpProbe(M.decodedVideoFingerprints(delta, stride = 2), corpusFp)
     }),
@@ -378,7 +380,7 @@ private[queries] object MultimodalQueries {
           M.renderAviMjpegVariantTable(
             base.filter(col("doc_id") < 40 &&
               pmod(col("doc_id"), lit(2)) === 1),
-            idOffset = 1100001L), stride = 2).toDF()
+            idOffset = 1100001L, spread = false), stride = 2).toDF()
         .select(col("doc_id"), col("n_frames"), col("frame_idx"),
           col("dhash"))
         .localCheckpoint()
@@ -616,7 +618,7 @@ private[queries] object MultimodalQueries {
       val variants = M.renderAviMjpegVariantTable(
         base.filter(col("doc_id") < 40 &&
           pmod(col("doc_id"), lit(2)) === 1),
-        idOffset = 1000001L)
+        idOffset = 1000001L, spread = false)
       val h = M.memoizedAviFrameMeta(base, dir).toDF()
         .select(col("doc_id"), col("n_frames"), col("frame_idx"),
           col("dhash"))
@@ -665,7 +667,7 @@ private[queries] object MultimodalQueries {
       val base = docs(s, dir).filter(length(col("text")) >= 1)
       val bmps = M.renderBmpTable(base, width = 25, height = 16)
       val gifs = M.renderGifTable(base.filter(col("doc_id") < 40),
-        width = 25, height = 16, idOffset = 700000L)
+        width = 25, height = 16, idOffset = 700000L, spread = false)
       val frames = M.decodedRowFingerprints(bmps.unionByName(gifs))
       M.frameOverlap(frames, "doc_id", "row_fp", maxFrameDocs = 16)
     }),
@@ -738,7 +740,7 @@ private[queries] object MultimodalQueries {
       // ONCE so the bucket census and both self-join branches read the
       // tiny (doc_id, dhash) table instead of replaying decode lineage.
       val q2 = M.renderJpegTable(base.filter(col("doc_id") < 40),
-        qscale = 2, idOffset = 800000L)
+        qscale = 2, idOffset = 800000L, spread = false)
       val h = M.memoizedJpegMeta(base, dir).toDF()
         .select(col("doc_id"), col("dhash"))
         .unionByName(M.decodedDHash(q2).select(col("doc_id"), col("dhash")))
@@ -762,7 +764,8 @@ private[queries] object MultimodalQueries {
       val M = graft.multimodal.Multimodal
       val base = docs(s, dir).filter(length(col("text")) >= 1)
       val q420 = M.renderJpegTable(base.filter(col("doc_id") < 40),
-        qscale = 1, idOffset = 900000L, lumaH = 2, lumaV = 2)
+        qscale = 1, idOffset = 900000L, lumaH = 2, lumaV = 2,
+        spread = false)
       val h = M.memoizedJpegMeta(base, dir).toDF()
         .select(col("doc_id"), col("dhash"))
         .unionByName(M.decodedSampledDHash(q420, 2, 2))
