@@ -673,9 +673,19 @@ object Multimodal {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     aviMetaCache.computeIfAbsent((documents.sparkSession, cacheKey),
-      _ => graft.tools.BuildTimer.time("avi_meta")(
+      _ => graft.tools.BuildTimer.time("avi_meta") {
+        // decode in parallel (renderAviTable spreads), then land the tiny
+        // artifact back at the SOURCE scan's partition count — consumers
+        // (m31's aggregates, m34/m35/m36's probes) read it many times per
+        // bench, and leaving it at decode parallelism charged every read
+        // ~32 near-empty tasks (triple-measured: m31 0.15 -> 0.48 s,
+        // m34 0.44 -> 1.18 s). Scale-adaptive, not a constant: at 100 TB
+        // the corpus scan has thousands of splits and the artifact keeps
+        // them. max(1, ..) guards the empty-corpus scan (0 partitions).
         decodedAviFrameMeta(renderAviTable(documents), stride = 2)
-          .localCheckpoint()))
+          .repartition(math.max(1, documents.rdd.getNumPartitions))
+          .localCheckpoint()
+      })
   }
 
   def decodedAviFrameMeta(media: Dataset[MediaRow],
@@ -1032,7 +1042,10 @@ object Multimodal {
     }
     jpegMetaCache.computeIfAbsent((documents.sparkSession, cacheKey),
       _ => graft.tools.BuildTimer.time("jpeg_meta")(
-        decodedJpegMeta(renderJpegTable(documents)).localCheckpoint()))
+        // same layout rule as avi_meta: parallel decode, compact landing
+        decodedJpegMeta(renderJpegTable(documents))
+          .repartition(math.max(1, documents.rdd.getNumPartitions))
+          .localCheckpoint()))
   }
 
   def decodedJpegMeta(media: Dataset[MediaRow]): Dataset[JpegMeta] = {
