@@ -32,14 +32,20 @@ object Multimodal {
     * and matches the 100 TB shape, where a corpus scan arrives as
     * thousands of splits.
     *
-    * UNCONDITIONAL round-robin repartition, not
-    * [[graft.operators.Dedup.spreadToParallelism]]: the conditional
-    * helper inspects `df.rdd.getNumPartitions` + the prepared physical
-    * plan — two Catalyst planning passes per construction, and the
-    * bench constructs each query plan once per timed run (multi-render
-    * queries pay it twice per run). A plain repartition needs no plan
-    * inspection and is equivalent here: every caller of THIS helper is
-    * a heavy-codec render whose input is a corpus projection.
+    * GUARDED round-robin repartition (round 19): the spread fires only
+    * when the input carries FEWER splits than the cluster —
+    * `proj.rdd.getNumPartitions < defaultParallelism`, one RDD-
+    * conversion planning pass, cheaper than
+    * [[graft.operators.Dedup.spreadToParallelism]]'s additional
+    * executedPlan inspection (which exists to skip frames that already
+    * shuffled; render inputs are plain scan projections, so the
+    * partition count alone answers the question). The round-18
+    * unconditional form repartitioned even a thousands-of-splits 100 TB
+    * corpus scan down to defaultParallelism — adding a shuffle the
+    * input never needed and COLLAPSING scan parallelism, the opposite
+    * of guide §2.1 — while at bench SFs every base table is one
+    * compact parquet split, so the guard fires and the plan is
+    * unchanged there (MultimodalSpec pins both directions).
     * The render tables are the corpus SYNTHESIZER (production ingests
     * real media bytes; these functions fabricate them from the text
     * corpus for the oracle), so the one extra exchange of tiny (id,
@@ -49,7 +55,12 @@ object Multimodal {
   private def renderInput(documents: DataFrame): DataFrame = {
     val proj = documents.select(col("doc_id"), col("text"))
     if (proj.isStreaming) proj
-    else proj.repartition(proj.sparkSession.sparkContext.defaultParallelism)
+    else {
+      val parallelism = proj.sparkSession.sparkContext.defaultParallelism
+      if (proj.rdd.getNumPartitions < parallelism)
+        proj.repartition(parallelism)
+      else proj
+    }
   }
 
   /** The same projection UNSPREAD — for the cheap renders (BMP memcpy,
@@ -776,6 +787,124 @@ object Multimodal {
       .join(corpusFp.select(col("doc_id").as("old_id"), col("n_frames"),
         col("fp")), Seq("n_frames", "fp"))
       .select(col("new_id"), col("old_id"), col("n_frames"))
+
+  /** One payload's admission verdict + (optionally) its per-modality
+    * fingerprints, from a SINGLE decode (round 19, guide §1.2/§5): the
+    * decode-gate switch that [[graft.streaming.EventStreams.mediaDecodeGateStream]]
+    * runs, extended so the admission pipeline's later dup probes read
+    * fingerprints computed from the SAME decoded samples/frames instead
+    * of re-decoding the payload per stage. `wantFps = false` is exactly
+    * the gate (fingerprint fields zero/None, no extra work — the stream
+    * gate must not pay for features it discards); `wantFps = true` adds
+    * the [[audioFingerprintOf]] energies over the one decoded PCM and
+    * [[dhash56]] over the stride-sampled frames the gate's validation
+    * loop already decoded. One switch, one reason vocabulary — the gate
+    * and the pipeline cannot drift. */
+  final case class AdmissionVerdict(
+      kind: String, metaA: Long, metaB: Long, admit: Boolean, reason: String,
+      audioFp: Long, audioEnergies: Option[Seq[Long]],
+      videoNFrames: Long, videoFp: Option[String])
+
+  def admissionFeaturesOf(payload: Array[Byte], wantFps: Boolean,
+                          windowSamples: Int = 16,
+                          stride: Int = 2): AdmissionVerdict = {
+    def kindOf(b: Array[Byte]): String =
+      if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else if (b.length >= 2 && (b(0) & 0xFF) == 0x89 && b(1) == 'P') "png"
+      else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == '8') "gif"
+      else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == 'F') {
+        // RIFF is a container FAMILY: the form type at offset 8
+        // says which member (WAVE audio, 'AVI ' video, anything
+        // else is out of scope and drops with the magic reason)
+        val form = new String(b, 8, 4, "US-ASCII")
+        if (form == "WAVE") "wav"
+        else if (form == "AVI ") "avi"
+        else "unknown"
+      }
+      else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
+        (b(1) & 0xFF) == 0xD8) "jpeg"
+      else "unknown"
+    val kind = kindOf(payload)
+    try kind match {
+      case "bmp" | "png" | "gif" | "jpeg" =>
+        val img = Codecs.decodeImage(payload)
+        AdmissionVerdict(kind, img.width.toLong, img.height.toLong, true, "",
+          0L, None, 0L, None)
+      case "wav" =>
+        val pcm = Codecs.decodeWav(payload)
+        val fp = if (wantFps) Some(audioFingerprintOf(pcm.samples, windowSamples))
+                 else None
+        AdmissionVerdict(kind, pcm.sampleRate.toLong, pcm.samples.length.toLong,
+          true, "", fp.map(_._1).getOrElse(0L), fp.map(_._2.toSeq), 0L, None)
+      case "avi" =>
+        // genuinely decode: the container walk AND every frame
+        // (MJPEG or raw DIB) — an AVI whose Nth frame is corrupt
+        // must drop here, not after it landed in the lake
+        val avi = Codecs.decodeAviFrames(payload)
+        val hs = Seq.newBuilder[Long]
+        avi.frames.zipWithIndex.foreach { case (f, i) =>
+          val img = Codecs.decodeAviFrame(avi, f)
+          // the decoded-frame/header geometry agreement
+          // decodedAviFrameMeta requires, enforced at admission:
+          // a mixed-geometry AVI (MJPEG frames are self-describing,
+          // so a frame CAN disagree with avih/strf) must not land
+          // with header dims that do not describe its frames
+          require(img.width == avi.width && img.height == avi.height,
+            s"frame $i: ${img.width}x${img.height} frame inside a " +
+              s"${avi.width}x${avi.height} AVI")
+          // the [[videoFingerprintOf]] sample rule (every stride-th
+          // frame), computed off the frame this loop just decoded
+          if (wantFps && i % stride == 0) hs += dhash56(img)
+        }
+        AdmissionVerdict(kind, avi.width.toLong, avi.height.toLong, true, "",
+          0L, None, avi.frames.size.toLong,
+          if (wantFps) Some(hs.result().mkString(",")) else None)
+      case _ =>
+        AdmissionVerdict(kind, 0L, 0L, false, "unrecognized container magic",
+          0L, None, 0L, None)
+    } catch {
+      // NonFatal, not just IllegalArgumentException: a crafted header
+      // can route a decoder into AIOOBE/NegativeArraySize paths that
+      // escape the require() contract, and one corrupt payload must
+      // drop with a reason — never abort the whole ingest query.
+      case scala.util.control.NonFatal(e) =>
+        // strip Scala's require() preamble: reasons are operator-
+        // facing report data, not stack-trace text
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .stripPrefix("requirement failed: ")
+        AdmissionVerdict(kind, 0L, 0L, false, msg, 0L, None, 0L, None)
+    }
+  }
+
+  /** The m37 single-pass feature table: one row per media row carrying
+    * the gate verdict AND the per-modality fingerprints, all from ONE
+    * decode of each payload ([[admissionFeaturesOf]] with
+    * `wantFps = true`). Round 18's m37 decoded every payload in the
+    * gate stage and then RE-decoded the admitted audio/video slices in
+    * their dup-probe stages — and the per-stage checkpoints materialized
+    * the binary payloads three times over; over this frame the pipeline
+    * checkpoints narrow feature rows and the blobs never leave their
+    * render task. Output: (doc_id, format, gate_admit, gate_reason,
+    * afp, aenergies, vn_frames, vfp). */
+  def admissionMediaFeatures(media: DataFrame, windowSamples: Int = 16,
+                             stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"), col("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, format) =>
+          val v = admissionFeaturesOf(payload, wantFps = true,
+            windowSamples, stride)
+          (id, format, v.admit, v.reason, v.audioFp, v.audioEnergies,
+            v.videoNFrames, v.videoFp)
+        }
+      }
+      .toDF("doc_id", "format", "gate_admit", "gate_reason", "afp",
+        "aenergies", "vn_frames", "vfp")
+  }
 
   /** Per-frame LSH band keys over an (doc_id, n_frames, frame_idx,
     * dhash) sampled-frame table — the m34 recipe (4 × 14-bit bands),

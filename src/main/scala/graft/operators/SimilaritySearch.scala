@@ -1761,7 +1761,16 @@ object SimilaritySearch {
         .filter(col("cos") >= threshold)
         .select(col("a_id"), col("b_id"), col("cos"))
     } else {
-      val cand = sparseCosineCandidates(kept, vecs, threshold)
+      // Materialize the per-doc vector artifact once (round 19): the
+      // candidate stage reads its norms and the verify stage joins the
+      // full arrays on BOTH sides — THREE evaluations of the per-doc
+      // sort/collect aggregate (each one a shuffle of the postings +
+      // a sort_array per doc) without it. At 100 TB this frame is the
+      // standing document-vector artifact an all-pairs similarity run
+      // persists beside the postings; the cap-only twin (prefix = false)
+      // reads vecs once and skips the materialization.
+      val v = vecs.localCheckpoint()
+      val cand = sparseCosineCandidates(kept, v, threshold)
       // Exact verify over the survivors: full kept vectors as parallel
       // sorted (hash, tf) arrays, dot by the codegen'd merge walk
       // (integer, the same value the postings sum produces in the
@@ -1771,9 +1780,9 @@ object SimilaritySearch {
       // flat long arrays and the per-pair CPU is allocation-free
       // generated code, not an interpreted map HOF.
       cand
-        .join(vecs.select(col("id").as("a_id"), col("ks").as("aks"),
+        .join(v.select(col("id").as("a_id"), col("ks").as("aks"),
           col("vs").as("avs"), col("n2").as("a_n2")), Seq("a_id"))
-        .join(vecs.select(col("id").as("b_id"), col("ks").as("bks"),
+        .join(v.select(col("id").as("b_id"), col("ks").as("bks"),
           col("vs").as("bvs"), col("n2").as("b_n2")), Seq("b_id"))
         .withColumn("dot", graft.functions.DotSortedArrays.dotSortedArrays(
           col("aks"), col("avs"), col("bks"), col("bvs")))

@@ -282,6 +282,27 @@ object TextAnalysis {
       nStop * 10000 < nTokens * 100)
   }
 
+  /** [[qualityFilter]]'s ','-joined violated-rule list as a single
+    * scan-side Column — identical rules and rule ORDER, so an admission
+    * stage (p24) carries the verdict row-locally with ZERO extra
+    * shuffles instead of stitching the report frame back with a join
+    * (the [[qualityKeep]] discipline extended to the reason string;
+    * Round19Spec asserts the two never drift). */
+  def qualityReasons(textCol: Column): Column = {
+    val ws = words(textCol)
+    val nTokens = size(ws).cast("long")
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nStop = stopwordCount(ws, StopEn)
+    array_join(filter(array(
+      when(nTokens < 20, lit("too_short")),
+      when(nTokens > 2000, lit("too_long")),
+      when(sumLen * 100 < nTokens * 300 ||
+           sumLen * 100 > nTokens * 1000, lit("odd_token_len")),
+      when(nStop * 10000 < nTokens * 100, lit("low_stopword"))),
+      x => x.isNotNull), ",")
+  }
+
   /** Character-diversity signals (t21) — the repetitive-garbage filter
     * every web-scale text pipeline runs before training (low-diversity
     * docs are binary spew, pad runs, or single-phrase spam). The classic

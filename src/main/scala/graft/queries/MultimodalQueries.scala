@@ -408,31 +408,33 @@ private[queries] object MultimodalQueries {
     // stateless; each probe is bounded by its modality's slice of the
     // batch, never corpus².
     "m37_media_admission_pipeline" -> ((s, dir) => {
-      import s.implicits._
       import graft.streaming.AdmissionPipeline
       import graft.streaming.AdmissionPipeline.Stage
       val M = graft.multimodal.Multimodal
       val base = docs(s, dir).filter(length(col("text")) >= 1)
       val media = M.renderAdmissionMixTable(base).toDF()
-        .withColumn("ts",
-          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
       // the standing corpus audio fingerprint table — the memoized
       // per-dir artifact (m33's probe table; rebuilt it per run before)
       val audioCorpusFp = M.memoizedWavFingerprints(base, dir)
       val videoCorpusFp = M.aviMetaFingerprints(
         M.memoizedAviFrameMeta(base, dir).toDF())
+      // ONE decode pass (round 19, guide §1.2/§5): the gate verdict AND
+      // the per-modality dup fingerprints come out of the same decoded
+      // payload (admissionFeaturesOf, the kernel the stream gate also
+      // runs), so the stages below are column ops + bounded probes over
+      // NARROW feature rows — the round-18 shape re-decoded admitted
+      // audio/video per stage and checkpointed the binary payloads three
+      // times over. The gate becomes a rowLocal stage (zero joins); the
+      // dup probes read the precomputed fingerprints. Same verdicts row
+      // for row (fingerprints are per-doc pure), oracle hash-exact.
+      val feats = M.admissionMediaFeatures(media)
       val stages = Seq(
-        Stage.verdict("decode", "doc_id") { df =>
-          graft.streaming.EventStreams
-            .mediaDecodeGateStream(df, "doc_id", "media", "ts")
-            .select(col("new_id").as("doc_id"), col("admit"), col("reason"))
-        },
+        Stage.rowLocal("decode", col("gate_admit"), col("gate_reason")),
         Stage.verdict("audio_dup", "doc_id") { df =>
           val flagged = M.audioFpProbe(
-              M.decodedAudioFingerprints(
-                df.filter(col("format").startsWith("audio/"))
-                  .select(col("doc_id"), col("media"), col("format"))
-                  .as[M.MediaRow]),
+              df.filter(col("format").startsWith("audio/"))
+                .select(col("doc_id"), col("afp").as("fp"),
+                  col("aenergies").as("energies")),
               audioCorpusFp, maxDevBp = 700L)
             .select(col("new_id").as("doc_id")).distinct()
             .withColumn("__dup", lit(1))
@@ -444,10 +446,9 @@ private[queries] object MultimodalQueries {
         },
         Stage.verdict("video_dup", "doc_id") { df =>
           val flagged = M.videoFpProbe(
-              M.decodedVideoFingerprints(
-                df.filter(col("format").startsWith("video/avi"))
-                  .select(col("doc_id"), col("media"), col("format"))
-                  .as[M.MediaRow], stride = 2),
+              df.filter(col("format").startsWith("video/avi"))
+                .select(col("doc_id"), col("vn_frames").as("n_frames"),
+                  col("vfp").as("fp")),
               videoCorpusFp)
             .select(col("new_id").as("doc_id")).distinct()
             .withColumn("__dup", lit(1))
@@ -457,7 +458,7 @@ private[queries] object MultimodalQueries {
                 .otherwise(lit("duplicate video content already in corpus"))
                 .as("reason"))
         })
-      AdmissionPipeline.report(AdmissionPipeline.run(media, stages))
+      AdmissionPipeline.report(AdmissionPipeline.run(feats, stages))
     }),
 
 

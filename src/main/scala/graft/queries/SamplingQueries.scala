@@ -55,11 +55,12 @@ private[queries] object SamplingQueries {
       val corpusFps = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
         .select(TA.fingerprint(col("text")).as("__cfp")).distinct()
       val stages = Seq(
-        Stage.verdict("quality", "doc_id") { df =>
-          TA.qualityFilter(df, "doc_id", "text")
-            .select(col("doc_id"), col("keep").as("admit"),
-              col("reasons").as("reason"))
-        },
+        // rowLocal, not verdict (round 19): qualityFilter is per-row
+        // pure, so the verdict-join stitch-back paid two exchanges for
+        // values a scan-side Column computes in place (qualityKeep /
+        // qualityReasons are the same rules — Round19Spec pins no-drift)
+        Stage.rowLocal("quality", TA.qualityKeep(col("text")),
+          TA.qualityReasons(col("text"))),
         Stage.verdict("blocklist", "doc_id") { df =>
           TA.blocklistFilter(df, "doc_id", "text",
               Seq("slow", "merge").toDF("word"))

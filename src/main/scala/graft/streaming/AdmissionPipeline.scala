@@ -78,9 +78,25 @@ object AdmissionPipeline {
     * 19.3 s worst vs 1.9 s for the single-pass m27 gate). The
     * checkpoint bounds every stage to exactly one evaluation — the same
     * thing landing the per-stage disposition table does in a real
-    * deployment. Streaming frames cannot checkpoint mid-plan; there the
-    * branch-union shape stands, which is fine because stream-legal
-    * stages are rowLocal/stream-static (cheap, fused into the scan). */
+    * deployment. (At 100 TB the swap is exactly that: land each stage's
+    * disposition as a table instead of executor-local checkpoint blocks
+    * — localCheckpoint pins the decided frame in block storage and does
+    * not survive executor loss.) Streaming frames cannot checkpoint
+    * mid-plan; there the branch-union shape stands, ENFORCED cheap by a
+    * structural guard (round 19): a stream-legal stage must read its
+    * survivors exactly once (rowLocal columns, or a stream-STATIC
+    * join/filter against a standing artifact). A stage whose decide
+    * re-reads the streaming input — the [[Stage.verdict]] stitch-back
+    * shape — would re-evaluate every upstream stage once per downstream
+    * branch (the same ~2^k blowup the batch path checkpoints away, with
+    * no checkpoint available to stop it), so it is rejected at
+    * CONSTRUCTION with a require instead of discovered at 100 TB.
+    *
+    * EAGER AT CONSTRUCTION on batch frames: the per-stage
+    * localCheckpoint executes k Spark jobs while the disposition is
+    * being BUILT — run() is not a lazy plan assembly. Callers composing
+    * plans they may never execute should be aware they pay the stage
+    * work up front. */
   def run(input: DataFrame, stages: Seq[Stage]): DataFrame = {
     require(stages.nonEmpty, "admission pipeline needs at least one stage")
     require(stages.map(_.name).distinct.size == stages.size,
@@ -97,7 +113,27 @@ object AdmissionPipeline {
         decidedPlan.columns.contains("reason"),
         s"stage ${st.name} must emit admit + reason columns")
       val decided =
-        if (decidedPlan.isStreaming) decidedPlan else decidedPlan.localCheckpoint()
+        if (decidedPlan.isStreaming) {
+          // the stream-stage cost guard (see scaladoc): survivors' plan
+          // must appear ONCE in the decided plan. Counting streaming
+          // leaves catches the re-read structurally — a rowLocal stage
+          // or a stream-static join keeps the count; a decide that
+          // self-joins its input doubles it.
+          val inLeaves = survivors.queryExecution.analyzed
+            .collectLeaves().count(_.isStreaming)
+          val outLeaves = decidedPlan.queryExecution.analyzed
+            .collectLeaves().count(_.isStreaming)
+          require(outLeaves <= inLeaves,
+            s"stage ${st.name}: a stream-legal stage must read its " +
+              s"survivors exactly once (rowLocal, or a stream-static " +
+              s"join against a standing artifact) — this decide reads " +
+              s"the streaming input $outLeaves times, which re-evaluates " +
+              s"every upstream stage once per downstream branch " +
+              s"(~2^k; the batch path checkpoints that away, a stream " +
+              s"cannot). Use Stage.rowLocal or land the verdict with " +
+              s"foreachBatch instead.")
+          decidedPlan
+        } else decidedPlan.localCheckpoint()
       parts += decided.filter(!col("admit"))
         .select(inCols.map(col) ++ Seq(lit(false).as("admitted"),
           lit(st.name).as("stage"), col("reason")): _*)
@@ -116,8 +152,18 @@ object AdmissionPipeline {
   def report(disposition: DataFrame): DataFrame = {
     val g = disposition.groupBy(col("stage"), col("admitted"), col("reason"))
       .agg(count(lit(1)).as("n_docs"))
-    val tot = g.agg(sum(col("n_docs")).as("__tot"))
-    g.crossJoin(broadcast(tot))
+    // One evaluation of the aggregate (round 19): the former
+    // crossJoin(broadcast(g.agg(sum))) re-ran the whole disposition
+    // aggregate a second time inside the total's subplan — measured
+    // ~0.6 s of the m37 bench time at sf0.1. The total now rides an
+    // unpartitioned window over the REPORT frame, which is bounded by
+    // construction (≤ stages × distinct reasons rows — the p02
+    // bounded-window convention), so the disposition is aggregated
+    // exactly once at any scale.
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    g.withColumn("__tot", sum(col("n_docs")).over(w))
       .withColumn("share_bp",
         expr("CAST(n_docs * 10000 DIV __tot AS BIGINT)"))
       .drop("__tot")

@@ -297,69 +297,19 @@ object EventStreams {
                             tsCol: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // one switch, one reason vocabulary: the per-payload decode + verdict
+    // body lives in Multimodal.admissionFeaturesOf (wantFps = false is
+    // exactly the gate — fingerprint fields are never computed), shared
+    // with the m37 pipeline's single-pass feature table so the stream
+    // gate and the batch pipeline cannot drift.
     media.select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
         col(binCol))
       .as[(Long, Timestamp, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, ts, payload) =>
-          def kindOf(b: Array[Byte]): String =
-            if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
-            else if (b.length >= 2 && (b(0) & 0xFF) == 0x89 && b(1) == 'P') "png"
-            else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' &&
-              b(2) == 'F' && b(3) == '8') "gif"
-            else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
-              b(2) == 'F' && b(3) == 'F') {
-              // RIFF is a container FAMILY: the form type at offset 8
-              // says which member (WAVE audio, 'AVI ' video, anything
-              // else is out of scope and drops with the magic reason)
-              val form = new String(b, 8, 4, "US-ASCII")
-              if (form == "WAVE") "wav"
-              else if (form == "AVI ") "avi"
-              else "unknown"
-            }
-            else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
-              (b(1) & 0xFF) == 0xD8) "jpeg"
-            else "unknown"
-          val kind = kindOf(payload)
-          try kind match {
-            case "bmp" | "png" | "gif" | "jpeg" =>
-              val img = graft.multimodal.Codecs.decodeImage(payload)
-              (id, ts, kind, img.width.toLong, img.height.toLong, true, "")
-            case "wav" =>
-              val pcm = graft.multimodal.Codecs.decodeWav(payload)
-              (id, ts, kind, pcm.sampleRate.toLong, pcm.samples.length.toLong,
-                true, "")
-            case "avi" =>
-              // genuinely decode: the container walk AND every frame
-              // (MJPEG or raw DIB) — an AVI whose Nth frame is corrupt
-              // must drop here, not after it landed in the lake
-              val avi = graft.multimodal.Codecs.decodeAviFrames(payload)
-              avi.frames.zipWithIndex.foreach { case (f, i) =>
-                val img = graft.multimodal.Codecs.decodeAviFrame(avi, f)
-                // the decoded-frame/header geometry agreement
-                // decodedAviFrameMeta requires, enforced at admission:
-                // a mixed-geometry AVI (MJPEG frames are self-describing,
-                // so a frame CAN disagree with avih/strf) must not land
-                // with header dims that do not describe its frames
-                require(img.width == avi.width && img.height == avi.height,
-                  s"frame $i: ${img.width}x${img.height} frame inside a " +
-                    s"${avi.width}x${avi.height} AVI")
-              }
-              (id, ts, kind, avi.width.toLong, avi.height.toLong, true, "")
-            case _ =>
-              (id, ts, kind, 0L, 0L, false, "unrecognized container magic")
-          } catch {
-            // NonFatal, not just IllegalArgumentException: a crafted header
-            // can route a decoder into AIOOBE/NegativeArraySize paths that
-            // escape the require() contract, and one corrupt payload must
-            // drop with a reason — never abort the whole ingest query.
-            case scala.util.control.NonFatal(e) =>
-              // strip Scala's require() preamble: reasons are operator-
-              // facing report data, not stack-trace text
-              val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-                .stripPrefix("requirement failed: ")
-              (id, ts, kind, 0L, 0L, false, msg)
-          }
+          val v = graft.multimodal.Multimodal
+            .admissionFeaturesOf(payload, wantFps = false)
+          (id, ts, v.kind, v.metaA, v.metaB, v.admit, v.reason)
         }
       }
       .toDF("new_id", tsCol, "kind", "meta_a", "meta_b", "admit", "reason")
