@@ -784,16 +784,22 @@ object Sampling {
           .otherwise(raise_error(concat(
             lit("targetMixture: targeted group "), col(groupCol).cast("string"),
             lit(" absent from corpus - mixture infeasible"))).cast("long")))
-    val tMax = joined.agg(
-      min(col("__n_toks").cast("double") * 10000.0 /
-        col(weightCol).cast("double")).as("__t_max"))
+    // T = min over a bounded unpartitioned window on the |groups|-row
+    // solve frame (round 19): the former crossJoin(broadcast(joined.agg))
+    // re-evaluated `joined` — including the corpus token census — a
+    // second time inside the scalar's subplan.
     // +1e-7 before the floor: the binding group recomputes its own ratio
     // in doubles, and rounding can land at 9999.999999999998 — without
     // the nudge the documented "binding group admits everything"
     // invariant loses one hash bucket on non-FP-exact (n, w) pairs. The
     // epsilon is far below half a basis point, and the oracle mirrors it
     // verbatim, so engine agreement is unaffected.
-    joined.crossJoin(broadcast(tMax))
+    joined
+      .withColumn("__t_max", min(col("__n_toks").cast("double") * 10000.0 /
+          col(weightCol).cast("double")).over(
+        org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .withColumn("rate_bp",
         floor(col(weightCol).cast("double") * col("__t_max") /
           col("__n_toks").cast("double") + lit(1e-7)))

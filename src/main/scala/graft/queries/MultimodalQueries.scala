@@ -525,8 +525,16 @@ private[queries] object MultimodalQueries {
         .mediaDecodeGateStream(media, "doc_id", "media", "ts")
       val g = gated.groupBy(col("kind"), col("admit"), col("reason"))
         .agg(count(lit(1)).as("n_docs"))
-      val tot = g.agg(sum(col("n_docs")).as("__tot"))
-      g.crossJoin(broadcast(tot))
+      // total via a bounded unpartitioned window over the ≤10-row report
+      // frame (round 19): the former crossJoin(broadcast(g.agg)) carried
+      // the whole render+decode subplan a SECOND time inside the total's
+      // broadcast (structurally; AQE stage reuse usually dedupes it at
+      // runtime, but the single-evaluation shape shouldn't depend on a
+      // runtime optimization firing).
+      g.withColumn("__tot", sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
         .withColumn("share_bp",
           expr("CAST(n_docs * 10000 DIV __tot AS BIGINT)"))
         .drop("__tot")

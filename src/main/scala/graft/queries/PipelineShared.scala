@@ -536,14 +536,26 @@ private[queries] object PipelineShared {
     // p03: drop TRAIN docs whose byte-identical twin lands in an eval
     // split — computed over the deduped survivors, split assignment the
     // same pure content hash p01 emits at the end.
+    // distinct BEFORE the rename (round 19): grouping on the original
+    // train_id keeps the dedup exchange keyed train_id in the ledger
+    // regardless of whether the optimizer collapses the alias into the
+    // grouping (it stopped doing so once the mix stage gained a window).
     val contaminated = Sampling
       .exactContamination(withSplit, "doc_id", "text", "split")
-      .select(col("train_id").as("doc_id")).distinct()
+      .select(col("train_id")).distinct()
+      .select(col("train_id").as("doc_id"))
     val s3 = withSplit.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // p06: temperature-flatten the language mix of the survivors.
+    // n_min rides a bounded unpartitioned window over the |langs|-row
+    // histogram (round 19): crossJoin(broadcast(counts.agg)) carried the
+    // survivors aggregate — including the decontamination anti-join
+    // lineage above — a SECOND time inside the scalar's subplan.
     val counts = s3.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
+    val rates = counts
+      .withColumn("n_min", min(col("n_lang")).over(
+        org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .withColumn("rate_bp", floor(lit(10000.0) *
         sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
       .select(col("lang"), col("rate_bp"))
@@ -597,9 +609,14 @@ private[queries] object PipelineShared {
   /** The v2 mixture: p06's sqrt temperature over per-language DOC
     * counts — the emergent flattening the stated-proportion v3 replaces. */
   private[queries] def v2MixStage(s3b: DataFrame): DataFrame = {
+    // n_min via the bounded-window total (round 19) — one evaluation of
+    // the per-language histogram instead of the crossJoin'd scalar's two.
     val counts = s3b.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
+    val rates = counts
+      .withColumn("n_min", min(col("n_lang")).over(
+        org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .withColumn("rate_bp", floor(lit(10000.0) *
         sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
       .select(col("lang"), col("rate_bp"))
@@ -628,9 +645,14 @@ private[queries] object PipelineShared {
     * persisted inter-phase artifact exactly like the survivors frame,
     * not something each downstream build re-derives. */
   private[graft] def decontaminatedScoredSurvivors(withSplit: DataFrame): DataFrame = {
+    // distinct BEFORE the rename (round 19): grouping on the original
+    // train_id keeps the dedup exchange keyed train_id in the ledger
+    // regardless of whether the optimizer collapses the alias into the
+    // grouping (it stopped doing so once the mix stage gained a window).
     val contaminated = Sampling
       .exactContamination(withSplit, "doc_id", "text", "split")
-      .select(col("train_id").as("doc_id")).distinct()
+      .select(col("train_id")).distinct()
+      .select(col("train_id").as("doc_id"))
     val s3 = withSplit.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // p11 over the p03 survivors: spread=false — the input is one stage
     // of a composed plan, and the spread helper's partition-count read is

@@ -317,8 +317,14 @@ private[queries] object SamplingQueries {
     "p06_temperature_mix" -> ((s, dir) => {
       val counts = docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_lang"))
-      val nMin = counts.agg(min(col("n_lang")).as("n_min"))
-      val rates = counts.crossJoin(broadcast(nMin))
+      // n_min via a bounded unpartitioned window over the |langs|-row
+      // histogram (round 19): crossJoin(broadcast(counts.agg)) carried
+      // the corpus aggregate a second time inside the scalar's subplan.
+      val rates = counts
+        .withColumn("n_min", min(col("n_lang")).over(
+          org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
         .withColumn("rate_bp",
           floor(lit(10000.0) * sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
       docs(s, dir).select(col("doc_id"), col("lang"))

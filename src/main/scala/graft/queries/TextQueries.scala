@@ -137,8 +137,14 @@ private[queries] object TextQueries {
           round(sum(col("quality_bp")).cast("double") /
             count(lit(1)).cast("double"), 4).as("avg_quality_bp"),
           round(expr("percentile(n_tokens, 0.5)"), 2).as("med_tokens"))
-      val tot = g.agg(sum(col("n_tokens")).as("__tot"))
-      g.crossJoin(broadcast(tot))
+      // total via a bounded unpartitioned window over the |strata|-row
+      // card (round 19): crossJoin(broadcast(g.agg)) carried the whole
+      // quality-scored aggregate (exact percentile included) a second
+      // time inside the total's subplan.
+      g.withColumn("__tot", sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
         .withColumn("token_share_bp",
           expr("CAST(n_tokens * 10000 DIV __tot AS BIGINT)"))
         .drop("__tot")
