@@ -665,6 +665,51 @@ object Multimodal {
                                 us_per_frame: Long, frame_idx: Long,
                                 gray_sum: Long, dhash: Long)
 
+  /** LRU-bounded per-(session, cacheKey) artifact cache backing the three
+    * memoized media tables (avi_meta / jpeg_meta / wav_fp). Round-18
+    * ADVICE: the unbounded maps evicted only on sparkContext.isStopped,
+    * so one long-lived session touching many dirs accumulated
+    * localCheckpointed artifacts without bound. Access-ordered
+    * LinkedHashMap capped at [[Multimodal.MaxCachedArtifactDirs]] entries
+    * per cache — far above any bench/test working set (≤ 4 dirs), so
+    * eviction never fires there; a multi-dir ingest session sheds its
+    * least-recently-probed dir instead of growing forever. Eviction drops
+    * the REFERENCE only: checkpoint blocks are reclaimed by the
+    * ContextCleaner once the frame is unreferenced (the artifacts are
+    * built via eager localCheckpoint, not CacheManager entries, so there
+    * is nothing to unpersist explicitly). The map lock is held across a
+    * build — builders of different dirs serialize — which matches the
+    * previous computeIfAbsent behavior closely enough for the
+    * single-driver-thread usage these caches serve. */
+  private[graft] final class ArtifactCache[V >: Null <: AnyRef] {
+    private val m = new java.util.LinkedHashMap[
+        (org.apache.spark.sql.SparkSession, String), V](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, String), V])
+          : Boolean = size() > MaxCachedArtifactDirs
+    }
+    def get(key: (org.apache.spark.sql.SparkSession, String))(build: => V): V =
+      m.synchronized {
+        val it = m.keySet().iterator()
+        while (it.hasNext) {
+          if (it.next()._1.sparkContext.isStopped) it.remove()
+        }
+        val cur = m.get(key)
+        if (cur != null) cur
+        else {
+          val v = build
+          m.put(key, v)
+          v
+        }
+      }
+    private[graft] def size: Int = m.synchronized(m.size())
+    private[graft] def contains(
+        key: (org.apache.spark.sql.SparkSession, String)): Boolean =
+      m.synchronized(m.containsKey(key))
+  }
+
+  private[graft] val MaxCachedArtifactDirs = 64
+
   /** Per-(session, cacheKey) memoized stride-2 AVI frame meta — the
     * [[memoizedJpegMeta]] pattern: m30 reads the sampled-frame rows
     * verbatim, m31 aggregates the same rows into video fingerprints, so
@@ -673,18 +718,12 @@ object Multimodal {
     * `warmup_artifacts` ledger) instead of once per consumer. The
     * artifact build itself keeps the sampler's laziness — skipped frames
     * never JPEG-decode. */
-  private val aviMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), Dataset[AviFrameMeta]]()
+  private[graft] val aviMetaCache = new ArtifactCache[Dataset[AviFrameMeta]]
 
   def memoizedAviFrameMeta(documents: DataFrame,
                            cacheKey: String): Dataset[AviFrameMeta] = {
-    val it = aviMetaCache.keySet().iterator()
-    while (it.hasNext) {
-      if (it.next()._1.sparkContext.isStopped) it.remove()
-    }
-    aviMetaCache.computeIfAbsent((documents.sparkSession, cacheKey),
-      _ => graft.tools.BuildTimer.time("avi_meta") {
+    aviMetaCache.get((documents.sparkSession, cacheKey))(
+      graft.tools.BuildTimer.time("avi_meta") {
         // decode in parallel (renderAviTable spreads), then land the tiny
         // artifact back at the SOURCE scan's partition count — consumers
         // (m31's aggregates, m34/m35/m36's probes) read it many times per
@@ -1160,17 +1199,11 @@ object Multimodal {
     * once per consumer. Materialized via localCheckpoint (tiny rows:
     * 7 longs/doc); the render cost lands in the `warmup_artifacts`
     * ledger, not in any single query's timing. */
-  private val jpegMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), Dataset[JpegMeta]]()
+  private[graft] val jpegMetaCache = new ArtifactCache[Dataset[JpegMeta]]
 
   def memoizedJpegMeta(documents: DataFrame, cacheKey: String): Dataset[JpegMeta] = {
-    val it = jpegMetaCache.keySet().iterator()
-    while (it.hasNext) {
-      if (it.next()._1.sparkContext.isStopped) it.remove()
-    }
-    jpegMetaCache.computeIfAbsent((documents.sparkSession, cacheKey),
-      _ => graft.tools.BuildTimer.time("jpeg_meta")(
+    jpegMetaCache.get((documents.sparkSession, cacheKey))(
+      graft.tools.BuildTimer.time("jpeg_meta")(
         // same layout rule as avi_meta: parallel decode, compact landing
         decodedJpegMeta(renderJpegTable(documents))
           .repartition(math.max(1, documents.rdd.getNumPartitions))
@@ -1679,18 +1712,12 @@ object Multimodal {
     * localCheckpoint, cost priced in `warmup_artifacts` as `wav_fp`.
     * Consumers slice it per doc_id (fingerprints are per-doc pure, so a
     * filtered read equals a filtered build). */
-  private val wavFpCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private[graft] val wavFpCache = new ArtifactCache[DataFrame]
 
   def memoizedWavFingerprints(documents: DataFrame,
                               cacheKey: String): DataFrame = {
-    val it = wavFpCache.keySet().iterator()
-    while (it.hasNext) {
-      if (it.next()._1.sparkContext.isStopped) it.remove()
-    }
-    wavFpCache.computeIfAbsent((documents.sparkSession, cacheKey),
-      _ => graft.tools.BuildTimer.time("wav_fp")(
+    wavFpCache.get((documents.sparkSession, cacheKey))(
+      graft.tools.BuildTimer.time("wav_fp")(
         decodedAudioFingerprints(renderWavTable(documents))
           .localCheckpoint()))
   }

@@ -347,10 +347,14 @@ private[queries] object MultimodalQueries {
       // render from the ORIGINAL ids (identical frames), re-id after —
       // the +500000 offset is even, so the re-upload keeps the render's
       // codec parity and decodes identically
-      // spread = false: the arriving delta is a bounded slice — the
-      // exchange + extra stages cost more than the slice's codec CPU
+      // spread = true (round 19, the r18 ADVICE): unlike the bounded
+      // doc_id < 40 plants at the other spread = false sites, this delta
+      // is pmod 10 — 10% of the corpus, growing with scale — so its AVI
+      // encode must parallelize. Interleaved A/B at sf0.1 after the
+      // artifact-layout fix: 0.51 s unspread vs 0.54 s spread (inside
+      // noise; the r18 penalty that motivated the opt-out is gone).
       val delta = M.renderAviTable(
-          base.filter(pmod(col("doc_id"), lit(10)) === 7), spread = false)
+          base.filter(pmod(col("doc_id"), lit(10)) === 7))
         .map(r => r.copy(doc_id = r.doc_id + 500000L))
       M.videoFpProbe(M.decodedVideoFingerprints(delta, stride = 2), corpusFp)
     }),

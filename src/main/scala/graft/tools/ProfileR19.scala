@@ -149,6 +149,31 @@ object ProfileR19 {
       }
     }
 
+    // ---- m35 delta-render spread A/B (ADVICE r18): the %10==7 delta is
+    // proportional to the corpus — does spreading its AVI render pay at
+    // bench SF now that renderInput is guarded? Interleaved, one JVM.
+    if (want("m35_spread_ab")) {
+      val b = base
+      def plan(spread: Boolean) = {
+        val corpusFp = M.aviMetaFingerprints(M.memoizedAviFrameMeta(b, dir).toDF())
+        import spark.implicits._
+        val delta = M.renderAviTable(
+            b.filter(pmod(col("doc_id"), lit(10)) === 7), spread = spread)
+          .map(r => r.copy(doc_id = r.doc_id + 500000L))
+        M.videoFpProbe(M.decodedVideoFingerprints(delta, stride = 2), corpusFp)
+      }
+      exhaust(plan(false)); exhaust(plan(true))
+      val u = scala.collection.mutable.Buffer[Double]()
+      val sp = scala.collection.mutable.Buffer[Double]()
+      (1 to 5).foreach { _ =>
+        var t0 = System.nanoTime(); exhaust(plan(false))
+        u += (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime(); exhaust(plan(true))
+        sp += (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"step":"m35_spread_ab","unspread_med":${u.sorted.apply(2)}%.3f,"spread_med":${sp.sorted.apply(2)}%.3f,"unspread":[${u.map(v => f"$v%.3f").mkString(",")}],"spread":[${sp.map(v => f"$v%.3f").mkString(",")}]}""")
+    }
+
     // ---- p24 decomposition -------------------------------------------
     {
       time("p24_full_asis") {

@@ -77,8 +77,21 @@ object Stress {
     // r12→r14 contamination_report confusion traced exactly to comparing a
     // mid-sweep 8× reading against an isolated 32× one — the artifact is
     // now self-describing: only same-mode pairs form a scaling curve.
-    val mode = if (opFilter.isDefined) "isolated" else "sweep"
+    // Optional third arg "steady": run each selected op once UNTIMED
+    // before the timed shot. A cold isolated run charges the op its own
+    // Catalyst planning + whole-stage codegen + JIT of the replicated
+    // union plan — measured ~3-8 s of CPU-count-INDEPENDENT serial cost
+    // at factor 16, which buries the parallel-scaling signal a
+    // cores-curve exists to expose (8c vs 32c codec ratios read ≈1 cold,
+    // ≈3 steady). Existing single-shot semantics (and every committed
+    // artifact produced by them) are unchanged unless the flag is given;
+    // the mode field says which methodology produced a row.
+    val steady = args.lift(2).contains("steady")
+    val mode =
+      if (steady) "steady"
+      else if (opFilter.isDefined) "isolated" else "sweep"
     def time(name: String)(body: => Long): Unit = if (want(name)) {
+      if (steady) body
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
