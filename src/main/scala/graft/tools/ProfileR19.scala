@@ -187,6 +187,91 @@ object ProfileR19 {
       time("s12_full_asis") {
         exhaust(graft.SparkEntry.queries("s12_sparse_cosine")(spark, dir))
       }
+      // vecs-checkpoint A/B: current registry plan (checkpointed vecs)
+      // vs the r18 shape (lazy vecs read three times), interleaved
+      if (want("s12_vecs_ab")) {
+        import org.apache.spark.sql.functions.{col, round, sqrt}
+        def oldPlan(): DataFrame = {
+          val (kept, vecs) = S.sparseCosineBase(docs, "doc_id", "text", 256, 3)
+          val cand = S.sparseCosineCandidates(kept, vecs, 0.9)
+          cand
+            .join(vecs.select(col("id").as("a_id"), col("ks").as("aks"),
+              col("vs").as("avs"), col("n2").as("a_n2")), Seq("a_id"))
+            .join(vecs.select(col("id").as("b_id"), col("ks").as("bks"),
+              col("vs").as("bvs"), col("n2").as("b_n2")), Seq("b_id"))
+            .withColumn("dot", graft.functions.DotSortedArrays.dotSortedArrays(
+              col("aks"), col("avs"), col("bks"), col("bvs")))
+            .withColumn("cos", round(col("dot").cast("double") /
+              (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 4))
+            .filter(col("cos") >= 0.9)
+            .select(col("a_id"), col("b_id"), col("cos"))
+        }
+        def newPlan(): DataFrame =
+          S.sparseCosinePairs(docs, "doc_id", "text",
+            threshold = 0.9, maxTermDocs = 256, ngram = 3)
+        exhaust(oldPlan()); exhaust(newPlan())
+        val o = scala.collection.mutable.Buffer[Double]()
+        val n = scala.collection.mutable.Buffer[Double]()
+        (1 to 5).foreach { _ =>
+          var t0 = System.nanoTime(); exhaust(oldPlan())
+          o += (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime(); exhaust(newPlan())
+          n += (System.nanoTime() - t0) / 1e9
+        }
+        println(f"""{"step":"s12_vecs_ab","old_med":${o.sorted.apply(2)}%.3f,"new_med":${n.sorted.apply(2)}%.3f,"old":[${o.map(v => f"$v%.3f").mkString(",")}],"new":[${n.map(v => f"$v%.3f").mkString(",")}]}""")
+      }
+      // tf-checkpoint A/B: does materializing the (id, th, tf) postings
+      // before the vocab aggregate (tf feeds BOTH the df-cap census and
+      // the kept join side) beat re-evaluating the corpus explode twice?
+      if (want("s12_tf_ab")) {
+        import org.apache.spark.sql.functions._
+        def planTfCp(): DataFrame = {
+          val tf = docs
+            .select(col("doc_id").as("id"),
+              explode(graft.functions.WordShingles
+                .wordShingles(col("text"), 3, distinct = false)).as("term"))
+            .select(col("id"), xxhash64(col("term")).as("th"))
+            .groupBy(col("id"), col("th"))
+            .agg(count(lit(1)).as("tf"))
+            .localCheckpoint()
+          val vocab = tf.groupBy(col("th"))
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 256)
+          val kept = tf.join(vocab, Seq("th")).localCheckpoint()
+          val vecs = kept.groupBy(col("id"))
+            .agg(sort_array(collect_list(struct(col("th"), col("tf")))).as("kv"),
+              sum(col("tf") * col("tf")).as("n2"))
+            .select(col("id"),
+              transform(col("kv"), x => x.getField("th")).as("ks"),
+              transform(col("kv"), x => x.getField("tf")).as("vs"),
+              col("n2")).localCheckpoint()
+          val cand = S.sparseCosineCandidates(kept, vecs, 0.9)
+          cand
+            .join(vecs.select(col("id").as("a_id"), col("ks").as("aks"),
+              col("vs").as("avs"), col("n2").as("a_n2")), Seq("a_id"))
+            .join(vecs.select(col("id").as("b_id"), col("ks").as("bks"),
+              col("vs").as("bvs"), col("n2").as("b_n2")), Seq("b_id"))
+            .withColumn("dot", graft.functions.DotSortedArrays.dotSortedArrays(
+              col("aks"), col("avs"), col("bks"), col("bvs")))
+            .withColumn("cos", round(col("dot").cast("double") /
+              (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 4))
+            .filter(col("cos") >= 0.9)
+            .select(col("a_id"), col("b_id"), col("cos"))
+        }
+        def planCur(): DataFrame =
+          S.sparseCosinePairs(docs, "doc_id", "text",
+            threshold = 0.9, maxTermDocs = 256, ngram = 3)
+        exhaust(planTfCp()); exhaust(planCur())
+        val o = scala.collection.mutable.Buffer[Double]()
+        val n = scala.collection.mutable.Buffer[Double]()
+        (1 to 5).foreach { _ =>
+          var t0 = System.nanoTime(); exhaust(planCur())
+          o += (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime(); exhaust(planTfCp())
+          n += (System.nanoTime() - t0) / 1e9
+        }
+        println(f"""{"step":"s12_tf_ab","cur_med":${o.sorted.apply(2)}%.3f,"tfcp_med":${n.sorted.apply(2)}%.3f,"cur":[${o.map(v => f"$v%.3f").mkString(",")}],"tfcp":[${n.map(v => f"$v%.3f").mkString(",")}]}""")
+      }
     }
 
     // ---- s18/s19 stream scaffolding ----------------------------------
