@@ -1761,16 +1761,16 @@ object SimilaritySearch {
         .filter(col("cos") >= threshold)
         .select(col("a_id"), col("b_id"), col("cos"))
     } else {
-      // Materialize the per-doc vector artifact once (round 19): the
-      // candidate stage reads its norms and the verify stage joins the
-      // full arrays on BOTH sides — THREE evaluations of the per-doc
-      // sort/collect aggregate (each one a shuffle of the postings +
-      // a sort_array per doc) without it. At 100 TB this frame is the
-      // standing document-vector artifact an all-pairs similarity run
-      // persists beside the postings; the cap-only twin (prefix = false)
-      // reads vecs once and skips the materialization.
-      val v = vecs.localCheckpoint()
-      val cand = sparseCosineCandidates(kept, v, threshold)
+      // NOT materialized (round-19 A/B): vecs is nominally read three
+      // times (norms in the candidate stage, full arrays on both verify
+      // sides), but AQE exchange reuse dedupes the repeated aggregate at
+      // runtime, and an eager localCheckpoint of the arrays REGRESSED
+      // the in-suite bench (s12 1.78 -> 2.3 s median across a committed
+      // triple; the interleaved A/B read within noise) — the
+      // materialization job costs more than the reuse it replaces. At
+      // 100 TB the standing document-vector artifact would be a
+      // persisted table, not an in-query checkpoint.
+      val cand = sparseCosineCandidates(kept, vecs, threshold)
       // Exact verify over the survivors: full kept vectors as parallel
       // sorted (hash, tf) arrays, dot by the codegen'd merge walk
       // (integer, the same value the postings sum produces in the
@@ -1780,9 +1780,9 @@ object SimilaritySearch {
       // flat long arrays and the per-pair CPU is allocation-free
       // generated code, not an interpreted map HOF.
       cand
-        .join(v.select(col("id").as("a_id"), col("ks").as("aks"),
+        .join(vecs.select(col("id").as("a_id"), col("ks").as("aks"),
           col("vs").as("avs"), col("n2").as("a_n2")), Seq("a_id"))
-        .join(v.select(col("id").as("b_id"), col("ks").as("bks"),
+        .join(vecs.select(col("id").as("b_id"), col("ks").as("bks"),
           col("vs").as("bvs"), col("n2").as("b_n2")), Seq("b_id"))
         .withColumn("dot", graft.functions.DotSortedArrays.dotSortedArrays(
           col("aks"), col("avs"), col("bks"), col("bvs")))
